@@ -1,0 +1,94 @@
+"""Typed engine configuration (reference O18/O19).
+
+Mirrors the env-var surface of `ConfiguracaoKafka.java:19-124` with the
+same names and defaults, plus the app dispatcher values of
+`AplicacaoPrincipal.java:14-19`. Required-credential fail-fast matches
+`ConfiguracaoKafka.java:26-32`.
+
+Quirk fixes carried from SURVEY.md §5: the registro-count formula always
+applies the `max(1, ...)` floor (GeradorCargaEstruturada.java:50; the
+un-floored copy at GeradorMensagemJson.java:38 is a reference bug).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+APPS = ("PRODUTOR_AVRO", "CONSUMIDOR_AVRO", "PRODUTOR_JSON", "CONSUMIDOR_JSON")
+BENCH_MODES = ("E2E_PARSE", "TRANSPORTE", "MICRO")
+COMPRESSIONS = ("none", "gzip", "snappy", "lz4", "zstd")
+
+# Bytes-per-registro sizing heuristic (GeradorMensagemJson.java:36-38):
+# a JSON-encoded Registro is ~200 bytes.
+BYTES_PER_REGISTRO = 200
+
+
+def n_registros(tamanho_kb: int) -> int:
+    """Registros per message for a target payload size.
+
+    `max(1, kb*1024/200)` — GeradorCargaEstruturada.java:50,63.
+    """
+    return max(1, (tamanho_kb * 1024) // BYTES_PER_REGISTRO)
+
+
+def _env_int(name: str, default: int) -> int:
+    raw = os.environ.get(name)
+    if raw is None or raw.strip() == "":
+        return default
+    try:
+        return int(raw.strip())
+    except ValueError:
+        return default
+
+
+@dataclass
+class EngineConfig:
+    """Engine knobs, reference-name-compatible (ConfiguracaoKafka.java)."""
+
+    total_mensagens: int = 10_000_000        # :38
+    tamanho_mensagem_kb: int = 2048          # :53
+    num_particoes: int = 18                  # :71
+    consumer_threads: int | None = None      # :85-96 (None -> particoes)
+    bench_mode: str = "E2E_PARSE"            # :100
+    compression_type: str = "lz4"            # :112-118
+    warmup_mensagens: int = 0                # :120-124
+    topico_avro: str = "carga-sandbox-avro"
+    topico_json: str = "carga-sandbox-json"
+    bootstrap_servers: str | None = None     # fail-fast only for Kafka mode
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def threads(self) -> int:
+        return self.consumer_threads or self.num_particoes
+
+    @property
+    def registros_por_mensagem(self) -> int:
+        return n_registros(self.tamanho_mensagem_kb)
+
+    def validate(self, require_kafka: bool = False) -> "EngineConfig":
+        if self.bench_mode not in BENCH_MODES:
+            raise ValueError(f"BENCH_MODE invalido: {self.bench_mode!r}; use {BENCH_MODES}")
+        if self.compression_type not in COMPRESSIONS:
+            raise ValueError(
+                f"COMPRESSION_TYPE invalido: {self.compression_type!r}; use {COMPRESSIONS}"
+            )
+        if require_kafka and not self.bootstrap_servers:
+            # ConfiguracaoKafka.java:26-32 fail-fast behavior.
+            raise ValueError("KAFKA_BOOTSTRAP_SERVERS obrigatorio para modo Kafka")
+        return self
+
+    @classmethod
+    def from_env(cls) -> "EngineConfig":
+        return cls(
+            total_mensagens=_env_int("TOTAL_MENSAGENS", 10_000_000),
+            tamanho_mensagem_kb=_env_int("TAMANHO_MENSAGEM_KB", 2048),
+            num_particoes=_env_int("NUM_PARTICOES", 18),
+            consumer_threads=(
+                _env_int("CONSUMER_THREADS", 0) or None
+            ),
+            bench_mode=os.environ.get("BENCH_MODE", "E2E_PARSE").strip() or "E2E_PARSE",
+            compression_type=os.environ.get("COMPRESSION_TYPE", "lz4").strip() or "lz4",
+            warmup_mensagens=_env_int("WARMUP_MENSAGENS", 0),
+            bootstrap_servers=os.environ.get("KAFKA_BOOTSTRAP_SERVERS"),
+        ).validate()

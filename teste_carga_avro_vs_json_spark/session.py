@@ -1,0 +1,75 @@
+"""SparkSession helpers.
+
+Every entry point funnels through :func:`get_spark` / :func:`configure`
+so required session confs are applied exactly once, including when the
+harness hands us an already-built session (the driver does this).
+
+Scale notes (100 TB): AQE is on for runtime shuffle coalescing and
+skew-join splitting; shuffle partitions default to 2x cores locally but
+should be ~2-3x total executor cores on a real cluster (or left to AQE
+with `spark.sql.adaptive.coalescePartitions.initialPartitionNum`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to set at runtime on any session.
+_RUNTIME_CONFS = {
+    # /root/testdata parquet uses TIMESTAMP(NANOS); Spark reads it as
+    # LongType (epoch nanos) with this legacy flag. The engine treats
+    # the column as an epoch-nanos long everywhere.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamp rendering for oracle parity.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for pandas UDFs (Avro codec, multimodal decode).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+# Confs that must be set at build time.
+_BUILD_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf may be static on some builds; reads then need it preset
+    return spark
+
+
+def get_spark(app_name: str = "teste-carga-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default all cores),
+    mirroring the reference's CONSUMER_THREADS knob
+    (/root/reference/src/main/java/.../ConfiguracaoKafka.java:85-96).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    shuffle = os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32")
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    for k, v in _BUILD_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver testdata table (TESTDATA.md); idempotently applies
+    the runtime confs so this works on driver-owned sessions too."""
+    configure(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,166 @@
+"""Synthetic load-message generator (reference O1/O2) — Spark-first.
+
+The reference builds each message in a driver-side Java loop
+(ProdutorAvro.java:53-65 -> GeradorCargaEstruturada.java:17-30): N
+messages, each with ``max(1, kb*1024/200)`` nested Registro elements
+filled from Random/UUID/wall-clock. Here the whole thing is ONE
+declarative plan:
+
+    spark.range(1, N+1)                         -- distributed rows
+      .withColumn(dados, transform(sequence(0, k-1), build_registro))
+
+so generation runs on executors, entirely inside whole-stage codegen —
+no Python, no driver loop, no shuffle. At 100 TB this scales linearly
+with executors: `spark.range` splits into `numPartitions` evenly sized
+partitions and every derived column is computed where the row lives.
+
+Determinism (required by the DuckDB oracle): all fields are md5-derived
+from (sequencia, indice) via functions/portable.py; timestamps use the
+logical clock ``EPOCH0 + sequencia`` (FIXTURES.md F1/F2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.config import n_registros
+from teste_carga_avro_vs_json_spark.functions.portable import (
+    hex32_sql,
+    pseudo_double,
+    pseudo_double_sql,
+    pseudo_uuid,
+    pseudo_uuid_sql,
+    rand_text,
+    rand_text_sql,
+)
+
+# Logical clock origin (FIXTURES.md F1): replaces System.currentTimeMillis()
+# at ProdutorAvro.java:61 / GeradorCargaEstruturada.java:24.
+EPOCH0 = 1_700_000_000_000
+
+TEXT_LEN = 100  # GeradorCargaEstruturada.java:22
+
+
+def _registro(seq: Column, idx: Column) -> Column:
+    """One nested Registro struct (MensagemCarga.avsc:17-23)."""
+    rk = F.concat(seq.cast("string"), F.lit("-"), idx.cast("string"))
+    return F.struct(
+        idx.cast("int").alias("indice"),
+        rand_text(F.concat(rk, F.lit("-t")), TEXT_LEN).alias("texto"),
+        pseudo_double(F.concat(rk, F.lit("-n"))).alias("numero"),
+        (F.lit(EPOCH0) + seq).cast("long").alias("timestamp"),
+        pseudo_uuid(F.concat(rk, F.lit("-u"))).alias("uuid"),
+    )
+
+
+def mensagens_from_seq(seq_df: DataFrame, tamanho_kb: int = 1) -> DataFrame:
+    """Attach the full MensagemCarga columns to a frame with a
+    ``sequencia`` (long, 1-based) column."""
+    k = n_registros(tamanho_kb)
+    seq = F.col("sequencia")
+    return seq_df.select(
+        pseudo_uuid(F.concat(F.lit("id-"), seq.cast("string"))).alias("id"),
+        (F.lit(EPOCH0) + seq).cast("long").alias("timestamp"),
+        seq.cast("long").alias("sequencia"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)), lambda j: _registro(seq, j)
+        ).alias("dados"),
+        F.lit("1.0").alias("versao"),
+    )
+
+
+def mensagens(
+    spark: SparkSession,
+    total: int,
+    tamanho_kb: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """N synthetic messages, sequencia 1..N (ProdutorAvro.java:53-65)."""
+    rng = spark.range(1, total + 1, numPartitions=num_partitions).toDF("sequencia")
+    return mensagens_from_seq(rng, tamanho_kb)
+
+
+def registros_flat(msgs: DataFrame) -> DataFrame:
+    """Exploded one-row-per-Registro view (FIXTURES.md F2) — the shape
+    the SQL oracle checks without UNNEST gymnastics."""
+    return msgs.select(
+        "sequencia",
+        "id",
+        F.col("timestamp").alias("msg_ts"),
+        "versao",
+        F.explode("dados").alias("r"),
+    ).select(
+        "sequencia",
+        "id",
+        "msg_ts",
+        "versao",
+        F.col("r.indice").alias("indice"),
+        F.col("r.texto").alias("texto"),
+        F.col("r.numero").alias("numero"),
+        F.col("r.timestamp").alias("reg_ts"),
+        F.col("r.uuid").alias("uuid"),
+    )
+
+
+# --------------------------------------------------------------- oracle
+def registros_flat_sql(total: int, tamanho_kb: int = 1) -> str:
+    """DuckDB twin of mensagens() -> registros_flat(): the exact same
+    rows from pure SQL (generate_series + portable md5 arithmetic)."""
+    k = n_registros(tamanho_kb)
+    rk = "(sequencia || '-' || indice)"
+    return f"""
+        WITH msgs AS (
+            SELECT i::BIGINT AS sequencia FROM generate_series(1, {total}) t(i)
+        ),
+        flat AS (
+            SELECT m.sequencia, j::INT AS indice
+            FROM msgs m, generate_series(0, {k - 1}) u(j)
+        )
+        SELECT
+            sequencia,
+            {pseudo_uuid_sql("'id-' || sequencia")} AS id,
+            ({EPOCH0} + sequencia)::BIGINT AS msg_ts,
+            '1.0' AS versao,
+            indice,
+            {rand_text_sql(rk + " || '-t'", TEXT_LEN)} AS texto,
+            {pseudo_double_sql(rk + " || '-n'")} AS numero,
+            ({EPOCH0} + sequencia)::BIGINT AS reg_ts,
+            {pseudo_uuid_sql(rk + " || '-u'")} AS uuid
+        FROM flat
+    """
+
+
+def size_estimate_sql(total: int, tamanho_kb: int = 1) -> str:
+    """DuckDB twin of the Avro consumer's structural size estimate
+    (ConsumidorAvro.java:182-191): sum over registros of
+    4 + 8 + 8 + len(texto) + len(uuid) = 20 + len(texto) + len(uuid)."""
+    k = n_registros(tamanho_kb)
+    rk = "(sequencia || '-' || indice)"
+    return f"""
+        WITH msgs AS (
+            SELECT i::BIGINT AS sequencia FROM generate_series(1, {total}) t(i)
+        ),
+        flat AS (
+            SELECT m.sequencia, j::INT AS indice
+            FROM msgs m, generate_series(0, {k - 1}) u(j)
+        )
+        SELECT sequencia,
+               SUM(20 + length({rand_text_sql(rk + " || '-t'", TEXT_LEN)})
+                      + length({pseudo_uuid_sql(rk + " || '-u'")}))::BIGINT
+                   AS tamanho_estimado
+        FROM flat
+        GROUP BY sequencia
+    """
+
+
+__all__ = [
+    "EPOCH0",
+    "TEXT_LEN",
+    "mensagens",
+    "mensagens_from_seq",
+    "registros_flat",
+    "registros_flat_sql",
+    "size_estimate_sql",
+    "hex32_sql",
+]
