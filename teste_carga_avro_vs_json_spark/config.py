@@ -87,8 +87,14 @@ class EngineConfig:
             consumer_threads=(
                 _env_int("CONSUMER_THREADS", 0) or None
             ),
-            bench_mode=os.environ.get("BENCH_MODE", "E2E_PARSE").strip() or "E2E_PARSE",
-            compression_type=os.environ.get("COMPRESSION_TYPE", "lz4").strip() or "lz4",
+            # obterBenchMode() does trim().toUpperCase(); obterCompressionType()
+            # does trim().toLowerCase() (ConfiguracaoKafka.java:98-118).
+            bench_mode=(
+                os.environ.get("BENCH_MODE", "E2E_PARSE").strip().upper() or "E2E_PARSE"
+            ),
+            compression_type=(
+                os.environ.get("COMPRESSION_TYPE", "lz4").strip().lower() or "lz4"
+            ),
             warmup_mensagens=_env_int("WARMUP_MENSAGENS", 0),
             bootstrap_servers=os.environ.get("KAFKA_BOOTSTRAP_SERVERS"),
         ).validate()

@@ -96,4 +96,6 @@ def pseudo_double(key: Column | str, scale: float = 1000.0) -> Column:
 
 
 def pseudo_double_sql(expr: str, scale: float = 1000.0) -> str:
-    return f"(({hex32_sql(expr)} % 1000000) / {1_000_000.0 / scale!r})"
+    # CAST to DOUBLE so DuckDB doesn't parse a long literal as DECIMAL,
+    # which would not round-trip to the exact IEEE-754 double Spark uses.
+    return f"(({hex32_sql(expr)} % 1000000) / CAST({1_000_000.0 / scale!r} AS DOUBLE))"

@@ -1,0 +1,11 @@
+"""Dataflow + LLM-pipeline operators.
+
+- ``metrics``    warm-up filter, success tagging, global agg, merge, report
+                 (reference O10, O12-O15)
+- ``serde``      JSON/Avro encode-decode round trips (O3-O6)
+- ``routing``    partition routing, tail-N offset pruning, TRANSPORTE (O7, O9)
+- ``text``       language-ID, quality scoring, token counting, fingerprints
+- ``dedup``      exact + MinHash/LSH + SimHash + n-gram Jaccard dedup
+- ``similarity`` embedding cosine top-k (brute force + LSH-bucketed)
+- ``multimodal`` binary payload columns with typed metadata (stubbed decode)
+"""

@@ -1,0 +1,310 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, cheapest first (SURVEY.md §2.3; the standard corpus-dedup
+ladder):
+
+1. **Exact** — content hash, groupBy, keep min doc_id. One shuffle on
+   the hash key; at 100 TB use ``xxhash64`` (8-byte key, no Python) and
+   let AQE coalesce; md5 variant kept for the DuckDB oracle twin.
+2. **n-gram Jaccard** — exact set similarity over word k-shingles for
+   a *candidate pair list*; never all-pairs at scale.
+3. **MinHash + LSH** — signature = min hash per seed over shingles;
+   band signatures bucket the corpus so the self-join touches only
+   same-bucket rows (candidate generation is O(docs·bands), not
+   O(docs²)). Jaccard verified exactly on candidates only.
+4. **SimHash** — 16-bit weighted-majority fingerprint; near-dups share
+   fingerprints at small Hamming distance.
+
+Everything is built-in expressions (md5/array HOFs) — no UDFs, no
+``.collect()``; every stage is a projection or a keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.functions.portable import hex32, hex32_sql
+from teste_carga_avro_vs_json_spark.operators.text import tokens, tokens_sql
+
+# ------------------------------------------------------------ exact dedup
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5(text) groups; survivor = min doc_id.
+
+    Output one row per distinct content: (fp, keep_doc_id, n_copies).
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        FROM {table} GROUP BY md5(text)
+    """
+
+
+def exact_dedup_scale(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """100 TB variant: xxhash64 (JVM, 8-byte key — half the shuffle
+    width of md5's 32-char string and no hex formatting). Not
+    oracle-checked (DuckDB has no xxhash64); asserted in pytest to
+    agree with exact_dedup on survivor sets."""
+    return (
+        docs.select(F.xxhash64(F.col(text_col)).alias("fp64"), "doc_id")
+        .groupBy("fp64")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------- shingles
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles ('w1 w2 w3' strings). Empty/short docs
+    yield what they can (< k words → no shingles → empty array)."""
+    t = tokens(text)
+    n = F.size(t)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+    )
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    t = tokens_sql(expr)
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, GREATEST(len({t}) - {k - 1}, 0)), "
+        f"i -> array_to_string({t}[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("long")
+    union = F.size(a).cast("long") + F.size(b).cast("long") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# -------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, modulus: int = 10, threshold: float = 0.0
+) -> DataFrame:
+    """Exact pairwise Jaccard over word k-shingles for a deterministic
+    document sample (doc_id % modulus == 0).
+
+    The sample bound keeps the all-pairs join quadratic only in the
+    sample (oracle fixture); production near-dup goes through
+    :func:`minhash_lsh_candidates` instead — never all-pairs.
+    """
+    sample = docs.filter(F.col("doc_id") % modulus == 0).select(
+        "doc_id", shingles("text", k).alias("sh")
+    )
+    a = sample.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sample.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_sql(
+    table: str = "documents", k: int = 3, modulus: int = 10, threshold: float = 0.0
+) -> str:
+    sh = shingles_sql("text", k)
+    return f"""
+        WITH sample AS (
+            SELECT doc_id, {sh} AS sh FROM {table} WHERE doc_id % {modulus} = 0
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
+                   len(a.sh)::BIGINT + len(b.sh)::BIGINT
+                       - len(list_intersect(a.sh, b.sh))::BIGINT AS un
+            FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CASE WHEN un > 0 THEN inter / un ELSE 0.0 END AS jaccard
+        FROM pairs
+        WHERE CASE WHEN un > 0 THEN inter / un ELSE 0.0 END >= {threshold}
+    """
+
+
+# ---------------------------------------------------------- MinHash + LSH
+def _seeded_hash(i: int):
+    """Unary lambda factory: a default-arg lambda would be mistaken by
+    PySpark's HOF binding for an (element, index) binary lambda."""
+    prefix = f"{i}|"
+
+    def fn(s: Column) -> Column:
+        return hex32(F.concat(F.lit(prefix), s))
+
+    return fn
+
+
+def minhash_signature(sh: Column, num_hashes: int = 12) -> Column:
+    """Array of ``num_hashes`` min-hashes over the shingle set. Seeded
+    via the portable hex32 (md5) so the DuckDB twin matches bit-exactly;
+    the 100 TB path swaps hex32 for xxhash64(seed, shingle)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, _seeded_hash(i))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup candidates via banded MinHash (LSH), with exact Jaccard
+    verification on candidates only.
+
+    Plan shape (the part that must survive 100 TB): per-doc signature is
+    a projection; ``explode`` to (band_key, doc) rows; the self-join is
+    keyed on band_key, so Spark shuffles only (bands × docs) small rows
+    and joins within buckets. No all-pairs product ever forms. Skewed
+    buckets (e.g. boilerplate-heavy corpora) are split by AQE skew-join.
+    """
+    rows = num_hashes // bands
+    base = docs.select("doc_id", shingles("text", k).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    sig = base.withColumn("mh", minhash_signature(F.col("sh"), num_hashes))
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        *[F.col("mh")[b * rows + r].cast("string") for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = banded.select(
+        F.col("band_key"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = banded.select(
+        F.col("band_key"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    cand = (
+        a.join(b, ["band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_sql(
+    table: str = "documents",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> str:
+    rows = num_hashes // bands
+    sh = shingles_sql("text", k)
+    mh_exprs = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + hex32_sql(f"'{i}|' || s")
+        + f")) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "concat_ws(':', '"
+        + str(b)
+        + "', "
+        + ", ".join(f"mh{b * rows + r}::VARCHAR" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {sh} AS sh FROM {table}
+        ),
+        nonempty AS (SELECT * FROM base WHERE len(sh) > 0),
+        sig AS (
+            SELECT doc_id, sh, {mh_exprs} FROM nonempty
+        ),
+        banded AS (
+            SELECT doc_id, sh, unnest([{band_keys}]) AS band_key FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT c.doc_a, c.doc_b,
+                   len(list_intersect(x.sh, y.sh))::BIGINT AS inter,
+                   len(x.sh)::BIGINT + len(y.sh)::BIGINT
+                       - len(list_intersect(x.sh, y.sh))::BIGINT AS un
+            FROM cand c
+            JOIN nonempty x ON x.doc_id = c.doc_a
+            JOIN nonempty y ON y.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CASE WHEN un > 0 THEN inter / un ELSE 0.0 END AS jaccard
+        FROM verified
+        WHERE CASE WHEN un > 0 THEN inter / un ELSE 0.0 END >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------- SimHash
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """16-bit SimHash over distinct tokens: bit b is set when strictly
+    more tokens hash with bit b set than clear. Pure expression tree —
+    per row it's ``bits`` filtered counts over the token array."""
+    t = F.array_distinct(tokens("text"))
+    n = F.size(t)
+
+    def _bit_pred(b: int):
+        def fn(tok: Column) -> Column:
+            return F.shiftright(hex32(tok), b).bitwiseAND(F.lit(1)) == 1
+
+        return fn
+
+    bit_cols = []
+    for b in range(bits):
+        cnt = F.size(F.filter(t, _bit_pred(b)))
+        bit_cols.append(F.when(cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return docs.select("doc_id", total.cast("long").alias("simhash"))
+
+
+def simhash_sql(table: str = "documents", bits: int = 16) -> str:
+    t = tokens_sql("text")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(toks, tok -> (({hex32_sql('tok')} >> {b}) & 1) = 1)) "
+        f"> len(toks) THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+        WITH base AS (SELECT doc_id, list_distinct({t}) AS toks FROM {table})
+        SELECT doc_id, ({terms})::BIGINT AS simhash FROM base
+    """

@@ -1,0 +1,178 @@
+"""Multimodal (binary) columns: opaque payload + typed metadata.
+
+Treats image/audio/video as ``binary`` columns with a metadata struct,
+per the engine's training-data mandate. The real decoders (PIL,
+ffmpeg, torchaudio) are NOT in this container, so the decode step is
+stubbed behind ``NotImplementedError`` with a deterministic fake that
+keeps the Spark-side plumbing — schema, partitioning, Arrow batch
+shape, ``mapInPandas`` signature — real and tested.
+
+Scale notes: payload bytes ride along as Arrow binary batches; feature
+extraction is one ``mapInPandas`` pass (no shuffle, no driver
+traffic). At 100 TB the pattern is identical with
+``spark.read.format("binaryFile")`` as the source; partition sizing is
+governed by ``maxPartitionBytes``, and feature outputs are tiny relative
+to payloads, so column pruning after extraction drops the heavy bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from teste_carga_avro_vs_json_spark.functions.portable import hex32
+
+try:  # pickle-by-value: executors don't need the repo on PYTHONPATH
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass
+
+_FORMATS = ["png", "jpeg", "webp"]
+
+MEDIA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", StringType(), False),  # binary below
+    ]
+)
+
+FEATURES = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def synth_media(docs: DataFrame, payload_reps: int = 4) -> DataFrame:
+    """Deterministic fake media table from ``documents``: payload =
+    md5(text) bytes repeated, metadata derived via hex32. Stands in for
+    ``spark.read.format("binaryFile")`` in this container."""
+    md5_hex = F.md5("text")
+    return docs.select(
+        "doc_id",
+        F.unhex(F.repeat(md5_hex, payload_reps)).alias("payload"),
+        F.element_at(
+            F.array(*[F.lit(f) for f in _FORMATS]),
+            (hex32(F.concat(F.lit("fmt-"), F.col("doc_id"))) % 3 + 1).cast("int"),
+        ).alias("format"),
+        (hex32(F.concat(F.lit("w-"), F.col("doc_id"))) % 1920 + 1).cast("int").alias("width"),
+        (hex32(F.concat(F.lit("h-"), F.col("doc_id"))) % 1080 + 1).cast("int").alias("height"),
+    )
+
+
+def decode_image(payload: bytes, fmt: str):
+    """Real image decode — requires PIL/libvips, absent here.
+
+    STUB (SURVEY/mandate): raise so callers fall back to
+    :func:`fake_features`; swap in a real decoder on a cluster image.
+    """
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips which are not in this container; "
+        "use extract_features(..., fake=True) for the deterministic stand-in"
+    )
+
+
+def _fake_feature_vec(payload: bytes, n: int = 4) -> list[float]:
+    """Deterministic stand-in for an image-embedding model: cheap byte
+    statistics. Same length/dtype contract as a real extractor."""
+    if not payload:
+        return [0.0] * n
+    total = sum(payload)
+    return [
+        float(len(payload)),
+        float(payload[0]),
+        float(total % 997),
+        float(total / len(payload)),
+    ][:n]
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas`` —
+    Arrow-batched, executor-side, schema-stable output."""
+    if not fake:
+        # Route kept so a cluster image with PIL installed only flips
+        # this flag; the plumbing is identical.
+        raise NotImplementedError("real decoders not available in this container")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": pdf["format"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "first_byte": pdf["payload"].map(
+                        lambda b: int(b[0]) if len(b) else -1
+                    ),
+                    "features": pdf["payload"].map(_fake_feature_vec),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(_extract, FEATURES)
+
+
+def media_features(docs: DataFrame) -> DataFrame:
+    """End-to-end: synth media -> mapInPandas features, projected to the
+    oracle-checkable arithmetic columns (doc_id, format, width, height,
+    n_bytes, first_byte)."""
+    feats = extract_features(synth_media(docs))
+    return feats.select(
+        "doc_id", "format", "width", "height", "n_bytes", "first_byte"
+    )
+
+
+def media_features_sql(table: str = "documents", payload_reps: int = 4) -> str:
+    """DuckDB twin computing the same metadata/byte stats from md5
+    arithmetic (payload = unhex(repeat(md5(text), reps)))."""
+    from teste_carga_avro_vs_json_spark.functions.portable import hex32_sql
+
+    fmt_arr = "['png', 'jpeg', 'webp']"
+    return f"""
+        SELECT doc_id,
+               {fmt_arr}[({hex32_sql("'fmt-' || doc_id")} % 3 + 1)::INT] AS format,
+               ({hex32_sql("'w-' || doc_id")} % 1920 + 1)::INT AS width,
+               ({hex32_sql("'h-' || doc_id")} % 1080 + 1)::INT AS height,
+               (16 * {payload_reps})::BIGINT AS n_bytes,
+               ('0x' || substr(md5(text), 1, 2))::INT AS first_byte
+        FROM {table}
+    """
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame-sampling plumbing: pretend each payload is a frame
+    sequence; keep every Nth 16-byte block as a 'frame'. Shows the
+    explode-side pattern (one row per sampled frame) with all work in
+    expressions; a real build swaps the slicer for an ffmpeg UDF."""
+    n_frames = (F.octet_length("payload") / 16).cast("int")
+    frames = F.filter(
+        F.sequence(F.lit(0), n_frames - 1), lambda i: i % every_n == 0
+    )
+    return media.select(
+        "doc_id",
+        F.explode(frames).alias("frame_idx"),
+    ).withColumn("frame_offset", F.col("frame_idx") * 16)

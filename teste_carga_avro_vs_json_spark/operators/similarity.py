@@ -1,0 +1,244 @@
+"""Similarity search over embedding columns (SURVEY.md §2.3).
+
+Two tiers:
+
+- **Brute-force cosine top-k** (baseline, oracle-checked): a
+  deterministic query sample broadcast against the corpus; dot products
+  as JVM higher-order functions (``zip_with`` + ``aggregate`` —
+  sequential left-to-right fold, so DuckDB reproduces the exact IEEE-754
+  bits). Correct at any scale where #queries is small: the corpus side
+  never shuffles, each task scans its partition once.
+- **LSH-bucketed ANN** (the 100 TB path): random-hyperplane signatures
+  bucket the corpus; candidates only form within a bucket. Join cost is
+  O(rows · buckets_per_row), not O(rows²). Signatures are deterministic
+  (hex32-seeded hyperplanes) so results are reproducible; recall vs the
+  brute-force baseline is asserted in pytest.
+
+Embeddings are ``array<float>``; both engines cast to double *before*
+any arithmetic so products/sums are identical IEEE-754 op sequences.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (left-to-right, double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DOT_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), 'sum')"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+# ------------------------------------------------------ brute-force top-k
+def cosine_topk(
+    emb: DataFrame, k: int = 10, query_modulus: int = 50
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the deterministic query sample
+    (vec_id % query_modulus == 0), excluding self.
+
+    Plan: tiny query side is broadcast; the corpus scan computes
+    #queries dot products per row (pure JVM) and a per-query top-k
+    window. The window shuffles only (corpus × queries) score rows,
+    and AQE coalesces. Ranking ties break on vec_id for determinism.
+    """
+    v = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = v.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qvec"), F.col("vec")), 9).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def cosine_topk_sql(
+    table: str = "embeddings", k: int = 10, query_modulus: int = 50
+) -> str:
+    cos = _cosine_sql("q.qvec", "v.vec")
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM {table}
+        ),
+        q AS (
+            SELECT vec_id AS query_id, vec AS qvec FROM v
+            WHERE vec_id % {query_modulus} = 0
+        ),
+        scored AS (
+            SELECT q.query_id, v.vec_id, ROUND({cos}, 9) AS cos_sim
+            FROM v JOIN q ON v.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id ASC
+                   )::INT AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# ------------------------------------------------------ embedding near-dup
+def embedding_neardup(
+    emb: DataFrame, threshold: float = 0.3, modulus: int = 10
+) -> DataFrame:
+    """Near-duplicate pairs by cosine over a deterministic sample
+    (oracle fixture; the production path is :func:`lsh_ann` buckets +
+    this verification on candidates only)."""
+    v = emb.filter(F.col("vec_id") % modulus == 0).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 9).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_sql(
+    table: str = "embeddings", threshold: float = 0.3, modulus: int = 10
+) -> str:
+    cos = _cosine_sql("a.va", "b.vb")
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM {table}
+            WHERE vec_id % {modulus} = 0
+        ),
+        a AS (SELECT vec_id AS vec_a, vec AS va FROM v),
+        b AS (SELECT vec_id AS vec_b, vec AS vb FROM v),
+        pairs AS (
+            SELECT vec_a, vec_b, ROUND({cos}, 9) AS cos_sim
+            FROM a JOIN b ON vec_a < vec_b
+        )
+        SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+    """
+
+
+# ----------------------------------------------------------- LSH ANN path
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes seeded by md5 — reproducible across
+    runs without any RNG state."""
+    planes = []
+    for h in range(n_planes):
+        row = []
+        for d in range(dim):
+            digest = hashlib.md5(f"plane-{h}-{d}".encode()).hexdigest()
+            row.append(1.0 if int(digest[:8], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    emb: DataFrame, dim: int = 64, n_planes: int = 4, n_tables: int = 4
+) -> DataFrame:
+    """Multi-table random-hyperplane signatures: per table t, bit h =
+    sign(v · plane_{t,h}); 2^n_planes buckets per table. One row per
+    (vector, table) after explode — standard L-table LSH, trading L×
+    index size for recall. The signature computation is one projection
+    (no shuffle); bucketing a 100 TB corpus costs a single scan."""
+    v = F.col("embedding").cast("array<double>")
+    table_buckets = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes * (t + 1))[n_planes * t :]
+        sig = F.lit(0)
+        for h, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(x) for x in plane])
+            sig = sig + F.when(_dot(v, plane_col) >= 0, F.lit(1 << h)).otherwise(
+                F.lit(0)
+            )
+        table_buckets.append(
+            F.struct(F.lit(t).alias("tbl"), sig.cast("int").alias("sig"))
+        )
+    return emb.withColumn(
+        "bucket", F.explode(F.array(*table_buckets))
+    ).withColumn(
+        "bucket", F.concat_ws("#", F.col("bucket.tbl"), F.col("bucket.sig"))
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame, k: int = 10, dim: int = 64, n_planes: int = 4,
+    n_tables: int = 4, query_modulus: int = 50,
+) -> DataFrame:
+    """ANN top-k: candidates restricted to buckets the query occupies in
+    ANY of the L hash tables, then exact cosine + rank. Trades recall
+    for a corpus-side equi-join on ``bucket`` instead of a broadcast
+    full scan — the shape that survives when the query side is also
+    large. Recall vs brute force is asserted in pytest.
+    """
+    bucketed = lsh_bucket(emb, dim, n_planes, n_tables).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "bucket"
+    )
+    q = bucketed.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("bucket"),
+    )
+    cand = (
+        bucketed.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", "vec_id", "vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qvec"), F.col("vec")), 9).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,243 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.3).
+
+All pure JVM built-ins over the ``documents`` table — no UDFs anywhere,
+so every operator is whole-stage-codegen eligible and scales linearly:
+tokenization is a per-row projection, the stats are single hash
+aggregations with map-side partial agg.
+
+Every function has a DuckDB SQL twin for the driver oracle. Both
+dialects share the SAME tokenizer definition (split on whitespace runs,
+drop empties) so token counts agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+# ------------------------------------------------------------- tokenizer
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenizer: split on \\s+ runs, drop empty strings."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t <> '')"
+
+
+# BPE-ish subword proxy: letter runs, digit runs, and single other chars
+# — a deterministic stand-in for a real BPE vocab (which needs a model
+# artifact this container doesn't ship).
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Per-document token counting: whitespace words + BPE-ish pieces +
+    char count. The three standard 'how big is this doc' measures."""
+    t = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_pieces"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def token_counts_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               len({tokens_sql("text")})::INT AS n_words,
+               len(regexp_extract_all(text, '{_BPE_RE}'))::INT AS n_pieces,
+               length(text)::INT AS n_chars_measured
+        FROM {table}
+    """
+
+
+# ------------------------------------------------------------ text stats
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Corpus stats per language: doc counts, char/token totals and
+    means, distinct sources. One hash agg; the mean is derived post-agg
+    from exact longs (oracle-stable double)."""
+    t = tokens("text")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        F.size(t).cast("long").alias("words"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").cast("long").alias("total_chars"),
+            F.sum("words").cast("long").alias("total_words"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .withColumn(
+            "avg_chars", F.col("total_chars") / F.col("n_docs")
+        )
+        .withColumn("avg_words", F.col("total_words") / F.col("n_docs"))
+        .orderBy("lang")
+    )
+
+
+def text_stats_sql(table: str = "documents") -> str:
+    return f"""
+        WITH per_doc AS (
+            SELECT lang, source,
+                   length(text)::BIGINT AS chars,
+                   len({tokens_sql("text")})::BIGINT AS words
+            FROM {table}
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(chars)::BIGINT AS total_chars,
+               SUM(words)::BIGINT AS total_words,
+               COUNT(DISTINCT source) AS n_sources,
+               SUM(chars)::BIGINT / COUNT(*) AS avg_chars,
+               SUM(words)::BIGINT / COUNT(*) AS avg_words
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """
+
+
+# -------------------------------------------------------------- lang id
+# n-gram/stopword heuristic language ID. Tiny marker inventories keep
+# the expression cheap (a handful of array_contains scans per row);
+# deterministic alphabetical tiebreak. This is the classic
+# "stopword-profile" identifier — accuracy is bounded, but the *plumbing*
+# (argmax over per-language evidence scores) is the real operator.
+_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ein"],
+    "en": ["the", "and", "of", "is", "to", "a"],
+    "es": ["el", "la", "los", "que", "de", "y"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+}
+
+
+def _marker_count(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Predict language as argmax of stopword-marker hits; ties and
+    zero-evidence rows resolve to 'und' (undetermined) / alphabetical
+    order — fully deterministic for the oracle."""
+    t = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_marker_count(t, ws).alias(f"s_{lang}") for lang, ws in _MARKERS.items()],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(_MARKERS):  # alphabetical tiebreak: first max wins
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        pred.alias("lang_pred"),
+        best.cast("int").alias("marker_hits"),
+    )
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    score_exprs = []
+    for lang, ws in _MARKERS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        score_exprs.append(
+            f"len(list_filter({tokens_sql('text')}, t -> list_contains({arr}, lower(t)))) AS s_{lang}"
+        )
+    scores = ",\n               ".join(score_exprs)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in _MARKERS) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lang in sorted(_MARKERS):
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+               {scores}
+            FROM {table}
+        )
+        SELECT doc_id, lang AS lang_labeled, {case} AS lang_pred,
+               {best}::INT AS marker_hits
+        FROM scored
+    """
+
+
+# -------------------------------------------------------- quality score
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality scoring (length / mean-word-length / stopword
+    ratio) — the standard cheap pre-filter for LLM corpora. All ratios
+    derive from exact int counts, so the doubles are oracle-stable."""
+    t = tokens("text")
+    en = _MARKERS["en"]
+    scored = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("chars"),
+        F.size(t).cast("long").alias("words"),
+        _marker_count(t, en).cast("long").alias("stopwords"),
+    )
+    words_nz = F.greatest(F.col("words"), F.lit(1))
+    return scored.select(
+        "doc_id",
+        "chars",
+        "words",
+        (F.col("chars") / words_nz).alias("mean_word_len"),
+        (F.col("stopwords") / words_nz).alias("stopword_ratio"),
+        # in-range indicator components: docs of 20..2000 words with
+        # some stopword evidence score higher
+        (
+            F.when((F.col("words") >= 20) & (F.col("words") <= 2000), F.lit(0.5))
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("stopwords") > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+            + F.when(
+                (F.col("chars") / words_nz >= 3) & (F.col("chars") / words_nz <= 12),
+                F.lit(0.2),
+            ).otherwise(F.lit(0.0))
+        ).alias("quality"),
+    )
+
+
+def quality_score_sql(table: str = "documents") -> str:
+    en = "[" + ", ".join(f"'{w}'" for w in _MARKERS["en"]) + "]"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   length(text)::BIGINT AS chars,
+                   len({tokens_sql("text")})::BIGINT AS words,
+                   len(list_filter({tokens_sql("text")},
+                       t -> list_contains({en}, lower(t))))::BIGINT AS stopwords
+            FROM {table}
+        )
+        SELECT doc_id, chars, words,
+               chars / GREATEST(words, 1) AS mean_word_len,
+               stopwords / GREATEST(words, 1) AS stopword_ratio,
+               (CASE WHEN words BETWEEN 20 AND 2000 THEN 0.5 ELSE 0.0 END
+                + CASE WHEN stopwords > 0 THEN 0.3 ELSE 0.0 END
+                + CASE WHEN chars / GREATEST(words, 1) BETWEEN 3 AND 12
+                       THEN 0.2 ELSE 0.0 END) AS quality
+        FROM scored
+    """
+
+
+# ----------------------------------------------------------- fingerprint
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text — the canonical content-defined exact-dup key. (The rolling
+    Rabin-hash variant lives in dedup.shingles; md5 here keeps the
+    oracle twin exact.)"""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fp"), F.length(norm).cast("long").alias("norm_len")
+    )
+
+
+def fingerprint_sql(table: str = "documents") -> str:
+    norm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+    return f"""
+        SELECT doc_id, md5({norm}) AS fp, length({norm})::BIGINT AS norm_len
+        FROM {table}
+    """

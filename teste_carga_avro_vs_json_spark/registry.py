@@ -1,0 +1,396 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) ->
+DataFrame callable with a DuckDB oracle twin.
+
+This is the driver-contract surface (``__spark_entry__.py`` re-exports
+it): each SURVEY.md §2 operator registers here; the driver hash-compares
+Spark vs DuckDB at sf=0.01 (CORRECTNESS_r{N}.json).
+
+Determinism rules that keep the value-hash oracle green:
+- every double is either a per-row expression (one fixed IEEE-754 op
+  sequence) or derived post-agg from exact longs — never an
+  order-dependent double SUM;
+- timestamps truncate to epoch-millis on BOTH sides (the parquet is
+  TIMESTAMP(NANOS): Spark reads exact nanos via nanosAsLong, DuckDB
+  truncates to micros — millis is the shared precision);
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.operators import (
+    dedup,
+    metrics,
+    multimodal,
+    routing,
+    serde,
+    similarity,
+    text,
+)
+from teste_carga_avro_vs_json_spark.session import configure, load_table
+from teste_carga_avro_vs_json_spark.sources import generator
+
+# Fixed fixture constants — baked into both dialects.
+GEN_TOTAL = 200          # messages for generator-based queries
+GEN_KB = 1               # -> max(1, 1024//200) = 5 registros per message
+ROUTE_TOTAL = 500
+ROUTE_PARTS = 18
+TAIL_TARGET = 100
+WARMUP = 100
+MERGE_SHARDS = 4
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# ----------------------------------------------------------- event source
+def _eventos_como_mensagens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's ``events`` table onto the message-metrics shape
+    (FIXTURES.md F5): sequencia=event_id, bytes=length(props),
+    sucesso = event_type != 'error', ts_ms = event time in millis."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("sequencia"),
+        F.length("props").cast("long").alias("tamanho_bytes"),
+        (F.col("event_type") != F.lit("error")).alias("sucesso"),
+        F.expr("ts div 1000000").alias("ts_ms"),
+    )
+
+
+_EVENTOS_SQL = """
+    SELECT event_id AS sequencia,
+           length(props)::BIGINT AS tamanho_bytes,
+           (event_type <> 'error') AS sucesso,
+           epoch_ms(ts) AS ts_ms
+    FROM events
+"""
+
+
+# ------------------------------------------------------------- generators
+def q_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = generator.mensagens(spark, GEN_TOTAL, GEN_KB)
+    return generator.registros_flat(msgs)
+
+
+def q_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = generator.mensagens(spark, GEN_TOTAL, GEN_KB)
+    return routing.size_estimate(msgs)
+
+
+# ------------------------------------------------------------------ serde
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = generator.mensagens(spark, GEN_TOTAL, GEN_KB)
+    return generator.registros_flat(serde.json_roundtrip(msgs))
+
+
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = generator.mensagens(spark, GEN_TOTAL, GEN_KB)
+    return generator.registros_flat(serde.avro_roundtrip(msgs))
+
+
+# ---------------------------------------------------------------- routing
+def q_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = generator.mensagens(spark, ROUTE_TOTAL, GEN_KB).select("sequencia")
+    routed = routing.route(msgs, ROUTE_PARTS)
+    return (
+        routed.groupBy("particao")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.min("sequencia").alias("min_seq"),
+            F.max("sequencia").alias("max_seq"),
+            F.min("chave").alias("first_chave"),
+        )
+        .orderBy("particao")
+    )
+
+
+def _routing_sql() -> str:
+    return f"""
+        WITH msgs AS (
+            SELECT i::BIGINT AS sequencia,
+                   'msg-' || i AS chave,
+                   ((i - 1) % {ROUTE_PARTS})::INT AS particao
+            FROM generate_series(1, {ROUTE_TOTAL}) t(i)
+        )
+        SELECT particao, COUNT(*) AS n_msgs, MIN(sequencia) AS min_seq,
+               MAX(sequencia) AS max_seq, MIN(chave) AS first_chave
+        FROM msgs GROUP BY particao ORDER BY particao
+    """
+
+
+def q_tail_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = generator.mensagens(spark, ROUTE_TOTAL, GEN_KB).select("sequencia")
+    transporte = routing.with_offsets(routing.route(msgs, ROUTE_PARTS))
+    kept = routing.tail_n(transporte, TAIL_TARGET, ROUTE_PARTS)
+    return kept.select("particao", "offset", "sequencia").orderBy(
+        "particao", "offset"
+    )
+
+
+def _tail_n_sql() -> str:
+    per_part = -(-TAIL_TARGET // ROUTE_PARTS)
+    return f"""
+        WITH msgs AS (
+            SELECT i::BIGINT AS sequencia, ((i - 1) % {ROUTE_PARTS})::INT AS particao
+            FROM generate_series(1, {ROUTE_TOTAL}) t(i)
+        ),
+        com_offset AS (
+            SELECT particao, sequencia,
+                   (ROW_NUMBER() OVER (PARTITION BY particao ORDER BY sequencia)
+                        - 1)::BIGINT AS "offset"
+            FROM msgs
+        ),
+        ends AS (
+            SELECT particao, MAX("offset") + 1 AS end_offset
+            FROM com_offset GROUP BY particao
+        )
+        SELECT c.particao, c."offset", c.sequencia
+        FROM com_offset c JOIN ends e USING (particao)
+        WHERE c."offset" >= GREATEST(0, e.end_offset - {per_part})
+        ORDER BY c.particao, c."offset"
+    """
+
+
+# ---------------------------------------------------------------- metrics
+def q_warmup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = metrics.warmup_filter(_eventos_como_mensagens(spark, sf_dir), WARMUP)
+    return src.agg(
+        F.count(F.lit(1)).alias("total_mensagens"),
+        F.sum("tamanho_bytes").cast("long").alias("total_bytes"),
+        F.min("sequencia").alias("min_seq"),
+    )
+
+
+def _warmup_sql() -> str:
+    return f"""
+        WITH src AS ({_EVENTOS_SQL})
+        SELECT COUNT(*) AS total_mensagens,
+               SUM(tamanho_bytes)::BIGINT AS total_bytes,
+               MIN(sequencia) AS min_seq
+        FROM src WHERE sequencia > {WARMUP}
+    """
+
+
+def q_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _eventos_como_mensagens(spark, sf_dir)
+    agg = src.agg(
+        F.count(F.lit(1)).alias("total_mensagens"),
+        F.count_if(F.col("sucesso")).alias("mensagens_sucesso"),
+        F.count_if(~F.col("sucesso")).alias("mensagens_erro"),
+    )
+    return agg.withColumn(
+        "taxa_sucesso",
+        (F.col("mensagens_sucesso") * F.lit(100.0)) / F.col("total_mensagens"),
+    )
+
+
+def _success_sql() -> str:
+    return f"""
+        WITH src AS ({_EVENTOS_SQL})
+        SELECT COUNT(*) AS total_mensagens,
+               COUNT(*) FILTER (sucesso) AS mensagens_sucesso,
+               COUNT(*) FILTER (NOT sucesso) AS mensagens_erro,
+               (COUNT(*) FILTER (sucesso) * 100.0) / COUNT(*) AS taxa_sucesso
+        FROM src
+    """
+
+
+def q_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.metricas_agg(_eventos_como_mensagens(spark, sf_dir))
+
+
+def q_metrics_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _eventos_como_mensagens(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("sequencia"),
+        F.col("event_type").alias("aplicacao"),
+        F.pmod(F.col("user_id"), F.lit(MERGE_SHARDS)).cast("int").alias("shard"),
+    )
+    runs = (
+        src.join(ev, "sequencia")
+        .groupBy("aplicacao", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("total_mensagens"),
+            F.sum(
+                F.when(F.col("tamanho_bytes") > 0, F.col("tamanho_bytes")).otherwise(0)
+            ).cast("long").alias("total_bytes"),
+            F.count_if(F.col("sucesso")).alias("mensagens_sucesso"),
+            F.count_if(~F.col("sucesso")).alias("mensagens_erro"),
+            F.min("ts_ms").alias("inicio_ms"),
+            F.max("ts_ms").alias("fim_ms"),
+        )
+    )
+    return metrics.metricas_merge(runs).orderBy("aplicacao")
+
+
+def _merge_sql() -> str:
+    runs = f"""
+        WITH src AS ({_EVENTOS_SQL}),
+        ev AS (
+            SELECT event_id AS sequencia, event_type AS aplicacao,
+                   (user_id % {MERGE_SHARDS})::INT AS shard
+            FROM events
+        )
+        SELECT aplicacao, shard,
+               COUNT(*) AS total_mensagens,
+               SUM(CASE WHEN tamanho_bytes > 0 THEN tamanho_bytes ELSE 0 END)::BIGINT
+                   AS total_bytes,
+               COUNT(*) FILTER (sucesso) AS mensagens_sucesso,
+               COUNT(*) FILTER (NOT sucesso) AS mensagens_erro,
+               MIN(ts_ms) AS inicio_ms,
+               MAX(ts_ms) AS fim_ms
+        FROM src JOIN ev USING (sequencia)
+        GROUP BY aplicacao, shard
+    """
+    return metrics.metricas_merge_sql(runs) + " ORDER BY aplicacao"
+
+
+def q_report_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.relatorio(q_metrics_agg(spark, sf_dir))
+
+
+# ------------------------------------------------------------------- text
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------ dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------- similarity
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant — rows-only check (bucketing is engine-internal; the
+    pytest suite asserts recall vs q_cosine_topk instead)."""
+    return similarity.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------- multimodal
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_features(load_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- registry
+def queries() -> dict[str, QueryFn]:
+    return {
+        "q_generator": q_generator,
+        "q_size_estimate": q_size_estimate,
+        "q_json_roundtrip": q_json_roundtrip,
+        "q_avro_roundtrip": q_avro_roundtrip,
+        "q_partition_routing": q_partition_routing,
+        "q_tail_n": q_tail_n,
+        "q_warmup_filter": q_warmup_filter,
+        "q_success_rate": q_success_rate,
+        "q_metrics_agg": q_metrics_agg,
+        "q_metrics_merge": q_metrics_merge,
+        "q_report_format": q_report_format,
+        "q_text_stats": q_text_stats,
+        "q_token_count": q_token_count,
+        "q_lang_id": q_lang_id,
+        "q_quality_score": q_quality_score,
+        "q_fingerprint": q_fingerprint,
+        "q_dedup_exact": q_dedup_exact,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash": q_simhash,
+        "q_cosine_topk": q_cosine_topk,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_lsh_ann_topk": q_lsh_ann_topk,
+        "q_media_features": q_media_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    flat = generator.registros_flat_sql(GEN_TOTAL, GEN_KB)
+    return {
+        "q_generator": flat,
+        "q_size_estimate": generator.size_estimate_sql(GEN_TOTAL, GEN_KB),
+        # lossless round trips == the original generation
+        "q_json_roundtrip": flat,
+        "q_avro_roundtrip": flat,
+        "q_partition_routing": _routing_sql(),
+        "q_tail_n": _tail_n_sql(),
+        "q_warmup_filter": _warmup_sql(),
+        "q_success_rate": _success_sql(),
+        "q_metrics_agg": metrics.metricas_agg_sql(_EVENTOS_SQL),
+        "q_metrics_merge": _merge_sql(),
+        "q_report_format": metrics.relatorio_sql(
+            metrics.metricas_agg_sql(_EVENTOS_SQL)
+        ),
+        "q_text_stats": text.text_stats_sql(),
+        "q_token_count": text.token_counts_sql(),
+        "q_lang_id": text.lang_id_sql(),
+        "q_quality_score": text.quality_score_sql(),
+        "q_fingerprint": text.fingerprint_sql(),
+        "q_dedup_exact": dedup.exact_dedup_sql(),
+        "q_ngram_jaccard": dedup.ngram_jaccard_sql(),
+        "q_minhash_lsh": dedup.minhash_lsh_sql(),
+        "q_simhash": dedup.simhash_sql(),
+        "q_cosine_topk": similarity.cosine_topk_sql(),
+        "q_embedding_neardup": similarity.embedding_neardup_sql(),
+        # q_lsh_ann_topk, q_media_features intentionally absent: ANN
+        # recall is checked in pytest; media features ARE oracle-backed:
+        "q_media_features": multimodal.media_features_sql(),
+    }
+
+
+# ------------------------------------------------------------- flagship
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship E2E over sf0.001: generate → JSON round-trip → routing →
+    warm-up filter → metrics agg → report row, with the events table
+    driving the metrics clock (exercises O1-O2, O5-O7, O10-O15)."""
+    configure(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _eventos_como_mensagens(spark, sf_dir)
+    n = ev.count()
+    msgs = generator.mensagens(spark, max(n, 1), GEN_KB)
+    decoded = serde.json_roundtrip(msgs)
+    routed = routing.route(decoded, ROUTE_PARTS)
+    sized = routing.size_estimate(routed)
+    registrado = metrics.registrar(
+        sized.join(ev.select("sequencia", "ts_ms", "sucesso"), "sequencia"),
+        bytes_col="tamanho_estimado",
+        sucesso_col="sucesso",
+    ).join(ev.select("sequencia", "ts_ms"), "sequencia")
+    filtered = metrics.warmup_filter(registrado, warmup=10)
+    return metrics.relatorio(metrics.metricas_agg(filtered))

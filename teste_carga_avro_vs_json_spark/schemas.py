@@ -63,7 +63,7 @@ REGISTRO_AVSC: dict = {
 MENSAGEM_CARGA_AVSC: dict = {
     "type": "record",
     "name": "MensagemCarga",
-    "namespace": "com.exemplo.carga.avro",
+    "namespace": "br.com.sandbox.kafka.avro",
     "fields": [
         {"name": "id", "type": "string"},
         {"name": "timestamp", "type": "long"},

@@ -1,0 +1,171 @@
+"""LLM-pipeline operators: dedup tiers, similarity, text analysis,
+multimodal plumbing."""
+
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------ dedup
+def test_exact_dedup_with_injected_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "doc_id long, text string"
+    )
+    out = {r.keep_doc_id: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_exact_dedup_scale_agrees(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    md5_side = dedup.exact_dedup(docs).select("keep_doc_id", "n_copies")
+    xx_side = dedup.exact_dedup_scale(docs).select("keep_doc_id", "n_copies")
+    assert md5_side.exceptAll(xx_side).count() == 0
+    assert xx_side.exceptAll(md5_side).count() == 0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    [row] = df.select(dedup.shingles("text", 3).alias("sh")).collect()
+    assert sorted(row.sh) == ["a b c", "b c d"]
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    """P(candidate) = 1 for identical shingle sets regardless of bands."""
+    df = spark.createDataFrame(
+        [(1, "x y z w v u t s"), (2, "x y z w v u t s"), (3, "q r s t u v w x")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_candidates(df, threshold=0.99).collect()
+    assert any(p.doc_a == 1 and p.doc_b == 2 and p.jaccard == 1.0 for p in pairs)
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """Every truly-similar pair (J >= 0.6) in the sample must surface as
+    an LSH candidate — banding theory: P(miss) = (1-s^r)^b is tiny."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, modulus=1, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(docs, threshold=0.0).collect()
+    }
+    assert exact <= lsh
+
+
+def test_simhash_identical_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps zeta")],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    assert h[1] == h[2]
+    assert 0 <= h[1] < 2**16
+
+
+# -------------------------------------------------------------- similarity
+def test_cosine_topk_structure(spark, sf_dir):
+    out = similarity.cosine_topk(_emb(spark, sf_dir), k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r.vec_id != r.query_id
+        assert -1.0 <= r.cos_sim <= 1.0
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        assert len(rows) == 5
+        sims = [r.cos_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    """Bucketed ANN must recover a reasonable share of true top-1
+    neighbors (8 hyperplanes on 64-dim random data)."""
+    emb = _emb(spark, sf_dir)
+    brute = {
+        r.query_id: r.vec_id
+        for r in similarity.cosine_topk(emb, k=1).collect()
+    }
+    ann = similarity.lsh_ann_topk(emb, k=10).collect()
+    ann_by_q = {}
+    for r in ann:
+        ann_by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(1 for q, v in brute.items() if v in ann_by_q.get(q, set()))
+    assert hits >= 1  # random-hyperplane LSH on random data: weak floor
+
+
+# -------------------------------------------------------------------- text
+def test_tokens_empty_and_spaces(spark):
+    df = spark.createDataFrame([(1, "  a  b "), (2, "")], "doc_id long, text string")
+    out = {r.doc_id: r.n_words for r in text.token_counts(df).collect()}
+    assert out == {1: 2, 2: 0}
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "el gato y la casa que de"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("?"))
+    out = {r.doc_id: r.lang_pred for r in text.lang_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_quality_score_range(spark, sf_dir):
+    rows = text.quality_score(_docs(spark, sf_dir)).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, " hello world ")], "doc_id long, text string"
+    )
+    fps = [r.fp for r in text.fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+# -------------------------------------------------------------- multimodal
+def test_media_features_plumbing(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(20)
+    media = multimodal.synth_media(docs)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 20
+    payloads = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    for r in feats:
+        assert r.n_bytes == 64  # 4 * 16 md5 bytes
+        assert r.first_byte == payloads[r.doc_id][0]
+        assert len(r.features) == 4
+        assert r.format in ("png", "jpeg", "webp")
+
+
+def test_decode_image_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG", "png")
+
+
+def test_frame_sample(spark, sf_dir):
+    media = multimodal.synth_media(_docs(spark, sf_dir).limit(5))
+    frames = multimodal.frame_sample(media, every_n=2).collect()
+    # 64-byte payload = 4 frames; every 2nd -> idx 0 and 2
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for idxs in by_doc.values():
+        assert sorted(idxs) == [0, 2]
