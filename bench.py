@@ -1,0 +1,172 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set mirrors the reference's own benchmark (BASELINE.md: 100k
+messages of ~1 KB through encode→decode→aggregate — README.md:155-172
+of the reference) scaled to the sf dir's events count, plus the
+LLM-pipeline extension operators at corpus scale. Every workload is
+executed to completion with the noop sink (full plan runs, nothing is
+collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
+
+    from teste_carga_avro_vs_json_spark import registry
+    from teste_carga_avro_vs_json_spark.operators import (
+        dedup,
+        metrics,
+        routing,
+        serde,
+        similarity,
+        text,
+    )
+    from teste_carga_avro_vs_json_spark.session import configure, load_table
+    from teste_carga_avro_vs_json_spark.sources import generator
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    configure(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_msgs = load_table(spark, sf_dir, "events").count()  # 100k at sf0.1
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def w_json_e2e():
+        # Reference flagship: generate -> JSON encode -> decode -> route ->
+        # size -> metrics agg (PRODUTOR/CONSUMIDOR_JSON E2E_PARSE).
+        msgs = generator.mensagens(spark, n_msgs, tamanho_kb=1)
+        enc = serde.json_encode(msgs)
+        dec = serde.json_decode(enc)
+        sized = routing.size_estimate(routing.route(dec, 18))
+        run(
+            sized.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("tamanho_estimado").alias("bytes"),
+            )
+        )
+
+    def w_avro_e2e():
+        # Same pipeline through the Python Avro codec (pandas UDFs).
+        msgs = generator.mensagens(spark, n_msgs, tamanho_kb=1)
+        dec = serde.avro_roundtrip(msgs)
+        sized = routing.size_estimate(routing.route(dec, 18))
+        run(
+            sized.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("tamanho_estimado").alias("bytes"),
+            )
+        )
+
+    def w_metrics():
+        run(registry.q_report_format(spark, sf_dir))
+
+    def w_transport():
+        # TRANSPORTE mode: raw payload lengths, no parse.
+        msgs = generator.mensagens(spark, n_msgs, tamanho_kb=1)
+        run(
+            serde.json_encode(msgs).agg(
+                F.sum(F.octet_length("valor_json")).alias("bytes")
+            )
+        )
+
+    # The corpus tables arrive as ONE small parquet file locally, which
+    # Spark scans as one partition; per-row CPU-heavy operators would run
+    # serially. Repartition to the core count — on a real cluster the
+    # corpus is many files/splits and this step is a no-op.
+    def docs_df():
+        return load_table(spark, sf_dir, "documents").repartition(cpus)
+
+    def emb_df():
+        return load_table(spark, sf_dir, "embeddings").repartition(cpus)
+
+    def w_dedup():
+        run(dedup.exact_dedup_scale(docs_df()))
+
+    def w_minhash():
+        run(dedup.minhash_lsh_candidates_scale(docs_df()))
+
+    def w_text():
+        docs = docs_df()
+        run(text.quality_score(docs))
+        run(text.lang_id(docs))
+
+    def w_topk():
+        run(similarity.cosine_topk(emb_df()))
+
+    def w_ann():
+        run(similarity.lsh_ann_topk(emb_df()))
+
+    workloads = {
+        "json_e2e": w_json_e2e,
+        "avro_e2e": w_avro_e2e,
+        "transport": w_transport,
+        "metrics_report": w_metrics,
+        "dedup_exact": w_dedup,
+        "minhash_lsh": w_minhash,
+        "text_analysis": w_text,
+        "cosine_topk": w_topk,
+        "lsh_ann_topk": w_ann,
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in workloads.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "n_msgs": n_msgs,
+        "msgs_per_sec_json_e2e": round(n_msgs / timings["json_e2e"], 1),
+        "msgs_per_sec_avro_e2e": round(n_msgs / timings["avro_e2e"], 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

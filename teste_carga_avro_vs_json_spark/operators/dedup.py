@@ -163,15 +163,11 @@ def minhash_signature(sh: Column, num_hashes: int = 12) -> Column:
     )
 
 
-def minhash_lsh_candidates(
-    docs: DataFrame,
-    k: int = 3,
-    num_hashes: int = 12,
-    bands: int = 4,
-    threshold: float = 0.3,
+def _banded_jaccard(
+    base: DataFrame, mh: Column, num_hashes: int, bands: int, threshold: float
 ) -> DataFrame:
-    """Near-dup candidates via banded MinHash (LSH), with exact Jaccard
-    verification on candidates only.
+    """Shared LSH tail: band the signature, self-join on band_key, verify
+    candidates with exact Jaccard.
 
     Plan shape (the part that must survive 100 TB): per-doc signature is
     a projection; ``explode`` to (band_key, doc) rows; the self-join is
@@ -180,10 +176,7 @@ def minhash_lsh_candidates(
     buckets (e.g. boilerplate-heavy corpora) are split by AQE skew-join.
     """
     rows = num_hashes // bands
-    base = docs.select("doc_id", shingles("text", k).alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    sig = base.withColumn("mh", minhash_signature(F.col("sh"), num_hashes))
+    sig = base.withColumn("mh", mh)
     banded = sig.select(
         "doc_id",
         "sh",
@@ -216,6 +209,58 @@ def minhash_lsh_candidates(
         cand.select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup candidates via banded MinHash (LSH), with exact Jaccard
+    verification on candidates only. md5-seeded (hex32) so the DuckDB
+    oracle reproduces it bit-exactly; see
+    :func:`minhash_lsh_candidates_scale` for the production hash.
+    """
+    base = docs.select("doc_id", shingles("text", k).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    return _banded_jaccard(
+        base, minhash_signature(F.col("sh"), num_hashes), num_hashes, bands, threshold
+    )
+
+
+def minhash_lsh_candidates_scale(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """100 TB variant of :func:`minhash_lsh_candidates`: seeded
+    ``xxhash64`` min-hashes (8-byte JVM hashes, no md5 hex formatting —
+    ~10x cheaper per shingle) with the same banding + exact-Jaccard
+    verification on candidates. Not DuckDB-expressible (no xxhash64);
+    pytest asserts pair-set agreement with the md5 portability path.
+    """
+
+    def _seeded_xx(i: int):
+        def fn(s: Column) -> Column:
+            return F.xxhash64(F.lit(i), s)
+
+        return fn
+
+    base = docs.select("doc_id", shingles("text", k).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    mh = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), _seeded_xx(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return _banded_jaccard(base, mh, num_hashes, bands, threshold)
 
 
 def minhash_lsh_sql(

@@ -67,6 +67,23 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
     assert exact <= lsh
 
 
+def test_minhash_scale_agrees_with_portable(spark, sf_dir):
+    """xxhash64 scale path must find the same verified near-dup pairs as
+    the md5 oracle path (different bands can differ in sub-threshold
+    candidates; post-verification pair sets at the default threshold
+    should coincide on the fixture corpus)."""
+    docs = _docs(spark, sf_dir)
+    md5_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    xx_pairs = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_candidates_scale(docs).collect()
+    }
+    assert md5_pairs == xx_pairs
+
+
 def test_simhash_identical_equal(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps zeta")],
