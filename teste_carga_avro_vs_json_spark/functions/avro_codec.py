@@ -166,8 +166,31 @@ def _encode_udf():
 
         @pandas_udf(BinaryType())
         def avro_encode_udf(msg: pd.DataFrame) -> pd.Series:
-            """struct<MENSAGEM_CARGA> -> binary, one Arrow batch per call."""
-            return msg.apply(lambda row: encode_mensagem(row.to_dict()), axis=1)
+            """struct<MENSAGEM_CARGA> -> binary, one Arrow batch per call.
+
+            Columns are pulled out once and zipped — DataFrame.apply
+            (row-Series per record) costs more than the codec itself.
+            """
+            cols = (
+                msg["id"].tolist(),
+                msg["timestamp"].tolist(),
+                msg["sequencia"].tolist(),
+                msg["dados"].tolist(),
+                msg["versao"].tolist(),
+            )
+            out = [
+                encode_mensagem(
+                    {
+                        "id": i,
+                        "timestamp": t,
+                        "sequencia": s,
+                        "dados": d,
+                        "versao": v,
+                    }
+                )
+                for i, t, s, d, v in zip(*cols)
+            ]
+            return pd.Series(out)
 
         _UDF_CACHE["enc"] = avro_encode_udf
     return _UDF_CACHE["enc"]
@@ -178,8 +201,14 @@ def _decode_udf():
 
         @pandas_udf(MENSAGEM_CARGA)
         def avro_decode_udf(data: pd.Series) -> pd.DataFrame:
-            """binary -> struct<MENSAGEM_CARGA>."""
-            return pd.DataFrame([decode_mensagem(b) for b in data])
+            """binary -> struct<MENSAGEM_CARGA> (column-wise construction
+            — one dict per row then dict-of-lists beats a row-wise
+            DataFrame build)."""
+            recs = [decode_mensagem(b) for b in data]
+            return pd.DataFrame(
+                {k: [r[k] for r in recs] for k in
+                 ("id", "timestamp", "sequencia", "dados", "versao")}
+            )
 
         _UDF_CACHE["dec"] = avro_decode_udf
     return _UDF_CACHE["dec"]
