@@ -1,0 +1,137 @@
+"""App dispatcher (reference O18) — file-mode batch apps.
+
+The reference fat-jar selects one of four applications from
+``TIPO_APLICACAO`` and exits 1 on an invalid value
+(AplicacaoPrincipal.java:14-59). The engine's equivalent apps run the
+same pipelines against a partitioned file dataset instead of a broker:
+
+- PRODUTOR_AVRO / PRODUTOR_JSON: generate TOTAL_MENSAGENS messages of
+  TAMANHO_MENSAGEM_KB, serialize, write the partitioned wire dataset,
+  then print the producer metrics report (ProdutorAvro.java:105-139).
+- CONSUMIDOR_AVRO / CONSUMIDOR_JSON: read the wire dataset back,
+  decode per BENCH_MODE (E2E_PARSE parses, TRANSPORTE counts raw
+  bytes — ConfiguracaoKafka.java:98-106), apply WARMUP_MENSAGENS,
+  aggregate, print the report.
+
+Usage::
+
+    python -m teste_carga_avro_vs_json_spark --app PRODUTOR_JSON \
+        --path /tmp/carga-json [--total N] [--kb K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.config import APPS, EngineConfig
+from teste_carga_avro_vs_json_spark.operators import metrics, routing
+from teste_carga_avro_vs_json_spark.session import get_spark
+from teste_carga_avro_vs_json_spark.sources import generator, io_files
+
+
+def _producer_metrics(msgs, warmup: int):
+    """Producer-side metrics: structural size estimate, all success
+    (file writes either all land or the job fails — acks=1 semantics
+    collapse to job success in batch)."""
+    sized = routing.size_estimate(msgs)
+    src = metrics.registrar(
+        sized.withColumn("sucesso", F.lit(True)).withColumn(
+            "ts_ms", F.lit(generator.EPOCH0) + F.col("sequencia")
+        ),
+        bytes_col="tamanho_estimado",
+        sucesso_col="sucesso",
+    ).join(
+        msgs.select("sequencia", (F.lit(generator.EPOCH0) + F.col("sequencia")).alias("ts_ms")),
+        "sequencia",
+    )
+    return metrics.relatorio(metrics.metricas_agg(metrics.warmup_filter(src, warmup)))
+
+
+def _consumer_metrics(spark, decoded, warmup: int):
+    sized = routing.size_estimate(decoded)
+    src = metrics.registrar(
+        sized.withColumn("sucesso", F.lit(True)).withColumn(
+            "ts_ms", F.lit(generator.EPOCH0) + F.col("sequencia")
+        ),
+        bytes_col="tamanho_estimado",
+        sucesso_col="sucesso",
+    ).withColumn("ts_ms", F.lit(generator.EPOCH0) + F.col("sequencia"))
+    return metrics.relatorio(metrics.metricas_agg(metrics.warmup_filter(src, warmup)))
+
+
+def run_app(app: str, path: str, cfg: EngineConfig, spark=None) -> dict:
+    """Execute one app; returns the report row as a plain dict
+    (imprimirRelatorio + gerarRelatorioJson, MetricasDesempenho.java:74-133).
+    """
+    app = app.strip().upper()
+    if app not in APPS:
+        raise ValueError(f"TIPO_APLICACAO invalido: {app!r}; use {APPS}")
+    spark = spark or get_spark(app_name=f"engine-{app.lower()}")
+    total, kb, P = cfg.total_mensagens, cfg.tamanho_mensagem_kb, cfg.num_particoes
+    warmup = cfg.warmup_mensagens
+
+    if app.startswith("PRODUTOR"):
+        msgs = generator.mensagens(spark, total, kb)
+        if app == "PRODUTOR_JSON":
+            io_files.write_json(msgs, path, P, cfg.compression_type)
+        else:
+            io_files.write_avro(msgs, path, P, cfg.compression_type)
+        report = _producer_metrics(msgs, warmup)
+    else:
+        if cfg.bench_mode == "TRANSPORTE":
+            # raw bytes, no parse (ConsumidorJson.java:59-114)
+            if app == "CONSUMIDOR_JSON":
+                raw = spark.read.text(path).select(
+                    F.octet_length("value").cast("long").alias("tamanho_bytes")
+                )
+            else:
+                raw = spark.read.parquet(path).select(
+                    F.octet_length("value").cast("long").alias("tamanho_bytes")
+                )
+            src = raw.select(
+                F.monotonically_increasing_id().alias("sequencia"),
+                "tamanho_bytes",
+                F.lit(True).alias("sucesso"),
+                F.lit(generator.EPOCH0).alias("ts_ms"),
+            )
+            report = metrics.relatorio(metrics.metricas_agg(src))
+        else:  # E2E_PARSE
+            decoded = (
+                io_files.read_json(spark, path)
+                if app == "CONSUMIDOR_JSON"
+                else io_files.read_avro(spark, path)
+            )
+            report = _consumer_metrics(spark, decoded, warmup)
+
+    [row] = report.collect()
+    return row.asDict()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="teste_carga_avro_vs_json_spark")
+    ap.add_argument("--app", required=True, help=f"one of {APPS}")
+    ap.add_argument("--path", required=True, help="wire dataset directory")
+    ap.add_argument("--total", type=int, default=None)
+    ap.add_argument("--kb", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    cfg = EngineConfig.from_env()
+    if args.total is not None:
+        cfg.total_mensagens = args.total
+    if args.kb is not None:
+        cfg.tamanho_mensagem_kb = args.kb
+    try:
+        report = run_app(args.app, args.path, cfg)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1  # AplicacaoPrincipal.java:44-50 exit-1 on invalid app
+    print(json.dumps(report, ensure_ascii=False))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

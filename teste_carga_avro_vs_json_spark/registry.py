@@ -32,7 +32,7 @@ from teste_carga_avro_vs_json_spark.operators import (
     text,
 )
 from teste_carga_avro_vs_json_spark.session import configure, load_table
-from teste_carga_avro_vs_json_spark.sources import generator
+from teste_carga_avro_vs_json_spark.sources import generator, io_files
 
 # Fixed fixture constants — baked into both dialects.
 GEN_TOTAL = 200          # messages for generator-based queries
@@ -89,6 +89,52 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = generator.mensagens(spark, GEN_TOTAL, GEN_KB)
     return generator.registros_flat(serde.avro_roundtrip(msgs))
+
+
+# -------------------------------------------------------------- file IO
+def _file_roundtrip(spark: SparkSession, fmt: str) -> DataFrame:
+    """write partitioned wire dataset -> read back -> flat registro view
+    (lossless iff equal to the generator output — same oracle as
+    q_generator)."""
+    import tempfile
+
+    msgs = generator.mensagens(spark, GEN_TOTAL, GEN_KB)
+    path = tempfile.mkdtemp(prefix=f"wire_{fmt}_")
+    writer, reader = {
+        "json": (io_files.write_json, io_files.read_json),
+        "avro": (io_files.write_avro, io_files.read_avro),
+        "parquet": (io_files.write_parquet, io_files.read_parquet),
+    }[fmt]
+    writer(msgs, path, ROUTE_PARTS)
+    back = reader(spark, path).drop("particao")
+    return generator.registros_flat(back)
+
+
+def q_file_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _file_roundtrip(spark, "json")
+
+
+def q_file_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _file_roundtrip(spark, "avro")
+
+
+def q_file_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _file_roundtrip(spark, "parquet")
+
+
+# -------------------------------------------------------------- streaming
+def q_stream_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8/O16: bounded streaming drain of the events table through the
+    SAME metrics aggregation as q_metrics_agg — results must be
+    identical to the batch path (and hash-match the same oracle)."""
+    from teste_carga_avro_vs_json_spark.streaming import (
+        eventos_stream,
+        metricas_stream,
+        run_bounded,
+    )
+
+    src = eventos_stream(spark, sf_dir)
+    return run_bounded(metricas_stream(src), query_name="q_stream_metrics_agg")
 
 
 # ---------------------------------------------------------------- routing
@@ -317,6 +363,10 @@ def queries() -> dict[str, QueryFn]:
         "q_size_estimate": q_size_estimate,
         "q_json_roundtrip": q_json_roundtrip,
         "q_avro_roundtrip": q_avro_roundtrip,
+        "q_file_json_roundtrip": q_file_json_roundtrip,
+        "q_file_avro_roundtrip": q_file_avro_roundtrip,
+        "q_file_parquet_roundtrip": q_file_parquet_roundtrip,
+        "q_stream_metrics_agg": q_stream_metrics_agg,
         "q_partition_routing": q_partition_routing,
         "q_tail_n": q_tail_n,
         "q_warmup_filter": q_warmup_filter,
@@ -348,6 +398,11 @@ def oracle_sql() -> dict[str, str]:
         # lossless round trips == the original generation
         "q_json_roundtrip": flat,
         "q_avro_roundtrip": flat,
+        "q_file_json_roundtrip": flat,
+        "q_file_avro_roundtrip": flat,
+        "q_file_parquet_roundtrip": flat,
+        # stream == batch: identical agg, identical oracle
+        "q_stream_metrics_agg": metrics.metricas_agg_sql(_EVENTOS_SQL),
         "q_partition_routing": _routing_sql(),
         "q_tail_n": _tail_n_sql(),
         "q_warmup_filter": _warmup_sql(),

@@ -1,0 +1,114 @@
+"""Structured Streaming pipelines (reference consumers, O8/O16/O17).
+
+The reference consumer is a thread-per-partition poll loop that stops
+after 30 s of inactivity or a row target (ConsumidorAvro.java:57-125).
+Spark-first mapping:
+
+- parallel consume (O8): the file/Kafka streaming source creates one
+  input partition per split/TopicPartition — thread fan-out is free;
+- bounded termination (O16): ``trigger(availableNow=True)`` drains
+  everything available then stops — the honest batch-bounded equivalent
+  of the 30 s inactivity timer (SURVEY.md §5 quirk table);
+- flow control (O17): ``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``
+  replace the producer's sleep-every-1000 (ProdutorAvro.java:93-95);
+- metrics: the SAME operators/metrics.py aggregation runs on the
+  streaming frame in complete mode — Spark keeps the partial state the
+  reference kept in AtomicLongs.
+
+Everything lands in a memory sink named by the caller; ``run_bounded``
+drains and hands back the batch result frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.operators import metrics
+from teste_carga_avro_vs_json_spark.schemas import MENSAGEM_CARGA
+from teste_carga_avro_vs_json_spark.session import configure, load_table
+
+
+def eventos_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming view of the events table in the message-metrics shape
+    (sequencia, tamanho_bytes, sucesso, ts_ms) — the same mapping the
+    batch registry uses, so stream results are batch-comparable."""
+    configure(spark)
+    schema = load_table(spark, sf_dir, "events").schema
+    # the testdata table is a single file; the file-stream source only
+    # accepts directories or globs, so express the file as a glob
+    ev = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parque[t]")
+    )
+    return ev.select(
+        F.col("event_id").alias("sequencia"),
+        F.length("props").cast("long").alias("tamanho_bytes"),
+        (F.col("event_type") != F.lit("error")).alias("sucesso"),
+        F.expr("ts div 1000000").alias("ts_ms"),
+    )
+
+
+def json_wire_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming consumer of a JSON wire dataset written by
+    io_files.write_json: text lines -> typed messages (E2E_PARSE)."""
+    configure(spark)
+    raw = spark.readStream.format("text").load(path)
+    return raw.select(
+        F.from_json(F.col("value"), MENSAGEM_CARGA).alias("msg")
+    ).select("msg.*")
+
+
+def metricas_stream(src: DataFrame, warmup: int = 0) -> DataFrame:
+    """Streaming metrics aggregation: warm-up filter + the exact batch
+    counter set (operators/metrics.py) as a complete-mode global agg."""
+    filtered = metrics.warmup_filter(src, warmup) if warmup else src
+    return metrics.metricas_agg(filtered)
+
+
+def run_bounded(
+    sdf: DataFrame, query_name: str = "bounded_run", timeout_s: int = 300
+) -> DataFrame:
+    """Drain everything available, then stop (O16) — returns the final
+    result as a batch frame from the memory sink.
+
+    complete output mode: global aggs keep running state exactly like
+    the reference's shared counters, minus the data race
+    (ConsumidorAvro.java:48,97).
+    """
+    spark = sdf.sparkSession
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if sdf.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    query.stop()
+    return spark.table(query_name)
+
+
+def run_bounded_append(
+    sdf: DataFrame, query_name: str = "bounded_rows", timeout_s: int = 300
+) -> DataFrame:
+    """Append-mode bounded drain for non-aggregated streams (transport
+    mode / decode-only pipelines)."""
+    spark = sdf.sparkSession
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    query.stop()
+    return spark.table(query_name)

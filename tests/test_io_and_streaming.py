@@ -1,0 +1,104 @@
+"""File sinks/sources (O7 stand-in), streaming bounded drain (O16),
+CLI dispatcher (O18)."""
+
+import json
+import subprocess
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+from teste_carga_avro_vs_json_spark.config import EngineConfig
+from teste_carga_avro_vs_json_spark.cli import run_app
+from teste_carga_avro_vs_json_spark.operators import metrics
+from teste_carga_avro_vs_json_spark.sources import generator, io_files
+
+
+def _msgs(spark, n=30):
+    return generator.mensagens(spark, n, tamanho_kb=1)
+
+
+def _flat_set(df):
+    return {tuple(r) for r in generator.registros_flat(df).collect()}
+
+
+@pytest.mark.parametrize("fmt", ["json", "avro", "parquet"])
+def test_file_roundtrip_lossless(spark, tmp_path, fmt):
+    msgs = _msgs(spark)
+    path = str(tmp_path / fmt)
+    writer, reader = {
+        "json": (io_files.write_json, io_files.read_json),
+        "avro": (io_files.write_avro, io_files.read_avro),
+        "parquet": (io_files.write_parquet, io_files.read_parquet),
+    }[fmt]
+    writer(msgs, path, num_particoes=6)
+    back = reader(spark, path)
+    # directory layout == routing arithmetic
+    routed = {r.sequencia: r.particao for r in back.collect()}
+    assert all(p == (s - 1) % 6 for s, p in routed.items())
+    assert _flat_set(back.drop("particao")) == _flat_set(msgs)
+
+
+def test_stream_metrics_equals_batch(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.registry import (
+        _eventos_como_mensagens,
+        q_stream_metrics_agg,
+    )
+
+    batch = metrics.metricas_agg(_eventos_como_mensagens(spark, sf_dir))
+    stream = q_stream_metrics_agg(spark, sf_dir)
+    assert stream.columns == batch.columns
+    assert [tuple(r) for r in stream.collect()] == [tuple(r) for r in batch.collect()]
+
+
+def test_stream_json_wire_decode(spark, tmp_path):
+    from teste_carga_avro_vs_json_spark.streaming import (
+        json_wire_stream,
+        run_bounded,
+    )
+    from teste_carga_avro_vs_json_spark.streaming.pipeline import run_bounded_append
+
+    msgs = _msgs(spark, 12)
+    path = str(tmp_path / "wire")
+    io_files.write_json(msgs, path, num_particoes=3)
+    decoded = run_bounded_append(
+        json_wire_stream(spark, path), query_name="t_stream_decode"
+    )
+    assert _flat_set(decoded) == _flat_set(msgs)
+
+
+def test_cli_producer_consumer_json(spark, tmp_path):
+    cfg = EngineConfig(
+        total_mensagens=25, tamanho_mensagem_kb=1, num_particoes=4,
+        warmup_mensagens=5,
+    )
+    path = str(tmp_path / "cli-json")
+    prod = run_app("PRODUTOR_JSON", path, cfg, spark)
+    assert prod["total_mensagens"] == 20  # 25 - 5 warmup
+    cons = run_app("CONSUMIDOR_JSON", path, cfg, spark)
+    assert cons["total_mensagens"] == 20
+    assert cons["taxa_sucesso_porcentagem"] == "100.00"
+
+
+def test_cli_transport_mode(spark, tmp_path):
+    cfg = EngineConfig(
+        total_mensagens=10, tamanho_mensagem_kb=1, num_particoes=2,
+        bench_mode="TRANSPORTE",
+    )
+    path = str(tmp_path / "cli-avro")
+    run_app("PRODUTOR_AVRO", path, cfg, spark)
+    rep = run_app("CONSUMIDOR_AVRO", path, cfg, spark)
+    assert rep["total_mensagens"] == 10
+    assert rep["total_bytes"] > 0
+
+
+def test_cli_invalid_app_exits_1(spark, tmp_path):
+    with pytest.raises(ValueError, match="TIPO_APLICACAO"):
+        run_app("PRODUTOR_XML", str(tmp_path), EngineConfig(), spark)
+
+
+def test_cli_main_invalid_app_rc1(tmp_path):
+    from teste_carga_avro_vs_json_spark.cli import main
+
+    rc = main(["--app", "NOPE", "--path", str(tmp_path), "--total", "1"])
+    assert rc == 1
