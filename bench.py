@@ -134,9 +134,36 @@ def main() -> None:
     def w_ann():
         run(similarity.lsh_ann_topk(emb_df()))
 
+    import shutil
+    import tempfile
+
+    from teste_carga_avro_vs_json_spark.sources import io_files
+
+    def _file_roundtrip(fmt):
+        # north star (BASELINE.json:7): DataFrame write+read with the
+        # Avro/JSON wire formats as partitioned file datasets
+        writer, reader = {
+            "json": (io_files.write_json, io_files.read_json),
+            "avro": (io_files.write_avro, io_files.read_avro),
+            "parquet": (io_files.write_parquet, io_files.read_parquet),
+        }[fmt]
+        path = tempfile.mkdtemp(prefix=f"bench_{fmt}_")
+        try:
+            writer(generator.mensagens(spark, n_msgs, tamanho_kb=1), path, 18)
+            run(
+                reader(spark, path).agg(
+                    F.count(F.lit(1)).alias("n"), F.max("sequencia").alias("mx")
+                )
+            )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
     workloads = {
         "json_e2e": w_json_e2e,
         "avro_e2e": w_avro_e2e,
+        "file_json": lambda: _file_roundtrip("json"),
+        "file_avro": lambda: _file_roundtrip("avro"),
+        "file_parquet": lambda: _file_roundtrip("parquet"),
         "transport": w_transport,
         "metrics_report": w_metrics,
         "dedup_exact": w_dedup,
