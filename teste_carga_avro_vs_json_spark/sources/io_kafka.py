@@ -1,0 +1,150 @@
+"""Kafka batch/streaming IO (reference O7/O8/O9/O17) — connector plumbing.
+
+No broker ships in this container, so nothing here is exercised against
+a live cluster; the DataFrame plumbing and the offset arithmetic are the
+engine's real code paths and are unit-tested (the arithmetic is pure).
+On a real cluster the Spark Kafka connector
+(spark-sql-kafka-0-10) provides ``format("kafka")`` batch + streaming.
+
+Mappings:
+
+- **Sink with explicit routing** (ProdutorAvro.java:67-90): the Kafka
+  sink honors a ``partition`` column; ``to_wire_frame`` produces
+  (key, value, partition) with the reference's ``msg-{i}`` key and
+  ``(i-1) % P`` routing. Producer tuning passes through ``kafka.*``
+  options (operators/routing.kafka_sink_options).
+- **Parallel source** (O8): one Spark input partition per
+  TopicPartition — the reference's thread-per-partition fan-out is the
+  connector's default; ``minPartitions`` oversubscribes.
+- **Offset pruning / tail-N** (O9, ConsumidorAvro.java:163-180):
+  ``starting_offsets_tail_n`` computes per-partition
+  ``max(begin, end - ceil(target/P))`` as the ``startingOffsets`` JSON.
+- **Flow control** (O17): ``maxOffsetsPerTrigger`` when streaming.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.operators import routing
+
+
+# ----------------------------------------------------- offset arithmetic
+def tail_n_offsets(
+    begin_offsets: dict[int, int], end_offsets: dict[int, int], target_total: int
+) -> dict[int, int]:
+    """posicionarNoFimMenosN (ConsumidorAvro.java:163-180): per
+    partition, start at ``max(begin, end - ceil(target/P))``."""
+    num_particoes = len(end_offsets)
+    per_part = math.ceil(target_total / num_particoes)
+    return {
+        p: max(begin_offsets.get(p, 0), end - per_part)
+        for p, end in end_offsets.items()
+    }
+
+
+def starting_offsets_tail_n(
+    topic: str,
+    begin_offsets: dict[int, int],
+    end_offsets: dict[int, int],
+    target_total: int,
+) -> str:
+    """The ``startingOffsets`` JSON for a tail-N batch/stream read."""
+    starts = tail_n_offsets(begin_offsets, end_offsets, target_total)
+    return json.dumps({topic: {str(p): o for p, o in sorted(starts.items())}})
+
+
+def fetch_offsets(bootstrap_servers: str, topic: str) -> tuple[dict, dict]:
+    """Begin/end offsets via kafka-python AdminClient — import-gated:
+    the lib isn't in this container (SURVEY.md §4: plain driver-side
+    helper, not a Catalyst concern)."""
+    try:
+        from kafka import KafkaConsumer, TopicPartition  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "kafka-python not installed; supply begin/end offsets explicitly"
+        ) from e
+    consumer = KafkaConsumer(bootstrap_servers=bootstrap_servers)
+    parts = [TopicPartition(topic, p) for p in consumer.partitions_for_topic(topic)]
+    begins = consumer.beginning_offsets(parts)
+    ends = consumer.end_offsets(parts)
+    return (
+        {tp.partition: o for tp, o in begins.items()},
+        {tp.partition: o for tp, o in ends.items()},
+    )
+
+
+# ----------------------------------------------------------- wire frames
+def to_wire_frame(msgs: DataFrame, value: F.Column, num_particoes: int = 18) -> DataFrame:
+    """(key, value, partition) in the Kafka sink contract, with the
+    reference's key/routing (ProdutorAvro.java:67-70)."""
+    routed = routing.route(msgs, num_particoes)
+    return routed.select(
+        F.col("chave").alias("key"),
+        value.alias("value"),
+        F.col("particao").alias("partition"),
+    )
+
+
+def write_kafka(
+    wire: DataFrame, bootstrap_servers: str, topic: str, cfg=None
+) -> None:
+    """Batch produce. ``wire`` must have key/value(/partition) columns."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }
+    if cfg is not None:
+        opts.update(routing.kafka_sink_options(cfg))
+    wire.write.format("kafka").options(**opts).save()
+
+
+def read_kafka_tail_n(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    target_total: int,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Batch consume of the last ~target_total records (O9): compute
+    end-N offsets driver-side, then a bounded Kafka scan. One task per
+    TopicPartition (O8); raw bytes come back — decode with
+    operators/serde or functions/avro_codec downstream."""
+    begins, ends = fetch_offsets(bootstrap_servers, topic)
+    reader = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option(
+            "startingOffsets",
+            starting_offsets_tail_n(topic, begins, ends, target_total),
+        )
+        .option("endingOffsets", "latest")
+    )
+    if min_partitions:
+        reader = reader.option("minPartitions", str(min_partitions))
+    return reader.load()
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming consume with O17 flow control
+    (maxOffsetsPerTrigger replaces the sleep-every-1000,
+    ProdutorAvro.java:93-95)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()

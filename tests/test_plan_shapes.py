@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+These tests pin the *plan*, not the result: filters reach the parquet
+scan, small sides broadcast, generation never shuffles, the JSON serde
+path stays inside whole-stage codegen. A regression here is a silent
+10-100x at cluster scale even when results stay correct.
+"""
+
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.operators import dedup, metrics, routing, serde, similarity
+from teste_carga_avro_vs_json_spark.sources import generator, io_kafka
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_warmup_filter_pushed_to_scan(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = metrics.warmup_filter(ev, 100, seq_col="event_id")
+    plan = _formatted(out)
+    assert "PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,100)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select("doc_id")
+    plan = _formatted(out)
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_generator_has_no_shuffle_no_python(spark):
+    msgs = generator.mensagens(spark, 1000, tamanho_kb=1)
+    plan = _plan(msgs)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*(n)' marks whole-stage-codegen spans in the compact plan; the
+    # array-of-struct transform itself is a HOF (not codegen-eligible,
+    # still JVM) so only Range carries the marker
+    assert "*(" in plan
+
+
+def test_json_serde_is_jvm_only(spark):
+    msgs = generator.mensagens(spark, 1000, tamanho_kb=1)
+    rt = serde.json_roundtrip(msgs)
+    plan = _plan(rt)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # pure to_json/from_json
+
+
+def test_tail_n_join_is_broadcast(spark):
+    msgs = generator.mensagens(spark, 500, tamanho_kb=1).select("sequencia")
+    transporte = routing.with_offsets(routing.route(msgs, 18))
+    kept = routing.tail_n(transporte, 100, 18)
+    plan = _plan(kept)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.cosine_topk(emb)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_join_is_keyed_not_cross(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.minhash_lsh_candidates_scale(docs)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-join on band_key
+
+
+def test_metrics_agg_is_partial_final(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("sequencia"),
+        F.length("props").cast("long").alias("tamanho_bytes"),
+        (F.col("event_type") != "error").alias("sucesso"),
+        F.expr("ts div 1000000").alias("ts_ms"),
+    )
+    plan = _plan(metrics.metricas_agg(ev))
+    # partial agg before the exchange, final after: two HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2
+
+
+# ------------------------------------------------------ kafka offset math
+def test_tail_n_offsets_matches_reference_formula():
+    # ConsumidorAvro.java:163-180: start = max(begin, end - ceil(target/P))
+    begins = {0: 5, 1: 0, 2: 0}
+    ends = {0: 100, 1: 30, 2: 7}
+    # target 60 over 3 partitions -> 20 per partition
+    assert io_kafka.tail_n_offsets(begins, ends, 60) == {0: 80, 1: 10, 2: 0}
+
+
+def test_tail_n_offsets_floor_at_begin():
+    assert io_kafka.tail_n_offsets({0: 0}, {0: 3}, 1000) == {0: 0}
+
+
+def test_starting_offsets_json_shape():
+    s = io_kafka.starting_offsets_tail_n("t", {0: 0, 1: 0}, {0: 10, 1: 10}, 10)
+    import json
+
+    assert json.loads(s) == {"t": {"0": 5, "1": 5}}
