@@ -116,7 +116,13 @@ def encode_mensagem(row: dict) -> bytes:
 def decode_mensagem(data: bytes) -> dict:
     """Avro binary -> MensagemCarga dict (handles multi-block arrays and
     negative block counts per the Avro spec)."""
-    pos = 0
+    return decode_mensagem_at(data, 0)[0]
+
+
+def decode_mensagem_at(data: bytes, pos: int) -> tuple[dict, int]:
+    """Decode one record starting at ``pos``; returns (record, end_pos)
+    so container formats (avro_ocf blocks) can walk concatenated
+    records."""
     id_, pos = _read_string(data, pos)
     ts, pos = _read_long(data, pos)
     seq, pos = _read_long(data, pos)
@@ -151,7 +157,7 @@ def decode_mensagem(data: bytes) -> dict:
         "sequencia": seq,
         "dados": dados,
         "versao": versao,
-    }
+    }, pos
 
 
 # ------------------------------------------------------------ Spark UDFs

@@ -122,6 +122,18 @@ def q_file_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _file_roundtrip(spark, "parquet")
 
 
+def q_file_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True *.avro Object Container Files through the pure-Python OCF
+    layer (functions/avro_ocf.py) — write, read, flat projection."""
+    import tempfile
+
+    msgs = generator.mensagens(spark, GEN_TOTAL, GEN_KB)
+    path = tempfile.mkdtemp(prefix="wire_ocf_")
+    io_files.write_avro_ocf(msgs, path, ROUTE_PARTS, compression="gzip")
+    back = io_files.read_avro_ocf(spark, path).drop("particao")
+    return generator.registros_flat(back)
+
+
 # -------------------------------------------------------------- streaming
 def q_stream_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8/O16: bounded streaming drain of the events table through the
@@ -366,6 +378,7 @@ def queries() -> dict[str, QueryFn]:
         "q_file_json_roundtrip": q_file_json_roundtrip,
         "q_file_avro_roundtrip": q_file_avro_roundtrip,
         "q_file_parquet_roundtrip": q_file_parquet_roundtrip,
+        "q_file_avro_ocf_roundtrip": q_file_avro_ocf_roundtrip,
         "q_stream_metrics_agg": q_stream_metrics_agg,
         "q_partition_routing": q_partition_routing,
         "q_tail_n": q_tail_n,
@@ -401,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         "q_file_json_roundtrip": flat,
         "q_file_avro_roundtrip": flat,
         "q_file_parquet_roundtrip": flat,
+        "q_file_avro_ocf_roundtrip": flat,
         # stream == batch: identical agg, identical oracle
         "q_stream_metrics_agg": metrics.metricas_agg_sql(_EVENTOS_SQL),
         "q_partition_routing": _routing_sql(),

@@ -130,6 +130,95 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     ).select("particao", "msg.*")
 
 
+# ------------------------------------------------------- Avro OCF (*.avro)
+def write_avro_ocf(
+    msgs: DataFrame,
+    path: str,
+    num_particoes: int = 18,
+    compression: str = "none",
+) -> DataFrame:
+    """True Avro Object Container Files (*.avro), one per (task,
+    particao) under ``particao=N/`` dirs — readable by any Avro tool.
+
+    Executor-side write via mapInPandas (no driver collect); the
+    returned frame is the write manifest (one row per file). Local-FS
+    sink: on a real cluster, mount DFS or use the JVM spark-avro
+    package (absent in this install — functions/avro_ocf.py docstring).
+    """
+    import os
+
+    from teste_carga_avro_vs_json_spark.functions import avro_ocf
+
+    codec = "deflate" if compression in ("gzip", "deflate") else "null"
+    routed = _routed(msgs, num_particoes)
+    enc = routed.select(
+        "particao", F.col("sequencia"), _avro_value(routed).alias("value")
+    ).repartition("particao")
+
+    def _write(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        task_id = TaskContext.get().partitionId()
+        per_part: dict[int, list[bytes]] = {}
+        for pdf in batches:
+            for part, val in zip(pdf["particao"].tolist(), pdf["value"].tolist()):
+                per_part.setdefault(int(part), []).append(bytes(val))
+        rows = []
+        for part, records in per_part.items():
+            d = os.path.join(path, f"particao={part}")
+            os.makedirs(d, exist_ok=True)
+            fpath = os.path.join(d, f"part-{task_id:05d}.avro")
+            blob = avro_ocf.write_ocf(
+                records, codec=codec, sync_token=f"{part}-{task_id}"
+            )
+            with open(fpath, "wb") as f:
+                f.write(blob)
+            rows.append((fpath, part, len(records), len(blob)))
+        yield pd.DataFrame(rows, columns=["file", "particao", "n_records", "n_bytes"])
+
+    manifest = enc.mapInPandas(
+        _write, "file string, particao int, n_records long, n_bytes long"
+    )
+    manifest.write.format("noop").mode("overwrite").save()  # force the write
+    return manifest
+
+
+def read_avro_ocf(spark: SparkSession, path: str) -> DataFrame:
+    """*.avro OCF dataset -> decoded typed messages + particao (from the
+    directory layout). binaryFile source reads whole files per task;
+    decoding is Arrow-batched Python."""
+    from teste_carga_avro_vs_json_spark.functions import avro_ocf
+
+    raw = spark.read.format("binaryFile").load(f"{path}/particao=*/*.avro")
+
+    def _decode(batches):
+        import re
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fpath, blob in zip(pdf["path"].tolist(), pdf["content"].tolist()):
+                part = int(re.search(r"particao=(\d+)", fpath).group(1))
+                for rec in avro_ocf.read_ocf(bytes(blob)):
+                    rows.append(
+                        (part, rec["id"], rec["timestamp"], rec["sequencia"],
+                         rec["dados"], rec["versao"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["particao", "id", "timestamp", "sequencia", "dados", "versao"],
+            )
+
+    schema = (
+        "particao int, id string, timestamp long, sequencia long, "
+        "dados array<struct<indice:int,texto:string,numero:double,"
+        "timestamp:bigint,uuid:string>>, versao string"
+    )
+    return raw.select("path", "content").mapInPandas(_decode, schema)
+
+
 # --------------------------------------------------------------- Parquet
 def write_parquet(
     msgs: DataFrame,

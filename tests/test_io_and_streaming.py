@@ -39,6 +39,32 @@ def test_file_roundtrip_lossless(spark, tmp_path, fmt):
     assert _flat_set(back.drop("particao")) == _flat_set(msgs)
 
 
+@pytest.mark.parametrize("compression", ["none", "gzip"])
+def test_avro_ocf_roundtrip(spark, tmp_path, compression):
+    msgs = _msgs(spark, 24)
+    path = str(tmp_path / f"ocf-{compression}")
+    manifest = io_files.write_avro_ocf(msgs, path, num_particoes=4,
+                                       compression=compression)
+    files = manifest.collect()
+    assert sum(r.n_records for r in files) == 24
+    back = io_files.read_avro_ocf(spark, path)
+    routed = {r.sequencia: r.particao for r in back.collect()}
+    assert all(p == (s - 1) % 4 for s, p in routed.items())
+    assert _flat_set(back.drop("particao")) == _flat_set(msgs)
+
+
+def test_avro_ocf_header_is_spec_shaped(spark, tmp_path):
+    from teste_carga_avro_vs_json_spark.functions import avro_ocf
+
+    msgs = _msgs(spark, 3)
+    path = str(tmp_path / "ocf-hdr")
+    [f] = io_files.write_avro_ocf(msgs, path, num_particoes=1).collect()
+    blob = open(f.file, "rb").read()
+    assert blob[:4] == avro_ocf.MAGIC
+    assert b"avro.schema" in blob[:2048]
+    assert b"br.com.sandbox.kafka.avro" in blob[:2048]  # reference namespace
+
+
 def test_stream_metrics_equals_batch(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.registry import (
         _eventos_como_mensagens,

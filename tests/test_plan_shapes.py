@@ -9,17 +9,8 @@ path stays inside whole-stage codegen. A regression here is a silent
 import pyspark.sql.functions as F
 
 from teste_carga_avro_vs_json_spark.operators import dedup, metrics, routing, serde, similarity
+from teste_carga_avro_vs_json_spark.plans import audit, compact_plan as _plan, formatted_plan as _formatted
 from teste_carga_avro_vs_json_spark.sources import generator, io_kafka
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _formatted(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
 
 
 def test_warmup_filter_pushed_to_scan(spark, sf_dir):
@@ -110,3 +101,12 @@ def test_starting_offsets_json_shape():
     import json
 
     assert json.loads(s) == {"t": {"0": 5, "1": 5}}
+
+
+def test_audit_flags_cartesian(spark):
+    a = spark.range(5)
+    b = spark.range(5).toDF("j")
+    aud = audit(a.crossJoin(b))
+    assert aud.cartesian >= 1 or aud.bnl_joins >= 1
+    assert aud.warnings if aud.cartesian else True
+    assert audit(a.join(b, a.id == b.j)).cartesian == 0

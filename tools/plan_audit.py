@@ -1,0 +1,37 @@
+"""Print the scale audit (plans.audit) for every registry query.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teste_carga_avro_vs_json_spark import plans, registry
+from teste_carga_avro_vs_json_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, fn in registry.queries().items():
+        try:
+            a = plans.audit(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: AUDIT FAILED {e}")
+            continue
+        flags = "; ".join(a.warnings) if a.warnings else "-"
+        print(
+            f"{name}: exch={a.exchanges} py={a.python_evals} "
+            f"codegen={a.codegen_spans} bhj={a.broadcast_joins} "
+            f"smj={a.sortmerge_joins} cart={a.cartesian} [{flags}]"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
