@@ -163,6 +163,35 @@ def media_features_sql(table: str = "documents", payload_reps: int = 4) -> str:
     """
 
 
+def resize(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize plumbing: a real build decodes + resamples in this
+    ``mapInPandas`` pass (PIL absent — deterministic fake keeps the
+    contract: payload byte-length scales with the area ratio, metadata
+    updates, schema stable)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ratio = (target_w * target_h) / (pdf["width"] * pdf["height"])
+            n_out = (pdf["payload"].map(len) * ratio).clip(lower=1).astype(int)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": pdf["format"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": [
+                        (b * (n // len(b) + 1))[:n] if len(b) else b
+                        for b, n in zip(pdf["payload"], n_out)
+                    ],
+                }
+            )
+
+    schema = (
+        "doc_id long, format string, width int, height int, payload binary"
+    )
+    return media.mapInPandas(_resize, schema)
+
+
 def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame-sampling plumbing: pretend each payload is a frame
     sequence; keep every Nth 16-byte block as a 'frame'. Shows the

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 from teste_carga_avro_vs_json_spark.operators import metrics
 from teste_carga_avro_vs_json_spark.schemas import MENSAGEM_CARGA
@@ -91,6 +92,59 @@ def run_bounded(
     query.awaitTermination(timeout_s)
     query.stop()
     return spark.table(query_name)
+
+
+class RowTargetStop(StreamingQueryListener):
+    """Stops a named query once ≥ target input rows have been processed
+    — the reference's row-target termination (``processados >= alvo``,
+    ConsumidorAvro.java:76-85) for genuinely unbounded sources where
+    ``availableNow`` doesn't apply.
+
+    Use: ``spark.streams.addListener(RowTargetStop("q", 100_000))``.
+    """
+
+    def __init__(self, query_name: str, target_rows: int) -> None:
+        super().__init__()
+        self.query_name = query_name
+        self.target_rows = target_rows
+        self.seen = 0
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        if p.name != self.query_name:
+            return
+        self.seen += p.numInputRows
+        if self.seen >= self.target_rows:
+            from pyspark.sql import SparkSession
+
+            session = SparkSession.getActiveSession()
+            if session is None:
+                return
+            for q in session.streams.active:
+                if q.name == self.query_name:
+                    q.stop()
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+
+def with_live_metrics(sdf: DataFrame, name: str = "metricas") -> DataFrame:
+    """Attach ``observe()`` counters to a streaming frame — the engine's
+    progress-log equivalent of the reference's every-100k prints
+    (ProdutorAvro.java:81-85): per-microbatch row/byte/success counts
+    surface in StreamingQueryProgress.observedMetrics."""
+    return sdf.observe(
+        name,
+        F.count(F.lit(1)).alias("mensagens"),
+        F.sum(F.col("tamanho_bytes")).alias("bytes"),
+        F.count_if(F.col("sucesso")).alias("sucesso"),
+    )
 
 
 def run_bounded_append(

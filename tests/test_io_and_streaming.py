@@ -93,6 +93,53 @@ def test_stream_json_wire_decode(spark, tmp_path):
     assert _flat_set(decoded) == _flat_set(msgs)
 
 
+def test_observe_live_metrics(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.registry import _eventos_como_mensagens
+    from teste_carga_avro_vs_json_spark.streaming import (
+        eventos_stream,
+        metricas_stream,
+        run_bounded,
+    )
+    from teste_carga_avro_vs_json_spark.streaming.pipeline import with_live_metrics
+
+    src = with_live_metrics(eventos_stream(spark, sf_dir))
+    out = run_bounded(metricas_stream(src), query_name="t_observe")
+    n = _eventos_como_mensagens(spark, sf_dir).count()
+    [row] = out.collect()
+    assert row.total_mensagens == n
+
+
+def test_row_target_listener_accumulates():
+    from teste_carga_avro_vs_json_spark.streaming.pipeline import RowTargetStop
+
+    listener = RowTargetStop("no-such-query", 100)
+
+    class _Progress:
+        name = "no-such-query"
+        numInputRows = 60
+
+    class _Event:
+        progress = _Progress()
+
+    listener.onQueryProgress(_Event())
+    assert listener.seen == 60
+    listener.onQueryProgress(_Event())  # crosses target; no live query -> no-op
+    assert listener.seen == 120
+
+
+def test_multimodal_resize(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import multimodal
+
+    media = multimodal.synth_media(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    )
+    out = multimodal.resize(media, 224, 224).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r.width, r.height) == (224, 224)
+        assert len(r.payload) >= 1
+
+
 def test_cli_producer_consumer_json(spark, tmp_path):
     cfg = EngineConfig(
         total_mensagens=25, tamanho_mensagem_kb=1, num_particoes=4,
