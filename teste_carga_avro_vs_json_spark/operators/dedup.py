@@ -193,16 +193,21 @@ def _banded_jaccard(
             )
         ).alias("band_key"),
     )
-    a = banded.select(
-        F.col("band_key"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
-    b = banded.select(
-        F.col("band_key"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    )
+    # Self-join the SAME frame (aliased) so both sides canonicalize to
+    # one identical Exchange: Spark's ReuseExchange computes the shingle
+    # + signature projection ONCE and replays the shuffle files for the
+    # other side — renaming before the join (doc_a/doc_b) would fork the
+    # plans and double the scan.
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(b, ["band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        a.join(b, F.col("a.band_key") == F.col("b.band_key"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return (

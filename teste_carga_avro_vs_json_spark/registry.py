@@ -29,6 +29,7 @@ from teste_carga_avro_vs_json_spark.operators import (
     routing,
     serde,
     similarity,
+    skew,
     text,
 )
 from teste_carga_avro_vs_json_spark.session import configure, load_table
@@ -310,6 +311,35 @@ def q_report_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.relatorio(q_metrics_agg(spark, sf_dir))
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py) — must equal
+    the plain GROUP BY the oracle runs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.length("props").cast("long").alias("nbytes")
+    )
+    return skew.salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("count", "user_id", "n"),
+            ("sum", "nbytes", "total_bytes"),
+            ("min", "user_id", "min_user"),
+            ("max", "user_id", "max_user"),
+        ],
+    ).orderBy("event_type")
+
+
+def _salted_agg_sql() -> str:
+    return """
+        SELECT event_type,
+               COUNT(user_id) AS n,
+               SUM(length(props))::BIGINT AS total_bytes,
+               MIN(user_id) AS min_user,
+               MAX(user_id) AS max_user
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
 # ------------------------------------------------------------------- text
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(load_table(spark, sf_dir, "documents"))
@@ -387,6 +417,7 @@ def queries() -> dict[str, QueryFn]:
         "q_metrics_agg": q_metrics_agg,
         "q_metrics_merge": q_metrics_merge,
         "q_report_format": q_report_format,
+        "q_salted_agg": q_salted_agg,
         "q_text_stats": q_text_stats,
         "q_token_count": q_token_count,
         "q_lang_id": q_lang_id,
@@ -426,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "q_report_format": metrics.relatorio_sql(
             metrics.metricas_agg_sql(_EVENTOS_SQL)
         ),
+        "q_salted_agg": _salted_agg_sql(),
         "q_text_stats": text.text_stats_sql(),
         "q_token_count": text.token_counts_sql(),
         "q_lang_id": text.lang_id_sql(),

@@ -71,6 +71,25 @@ def test_minhash_join_is_keyed_not_cross(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan  # equi-join on band_key
 
 
+def test_minhash_selfjoin_reuses_exchange_at_scale(spark, sf_dir):
+    """In the shuffle-join regime (big sides, the 100 TB case) the LSH
+    self-join must replay ONE exchange — the shingle+signature
+    projection is the expensive part and may not run twice. At small
+    scale AQE broadcasts instead, which is equally fine."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup.minhash_lsh_candidates_scale(docs)
+        df.collect()
+        plan = _plan(df)
+        assert plan.count("ReusedExchange") >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def test_metrics_agg_is_partial_final(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("event_id").alias("sequencia"),
