@@ -150,6 +150,42 @@ def q_stream_metrics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(metricas_stream(src), query_name="q_stream_metrics_agg")
 
 
+def q_stream_json_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming consumer E2E (the reference CONSUMIDOR_JSON E2E_PARSE
+    path as a stream): write the wire dataset, stream-decode it, compute
+    the structural size aggregate — deterministic, so fully
+    oracle-checkable."""
+    import tempfile
+
+    from teste_carga_avro_vs_json_spark.streaming import (
+        json_wire_stream,
+        run_bounded,
+    )
+
+    msgs = generator.mensagens(spark, GEN_TOTAL, GEN_KB)
+    path = tempfile.mkdtemp(prefix="wire_stream_")
+    io_files.write_json(msgs, path, ROUTE_PARTS)
+    sized = routing.size_estimate(json_wire_stream(spark, path))
+    agg = sized.agg(
+        F.count(F.lit(1)).alias("total_mensagens"),
+        F.sum("tamanho_estimado").cast("long").alias("total_estimado"),
+        F.min("sequencia").alias("min_seq"),
+        F.max("sequencia").alias("max_seq"),
+    )
+    return run_bounded(agg, query_name="q_stream_json_e2e")
+
+
+def _stream_json_e2e_sql() -> str:
+    return f"""
+        WITH se AS ({generator.size_estimate_sql(GEN_TOTAL, GEN_KB)})
+        SELECT COUNT(*) AS total_mensagens,
+               SUM(tamanho_estimado)::BIGINT AS total_estimado,
+               MIN(sequencia) AS min_seq,
+               MAX(sequencia) AS max_seq
+        FROM se
+    """
+
+
 # ---------------------------------------------------------------- routing
 def q_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = generator.mensagens(spark, ROUTE_TOTAL, GEN_KB).select("sequencia")
@@ -410,6 +446,7 @@ def queries() -> dict[str, QueryFn]:
         "q_file_parquet_roundtrip": q_file_parquet_roundtrip,
         "q_file_avro_ocf_roundtrip": q_file_avro_ocf_roundtrip,
         "q_stream_metrics_agg": q_stream_metrics_agg,
+        "q_stream_json_e2e": q_stream_json_e2e,
         "q_partition_routing": q_partition_routing,
         "q_tail_n": q_tail_n,
         "q_warmup_filter": q_warmup_filter,
@@ -448,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "q_file_avro_ocf_roundtrip": flat,
         # stream == batch: identical agg, identical oracle
         "q_stream_metrics_agg": metrics.metricas_agg_sql(_EVENTOS_SQL),
+        "q_stream_json_e2e": _stream_json_e2e_sql(),
         "q_partition_routing": _routing_sql(),
         "q_tail_n": _tail_n_sql(),
         "q_warmup_filter": _warmup_sql(),
