@@ -238,6 +238,19 @@ def relatorio(met: DataFrame) -> DataFrame:
     )
 
 
+def relatorio_json(met: DataFrame, aplicacao: str = "PRODUTOR_JSON") -> DataFrame:
+    """O15 sink shape: the report row as ONE JSON text column plus the
+    app-context fields — gerarRelatorioJson() + enviarMetricas()
+    (MetricasDesempenho.java:107-109, ProdutorAvro.java:122-139). Write
+    with ``df.write.text``/Kafka sink; field order is the struct order
+    (deterministic — Gson's HashMap order was not)."""
+    rep = relatorio(met).withColumn("aplicacao", F.lit(aplicacao))
+    cols = [c for c in rep.columns if c != "aplicacao"]
+    return rep.select(
+        F.to_json(F.struct("aplicacao", *cols)).alias("relatorio_json")
+    )
+
+
 def relatorio_sql(met_sql: str) -> str:
     """DuckDB twin of relatorio(). printf('%.2f', …) matches Java's
     String.format for non-tie values (our derived rates never land on

@@ -95,3 +95,23 @@ def test_empty_input_zero_rates(spark):
     assert m.total_mensagens == 0
     assert m.throughput_msgs_s == 0.0
     assert m.taxa_sucesso == 0.0
+
+
+def test_relatorio_json_single_column(spark):
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from teste_carga_avro_vs_json_spark.operators import metrics as m
+
+    src = spark.createDataFrame(
+        [(1, 100, True, 1000), (2, 200, True, 2000), (3, 0, False, 3000)],
+        "sequencia long, tamanho_bytes long, sucesso boolean, ts_ms long",
+    )
+    out = m.relatorio_json(m.metricas_agg(src), aplicacao="CONSUMIDOR_AVRO")
+    [row] = out.collect()
+    doc = _json.loads(row.relatorio_json)
+    assert doc["aplicacao"] == "CONSUMIDOR_AVRO"
+    assert doc["total_mensagens"] == 3
+    assert doc["mensagens_erro"] == 1
+    assert doc["taxa_sucesso_porcentagem"] == "66.67"
