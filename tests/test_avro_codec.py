@@ -101,3 +101,25 @@ def test_multiblock_array_decode():
     _write_string(buf, "1.0")
     out = decode_mensagem(bytes(buf))
     assert out["dados"] == [reg, reg]
+
+
+@given(st.lists(mensagem, max_size=12), st.sampled_from(["null", "deflate"]))
+@settings(max_examples=50, deadline=None)
+def test_ocf_roundtrip_property(msgs, codec):
+    from teste_carga_avro_vs_json_spark.functions.avro_ocf import (
+        read_ocf,
+        write_ocf,
+    )
+
+    blob = write_ocf([encode_mensagem(m) for m in msgs], codec=codec,
+                     block_records=5)
+    assert read_ocf(blob) == msgs
+
+
+def test_ocf_rejects_bad_magic():
+    import pytest
+
+    from teste_carga_avro_vs_json_spark.functions.avro_ocf import read_ocf
+
+    with pytest.raises(ValueError, match="magic"):
+        read_ocf(b"PK\x03\x04 not avro")
