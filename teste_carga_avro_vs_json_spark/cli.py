@@ -74,7 +74,20 @@ def run_app(app: str, path: str, cfg: EngineConfig, spark=None) -> dict:
     total, kb, P = cfg.total_mensagens, cfg.tamanho_mensagem_kb, cfg.num_particoes
     warmup = cfg.warmup_mensagens
 
-    if app.startswith("PRODUTOR"):
+    if cfg.bench_mode == "MICRO":
+        # Kafka-free in-memory encode->decode->aggregate: documented in
+        # the reference (.env.template:17) but implemented nowhere —
+        # SURVEY.md §5 makes it the engine's minimum slice. No files.
+        msgs = generator.mensagens(spark, total, kb)
+        from teste_carga_avro_vs_json_spark.operators import serde
+
+        decoded = (
+            serde.json_roundtrip(msgs)
+            if app.endswith("JSON")
+            else serde.avro_roundtrip(msgs)
+        )
+        report = _producer_metrics(decoded, warmup)
+    elif app.startswith("PRODUTOR"):
         msgs = generator.mensagens(spark, total, kb)
         if app == "PRODUTOR_JSON":
             io_files.write_json(msgs, path, P, cfg.compression_type)

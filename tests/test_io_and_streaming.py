@@ -165,6 +165,20 @@ def test_cli_transport_mode(spark, tmp_path):
     assert rep["total_bytes"] > 0
 
 
+def test_cli_micro_mode(spark, tmp_path):
+    # MICRO: in-memory serde round trip, no files written
+    cfg = EngineConfig(
+        total_mensagens=15, tamanho_mensagem_kb=1, num_particoes=2,
+        bench_mode="MICRO",
+    )
+    path = str(tmp_path / "micro-nothing")
+    rep = run_app("PRODUTOR_AVRO", path, cfg, spark)
+    assert rep["total_mensagens"] == 15
+    import os
+
+    assert not os.path.exists(path)
+
+
 def test_cli_invalid_app_exits_1(spark, tmp_path):
     with pytest.raises(ValueError, match="TIPO_APLICACAO"):
         run_app("PRODUTOR_XML", str(tmp_path), EngineConfig(), spark)
