@@ -20,6 +20,8 @@ Layout
 - ``operators``  serde, metrics, dedup, similarity, text, multimodal
 - ``streaming``  Structured Streaming pipelines (bounded via availableNow)
 - ``plans``      explain/plan-audit helpers for scale reviews
+- ``registry``   the driver-contract query inventory (+ DuckDB oracles)
+- ``cli``        TIPO_APLICACAO-style app dispatcher (python -m ...)
 """
 
 __version__ = "0.1.0"

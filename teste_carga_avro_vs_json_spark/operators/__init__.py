@@ -8,4 +8,5 @@
 - ``dedup``      exact + MinHash/LSH + SimHash + n-gram Jaccard dedup
 - ``similarity`` embedding cosine top-k (brute force + LSH-bucketed)
 - ``multimodal`` binary payload columns with typed metadata (stubbed decode)
+- ``skew``       salted aggregation / salted broadcast join
 """
