@@ -163,6 +163,133 @@ def embedding_neardup_sql(
     """
 
 
+# ----------------------------------------------------------- IVF ANN path
+def ivf_centroids(
+    emb: DataFrame, n_centroids: int = 16, iters: int = 2
+) -> list[tuple[int, list[float]]]:
+    """Coarse quantizer: k-means with deterministic init (the
+    ``n_centroids`` lowest vec_ids) and ``iters`` Lloyd steps.
+
+    The iterative part is the textbook Spark k-means shape: assignment
+    is a projection against broadcast centroid literals; the update is
+    ``posexplode`` → groupBy(cluster, dim).avg — only
+    (n_centroids × dim) tiny rows ever reach the driver per iteration.
+    Genuinely non-SQL-expressible (driver-side loop), hence exempt from
+    the DuckDB oracle; recall is pinned in pytest instead.
+    """
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    w = Window.orderBy("vec_id")
+    init = (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_centroids)
+        .collect()
+    )
+    centroids = [(i, list(r.vec)) for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = v.withColumn("cluster", _nearest(F.col("vec"), centroids))
+        means = (
+            assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.m
+        centroids = [
+            (c, [dims[d] for d in sorted(dims)])
+            for c, dims in sorted(by_cluster.items())
+        ]
+    return centroids
+
+
+def _nearest(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """argmin_c ||vec - c||² as an expression: min over (dist, idx)
+    structs — deterministic ties by centroid index."""
+    scored = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in cvec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(idx).alias("idx"),
+        )
+        for idx, cvec in centroids
+    ]
+    return F.array_min(F.array(*scored))["idx"]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_modulus: int = 50,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows live in their nearest-centroid list
+    (one projection); each query probes its ``n_probe`` nearest lists;
+    candidates form via an equi-join on the list id. The inverted-list
+    join is the structure that survives when both sides are large —
+    cost O(rows × n_probe / n_centroids) per query list, never a full
+    scan per query (contrast :func:`cosine_topk`)."""
+    cents = ivf_centroids(emb, n_centroids, iters)
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    ).withColumn("cluster", _nearest(F.col("vec"), cents))
+    q_base = v.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    # probe lists: n_probe nearest centroids per query (tiny explode)
+    probes = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"),
+                    F.array(*[F.lit(x) for x in cvec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(idx).alias("idx"),
+        )
+        for idx, cvec in cents
+    ]
+    q = q_base.withColumn(
+        "cluster",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(F.array(*probes)), 1, n_probe),
+                lambda s: s["idx"],
+            )
+        ),
+    )
+    cand = v.join(F.broadcast(q), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qvec"), F.col("vec")), 9).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 # ----------------------------------------------------------- LSH ANN path
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes seeded by md5 — reproducible across

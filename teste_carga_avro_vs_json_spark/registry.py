@@ -423,6 +423,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN variant — rows-only check (k-means quantizer is an
+    iterative driver-side loop, not SQL-expressible; pytest pins
+    exact-recall equivalence at full probe count)."""
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant — rows-only check (bucketing is engine-internal; the
     pytest suite asserts recall vs q_cosine_topk instead)."""
@@ -467,6 +474,7 @@ def queries() -> dict[str, QueryFn]:
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_neardup": q_embedding_neardup,
         "q_lsh_ann_topk": q_lsh_ann_topk,
+        "q_ivf_ann_topk": q_ivf_ann_topk,
         "q_media_features": q_media_features,
     }
 

@@ -124,6 +124,31 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert hits >= 1  # random-hyperplane LSH on random data: weak floor
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF with n_probe=all centroids must equal brute force exactly
+    (every list probed => full coverage); with fewer probes, recall@1
+    degrades gracefully but stays nonzero."""
+    emb = _emb(spark, sf_dir)
+    brute = {
+        (r.query_id, r.vec_id) for r in similarity.cosine_topk(emb, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(emb, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == brute
+    partial = similarity.ivf_topk(emb, k=5, n_centroids=8, n_probe=2).collect()
+    assert len(partial) > 0
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    c1 = similarity.ivf_centroids(emb, n_centroids=4, iters=1)
+    c2 = similarity.ivf_centroids(emb, n_centroids=4, iters=1)
+    assert c1 == c2
+    assert len(c1) == 4
+
+
 # -------------------------------------------------------------------- text
 def test_tokens_empty_and_spaces(spark):
     df = spark.createDataFrame([(1, "  a  b "), (2, "")], "doc_id long, text string")
