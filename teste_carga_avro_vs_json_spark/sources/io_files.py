@@ -179,8 +179,8 @@ def write_avro_ocf(
 
     manifest = enc.mapInPandas(
         _write, "file string, particao int, n_records long, n_bytes long"
-    )
-    manifest.write.format("noop").mode("overwrite").save()  # force the write
+    ).cache()
+    manifest.count()  # materialize: files hit disk exactly once
     return manifest
 
 
