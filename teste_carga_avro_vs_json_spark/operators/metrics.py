@@ -238,6 +238,37 @@ def relatorio(met: DataFrame) -> DataFrame:
     )
 
 
+def metricas_por_janela(df: DataFrame, janela_ms: int = 60_000) -> DataFrame:
+    """Event-time windowed metrics: the counter set per tumbling window
+    of ``janela_ms`` over the data clock (ts_ms).
+
+    The reference only has processing-time totals; this is the
+    event-time extension a streaming deployment needs (progress curves,
+    late-data accounting). Window key = integer bucket of the epoch
+    clock, so batch and streaming (with watermark) produce identical
+    rows and the DuckDB oracle can check it as plain integer division.
+    """
+    bucket = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(janela_ms))).alias(
+        "janela_inicio_ms"
+    )
+    return (
+        df.groupBy(bucket)
+        .agg(*_counters())
+        .orderBy("janela_inicio_ms")
+    )
+
+
+def metricas_por_janela_sql(source_sql: str, janela_ms: int = 60_000) -> str:
+    return f"""
+        WITH src AS ({source_sql})
+        SELECT (ts_ms - (ts_ms % {janela_ms}))::BIGINT AS janela_inicio_ms,
+               {_COUNTERS_SQL}
+        FROM src
+        GROUP BY janela_inicio_ms
+        ORDER BY janela_inicio_ms
+    """
+
+
 def relatorio_json(met: DataFrame, aplicacao: str = "PRODUTOR_JSON") -> DataFrame:
     """O15 sink shape: the report row as ONE JSON text column plus the
     app-context fields — gerarRelatorioJson() + enviarMetricas()

@@ -347,6 +347,15 @@ def q_report_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.relatorio(q_metrics_agg(spark, sf_dir))
 
 
+def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window metrics (1-minute buckets over the
+    data clock) — the streaming twin in streaming/pipeline.py emits
+    identical rows (test_io_and_streaming)."""
+    return metrics.metricas_por_janela(
+        _eventos_como_mensagens(spark, sf_dir), janela_ms=60_000
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation (operators/skew.py) — must equal
     the plain GROUP BY the oracle runs."""
@@ -462,6 +471,7 @@ def queries() -> dict[str, QueryFn]:
         "q_metrics_merge": q_metrics_merge,
         "q_report_format": q_report_format,
         "q_salted_agg": q_salted_agg,
+        "q_windowed_metrics": q_windowed_metrics,
         "q_text_stats": q_text_stats,
         "q_token_count": q_token_count,
         "q_lang_id": q_lang_id,
@@ -504,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
             metrics.metricas_agg_sql(_EVENTOS_SQL)
         ),
         "q_salted_agg": _salted_agg_sql(),
+        "q_windowed_metrics": metrics.metricas_por_janela_sql(_EVENTOS_SQL),
         "q_text_stats": text.text_stats_sql(),
         "q_token_count": text.token_counts_sql(),
         "q_lang_id": text.lang_id_sql(),

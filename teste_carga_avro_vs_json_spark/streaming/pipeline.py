@@ -68,6 +68,36 @@ def metricas_stream(src: DataFrame, warmup: int = 0) -> DataFrame:
     return metrics.metricas_agg(filtered)
 
 
+def metricas_stream_janela(
+    src: DataFrame, janela_s: int = 60, watermark_s: int | None = 10
+) -> DataFrame:
+    """Event-time windowed metrics on a stream: tumbling ``janela_s``
+    windows over the data clock with optional watermark for late data.
+
+    Spark's tumbling windows align to the epoch, so ``window.start`` in
+    epoch-millis equals the batch bucket ``ts_ms - ts_ms % janela_ms``
+    (operators/metrics.metricas_por_janela) — the two paths emit
+    identical rows. Use a watermark + append sink unbounded (state for
+    closed windows is dropped); complete mode for bounded drains where
+    every window must emit.
+    """
+    from teste_carga_avro_vs_json_spark.operators.metrics import _counters
+
+    with_ts = src.withColumn("_ts", F.timestamp_millis(F.col("ts_ms")))
+    if watermark_s is not None:
+        with_ts = with_ts.withWatermark("_ts", f"{watermark_s} seconds")
+    agg = with_ts.groupBy(F.window("_ts", f"{janela_s} seconds").alias("_w")).agg(
+        *_counters()
+    )
+    return agg.select(
+        F.unix_millis(F.col("_w.start")).alias("janela_inicio_ms"),
+        "total_mensagens",
+        "total_bytes",
+        "mensagens_sucesso",
+        "mensagens_erro",
+    )
+
+
 def run_bounded(
     sdf: DataFrame, query_name: str = "bounded_run", timeout_s: int = 300
 ) -> DataFrame:

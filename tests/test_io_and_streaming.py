@@ -189,3 +189,27 @@ def test_cli_main_invalid_app_rc1(tmp_path):
 
     rc = main(["--app", "NOPE", "--path", str(tmp_path), "--total", "1"])
     assert rc == 1
+
+
+def test_windowed_metrics_stream_equals_batch(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import metrics as m
+    from teste_carga_avro_vs_json_spark.registry import _eventos_como_mensagens
+    from teste_carga_avro_vs_json_spark.streaming import eventos_stream, run_bounded
+    from teste_carga_avro_vs_json_spark.streaming.pipeline import (
+        metricas_stream_janela,
+    )
+
+    batch = {
+        tuple(r)
+        for r in m.metricas_por_janela(
+            _eventos_como_mensagens(spark, sf_dir), janela_ms=60_000
+        ).collect()
+    }
+    # complete mode: bounded drain must emit every window (no watermark)
+    stream = run_bounded(
+        metricas_stream_janela(
+            eventos_stream(spark, sf_dir), janela_s=60, watermark_s=None
+        ),
+        query_name="t_windowed",
+    )
+    assert {tuple(r) for r in stream.collect()} == batch
