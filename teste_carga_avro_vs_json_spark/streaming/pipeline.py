@@ -196,3 +196,24 @@ def run_bounded_append(
     query.awaitTermination(timeout_s)
     query.stop()
     return spark.table(query_name)
+
+
+def run_bounded_update(
+    sdf: DataFrame, query_name: str = "bounded_update", timeout_s: int = 300
+) -> DataFrame:
+    """Update-mode bounded drain — required by stateful operators
+    (applyInPandasWithState emits updated rows per micro-batch)."""
+    spark = sdf.sparkSession
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    query.stop()
+    return spark.table(query_name)

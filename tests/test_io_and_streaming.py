@@ -213,3 +213,41 @@ def test_windowed_metrics_stream_equals_batch(spark, sf_dir):
         query_name="t_windowed",
     )
     assert {tuple(r) for r in stream.collect()} == batch
+
+
+def test_stateful_sequence_audit(spark, tmp_path):
+    """applyInPandasWithState gap detector: drop known sequences from a
+    routed wire dataset; the audit must count exactly those holes."""
+    import pyspark.sql.functions as F
+
+    from teste_carga_avro_vs_json_spark.streaming.pipeline import (
+        json_wire_stream,
+        run_bounded_update,
+    )
+    from teste_carga_avro_vs_json_spark.streaming.stateful import (
+        auditoria_sequencia,
+    )
+
+    P = 3
+    dropped = {7, 13, 14}  # partitions (7-1)%3=0, (13-1)%3=0, (14-1)%3=1
+    msgs = _msgs(spark, 30).filter(~F.col("sequencia").isin(*dropped))
+    path = str(tmp_path / "audit-wire")
+    io_files.write_json(msgs, path, num_particoes=P)
+    decoded = json_wire_stream(spark, path).select(
+        F.pmod(F.col("sequencia") - 1, F.lit(P)).cast("int").alias("particao"),
+        "sequencia",
+    )
+    out = run_bounded_update(
+        auditoria_sequencia(decoded, num_particoes=P), query_name="t_audit"
+    )
+    # update mode may emit once per batch; keep the final row per particao
+    final = {}
+    for r in out.collect():
+        cur = final.get(r.particao)
+        if cur is None or r.total_linhas > cur.total_linhas:
+            final[r.particao] = r
+    assert final[0].n_faltando == 2   # seqs 7 and 13 missing from particao 0
+    assert final[1].n_faltando == 1   # seq 14 missing from particao 1
+    assert final[2].n_faltando == 0
+    assert sum(r.total_linhas for r in final.values()) == 27
+    assert all(r.n_fora_de_ordem == 0 for r in final.values())
