@@ -44,7 +44,6 @@ def main() -> None:
     from teste_carga_avro_vs_json_spark import registry
     from teste_carga_avro_vs_json_spark.operators import (
         dedup,
-        metrics,
         routing,
         serde,
         similarity,

@@ -1,10 +1,6 @@
 """File sinks/sources (O7 stand-in), streaming bounded drain (O16),
 CLI dispatcher (O18)."""
 
-import json
-import subprocess
-import sys
-
 import pyspark.sql.functions as F
 import pytest
 
