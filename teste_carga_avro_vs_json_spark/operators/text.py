@@ -241,3 +241,70 @@ def fingerprint_sql(table: str = "documents") -> str:
         SELECT doc_id, md5({norm}) AS fp, length({norm})::BIGINT AS norm_len
         FROM {table}
     """
+
+
+# ------------------------------------------------------------- winnowing
+def _kgrams(text: Column | str, k: int) -> Column:
+    """Positional word k-grams (NOT deduplicated — winnowing needs the
+    full position sequence, unlike dedup.shingles)."""
+    t = tokens(text)
+    n = F.size(t)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS rolling-hash selection scheme): hash every word k-gram, then
+    keep the minimum hash of each sliding window of ``w`` positions.
+
+    Guarantees: any shared run of ≥ w+k-1 words between two documents
+    shares at least one selected fingerprint, while only ~2/(w+1) of
+    all k-gram hashes are kept — sublinear fingerprint sets with a
+    matching floor, which is what makes plagiarism/near-dup detection
+    work at corpus scale. Pure expression tree (transform/slice/
+    array_min) — no UDFs; output is (doc_id, fp) pairs.
+    """
+    from teste_carga_avro_vs_json_spark.functions.portable import hex32
+
+    hs = F.transform(_kgrams("text", k), lambda g: hex32(g))
+    n = F.size(hs)
+    mins = F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        docs.select("doc_id", F.explode(mins).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
+def winnow_fingerprints_sql(table: str = "documents", k: int = 5, w: int = 4) -> str:
+    from teste_carga_avro_vs_json_spark.functions.portable import hex32_sql
+
+    t = tokens_sql("text")
+    kg = (
+        f"list_transform(generate_series(1, GREATEST(len({t}) - {k - 1}, 0)), "
+        f"i -> array_to_string({t}[i:i+{k - 1}], ' '))"
+    )
+    hs = f"list_transform({kg}, g -> {hex32_sql('g')})"
+    return f"""
+        WITH base AS (SELECT doc_id, {hs} AS hs FROM {table}),
+        mins AS (
+            SELECT doc_id,
+                   CASE WHEN len(hs) >= 1 THEN
+                       list_distinct(list_transform(
+                           generate_series(1, GREATEST(len(hs) - {w - 1}, 1)),
+                           i -> list_min(hs[i:i+{w - 1}])))
+                   ELSE [] END AS fps
+            FROM base
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM mins ORDER BY doc_id, fp
+    """

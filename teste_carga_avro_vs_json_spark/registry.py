@@ -406,6 +406,15 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc sample keeps the DuckDB twin cheap (its list
+    lambdas evaluate md5 per k-gram serially)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return text.winnow_fingerprints(docs)
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -477,6 +486,7 @@ def queries() -> dict[str, QueryFn]:
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
@@ -520,6 +530,9 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": text.lang_id_sql(),
         "q_quality_score": text.quality_score_sql(),
         "q_fingerprint": text.fingerprint_sql(),
+        "q_winnow_fingerprints": text.winnow_fingerprints_sql(
+            table="(SELECT * FROM documents WHERE doc_id % 5 = 0)"
+        ),
         "q_dedup_exact": dedup.exact_dedup_sql(),
         "q_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "q_minhash_lsh": dedup.minhash_lsh_sql(),

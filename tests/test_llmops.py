@@ -211,3 +211,21 @@ def test_frame_sample(spark, sf_dir):
         by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
     for idxs in by_doc.values():
         assert sorted(idxs) == [0, 2]
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing guarantee: documents sharing a run of >= w+k-1 words
+    share at least one fingerprint (k=5, w=4 -> 8 words)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    df = spark.createDataFrame(
+        [(1, f"unique one {shared} tail words here"),
+         (2, f"completely different prefix {shared} and suffix"),
+         (3, "nothing in common with the others at all whatsoever")],
+        "doc_id long, text string",
+    )
+    fps = text.winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]          # shared run -> shared fingerprint
+    assert not (by_doc[1] & by_doc[3])    # disjoint text -> disjoint prints
