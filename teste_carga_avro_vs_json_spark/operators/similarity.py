@@ -121,6 +121,49 @@ def cosine_topk_sql(
     """
 
 
+def cosine_topk_scale(
+    emb: DataFrame, k: int = 10, query_modulus: int = 50, salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase exact top-k: identical results to :func:`cosine_topk`,
+    different reducer shape for the 100 TB corpus.
+
+    The plain version's window funnels EVERY corpus score for a query
+    through one reducer — a per-query hot key when the corpus is huge.
+    Phase 1 ranks within (query, salt) so each query's scores spread
+    over ``salt_buckets`` reducers and only k survivors per bucket move
+    on; phase 2 ranks the k x salt_buckets survivors per query — tiny.
+    Deterministic salt (xxhash64 of vec_id) keeps results reproducible.
+    """
+    v = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = v.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qvec"), F.col("vec")), 9).alias("cos_sim"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(salt_buckets)).alias("_salt"),
+    )
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        scored.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 # ------------------------------------------------------ embedding near-dup
 def embedding_neardup(
     emb: DataFrame, threshold: float = 0.3, modulus: int = 10

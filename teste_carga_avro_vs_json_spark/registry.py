@@ -437,6 +437,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_cosine_topk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase exact top-k — same oracle as q_cosine_topk
+    (results identical; only the reducer shape differs)."""
+    return similarity.cosine_topk_scale(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup(load_table(spark, sf_dir, "embeddings"))
 
@@ -492,6 +498,7 @@ def queries() -> dict[str, QueryFn]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
         "q_cosine_topk": q_cosine_topk,
+        "q_cosine_topk_scale": q_cosine_topk_scale,
         "q_embedding_neardup": q_embedding_neardup,
         "q_lsh_ann_topk": q_lsh_ann_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
@@ -538,6 +545,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": dedup.minhash_lsh_sql(),
         "q_simhash": dedup.simhash_sql(),
         "q_cosine_topk": similarity.cosine_topk_sql(),
+        "q_cosine_topk_scale": similarity.cosine_topk_sql(),
         "q_embedding_neardup": similarity.embedding_neardup_sql(),
         # q_lsh_ann_topk, q_media_features intentionally absent: ANN
         # recall is checked in pytest; media features ARE oracle-backed:

@@ -229,3 +229,12 @@ def test_winnow_shared_run_guarantee(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[1] & by_doc[2]          # shared run -> shared fingerprint
     assert not (by_doc[1] & by_doc[3])    # disjoint text -> disjoint prints
+
+
+def test_cosine_topk_scale_equals_plain(spark, sf_dir):
+    """Salted two-phase top-k must be result-identical to the
+    single-window version."""
+    emb = _emb(spark, sf_dir)
+    plain = {tuple(r) for r in similarity.cosine_topk(emb, k=7).collect()}
+    scale = {tuple(r) for r in similarity.cosine_topk_scale(emb, k=7).collect()}
+    assert scale == plain
