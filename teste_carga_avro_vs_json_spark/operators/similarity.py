@@ -223,12 +223,9 @@ def ivf_centroids(
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    w = Window.orderBy("vec_id")
-    init = (
-        v.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_centroids)
-        .collect()
-    )
+    # TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    # global single-partition window sort of the corpus.
+    init = v.orderBy("vec_id").limit(n_centroids).collect()
     centroids = [(i, list(r.vec)) for i, r in enumerate(init)]
     for _ in range(iters):
         assigned = v.withColumn("cluster", _nearest(F.col("vec"), centroids))
