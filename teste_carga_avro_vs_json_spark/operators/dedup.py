@@ -323,6 +323,106 @@ def minhash_lsh_sql(
     """
 
 
+# ------------------------------------------------- near-dup cluster resolve
+def neardup_clusters(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.3,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve LSH near-dup candidate pairs into connected components
+    and mark the canonical survivor per cluster (min doc_id).
+
+    This is the step a training-data pipeline actually needs after
+    candidate generation: near-duplication is transitive in practice
+    (A~B, B~C ⇒ keep one of {A,B,C}), so pairs must be closed into
+    components before filtering. Algorithm: iterative min-label
+    propagation — each round every node takes the min cluster label
+    among itself and its neighbours; converges in O(graph diameter)
+    rounds (near-dup components are shallow: mostly cliques from shared
+    LSH buckets, so 2-4 rounds in practice).
+
+    Scale shape: per round one keyed shuffle of (edges ⋈ labels) —
+    never materializes components driver-side; the convergence probe
+    collects a single count. ``localCheckpoint`` truncates lineage each
+    round so Catalyst never sees an exponentially nested plan (on a
+    real cluster prefer ``checkpoint`` to a DFS dir for fault
+    tolerance). Output: (doc_id, cluster_id, is_canonical) for every
+    doc that has at least one near-dup partner.
+    """
+    pairs = minhash_lsh_candidates(docs, k, num_hashes, bands, threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["src"] == labels["doc_id"]).select(
+            F.col("dst").alias("doc_id"), "cluster_id"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
+def neardup_clusters_sql(
+    table: str = "documents",
+    k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> str:
+    """DuckDB twin: transitive closure by recursive CTE — every node
+    walks outward collecting reachable labels; MIN per node = component
+    id (identical to label-propagation's fixpoint)."""
+    lsh = minhash_lsh_sql(table, k, num_hashes, bands, threshold)
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({lsh})
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        walk(doc_id, lbl) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.doc_id
+        )
+        SELECT doc_id, MIN(lbl) AS cluster_id,
+               (doc_id = MIN(lbl)) AS is_canonical
+        FROM walk GROUP BY doc_id
+    """
+
+
 # ---------------------------------------------------------------- SimHash
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """16-bit SimHash over distinct tokens: bit b is set when strictly

@@ -432,6 +432,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.neardup_clusters(load_table(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------- similarity
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
@@ -496,6 +500,7 @@ def queries() -> dict[str, QueryFn]:
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_neardup_clusters": q_neardup_clusters,
         "q_simhash": q_simhash,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_topk_scale": q_cosine_topk_scale,
@@ -543,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": dedup.exact_dedup_sql(),
         "q_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "q_minhash_lsh": dedup.minhash_lsh_sql(),
+        "q_neardup_clusters": dedup.neardup_clusters_sql(),
         "q_simhash": dedup.simhash_sql(),
         "q_cosine_topk": similarity.cosine_topk_sql(),
         "q_cosine_topk_scale": similarity.cosine_topk_sql(),

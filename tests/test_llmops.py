@@ -84,6 +84,35 @@ def test_minhash_scale_agrees_with_portable(spark, sf_dir):
     assert md5_pairs == xx_pairs
 
 
+def test_neardup_clusters_transitive(spark):
+    """A~B and B~C above threshold but A~C below it: cluster resolution
+    must still put all three in one component (min-id canonical), while
+    an unrelated identical pair forms its own cluster and a singleton
+    doc stays out of the output entirely."""
+    w = [f"w{i}" for i in range(22)]
+    # 20-word sliding windows: J(1,2)=J(2,3)=17/19≈0.895, J(1,3)=16/20=0.8
+    rows = [
+        (1, " ".join(w[0:20])),
+        (2, " ".join(w[1:21])),
+        (3, " ".join(w[2:22])),
+        (4, "x y z q r s t u"),
+        (5, "x y z q r s t u"),
+        (6, "totally unrelated content here nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.neardup_clusters(df, threshold=0.85).collect()
+    }
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),
+        5: (4, False),
+    }
+
+
 def test_simhash_identical_equal(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps zeta")],
