@@ -1,0 +1,162 @@
+"""End-to-end training-corpus cleaning pipeline.
+
+The composition a 100 TB pre-training data pipeline actually runs
+(quality gate → language gate → exact dedup → near-dup removal), built
+from the individual operators in :mod:`operators.text` and
+:mod:`operators.dedup` but fused so the scoring pass is ONE scan:
+
+1. **Score** — quality heuristics + per-language stopword evidence as a
+   single projection over ``documents`` (no joins between the scorers:
+   they are all expressions over the same token array, so Catalyst
+   computes them in one whole-stage-codegen pass).
+2. **Gate** — keep docs with ``quality >= min_quality`` and predicted
+   language == ``lang``; both predicates are scan-local.
+3. **Exact dedup** — ``row_number() over (partition by md5(text) order
+   by doc_id) = 1``: one shuffle keyed on the content hash, survivor =
+   min doc_id. No join against a keep-list.
+4. **Near-dup removal** — :func:`dedup.neardup_clusters` over the
+   survivors; non-canonical cluster members are anti-joined away (the
+   drop-list is cluster members only — a small, broadcastable side).
+
+Scale shape: one full scan + one md5-keyed shuffle + the LSH banding
+shuffle over the (already reduced) survivor set; the final anti-join
+broadcasts. Nothing is quadratic; nothing collects rows to the driver
+beyond the label-propagation convergence counters.
+
+Reference scope note: the reference engine has no corpus operators at
+all (SURVEY.md §2.2) — this module is part of the §2.3 extension
+surface (north star: LLM-data-pipeline operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from teste_carga_avro_vs_json_spark.operators import dedup
+from teste_carga_avro_vs_json_spark.operators.text import (
+    _MARKERS,
+    _marker_count,
+    tokens,
+    tokens_sql,
+)
+
+
+def corpus_clean(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    neardup_threshold: float = 0.3,
+) -> DataFrame:
+    """Clean ``docs`` (doc_id, text, …) into a training-ready corpus.
+
+    Returns one row per surviving document: (doc_id, words, quality).
+    """
+    t = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("chars"),
+        F.size(t).cast("long").alias("words"),
+        *[
+            _marker_count(t, ws).cast("long").alias(f"s_{code}")
+            for code, ws in _MARKERS.items()
+        ],
+    )
+    words_nz = F.greatest(F.col("words"), F.lit(1))
+    quality = (
+        F.when(
+            (F.col("words") >= 20) & (F.col("words") <= 2000), F.lit(0.5)
+        ).otherwise(F.lit(0.0))
+        + F.when(F.col("s_en") > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(
+            (F.col("chars") / words_nz >= 3) & (F.col("chars") / words_nz <= 12),
+            F.lit(0.2),
+        ).otherwise(F.lit(0.0))
+    )
+    best = F.greatest(*[F.col(f"s_{code}") for code in _MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for code in sorted(_MARKERS):  # alphabetical tiebreak, same as lang_id
+        pred = pred.when(F.col(f"s_{code}") == best, F.lit(code))
+    kept = (
+        scored.withColumn("quality", quality)
+        .withColumn("lang_pred", pred)
+        .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "words", "quality")
+    )
+    clusters = dedup.neardup_clusters(
+        uniq.select("doc_id", "text"), threshold=neardup_threshold
+    )
+    drop = clusters.filter(~F.col("is_canonical")).select("doc_id")
+    return uniq.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "words", "quality"
+    )
+
+
+def corpus_clean_sql(
+    table: str = "documents",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    neardup_threshold: float = 0.3,
+) -> str:
+    """DuckDB twin: same gates, same window dedup; the near-dup stage
+    embeds the recursive-CTE closure over the deduped survivor set."""
+    toks = tokens_sql("text")
+    score_cols = ",\n                   ".join(
+        f"len(list_filter({toks}, t -> list_contains("
+        + "["
+        + ", ".join(f"'{w}'" for w in ws)
+        + "], lower(t))))::BIGINT AS s_"
+        + code
+        for code, ws in _MARKERS.items()
+    )
+    best = "GREATEST(" + ", ".join(f"s_{c}" for c in _MARKERS) + ")"
+    pred = f"CASE WHEN {best} <= 0 THEN 'und' "
+    for code in sorted(_MARKERS):
+        pred += f"WHEN s_{code} = {best} THEN '{code}' "
+    pred += "END"
+    closure = dedup.neardup_clusters_sql(
+        table="(SELECT doc_id, text FROM uniq)", threshold=neardup_threshold
+    )
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, text,
+                   length(text)::BIGINT AS chars,
+                   len({toks})::BIGINT AS words,
+                   {score_cols}
+            FROM {table}
+        ),
+        gated AS (
+            SELECT doc_id, text, words,
+                   (CASE WHEN words BETWEEN 20 AND 2000 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN s_en > 0 THEN 0.3 ELSE 0.0 END
+                    + CASE WHEN chars / GREATEST(words, 1) BETWEEN 3 AND 12
+                           THEN 0.2 ELSE 0.0 END) AS quality,
+                   {pred} AS lang_pred
+            FROM scored
+        ),
+        kept AS (
+            SELECT * FROM gated
+            WHERE quality >= {min_quality} AND lang_pred = '{lang}'
+        ),
+        ranked AS (
+            SELECT doc_id, text, words, quality,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                       AS rn
+            FROM kept
+        ),
+        uniq AS (
+            SELECT doc_id, text, words, quality FROM ranked WHERE rn = 1
+        )
+        SELECT u.doc_id, u.words, u.quality
+        FROM uniq u
+        WHERE u.doc_id NOT IN (
+            SELECT doc_id FROM ({closure}) WHERE NOT is_canonical
+        )
+    """

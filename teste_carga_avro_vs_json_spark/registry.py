@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from teste_carga_avro_vs_json_spark.operators import (
+    corpus,
     dedup,
     metrics,
     multimodal,
@@ -436,6 +437,10 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_clusters(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.corpus_clean(load_table(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------- similarity
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
@@ -501,6 +506,7 @@ def queries() -> dict[str, QueryFn]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
         "q_neardup_clusters": q_neardup_clusters,
+        "q_corpus_clean": q_corpus_clean,
         "q_simhash": q_simhash,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_topk_scale": q_cosine_topk_scale,
@@ -549,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard": dedup.ngram_jaccard_sql(),
         "q_minhash_lsh": dedup.minhash_lsh_sql(),
         "q_neardup_clusters": dedup.neardup_clusters_sql(),
+        "q_corpus_clean": corpus.corpus_clean_sql(),
         "q_simhash": dedup.simhash_sql(),
         "q_cosine_topk": similarity.cosine_topk_sql(),
         "q_cosine_topk_scale": similarity.cosine_topk_sql(),

@@ -4,6 +4,7 @@ multimodal plumbing."""
 import pyspark.sql.functions as F
 
 from teste_carga_avro_vs_json_spark.operators import (
+    corpus,
     dedup,
     multimodal,
     similarity,
@@ -111,6 +112,28 @@ def test_neardup_clusters_transitive(spark):
         4: (4, True),
         5: (4, False),
     }
+
+
+def test_corpus_clean_gates(spark):
+    """Each gate drops exactly its target: short doc (quality), German
+    doc (lang), byte-identical copy (exact dedup), sliding-window
+    near-copy (near-dup removal). The base English doc survives."""
+    base = " ".join(
+        ["the and of is to a"] * 5 + [f"tok{i}" for i in range(20)]
+    )  # 50 words, enough stopword evidence, mean word len in range
+    shifted = " ".join(base.split()[1:] + ["extra"])  # near-dup of base
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1 -> dropped
+        (3, shifted),  # near-dup of 1 -> dropped
+        (4, "too short"),  # quality gate
+        (5, " ".join(["der die das und nicht ein"] * 5 + ["wort"] * 20)),  # de
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        r.doc_id for r in corpus.corpus_clean(df, neardup_threshold=0.5).collect()
+    )
+    assert out == [1]
 
 
 def test_simhash_identical_equal(spark):
