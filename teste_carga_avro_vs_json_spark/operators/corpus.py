@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 from pyspark.sql.window import Window
 
+from teste_carga_avro_vs_json_spark.functions.portable import hex32, hex32_sql
 from teste_carga_avro_vs_json_spark.operators import dedup
 from teste_carga_avro_vs_json_spark.operators.text import (
     _MARKERS,
@@ -97,6 +98,79 @@ def corpus_clean(
     return uniq.join(drop, "doc_id", "left_anti").select(
         "doc_id", "words", "quality"
     )
+
+
+def token_budget_sample(
+    docs: DataFrame, budget_tokens: int = 10_000, n_buckets: int = 32
+) -> DataFrame:
+    """Deterministic token-budget sampling: order documents by a
+    content-independent shuffle key (md5 of doc_id) and keep the prefix
+    whose running token total stays within ``budget_tokens`` — the
+    standard "give me ~N tokens of this corpus" primitive for building
+    training mixes.
+
+    The running total is a DISTRIBUTED prefix sum, not a global window
+    (``Window.orderBy`` with no partition moves the whole corpus to one
+    task — the exact anti-pattern this module avoids):
+
+    1. bucket = skey mod ``n_buckets``; per-bucket token totals are one
+       tiny agg (``n_buckets`` rows);
+    2. bucket offsets = running sum over that tiny frame (a window over
+       ``n_buckets`` rows — driver-scale, not data-scale);
+    3. within-bucket running sums use ``Window.partitionBy(bucket)`` —
+       parallel across buckets — and add the broadcast offset.
+
+    Global order is therefore (bucket, skey, doc_id); the DuckDB twin
+    reproduces it with a plain ordered window. At 1000 executors raise
+    ``n_buckets`` to ~2-3x total cores so bucket windows stay balanced.
+    """
+    key = hex32(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("words"),
+        key.alias("skey"),
+    ).withColumn("bucket", F.pmod(F.col("skey"), F.lit(n_buckets)).cast("int"))
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("bucket")
+        .agg(F.sum("words").alias("bucket_words"))
+        .withColumn("offset", F.coalesce(F.sum("bucket_words").over(wb), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_tokens", F.col("offset") + F.sum("words").over(w_in))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "words", "cum_tokens")
+    )
+
+
+def token_budget_sample_sql(
+    table: str = "documents", budget_tokens: int = 10_000, n_buckets: int = 32
+) -> str:
+    skey = hex32_sql("'sample|' || doc_id::VARCHAR")
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({tokens_sql("text")})::BIGINT AS words,
+                   {skey} AS skey
+            FROM {table}
+        ),
+        ordered AS (
+            SELECT doc_id, words,
+                   SUM(words) OVER (
+                       ORDER BY skey % {n_buckets}, skey, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum_tokens
+            FROM base
+        )
+        SELECT doc_id, words, cum_tokens
+        FROM ordered WHERE cum_tokens <= {budget_tokens}
+    """
 
 
 def corpus_clean_sql(

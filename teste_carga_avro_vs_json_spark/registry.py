@@ -441,6 +441,10 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.corpus_clean(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.token_budget_sample(load_table(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------- similarity
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
@@ -507,6 +511,7 @@ def queries() -> dict[str, QueryFn]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_neardup_clusters": q_neardup_clusters,
         "q_corpus_clean": q_corpus_clean,
+        "q_token_budget_sample": q_token_budget_sample,
         "q_simhash": q_simhash,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_topk_scale": q_cosine_topk_scale,
@@ -556,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": dedup.minhash_lsh_sql(),
         "q_neardup_clusters": dedup.neardup_clusters_sql(),
         "q_corpus_clean": corpus.corpus_clean_sql(),
+        "q_token_budget_sample": corpus.token_budget_sample_sql(),
         "q_simhash": dedup.simhash_sql(),
         "q_cosine_topk": similarity.cosine_topk_sql(),
         "q_cosine_topk_scale": similarity.cosine_topk_sql(),

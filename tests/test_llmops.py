@@ -136,6 +136,29 @@ def test_corpus_clean_gates(spark):
     assert out == [1]
 
 
+def test_token_budget_sample_prefix_property(spark, sf_dir):
+    """Kept set is a hash-ordered prefix: total stays within budget and
+    is maximal (any excluded doc would overflow it); deterministic
+    across invocations."""
+    docs = _docs(spark, sf_dir)
+    budget = 5000
+    kept = corpus.token_budget_sample(docs, budget_tokens=budget).collect()
+    total = sum(r.words for r in kept)
+    assert total <= budget
+    assert max(r.cum_tokens for r in kept) == total
+    kept_ids = {r.doc_id for r in kept}
+    # maximality: the next doc in the hash order overflows the budget
+    all_rows = corpus.token_budget_sample(docs, budget_tokens=10**12).collect()
+    excluded = sorted(
+        (r for r in all_rows if r.doc_id not in kept_ids),
+        key=lambda r: r.cum_tokens,
+    )
+    if excluded:
+        assert total + excluded[0].words > budget
+    again = {r.doc_id for r in corpus.token_budget_sample(docs, budget_tokens=budget).collect()}
+    assert again == kept_ids
+
+
 def test_simhash_identical_equal(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps zeta")],
