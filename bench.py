@@ -43,6 +43,7 @@ def main() -> None:
 
     from teste_carga_avro_vs_json_spark import registry
     from teste_carga_avro_vs_json_spark.operators import (
+        corpus,
         dedup,
         routing,
         serde,
@@ -127,6 +128,10 @@ def main() -> None:
         run(text.quality_score(docs))
         run(text.lang_id(docs))
 
+    def w_corpus_clean():
+        # full cleaning pipeline on the production (xxhash64) LSH path
+        run(corpus.corpus_clean(docs_df(), scale=True))
+
     def w_topk():
         run(similarity.cosine_topk(emb_df()))
 
@@ -168,6 +173,7 @@ def main() -> None:
         "dedup_exact": w_dedup,
         "minhash_lsh": w_minhash,
         "text_analysis": w_text,
+        "corpus_clean": w_corpus_clean,
         "cosine_topk": w_topk,
         "lsh_ann_topk": w_ann,
     }

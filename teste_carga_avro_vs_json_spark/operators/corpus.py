@@ -49,10 +49,14 @@ def corpus_clean(
     lang: str = "en",
     min_quality: float = 0.5,
     neardup_threshold: float = 0.3,
+    scale: bool = False,
 ) -> DataFrame:
     """Clean ``docs`` (doc_id, text, …) into a training-ready corpus.
 
     Returns one row per surviving document: (doc_id, words, quality).
+    ``scale=True`` switches near-dup candidate generation to the
+    xxhash64 signatures (production path; md5 default keeps the DuckDB
+    oracle bit-exact).
     """
     t = tokens("text")
     scored = docs.select(
@@ -92,7 +96,7 @@ def corpus_clean(
         .select("doc_id", "text", "words", "quality")
     )
     clusters = dedup.neardup_clusters(
-        uniq.select("doc_id", "text"), threshold=neardup_threshold
+        uniq.select("doc_id", "text"), threshold=neardup_threshold, scale=scale
     )
     drop = clusters.filter(~F.col("is_canonical")).select("doc_id")
     return uniq.join(drop, "doc_id", "left_anti").select(

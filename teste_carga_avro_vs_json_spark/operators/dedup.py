@@ -331,9 +331,14 @@ def neardup_clusters(
     bands: int = 4,
     threshold: float = 0.3,
     max_iters: int = 25,
+    scale: bool = False,
 ) -> DataFrame:
     """Resolve LSH near-dup candidate pairs into connected components
     and mark the canonical survivor per cluster (min doc_id).
+    ``scale=True`` generates candidates with the xxhash64 signature path
+    (cheaper, not DuckDB-oracle-able); both paths verify candidates with
+    exact Jaccard, so the resolved clusters agree wherever the banding
+    agrees (pinned by the pair-set agreement test).
 
     This is the step a training-data pipeline actually needs after
     candidate generation: near-duplication is transitive in practice
@@ -352,7 +357,8 @@ def neardup_clusters(
     tolerance). Output: (doc_id, cluster_id, is_canonical) for every
     doc that has at least one near-dup partner.
     """
-    pairs = minhash_lsh_candidates(docs, k, num_hashes, bands, threshold)
+    candidates = minhash_lsh_candidates_scale if scale else minhash_lsh_candidates
+    pairs = candidates(docs, k, num_hashes, bands, threshold)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
