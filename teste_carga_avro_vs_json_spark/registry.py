@@ -176,6 +176,43 @@ def q_stream_json_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(agg, query_name="q_stream_json_e2e")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (bounded state): the documents table
+    is written to the wire TWICE (an at-least-once source); the stream
+    must emit each row exactly once. Dedup key = md5(doc_id|text) so
+    injected copies are the only collisions; duplicate rows are
+    byte-identical, so whichever copy survives, the output is
+    deterministic and the oracle is just the original table."""
+    import tempfile
+
+    from teste_carga_avro_vs_json_spark.streaming import (
+        run_bounded_append,
+        stream_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wire = docs.select(F.to_json(F.struct("doc_id", "text")).alias("value"))
+    path = tempfile.mkdtemp(prefix="dedup_stream_")
+    wire.unionByName(wire).write.mode("overwrite").format("text").save(path)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(path)
+        .withColumn("fp", F.md5(F.concat_ws("|", "doc_id", "text")))
+        .withColumn(
+            "ev", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+        )
+    )
+    out = stream_dedup(stream, ["fp"], "ev").select("doc_id", "fp")
+    return run_bounded_append(out, query_name="q_stream_dedup")
+
+
+def _stream_dedup_sql() -> str:
+    return """
+        SELECT doc_id, md5(doc_id::VARCHAR || '|' || text) AS fp
+        FROM documents
+    """
+
+
 def _stream_json_e2e_sql() -> str:
     return f"""
         WITH se AS ({generator.size_estimate_sql(GEN_TOTAL, GEN_KB)})
@@ -491,6 +528,7 @@ def queries() -> dict[str, QueryFn]:
         "q_file_avro_ocf_roundtrip": q_file_avro_ocf_roundtrip,
         "q_stream_metrics_agg": q_stream_metrics_agg,
         "q_stream_json_e2e": q_stream_json_e2e,
+        "q_stream_dedup": q_stream_dedup,
         "q_partition_routing": q_partition_routing,
         "q_tail_n": q_tail_n,
         "q_warmup_filter": q_warmup_filter,
@@ -537,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         # stream == batch: identical agg, identical oracle
         "q_stream_metrics_agg": metrics.metricas_agg_sql(_EVENTOS_SQL),
         "q_stream_json_e2e": _stream_json_e2e_sql(),
+        "q_stream_dedup": _stream_dedup_sql(),
         "q_partition_routing": _routing_sql(),
         "q_tail_n": _tail_n_sql(),
         "q_warmup_filter": _warmup_sql(),

@@ -98,6 +98,28 @@ def metricas_stream_janela(
     )
 
 
+def stream_dedup(
+    src: DataFrame,
+    key_cols: list[str],
+    event_time_col: str,
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: emit each key's first
+    arrival, drop re-arrivals within the watermark delay, and let Spark
+    evict key state once the watermark passes it.
+
+    This is the ingestion-side twin of ``dedup.exact_dedup``: a 100 TB
+    firehose can't keep every fingerprint forever, so state is scoped to
+    the dedup window — the standard at-least-once-source → exactly-once
+    pipeline building block. State per key is just the key + timestamp
+    (no payload), and eviction is watermark-driven, so state size is
+    bounded by (arrival rate × delay), independent of stream lifetime.
+    """
+    return src.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def run_bounded(
     sdf: DataFrame, query_name: str = "bounded_run", timeout_s: int = 300
 ) -> DataFrame:

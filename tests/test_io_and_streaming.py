@@ -73,6 +73,18 @@ def test_stream_metrics_equals_batch(spark, sf_dir):
     assert [tuple(r) for r in stream.collect()] == [tuple(r) for r in batch.collect()]
 
 
+def test_stream_dedup_exactly_once(spark, sf_dir):
+    """Doubled at-least-once input -> exactly-once output: the
+    watermarked stream dedup emits precisely the original row set."""
+    from teste_carga_avro_vs_json_spark.registry import q_stream_dedup
+    from teste_carga_avro_vs_json_spark.session import load_table
+
+    out = q_stream_dedup(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
 def test_stream_json_wire_decode(spark, tmp_path):
     from teste_carga_avro_vs_json_spark.streaming import (
         json_wire_stream,
