@@ -15,13 +15,14 @@ from the individual operators in :mod:`operators.text` and
    by doc_id) = 1``: one shuffle keyed on the content hash, survivor =
    min doc_id. No join against a keep-list.
 4. **Near-dup removal** — :func:`dedup.neardup_clusters` over the
-   survivors; non-canonical cluster members are anti-joined away (the
-   drop-list is cluster members only — a small, broadcastable side).
+   survivors; non-canonical cluster members are anti-joined away. The
+   drop-list is left to AQE: broadcast when small (typical), keyed
+   shuffle join when a high-dup corpus makes it huge.
 
 Scale shape: one full scan + one md5-keyed shuffle + the LSH banding
-shuffle over the (already reduced) survivor set; the final anti-join
-broadcasts. Nothing is quadratic; nothing collects rows to the driver
-beyond the label-propagation convergence counters.
+shuffle over the (already reduced) survivor set; the final anti-join is
+keyed on doc_id. Nothing is quadratic; nothing collects rows to the
+driver beyond the label-propagation convergence counters.
 
 Reference scope note: the reference engine has no corpus operators at
 all (SURVEY.md §2.2) — this module is part of the §2.3 extension

@@ -90,6 +90,37 @@ def test_minhash_selfjoin_reuses_exchange_at_scale(spark, sf_dir):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
+def test_token_budget_sample_windows_are_partitioned(spark, sf_dir):
+    """The running-total windows over DATA rows must be partitioned by
+    bucket (parallel); the only unpartitioned window is over the
+    n_buckets-row offsets frame. The offsets join must broadcast."""
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpus.token_budget_sample(docs))
+    window_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    partitioned = [ln for ln in window_lines if "bucket" in ln.split("], [")[1]]
+    assert partitioned, f"no bucket-partitioned window in:\n{window_lines}"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_clean_drop_list_keyed_anti_join(spark, sf_dir):
+    """Near-dup removal must be a KEYED anti-join on doc_id — never a
+    cartesian/nested-loop. The drop-list side is deliberately NOT
+    force-broadcast: AQE upgrades it to broadcast at runtime when small
+    (the typical case), but a pathological corpus (very high dup rate)
+    can make it too big to broadcast, and the keyed shuffle join is the
+    correct fallback."""
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpus.corpus_clean(docs))
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_metrics_agg_is_partial_final(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("event_id").alias("sequencia"),
