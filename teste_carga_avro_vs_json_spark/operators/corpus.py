@@ -59,14 +59,19 @@ def corpus_clean(
     xxhash64 signatures (production path; md5 default keeps the DuckDB
     oracle bit-exact).
     """
-    t = tokens("text")
-    scored = docs.select(
+    staged = docs.select(
         "doc_id",
         "text",
         F.length("text").cast("long").alias("chars"),
-        F.size(t).cast("long").alias("words"),
+        tokens("text").alias("toks"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "text",
+        "chars",
+        F.size("toks").cast("long").alias("words"),
         *[
-            _marker_count(t, ws).cast("long").alias(f"s_{code}")
+            _marker_count(F.col("toks"), ws).cast("long").alias(f"s_{code}")
             for code, ws in _MARKERS.items()
         ],
     )

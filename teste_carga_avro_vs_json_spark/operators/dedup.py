@@ -25,7 +25,11 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 from teste_carga_avro_vs_json_spark.functions.portable import hex32, hex32_sql
-from teste_carga_avro_vs_json_spark.operators.text import tokens, tokens_sql
+from teste_carga_avro_vs_json_spark.operators.text import (
+    tokens,
+    tokens_sql,
+    word_kgrams,
+)
 
 # ------------------------------------------------------------ exact dedup
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -68,15 +72,26 @@ def exact_dedup_scale(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # --------------------------------------------------------------- shingles
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles ('w1 w2 w3' strings). Empty/short docs
-    yield what they can (< k words → no shingles → empty array)."""
-    t = tokens(text)
-    n = F.size(t)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-        )
+    yield what they can (< k words → no shingles → empty array).
+
+    Tokenizes inline (k+1 evaluations per row); hot paths should use
+    :func:`_shingled`, which stages the token array behind a projection
+    so the tokenizer runs exactly once per row."""
+    return F.array_distinct(word_kgrams(tokens(text), k))
+
+
+def _shingled(
+    docs: DataFrame, k: int, text_col: str = "text", nonempty: bool = True
+) -> DataFrame:
+    """(doc_id, sh) distinct word k-shingle arrays. The token array is
+    materialized as a real column first — captured expressions inside
+    HOF lambdas re-evaluate per element, so staging is what keeps
+    shingling linear in document length."""
+    toks = docs.select("doc_id", tokens(text_col).alias("toks"))
+    out = toks.select(
+        "doc_id", F.array_distinct(word_kgrams(F.col("toks"), k)).alias("sh")
     )
+    return out.filter(F.size("sh") > 0) if nonempty else out
 
 
 def shingles_sql(expr: str, k: int = 3) -> str:
@@ -105,8 +120,8 @@ def ngram_jaccard_pairs(
     sample (oracle fixture); production near-dup goes through
     :func:`minhash_lsh_candidates` instead — never all-pairs.
     """
-    sample = docs.filter(F.col("doc_id") % modulus == 0).select(
-        "doc_id", shingles("text", k).alias("sh")
+    sample = _shingled(
+        docs.filter(F.col("doc_id") % modulus == 0), k, nonempty=False
     )
     a = sample.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sample.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -228,9 +243,7 @@ def minhash_lsh_candidates(
     oracle reproduces it bit-exactly; see
     :func:`minhash_lsh_candidates_scale` for the production hash.
     """
-    base = docs.select("doc_id", shingles("text", k).alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    base = _shingled(docs, k)
     return _banded_jaccard(
         base, minhash_signature(F.col("sh"), num_hashes), num_hashes, bands, threshold
     )
@@ -250,18 +263,28 @@ def minhash_lsh_candidates_scale(
     pytest asserts pair-set agreement with the md5 portability path.
     """
 
-    def _seeded_xx(i: int):
-        def fn(s: Column) -> Column:
-            return F.xxhash64(F.lit(i), s)
+    base = _shingled(docs, k)
+    # One expensive hash pass: xxhash64 over each variable-length shingle
+    # STRING happens once, not num_hashes times. The per-family values are
+    # derived by re-hashing the resulting fixed-width LONG with the family
+    # seed — an 8-byte hash, constant-cost, so signature work is
+    # O(shingle bytes + num_hashes) per shingle instead of
+    # O(shingle bytes × num_hashes). (A multiply-add universal family
+    # would be cheaper still, but Spark 4 ANSI mode forbids the required
+    # mod-2^64 wrap-around; seeded xxhash64-of-long keeps full 64-bit
+    # uniformity with no overflow.)
+    hashed = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
 
-        return fn
+    def _family(i: int):
+        # NB: must return a ONE-argument lambda. PySpark counts the Python
+        # lambda's parameters to decide the HOF arity, so a captured
+        # `lambda h, i=i: ...` would silently become transform's
+        # (element, index) form and the seed would be the array index.
+        return lambda h: F.xxhash64(F.lit(i), h)
 
-    base = docs.select("doc_id", shingles("text", k).alias("sh")).filter(
-        F.size("sh") > 0
-    )
     mh = F.array(
         *[
-            F.array_min(F.transform(F.col("sh"), _seeded_xx(i)))
+            F.array_min(F.transform(hashed, _family(i)))
             for i in range(num_hashes)
         ]
     )
@@ -433,24 +456,33 @@ def neardup_clusters_sql(
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """16-bit SimHash over distinct tokens: bit b is set when strictly
     more tokens hash with bit b set than clear. Pure expression tree —
-    per row it's ``bits`` filtered counts over the token array."""
-    t = F.array_distinct(tokens("text"))
-    n = F.size(t)
+    per row it's ``bits`` filtered counts over a STAGED per-token hash
+    array, so the md5 runs once per token (not once per token×bit) and
+    the tokenizer once per row."""
+    staged = docs.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.transform("toks", lambda tok: hex32(tok)).alias("hs"),
+    )
 
     def _bit_pred(b: int):
-        def fn(tok: Column) -> Column:
-            return F.shiftright(hex32(tok), b).bitwiseAND(F.lit(1)) == 1
+        def fn(h: Column) -> Column:
+            return F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
 
         return fn
 
     bit_cols = []
     for b in range(bits):
-        cnt = F.size(F.filter(t, _bit_pred(b)))
-        bit_cols.append(F.when(cnt * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+        cnt = F.size(F.filter("hs", _bit_pred(b)))
+        bit_cols.append(
+            F.when(cnt * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+        )
     total = bit_cols[0]
     for c in bit_cols[1:]:
         total = total + c
-    return docs.select("doc_id", total.cast("long").alias("simhash"))
+    return staged.select("doc_id", total.cast("long").alias("simhash"))
 
 
 def simhash_sql(table: str = "documents", bits: int = 16) -> str:

@@ -26,6 +26,25 @@ def tokens_sql(expr: str) -> str:
     return f"list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t <> '')"
 
 
+def word_kgrams(t: Column, k: int) -> Column:
+    """Positional word k-grams ('w1 w2 … wk' strings) from a token
+    array. Built as a zip_with chain over k shifted slices — O(k) array
+    ops per ROW. Never use the transform(sequence, i -> slice(t, i, k))
+    form with an inline token expression: Spark re-evaluates expressions
+    captured inside higher-order-function lambdas once per ELEMENT,
+    which turns shingling O(tokens) into O(tokens²) (measured 6x slower
+    at sf0.1). Callers on hot paths should also stage ``t`` behind a
+    projection (``.select(tokens(...).alias("toks"))``) so the
+    tokenizer itself runs once per row, not once per slice."""
+    m = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    out = F.slice(t, 1, m)
+    for i in range(1, k):
+        out = F.zip_with(
+            out, F.slice(t, i + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
+
+
 # BPE-ish subword proxy: letter runs, digit runs, and single other chars
 # — a deterministic stand-in for a real BPE vocab (which needs a model
 # artifact this container doesn't ship).
@@ -124,11 +143,14 @@ def lang_id(docs: DataFrame) -> DataFrame:
     """Predict language as argmax of stopword-marker hits; ties and
     zero-evidence rows resolve to 'und' (undetermined) / alphabetical
     order — fully deterministic for the oracle."""
-    t = tokens("text")
-    scored = docs.select(
+    staged = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    scored = staged.select(
         "doc_id",
         "lang",
-        *[_marker_count(t, ws).alias(f"s_{lang}") for lang, ws in _MARKERS.items()],
+        *[
+            _marker_count(F.col("toks"), ws).alias(f"s_{lang}")
+            for lang, ws in _MARKERS.items()
+        ],
     )
     best = F.greatest(*[F.col(f"s_{lang}") for lang in _MARKERS])
     pred = F.when(best <= 0, F.lit("und"))
@@ -172,13 +194,17 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality scoring (length / mean-word-length / stopword
     ratio) — the standard cheap pre-filter for LLM corpora. All ratios
     derive from exact int counts, so the doubles are oracle-stable."""
-    t = tokens("text")
     en = _MARKERS["en"]
-    scored = docs.select(
+    staged = docs.select(
         "doc_id",
         F.length("text").cast("long").alias("chars"),
-        F.size(t).cast("long").alias("words"),
-        _marker_count(t, en).cast("long").alias("stopwords"),
+        tokens("text").alias("toks"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "chars",
+        F.size("toks").cast("long").alias("words"),
+        _marker_count(F.col("toks"), en).cast("long").alias("stopwords"),
     )
     words_nz = F.greatest(F.col("words"), F.lit(1))
     return scored.select(
@@ -244,17 +270,6 @@ def fingerprint_sql(table: str = "documents") -> str:
 
 
 # ------------------------------------------------------------- winnowing
-def _kgrams(text: Column | str, k: int) -> Column:
-    """Positional word k-grams (NOT deduplicated — winnowing needs the
-    full position sequence, unlike dedup.shingles)."""
-    t = tokens(text)
-    n = F.size(t)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-    )
-
-
 def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     MOSS rolling-hash selection scheme): hash every word k-gram, then
@@ -264,24 +279,30 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     shares at least one selected fingerprint, while only ~2/(w+1) of
     all k-gram hashes are kept — sublinear fingerprint sets with a
     matching floor, which is what makes plagiarism/near-dup detection
-    work at corpus scale. Pure expression tree (transform/slice/
-    array_min) — no UDFs; output is (doc_id, fp) pairs.
+    work at corpus scale. Pure expression tree (zip_with/slice/
+    array_min) — no UDFs; output is (doc_id, fp) pairs. The token and
+    hash arrays are staged behind projections so each is computed once
+    per row (see :func:`word_kgrams` on HOF-lambda re-evaluation).
     """
     from teste_carga_avro_vs_json_spark.functions.portable import hex32
 
-    hs = F.transform(_kgrams("text", k), lambda g: hex32(g))
-    n = F.size(hs)
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    hashed = toks.select(
+        "doc_id",
+        F.transform(word_kgrams(F.col("toks"), k), lambda g: hex32(g)).alias("hs"),
+    )
+    n = F.size("hs")
     mins = F.when(
         n >= 1,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
-                lambda i: F.array_min(F.slice(hs, i, w)),
+                lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     return (
-        docs.select("doc_id", F.explode(mins).alias("fp"))
+        hashed.select("doc_id", F.explode(mins).alias("fp"))
         .orderBy("doc_id", "fp")
     )
 
