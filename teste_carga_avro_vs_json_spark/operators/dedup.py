@@ -373,12 +373,16 @@ def neardup_clusters(
     LSH buckets, so 2-4 rounds in practice).
 
     Scale shape: per round one keyed shuffle of (edges ⋈ labels) —
-    never materializes components driver-side; the convergence probe
-    collects a single count. ``localCheckpoint`` truncates lineage each
-    round so Catalyst never sees an exponentially nested plan (on a
-    real cluster prefer ``checkpoint`` to a DFS dir for fault
-    tolerance). Output: (doc_id, cluster_id, is_canonical) for every
-    doc that has at least one near-dup partner.
+    never materializes components driver-side. Round 1 is fused into
+    the label init (min(self, min neighbour) is one aggregation over
+    the symmetric edge list), and the convergence probe is a ``chg``
+    column folded into the checkpointed frame — summing it is a partial
+    agg over already-materialized partitions, not an extra join job.
+    ``localCheckpoint`` truncates lineage each round so Catalyst never
+    sees an exponentially nested plan (on a real cluster prefer
+    ``checkpoint`` to a DFS dir for fault tolerance). Output:
+    (doc_id, cluster_id, is_canonical) for every doc that has at least
+    one near-dup partner.
     """
     candidates = minhash_lsh_candidates_scale if scale else minhash_lsh_candidates
     pairs = candidates(docs, k, num_hashes, bands, threshold)
@@ -389,29 +393,33 @@ def neardup_clusters(
         )
         .persist()
     )
+    # Round 1 fused into init: with labels(v) = v, the propagated min is
+    # just min(v, min over neighbours) — one aggregation, no join.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("cluster_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
-        prop = edges.join(labels, edges["src"] == labels["doc_id"]).select(
-            F.col("dst").alias("doc_id"), "cluster_id"
+    for _ in range(max_iters - 1):
+        # Edge symmetry guarantees every labelled node appears as dst,
+        # so the inner joins below lose nobody.
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("nid"), "cluster_id")
+            .groupBy("nid")
+            .agg(F.min("cluster_id").alias("nbr_min"))
         )
         new_labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            labels.join(nbr, labels["doc_id"] == nbr["nid"])
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.col("nbr_min")).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).cast("long").alias("chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("chg")).first()[0]
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     edges.unpersist()
