@@ -96,10 +96,15 @@ def corpus_clean(
         .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # The survivor set feeds BOTH near-dup candidate generation and the
+    # final anti-join; without a persist the whole score→gate→window
+    # subtree runs twice (measured 2x at sf0.1). ContextCleaner drops
+    # the cache when the returned plan is garbage collected.
     uniq = (
         kept.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "text", "words", "quality")
+        .persist()
     )
     clusters = dedup.neardup_clusters(
         uniq.select("doc_id", "text"), threshold=neardup_threshold, scale=scale
