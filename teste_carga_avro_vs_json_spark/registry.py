@@ -224,6 +224,69 @@ def _stream_json_e2e_sql() -> str:
     """
 
 
+AUDIT_DROP = 97  # drop every 97th sequence → deterministic gaps
+
+
+def q_stream_sequence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sequence audit (applyInPandasWithState,
+    streaming/stateful.py): events are routed to partitions with ~1% of
+    sequences deterministically dropped; the stream reports running
+    (total, max_seq, missing, out-of-order) per partition. The fixture
+    is a single file drained by one availableNow batch, so the in-batch
+    walk is sorted and the oracle is the telescoping gap sum
+    (max-min)/stride - (count-1); cross-batch out-of-order arrivals are
+    exercised in pytest (injected regressions) instead."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from teste_carga_avro_vs_json_spark.streaming import run_bounded_update
+    from teste_carga_avro_vs_json_spark.streaming.stateful import (
+        auditoria_sequencia,
+    )
+
+    msgs = _eventos_como_mensagens(spark, sf_dir).select("sequencia")
+    kept = msgs.filter(F.col("sequencia") % AUDIT_DROP != 0)
+    routed = routing.route(kept, ROUTE_PARTS).select("particao", "sequencia")
+    path = tempfile.mkdtemp(prefix="seq_audit_")
+    routed.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("particao int, sequencia long").parquet(path)
+    out = run_bounded_update(
+        auditoria_sequencia(stream, ROUTE_PARTS),
+        query_name="q_stream_sequence_audit",
+    )
+    # update mode emits one row per key per micro-batch; keep the final
+    # (largest-total) state per partition.
+    w = Window.partitionBy("particao").orderBy(F.col("total_linhas").desc())
+    return (
+        out.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+        .orderBy("particao")
+    )
+
+
+def _stream_sequence_audit_sql() -> str:
+    return f"""
+        WITH kept AS (
+            SELECT event_id AS sequencia FROM events
+            WHERE event_id % {AUDIT_DROP} <> 0
+        ),
+        routed AS (
+            SELECT ((sequencia - 1) % {ROUTE_PARTS})::INT AS particao,
+                   sequencia
+            FROM kept
+        )
+        SELECT particao,
+               COUNT(*)::BIGINT AS total_linhas,
+               MAX(sequencia) AS max_seq,
+               ((MAX(sequencia) - MIN(sequencia)) // {ROUTE_PARTS}
+                   - (COUNT(*) - 1))::BIGINT AS n_faltando,
+               0::BIGINT AS n_fora_de_ordem
+        FROM routed GROUP BY particao ORDER BY particao
+    """
+
+
 # ---------------------------------------------------------------- routing
 def q_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = generator.mensagens(spark, ROUTE_TOTAL, GEN_KB).select("sequencia")
@@ -529,6 +592,7 @@ def queries() -> dict[str, QueryFn]:
         "q_stream_metrics_agg": q_stream_metrics_agg,
         "q_stream_json_e2e": q_stream_json_e2e,
         "q_stream_dedup": q_stream_dedup,
+        "q_stream_sequence_audit": q_stream_sequence_audit,
         "q_partition_routing": q_partition_routing,
         "q_tail_n": q_tail_n,
         "q_warmup_filter": q_warmup_filter,
@@ -576,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_metrics_agg": metrics.metricas_agg_sql(_EVENTOS_SQL),
         "q_stream_json_e2e": _stream_json_e2e_sql(),
         "q_stream_dedup": _stream_dedup_sql(),
+        "q_stream_sequence_audit": _stream_sequence_audit_sql(),
         "q_partition_routing": _routing_sql(),
         "q_tail_n": _tail_n_sql(),
         "q_warmup_filter": _warmup_sql(),
