@@ -115,6 +115,79 @@ def corpus_clean(
     )
 
 
+def intra_doc_dedup(docs: DataFrame, chunk: int = 20) -> DataFrame:
+    """Within-document repetition removal (the RefinedWeb/Gopher-style
+    intra-doc dedup pass): split each document into fixed-size word
+    chunks, keep only the first occurrence of each repeated chunk, and
+    reassemble. Returns (doc_id, n_chunks, n_kept, clean_text).
+
+    Scale shape: a pure per-row expression tree — chunking, the
+    first-occurrence mask (``array_position(chunks, c) == i+1``), and
+    reassembly all happen inside one projection, so the operator adds
+    ZERO shuffles at any corpus size (contrast corpus-level dedup,
+    which is inherently a shuffle on the content key). Token and chunk
+    arrays are staged behind projections per the HOF-lambda
+    re-evaluation rule (see :func:`operators.text.word_kgrams`).
+    """
+    staged = docs.select("doc_id", tokens("text").alias("tk"))
+    n = F.size("tk")
+    n_chunks = F.floor((n + (chunk - 1)) / F.lit(chunk)).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("tk"), (i - 1) * chunk + 1, chunk)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunked = staged.select("doc_id", chunks.alias("chunks"))
+    # Spark HOF (element, index) lambdas are 0-based; array_position is
+    # 1-based — first occurrence keeps iff position == index + 1.
+    kept = F.filter(
+        "chunks",
+        lambda c, i: F.array_position(F.col("chunks"), c) == i + 1,
+    )
+    return chunked.select(
+        "doc_id",
+        F.size("chunks").cast("long").alias("n_chunks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def intra_doc_dedup_sql(table: str = "documents", chunk: int = 20) -> str:
+    """DuckDB twin — lambda indexes are 1-based there, so the
+    first-occurrence test is ``list_position(chunks, c) = i``."""
+    toks = tokens_sql("text")
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, {toks} AS tk FROM {table}
+        ),
+        ch AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                        ELSE list_transform(
+                            range(1, ((len(tk) + {chunk - 1}) // {chunk}) + 1),
+                            i -> array_to_string(
+                                tk[(i-1)*{chunk}+1 : (i-1)*{chunk}+{chunk}],
+                                ' '))
+                   END AS chunks
+            FROM tk
+        )
+        SELECT doc_id,
+               len(chunks)::BIGINT AS n_chunks,
+               len(kept)::BIGINT AS n_kept,
+               array_to_string(kept, ' ') AS clean_text
+        FROM (
+            SELECT doc_id, chunks,
+                   list_filter(chunks,
+                       (c, i) -> list_position(chunks, c) = i) AS kept
+            FROM ch
+        )
+    """
+
+
 def token_budget_sample(
     docs: DataFrame, budget_tokens: int = 10_000, n_buckets: int = 32
 ) -> DataFrame:

@@ -269,6 +269,62 @@ def fingerprint_sql(table: str = "documents") -> str:
     """
 
 
+# -------------------------------------------------------------- PII scrub
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically: no backreferences, no lookaround, leftmost-first greedy.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+_PII_PHONE = r"\+\d{2}-\d{4,12}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction — the compliance pass every training-data pipeline
+    runs before tokenization: emails, IPv4 addresses, and intl-format
+    phone numbers are counted then replaced with typed placeholders.
+    Pure ``regexp_replace``/``regexp_extract_all`` projections — no
+    shuffle, no UDF; at 100 TB this is a scan-local map pass that
+    pipelines with whatever runs next. Replacement order (email → IP →
+    phone) is fixed so the two engines rewrite identical strings.
+    """
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IP),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+def pii_scrub_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(text, '{_PII_IP}'))::BIGINT AS n_ips,
+               len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text
+        FROM {table}
+    """
+
+
 # ------------------------------------------------------------- winnowing
 def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the

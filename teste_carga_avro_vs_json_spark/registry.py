@@ -516,6 +516,75 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(docs)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a fixture that injects one email / IPv4 /
+    phone per document (the synthetic corpus contains none) — both
+    engines append the identical suffix before scrubbing."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+            F.lit(" tel +55-9"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return text.pii_scrub(docs)
+
+
+def _pii_scrub_sql() -> str:
+    fixture = """(
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR
+                    || '@example.com ip 10.0.' || (doc_id % 256)::VARCHAR
+                    || '.' || (doc_id % 100)::VARCHAR
+                    || ' tel +55-9' || doc_id::VARCHAR AS text
+        FROM documents
+    )"""
+    return text.pii_scrub_sql(fixture)
+
+
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal over a fixture that prepends
+    the first 20 tokens to every 7th document (chunk-aligned
+    duplication the operator must detect and drop)."""
+    staged = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.tokens(F.col("text")).alias("tk")
+    )
+    docs = staged.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.concat(F.slice("tk", 1, 20), F.col("tk"))),
+        )
+        .otherwise(F.concat_ws(" ", "tk"))
+        .alias("text"),
+    )
+    return corpus.intra_doc_dedup(docs)
+
+
+def _intra_doc_dedup_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators.text import tokens_sql
+
+    fixture = f"""(
+        WITH tk AS (
+            SELECT doc_id, {tokens_sql("text")} AS tk FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN array_to_string(list_concat(tk[1:20], tk), ' ')
+                    ELSE array_to_string(tk, ' ')
+               END AS text
+        FROM tk
+    )"""
+    return corpus.intra_doc_dedup_sql(fixture)
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -607,6 +676,8 @@ def queries() -> dict[str, QueryFn]:
         "q_lang_id": q_lang_id,
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
+        "q_pii_scrub": q_pii_scrub,
+        "q_intra_doc_dedup": q_intra_doc_dedup,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -657,6 +728,8 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": text.lang_id_sql(),
         "q_quality_score": text.quality_score_sql(),
         "q_fingerprint": text.fingerprint_sql(),
+        "q_pii_scrub": _pii_scrub_sql(),
+        "q_intra_doc_dedup": _intra_doc_dedup_sql(),
         "q_winnow_fingerprints": text.winnow_fingerprints_sql(
             table="(SELECT * FROM documents WHERE doc_id % 5 = 0)"
         ),

@@ -313,3 +313,37 @@ def test_cosine_topk_scale_equals_plain(spark, sf_dir):
     plain = {tuple(r) for r in similarity.cosine_topk(emb, k=7).collect()}
     scale = {tuple(r) for r in similarity.cosine_topk_scale(emb, k=7).collect()}
     assert scale == plain
+
+
+# ------------------------------------------------------------ pii / intra
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob@mail.com or 10.1.2.3 or +55-99887766 now"),
+            (2, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 1, 1)
+    assert "<EMAIL>" in out[1].clean_text
+    assert "<IP>" in out[1].clean_text
+    assert "<PHONE>" in out[1].clean_text
+    assert "bob@mail.com" not in out[1].clean_text
+    assert out[2].clean_text == "no pii here at all"
+    assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 0, 0)
+
+
+def test_intra_doc_dedup_drops_repeated_chunks(spark):
+    words = [f"w{i}" for i in range(20)]
+    rep = " ".join(words + words + [f"x{i}" for i in range(20)])
+    clean = " ".join(f"y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, rep), (2, clean), (3, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in corpus.intra_doc_dedup(df).collect()}
+    assert (out[1].n_chunks, out[1].n_kept) == (3, 2)
+    assert out[1].clean_text == " ".join(words + [f"x{i}" for i in range(20)])
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 2)
+    assert out[2].clean_text == clean
+    assert (out[3].n_chunks, out[3].n_kept) == (0, 0)

@@ -160,3 +160,20 @@ def test_audit_flags_cartesian(spark):
     assert aud.cartesian >= 1 or aud.bnl_joins >= 1
     assert aud.warnings if aud.cartesian else True
     assert audit(a.join(b, a.id == b.j)).cartesian == 0
+
+
+# --------------------------------------------- scan-local corpus passes
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(t.pii_scrub(docs))
+    assert "Exchange" not in plan
+
+
+def test_intra_doc_dedup_is_shuffle_free(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import corpus as c
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(c.intra_doc_dedup(docs))
+    assert "Exchange" not in plan
