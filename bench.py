@@ -132,6 +132,21 @@ def main() -> None:
         # full cleaning pipeline on the production (xxhash64) LSH path
         run(corpus.corpus_clean(docs_df(), scale=True))
 
+    def w_pii_scrub():
+        run(
+            text.pii_scrub(docs_df()).agg(
+                F.sum("n_emails").alias("e"),
+                F.sum(F.length("clean_text")).alias("b"),
+            )
+        )
+
+    def w_intra_doc_dedup():
+        run(
+            corpus.intra_doc_dedup(docs_df()).agg(
+                F.sum("n_chunks").alias("c"), F.sum("n_kept").alias("k")
+            )
+        )
+
     def w_topk():
         run(similarity.cosine_topk(emb_df()))
 
@@ -174,6 +189,8 @@ def main() -> None:
         "minhash_lsh": w_minhash,
         "text_analysis": w_text,
         "corpus_clean": w_corpus_clean,
+        "pii_scrub": w_pii_scrub,
+        "intra_doc_dedup": w_intra_doc_dedup,
         "cosine_topk": w_topk,
         "lsh_ann_topk": w_ann,
     }
