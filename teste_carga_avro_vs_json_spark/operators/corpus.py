@@ -115,6 +115,41 @@ def corpus_clean(
     )
 
 
+def corpus_mix(
+    docs: DataFrame, weights: dict[str, int], default_pct: int = 0
+) -> DataFrame:
+    """Weighted training-mix sampling: keep ``weights[source]`` percent
+    of each source's documents (the "30% web, 50% code, 20% books"
+    primitive for assembling a training mixture). Sampling is a
+    deterministic content-independent hash gate —
+    ``hex32('mix|' || doc_id) % 100 < pct`` — so the same mix is
+    reproducible run-over-run and refreshing the corpus keeps previously
+    selected documents selected (stable assignment, the property
+    curriculum pipelines need).
+
+    Scale shape: a scan-local filter — zero shuffles; the predicate
+    rides the parquet scan. Per-source rates need no per-source passes:
+    the pct is one CASE expression.
+    """
+    pct = None
+    for src, w in sorted(weights.items()):
+        cond = F.col("source") == src
+        pct = F.when(cond, F.lit(w)) if pct is None else pct.when(cond, F.lit(w))
+    pct = pct.otherwise(F.lit(default_pct)) if pct is not None else F.lit(default_pct)
+    gate = hex32(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+    return docs.filter(F.pmod(gate, F.lit(100)) < pct)
+
+
+def corpus_mix_sql(
+    table: str, weights: dict[str, int], default_pct: int = 0
+) -> str:
+    gate = hex32_sql("'mix|' || doc_id::VARCHAR")
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(weights.items())
+    ) + f" ELSE {default_pct} END"
+    return f"SELECT * FROM {table} WHERE {gate} % 100 < ({case})"
+
+
 def intra_doc_dedup(docs: DataFrame, chunk: int = 20) -> DataFrame:
     """Within-document repetition removal (the RefinedWeb/Gopher-style
     intra-doc dedup pass): split each document into fixed-size word

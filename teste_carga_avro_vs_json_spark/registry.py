@@ -585,6 +585,55 @@ def _intra_doc_dedup_sql() -> str:
     return corpus.intra_doc_dedup_sql(fixture)
 
 
+_MIX_WEIGHTS = {f"src{i}": 10 + (i % 4) * 20 for i in range(20)}
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mix sampling: per-source keep rates 10/30/50/70%
+    via the deterministic hash gate; result aggregated per source so the
+    oracle row set is compact."""
+    kept = corpus.corpus_mix(
+        load_table(spark, sf_dir, "documents"), _MIX_WEIGHTS
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def _asof_attribution_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import asof
+
+    return asof.attribution_sql()
+
+
+def _corpus_mix_sql() -> str:
+    inner = corpus.corpus_mix_sql("documents", _MIX_WEIGHTS)
+    return f"""
+        SELECT source,
+               COUNT(*)::BIGINT AS n_kept,
+               SUM(n_chars)::BIGINT AS sum_chars,
+               MIN(doc_id) AS first_doc
+        FROM ({inner}) GROUP BY source ORDER BY source
+    """
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (click→purchase attribution): Spark runs the
+    union-marker + running-last window formulation; the DuckDB oracle
+    runs its native ASOF LEFT JOIN planner rule — two independent
+    algorithms that must agree row-for-row (incl. NULL gaps for
+    unattributed purchases)."""
+    from teste_carga_avro_vs_json_spark.operators import asof
+
+    return asof.attribution(load_table(spark, sf_dir, "events"))
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -677,6 +726,8 @@ def queries() -> dict[str, QueryFn]:
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
         "q_pii_scrub": q_pii_scrub,
+        "q_corpus_mix": q_corpus_mix,
+        "q_asof_attribution": q_asof_attribution,
         "q_intra_doc_dedup": q_intra_doc_dedup,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_dedup_exact": q_dedup_exact,
@@ -729,6 +780,8 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_score": text.quality_score_sql(),
         "q_fingerprint": text.fingerprint_sql(),
         "q_pii_scrub": _pii_scrub_sql(),
+        "q_corpus_mix": _corpus_mix_sql(),
+        "q_asof_attribution": _asof_attribution_sql(),
         "q_intra_doc_dedup": _intra_doc_dedup_sql(),
         "q_winnow_fingerprints": text.winnow_fingerprints_sql(
             table="(SELECT * FROM documents WHERE doc_id % 5 = 0)"

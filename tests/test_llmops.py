@@ -347,3 +347,44 @@ def test_intra_doc_dedup_drops_repeated_chunks(spark):
     assert (out[2].n_chunks, out[2].n_kept) == (2, 2)
     assert out[2].clean_text == clean
     assert (out[3].n_chunks, out[3].n_kept) == (0, 0)
+
+
+# ------------------------------------------------------------ asof / mix
+def test_asof_join_semantics(spark):
+    from teste_carga_avro_vs_json_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p2"), (2, 10, "p3")],
+        ["k", "ts", "lbl"],
+    )
+    right = spark.createDataFrame(
+        [(1, 40, 7), (1, 100, 8), (1, 200, 9), (3, 5, 10)],
+        ["k", "ts", "rid"],
+    )
+    out = {
+        r.lbl: r.asof_rid
+        for r in asof_join(left, right, "k", "ts", ["rid"]).collect()
+    }
+    assert out["p1"] == 8  # equal ts is inclusive (>= convention)
+    assert out["p2"] == 7  # nearest preceding
+    assert out["p3"] is None  # no right rows for key 2
+
+
+def test_corpus_mix_rates_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = {f"src{i}": 10 + (i % 4) * 20 for i in range(20)}
+    a = corpus.corpus_mix(docs, w)
+    b = corpus.corpus_mix(docs, w)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) > 0
+    per_src = {r.source: r.n for r in a.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    tot = {r.source: r.n for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # high-weight sources keep more than low-weight ones on aggregate
+    hi = sum(per_src.get(s, 0) for s in w if w[s] == 70)
+    lo = sum(per_src.get(s, 0) for s in w if w[s] == 10)
+    assert hi > lo
+    # nothing kept from an unlisted source under default_pct=0
+    assert corpus.corpus_mix(docs, {"nope": 50}).count() == 0

@@ -177,3 +177,21 @@ def test_intra_doc_dedup_is_shuffle_free(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(c.intra_doc_dedup(docs))
     assert "Exchange" not in plan
+
+
+def test_corpus_mix_is_scan_local(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import corpus as c
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(c.corpus_mix(docs, {"src0": 50, "src1": 10}))
+    assert "Exchange" not in plan
+
+
+def test_asof_attribution_never_range_joins(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import asof as a
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(a.attribution(ev))
+    # the whole point: one keyed window, never a range-predicate join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
