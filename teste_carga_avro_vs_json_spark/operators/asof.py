@@ -139,6 +139,83 @@ def attribution(events: DataFrame) -> DataFrame:
     ).orderBy("event_id")
 
 
+def sessionize(
+    events: DataFrame, gap_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Inactivity-gap sessionization: consecutive events of a user
+    belong to one session while the gap between them stays under
+    ``gap_ms``. Output: one row per (user_id, session) with bounds,
+    event count and value sum.
+
+    Plan shape: the lag/running-sum window and the session aggregation
+    both key on user_id, so Catalyst plans ONE exchange — the groupBy
+    reuses the window's hash partitioning (child distribution
+    (user_id, session_idx) is a superset). Linear in events; skewed
+    power users are the window's partition grain, handled by AQE.
+    DuckDB twin: identical lag + cumulative-sum formulation (the
+    standard SQL sessionization idiom).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "value",
+    )
+    marked = base.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts_ms") - F.lag("ts_ms").over(w) > gap_ms, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_ms").alias("start_ms"),
+            F.max("ts_ms").alias("end_ms"),
+            (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def sessionize_sql(table: str = "events", gap_ms: int = 30 * 60 * 1000) -> str:
+    return f"""
+        WITH base AS (
+            SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+            FROM {table}
+        ),
+        marked AS (
+            SELECT *,
+                   CASE WHEN ts_ms - LAG(ts_ms) OVER w > {gap_ms}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_idx
+            FROM marked
+        )
+        SELECT user_id, session_idx,
+               COUNT(*)::BIGINT AS n_events,
+               MIN(ts_ms) AS start_ms,
+               MAX(ts_ms) AS end_ms,
+               MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+        FROM sess GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
+    """
+
+
 def attribution_sql(table: str = "events") -> str:
     """DuckDB twin via the native ASOF LEFT JOIN planner rule."""
     return f"""

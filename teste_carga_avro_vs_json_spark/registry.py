@@ -634,6 +634,19 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.attribution(load_table(spark, sf_dir, "events"))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization over events (30-min gap)."""
+    from teste_carga_avro_vs_json_spark.operators import asof
+
+    return asof.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def _sessionize_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import asof
+
+    return asof.sessionize_sql()
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -728,6 +741,7 @@ def queries() -> dict[str, QueryFn]:
         "q_pii_scrub": q_pii_scrub,
         "q_corpus_mix": q_corpus_mix,
         "q_asof_attribution": q_asof_attribution,
+        "q_sessionize": q_sessionize,
         "q_intra_doc_dedup": q_intra_doc_dedup,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_dedup_exact": q_dedup_exact,
@@ -782,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_scrub": _pii_scrub_sql(),
         "q_corpus_mix": _corpus_mix_sql(),
         "q_asof_attribution": _asof_attribution_sql(),
+        "q_sessionize": _sessionize_sql(),
         "q_intra_doc_dedup": _intra_doc_dedup_sql(),
         "q_winnow_fingerprints": text.winnow_fingerprints_sql(
             table="(SELECT * FROM documents WHERE doc_id % 5 = 0)"

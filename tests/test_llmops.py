@@ -388,3 +388,25 @@ def test_corpus_mix_rates_and_determinism(spark, sf_dir):
     assert hi > lo
     # nothing kept from an unlisted source under default_pct=0
     assert corpus.corpus_mix(docs, {"nope": 50}).count() == 0
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from teste_carga_avro_vs_json_spark.operators.asof import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 9, "click", 1.0, ""),
+        (2, t0 + dt.timedelta(minutes=10), 9, "view", 1.0, ""),
+        (3, t0 + dt.timedelta(minutes=50), 9, "click", 1.0, ""),  # new sess
+        (4, t0, 7, "view", 1.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", (F.unix_timestamp("ts") * F.lit(1_000_000_000)).cast("long"))
+    out = [
+        (r.user_id, r.session_idx, r.n_events)
+        for r in sessionize(ev).collect()
+    ]
+    assert out == [(7, 0, 1), (9, 0, 2), (9, 1, 1)]

@@ -195,3 +195,14 @@ def test_asof_attribution_never_range_joins(spark, sf_dir):
     # the whole point: one keyed window, never a range-predicate join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_data_shuffle(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import asof as a
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(a.sessionize(ev))
+    # one hashpartitioning(user_id) exchange feeds BOTH windows and the
+    # session agg (its (user,session) requirement is satisfied); the
+    # only other exchange is the final presentation orderBy.
+    assert plan.count("Exchange hashpartitioning") == 1
