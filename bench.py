@@ -151,7 +151,7 @@ def main() -> None:
         run(similarity.cosine_topk(emb_df()))
 
     def w_ann():
-        run(similarity.lsh_ann_topk(emb_df()))
+        run(similarity.lsh_ann_topk(emb_df(), vectorized=True))
 
     import shutil
     import tempfile

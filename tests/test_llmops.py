@@ -410,3 +410,13 @@ def test_sessionize_gap_semantics(spark):
         for r in sessionize(ev).collect()
     ]
     assert out == [(7, 0, 1), (9, 0, 2), (9, 1, 1)]
+
+
+def test_lsh_vectorized_agrees_with_expression_path(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    a = {(r.query_id, r.vec_id) for r in similarity.lsh_ann_topk(emb).collect()}
+    b = {
+        (r.query_id, r.vec_id)
+        for r in similarity.lsh_ann_topk(emb, vectorized=True).collect()
+    }
+    assert a == b
