@@ -420,3 +420,56 @@ def test_lsh_vectorized_agrees_with_expression_path(spark, sf_dir):
         for r in similarity.lsh_ann_topk(emb, vectorized=True).collect()
     }
     assert a == b
+
+
+def test_asof_join_matches_bruteforce_reference(spark):
+    """Property-style check vs an in-Python brute force on a pseudo-
+    random (seeded, deterministic) event set with ties and misses."""
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    left = [(i, h(f"L{i}") % 7, h(f"lt{i}") % 50) for i in range(80)]
+    right = [(i, h(f"R{i}") % 7, h(f"rt{i}") % 50) for i in range(120)]
+    ldf = spark.createDataFrame(left, ["lid", "k", "ts"])
+    rdf = spark.createDataFrame(right, ["rid", "k", "ts"])
+    got = {
+        r.lid: r.asof_rid
+        for r in __import__(
+            "teste_carga_avro_vs_json_spark.operators.asof",
+            fromlist=["asof_join"],
+        ).asof_join(ldf, rdf, "k", "ts", ["rid"], tiebreak="rid").collect()
+    }
+    for lid, k, ts in left:
+        cands = [(rts, rid) for rid, rk, rts in right if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)
+
+
+def test_sessionize_agrees_with_native_session_window(spark, sf_dir):
+    """Same sessions from two independent algorithms: the lag+cumsum
+    window formulation vs Spark's built-in session_window aggregation
+    (event-time gap merge). Session identity compared on
+    (user, start, end, n_events)."""
+    from teste_carga_avro_vs_json_spark.operators.asof import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ours = {
+        (r.user_id, r.start_ms, r.end_ms, r.n_events)
+        for r in sessionize(ev).collect()
+    }
+    native = ev.select(
+        "user_id",
+        F.timestamp_millis(F.expr("ts div 1000000")).alias("evt"),
+    ).groupBy(
+        "user_id", F.session_window("evt", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    rows = native.select(
+        "user_id",
+        (F.unix_millis(F.col("session_window.start"))).alias("start_ms"),
+        F.col("n_events"),
+    ).collect()
+    theirs_counts = {(r.user_id, r.start_ms, r.n_events) for r in rows}
+    ours_counts = {(u, s, n) for (u, s, e, n) in ours}
+    assert ours_counts == theirs_counts
