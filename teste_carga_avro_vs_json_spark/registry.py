@@ -647,6 +647,60 @@ def _sessionize_sql() -> str:
     return asof.sessionize_sql()
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming sessionization: Spark's session_window
+    gap-merge with a 0s watermark over a bounded drain. A sentinel
+    event 2 days past the corpus max advances the final watermark so
+    every real session closes and emits (append mode only emits
+    watermark-complete sessions); the sentinel is filtered back out.
+    Oracle = the batch lag+cumsum formulation — a third independent
+    algorithm (pytest already pins batch lag+cumsum == batch
+    session_window)."""
+    import tempfile
+
+    from teste_carga_avro_vs_json_spark.streaming import run_bounded_append
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000000").alias("ts_ms")
+    )
+    mx = ev.agg(F.max("ts_ms")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, mx + 2 * 86400 * 1000)], ["user_id", "ts_ms"]
+    )
+    path = tempfile.mkdtemp(prefix="sess_stream_")
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long")
+        .parquet(path)
+        .withColumn("evt", F.timestamp_millis("ts_ms"))
+    )
+    sess = (
+        stream.withWatermark("evt", "0 seconds")
+        .groupBy("user_id", F.session_window("evt", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_bounded_append(sess, query_name="q_stream_sessionize")
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+            "n_events",
+        )
+        .orderBy("user_id", "start_ms")
+    )
+
+
+def _stream_sessionize_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import asof
+
+    return f"""
+        SELECT user_id, start_ms, n_events
+        FROM ({asof.sessionize_sql()})
+        ORDER BY user_id, start_ms
+    """
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -742,6 +796,7 @@ def queries() -> dict[str, QueryFn]:
         "q_corpus_mix": q_corpus_mix,
         "q_asof_attribution": q_asof_attribution,
         "q_sessionize": q_sessionize,
+        "q_stream_sessionize": q_stream_sessionize,
         "q_intra_doc_dedup": q_intra_doc_dedup,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_dedup_exact": q_dedup_exact,
@@ -797,6 +852,7 @@ def oracle_sql() -> dict[str, str]:
         "q_corpus_mix": _corpus_mix_sql(),
         "q_asof_attribution": _asof_attribution_sql(),
         "q_sessionize": _sessionize_sql(),
+        "q_stream_sessionize": _stream_sessionize_sql(),
         "q_intra_doc_dedup": _intra_doc_dedup_sql(),
         "q_winnow_fingerprints": text.winnow_fingerprints_sql(
             table="(SELECT * FROM documents WHERE doc_id % 5 = 0)"
