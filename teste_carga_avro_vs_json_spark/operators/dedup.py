@@ -181,38 +181,58 @@ def minhash_signature(sh: Column, num_hashes: int = 12) -> Column:
 def _banded_jaccard(
     base: DataFrame, mh: Column, num_hashes: int, bands: int, threshold: float
 ) -> DataFrame:
-    """Shared LSH tail: band the signature, self-join on band_key, verify
-    candidates with exact Jaccard.
+    """Shared LSH tail: band the signature, self-join doc IDS on
+    band_key, dedupe pairs, then re-fetch shingle arrays for the
+    surviving candidates and verify with exact Jaccard.
 
-    Plan shape (the part that must survive 100 TB): per-doc signature is
-    a projection; ``explode`` to (band_key, doc) rows; the self-join is
-    keyed on band_key, so Spark shuffles only (bands × docs) small rows
-    and joins within buckets. No all-pairs product ever forms. Skewed
-    buckets (e.g. boilerplate-heavy corpora) are split by AQE skew-join.
+    Plan shape (the part that must survive 100 TB):
+
+    - The band self-join moves ONLY (band_key, doc_id) rows — fixed
+      ~32 bytes each. Carrying the shingle arrays through the candidate
+      join instead (the obvious fusion) multiplies shuffle bytes by the
+      array size AND by pair multiplicity; measured on a 10x high-dup
+      corpus it executor-OOMs while the slim shape finishes in 5s.
+    - Every join is pinned ``shuffle_hash``: Catalyst's size estimate
+      for array-typed intermediates is unreliable enough that it will
+      try to BROADCAST a corpus-sized side (driver OOM at 10x, and
+      categorically wrong for a self-join at scale — if one side fit in
+      memory the whole problem would be small). Shuffle-hash also skips
+      the SMJ sort on the wide array side.
+    - Both the shingled ``base`` and the slim ``banded`` frame are
+      persisted: the shingle scan AND the signature projection each run
+      once, with every reader hitting the cache (on a cluster-sized
+      corpus swap persist for an explicit checkpoint/table if executor
+      storage is tight).
+    - Pair dedup happens BEFORE the array fetch, so each candidate pair
+      is verified exactly once no matter how many bands it collides in.
+    - Skewed band buckets are split by AQE skew-join; the ``base``
+      frame is persisted because banding + both fetch sides read it.
     """
     rows = num_hashes // bands
-    sig = base.withColumn("mh", mh)
-    banded = sig.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(b)),
-                        *[F.col("mh")[b * rows + r].cast("string") for r in range(rows)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_key"),
+    base = base.persist()
+    banded = (
+        base.withColumn("mh", mh)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(b)),
+                            *[
+                                F.col("mh")[b * rows + r].cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_key"),
+        )
+        .hint("shuffle_hash")
+        .persist()
     )
-    # Self-join the SAME frame (aliased) so both sides canonicalize to
-    # one identical Exchange: Spark's ReuseExchange computes the shingle
-    # + signature projection ONCE and replays the shuffle files for the
-    # other side — renaming before the join (doc_a/doc_b) would fork the
-    # plans and double the scan.
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, F.col("a.band_key") == F.col("b.band_key"))
@@ -220,13 +240,19 @@ def _banded_jaccard(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    x = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    ).hint("shuffle_hash")
+    y = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    ).hint("shuffle_hash")
     return (
-        cand.select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -71,23 +71,31 @@ def test_minhash_join_is_keyed_not_cross(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan  # equi-join on band_key
 
 
-def test_minhash_selfjoin_reuses_exchange_at_scale(spark, sf_dir):
-    """In the shuffle-join regime (big sides, the 100 TB case) the LSH
-    self-join must replay ONE exchange — the shingle+signature
-    projection is the expensive part and may not run twice. At small
-    scale AQE broadcasts instead, which is equally fine."""
+def test_minhash_candidate_joins_never_broadcast_or_carry_arrays(spark, sf_dir):
+    """The 100 TB pins for the LSH tail (measured on a 10x high-dup
+    corpus: any violation OOMs):
+
+    1. every join is a ShuffledHashJoin — Catalyst's size estimates for
+       array intermediates are unreliable and a broadcast of a
+       corpus-sized side is a driver OOM;
+    2. the band self-join exchanges move ONLY (doc_id, band_key) —
+       shingle arrays must not ride the candidate join;
+    3. the expensive shingle/signature projections are computed once
+       into caches (InMemoryTableScan on every reader).
+    """
+    import re
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    try:
-        df = dedup.minhash_lsh_candidates_scale(docs)
-        df.collect()
-        plan = _plan(df)
-        assert plan.count("ReusedExchange") >= 1
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    df = dedup.minhash_lsh_candidates_scale(docs)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ShuffledHashJoin") >= 3
+    assert "InMemoryTableScan" in plan
+    # band-key exchanges' inputs are the slim cached banding frame
+    for m in re.finditer(r"Exchange hashpartitioning\(band_key[^\n]*\n\s+\+- InMemoryTableScan \[([^\]]*)\]", plan):
+        assert "sh" not in m.group(1)
 
 
 def test_token_budget_sample_windows_are_partitioned(spark, sf_dir):
