@@ -35,6 +35,11 @@ _BUILD_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # local[*] runs the executors in the driver JVM: the 1g default is
+    # far too small for 32 task threads + broadcast builds + caches
+    # (observed OOMs at 10x corpus stress). Only applies when THIS
+    # builder creates the JVM; pre-existing sessions keep theirs.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
