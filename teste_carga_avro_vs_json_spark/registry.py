@@ -763,6 +763,67 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features(load_table(spark, sf_dir, "documents"))
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing over a variable-length fake payload
+    (doc_id%5+1 16-byte 'frames' per doc); keep every 2nd frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.unhex(
+            F.expr("repeat(md5(text), cast(doc_id % 5 + 1 as int))")
+        ).alias("payload"),
+    )
+    return multimodal.frame_sample(media, every_n=2).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+def _frame_sample_sql() -> str:
+    return """
+        WITH m AS (
+            SELECT doc_id, (doc_id % 5 + 1) AS n_frames FROM documents
+        ),
+        f AS (
+            SELECT doc_id, unnest(range(0, n_frames)) AS fi FROM m
+        )
+        SELECT doc_id, fi::INT AS frame_idx, (fi * 16)::INT AS frame_offset
+        FROM f WHERE fi % 2 = 0
+        ORDER BY doc_id, frame_idx
+    """
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing through mapInPandas: output payload length scales
+    with the (224x224)/(w*h) area ratio — pure arithmetic on the fake,
+    so the byte count is oracle-checkable."""
+    media = multimodal.synth_media(load_table(spark, sf_dir, "documents"))
+    out = multimodal.resize(media)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+def _media_resize_sql() -> str:
+    from teste_carga_avro_vs_json_spark.functions.portable import hex32_sql
+
+    w_hash = hex32_sql("'w-' || doc_id")
+    h_hash = hex32_sql("'h-' || doc_id")
+    w = f"({w_hash} % 1920 + 1)"
+    h = f"({h_hash} % 1080 + 1)"
+    # pandas: int(trunc) of 64 * (50176.0/(w*h)), clipped to >= 1
+    return f"""
+        SELECT doc_id,
+               224 AS width,
+               224 AS height,
+               GREATEST(1, FLOOR(64 * ((224.0 * 224.0) / ({w} * {h}))))::BIGINT
+                   AS n_bytes
+        FROM documents
+    """
+
+
 # -------------------------------------------------------------- registry
 def queries() -> dict[str, QueryFn]:
     return {
@@ -812,6 +873,8 @@ def queries() -> dict[str, QueryFn]:
         "q_lsh_ann_topk": q_lsh_ann_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
         "q_media_features": q_media_features,
+        "q_frame_sample": q_frame_sample,
+        "q_media_resize": q_media_resize,
     }
 
 
@@ -870,6 +933,8 @@ def oracle_sql() -> dict[str, str]:
         # q_lsh_ann_topk, q_media_features intentionally absent: ANN
         # recall is checked in pytest; media features ARE oracle-backed:
         "q_media_features": multimodal.media_features_sql(),
+        "q_frame_sample": _frame_sample_sql(),
+        "q_media_resize": _media_resize_sql(),
     }
 
 
