@@ -115,6 +115,126 @@ def corpus_clean(
     )
 
 
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Per-source corpus report card — the health dashboard a training
+    pipeline runs before committing to a mix: document/word volume,
+    exact-duplicate rate, mean quality, and language purity (share of
+    docs whose predicted language matches the labeled one).
+
+    One scan computes every per-doc score (the scorers are expressions
+    over one token array, fused by Catalyst) + ONE groupBy(source) with
+    map-side partial agg. Oracle determinism: quality is re-quantized
+    to an int decile per row (round(q*10)) before summing — a double
+    SUM across rows would be order-dependent; distinct-count uses
+    count(DISTINCT md5) exactly, not a sketch.
+    """
+    staged = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.length("text").cast("long").alias("chars"),
+        tokens("text").alias("toks"),
+    )
+    scored = staged.select(
+        "source",
+        "lang",
+        "fp",
+        "chars",
+        F.size("toks").cast("long").alias("words"),
+        *[
+            _marker_count(F.col("toks"), ws).cast("long").alias(f"s_{code}")
+            for code, ws in _MARKERS.items()
+        ],
+    )
+    words_nz = F.greatest(F.col("words"), F.lit(1))
+    quality = (
+        F.when(
+            (F.col("words") >= 20) & (F.col("words") <= 2000), F.lit(0.5)
+        ).otherwise(F.lit(0.0))
+        + F.when(F.col("s_en") > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(
+            (F.col("chars") / words_nz >= 3) & (F.col("chars") / words_nz <= 12),
+            F.lit(0.2),
+        ).otherwise(F.lit(0.0))
+    )
+    best = F.greatest(*[F.col(f"s_{code}") for code in _MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for code in sorted(_MARKERS):
+        pred = pred.when(F.col(f"s_{code}") == best, F.lit(code))
+    per_doc = scored.select(
+        "source",
+        "fp",
+        "words",
+        F.round(quality * 10).cast("long").alias("q10"),
+        (pred == F.col("lang")).cast("long").alias("lang_ok"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("words").alias("total_words"),
+            (
+                F.lit(1.0)
+                - F.countDistinct("fp").cast("double") / n.cast("double")
+            ).alias("dup_rate"),
+            (F.sum("q10").cast("double") / (F.lit(10.0) * n.cast("double"))).alias(
+                "mean_quality"
+            ),
+            (F.sum("lang_ok").cast("double") / n.cast("double")).alias(
+                "lang_purity"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_report_sql(table: str = "documents") -> str:
+    toks = tokens_sql("text")
+    score_cols = ",\n                   ".join(
+        f"len(list_filter({toks}, t -> list_contains("
+        + "["
+        + ", ".join(f"'{w}'" for w in ws)
+        + "], lower(t))))::BIGINT AS s_"
+        + code
+        for code, ws in _MARKERS.items()
+    )
+    best = "GREATEST(" + ", ".join(f"s_{c}" for c in _MARKERS) + ")"
+    pred = f"CASE WHEN {best} <= 0 THEN 'und' "
+    for code in sorted(_MARKERS):
+        pred += f"WHEN s_{code} = {best} THEN '{code}' "
+    pred += "END"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, source, lang, md5(text) AS fp,
+                   length(text)::BIGINT AS chars,
+                   len({toks})::BIGINT AS words,
+                   {score_cols}
+            FROM {table}
+        ),
+        per_doc AS (
+            SELECT source, fp, words,
+                   ROUND((CASE WHEN words BETWEEN 20 AND 2000
+                               THEN 0.5 ELSE 0.0 END
+                          + CASE WHEN s_en > 0 THEN 0.3 ELSE 0.0 END
+                          + CASE WHEN chars / GREATEST(words, 1)
+                                 BETWEEN 3 AND 12 THEN 0.2 ELSE 0.0 END
+                         ) * 10)::BIGINT AS q10,
+                   CASE WHEN {pred} = lang THEN 1 ELSE 0 END AS lang_ok
+            FROM scored
+        )
+        SELECT source,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(words)::BIGINT AS total_words,
+               (1.0 - COUNT(DISTINCT fp)::DOUBLE / COUNT(*)::DOUBLE)
+                   AS dup_rate,
+               (SUM(q10)::DOUBLE / (10.0 * COUNT(*)::DOUBLE)) AS mean_quality,
+               (SUM(lang_ok)::DOUBLE / COUNT(*)::DOUBLE) AS lang_purity
+        FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
 def corpus_mix(
     docs: DataFrame, weights: dict[str, int], default_pct: int = 0
 ) -> DataFrame:

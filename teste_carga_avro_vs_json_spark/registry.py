@@ -701,6 +701,12 @@ def _stream_sessionize_sql() -> str:
     """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card (volume, dup rate, quality, lang
+    purity) — one scan + one agg."""
+    return corpus.corpus_report(load_table(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -855,6 +861,7 @@ def queries() -> dict[str, QueryFn]:
         "q_fingerprint": q_fingerprint,
         "q_pii_scrub": q_pii_scrub,
         "q_corpus_mix": q_corpus_mix,
+        "q_corpus_report": q_corpus_report,
         "q_asof_attribution": q_asof_attribution,
         "q_sessionize": q_sessionize,
         "q_stream_sessionize": q_stream_sessionize,
@@ -913,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": text.fingerprint_sql(),
         "q_pii_scrub": _pii_scrub_sql(),
         "q_corpus_mix": _corpus_mix_sql(),
+        "q_corpus_report": corpus.corpus_report_sql(),
         "q_asof_attribution": _asof_attribution_sql(),
         "q_sessionize": _sessionize_sql(),
         "q_stream_sessionize": _stream_sessionize_sql(),
