@@ -216,6 +216,81 @@ def sessionize_sql(table: str = "events", gap_ms: int = 30 * 60 * 1000) -> str:
     """
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Range (point-in-interval) join without a range predicate reaching
+    the join: each interval is registered into every time bucket it
+    covers (explode over ``sequence(start_bucket, end_bucket)``), each
+    point carries its single bucket, and the join is an EQUI-join on
+    (key, bucket) with the exact range check as a post-filter.
+
+    Why: Catalyst plans a raw ``p.ts BETWEEN i.start AND i.end`` (plus
+    key equality) as a join whose range half is a per-row filter over
+    every key-matched pair — fine for small keys, quadratic for hot
+    ones — and with NO equality at all it degenerates to a
+    BroadcastNestedLoopJoin. Bucketization keeps it a shuffle-keyed
+    equi-join at any scale; cost is O(points + intervals × span/bucket).
+    Size ``bucket_ms`` near the typical interval span so the explode
+    factor stays ~1-2. A point matches an interval via exactly one
+    bucket (its own), so no dedup pass is needed.
+    """
+    pt = points.withColumn("_b", F.expr(f"{ts} div {bucket_ms}"))
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start} div {bucket_ms}"),
+                F.expr(f"{end} div {bucket_ms}"),
+            )
+        ),
+    )
+    return (
+        pt.join(iv, [key, "_b"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_b")
+    )
+
+
+def error_sessions(events: DataFrame) -> DataFrame:
+    """Range-join showcase: place every 'error' event inside its user's
+    session (sessions are non-overlapping per user, so each error lands
+    in exactly one). Output: (event_id, user_id, ts_ms, session_idx)."""
+    sess = sessionize(events).select(
+        "user_id", "session_idx", "start_ms", "end_ms"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms")
+    )
+    return (
+        interval_join(errors, sess, "user_id", "ts_ms", "start_ms", "end_ms")
+        .select("event_id", "user_id", "ts_ms", "session_idx")
+        .orderBy("event_id")
+    )
+
+
+def error_sessions_sql(table: str = "events") -> str:
+    return f"""
+        WITH sessions AS ({sessionize_sql(table)}),
+        errors AS (
+            SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+            FROM {table} WHERE event_type = 'error'
+        )
+        SELECT e.event_id, e.user_id, e.ts_ms, s.session_idx
+        FROM errors e
+        JOIN sessions s
+          ON e.user_id = s.user_id
+         AND e.ts_ms BETWEEN s.start_ms AND s.end_ms
+        ORDER BY e.event_id
+    """
+
+
 def attribution_sql(table: str = "events") -> str:
     """DuckDB twin via the native ASOF LEFT JOIN planner rule."""
     return f"""

@@ -707,6 +707,21 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.corpus_report(load_table(spark, sf_dir, "documents"))
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: every error event placed inside its user's
+    session. Oracle = DuckDB's plain BETWEEN range join (independent
+    algorithm)."""
+    from teste_carga_avro_vs_json_spark.operators import asof
+
+    return asof.error_sessions(load_table(spark, sf_dir, "events"))
+
+
+def _interval_join_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import asof
+
+    return asof.error_sessions_sql()
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
@@ -865,6 +880,7 @@ def queries() -> dict[str, QueryFn]:
         "q_asof_attribution": q_asof_attribution,
         "q_sessionize": q_sessionize,
         "q_stream_sessionize": q_stream_sessionize,
+        "q_interval_join": q_interval_join,
         "q_intra_doc_dedup": q_intra_doc_dedup,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_dedup_exact": q_dedup_exact,
@@ -924,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_attribution": _asof_attribution_sql(),
         "q_sessionize": _sessionize_sql(),
         "q_stream_sessionize": _stream_sessionize_sql(),
+        "q_interval_join": _interval_join_sql(),
         "q_intra_doc_dedup": _intra_doc_dedup_sql(),
         "q_winnow_fingerprints": text.winnow_fingerprints_sql(
             table="(SELECT * FROM documents WHERE doc_id % 5 = 0)"

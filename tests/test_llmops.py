@@ -473,3 +473,18 @@ def test_sessionize_agrees_with_native_session_window(spark, sf_dir):
     theirs_counts = {(r.user_id, r.start_ms, r.n_events) for r in rows}
     ours_counts = {(u, s, n) for (u, s, e, n) in ours}
     assert ours_counts == theirs_counts
+
+
+def test_interval_join_boundaries_and_multibucket(spark):
+    from teste_carga_avro_vs_json_spark.operators.asof import interval_join
+
+    # interval spans 3 buckets at bucket_ms=10; boundary points inclusive
+    iv = spark.createDataFrame([(1, 0, 25, "A"), (2, 5, 7, "B")],
+                               ["k", "s", "e", "lbl"])
+    pts = spark.createDataFrame(
+        [(1, 0, "p0"), (1, 25, "p1"), (1, 26, "p2"), (2, 6, "p3"), (1, 13, "p4")],
+        ["k", "t", "pid"],
+    )
+    out = {r.pid: r.lbl for r in interval_join(
+        pts, iv, "k", "t", "s", "e", bucket_ms=10).collect()}
+    assert out == {"p0": "A", "p1": "A", "p3": "B", "p4": "A"}  # p2 outside

@@ -214,3 +214,12 @@ def test_sessionize_single_data_shuffle(spark, sf_dir):
     # session agg (its (user,session) requirement is satisfied); the
     # only other exchange is the final presentation orderBy.
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import asof as a
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(a.error_sessions(ev))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
