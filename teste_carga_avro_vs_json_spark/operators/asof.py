@@ -203,7 +203,7 @@ def sessionize_sql(table: str = "events", gap_ms: int = 30 * 60 * 1000) -> str:
                    SUM(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts_ms, event_id
                        ROWS UNBOUNDED PRECEDING
-                   ) AS session_idx
+                   )::BIGINT AS session_idx
             FROM marked
         )
         SELECT user_id, session_idx,

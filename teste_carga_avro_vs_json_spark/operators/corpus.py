@@ -408,7 +408,7 @@ def token_budget_sample_sql(
                    SUM(words) OVER (
                        ORDER BY skey % {n_buckets}, skey, doc_id
                        ROWS UNBOUNDED PRECEDING
-                   ) AS cum_tokens
+                   )::BIGINT AS cum_tokens
             FROM base
         )
         SELECT doc_id, words, cum_tokens
@@ -454,7 +454,7 @@ def corpus_clean_sql(
                    (CASE WHEN words BETWEEN 20 AND 2000 THEN 0.5 ELSE 0.0 END
                     + CASE WHEN s_en > 0 THEN 0.3 ELSE 0.0 END
                     + CASE WHEN chars / GREATEST(words, 1) BETWEEN 3 AND 12
-                           THEN 0.2 ELSE 0.0 END) AS quality,
+                           THEN 0.2 ELSE 0.0 END)::DOUBLE AS quality,
                    {pred} AS lang_pred
             FROM scored
         ),

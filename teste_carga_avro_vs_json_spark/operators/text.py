@@ -244,7 +244,7 @@ def quality_score_sql(table: str = "documents") -> str:
                (CASE WHEN words BETWEEN 20 AND 2000 THEN 0.5 ELSE 0.0 END
                 + CASE WHEN stopwords > 0 THEN 0.3 ELSE 0.0 END
                 + CASE WHEN chars / GREATEST(words, 1) BETWEEN 3 AND 12
-                       THEN 0.2 ELSE 0.0 END) AS quality
+                       THEN 0.2 ELSE 0.0 END)::DOUBLE AS quality
         FROM scored
     """
 
