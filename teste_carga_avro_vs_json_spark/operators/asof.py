@@ -240,6 +240,11 @@ def interval_join(
     Size ``bucket_ms`` near the typical interval span so the explode
     factor stays ~1-2. A point matches an interval via exactly one
     bucket (its own), so no dedup pass is needed.
+
+    The interval side is pinned ``shuffle_hash``: it typically arrives
+    post-window/post-agg (e.g. sessionize output), where Catalyst's
+    size estimates are unreliable enough to pick a broadcast that is
+    data-sized at 100× (same SCALE.md rule as the LSH tail joins).
     """
     pt = points.withColumn("_b", F.expr(f"{ts} div {bucket_ms}"))
     iv = intervals.withColumn(
@@ -250,7 +255,7 @@ def interval_join(
                 F.expr(f"{end} div {bucket_ms}"),
             )
         ),
-    )
+    ).hint("shuffle_hash")
     return (
         pt.join(iv, [key, "_b"])
         .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))

@@ -220,10 +220,18 @@ def ivf_centroids(
 
     The iterative part is the textbook Spark k-means shape: assignment
     is a projection against broadcast centroid literals; the update is
-    ``posexplode`` → groupBy(cluster, dim).avg — only
-    (n_centroids × dim) tiny rows ever reach the driver per iteration.
-    Genuinely non-SQL-expressible (driver-side loop), hence exempt from
-    the DuckDB oracle; recall is pinned in pytest instead.
+    ``posexplode`` → groupBy(cluster, dim) — only (n_centroids × dim)
+    tiny rows ever reach the driver per iteration.
+
+    Centroid means are **quantized-exact**: each component is summed as
+    ``floor(x·1000 + 0.5)`` longs (an exact integer aggregation, so
+    partial-agg order cannot perturb it) and divided back as the fixed
+    double sequence ``(s / n) / 1000.0``. That makes the whole k-means
+    bit-reproducible across engines — which is what lets
+    :func:`ivf_topk_sql` replay it in DuckDB as an unrolled CTE chain
+    and oracle-check the ANN output exactly. (Float ``avg`` would be
+    partial-order-dependent: same repo determinism rule as the exact
+    long-derived metrics in operators/metrics.py.)
     """
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
@@ -237,12 +245,17 @@ def ivf_centroids(
         means = (
             assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * 1000 + F.lit(0.5)).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cluster.setdefault(r.cluster, {})[r.dim] = r.m
+            by_cluster.setdefault(r.cluster, {})[r.dim] = (r.s / r.n) / 1000.0
         centroids = [
             (c, [dims[d] for d in sorted(dims)])
             for c, dims in sorted(by_cluster.items())
@@ -335,6 +348,107 @@ def ivf_topk(
     )
 
 
+def _l2_sql(a: str, b: str) -> str:
+    """Mirror of :func:`_nearest`'s distance: sequential left-to-right
+    fold of squared component differences."""
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_modulus: int = 50,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk`: the Lloyd loop is deterministic
+    (init = lowest vec_ids, quantized-exact centroid means), so the
+    ``iters`` iterations unroll into a CTE chain — assignment is an
+    argmin window over the (corpus × centroids) cross join (fine at
+    oracle scale; the Spark side instead evaluates broadcast centroid
+    literals in a projection), the update replays the exact
+    ``(Σ floor(x·1000+0.5) / n) / 1000`` sequence. Probe, candidate
+    equi-join, dedup, and ranking mirror the Spark plan."""
+    ctes = [
+        f"v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM {table})",
+        f"""c0 AS (
+            SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cluster,
+                   vec AS cvec
+            FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {n_centroids})
+        )""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i + 1} AS (
+            SELECT vec_id, vec, cluster FROM (
+                SELECT v.vec_id, v.vec, c.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {_l2_sql("v.vec", "c.cvec")} ASC,
+                                    c.cluster ASC
+                       ) AS rn
+                FROM v CROSS JOIN c{i} c
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""c{i + 1} AS (
+            SELECT cluster, list(m ORDER BY dim) AS cvec FROM (
+                SELECT cluster, dim,
+                       (SUM(sx)::DOUBLE / COUNT(*)::DOUBLE) / 1000.0 AS m
+                FROM (
+                    SELECT cluster,
+                           unnest(list_transform(vec, (x, i) ->
+                               {{'dim': i, 'sx': FLOOR(x * 1000 + 0.5)::BIGINT}}),
+                               recursive := true)
+                    FROM a{i + 1}
+                ) GROUP BY cluster, dim
+            ) GROUP BY cluster
+        )""")
+    cfin = f"c{iters}"
+    ctes.append(f"""assign AS (
+        SELECT vec_id, vec, cluster FROM (
+            SELECT v.vec_id, v.vec, c.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_l2_sql("v.vec", "c.cvec")} ASC, c.cluster ASC
+                   ) AS rn
+            FROM v CROSS JOIN {cfin} c
+        ) WHERE rn = 1
+    )""")
+    ctes.append(f"""probes AS (
+        SELECT query_id, qvec, cluster FROM (
+            SELECT q.vec_id AS query_id, q.vec AS qvec, c.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_l2_sql("q.vec", "c.cvec")} ASC, c.cluster ASC
+                   ) AS rn
+            FROM v q CROSS JOIN {cfin} c
+            WHERE q.vec_id % {query_modulus} = 0
+        ) WHERE rn <= {n_probe}
+    )""")
+    ctes.append(f"""scored AS (
+        SELECT DISTINCT p.query_id, a.vec_id,
+               ROUND({_cosine_sql("p.qvec", "a.vec")}, 9) AS cos_sim
+        FROM assign a JOIN probes p USING (cluster)
+        WHERE a.vec_id <> p.query_id
+    )""")
+    ctes.append("""ranked AS (
+        SELECT query_id, vec_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, vec_id ASC
+               )::INT AS rank
+        FROM scored
+    )""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 # ----------------------------------------------------------- LSH ANN path
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic ±1 hyperplanes seeded by md5 — reproducible across
@@ -417,27 +531,45 @@ def lsh_ann_topk(
     ANY of the L hash tables, then exact cosine + rank. Trades recall
     for a corpus-side equi-join on ``bucket`` instead of a broadcast
     full scan — the shape that survives when the query side is also
-    large. Recall vs brute force is asserted in pytest.
+    large. Recall vs brute force is asserted in pytest; exact output is
+    oracle-checked against :func:`lsh_ann_topk_sql`.
+
+    Ids-first discipline (same as ``dedup._banded_jaccard``): the
+    bucket join and the (query_id, vec_id) pair dedup move ONLY id
+    columns — a candidate that collides in all L tables costs L slim
+    rows, not L copies of a ~512 B vector. Vectors are re-fetched
+    after dedup: the corpus side via a ``shuffle_hash``-pinned id join
+    (Catalyst's size estimates for array intermediates are unreliable
+    — SCALE.md), the query side via broadcast (it is modulus-sampled
+    tiny by construction).
     """
     bucketer = lsh_bucket_np if vectorized else lsh_bucket
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
     bucketed = bucketer(emb, dim, n_planes, n_tables).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "bucket"
+        "vec_id", "bucket"
     )
-    q = bucketed.filter(F.col("vec_id") % query_modulus == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("bucket"),
+    q_b = bucketed.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket")
     )
-    cand = (
-        bucketed.join(F.broadcast(q), "bucket")
+    pairs = (
+        bucketed.join(F.broadcast(q_b), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qvec", "vec_id", "vec")
+        .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        F.round(cosine(F.col("qvec"), F.col("vec")), 9).alias("cos_sim"),
+    qv = v.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        pairs.join(v.hint("shuffle_hash"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 9).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
@@ -447,3 +579,63 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{x:.1f}" for x in plane) + "]::DOUBLE[]"
+
+
+def lsh_ann_topk_sql(
+    table: str = "embeddings", k: int = 10, dim: int = 64,
+    n_planes: int = 4, n_tables: int = 4, query_modulus: int = 50,
+) -> str:
+    """DuckDB twin of :func:`lsh_ann_topk` (default HOF path): the
+    md5-seeded ±1 hyperplanes are deterministic constants, so they are
+    generated here and inlined as literals; bucket signatures, the
+    bucket equi-join, pair dedup, and exact-cosine ranking mirror the
+    Spark plan op-for-op (same left-to-right dot-product folds)."""
+    planes = _hyperplanes(dim, n_planes * n_tables)
+    buckets = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"CASE WHEN {_dot_sql('vec', _plane_sql(planes[t * n_planes + h]))}"
+            f" >= 0 THEN {1 << h} ELSE 0 END"
+            for h in range(n_planes)
+        )
+        buckets.append(f"'{t}#' || ({bits})::VARCHAR")
+    cos = _cosine_sql("qq.qvec", "v.vec")
+    return f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS vec FROM {table}
+        ),
+        b AS (
+            SELECT vec_id, unnest([{", ".join(buckets)}]) AS bucket FROM v
+        ),
+        qb AS (
+            SELECT vec_id AS query_id, bucket FROM b
+            WHERE vec_id % {query_modulus} = 0
+        ),
+        pairs AS (
+            SELECT DISTINCT qb.query_id, b.vec_id
+            FROM b JOIN qb USING (bucket)
+            WHERE b.vec_id <> qb.query_id
+        ),
+        scored AS (
+            SELECT p.query_id, p.vec_id, ROUND({cos}, 9) AS cos_sim
+            FROM pairs p
+            JOIN v ON v.vec_id = p.vec_id
+            JOIN (
+                SELECT vec_id AS query_id, vec AS qvec FROM v
+                WHERE vec_id % {query_modulus} = 0
+            ) qq ON qq.query_id = p.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, vec_id ASC
+                   )::INT AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """

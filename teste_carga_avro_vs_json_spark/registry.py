@@ -767,15 +767,19 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN variant — rows-only check (k-means quantizer is an
-    iterative driver-side loop, not SQL-expressible; pytest pins
-    exact-recall equivalence at full probe count)."""
+    """IVF ANN variant — oracle-backed: the Lloyd loop is deterministic
+    (lowest-vec_id init + quantized-exact centroid means), so the DuckDB
+    twin unrolls it as a CTE chain and reproduces the ANN output
+    exactly; pytest additionally pins exact-recall equivalence at full
+    probe count."""
     return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN variant — rows-only check (bucketing is engine-internal; the
-    pytest suite asserts recall vs q_cosine_topk instead)."""
+    """ANN variant — oracle-backed: the md5-seeded hyperplanes are
+    deterministic, so the DuckDB twin inlines them as literals and
+    reproduces buckets + candidate top-k exactly; pytest additionally
+    asserts recall vs q_cosine_topk."""
     return similarity.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -955,8 +959,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_topk": similarity.cosine_topk_sql(),
         "q_cosine_topk_scale": similarity.cosine_topk_sql(),
         "q_embedding_neardup": similarity.embedding_neardup_sql(),
-        # q_lsh_ann_topk, q_media_features intentionally absent: ANN
-        # recall is checked in pytest; media features ARE oracle-backed:
+        "q_lsh_ann_topk": similarity.lsh_ann_topk_sql(),
+        "q_ivf_ann_topk": similarity.ivf_topk_sql(),
         "q_media_features": multimodal.media_features_sql(),
         "q_frame_sample": _frame_sample_sql(),
         "q_media_resize": _media_resize_sql(),

@@ -223,3 +223,29 @@ def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
     plan = _plan(a.error_sessions(ev))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the interval side is post-window (sessionize output): Catalyst's
+    # size estimate there is untrustworthy, so the equi-join is pinned
+    # shuffle_hash — a broadcast of sessions is data-sized at scale
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_lsh_ann_dedup_carries_ids_only(spark, sf_dir):
+    """Ids-first pins for the LSH ANN tail (mirrors the MinHash rule):
+    the (query_id, vec_id) pair-dedup aggregates must not carry vector
+    payloads, and the post-dedup corpus vector fetch is a pinned
+    ShuffledHashJoin (never a Catalyst-estimated broadcast of the
+    corpus side)."""
+    import re
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(similarity.lsh_ann_topk(emb))
+    assert "ShuffledHashJoin" in plan
+    agg_lines = [
+        ln for ln in plan.splitlines()
+        if "HashAggregate(keys=[query_id" in ln
+    ]
+    assert agg_lines, "pair-dedup HashAggregate not found"
+    for ln in agg_lines:
+        assert "qvec" not in ln
+        assert not re.search(r"\bvec#\d", ln), f"vector rides dedup: {ln}"
