@@ -220,6 +220,21 @@ def main() -> None:
 
     timings = {name: round(_median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
+    # per-query regression tracking vs the committed baseline
+    # (BENCH_BASELINE.json = round-2 numbers at sf0.1/32cpu); deltas are
+    # only meaningful at the same sf/cpu configuration.
+    deltas = {}
+    try:
+        with open(os.path.join(_REPO, "BENCH_BASELINE.json")) as f:
+            base = json.load(f)
+        if base.get("sf") == _sf_of(sf_dir) and base.get("cpus") == cpus:
+            deltas = {
+                name: round(100.0 * (t - base["queries"][name]) / base["queries"][name], 1)
+                for name, t in timings.items()
+                if name in base["queries"]
+            }
+    except (OSError, ValueError, KeyError):
+        pass
     out = {
         "metric": "headline_total_sec",
         "value": total,
@@ -231,6 +246,8 @@ def main() -> None:
         "msgs_per_sec_avro_e2e": round(n_msgs / timings["avro_e2e"], 1),
         "cpus": cpus,
     }
+    if deltas:
+        out["delta_pct_vs_baseline"] = deltas
     print(json.dumps(out))
     spark.stop()
 

@@ -166,6 +166,58 @@ def decode_mensagem_at(data: bytes, pos: int) -> tuple[dict, int]:
 _UDF_CACHE: dict[str, object] = {}
 
 
+def _vectorized() -> bool:
+    """Arrow-native fast path available? (Spark 4.1 arrow_udf + the
+    numpy/pyarrow codec in avro_vec). Set SPARK_GRAFT_AVRO_SCALAR=1 to
+    force the scalar pandas path (debugging / A-B benchmarking)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_AVRO_SCALAR") == "1":
+        return False
+    try:
+        from pyspark.sql.functions import arrow_udf  # noqa: F401
+
+        from teste_carga_avro_vs_json_spark.functions import avro_vec  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _encode_arrow_udf():
+    if "enc_vec" not in _UDF_CACHE:
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import BinaryType
+
+        from teste_carga_avro_vs_json_spark.functions import avro_vec
+
+        # no annotations: PEP-563 string hints ('pa.Array') defeat
+        # Spark's eval-type inference; explicit returnType is enough
+        @arrow_udf(BinaryType())
+        def avro_encode_vec(msg):
+            """struct<MENSAGEM_CARGA> -> binary, zero Python-object
+            materialization (see avro_vec module docstring)."""
+            return avro_vec.encode_batch(msg)
+
+        _UDF_CACHE["enc_vec"] = avro_encode_vec
+    return _UDF_CACHE["enc_vec"]
+
+
+def _decode_arrow_udf():
+    if "dec_vec" not in _UDF_CACHE:
+        from pyspark.sql.functions import arrow_udf
+
+        from teste_carga_avro_vs_json_spark.functions import avro_vec
+
+        @arrow_udf(MENSAGEM_CARGA)
+        def avro_decode_vec(data):
+            """binary -> struct<MENSAGEM_CARGA>, vectorized lockstep
+            varint parsing (full Avro block grammar)."""
+            return avro_vec.decode_batch(data)
+
+        _UDF_CACHE["dec_vec"] = avro_decode_vec
+    return _UDF_CACHE["dec_vec"]
+
+
 def _encode_udf():
     if "enc" not in _UDF_CACHE:
         from pyspark.sql.types import BinaryType
@@ -222,12 +274,17 @@ def _decode_udf():
 
 def to_avro(msg_struct: Column) -> Column:
     """Engine twin of pyspark.sql.avro.functions.to_avro for the
-    MensagemCarga schema."""
+    MensagemCarga schema (Arrow-vectorized when available)."""
+    if _vectorized():
+        return _encode_arrow_udf()(msg_struct)
     return _encode_udf()(msg_struct)
 
 
 def from_avro(data: Column) -> Column:
-    """Engine twin of from_avro for the MensagemCarga schema."""
+    """Engine twin of from_avro for the MensagemCarga schema
+    (Arrow-vectorized when available)."""
+    if _vectorized():
+        return _decode_arrow_udf()(data)
     return _decode_udf()(data)
 
 
@@ -250,5 +307,7 @@ def confluent_unwrap(wire_bytes: Column) -> Column:
 
 
 def confluent_schema_id(wire_bytes: Column) -> Column:
-    """Extract the 4-byte big-endian schema id from the wire header."""
-    return F.conv(F.hex(wire_bytes.substr(2, 4)), 16, 10).cast("int")
+    """Extract the 4-byte big-endian schema id from the wire header.
+    Long, not int: Confluent ids are unsigned 32-bit, so ids >= 2^31
+    would overflow a signed-int cast to NULL."""
+    return F.conv(F.hex(wire_bytes.substr(2, 4)), 16, 10).cast("long")

@@ -48,15 +48,25 @@ def asof_join(
     row). ``right_cols`` are emitted with an ``asof_`` prefix.
     ``tiebreak`` (a right column, default first of ``right_cols``)
     makes equal-ts right rows deterministic: the greatest wins.
+
+    The right payload travels as ONE struct through the running
+    ``last(ignorenulls)`` so the as-of match is atomic per row: with
+    per-column lasts, a NULL in one right column would fall through to
+    an older right row for that column only, stitching fields from
+    different matches.
     """
     tiebreak = tiebreak or right_cols[0]
+    from pyspark.sql.types import StructField, StructType
+
+    pay_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     l2 = left.select(
         key,
         ts,
         *[c for c in left.columns if c not in (key, ts)],
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}")
-          for c in right_cols],
+        F.lit(None).cast(pay_type).alias("_pay"),
         F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
     )
     r2 = right.select(
@@ -65,7 +75,7 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (key, ts)],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_pay"),
         F.col(tiebreak).alias("_tb"),
     )
     w = (
@@ -74,11 +84,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     attributed = l2.unionByName(r2).select(
-        "*",
-        *[
-            F.last(f"asof_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_pay", ignorenulls=True).over(w).alias("_m")
     )
     return (
         attributed.filter(F.col("_side") == 1)
@@ -86,7 +92,7 @@ def asof_join(
             key,
             ts,
             *[c for c in left.columns if c not in (key, ts)],
-            *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in right_cols],
+            *[F.col("_m")[c].alias(f"asof_{c}") for c in right_cols],
         )
     )
 

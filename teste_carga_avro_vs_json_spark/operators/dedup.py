@@ -55,13 +55,23 @@ def exact_dedup_sql(table: str = "documents") -> str:
 
 
 def exact_dedup_scale(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """100 TB variant: xxhash64 (JVM, 8-byte key — half the shuffle
-    width of md5's 32-char string and no hex formatting). Not
+    """100 TB variant: xxhash64 (JVM, 8-byte keys — narrower shuffle
+    than md5's 32-char string and no hex formatting). Not
     oracle-checked (DuckDB has no xxhash64); asserted in pytest to
-    agree with exact_dedup on survivor sets."""
+    agree with exact_dedup on survivor sets.
+
+    The group key is a PAIR of independently seeded xxhash64 values
+    (~128 bits): a single 64-bit key silently merges distinct documents
+    at ~10^10 docs (birthday bound ~3 collisions at 10^10, ~300 at
+    10^11) — 16 shuffle bytes per row instead of 8 buys a ~2^-64
+    per-pair bound, same as the oracle path's md5."""
     return (
-        docs.select(F.xxhash64(F.col(text_col)).alias("fp64"), "doc_id")
-        .groupBy("fp64")
+        docs.select(
+            F.xxhash64(F.col(text_col)).alias("fp64"),
+            F.xxhash64(F.lit("fp2|"), F.col(text_col)).alias("fp64b"),
+            "doc_id",
+        )
+        .groupBy("fp64", "fp64b")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),

@@ -370,6 +370,22 @@ def test_asof_join_semantics(spark):
     assert out["p3"] is None  # no right rows for key 2
 
 
+def test_asof_join_null_right_columns_stay_atomic(spark):
+    """A NULL column on the matched right row must come through as
+    NULL — not fall through to an older right row's value (per-column
+    running-last stitching). The payload travels as one struct."""
+    from teste_carga_avro_vs_json_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, "p")], ["k", "ts", "lbl"])
+    right = spark.createDataFrame(
+        [(1, 10, 7, "old"), (1, 90, 8, None)],
+        ["k", "ts", "rid", "note"],
+    )
+    row = asof_join(left, right, "k", "ts", ["rid", "note"]).collect()[0]
+    assert row.asof_rid == 8
+    assert row.asof_note is None  # atomic: NOT "old"
+
+
 def test_corpus_mix_rates_and_determinism(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = {f"src{i}": 10 + (i % 4) * 20 for i in range(20)}

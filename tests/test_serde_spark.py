@@ -79,3 +79,21 @@ def test_confluent_framing(spark):
         (confluent_unwrap(F.col("wire")) == F.col("valor_avro")).alias("same"),
     ).collect()
     assert all(r.sid == 42 and r.same for r in out)
+
+
+def test_confluent_schema_id_unsigned_range(spark):
+    """Confluent ids are unsigned 32-bit: ids >= 2^31 must not overflow
+    to NULL through a signed-int cast."""
+    from teste_carga_avro_vs_json_spark.functions.avro_codec import (
+        confluent_schema_id,
+        confluent_wrap,
+    )
+
+    big = 3_000_000_000
+    out = (
+        spark.range(1)
+        .select(confluent_wrap(F.lit(b"x"), schema_id=big).alias("wire"))
+        .select(confluent_schema_id(F.col("wire")).alias("sid"))
+        .collect()
+    )
+    assert out[0].sid == big
