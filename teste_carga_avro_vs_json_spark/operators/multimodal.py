@@ -82,16 +82,32 @@ def synth_media(docs: DataFrame, payload_reps: int = 4) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, fmt: str):
-    """Real image decode — requires PIL/libvips, absent here.
+def _pil():
+    """Import-gated PIL: returns the Image module on a cluster image
+    that ships Pillow, None in this container."""
+    try:  # pragma: no cover - environment-dependent
+        from PIL import Image  # type: ignore
 
-    STUB (SURVEY/mandate): raise so callers fall back to
-    :func:`fake_features`; swap in a real decoder on a cluster image.
-    """
-    raise NotImplementedError(
-        "image decoding requires PIL/libvips which are not in this container; "
-        "use extract_features(..., fake=True) for the deterministic stand-in"
-    )
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes, fmt: str):
+    """Real image decode — PIL-backed when Pillow is installed (a
+    cluster image flips this on with no code changes), raising here
+    (no Pillow in this container) so callers fall back to
+    :func:`_fake_feature_vec`."""
+    image_mod = _pil()
+    if image_mod is None:
+        raise NotImplementedError(
+            "image decoding requires PIL which is not in this container; "
+            "use extract_features(..., fake=True) for the deterministic "
+            "stand-in"
+        )
+    import io
+
+    return image_mod.open(io.BytesIO(payload))  # pragma: no cover
 
 
 def _fake_feature_vec(payload: bytes, n: int = 4) -> list[float]:
@@ -108,13 +124,53 @@ def _fake_feature_vec(payload: bytes, n: int = 4) -> list[float]:
     ][:n]
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(media: DataFrame, fake: bool | None = True) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas`` —
-    Arrow-batched, executor-side, schema-stable output."""
+    Arrow-batched, executor-side, schema-stable output.
+
+    ``fake=None`` auto-detects: real PIL decode when Pillow is
+    importable (cluster image), the deterministic byte-stat stand-in
+    otherwise. ``fake=True`` (default) pins the stand-in — the synthetic
+    md5 payloads aren't decodable images, so the oracle-backed
+    ``media_features`` query stays on it everywhere."""
+    if fake is None:
+        fake = _pil() is None
     if not fake:
-        # Route kept so a cluster image with PIL installed only flips
-        # this flag; the plumbing is identical.
-        raise NotImplementedError("real decoders not available in this container")
+        if _pil() is None:
+            raise NotImplementedError(
+                "real decoders not available in this container"
+            )
+
+        def _extract_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:  # pragma: no cover - needs Pillow
+            import io
+
+            from PIL import Image  # type: ignore
+
+            for pdf in batches:
+                widths, heights, feats = [], [], []
+                for b in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(b)))
+                    widths.append(img.width)
+                    heights.append(img.height)
+                    px = img.convert("L").resize((8, 8)).getdata()
+                    feats.append([float(x) / 255.0 for x in px][:4])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "format": pdf["format"],
+                        "width": widths,
+                        "height": heights,
+                        "n_bytes": pdf["payload"].map(len),
+                        "first_byte": pdf["payload"].map(
+                            lambda b: int(b[0]) if len(b) else -1
+                        ),
+                        "features": feats,
+                    }
+                )
+
+        return media.mapInPandas(_extract_real, FEATURES)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -202,7 +202,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ev", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
         )
     )
-    out = stream_dedup(stream, ["fp"], "ev").select("doc_id", "fp")
+    # Delay must exceed the event-time span of the fixture (doc_id
+    # seconds: 5e4 s even at sf1): exactly-once here requires a
+    # fingerprint's state to outlive the whole drain even if availableNow
+    # splits it into micro-batches — with the default 10s delay a later
+    # batch could advance the watermark past an evicted fingerprint and
+    # re-emit its duplicate.
+    out = stream_dedup(stream, ["fp"], "ev", delay="30 days").select(
+        "doc_id", "fp"
+    )
     return run_bounded_append(out, query_name="q_stream_dedup")
 
 
@@ -530,8 +538,8 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
             F.lit("."),
             F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
-            F.lit(" tel +55-9"),
-            F.col("doc_id").cast("string"),
+            F.lit(" tel +55-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
         ).alias("text"),
     )
     return text.pii_scrub(docs)
@@ -543,7 +551,7 @@ def _pii_scrub_sql() -> str:
                text || ' contact user' || doc_id::VARCHAR
                     || '@example.com ip 10.0.' || (doc_id % 256)::VARCHAR
                     || '.' || (doc_id % 100)::VARCHAR
-                    || ' tel +55-9' || doc_id::VARCHAR AS text
+                    || ' tel +55-' || lpad(doc_id::VARCHAR, 4, '0') AS text
         FROM documents
     )"""
     return text.pii_scrub_sql(fixture)
@@ -784,6 +792,36 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- multimodal
+def q_confluent_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent wire framing (magic 0x00 + 4-byte BE schema id,
+    ConfiguracaoKafka.java:150-156) over utf-8 payloads: the oracle
+    hash pins the full wire bytes (so the header layout is checked
+    byte-for-byte) while sid/roundtrip are computed Spark-side by the
+    header parse/strip functions against oracle-declared expectations
+    (DuckDB 1.0 cannot slice BLOBs, so it cannot re-parse the header)."""
+    from teste_carga_avro_vs_json_spark.functions import avro_codec
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payload = F.encode(F.col("text"), "UTF-8")
+    wire = avro_codec.confluent_wrap(payload, schema_id=7)
+    return docs.select(
+        "doc_id",
+        wire.alias("wire"),
+        avro_codec.confluent_schema_id(wire).alias("sid"),
+        (avro_codec.confluent_unwrap(wire) == payload).alias("roundtrip"),
+    )
+
+
+def _confluent_framing_sql() -> str:
+    return r"""
+        SELECT doc_id,
+               '\x00\x00\x00\x00\x07'::BLOB || encode(text) AS wire,
+               7::BIGINT AS sid,
+               TRUE AS roundtrip
+        FROM documents
+    """
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features(load_table(spark, sf_dir, "documents"))
 
@@ -899,6 +937,7 @@ def queries() -> dict[str, QueryFn]:
         "q_embedding_neardup": q_embedding_neardup,
         "q_lsh_ann_topk": q_lsh_ann_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
+        "q_confluent_framing": q_confluent_framing,
         "q_media_features": q_media_features,
         "q_frame_sample": q_frame_sample,
         "q_media_resize": q_media_resize,
@@ -961,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_neardup": similarity.embedding_neardup_sql(),
         "q_lsh_ann_topk": similarity.lsh_ann_topk_sql(),
         "q_ivf_ann_topk": similarity.ivf_topk_sql(),
+        "q_confluent_framing": _confluent_framing_sql(),
         "q_media_features": multimodal.media_features_sql(),
         "q_frame_sample": _frame_sample_sql(),
         "q_media_resize": _media_resize_sql(),

@@ -90,17 +90,74 @@ def to_wire_frame(msgs: DataFrame, value: F.Column, num_particoes: int = 18) -> 
     )
 
 
-def write_kafka(
-    wire: DataFrame, bootstrap_servers: str, topic: str, cfg=None
-) -> None:
-    """Batch produce. ``wire`` must have key/value(/partition) columns."""
+# ----------------------------------------------------- option contracts
+# Pure builders for the exact option dicts handed to format("kafka") —
+# split out so the connector contract is testable without a broker (the
+# container ships neither a broker nor spark-sql-kafka): the tests pin
+# these dicts and the wire-frame schema; on a cluster the load()/save()
+# wrappers below are one jar away from live.
+
+
+def kafka_write_options(bootstrap_servers: str, topic: str, cfg=None) -> dict[str, str]:
+    """Options for a batch produce (sink contract, ProdutorAvro tuning
+    via routing.kafka_sink_options)."""
     opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "topic": topic,
     }
     if cfg is not None:
         opts.update(routing.kafka_sink_options(cfg))
-    wire.write.format("kafka").options(**opts).save()
+    return opts
+
+
+def kafka_tail_n_read_options(
+    bootstrap_servers: str,
+    topic: str,
+    begin_offsets: dict[int, int],
+    end_offsets: dict[int, int],
+    target_total: int,
+    min_partitions: int | None = None,
+) -> dict[str, str]:
+    """Options for a bounded tail-N batch consume (O9): startingOffsets
+    carries the per-partition end-N arithmetic."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets_tail_n(
+            topic, begin_offsets, end_offsets, target_total
+        ),
+        "endingOffsets": "latest",
+    }
+    if min_partitions:
+        opts["minPartitions"] = str(min_partitions)
+    return opts
+
+
+def kafka_stream_read_options(
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Options for a streaming consume with O17 flow control
+    (maxOffsetsPerTrigger replaces the sleep-every-1000,
+    ProdutorAvro.java:93-95)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def write_kafka(
+    wire: DataFrame, bootstrap_servers: str, topic: str, cfg=None
+) -> None:
+    """Batch produce. ``wire`` must have key/value(/partition) columns."""
+    wire.write.format("kafka").options(
+        **kafka_write_options(bootstrap_servers, topic, cfg)
+    ).save()
 
 
 def read_kafka_tail_n(
@@ -109,25 +166,27 @@ def read_kafka_tail_n(
     topic: str,
     target_total: int,
     min_partitions: int | None = None,
+    offsets: tuple[dict[int, int], dict[int, int]] | None = None,
 ) -> DataFrame:
     """Batch consume of the last ~target_total records (O9): compute
     end-N offsets driver-side, then a bounded Kafka scan. One task per
     TopicPartition (O8); raw bytes come back — decode with
-    operators/serde or functions/avro_codec downstream."""
-    begins, ends = fetch_offsets(bootstrap_servers, topic)
-    reader = (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option(
-            "startingOffsets",
-            starting_offsets_tail_n(topic, begins, ends, target_total),
-        )
-        .option("endingOffsets", "latest")
+    operators/serde or functions/avro_codec downstream. ``offsets``
+    (begins, ends) skips the live AdminClient fetch when the caller
+    already knows them."""
+    begins, ends = offsets if offsets is not None else fetch_offsets(
+        bootstrap_servers, topic
     )
-    if min_partitions:
-        reader = reader.option("minPartitions", str(min_partitions))
-    return reader.load()
+    return (
+        spark.read.format("kafka")
+        .options(
+            **kafka_tail_n_read_options(
+                bootstrap_servers, topic, begins, ends, target_total,
+                min_partitions,
+            )
+        )
+        .load()
+    )
 
 
 def read_kafka_stream(
@@ -136,15 +195,13 @@ def read_kafka_stream(
     topic: str,
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming consume with O17 flow control
-    (maxOffsetsPerTrigger replaces the sleep-every-1000,
-    ProdutorAvro.java:93-95)."""
-    reader = (
+    """Streaming consume with O17 flow control."""
+    return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
+        .options(
+            **kafka_stream_read_options(
+                bootstrap_servers, topic, max_offsets_per_trigger
+            )
+        )
+        .load()
     )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader.load()

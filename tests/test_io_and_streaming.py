@@ -259,3 +259,78 @@ def test_stateful_sequence_audit(spark, tmp_path):
     assert final[2].n_faltando == 0
     assert sum(r.total_linhas for r in final.values()) == 27
     assert all(r.n_fora_de_ordem == 0 for r in final.values())
+
+
+# ------------------------------------------------- kafka connector contract
+# No broker / spark-sql-kafka jar ships in this container, so these pin
+# the exact contract the connector would receive: the wire-frame schema
+# + routing values and the option dicts (the only engine-owned parts;
+# format("kafka") itself is Spark's).
+def test_wire_frame_schema_and_routing(spark):
+    from teste_carga_avro_vs_json_spark.sources import io_kafka
+
+    msgs = _msgs(spark, 40)
+    wire = io_kafka.to_wire_frame(
+        msgs, F.to_json(F.struct("sequencia")).alias("v"), num_particoes=18
+    )
+    assert wire.columns == ["key", "value", "partition"]
+    assert dict(wire.dtypes)["partition"] == "int"
+    rows = {r.key: r for r in wire.collect()}
+    # ProdutorAvro.java:67-70: key = "msg-{i}", partition = (i-1) % P
+    for seq in (1, 18, 19, 40):
+        r = rows[f"msg-{seq}"]
+        assert r.partition == (seq - 1) % 18
+        assert f'"sequencia":{seq}' in r.value
+
+
+def test_kafka_write_options_producer_tuning():
+    from teste_carga_avro_vs_json_spark.config import EngineConfig
+    from teste_carga_avro_vs_json_spark.sources import io_kafka
+
+    assert io_kafka.kafka_write_options("b:9092", "t") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "t",
+    }
+    opts = io_kafka.kafka_write_options(
+        "b:9092", "t", EngineConfig(compression_type="lz4")
+    )
+    # ConfiguracaoKafka.java:142-148 producer tuning passthrough
+    assert opts["kafka.acks"] == "1"
+    assert opts["kafka.batch.size"] == str(32 * 1024)
+    assert opts["kafka.linger.ms"] == "10"
+    assert opts["kafka.compression.type"] == "lz4"
+
+
+def test_kafka_tail_n_read_options_offsets_json():
+    import json as _json
+
+    from teste_carga_avro_vs_json_spark.sources import io_kafka
+
+    begins = {0: 5, 1: 0, 2: 0}
+    ends = {0: 100, 1: 30, 2: 7}
+    opts = io_kafka.kafka_tail_n_read_options(
+        "b:9092", "t", begins, ends, 60, min_partitions=6
+    )
+    assert opts["kafka.bootstrap.servers"] == "b:9092"
+    assert opts["subscribe"] == "t"
+    assert opts["endingOffsets"] == "latest"
+    assert opts["minPartitions"] == "6"
+    # ConsumidorAvro.java:163-180: start = max(begin, end - ceil(60/3))
+    assert _json.loads(opts["startingOffsets"]) == {
+        "t": {"0": 80, "1": 10, "2": 0}
+    }
+
+
+def test_kafka_stream_read_options_flow_control():
+    from teste_carga_avro_vs_json_spark.sources import io_kafka
+
+    opts = io_kafka.kafka_stream_read_options("b:9092", "t", 1000)
+    assert opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "1000",
+    }
+    assert "maxOffsetsPerTrigger" not in io_kafka.kafka_stream_read_options(
+        "b:9092", "t"
+    )

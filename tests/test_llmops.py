@@ -270,11 +270,24 @@ def test_media_features_plumbing(spark, sf_dir):
         assert r.format in ("png", "jpeg", "webp")
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_is_import_gated():
+    """No Pillow in this container: the real-decode path must raise —
+    on a cluster image with PIL the same calls flip to real decode with
+    no code changes (multimodal._pil gate)."""
     import pytest
 
+    assert multimodal._pil() is None  # this container ships no Pillow
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG", "png")
+
+
+def test_extract_features_auto_gate_falls_back_to_fake(spark, sf_dir):
+    """fake=None auto-detects: without Pillow it must choose the
+    deterministic stand-in (same rows as fake=True), not raise."""
+    media = multimodal.synth_media(_docs(spark, sf_dir).limit(5))
+    auto = multimodal.extract_features(media, fake=None).collect()
+    pinned = multimodal.extract_features(media, fake=True).collect()
+    assert sorted(map(str, auto)) == sorted(map(str, pinned))
 
 
 def test_frame_sample(spark, sf_dir):
