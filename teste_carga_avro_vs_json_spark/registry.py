@@ -792,6 +792,44 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- multimodal
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables (sources/bucketed.py): both
+    sides are written bucketed by the join key, so the join itself
+    plans with ZERO exchange — the materialized-shuffle strategy for
+    repeated 100 TB joins. Results are layout-independent, so the
+    oracle is the plain equi-join; the no-Exchange plan shape is pinned
+    in test_plan_shapes.py."""
+    import tempfile
+
+    from teste_carga_avro_vs_json_spark.sources import bucketed
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).cast("long").alias("words"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("label").cast("int").alias("label")
+    )
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    bucketed.write_bucketed(docs, "q_bj_docs", f"{base}/docs", "doc_id", 8)
+    bucketed.write_bucketed(emb, "q_bj_emb", f"{base}/emb", "doc_id", 8)
+    return bucketed.bucketed_join(spark, "q_bj_docs", "q_bj_emb", "doc_id").select(
+        "doc_id", "words", "label"
+    )
+
+
+def _bucketed_join_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators.text import tokens_sql
+
+    return f"""
+        SELECT d.doc_id,
+               len({tokens_sql("d.text")})::BIGINT AS words,
+               e.label::INT AS label
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+    """
+
+
 def q_confluent_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confluent wire framing (magic 0x00 + 4-byte BE schema id,
     ConfiguracaoKafka.java:150-156) over utf-8 payloads: the oracle
@@ -938,6 +976,7 @@ def queries() -> dict[str, QueryFn]:
         "q_lsh_ann_topk": q_lsh_ann_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
         "q_confluent_framing": q_confluent_framing,
+        "q_bucketed_join": q_bucketed_join,
         "q_media_features": q_media_features,
         "q_frame_sample": q_frame_sample,
         "q_media_resize": q_media_resize,
@@ -1001,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_ann_topk": similarity.lsh_ann_topk_sql(),
         "q_ivf_ann_topk": similarity.ivf_topk_sql(),
         "q_confluent_framing": _confluent_framing_sql(),
+        "q_bucketed_join": _bucketed_join_sql(),
         "q_media_features": multimodal.media_features_sql(),
         "q_frame_sample": _frame_sample_sql(),
         "q_media_resize": _media_resize_sql(),

@@ -230,6 +230,32 @@ def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_bucketed_join_has_zero_exchange(spark, sf_dir, tmp_path):
+    """The materialized-shuffle contract: an equi-join of two tables
+    co-bucketed on the join key must plan with NO Exchange on either
+    side even when neither side is broadcastable (threshold disabled =
+    the 100 TB case), reading via bucketed scans."""
+    import pyspark.sql.functions as F
+
+    from teste_carga_avro_vs_json_spark.sources import bucketed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    bucketed.write_bucketed(docs, "t_bj_docs", str(tmp_path / "d"), "doc_id", 4)
+    bucketed.write_bucketed(emb, "t_bj_emb", str(tmp_path / "e"), "doc_id", 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bucketed.bucketed_join(spark, "t_bj_docs", "t_bj_emb", "doc_id"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+
+
 def test_lsh_ann_dedup_carries_ids_only(spark, sf_dir):
     """Ids-first pins for the LSH ANN tail (mirrors the MinHash rule):
     the (query_id, vec_id) pair-dedup aggregates must not carry vector
