@@ -221,6 +221,62 @@ def _stream_dedup_sql() -> str:
     """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (streaming/pipeline.py):
+    each purchase event pairs with the same user's click events in the
+    preceding 24 h — two live streams, neither side static. The
+    time-range predicate bounds both sides' join state (the firehose
+    requirement); the oracle is the equivalent batch self-join. Delay
+    is sized past the fixture's event-time span so state provably
+    outlives a multi-batch availableNow drain (same rule as
+    q_stream_dedup)."""
+    import tempfile
+
+    from teste_carga_avro_vs_json_spark.streaming import (
+        run_bounded_append,
+        stream_stream_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="ss_join_")
+    for etype, cols, sub in (
+        ("purchase", ("purchase_id", "p_ms"), "p"),
+        ("click", ("click_id", "c_ms"), "c"),
+    ):
+        ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(cols[0]),
+            "user_id",
+            F.expr("ts div 1000000").alias(cols[1]),
+        ).write.mode("overwrite").parquet(f"{base}/{sub}")
+    p = (
+        spark.readStream.schema("purchase_id long, user_id long, p_ms long")
+        .parquet(f"{base}/p")
+        .withColumn("p_ts", F.timestamp_millis("p_ms"))
+    )
+    c = (
+        spark.readStream.schema("click_id long, user_id long, c_ms long")
+        .parquet(f"{base}/c")
+        .withColumn("c_ts", F.timestamp_millis("c_ms"))
+    )
+    joined = stream_stream_join(
+        p, c, "user_id", "p_ts", "c_ts", max_gap="24 hours", delay="30 days"
+    )
+    out = joined.select("purchase_id", "user_id", "click_id", "p_ms", "c_ms")
+    return run_bounded_append(out, query_name="q_stream_stream_join")
+
+
+def _stream_stream_join_sql() -> str:
+    return """
+        SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+               epoch_ms(p.ts)::BIGINT AS p_ms, epoch_ms(c.ts)::BIGINT AS c_ms
+        FROM events p
+        JOIN events c ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+         AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 86400000
+    """
+
+
 def _stream_json_e2e_sql() -> str:
     return f"""
         WITH se AS ({generator.size_estimate_sql(GEN_TOTAL, GEN_KB)})
@@ -939,6 +995,7 @@ def queries() -> dict[str, QueryFn]:
         "q_stream_metrics_agg": q_stream_metrics_agg,
         "q_stream_json_e2e": q_stream_json_e2e,
         "q_stream_dedup": q_stream_dedup,
+        "q_stream_stream_join": q_stream_stream_join,
         "q_stream_sequence_audit": q_stream_sequence_audit,
         "q_partition_routing": q_partition_routing,
         "q_tail_n": q_tail_n,
@@ -999,6 +1056,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_metrics_agg": metrics.metricas_agg_sql(_EVENTOS_SQL),
         "q_stream_json_e2e": _stream_json_e2e_sql(),
         "q_stream_dedup": _stream_dedup_sql(),
+        "q_stream_stream_join": _stream_stream_join_sql(),
         "q_stream_sequence_audit": _stream_sequence_audit_sql(),
         "q_partition_routing": _routing_sql(),
         "q_tail_n": _tail_n_sql(),

@@ -8,4 +8,5 @@ from teste_carga_avro_vs_json_spark.streaming.pipeline import (  # noqa: F401
     run_bounded_append,
     run_bounded_update,
     stream_dedup,
+    stream_stream_join,
 )

@@ -120,6 +120,36 @@ def stream_dedup(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap: str = "30 minutes",
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: every left row pairs with
+    the same-key right rows whose event time falls in
+    ``[left_ts - max_gap, left_ts]`` — e.g. purchases joined to all
+    clicks in the preceding half hour.
+
+    The time-range predicate is REQUIRED, not a filter: it is what lets
+    Spark bound each side's join state (a right row can be dropped once
+    the left watermark passes ``right_ts + max_gap``). Without it the
+    state grows forever — the stream-stream equivalent of a cartesian.
+    State per key is (rows within max_gap), independent of stream
+    lifetime, so this holds at firehose scale.
+    """
+    l, r = left.withWatermark(left_ts, delay), right.withWatermark(right_ts, delay)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] <= l[left_ts])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def run_bounded(
     sdf: DataFrame, query_name: str = "bounded_run", timeout_s: int = 300
 ) -> DataFrame:

@@ -85,6 +85,36 @@ def test_stream_dedup_exactly_once(spark, sf_dir):
     assert out.select("doc_id").distinct().count() == docs.count()
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Two live streams joined on key + time-range emit exactly the
+    batch join's row set (inner stream-stream joins add no rows and
+    lose none when state outlives the drain)."""
+    from teste_carga_avro_vs_json_spark.registry import q_stream_stream_join
+    from teste_carga_avro_vs_json_spark.session import load_table
+
+    out = q_stream_stream_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000000").alias("ms")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    batch = p.join(
+        c,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.ms") <= F.col("p.ms"))
+        & (F.col("c.ms") >= F.col("p.ms") - 86400000),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.ms").alias("p_ms"),
+        F.col("c.ms").alias("c_ms"),
+    )
+    assert out.columns == batch.columns
+    assert set(map(tuple, out.collect())) == set(map(tuple, batch.collect()))
+    assert out.count() == batch.count()
+
+
 def test_stream_json_wire_decode(spark, tmp_path):
     from teste_carga_avro_vs_json_spark.streaming import (
         json_wire_stream,
