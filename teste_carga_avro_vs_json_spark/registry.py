@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from teste_carga_avro_vs_json_spark.operators import (
+    analytics,
     corpus,
     dedup,
     metrics,
@@ -847,6 +848,47 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+# -------------------------------------------------- star-schema analytics
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped wide partial agg (operators/analytics.py);
+    money quantized to cents per row, averages post-agg from longs."""
+    return analytics.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped star join with broadcast dims + pushed filters."""
+    return analytics.star_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over orders with grouping-id tags."""
+    return analytics.rollup_report(load_table(spark, sf_dir, "orders"))
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti integrity audit: orders with no lineitem rows."""
+    return analytics.orders_without_items(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles per market segment (cume_dist)."""
+    return analytics.quantile_profile(load_table(spark, sf_dir, "customer"))
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority via row_number window."""
+    return analytics.topk_per_group(load_table(spark, sf_dir, "orders"))
+
+
 # ------------------------------------------------------------- multimodal
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join via bucketed tables (sources/bucketed.py): both
@@ -1034,6 +1076,12 @@ def queries() -> dict[str, QueryFn]:
         "q_ivf_ann_topk": q_ivf_ann_topk,
         "q_confluent_framing": q_confluent_framing,
         "q_bucketed_join": q_bucketed_join,
+        "q_pricing_summary": q_pricing_summary,
+        "q_star_join": q_star_join,
+        "q_rollup_report": q_rollup_report,
+        "q_anti_join": q_anti_join,
+        "q_quantile_profile": q_quantile_profile,
+        "q_topk_per_group": q_topk_per_group,
         "q_media_features": q_media_features,
         "q_frame_sample": q_frame_sample,
         "q_media_resize": q_media_resize,
@@ -1099,6 +1147,12 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_ann_topk": similarity.ivf_topk_sql(),
         "q_confluent_framing": _confluent_framing_sql(),
         "q_bucketed_join": _bucketed_join_sql(),
+        "q_pricing_summary": analytics.pricing_summary_sql(),
+        "q_star_join": analytics.star_revenue_sql(),
+        "q_rollup_report": analytics.rollup_report_sql(),
+        "q_anti_join": analytics.orders_without_items_sql(),
+        "q_quantile_profile": analytics.quantile_profile_sql(),
+        "q_topk_per_group": analytics.topk_per_group_sql(),
         "q_media_features": multimodal.media_features_sql(),
         "q_frame_sample": _frame_sample_sql(),
         "q_media_resize": _media_resize_sql(),

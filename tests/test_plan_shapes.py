@@ -256,6 +256,71 @@ def test_bucketed_join_has_zero_exchange(spark, sf_dir, tmp_path):
     assert "Bucketed: true" in plan
 
 
+# --------------------------------------------- star-schema analytics
+def test_pricing_summary_pushes_filter_and_partial_aggs(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import analytics as an
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _formatted(an.pricing_summary(li))
+    # date filter reaches the parquet scan; 7-column projection pruned
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_partkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert plan.count("HashAggregate") >= 2  # map-side partial before shuffle
+
+
+def test_star_join_broadcasts_dims_only(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import analytics as an
+
+    out = an.star_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # region/nation dims
+    fmt = _formatted(out)
+    # the orders date filter reaches its scan, not the post-join filter
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in fmt
+
+
+def test_anti_join_probe_side_projects_key_only(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import analytics as an
+
+    out = an.orders_without_items(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+    plan = _plan(out)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    fmt = _formatted(out)
+    # lineitem scan reads ONLY the join key
+    assert "ReadSchema: struct<l_orderkey:bigint>" in fmt
+
+
+def test_rollup_is_single_shuffle_expand(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import analytics as an
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = _plan(an.rollup_report(orders))
+    assert "Expand" in plan  # grouping sets expand map-side
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_per_group_single_keyed_shuffle(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import analytics as an
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = _plan(an.topk_per_group(orders))
+    assert plan.count("Exchange hashpartitioning") == 1
+    window_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert all("o_orderpriority" in ln for ln in window_lines)
+
+
 def test_lsh_ann_dedup_carries_ids_only(spark, sf_dir):
     """Ids-first pins for the LSH ANN tail (mirrors the MinHash rule):
     the (query_id, vec_id) pair-dedup aggregates must not carry vector
