@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+import pyspark.sql.functions as F
 
 # Confs that are safe (and required) to set at runtime on any session.
 _RUNTIME_CONFS = {
@@ -75,6 +76,32 @@ def get_spark(app_name: str = "teste-carga-spark", master: str | None = None) ->
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver testdata table (TESTDATA.md); idempotently applies
-    the runtime confs so this works on driver-owned sessions too."""
+    the runtime confs so this works on driver-owned sessions too.
+
+    ``events.ts`` is normalized to the engine's canonical clock — an
+    epoch-nanos LONG — regardless of how the generator wrote it:
+    TIMESTAMP(NANOS) parquet arrives as a long already (via
+    ``nanosAsLong``), while TIMESTAMP(MICROS/MILLIS) arrives as a
+    timestamp and is converted here (exact: micros * 1000 under the
+    UTC session tz). Downstream code always sees nanos and derives ms
+    as ``ts div 1_000_000``, matching the DuckDB oracle's
+    ``epoch_ms(ts)``. The conversion is a scan-local projection — no
+    shuffle, and column pruning still reaches the parquet scan.
+    """
     configure(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df):
+    """Coerce an events frame's ``ts`` to epoch-nanos long if the file
+    delivered it as a timestamp type (see load_table docstring)."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(df.schema["ts"].dataType, (TimestampNTZType, TimestampType)):
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df

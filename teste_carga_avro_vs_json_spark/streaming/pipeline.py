@@ -27,7 +27,11 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 from teste_carga_avro_vs_json_spark.operators import metrics
 from teste_carga_avro_vs_json_spark.schemas import MENSAGEM_CARGA
-from teste_carga_avro_vs_json_spark.session import configure, load_table
+from teste_carga_avro_vs_json_spark.session import (
+    configure,
+    load_table,
+    normalize_events_ts,
+)
 
 
 def eventos_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,10 +39,13 @@ def eventos_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sequencia, tamanho_bytes, sucesso, ts_ms) — the same mapping the
     batch registry uses, so stream results are batch-comparable."""
     configure(spark)
-    schema = load_table(spark, sf_dir, "events").schema
+    # the stream reader needs the RAW file schema (ts may be a
+    # timestamp type on disk); normalize to the engine's nanos-long
+    # clock after the scan, same as load_table.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the testdata table is a single file; the file-stream source only
     # accepts directories or globs, so express the file as a glob
-    ev = (
+    ev = normalize_events_ts(
         spark.readStream.schema(schema)
         .format("parquet")
         .load(f"{sf_dir}/events.parque[t]")

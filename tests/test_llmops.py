@@ -3,6 +3,8 @@ multimodal plumbing."""
 
 import pyspark.sql.functions as F
 
+from teste_carga_avro_vs_json_spark.session import load_table
+
 from teste_carga_avro_vs_json_spark.operators import (
     corpus,
     dedup,
@@ -483,7 +485,7 @@ def test_sessionize_agrees_with_native_session_window(spark, sf_dir):
     (user, start, end, n_events)."""
     from teste_carga_avro_vs_json_spark.operators.asof import sessionize
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     ours = {
         (r.user_id, r.start_ms, r.end_ms, r.n_events)
         for r in sessionize(ev).collect()

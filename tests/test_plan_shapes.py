@@ -8,13 +8,15 @@ path stays inside whole-stage codegen. A regression here is a silent
 
 import pyspark.sql.functions as F
 
+from teste_carga_avro_vs_json_spark.session import load_table
+
 from teste_carga_avro_vs_json_spark.operators import dedup, metrics, routing, serde, similarity
 from teste_carga_avro_vs_json_spark.plans import audit, compact_plan as _plan, formatted_plan as _formatted
 from teste_carga_avro_vs_json_spark.sources import generator, io_kafka
 
 
 def test_warmup_filter_pushed_to_scan(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     out = metrics.warmup_filter(ev, 100, seq_col="event_id")
     plan = _formatted(out)
     assert "PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,100)" in plan
@@ -130,7 +132,7 @@ def test_corpus_clean_drop_list_keyed_anti_join(spark, sf_dir):
 
 
 def test_metrics_agg_is_partial_final(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id").alias("sequencia"),
         F.length("props").cast("long").alias("tamanho_bytes"),
         (F.col("event_type") != "error").alias("sucesso"),
@@ -198,7 +200,7 @@ def test_corpus_mix_is_scan_local(spark, sf_dir):
 def test_asof_attribution_never_range_joins(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import asof as a
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     plan = _plan(a.attribution(ev))
     # the whole point: one keyed window, never a range-predicate join
     assert "CartesianProduct" not in plan
@@ -208,7 +210,7 @@ def test_asof_attribution_never_range_joins(spark, sf_dir):
 def test_sessionize_single_data_shuffle(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import asof as a
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     plan = _plan(a.sessionize(ev))
     # one hashpartitioning(user_id) exchange feeds BOTH windows and the
     # session agg (its (user,session) requirement is satisfied); the
@@ -219,7 +221,7 @@ def test_sessionize_single_data_shuffle(spark, sf_dir):
 def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import asof as a
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
     plan = _plan(a.error_sessions(ev))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
