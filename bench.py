@@ -84,8 +84,16 @@ def main() -> None:
         )
 
     def w_avro_e2e():
-        # Same pipeline through the Python Avro codec (pandas UDFs).
-        msgs = generator.mensagens(spark, n_msgs, tamanho_kb=1)
+        # Same pipeline through the Python Avro codec (Arrow UDFs).
+        # Python-UDF stages run a JVM task thread AND a Python worker
+        # per partition: at num_partitions == cores the box is 2x
+        # oversubscribed and laps straggle 3-10x sporadically (measured;
+        # JVM-only stages are stable). Undersubscribe the source so each
+        # (thread, worker) pair gets a core — the same accounting a real
+        # cluster does when sizing executor cores for Python stages.
+        msgs = generator.mensagens(
+            spark, n_msgs, tamanho_kb=1, num_partitions=max(1, cpus // 2)
+        )
         dec = serde.avro_roundtrip(msgs)
         sized = routing.size_estimate(routing.route(dec, 18))
         run(
@@ -205,7 +213,9 @@ def main() -> None:
 
     # Median of N measured laps — single-shot numbers jitter 30-50% on a
     # shared box; the median is the honest steady-state figure.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # 5 reps: python-worker stages still jitter on a shared box even
+    # undersubscribed; the median of 5 shrugs off up to two bad laps.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     samples: dict[str, list[float]] = {name: [] for name in workloads}
     for _ in range(reps):
         for name, fn in workloads.items():
