@@ -557,13 +557,25 @@ def lsh_ann_topk(
         bucketed.join(F.broadcast(q_b), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
-        .dropDuplicates(["query_id", "vec_id"])
+    )
+    # Fused dedup + re-fetch: aggregating the pair stream by vec_id
+    # both dedups (collect_set, with map-side partial aggregation) AND
+    # lands the frame hash-partitioned on vec_id — exactly the
+    # partitioning the corpus re-fetch join needs, so the dedup shuffle
+    # IS the join shuffle. dropDuplicates([query_id, vec_id]) would pay
+    # a (query_id, vec_id) exchange plus a second vec_id exchange for
+    # the join. Per-key set size is bounded by the query count, which
+    # is broadcast-tiny by this operator's contract (a corpus-sized
+    # query side needs the salted two-phase design in cosine_topk).
+    cand = pairs.groupBy("vec_id").agg(
+        F.collect_set("query_id").alias("query_ids")
     )
     qv = v.filter(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
     scored = (
-        pairs.join(v.hint("shuffle_hash"), "vec_id")
+        cand.join(v.hint("shuffle_hash"), "vec_id")
+        .select("vec_id", F.explode("query_ids").alias("query_id"), "vec")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",

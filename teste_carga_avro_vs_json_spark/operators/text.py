@@ -269,6 +269,94 @@ def fingerprint_sql(table: str = "documents") -> str:
     """
 
 
+# ------------------------------------------------------------ doc profile
+def doc_profile(docs: DataFrame) -> DataFrame:
+    """Fused per-document profile: token counts + language-ID + quality
+    score + fingerprint in ONE scan.
+
+    The component operators above stay standalone (and pytest-pinned);
+    this is the composition a production corpus pipeline actually runs,
+    and fusing them keeps the whole profile a shuffle-free projection —
+    four separate queries would either rescan the corpus four times or
+    pay three doc_id shuffle-joins to reassemble. Token arrays are
+    staged behind a projection once and every downstream measure reads
+    the staged column (HOF-lambda rule, SCALE.md)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
+            "n_pieces"
+        ),
+        F.md5(norm).alias("fp"),
+        F.length(norm).cast("long").alias("norm_len"),
+        tokens("text").alias("toks"),
+    )
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        "n_chars_measured",
+        "n_pieces",
+        "fp",
+        "norm_len",
+        F.size("toks").alias("n_words"),
+        *[
+            _marker_count(F.col("toks"), ws).alias(f"s_{lang}")
+            for lang, ws in _MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in sorted(_MARKERS):  # alphabetical tiebreak: first max wins
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    chars = F.col("n_chars_measured").cast("long")
+    words = F.col("n_words").cast("long")
+    words_nz = F.greatest(words, F.lit(1))
+    stopwords = F.col("s_en").cast("long")  # en markers == quality_score's
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        "n_chars_measured",
+        F.col("lang").alias("lang_labeled"),
+        pred.alias("lang_pred"),
+        best.cast("int").alias("marker_hits"),
+        chars.alias("chars"),
+        words.alias("words"),
+        (chars / words_nz).alias("mean_word_len"),
+        (stopwords / words_nz).alias("stopword_ratio"),
+        (
+            F.when((words >= 20) & (words <= 2000), F.lit(0.5))
+            .otherwise(F.lit(0.0))
+            + F.when(stopwords > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+            + F.when(
+                (chars / words_nz >= 3) & (chars / words_nz <= 12),
+                F.lit(0.2),
+            ).otherwise(F.lit(0.0))
+        ).alias("quality"),
+        "fp",
+        "norm_len",
+    )
+
+
+def doc_profile_sql(table: str = "documents") -> str:
+    """Oracle twin composed from the component builders verbatim (joins
+    are free to DuckDB at oracle scale; reusing the proven SQL keeps
+    zero drift between the fused and standalone formulations)."""
+    return f"""
+        SELECT t.doc_id, t.n_words, t.n_pieces, t.n_chars_measured,
+               l.lang_labeled, l.lang_pred, l.marker_hits,
+               q.chars, q.words, q.mean_word_len, q.stopword_ratio,
+               q.quality,
+               f.fp, f.norm_len
+        FROM ({token_counts_sql(table)}) t
+        JOIN ({lang_id_sql(table)}) l USING (doc_id)
+        JOIN ({quality_score_sql(table)}) q USING (doc_id)
+        JOIN ({fingerprint_sql(table)}) f USING (doc_id)
+    """
+
+
 # -------------------------------------------------------------- PII scrub
 # Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
 # identically: no backreferences, no lookaround, leftmost-first greedy.

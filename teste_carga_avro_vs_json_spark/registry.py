@@ -572,6 +572,15 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused per-doc profile (token counts + lang-ID + quality +
+    fingerprint) in one scan — the registry twin for the four component
+    operators, each still standalone + pytest-pinned (registry capped at
+    50 entries: the driver's correctness window checks exactly the first
+    50, CORRECTNESS_r02/r03)."""
+    return text.doc_profile(load_table(spark, sf_dir, "documents"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic doc sample keeps the DuckDB twin cheap (its list
     lambdas evaluate md5 per k-gram serially)."""
@@ -934,7 +943,12 @@ def q_confluent_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash pins the full wire bytes (so the header layout is checked
     byte-for-byte) while sid/roundtrip are computed Spark-side by the
     header parse/strip functions against oracle-declared expectations
-    (DuckDB 1.0 cannot slice BLOBs, so it cannot re-parse the header)."""
+    (DuckDB 1.0 cannot slice BLOBs, so it cannot re-parse the header).
+
+    The wire column is emitted HEX-encoded (``wire_hex``): byte-for-byte
+    header checking survives hexification, and the driver's pandas
+    canonicalizer cannot sort/hash raw bytearray cells (r3's sole red
+    row was exactly that TypeError)."""
     from teste_carga_avro_vs_json_spark.functions import avro_codec
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -942,7 +956,7 @@ def q_confluent_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire = avro_codec.confluent_wrap(payload, schema_id=7)
     return docs.select(
         "doc_id",
-        wire.alias("wire"),
+        F.hex(wire).alias("wire_hex"),
         avro_codec.confluent_schema_id(wire).alias("sid"),
         (avro_codec.confluent_unwrap(wire) == payload).alias("roundtrip"),
     )
@@ -951,7 +965,8 @@ def q_confluent_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _confluent_framing_sql() -> str:
     return r"""
         SELECT doc_id,
-               '\x00\x00\x00\x00\x07'::BLOB || encode(text) AS wire,
+               upper(hex('\x00\x00\x00\x00\x07'::BLOB || encode(text)))
+                   AS wire_hex,
                7::BIGINT AS sid,
                TRUE AS roundtrip
         FROM documents
@@ -960,6 +975,45 @@ def _confluent_framing_sql() -> str:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features(load_table(spark, sf_dir, "documents"))
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize → feature-extract chained over the synthetic media table —
+    the production composition (downsample before embedding), and the
+    registry twin for media_features + resize (registry capped at 50
+    entries for the driver's correctness window). Both mapInPandas
+    stages run in one shuffle-free Python pipeline; the oracle checks
+    the post-resize byte arithmetic (area-ratio scaling, clip >= 1) and
+    that resize preserves format and leading payload bytes."""
+    media = multimodal.synth_media(load_table(spark, sf_dir, "documents"))
+    out = multimodal.extract_features(multimodal.resize(media))
+    return out.select(
+        "doc_id", "format", "width", "height", "n_bytes", "first_byte"
+    )
+
+
+def _media_pipeline_sql() -> str:
+    from teste_carga_avro_vs_json_spark.functions.portable import hex32_sql
+
+    fmt_arr = "['png', 'jpeg', 'webp']"
+    w_hash = hex32_sql("'w-' || doc_id")
+    h_hash = hex32_sql("'h-' || doc_id")
+    fmt_hash = hex32_sql("'fmt-' || doc_id")
+    w = f"({w_hash} % 1920 + 1)"
+    h = f"({h_hash} % 1080 + 1)"
+    # pandas: int(clip(64 * ratio, min=1)) == GREATEST(1, FLOOR(...));
+    # payload = md5(text)*4 repeated/truncated, so byte 0 survives resize
+    return f"""
+        SELECT doc_id,
+               {fmt_arr}[({fmt_hash} % 3 + 1)::INT]
+                   AS format,
+               224 AS width,
+               224 AS height,
+               GREATEST(1, FLOOR(64 * ((224.0 * 224.0) / ({w} * {h}))))::BIGINT
+                   AS n_bytes,
+               ('0x' || substr(md5(text), 1, 2))::INT AS first_byte
+        FROM documents
+    """
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,15 +1078,19 @@ def _media_resize_sql() -> str:
 
 
 # -------------------------------------------------------------- registry
+# HARD CAP: 50 entries. The driver's correctness harness checks exactly
+# the first 50 entries of this dict (CORRECTNESS_r02/r03 evidence) —
+# anything past position 50 silently gets NO oracle row. Consolidated
+# r4: redundant twins live on as pytest pins (test_skew, test_llmops,
+# test_io_and_streaming), per-doc text queries fused into q_doc_profile,
+# media feature/resize fused into q_media_pipeline.
 def queries() -> dict[str, QueryFn]:
     return {
         "q_generator": q_generator,
         "q_size_estimate": q_size_estimate,
         "q_json_roundtrip": q_json_roundtrip,
         "q_avro_roundtrip": q_avro_roundtrip,
-        "q_file_json_roundtrip": q_file_json_roundtrip,
         "q_file_avro_roundtrip": q_file_avro_roundtrip,
-        "q_file_parquet_roundtrip": q_file_parquet_roundtrip,
         "q_file_avro_ocf_roundtrip": q_file_avro_ocf_roundtrip,
         "q_stream_metrics_agg": q_stream_metrics_agg,
         "q_stream_json_e2e": q_stream_json_e2e,
@@ -1046,19 +1104,14 @@ def queries() -> dict[str, QueryFn]:
         "q_metrics_agg": q_metrics_agg,
         "q_metrics_merge": q_metrics_merge,
         "q_report_format": q_report_format,
-        "q_salted_agg": q_salted_agg,
         "q_windowed_metrics": q_windowed_metrics,
         "q_text_stats": q_text_stats,
-        "q_token_count": q_token_count,
-        "q_lang_id": q_lang_id,
-        "q_quality_score": q_quality_score,
-        "q_fingerprint": q_fingerprint,
+        "q_doc_profile": q_doc_profile,
         "q_pii_scrub": q_pii_scrub,
         "q_corpus_mix": q_corpus_mix,
         "q_corpus_report": q_corpus_report,
         "q_asof_attribution": q_asof_attribution,
         "q_sessionize": q_sessionize,
-        "q_stream_sessionize": q_stream_sessionize,
         "q_interval_join": q_interval_join,
         "q_intra_doc_dedup": q_intra_doc_dedup,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -1070,7 +1123,6 @@ def queries() -> dict[str, QueryFn]:
         "q_token_budget_sample": q_token_budget_sample,
         "q_simhash": q_simhash,
         "q_cosine_topk": q_cosine_topk,
-        "q_cosine_topk_scale": q_cosine_topk_scale,
         "q_embedding_neardup": q_embedding_neardup,
         "q_lsh_ann_topk": q_lsh_ann_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
@@ -1082,9 +1134,8 @@ def queries() -> dict[str, QueryFn]:
         "q_anti_join": q_anti_join,
         "q_quantile_profile": q_quantile_profile,
         "q_topk_per_group": q_topk_per_group,
-        "q_media_features": q_media_features,
+        "q_media_pipeline": q_media_pipeline,
         "q_frame_sample": q_frame_sample,
-        "q_media_resize": q_media_resize,
     }
 
 
@@ -1096,9 +1147,7 @@ def oracle_sql() -> dict[str, str]:
         # lossless round trips == the original generation
         "q_json_roundtrip": flat,
         "q_avro_roundtrip": flat,
-        "q_file_json_roundtrip": flat,
         "q_file_avro_roundtrip": flat,
-        "q_file_parquet_roundtrip": flat,
         "q_file_avro_ocf_roundtrip": flat,
         # stream == batch: identical agg, identical oracle
         "q_stream_metrics_agg": metrics.metricas_agg_sql(_EVENTOS_SQL),
@@ -1115,19 +1164,14 @@ def oracle_sql() -> dict[str, str]:
         "q_report_format": metrics.relatorio_sql(
             metrics.metricas_agg_sql(_EVENTOS_SQL)
         ),
-        "q_salted_agg": _salted_agg_sql(),
         "q_windowed_metrics": metrics.metricas_por_janela_sql(_EVENTOS_SQL),
         "q_text_stats": text.text_stats_sql(),
-        "q_token_count": text.token_counts_sql(),
-        "q_lang_id": text.lang_id_sql(),
-        "q_quality_score": text.quality_score_sql(),
-        "q_fingerprint": text.fingerprint_sql(),
+        "q_doc_profile": text.doc_profile_sql(),
         "q_pii_scrub": _pii_scrub_sql(),
         "q_corpus_mix": _corpus_mix_sql(),
         "q_corpus_report": corpus.corpus_report_sql(),
         "q_asof_attribution": _asof_attribution_sql(),
         "q_sessionize": _sessionize_sql(),
-        "q_stream_sessionize": _stream_sessionize_sql(),
         "q_interval_join": _interval_join_sql(),
         "q_intra_doc_dedup": _intra_doc_dedup_sql(),
         "q_winnow_fingerprints": text.winnow_fingerprints_sql(
@@ -1141,7 +1185,6 @@ def oracle_sql() -> dict[str, str]:
         "q_token_budget_sample": corpus.token_budget_sample_sql(),
         "q_simhash": dedup.simhash_sql(),
         "q_cosine_topk": similarity.cosine_topk_sql(),
-        "q_cosine_topk_scale": similarity.cosine_topk_sql(),
         "q_embedding_neardup": similarity.embedding_neardup_sql(),
         "q_lsh_ann_topk": similarity.lsh_ann_topk_sql(),
         "q_ivf_ann_topk": similarity.ivf_topk_sql(),
@@ -1153,9 +1196,8 @@ def oracle_sql() -> dict[str, str]:
         "q_anti_join": analytics.orders_without_items_sql(),
         "q_quantile_profile": analytics.quantile_profile_sql(),
         "q_topk_per_group": analytics.topk_per_group_sql(),
-        "q_media_features": multimodal.media_features_sql(),
+        "q_media_pipeline": _media_pipeline_sql(),
         "q_frame_sample": _frame_sample_sql(),
-        "q_media_resize": _media_resize_sql(),
     }
 
 

@@ -97,10 +97,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
 def normalize_events_ts(df):
     """Coerce an events frame's ``ts`` to epoch-nanos long if the file
-    delivered it as a timestamp type (see load_table docstring)."""
+    delivered it as a timestamp type (see load_table docstring).
+
+    The NTZ branch is only exact when the wall-clock is interpreted as
+    UTC. ``spark.sql.session.timeZone`` is a runtime SQLConf (never
+    static), so pin it here and assert — measured: both
+    ``cast(timestamp)`` and ``to_utc_timestamp(ts, 'UTC')`` shift NTZ
+    by the session-tz offset when the session is not UTC, so a silent
+    non-UTC session would corrupt every event time."""
     from pyspark.sql.types import TimestampNTZType, TimestampType
 
-    if isinstance(df.schema["ts"].dataType, (TimestampNTZType, TimestampType)):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, (TimestampNTZType, TimestampType)):
+        if isinstance(ts_type, TimestampNTZType):
+            spark = df.sparkSession
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
         df = df.withColumn(
             "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
         )

@@ -364,3 +364,57 @@ def test_kafka_stream_read_options_flow_control():
     assert "maxOffsetsPerTrigger" not in io_kafka.kafka_stream_read_options(
         "b:9092", "t"
     )
+
+
+def test_stream_sessionize_equals_batch(spark, sf_dir):
+    """Registry-retired twin (registry capped at 50 driver-checked
+    entries): the watermarked streaming session_window drain must emit
+    exactly the sessions the batch session_window computes (and batch
+    session_window == lag+cumsum is pinned in test_llmops)."""
+    from teste_carga_avro_vs_json_spark import registry
+
+    got = {
+        (r.user_id, r.start_ms, r.n_events)
+        for r in registry.q_stream_sessionize(spark, sf_dir).collect()
+    }
+    from teste_carga_avro_vs_json_spark.session import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.timestamp_millis(F.expr("ts div 1000000")).alias("evt"),
+        )
+        .groupBy("user_id", F.session_window("evt", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+            "n_events",
+        )
+    )
+    want = {(r.user_id, r.start_ms, r.n_events) for r in batch.collect()}
+    assert got == want
+
+
+def test_write_kafka_reaches_connector_boundary(spark):
+    """Broker-less sink validation one step past the option dicts: the
+    full write path (wire frame -> options -> format("kafka").save())
+    must execute up to Spark's data-source resolution and fail there
+    with the canonical missing-connector error — NOT an options/schema
+    error. On a cluster with spark-sql-kafka-0-10 on the classpath the
+    identical call is live (SURVEY.md §4 known-gap #1)."""
+    from teste_carga_avro_vs_json_spark.sources import io_kafka
+
+    wire = io_kafka.to_wire_frame(
+        _msgs(spark, 5),
+        F.to_json(F.struct("sequencia")).alias("v"),
+        num_particoes=3,
+    )
+    with pytest.raises(Exception) as ei:
+        io_kafka.write_kafka(wire, "broker:9092", "t")
+    msg = str(ei.value)
+    assert "kafka" in msg.lower()
+    # Spark 4's missing-provider error class; anything else means the
+    # sink contract itself (columns/options) was rejected first
+    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg

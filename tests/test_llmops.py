@@ -519,3 +519,55 @@ def test_interval_join_boundaries_and_multibucket(spark):
     out = {r.pid: r.lbl for r in interval_join(
         pts, iv, "k", "t", "s", "e", bucket_ms=10).collect()}
     assert out == {"p0": "A", "p1": "A", "p3": "B", "p4": "A"}  # p2 outside
+
+
+# ------------------------------------------------------------ doc profile
+def test_doc_profile_matches_components(spark, sf_dir):
+    """The fused one-scan profile must agree column-for-column with the
+    four standalone operators it subsumes (registry consolidation — the
+    components keep pytest coverage through this pin)."""
+    docs = _docs(spark, sf_dir)
+    prof = {r.doc_id: r for r in text.doc_profile(docs).collect()}
+    tc = {r.doc_id: r for r in text.token_counts(docs).collect()}
+    li = {r.doc_id: r for r in text.lang_id(docs).collect()}
+    qs = {r.doc_id: r for r in text.quality_score(docs).collect()}
+    fp = {r.doc_id: r for r in text.fingerprint(docs).collect()}
+    assert prof.keys() == tc.keys() == li.keys() == qs.keys() == fp.keys()
+    for d, r in prof.items():
+        assert (r.n_words, r.n_pieces, r.n_chars_measured) == (
+            tc[d].n_words, tc[d].n_pieces, tc[d].n_chars_measured,
+        )
+        assert (r.lang_labeled, r.lang_pred, r.marker_hits) == (
+            li[d].lang_labeled, li[d].lang_pred, li[d].marker_hits,
+        )
+        assert (r.chars, r.words, r.mean_word_len) == (
+            qs[d].chars, qs[d].words, qs[d].mean_word_len,
+        )
+        assert (r.stopword_ratio, r.quality) == (
+            qs[d].stopword_ratio, qs[d].quality,
+        )
+        assert (r.fp, r.norm_len) == (fp[d].fp, fp[d].norm_len)
+
+
+def test_media_pipeline_resize_then_features(spark, sf_dir):
+    """resize -> extract_features chained (the registry's fused media
+    query): output metadata is the resize target, byte counts follow the
+    area-ratio arithmetic, and the leading payload byte survives the
+    repeat/truncate resample."""
+    docs = _docs(spark, sf_dir)
+    media = multimodal.synth_media(docs)
+    orig = {r.doc_id: r for r in media.collect()}
+    out = {
+        r.doc_id: r
+        for r in multimodal.extract_features(
+            multimodal.resize(media)
+        ).collect()
+    }
+    assert out.keys() == orig.keys()
+    for d, r in out.items():
+        o = orig[d]
+        assert (r.width, r.height) == (224, 224)
+        expected = max(1, int(64 * (224 * 224) / (o.width * o.height)))
+        assert r.n_bytes == expected
+        assert r.first_byte == bytes(o.payload)[0]
+        assert r.format == o.format

@@ -325,10 +325,12 @@ def test_topk_per_group_single_keyed_shuffle(spark, sf_dir):
 
 def test_lsh_ann_dedup_carries_ids_only(spark, sf_dir):
     """Ids-first pins for the LSH ANN tail (mirrors the MinHash rule):
-    the (query_id, vec_id) pair-dedup aggregates must not carry vector
+    the pair-dedup aggregate (collect_set of query ids keyed by vec_id,
+    fused with the re-fetch join's partitioning) must not carry vector
     payloads, and the post-dedup corpus vector fetch is a pinned
     ShuffledHashJoin (never a Catalyst-estimated broadcast of the
-    corpus side)."""
+    corpus side). The dedup exchange and the join probe-side exchange
+    must be the SAME single vec_id exchange (fusion pin)."""
     import re
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -336,9 +338,15 @@ def test_lsh_ann_dedup_carries_ids_only(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
     agg_lines = [
         ln for ln in plan.splitlines()
-        if "HashAggregate(keys=[query_id" in ln
+        if "HashAggregate(keys=[vec_id" in ln
     ]
     assert agg_lines, "pair-dedup HashAggregate not found"
     for ln in agg_lines:
         assert "qvec" not in ln
         assert not re.search(r"\bvec#\d", ln), f"vector rides dedup: {ln}"
+    # fusion: pairs are exchanged on vec_id exactly once (dedup == join
+    # partitioning); a dropDuplicates formulation would show two
+    assert len(re.findall(r"Exchange hashpartitioning\(vec_id", plan)) == 2, (
+        "expected exactly 2 vec_id exchanges (fused dedup+probe, corpus "
+        "build side)"
+    )
