@@ -1,0 +1,127 @@
+"""Confluent Schema Registry contract — broker-less client.
+
+The reference auto-registers its Avro schema on first produce through
+KafkaAvroSerializer and resolves writer schemas by id on consume
+(/root/reference/src/main/java/br/com/sandbox/kafka/config/
+ConfiguracaoKafka.java:152-156: ``schema.registry.url`` +
+``auto.register.schemas``). No registry service ships in this
+container, so the engine provides the same contract two ways:
+
+- :class:`InMemorySchemaRegistry` — the full semantics (subjects,
+  monotone ids, idempotent re-registration of the canonically-equal
+  schema, id -> schema lookup), fully tested;
+- :class:`HttpSchemaRegistry` — the standard REST endpoints
+  (``POST /subjects/{s}/versions``, ``GET /schemas/ids/{id}``) over a
+  pluggable opener so the request contract is testable without a
+  server; pointing it at a live registry is a URL away.
+
+Wire glue: :func:`serialize_confluent` registers (or resolves) the
+schema and emits the Confluent 5-byte-framed column via
+``avro_codec.confluent_wrap`` — the produce-side path the reference
+delegates to KafkaAvroSerializer.
+
+Scale note: registration is a driver-side, O(1)-per-schema call made
+once per job, never per row/partition — executors only ever see the
+resolved integer id baked into the plan as a literal.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from typing import Callable
+
+from pyspark.sql import Column
+
+
+def canonical_schema(schema: str) -> str:
+    """Canonical form used for schema identity: parsed JSON re-dumped
+    with sorted keys and no whitespace, so formatting/key-order
+    variants of the same schema resolve to the same id (the registry
+    service does full Avro canonicalization; sorted-compact JSON is
+    the deterministic subset that needs no Avro parser)."""
+    return json.dumps(json.loads(schema), sort_keys=True, separators=(",", ":"))
+
+
+class InMemorySchemaRegistry:
+    """Subject -> versioned schema store with Confluent id semantics:
+    ids are global and monotone, re-registering a canonically-equal
+    schema under the same subject returns the existing id."""
+
+    def __init__(self) -> None:
+        self._by_subject: dict[str, dict[str, int]] = {}
+        self._by_id: dict[int, str] = {}
+        self._next_id = 1
+
+    def register(self, subject: str, schema: str) -> int:
+        canon = canonical_schema(schema)
+        ids = self._by_subject.setdefault(subject, {})
+        if canon in ids:
+            return ids[canon]
+        sid = self._next_id
+        self._next_id += 1
+        ids[canon] = sid
+        self._by_id[sid] = canon
+        return sid
+
+    def get_by_id(self, schema_id: int) -> str:
+        return self._by_id[schema_id]
+
+    def latest(self, subject: str) -> tuple[int, str]:
+        """(id, schema) of the most recently registered version."""
+        ids = self._by_subject[subject]
+        canon, sid = max(ids.items(), key=lambda kv: kv[1])
+        return sid, canon
+
+
+Opener = Callable[[str, str, bytes | None], tuple[int, bytes]]
+
+
+def _default_opener(method: str, url: str, body: bytes | None) -> tuple[int, bytes]:
+    req = urllib.request.Request(
+        url,
+        data=body,
+        method=method,
+        headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+    )
+    with urllib.request.urlopen(req) as resp:  # pragma: no cover - needs server
+        return resp.status, resp.read()
+
+
+class HttpSchemaRegistry:
+    """REST client for the Confluent Schema Registry API. ``opener`` is
+    injectable so the request contract (method, URL, payload shape) is
+    pinned by tests without a live service."""
+
+    def __init__(self, base_url: str, opener: Opener | None = None) -> None:
+        self._base = base_url.rstrip("/")
+        self._open = opener or _default_opener
+
+    def register(self, subject: str, schema: str) -> int:
+        payload = json.dumps({"schema": canonical_schema(schema)}).encode()
+        status, body = self._open(
+            "POST", f"{self._base}/subjects/{subject}/versions", payload
+        )
+        if status != 200:
+            raise RuntimeError(f"schema registration failed: HTTP {status}")
+        return int(json.loads(body)["id"])
+
+    def get_by_id(self, schema_id: int) -> str:
+        status, body = self._open(
+            "GET", f"{self._base}/schemas/ids/{schema_id}", None
+        )
+        if status != 200:
+            raise RuntimeError(f"schema lookup failed: HTTP {status}")
+        return json.loads(body)["schema"]
+
+
+def serialize_confluent(
+    avro_bytes: Column, registry, subject: str, schema: str
+) -> tuple[Column, int]:
+    """Produce-side glue (KafkaAvroSerializer equivalent): register (or
+    resolve) ``schema`` under ``subject``, frame the payload column with
+    the resulting id. Returns (framed column, schema id)."""
+    from teste_carga_avro_vs_json_spark.functions import avro_codec
+
+    sid = registry.register(subject, schema)
+    return avro_codec.confluent_wrap(avro_bytes, schema_id=sid), sid

@@ -504,19 +504,44 @@ def lsh_bucket_np(
     which is approximate by construction; recall is pinned in pytest.
     """
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
 
     planes = np.array(_hyperplanes(dim, n_planes * n_tables), dtype=np.float64)
     weights = 1 << np.arange(n_planes)
+    prefixes = np.array([f"{t}#" for t in range(n_tables)])
 
-    @pandas_udf("array<string>")
-    def _sig(v: pd.Series) -> pd.Series:
-        m = np.vstack(v.to_numpy())
+    def _bucket_mat(m: "np.ndarray") -> "np.ndarray":
         bits = (m @ planes.T >= 0).astype(np.int64)
         sigs = bits.reshape(len(m), n_tables, n_planes) @ weights
-        return pd.Series(
-            [[f"{t}#{int(s[t])}" for t in range(n_tables)] for s in sigs]
-        )
+        # (n, L) bucket-id strings, fully vectorized (no per-row Python)
+        return np.char.add(prefixes, sigs.astype("U11"))
+
+    try:
+        # Arrow-native: numpy in, pa.ListArray out — zero pandas-object
+        # materialization (the old path built a Python list-of-strings
+        # per row, the one avoidable object build left in a hot path).
+        import pyarrow as pa
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import ArrayType, StringType
+
+        @arrow_udf(ArrayType(StringType()))
+        def _sig(v):
+            arr = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            strs = _bucket_mat(flat.reshape(len(arr), dim))
+            offsets = pa.array(
+                np.arange(
+                    0, (len(arr) + 1) * n_tables, n_tables, dtype=np.int32
+                )
+            )
+            return pa.ListArray.from_arrays(offsets, pa.array(strs.ravel()))
+
+    except ImportError:  # pragma: no cover - Spark < 4.1 fallback
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def _sig(v: pd.Series) -> pd.Series:
+            strs = _bucket_mat(np.vstack(v.to_numpy()))
+            return pd.Series(list(map(list, strs)))
 
     return emb.withColumn(
         "bucket", F.explode(_sig(F.col("embedding").cast("array<double>")))
