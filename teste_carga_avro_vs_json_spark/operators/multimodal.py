@@ -110,6 +110,166 @@ def decode_image(payload: bytes, fmt: str):
     return image_mod.open(io.BytesIO(payload))  # pragma: no cover
 
 
+def _soundfile():
+    """Import-gated soundfile (audio twin of :func:`_pil`): returns the
+    module on a cluster image that ships libsndfile bindings, None in
+    this container."""
+    try:  # pragma: no cover - environment-dependent
+        import soundfile  # type: ignore
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _pyav():
+    """Import-gated PyAV (video twin of :func:`_pil`): returns the
+    module on a cluster image that ships ffmpeg bindings, None here."""
+    try:  # pragma: no cover - environment-dependent
+        import av  # type: ignore
+
+        return av
+    except ImportError:
+        return None
+
+
+def decode_audio(payload: bytes, fmt: str):
+    """Real audio decode — soundfile-backed when installed (a cluster
+    image flips this on with no code changes), raising here so callers
+    fall back to the deterministic byte-stat stand-in in
+    :func:`extract_audio_features`."""
+    sf_mod = _soundfile()
+    if sf_mod is None:
+        raise NotImplementedError(
+            "audio decoding requires soundfile which is not in this "
+            "container; use extract_audio_features(..., fake=True) for "
+            "the deterministic stand-in"
+        )
+    import io
+
+    return sf_mod.read(io.BytesIO(payload))  # pragma: no cover
+
+
+def decode_video_frames(payload: bytes, fmt: str, every_n: int = 1):
+    """Real video frame decode — PyAV/ffmpeg-backed when installed,
+    raising here so callers fall back to :func:`frame_sample`'s
+    16-byte-block slicer (same explode-side plumbing, fake frames)."""
+    av_mod = _pyav()
+    if av_mod is None:
+        raise NotImplementedError(
+            "video decoding requires PyAV/ffmpeg which is not in this "
+            "container; use frame_sample(...) for the deterministic "
+            "frame-slicing stand-in"
+        )
+    import io  # pragma: no cover
+
+    frames = []  # pragma: no cover
+    with av_mod.open(io.BytesIO(payload)) as container:  # pragma: no cover
+        for i, frame in enumerate(container.decode(video=0)):
+            if i % every_n == 0:
+                frames.append(frame)
+    return frames  # pragma: no cover
+
+
+AUDIO_FEATURES = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+_AUDIO_FORMATS = ["wav", "flac", "ogg"]
+_FAKE_SAMPLE_RATE = 16_000
+
+
+def synth_audio(docs: DataFrame, payload_reps: int = 8) -> DataFrame:
+    """Deterministic fake audio table from ``documents`` (audio twin of
+    :func:`synth_media`): payload = md5(text) bytes repeated, format
+    assigned via hex32."""
+    md5_hex = F.md5("text")
+    return docs.select(
+        "doc_id",
+        F.unhex(F.repeat(md5_hex, payload_reps)).alias("payload"),
+        F.element_at(
+            F.array(*[F.lit(f) for f in _AUDIO_FORMATS]),
+            (hex32(F.concat(F.lit("afmt-"), F.col("doc_id"))) % 3 + 1).cast(
+                "int"
+            ),
+        ).alias("format"),
+    )
+
+
+def extract_audio_features(media: DataFrame, fake: bool | None = True) -> DataFrame:
+    """Audio feature extraction over binary payloads via ``mapInPandas``
+    (same Arrow-batched, shuffle-free pattern as :func:`extract_features`).
+
+    ``fake=None`` auto-detects: real soundfile decode when importable
+    (cluster image), the deterministic stand-in otherwise. The fake
+    treats the payload as s16le mono at 16 kHz — n_samples/duration are
+    pure byte arithmetic, ``peak`` is the max byte value — so outputs
+    are exact and testable while the schema/batch contract matches what
+    a real extractor returns."""
+    if fake is None:
+        fake = _soundfile() is None
+    if not fake:
+        if _soundfile() is None:
+            raise NotImplementedError(
+                "real audio decoders not available in this container"
+            )
+
+        def _extract_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:  # pragma: no cover - needs soundfile
+            import io
+
+            import soundfile  # type: ignore
+
+            for pdf in batches:
+                rows = []
+                for did, fmt, b in zip(
+                    pdf["doc_id"], pdf["format"], pdf["payload"]
+                ):
+                    data, rate = soundfile.read(io.BytesIO(bytes(b)))
+                    rows.append(
+                        (
+                            did,
+                            fmt,
+                            len(b),
+                            len(data),
+                            int(len(data) * 1000 // rate),
+                            int(abs(data).max() * 32767),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in AUDIO_FEATURES.fields]
+                )
+
+        return media.mapInPandas(_extract_real, AUDIO_FEATURES)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            n_samples = n_bytes // 2  # s16le mono
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": pdf["format"],
+                    "n_bytes": n_bytes,
+                    "n_samples": n_samples,
+                    "duration_ms": n_samples * 1000 // _FAKE_SAMPLE_RATE,
+                    "peak": pdf["payload"].map(
+                        lambda b: max(b) if len(b) else 0
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_extract, AUDIO_FEATURES)
+
+
 def _fake_feature_vec(payload: bytes, n: int = 4) -> list[float]:
     """Deterministic stand-in for an image-embedding model: cheap byte
     statistics. Same length/dtype contract as a real extractor."""

@@ -34,6 +34,9 @@ from teste_carga_avro_vs_json_spark.session import (
 )
 
 
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def eventos_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming view of the events table in the message-metrics shape
     (sequencia, tamanho_bytes, sucesso, ts_ms) — the same mapping the
@@ -41,8 +44,14 @@ def eventos_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     # the stream reader needs the RAW file schema (ts may be a
     # timestamp type on disk); normalize to the engine's nanos-long
-    # clock after the scan, same as load_table.
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # clock after the scan, same as load_table. Cached per sf_dir: the
+    # eager footer read costs a driver round-trip per call otherwise
+    # (testdata is immutable for a session, so staleness is moot).
+    if sf_dir not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[sf_dir] = spark.read.parquet(
+            f"{sf_dir}/events.parquet"
+        ).schema
+    schema = _SCHEMA_CACHE[sf_dir]
     # the testdata table is a single file; the file-stream source only
     # accepts directories or globs, so express the file as a glob
     ev = normalize_events_ts(

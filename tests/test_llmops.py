@@ -571,3 +571,30 @@ def test_media_pipeline_resize_then_features(spark, sf_dir):
         assert r.n_bytes == expected
         assert r.first_byte == bytes(o.payload)[0]
         assert r.format == o.format
+
+
+def test_audio_features_plumbing(spark, sf_dir):
+    """Audio twin of the media plumbing test: deterministic byte-stat
+    features over synth payloads through mapInPandas; gates raise in
+    this container (a cluster image with soundfile/PyAV flips real
+    decode on with no code change)."""
+    import pytest as _pytest
+
+    docs = _docs(spark, sf_dir)
+    audio = multimodal.synth_audio(docs)
+    payloads = {r.doc_id: bytes(r.payload) for r in audio.collect()}
+    feats = multimodal.extract_audio_features(audio).collect()
+    assert len(feats) == len(payloads)
+    for r in feats:
+        b = payloads[r.doc_id]
+        assert r.n_bytes == len(b) == 16 * 8
+        assert r.n_samples == len(b) // 2
+        assert r.duration_ms == (len(b) // 2) * 1000 // 16000
+        assert r.peak == max(b)
+        assert r.format in ("wav", "flac", "ogg")
+    assert multimodal._soundfile() is None  # no libsndfile here
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF", "wav")
+    assert multimodal._pyav() is None
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_video_frames(b"\x00", "mp4")
