@@ -418,3 +418,23 @@ def test_write_kafka_reaches_connector_boundary(spark):
     # Spark 4's missing-provider error class; anything else means the
     # sink contract itself (columns/options) was rejected first
     assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+
+
+def test_read_kafka_reaches_connector_boundary(spark):
+    """Read-side twin of the write boundary test: the tail-N batch
+    consume path (offset arithmetic -> startingOffsets JSON ->
+    format("kafka").load()) must compose a legal read that fails only
+    at data-source resolution in this connector-less container."""
+    from teste_carga_avro_vs_json_spark.sources import io_kafka
+
+    with pytest.raises(Exception) as ei:
+        io_kafka.read_kafka_tail_n(
+            spark,
+            "broker:9092",
+            "t",
+            target_total=100,
+            offsets=({0: 0, 1: 0}, {0: 500, 1: 500}),
+        )
+    msg = str(ei.value)
+    assert "kafka" in msg.lower()
+    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
