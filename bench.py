@@ -34,9 +34,22 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks (8th field of /proc/stat cpu
+    line). The box shows double-digit-% steal in some windows — whole
+    bench runs inflate 25-80% uniformly when the host is busy — so each
+    run records its own steal delta to make that visible."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    steal0, wall0 = _steal_ticks(), time.perf_counter()
 
     from pyspark.sql import SparkSession
     import pyspark.sql.functions as F
@@ -278,6 +291,18 @@ def main() -> None:
         "msgs_per_sec_avro_e2e": round(n_msgs / timings["avro_e2e"], 1),
         "cpus": cpus,
     }
+    # Host-contention evidence: % of this run's cpu-time budget stolen
+    # by the hypervisor (100 Hz ticks), plus 1-min load at exit. A
+    # steal_pct in the double digits means every timing above is
+    # inflated by host noise, not engine cost.
+    steal1, wall1 = _steal_ticks(), time.perf_counter()
+    if steal0 >= 0 and steal1 >= 0:
+        budget_ticks = (wall1 - wall0) * 100.0 * cpus
+        out["steal_pct"] = round(100.0 * (steal1 - steal0) / budget_ticks, 2)
+    try:
+        out["loadavg_1m"] = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
     if deltas:
         out["delta_pct_vs_baseline"] = deltas
     print(json.dumps(out))

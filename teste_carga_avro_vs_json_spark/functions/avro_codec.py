@@ -169,14 +169,17 @@ _UDF_CACHE: dict[str, object] = {}
 def _vectorized() -> bool:
     """Arrow-native codec (avro_vec) — opt-IN via SPARK_GRAFT_AVRO_ARROW=1.
 
-    Default is the scalar pandas codec: at the reference's benchmarked
-    message shape (~1 KB, 5-element ``dados``) the scalar path measures
-    ~1.4x faster end-to-end (r3 A/B at sf0.1/local[32]: 1.22 s scalar vs
-    1.69 s Arrow median) — the vectorized path's per-batch numpy staging
-    only amortizes on larger array payloads. bench.py times both paths
-    every round so a future shape change that flips the winner is
-    visible in one JSON line. SPARK_GRAFT_AVRO_SCALAR=1 still forces the
-    scalar path (back-compat; wins over the Arrow knob)."""
+    Default is the scalar pandas codec — measured faster AND far more
+    stable at BOTH benchmark shapes (local[32], alternating 10-lap
+    A/B): the ~1 KB/5-registro baseline shape medians 0.98 s scalar vs
+    1.09 s Arrow (Arrow spread 0.65-2.6 s vs scalar 0.86-1.07 s), and
+    the reference's default 2 MB/10486-registro shape runs 3.4-3.6 s
+    scalar vs 4.3-16 s Arrow — the vectorized path's per-batch numpy
+    staging never amortizes, and its giant per-batch allocations cause
+    the multi-second straggler laps. bench.py times both lanes every
+    round so a runtime/shape change that flips the winner is visible in
+    one JSON line. SPARK_GRAFT_AVRO_SCALAR=1 still forces the scalar
+    path (back-compat; wins over the Arrow knob)."""
     import os
 
     if os.environ.get("SPARK_GRAFT_AVRO_SCALAR") == "1":
