@@ -114,18 +114,27 @@ def main() -> None:
         )
 
     def w_avro_e2e():
-        # Headline lane: the codec default (scalar pandas — the measured
-        # winner at this 1 KB / 5-registro shape).
-        _avro_e2e_body()
+        # Headline lane: explicitly PIN the scalar codec (not just the
+        # default) so an ambient SPARK_GRAFT_AVRO_ARROW=1 can't turn
+        # the A/B into two identical Arrow measurements.
+        os.environ["SPARK_GRAFT_AVRO_SCALAR"] = "1"
+        try:
+            _avro_e2e_body()
+        finally:
+            os.environ.pop("SPARK_GRAFT_AVRO_SCALAR", None)
 
     def w_avro_e2e_arrow():
         # A/B diagnostic lane: force the Arrow-native vectorized codec
+        # (clearing any ambient scalar pin, which would win otherwise)
         # so codec-path regressions/flips show up in the same JSON line.
+        scalar_pin = os.environ.pop("SPARK_GRAFT_AVRO_SCALAR", None)
         os.environ["SPARK_GRAFT_AVRO_ARROW"] = "1"
         try:
             _avro_e2e_body()
         finally:
             os.environ.pop("SPARK_GRAFT_AVRO_ARROW", None)
+            if scalar_pin is not None:
+                os.environ["SPARK_GRAFT_AVRO_SCALAR"] = scalar_pin
 
     def w_metrics():
         run(registry.q_report_format(spark, sf_dir))
@@ -297,7 +306,9 @@ def main() -> None:
     # inflated by host noise, not engine cost.
     steal1, wall1 = _steal_ticks(), time.perf_counter()
     if steal0 >= 0 and steal1 >= 0:
-        budget_ticks = (wall1 - wall0) * 100.0 * cpus
+        # /proc/stat aggregates steal over ALL host vCPUs, so the tick
+        # budget must use the host CPU count, not the Spark-sizing knob
+        budget_ticks = (wall1 - wall0) * 100.0 * (os.cpu_count() or 1)
         out["steal_pct"] = round(100.0 * (steal1 - steal0) / budget_ticks, 2)
     try:
         out["loadavg_1m"] = round(os.getloadavg()[0], 1)

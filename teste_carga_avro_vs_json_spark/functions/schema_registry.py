@@ -28,6 +28,8 @@ resolved integer id baked into the plan as a literal.
 from __future__ import annotations
 
 import json
+import urllib.error
+import urllib.parse
 import urllib.request
 from typing import Callable
 
@@ -45,33 +47,37 @@ def canonical_schema(schema: str) -> str:
 
 class InMemorySchemaRegistry:
     """Subject -> versioned schema store with Confluent id semantics:
-    ids are global and monotone, re-registering a canonically-equal
-    schema under the same subject returns the existing id."""
+    ids are GLOBAL content identity — the same canonical schema gets
+    the same id in every subject (Confluent guarantees this), new
+    schemas get monotone ids, and re-registration is idempotent."""
 
     def __init__(self) -> None:
-        self._by_subject: dict[str, dict[str, int]] = {}
+        self._subject_versions: dict[str, list[int]] = {}
+        self._id_by_canon: dict[str, int] = {}
         self._by_id: dict[int, str] = {}
         self._next_id = 1
 
     def register(self, subject: str, schema: str) -> int:
         canon = canonical_schema(schema)
-        ids = self._by_subject.setdefault(subject, {})
-        if canon in ids:
-            return ids[canon]
-        sid = self._next_id
-        self._next_id += 1
-        ids[canon] = sid
-        self._by_id[sid] = canon
+        sid = self._id_by_canon.get(canon)
+        if sid is None:
+            sid = self._next_id
+            self._next_id += 1
+            self._id_by_canon[canon] = sid
+            self._by_id[sid] = canon
+        versions = self._subject_versions.setdefault(subject, [])
+        if sid not in versions:
+            versions.append(sid)
         return sid
 
     def get_by_id(self, schema_id: int) -> str:
         return self._by_id[schema_id]
 
     def latest(self, subject: str) -> tuple[int, str]:
-        """(id, schema) of the most recently registered version."""
-        ids = self._by_subject[subject]
-        canon, sid = max(ids.items(), key=lambda kv: kv[1])
-        return sid, canon
+        """(id, schema) of the most recently registered version under
+        ``subject`` (registration order, matching Confluent versions)."""
+        sid = self._subject_versions[subject][-1]
+        return sid, self._by_id[sid]
 
 
 Opener = Callable[[str, str, bytes | None], tuple[int, bytes]]
@@ -84,8 +90,14 @@ def _default_opener(method: str, url: str, body: bytes | None) -> tuple[int, byt
         method=method,
         headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
     )
-    with urllib.request.urlopen(req) as resp:  # pragma: no cover - needs server
-        return resp.status, resp.read()
+    try:  # pragma: no cover - needs server
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:  # pragma: no cover - needs server
+        # 4xx/5xx arrive as HTTPError, not a response object — normalize
+        # to (status, body) so the class's RuntimeError contract holds
+        # for the real opener exactly as it does for injected ones
+        return e.code, e.read()
 
 
 class HttpSchemaRegistry:
@@ -99,8 +111,9 @@ class HttpSchemaRegistry:
 
     def register(self, subject: str, schema: str) -> int:
         payload = json.dumps({"schema": canonical_schema(schema)}).encode()
+        quoted = urllib.parse.quote(subject, safe="")
         status, body = self._open(
-            "POST", f"{self._base}/subjects/{subject}/versions", payload
+            "POST", f"{self._base}/subjects/{quoted}/versions", payload
         )
         if status != 200:
             raise RuntimeError(f"schema registration failed: HTTP {status}")

@@ -509,11 +509,16 @@ def lsh_bucket_np(
     weights = 1 << np.arange(n_planes)
     prefixes = np.array([f"{t}#" for t in range(n_tables)])
 
+    # widest possible signature is 2^n_planes - 1: size the unicode
+    # dtype to it (a fixed "U11" would silently TRUNCATE signatures
+    # once n_planes >= 37, merging distinct buckets with no error)
+    sig_width = len(str((1 << n_planes) - 1))
+
     def _bucket_mat(m: "np.ndarray") -> "np.ndarray":
         bits = (m @ planes.T >= 0).astype(np.int64)
         sigs = bits.reshape(len(m), n_tables, n_planes) @ weights
         # (n, L) bucket-id strings, fully vectorized (no per-row Python)
-        return np.char.add(prefixes, sigs.astype("U11"))
+        return np.char.add(prefixes, sigs.astype(f"U{sig_width}"))
 
     try:
         # Arrow-native: numpy in, pa.ListArray out — zero pandas-object

@@ -113,16 +113,8 @@ def _file_roundtrip(spark: SparkSession, fmt: str) -> DataFrame:
     return generator.registros_flat(back)
 
 
-def q_file_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _file_roundtrip(spark, "json")
-
-
 def q_file_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _file_roundtrip(spark, "avro")
-
-
-def q_file_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _file_roundtrip(spark, "parquet")
 
 
 def q_file_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,54 +514,9 @@ def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe two-phase aggregation (operators/skew.py) — must equal
-    the plain GROUP BY the oracle runs."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "user_id", F.length("props").cast("long").alias("nbytes")
-    )
-    return skew.salted_agg(
-        ev,
-        keys=["event_type"],
-        aggs=[
-            ("count", "user_id", "n"),
-            ("sum", "nbytes", "total_bytes"),
-            ("min", "user_id", "min_user"),
-            ("max", "user_id", "max_user"),
-        ],
-    ).orderBy("event_type")
-
-
-def _salted_agg_sql() -> str:
-    return """
-        SELECT event_type,
-               COUNT(user_id) AS n,
-               SUM(length(props))::BIGINT AS total_bytes,
-               MIN(user_id) AS min_user,
-               MAX(user_id) AS max_user
-        FROM events GROUP BY event_type ORDER BY event_type
-    """
-
-
 # ------------------------------------------------------------------- text
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(load_table(spark, sf_dir, "documents"))
-
-
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_counts(load_table(spark, sf_dir, "documents"))
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.lang_id(load_table(spark, sf_dir, "documents"))
-
-
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_score(load_table(spark, sf_dir, "documents"))
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,16 +712,6 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_sessionize_sql() -> str:
-    from teste_carga_avro_vs_json_spark.operators import asof
-
-    return f"""
-        SELECT user_id, start_ms, n_events
-        FROM ({asof.sessionize_sql()})
-        ORDER BY user_id, start_ms
-    """
-
-
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card (volume, dup rate, quality, lang
     purity) — one scan + one agg."""
@@ -828,12 +765,6 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- similarity
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
-
-
-def q_cosine_topk_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted two-phase exact top-k — same oracle as q_cosine_topk
-    (results identical; only the reducer shape differs)."""
-    return similarity.cosine_topk_scale(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,34 +904,51 @@ def _confluent_framing_sql() -> str:
     """
 
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.media_features(load_table(spark, sf_dir, "documents"))
-
-
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize → feature-extract chained over the synthetic media table —
-    the production composition (downsample before embedding), and the
-    registry twin for media_features + resize (registry capped at 50
-    entries for the driver's correctness window). Both mapInPandas
-    stages run in one shuffle-free Python pipeline; the oracle checks
-    the post-resize byte arithmetic (area-ratio scaling, clip >= 1) and
-    that resize preserves format and leading payload bytes."""
-    media = multimodal.synth_media(load_table(spark, sf_dir, "documents"))
-    out = multimodal.extract_features(multimodal.resize(media))
-    return out.select(
-        "doc_id", "format", "width", "height", "n_bytes", "first_byte"
+    """Multimodal pipeline — the registry twin for media_features,
+    resize, AND extract_audio_features (registry capped at 50 entries
+    for the driver's correctness window): the image chain (resize →
+    feature-extract, two mapInPandas stages in one shuffle-free Python
+    pipeline) merged with the audio feature frame on doc_id — the
+    standard multi-modality feature-join shape (tiny payload-free
+    feature rows on both sides, so the join moves features, never
+    payloads). The oracle checks the post-resize byte arithmetic
+    (area-ratio scaling, clip >= 1), format/leading-byte preservation,
+    and the audio byte-stat arithmetic (s16le sample count, 16 kHz
+    duration, max-byte peak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    img = multimodal.extract_features(
+        multimodal.resize(multimodal.synth_media(docs))
+    ).select("doc_id", "format", "width", "height", "n_bytes", "first_byte")
+    aud = multimodal.extract_audio_features(
+        multimodal.synth_audio(docs)
+    ).select(
+        "doc_id",
+        F.col("format").alias("a_format"),
+        F.col("n_bytes").alias("a_n_bytes"),
+        F.col("n_samples").alias("a_n_samples"),
+        F.col("duration_ms").alias("a_duration_ms"),
+        F.col("peak").alias("a_peak"),
     )
+    return img.join(aud, "doc_id")
 
 
 def _media_pipeline_sql() -> str:
     from teste_carga_avro_vs_json_spark.functions.portable import hex32_sql
 
     fmt_arr = "['png', 'jpeg', 'webp']"
+    afmt_arr = "['wav', 'flac', 'ogg']"
     w_hash = hex32_sql("'w-' || doc_id")
     h_hash = hex32_sql("'h-' || doc_id")
     fmt_hash = hex32_sql("'fmt-' || doc_id")
+    afmt_hash = hex32_sql("'afmt-' || doc_id")
     w = f"({w_hash} % 1920 + 1)"
     h = f"({h_hash} % 1080 + 1)"
+    # audio fake: payload = md5(text)*8 = 128 bytes of s16le at 16 kHz
+    # -> 64 samples, 4 ms; peak = max of the 16 distinct md5 bytes
+    md5_bytes = ", ".join(
+        f"('0x' || substr(md5(text), {2 * i + 1}, 2))::INT" for i in range(16)
+    )
     # pandas: int(clip(64 * ratio, min=1)) == GREATEST(1, FLOOR(...));
     # payload = md5(text)*4 repeated/truncated, so byte 0 survives resize
     return f"""
@@ -1011,7 +959,12 @@ def _media_pipeline_sql() -> str:
                224 AS height,
                GREATEST(1, FLOOR(64 * ((224.0 * 224.0) / ({w} * {h}))))::BIGINT
                    AS n_bytes,
-               ('0x' || substr(md5(text), 1, 2))::INT AS first_byte
+               ('0x' || substr(md5(text), 1, 2))::INT AS first_byte,
+               {afmt_arr}[({afmt_hash} % 3 + 1)::INT] AS a_format,
+               128::BIGINT AS a_n_bytes,
+               64::BIGINT AS a_n_samples,
+               4::BIGINT AS a_duration_ms,
+               GREATEST({md5_bytes})::INT AS a_peak
         FROM documents
     """
 
@@ -1042,38 +995,6 @@ def _frame_sample_sql() -> str:
         SELECT doc_id, fi::INT AS frame_idx, (fi * 16)::INT AS frame_offset
         FROM f WHERE fi % 2 = 0
         ORDER BY doc_id, frame_idx
-    """
-
-
-def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing through mapInPandas: output payload length scales
-    with the (224x224)/(w*h) area ratio — pure arithmetic on the fake,
-    so the byte count is oracle-checkable."""
-    media = multimodal.synth_media(load_table(spark, sf_dir, "documents"))
-    out = multimodal.resize(media)
-    return out.select(
-        "doc_id",
-        "width",
-        "height",
-        F.octet_length("payload").cast("long").alias("n_bytes"),
-    )
-
-
-def _media_resize_sql() -> str:
-    from teste_carga_avro_vs_json_spark.functions.portable import hex32_sql
-
-    w_hash = hex32_sql("'w-' || doc_id")
-    h_hash = hex32_sql("'h-' || doc_id")
-    w = f"({w_hash} % 1920 + 1)"
-    h = f"({h_hash} % 1080 + 1)"
-    # pandas: int(trunc) of 64 * (50176.0/(w*h)), clipped to >= 1
-    return f"""
-        SELECT doc_id,
-               224 AS width,
-               224 AS height,
-               GREATEST(1, FLOOR(64 * ((224.0 * 224.0) / ({w} * {h}))))::BIGINT
-                   AS n_bytes
-        FROM documents
     """
 
 

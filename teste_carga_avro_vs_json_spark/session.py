@@ -99,21 +99,25 @@ def normalize_events_ts(df):
     """Coerce an events frame's ``ts`` to epoch-nanos long if the file
     delivered it as a timestamp type (see load_table docstring).
 
-    The NTZ branch is only exact when the wall-clock is interpreted as
-    UTC. ``spark.sql.session.timeZone`` is a runtime SQLConf (never
-    static), so pin it here and assert — measured: both
-    ``cast(timestamp)`` and ``to_utc_timestamp(ts, 'UTC')`` shift NTZ
-    by the session-tz offset when the session is not UTC, so a silent
-    non-UTC session would corrupt every event time."""
+    Both branches are session-timezone-INDEPENDENT, bound at evaluation
+    time (not plan-build time), and mutate no session conf:
+
+    - NTZ: ``timestampdiff(MICROSECOND, epoch_ntz, ts)`` is pure
+      wall-clock arithmetic between two NTZ values — measured exact
+      under non-UTC sessions and stable across a tz change between
+      plan build and action. (``cast(timestamp)`` and
+      ``to_utc_timestamp(ts, 'UTC')`` both shift NTZ by the session-tz
+      offset — measured — so neither is usable here.)
+    - LTZ: ``unix_micros`` reads the instant directly (tz only affects
+      rendering, never the stored micros)."""
     from pyspark.sql.types import TimestampNTZType, TimestampType
 
     ts_type = df.schema["ts"].dataType
-    if isinstance(ts_type, (TimestampNTZType, TimestampType)):
-        if isinstance(ts_type, TimestampNTZType):
-            spark = df.sparkSession
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
-        df = df.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    if isinstance(ts_type, TimestampNTZType):
+        micros = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
         )
+        df = df.withColumn("ts", micros * F.lit(1000))
+    elif isinstance(ts_type, TimestampType):
+        df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df

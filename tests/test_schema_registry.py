@@ -27,6 +27,24 @@ def test_in_memory_ids_are_monotone_and_idempotent():
     assert reg.latest("topic-value") == (
         sid2, schema_registry.canonical_schema(OTHER)
     )
+    # ids are GLOBAL content identity (Confluent semantics): the same
+    # schema registered under another subject reuses the same id
+    assert reg.register("other-topic-value", SCHEMA) == sid
+    assert reg.latest("other-topic-value") == (
+        sid, schema_registry.canonical_schema(SCHEMA)
+    )
+
+
+def test_http_register_quotes_subject():
+    calls = []
+
+    def opener(method, url, body):
+        calls.append(url)
+        return 200, b'{"id": 1}'
+
+    reg = schema_registry.HttpSchemaRegistry("http://sr:8081", opener=opener)
+    reg.register("a/b c", SCHEMA)
+    assert calls == ["http://sr:8081/subjects/a%2Fb%20c/versions"]
 
 
 def test_http_client_pins_rest_contract():

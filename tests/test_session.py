@@ -1,0 +1,74 @@
+"""session.py clock normalization: events.ts -> epoch-nanos long must
+be exact regardless of the parquet timestamp type AND the session
+timezone (the NTZ wall-clock is defined as UTC by the data contract,
+TESTDATA.md)."""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.session import normalize_events_ts
+
+_WALL = datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+_WANT_NANOS = int(
+    _WALL.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+) * 1000
+
+
+def _with_tz(spark, tz):
+    spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_ntz_ts_is_tz_independent(spark):
+    """The NTZ branch (timestampdiff wall-clock arithmetic) must not
+    shift with the session timezone — measured: cast(timestamp) and
+    to_utc_timestamp both DO shift, which is why they aren't used."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Sao_Paulo", "Asia/Tokyo"):
+            _with_tz(spark, tz)
+            df = spark.createDataFrame([(_WALL,)], "ts timestamp_ntz")
+            [row] = normalize_events_ts(df).collect()
+            assert row.ts == _WANT_NANOS, (tz, row.ts, _WANT_NANOS)
+    finally:
+        _with_tz(spark, old)
+
+
+def test_ntz_conversion_bound_at_eval_not_build(spark):
+    """Changing the session tz between plan build and action must not
+    alter the result (the conversion is pure NTZ arithmetic, not a
+    build-time tz capture)."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        _with_tz(spark, "America/Sao_Paulo")
+        df = normalize_events_ts(
+            spark.createDataFrame([(_WALL,)], "ts timestamp_ntz")
+        )
+        _with_tz(spark, "Asia/Tokyo")  # flip AFTER build, BEFORE action
+        [row] = df.collect()
+        assert row.ts == _WANT_NANOS
+    finally:
+        _with_tz(spark, old)
+
+
+def test_ltz_ts_reads_instant(spark):
+    """The LTZ branch reads the stored instant via unix_micros — the
+    session tz affects rendering only, never the stored micros."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        _with_tz(spark, "UTC")
+        aware = _WALL.replace(tzinfo=datetime.timezone.utc)
+        df = spark.createDataFrame([(aware,)], "ts timestamp")
+        _with_tz(spark, "America/Sao_Paulo")
+        [row] = normalize_events_ts(df).collect()
+        assert row.ts == _WANT_NANOS
+    finally:
+        _with_tz(spark, old)
+
+
+def test_long_ts_passthrough(spark):
+    """nanos-long input (the real testdata shape via nanosAsLong) is
+    untouched."""
+    df = spark.createDataFrame([(_WANT_NANOS,)], "ts long")
+    [row] = normalize_events_ts(df).collect()
+    assert row.ts == _WANT_NANOS
