@@ -79,6 +79,40 @@ def exact_dedup_scale(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def incremental_dedup(
+    delta: DataFrame, corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Delta-vs-corpus exact dedup — the production shape for ingesting
+    a new crawl/batch against an existing deduplicated corpus: keep
+    only delta rows whose content fingerprint is (a) absent from the
+    corpus and (b) the first occurrence within the delta itself.
+
+    Registry-retired extra (50-entry cap): pytest pins it against the
+    batch-union formulation (incremental over a split == exact dedup of
+    the union, restricted to delta-won fingerprints).
+
+    100 TB shape: the corpus side reduces to its DISTINCT fingerprint
+    set before the anti-join — at 10^11 docs the join probes move one
+    16-byte key pair per row and the corpus build side is fingerprints
+    only, never text. AQE handles hot fingerprints; both the
+    within-delta dedup and the anti-join key on the same pair, so the
+    delta is shuffled once."""
+    fp = [
+        F.xxhash64(F.col(text_col)).alias("fp64"),
+        F.xxhash64(F.lit("fp2|"), F.col(text_col)).alias("fp64b"),
+    ]
+    seen = corpus.select(*fp).dropDuplicates(["fp64", "fp64b"])
+    fresh = (
+        delta.select(*fp, "doc_id")
+        .groupBy("fp64", "fp64b")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return fresh.join(seen, ["fp64", "fp64b"], "left_anti")
+
+
 # --------------------------------------------------------------- shingles
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles ('w1 w2 w3' strings). Empty/short docs

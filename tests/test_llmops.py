@@ -598,3 +598,62 @@ def test_audio_features_plumbing(spark, sf_dir):
     assert multimodal._pyav() is None
     with _pytest.raises(NotImplementedError):
         multimodal.decode_video_frames(b"\x00", "mp4")
+
+
+def test_incremental_dedup_equals_union_dedup(spark, sf_dir):
+    """incremental(delta vs corpus) must equal exact dedup of the
+    union restricted to fingerprints the delta wins (i.e. content the
+    corpus has never seen), with injected cross-set and within-delta
+    duplicates."""
+    docs = _docs(spark, sf_dir)
+    corpus_part = docs.filter(F.col("doc_id") % 2 == 0)
+    # delta: odd docs + copies of two even docs (cross-set dups) + a
+    # doubled odd doc (within-delta dup)
+    cross = corpus_part.limit(2).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    delta_base = docs.filter(F.col("doc_id") % 2 == 1)
+    within = delta_base.limit(1).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    delta = delta_base.unionByName(cross).unionByName(within)
+
+    out = {
+        (r.fp64, r.fp64b): (r.keep_doc_id, r.n_copies)
+        for r in dedup.incremental_dedup(delta, corpus_part).collect()
+    }
+    # expected: per-fingerprint groups of the delta, minus any
+    # fingerprint present in corpus_part
+    seen = {
+        (r.fp64, r.fp64b)
+        for r in corpus_part.select(
+            F.xxhash64("text").alias("fp64"),
+            F.xxhash64(F.lit("fp2|"), F.col("text")).alias("fp64b"),
+        ).collect()
+    }
+    expected = {}
+    for r in delta.select(
+        F.xxhash64("text").alias("fp64"),
+        F.xxhash64(F.lit("fp2|"), F.col("text")).alias("fp64b"),
+        "doc_id",
+    ).collect():
+        k = (r.fp64, r.fp64b)
+        if k in seen:
+            continue
+        kept, n = expected.get(k, (r.doc_id, 0))
+        expected[k] = (min(kept, r.doc_id), n + 1)
+    assert out == expected
+    # the two cross-set copies vanished; the within-delta dup collapsed
+    assert len(out) == delta.count() - 2 - 1
+
+
+def test_registry_stays_within_driver_window():
+    """The driver's correctness harness checks exactly the FIRST 50
+    entries of queries() (CORRECTNESS_r02/r03 evidence) — exceeding the
+    cap silently unchecks the tail. Every query must keep its oracle
+    twin (key sets identical)."""
+    from teste_carga_avro_vs_json_spark import registry
+
+    q, o = registry.queries(), registry.oracle_sql()
+    assert len(q) <= 50, f"{len(q)} entries exceed the driver's 50-row window"
+    assert set(q) == set(o)
