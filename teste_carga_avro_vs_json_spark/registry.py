@@ -31,7 +31,6 @@ from teste_carga_avro_vs_json_spark.operators import (
     routing,
     serde,
     similarity,
-    skew,
     text,
 )
 from teste_carga_avro_vs_json_spark.session import configure, load_table
