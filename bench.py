@@ -96,15 +96,18 @@ def main() -> None:
             )
         )
 
-    def _avro_e2e_body():
+    def _avro_e2e_body(vectorized: bool):
         # Same pipeline as w_json_e2e through the Python Avro codec —
         # same (default) source partitioning so the avro-vs-json delta
         # is codec cost, not a scheduling change. r3's cpus//2
         # undersubscription was measured WORSE (16 parts: 3.14 s vs 32
         # parts: 1.69 s median) — halving partitions halved parallelism
-        # of generate+encode+decode; reverted.
+        # of generate+encode+decode; reverted. The codec path is pinned
+        # via the explicit serde parameter, so ambient
+        # SPARK_GRAFT_AVRO_{SCALAR,ARROW} env can't contaminate either
+        # A/B lane.
         msgs = generator.mensagens(spark, n_msgs, tamanho_kb=1)
-        dec = serde.avro_roundtrip(msgs)
+        dec = serde.avro_roundtrip(msgs, vectorized=vectorized)
         sized = routing.size_estimate(routing.route(dec, 18))
         run(
             sized.agg(
@@ -114,27 +117,14 @@ def main() -> None:
         )
 
     def w_avro_e2e():
-        # Headline lane: explicitly PIN the scalar codec (not just the
-        # default) so an ambient SPARK_GRAFT_AVRO_ARROW=1 can't turn
-        # the A/B into two identical Arrow measurements.
-        os.environ["SPARK_GRAFT_AVRO_SCALAR"] = "1"
-        try:
-            _avro_e2e_body()
-        finally:
-            os.environ.pop("SPARK_GRAFT_AVRO_SCALAR", None)
+        # Headline lane: the scalar pandas codec (measured winner at
+        # both the 1 KB and 2 MB message shapes).
+        _avro_e2e_body(vectorized=False)
 
     def w_avro_e2e_arrow():
-        # A/B diagnostic lane: force the Arrow-native vectorized codec
-        # (clearing any ambient scalar pin, which would win otherwise)
-        # so codec-path regressions/flips show up in the same JSON line.
-        scalar_pin = os.environ.pop("SPARK_GRAFT_AVRO_SCALAR", None)
-        os.environ["SPARK_GRAFT_AVRO_ARROW"] = "1"
-        try:
-            _avro_e2e_body()
-        finally:
-            os.environ.pop("SPARK_GRAFT_AVRO_ARROW", None)
-            if scalar_pin is not None:
-                os.environ["SPARK_GRAFT_AVRO_SCALAR"] = scalar_pin
+        # A/B diagnostic lane: the Arrow-native vectorized codec, so
+        # codec-path regressions/flips show up in the same JSON line.
+        _avro_e2e_body(vectorized=True)
 
     def w_metrics():
         run(registry.q_report_format(spark, sf_dir))

@@ -284,20 +284,20 @@ def _decode_udf():
     return _UDF_CACHE["dec"]
 
 
-def to_avro(msg_struct: Column) -> Column:
+def to_avro(msg_struct: Column, vectorized: bool | None = None) -> Column:
     """Engine twin of pyspark.sql.avro.functions.to_avro for the
-    MensagemCarga schema (Arrow-vectorized when available)."""
-    if _vectorized():
-        return _encode_arrow_udf()(msg_struct)
-    return _encode_udf()(msg_struct)
+    MensagemCarga schema. ``vectorized`` pins the codec path explicitly
+    (the bench A/B lanes use this); None defers to the env-driven
+    default in :func:`_vectorized`."""
+    use_vec = _vectorized() if vectorized is None else vectorized
+    return (_encode_arrow_udf() if use_vec else _encode_udf())(msg_struct)
 
 
-def from_avro(data: Column) -> Column:
-    """Engine twin of from_avro for the MensagemCarga schema
-    (Arrow-vectorized when available)."""
-    if _vectorized():
-        return _decode_arrow_udf()(data)
-    return _decode_udf()(data)
+def from_avro(data: Column, vectorized: bool | None = None) -> Column:
+    """Engine twin of from_avro for the MensagemCarga schema (same
+    codec-path pinning contract as :func:`to_avro`)."""
+    use_vec = _vectorized() if vectorized is None else vectorized
+    return (_decode_arrow_udf() if use_vec else _decode_udf())(data)
 
 
 # ----------------------------------------------- Confluent wire framing

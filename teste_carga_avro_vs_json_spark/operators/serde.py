@@ -60,21 +60,28 @@ def json_roundtrip(msgs: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------- Avro path
-def avro_encode(msgs: DataFrame) -> DataFrame:
-    """O3: message columns -> Avro binary column ``valor_avro``."""
+def avro_encode(msgs: DataFrame, vectorized: bool | None = None) -> DataFrame:
+    """O3: message columns -> Avro binary column ``valor_avro``.
+    ``vectorized`` pins the codec path (None = env-driven default)."""
     return msgs.select(
         F.col("sequencia"),
-        to_avro(_msg_struct()).alias("valor_avro"),
+        to_avro(_msg_struct(), vectorized).alias("valor_avro"),
     )
 
 
-def avro_decode(encoded: DataFrame, value_col: str = "valor_avro") -> DataFrame:
+def avro_decode(
+    encoded: DataFrame,
+    value_col: str = "valor_avro",
+    vectorized: bool | None = None,
+) -> DataFrame:
     """O4: Avro binary -> typed message struct."""
-    return encoded.select(from_avro(F.col(value_col)).alias("msg")).select("msg.*")
+    return encoded.select(
+        from_avro(F.col(value_col), vectorized).alias("msg")
+    ).select("msg.*")
 
 
-def avro_roundtrip(msgs: DataFrame) -> DataFrame:
-    return avro_decode(avro_encode(msgs))
+def avro_roundtrip(msgs: DataFrame, vectorized: bool | None = None) -> DataFrame:
+    return avro_decode(avro_encode(msgs, vectorized), vectorized=vectorized)
 
 
 # ----------------------------------------------------- transport lengths

@@ -139,23 +139,32 @@ def _marker_count(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Predict language as argmax of stopword-marker hits; ties and
-    zero-evidence rows resolve to 'und' (undetermined) / alphabetical
-    order — fully deterministic for the oracle."""
-    staged = docs.select("doc_id", "lang", tokens("text").alias("toks"))
-    scored = staged.select(
-        "doc_id",
-        "lang",
-        *[
-            _marker_count(F.col("toks"), ws).alias(f"s_{lang}")
-            for lang, ws in _MARKERS.items()
-        ],
-    )
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in _MARKERS])
+def _marker_score_cols() -> list[Column]:
+    """One ``s_{lang}`` marker-hit count per language, over a staged
+    ``toks`` array column (shared by lang_id and doc_profile)."""
+    return [
+        _marker_count(F.col("toks"), ws).alias(f"s_{lang}")
+        for lang, ws in _MARKERS.items()
+    ]
+
+
+def _lang_pred(best: Column) -> Column:
+    """Argmax language from the ``s_{lang}`` columns: 'und' on zero
+    evidence, alphabetical tiebreak (first max wins) — fully
+    deterministic for the oracle."""
     pred = F.when(best <= 0, F.lit("und"))
-    for lang in sorted(_MARKERS):  # alphabetical tiebreak: first max wins
+    for lang in sorted(_MARKERS):
         pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return pred
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Predict language as argmax of stopword-marker hits (see
+    :func:`_lang_pred` for the tie/zero-evidence rules)."""
+    staged = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    scored = staged.select("doc_id", "lang", *_marker_score_cols())
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _MARKERS])
+    pred = _lang_pred(best)
     return scored.select(
         "doc_id",
         F.col("lang").alias("lang_labeled"),
@@ -190,6 +199,30 @@ def lang_id_sql(table: str = "documents") -> str:
 
 
 # -------------------------------------------------------- quality score
+def _quality_cols(
+    chars: Column, words: Column, stopwords: Column
+) -> list[Column]:
+    """The quality-score output expressions over exact long counts
+    (shared by quality_score and doc_profile — one definition, zero
+    drift between the standalone and fused formulations). In-range
+    indicator components: docs of 20..2000 words with some stopword
+    evidence score higher."""
+    words_nz = F.greatest(words, F.lit(1))
+    return [
+        (chars / words_nz).alias("mean_word_len"),
+        (stopwords / words_nz).alias("stopword_ratio"),
+        (
+            F.when((words >= 20) & (words <= 2000), F.lit(0.5))
+            .otherwise(F.lit(0.0))
+            + F.when(stopwords > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+            + F.when(
+                (chars / words_nz >= 3) & (chars / words_nz <= 12),
+                F.lit(0.2),
+            ).otherwise(F.lit(0.0))
+        ).alias("quality"),
+    ]
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality scoring (length / mean-word-length / stopword
     ratio) — the standard cheap pre-filter for LLM corpora. All ratios
@@ -206,24 +239,11 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.size("toks").cast("long").alias("words"),
         _marker_count(F.col("toks"), en).cast("long").alias("stopwords"),
     )
-    words_nz = F.greatest(F.col("words"), F.lit(1))
     return scored.select(
         "doc_id",
         "chars",
         "words",
-        (F.col("chars") / words_nz).alias("mean_word_len"),
-        (F.col("stopwords") / words_nz).alias("stopword_ratio"),
-        # in-range indicator components: docs of 20..2000 words with
-        # some stopword evidence score higher
-        (
-            F.when((F.col("words") >= 20) & (F.col("words") <= 2000), F.lit(0.5))
-            .otherwise(F.lit(0.0))
-            + F.when(F.col("stopwords") > 0, F.lit(0.3)).otherwise(F.lit(0.0))
-            + F.when(
-                (F.col("chars") / words_nz >= 3) & (F.col("chars") / words_nz <= 12),
-                F.lit(0.2),
-            ).otherwise(F.lit(0.0))
-        ).alias("quality"),
+        *_quality_cols(F.col("chars"), F.col("words"), F.col("stopwords")),
     )
 
 
@@ -301,18 +321,11 @@ def doc_profile(docs: DataFrame) -> DataFrame:
         "fp",
         "norm_len",
         F.size("toks").alias("n_words"),
-        *[
-            _marker_count(F.col("toks"), ws).alias(f"s_{lang}")
-            for lang, ws in _MARKERS.items()
-        ],
+        *_marker_score_cols(),
     )
     best = F.greatest(*[F.col(f"s_{lang}") for lang in _MARKERS])
-    pred = F.when(best <= 0, F.lit("und"))
-    for lang in sorted(_MARKERS):  # alphabetical tiebreak: first max wins
-        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
     chars = F.col("n_chars_measured").cast("long")
     words = F.col("n_words").cast("long")
-    words_nz = F.greatest(words, F.lit(1))
     stopwords = F.col("s_en").cast("long")  # en markers == quality_score's
     return scored.select(
         "doc_id",
@@ -320,21 +333,11 @@ def doc_profile(docs: DataFrame) -> DataFrame:
         "n_pieces",
         "n_chars_measured",
         F.col("lang").alias("lang_labeled"),
-        pred.alias("lang_pred"),
+        _lang_pred(best).alias("lang_pred"),
         best.cast("int").alias("marker_hits"),
         chars.alias("chars"),
         words.alias("words"),
-        (chars / words_nz).alias("mean_word_len"),
-        (stopwords / words_nz).alias("stopword_ratio"),
-        (
-            F.when((words >= 20) & (words <= 2000), F.lit(0.5))
-            .otherwise(F.lit(0.0))
-            + F.when(stopwords > 0, F.lit(0.3)).otherwise(F.lit(0.0))
-            + F.when(
-                (chars / words_nz >= 3) & (chars / words_nz <= 12),
-                F.lit(0.2),
-            ).otherwise(F.lit(0.0))
-        ).alias("quality"),
+        *_quality_cols(chars, words, stopwords),
         "fp",
         "norm_len",
     )
