@@ -245,3 +245,45 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         F.col("particao").cast("int").alias("particao"),
         "id", "timestamp", "sequencia", "dados", "versao",
     )
+
+
+# ------------------------------------------------------------ compaction
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_records_per_file: int = 1_000_000,
+    partition_col: str | None = "particao",
+) -> DataFrame:
+    """Small-files compaction: rewrite a parquet dataset with bounded
+    file counts — THE standard maintenance job for long-lived ingest
+    layouts, where every micro-batch/task leaves a file per partition
+    and the metadata + open-file overhead eventually dominates scans.
+
+    Shape: one ``repartition(partition_col)`` shuffle co-locates each
+    Hive partition's rows into one task (so each partition dir gets
+    files from exactly one writer), and ``maxRecordsPerFile`` caps file
+    size without a second pass. At 100 TB, run per-partition-range so
+    the shuffle stays bounded; AQE coalesces the small tail. Returns a
+    one-row-per-partition manifest (files before is the caller's
+    concern; files after == ceil(rows / target) per partition).
+    """
+    df = spark.read.parquet(src)
+    writer = (
+        (df.repartition(F.col(partition_col)) if partition_col else df.coalesce(1))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+    )
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(dst)
+    out = spark.read.parquet(dst)
+    group = [partition_col] if partition_col else []
+    return (
+        out.groupBy(*group)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "n_files_max",
+            F.ceil(F.col("n_rows") / F.lit(target_records_per_file)).cast("int"),
+        )
+    )

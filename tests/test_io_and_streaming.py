@@ -438,3 +438,30 @@ def test_read_kafka_reaches_connector_boundary(spark):
     msg = str(ei.value)
     assert "kafka" in msg.lower()
     assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+
+
+def test_compact_parquet_bounds_file_counts(spark, tmp_path):
+    """Compaction must collapse a fragmented partitioned dataset to one
+    writer per partition dir (bounded by maxRecordsPerFile), preserving
+    every row."""
+    import glob
+
+    from teste_carga_avro_vs_json_spark.operators import routing
+
+    msgs = _msgs(spark, 60)
+    src = str(tmp_path / "frag")
+    # fragment deliberately: 8 writer tasks x 6 partition dirs -> up to
+    # 48 small files (the engine's own write_parquet repartitions by
+    # particao precisely to avoid this; raw writers don't)
+    routing.route(msgs, 6).repartition(8).write.partitionBy(
+        "particao"
+    ).parquet(src)
+    n_before = len(glob.glob(f"{src}/particao=*/*.parquet"))
+    dst = str(tmp_path / "compact")
+    manifest = io_files.compact_parquet(spark, src, dst)
+    n_after = len(glob.glob(f"{dst}/particao=*/*.parquet"))
+    assert n_after == 6 < n_before  # exactly one file per partition dir
+    back = io_files.read_parquet(spark, dst)
+    assert _flat_set(back.drop("particao")) == _flat_set(msgs)
+    rows = {r.particao: r.n_rows for r in manifest.collect()}
+    assert sum(rows.values()) == 60 and set(rows) == set(range(6))
