@@ -46,6 +46,22 @@ def _steal_ticks() -> int:
         return -1
 
 
+def _effective_cpus() -> float:
+    """CPU budget for the steal_pct denominator: the cgroup v2 cpu quota
+    when this container is cpu-limited (cpu.max = "<quota> <period>"),
+    else the host CPU count. /proc/stat steal is host-wide, so dividing
+    by host CPUs when the run's real budget is a smaller quota would
+    understate contention relative to the run."""
+    try:
+        with open("/sys/fs/cgroup/cpu.max") as f:
+            quota, period = f.read().split()
+        if quota != "max":
+            return int(quota) / int(period)
+    except (OSError, ValueError):
+        pass
+    return float(os.cpu_count() or 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -296,9 +312,10 @@ def main() -> None:
     # inflated by host noise, not engine cost.
     steal1, wall1 = _steal_ticks(), time.perf_counter()
     if steal0 >= 0 and steal1 >= 0:
-        # /proc/stat aggregates steal over ALL host vCPUs, so the tick
-        # budget must use the host CPU count, not the Spark-sizing knob
-        budget_ticks = (wall1 - wall0) * 100.0 * (os.cpu_count() or 1)
+        # /proc/stat aggregates steal over ALL host vCPUs; the tick
+        # budget uses the cgroup cpu quota when one is set (else host
+        # CPUs), never the Spark-sizing knob
+        budget_ticks = (wall1 - wall0) * 100.0 * _effective_cpus()
         out["steal_pct"] = round(100.0 * (steal1 - steal0) / budget_ticks, 2)
     try:
         out["loadavg_1m"] = round(os.getloadavg()[0], 1)

@@ -36,13 +36,46 @@ from typing import Callable
 from pyspark.sql import Column
 
 
+def _strip_nonidentity(node):
+    """Recursively drop Avro attributes that never affect parsing —
+    ``doc`` and ``aliases`` (the [STRIP] step of Avro's Parsing
+    Canonical Form, spec §"Transforming into Parsing Canonical Form")
+    — so documentation-only edits don't mint new schema ids."""
+    if isinstance(node, dict):
+        return {
+            k: _strip_nonidentity(v)
+            for k, v in node.items()
+            if k not in ("doc", "aliases")
+        }
+    if isinstance(node, list):
+        return [_strip_nonidentity(v) for v in node]
+    return node
+
+
 def canonical_schema(schema: str) -> str:
-    """Canonical form used for schema identity: parsed JSON re-dumped
-    with sorted keys and no whitespace, so formatting/key-order
-    variants of the same schema resolve to the same id (the registry
-    service does full Avro canonicalization; sorted-compact JSON is
-    the deterministic subset that needs no Avro parser)."""
-    return json.dumps(json.loads(schema), sort_keys=True, separators=(",", ":"))
+    """Canonical form used for schema identity: parsed JSON with
+    ``doc``/``aliases`` stripped (as Avro Parsing Canonical Form does),
+    re-dumped with sorted keys and no whitespace, so formatting,
+    key-order, and documentation variants of the same schema resolve to
+    the same id.
+
+    Remaining divergences from a real Confluent registry's
+    canonicalization, which a live deployment would dedupe further:
+
+    - ``default`` and ``order`` are KEPT here (PCF strips them) —
+      defaults matter to schema-resolution reads and this canon is also
+      what :meth:`InMemorySchemaRegistry.get_by_id` hands back to
+      decoders, so dropping them would change decode semantics;
+    - names are not fullname-normalized (PCF inlines namespaces into
+      every name) and numeric literals are not normalized.
+
+    Schemas differing ONLY in those attributes get distinct ids here but
+    one id on a live registry."""
+    return json.dumps(
+        _strip_nonidentity(json.loads(schema)),
+        sort_keys=True,
+        separators=(",", ":"),
+    )
 
 
 class InMemorySchemaRegistry:

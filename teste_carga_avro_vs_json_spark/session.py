@@ -13,6 +13,7 @@ with `spark.sql.adaptive.coalescePartitions.initialPartitionNum`).
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
@@ -44,13 +45,35 @@ _BUILD_CONFS = {
 }
 
 
+# (session id, conf key) pairs already warned about — configure() runs on
+# every load_table call, so failures surface ONCE per session, not per read.
+_WARNED_CONFS: set[tuple[int, str]] = set()
+
+
 def configure(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine confs to an existing session."""
+    """Apply runtime-settable engine confs to an existing session.
+
+    A conf that cannot be set (static on some builds — e.g. a session
+    whose ``nanosAsLong`` was fixed at JVM start) is NOT silently
+    dropped: each failure surfaces once per session as a
+    ``RuntimeWarning`` naming the key, so a mis-typed events clock or a
+    disabled Arrow path is diagnosable instead of a downstream schema
+    mystery. The session is still returned usable — callers on builds
+    with the confs preset see no warning and no behavior change."""
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # conf may be static on some builds; reads then need it preset
+        except Exception as exc:
+            mark = (id(spark), k)
+            if mark not in _WARNED_CONFS:
+                _WARNED_CONFS.add(mark)
+                warnings.warn(
+                    f"could not set session conf {k}={v!r} ({exc}); "
+                    "if it is static on this build it must be preset "
+                    "before reads rely on it",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return spark
 
 

@@ -31,6 +31,8 @@ count × P would explode small files. Reads prune on ``particao``
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
@@ -267,7 +269,22 @@ def compact_parquet(
     the shuffle stays bounded; AQE coalesces the small tail. Returns a
     one-row-per-partition manifest (files before is the caller's
     concern; files after == ceil(rows / target) per partition).
+
+    ``dst`` must be a fresh location: the read of ``src`` is lazy, so an
+    overwrite of the same (or an enclosing/nested) path would delete the
+    source mid-job and lose the dataset — rejected up front.
     """
+    src_real = os.path.realpath(src)
+    dst_real = os.path.realpath(dst)
+    if (
+        src_real == dst_real
+        or dst_real.startswith(src_real + os.sep)
+        or src_real.startswith(dst_real + os.sep)
+    ):
+        raise ValueError(
+            f"compact_parquet dst must not overlap src (src={src!r}, "
+            f"dst={dst!r}): the lazy overwrite would destroy the source"
+        )
     df = spark.read.parquet(src)
     writer = (
         (df.repartition(F.col(partition_col)) if partition_col else df.coalesce(1))

@@ -465,3 +465,21 @@ def test_compact_parquet_bounds_file_counts(spark, tmp_path):
     assert _flat_set(back.drop("particao")) == _flat_set(msgs)
     rows = {r.particao: r.n_rows for r in manifest.collect()}
     assert sum(rows.values()) == 60 and set(rows) == set(range(6))
+
+
+def test_compact_parquet_rejects_overlapping_dst(spark, tmp_path):
+    """dst == src (or nested either way) would let the lazy overwrite
+    delete the source mid-job — rejected before any read is planned."""
+    src = str(tmp_path / "data")
+    with pytest.raises(ValueError, match="must not overlap"):
+        io_files.compact_parquet(spark, src, src)
+    with pytest.raises(ValueError, match="must not overlap"):
+        io_files.compact_parquet(spark, src, src + "/sub")
+    with pytest.raises(ValueError, match="must not overlap"):
+        io_files.compact_parquet(spark, src + "/part", src)
+    # sibling path with a shared name prefix is NOT an overlap
+    ok_src = str(tmp_path / "d")
+    ok_dst = str(tmp_path / "d2")
+    spark.range(4).write.mode("overwrite").parquet(ok_src)
+    io_files.compact_parquet(spark, ok_src, ok_dst, partition_col=None)
+    assert spark.read.parquet(ok_dst).count() == 4

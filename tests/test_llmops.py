@@ -592,12 +592,15 @@ def test_audio_features_plumbing(spark, sf_dir):
         assert r.duration_ms == (len(b) // 2) * 1000 // 16000
         assert r.peak == max(b)
         assert r.format in ("wav", "flac", "ogg")
-    assert multimodal._soundfile() is None  # no libsndfile here
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"RIFF", "wav")
-    assert multimodal._pyav() is None
-    with _pytest.raises(NotImplementedError):
-        multimodal.decode_video_frames(b"\x00", "mp4")
+    # Decode gates only raise where the real libs are ABSENT — on a
+    # cluster image with soundfile/PyAV the same suite must stay green
+    # (real decode flips on), so the raise-assertions are conditional.
+    if multimodal._soundfile() is None:
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_audio(b"RIFF", "wav")
+    if multimodal._pyav() is None:
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_video_frames(b"\x00", "mp4")
 
 
 def test_incremental_dedup_equals_union_dedup(spark, sf_dir):

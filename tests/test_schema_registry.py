@@ -94,3 +94,116 @@ def test_serialize_confluent_frames_with_registered_id(spark):
         (avro_codec.confluent_unwrap(wire) == F.col("payload")).alias("rt"),
     ).collect()
     assert all(r.sid == sid and r.rt for r in out)
+
+
+SCHEMA_DOCED = (
+    '{"type": "record", "name": "M", "doc": "a doc", "aliases": ["OldM"],'
+    ' "fields": [{"name": "id", "type": "string", "doc": "pk"}]}'
+)
+
+
+def test_canonicalization_strips_doc_and_aliases():
+    """Documentation-only variants (doc/aliases, at any nesting level)
+    resolve to the SAME id (Avro PCF [STRIP] semantics); default/order
+    are deliberately kept (they alter schema-resolution reads)."""
+    assert schema_registry.canonical_schema(
+        SCHEMA_DOCED
+    ) == schema_registry.canonical_schema(SCHEMA)
+    reg = schema_registry.InMemorySchemaRegistry()
+    assert reg.register("s", SCHEMA) == reg.register("s", SCHEMA_DOCED)
+    with_default = SCHEMA.replace(
+        '"type": "string"}', '"type": "string", "default": "x"}'
+    )
+    assert schema_registry.canonical_schema(
+        with_default
+    ) != schema_registry.canonical_schema(SCHEMA)
+
+
+def _loopback_registry_server():
+    """Minimal in-process Schema Registry speaking the two REST
+    endpoints the client uses, with Confluent id semantics."""
+    import http.server
+
+    store: dict = {}
+    next_id = [1]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def _send(self, status, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header(
+                "Content-Type", "application/vnd.schemaregistry.v1+json"
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if not (
+                self.path.startswith("/subjects/")
+                and self.path.endswith("/versions")
+            ):
+                return self._send(
+                    404, {"error_code": 40401, "message": "not found"}
+                )
+            n = int(self.headers["Content-Length"])
+            try:
+                schema = json.loads(self.rfile.read(n))["schema"]
+                json.loads(schema)  # must itself be valid JSON
+            except (ValueError, KeyError):
+                return self._send(
+                    422, {"error_code": 42201, "message": "invalid schema"}
+                )
+            sid = store.get(schema)
+            if sid is None:
+                sid = next_id[0]
+                next_id[0] += 1
+                store[schema] = sid
+                store[sid] = schema
+            self._send(200, {"id": sid})
+
+        def do_GET(self):
+            if self.path.startswith("/schemas/ids/"):
+                sid = int(self.path.rsplit("/", 1)[1])
+                if sid in store:
+                    return self._send(200, {"schema": store[sid]})
+                return self._send(
+                    404, {"error_code": 40403, "message": "Schema not found"}
+                )
+            self._send(404, {"error_code": 40401, "message": "not found"})
+
+    return http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+
+
+def test_http_client_against_loopback_server():
+    """End-to-end over REAL sockets with the DEFAULT opener (no
+    injection): register / idempotent re-register / get_by_id round
+    trip, plus 4xx error paths arriving via urllib's HTTPError and
+    normalized to the client's RuntimeError contract."""
+    import threading
+
+    srv = _loopback_registry_server()
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        reg = schema_registry.HttpSchemaRegistry(base)
+        sid = reg.register("t-value", SCHEMA)
+        assert sid == 1
+        # canonically-equal variants are idempotent across the wire
+        assert reg.register("t-value", SCHEMA_REORDERED) == sid
+        assert reg.register("t-value", SCHEMA_DOCED) == sid
+        assert reg.get_by_id(sid) == schema_registry.canonical_schema(SCHEMA)
+        assert reg.register("t-value", OTHER) == 2
+        # 4xx paths through the real opener
+        with pytest.raises(RuntimeError, match="HTTP 404"):
+            reg.get_by_id(999)
+        with pytest.raises(RuntimeError, match="HTTP 404"):
+            schema_registry.HttpSchemaRegistry(f"{base}/bad").get_by_id(1)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)

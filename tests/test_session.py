@@ -97,3 +97,39 @@ def test_register_views_sql_surface(spark, sf_dir):
         """
     ).collect()
     assert j.n == 25
+
+
+def test_configure_warns_once_per_session_on_static_conf():
+    """A conf.set failure (static conf build) must surface as a
+    RuntimeWarning naming the key — once per session, not once per
+    load_table call — instead of being silently swallowed."""
+    import warnings as _warnings
+
+    from teste_carga_avro_vs_json_spark import session as session_mod
+
+    class _StaticConf:
+        def set(self, k, v):
+            raise Exception(f"Cannot modify the value of a static config: {k}")
+
+    class _StaticSession:
+        conf = _StaticConf()
+
+    fake = _StaticSession()
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = session_mod.configure(fake)
+        assert out is fake  # session still returned usable
+        msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+        assert len(msgs) == len(session_mod._RUNTIME_CONFS)
+        for key in session_mod._RUNTIME_CONFS:
+            assert any(key in m for m in msgs), key
+        # second configure on the SAME session: no duplicate warnings
+        n_before = len(caught)
+        session_mod.configure(fake)
+        assert len(caught) == n_before
+    # a DIFFERENT session warns afresh
+    fake2 = _StaticSession()
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        session_mod.configure(fake2)
+        assert any(w.category is RuntimeWarning for w in caught2)
