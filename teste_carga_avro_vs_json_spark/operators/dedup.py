@@ -248,7 +248,18 @@ def _banded_jaccard(
       corpus swap persist for an explicit checkpoint/table if executor
       storage is tight).
     - Pair dedup happens BEFORE the array fetch, so each candidate pair
-      is verified exactly once no matter how many bands it collides in.
+      is verified exactly once no matter how many bands it collides in —
+      and it is FUSED with the ``doc_a`` fetch: aggregating the raw pair
+      stream as ``groupBy(doc_a).agg(collect_set(doc_b))`` both dedups
+      (map-side partial aggregation shrinks the pair shuffle before it
+      moves) and lands the frame hash-partitioned on ``doc_a`` — exactly
+      the partitioning the first fetch join needs, so the dedup exchange
+      IS the join probe exchange (same shape as
+      ``similarity.lsh_ann_topk``; one fewer exchange than the
+      ``dropDuplicates`` formulation). Per-key set size is bounded by a
+      doc's band-collision fan-out, which the banding bounds; the
+      explode back to pair rows happens AFTER the dedup, so array bytes
+      still scale with |candidates|.
     - Skewed band buckets are split by AQE skew-join; the ``base``
       frame is persisted because banding + both fetch sides read it.
     """
@@ -285,7 +296,8 @@ def _banded_jaccard(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .groupBy("doc_a")
+        .agg(F.collect_set("doc_b").alias("doc_bs"))
     )
     x = base.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
@@ -295,6 +307,7 @@ def _banded_jaccard(
     ).hint("shuffle_hash")
     return (
         cand.join(x, "doc_a")
+        .select("doc_a", F.explode("doc_bs").alias("doc_b"), "sh_a")
         .join(y, "doc_b")
         .select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -464,11 +477,13 @@ def neardup_clusters(
         .persist()
     )
     # Round 1 fused into init: with labels(v) = v, the propagated min is
-    # just min(v, min over neighbours) — one aggregation, no join.
+    # just min(v, min over neighbours) — one aggregation, no join. The
+    # checkpoint is LAZY: the first convergence probe materializes it as
+    # part of its own job, so init costs no standalone job.
     labels = (
         edges.groupBy(F.col("src").alias("doc_id"))
         .agg(F.least(F.first("src"), F.min("dst")).alias("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters - 1):
         # Edge symmetry guarantees every labelled node appears as dst,
@@ -479,6 +494,9 @@ def neardup_clusters(
             .groupBy("nid")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # Lazy checkpoint + probe = ONE job per round (the probe's agg
+        # materializes the checkpoint it sums over); the eager variant
+        # paid a materialization job AND a probe job every round.
         new_labels = (
             labels.join(nbr, labels["doc_id"] == nbr["nid"])
             .select(
@@ -486,7 +504,7 @@ def neardup_clusters(
                 F.least(F.col("cluster_id"), F.col("nbr_min")).alias("cluster_id"),
                 (F.col("nbr_min") < F.col("cluster_id")).cast("long").alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("chg")).first()[0]
         labels = new_labels.drop("chg")
