@@ -438,9 +438,13 @@ def neardup_clusters(
     threshold: float = 0.3,
     max_iters: int = 25,
     scale: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve LSH near-dup candidate pairs into connected components
     and mark the canonical survivor per cluster (min doc_id).
+    ``stats`` (optional) receives ``{"rounds": n}`` — the number of
+    propagation rounds actually run (diagnostics/stress runs; the
+    convergence round that observes zero changes is counted).
     ``scale=True`` generates candidates with the xxhash64 signature path
     (cheaper, not DuckDB-oracle-able); both paths verify candidates with
     exact Jaccard, so the resolved clusters agree wherever the banding
@@ -485,7 +489,9 @@ def neardup_clusters(
         .agg(F.least(F.first("src"), F.min("dst")).alias("cluster_id"))
         .localCheckpoint(eager=False)
     )
+    rounds = 0
     for _ in range(max_iters - 1):
+        rounds += 1
         # Edge symmetry guarantees every labelled node appears as dst,
         # so the inner joins below lose nobody.
         nbr = (
@@ -510,6 +516,8 @@ def neardup_clusters(
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     edges.unpersist()
     return labels.withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id")

@@ -1,0 +1,125 @@
+"""10x stress harness for the corpus-scale operators (SCALE.md evidence).
+
+Builds a worst-case-duplication corpus — 10 near-identical replicas of
+EVERY sf0.1 document (each replica appends a distinct token, so replicas
+are near-dups of their original without being exact dups) — and runs the
+heavy lanes end-to-end:
+
+- ``corpus_clean`` (full gate -> exact dedup -> LSH -> anti-join)
+- ``neardup_clusters`` (reports propagation ROUND COUNT at 10x — the
+  scale question is whether the replica cliques still close in O(1)
+  rounds)
+- ``token_budget_sample`` (distributed prefix sum over 10x rows at a
+  proportionally scaled budget)
+- ``minhash_lsh_candidates_scale`` (the candidate-join shape on a corpus
+  where every band bucket is 10x hotter)
+
+Prints one JSON line. Surviving at all is the OOM check (the fused
+array-carrying LSH variant measured executor-OOM on exactly this
+corpus); timings + output sizes are the SCALE.md table rows.
+
+Usage: python tools/stress10x.py  (knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
+
+    from teste_carga_avro_vs_json_spark.operators import corpus, dedup
+    from teste_carga_avro_vs_json_spark.session import configure, load_table
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stress10x")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    configure(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 10 near-identical replicas per doc: replica r keeps the text and
+    # appends one distinct token => shingle sets differ only at the tail,
+    # Jaccard >> threshold => every original becomes a 10-doc near-dup
+    # clique. doc_id = original*10 + r keeps ids unique and makes the
+    # original (r=0) the canonical min.
+    corpus10 = (
+        docs.crossJoin(spark.range(10).select(F.col("id").alias("r")))
+        .select(
+            (F.col("doc_id") * 10 + F.col("r")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" zrep"), F.col("r").cast("string")
+            ).alias("text"),
+            "source",
+            "lang",
+        )
+        .repartition(cpus)
+        .persist()
+    )
+    n10 = corpus10.count()
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    out: dict = {"sf_dir": sf_dir, "cpus": cpus, "rows_10x": n10}
+
+    t0 = time.perf_counter()
+    run(dedup.minhash_lsh_candidates_scale(corpus10.select("doc_id", "text")))
+    out["lsh_candidates_sec"] = round(time.perf_counter() - t0, 2)
+    pairs = dedup.minhash_lsh_candidates_scale(
+        corpus10.select("doc_id", "text")
+    ).count()
+    out["lsh_candidate_pairs"] = pairs
+
+    stats: dict = {}
+    t0 = time.perf_counter()
+    clusters = dedup.neardup_clusters(
+        corpus10.select("doc_id", "text"), scale=True, stats=stats
+    )
+    n_clustered = clusters.count()
+    out["neardup_clusters_sec"] = round(time.perf_counter() - t0, 2)
+    out["neardup_clustered_docs"] = n_clustered
+    out["neardup_propagation_rounds"] = stats.get("rounds")
+    out["neardup_canonicals"] = clusters.filter("is_canonical").count()
+
+    t0 = time.perf_counter()
+    cleaned = corpus.corpus_clean(corpus10, scale=True)
+    n_clean = cleaned.count()
+    out["corpus_clean_sec"] = round(time.perf_counter() - t0, 2)
+    out["corpus_clean_survivors"] = n_clean
+
+    t0 = time.perf_counter()
+    sampled = corpus.token_budget_sample(
+        corpus10, budget_tokens=100_000, n_buckets=cpus
+    )
+    n_samp = sampled.count()
+    out["token_budget_sample_sec"] = round(time.perf_counter() - t0, 2)
+    out["token_budget_sampled_docs"] = n_samp
+
+    try:
+        out["loadavg_1m"] = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
