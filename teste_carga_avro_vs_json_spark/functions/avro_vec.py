@@ -269,13 +269,36 @@ def encode_batch(msgs: pa.Array) -> pa.Array:
 # ----------------------------------------------------------------- decode
 
 
+# Decode dispatch: the vectorization axis of the block-parse state
+# machine below is MESSAGES — each registro rank costs a fixed number of
+# numpy calls over n-wide arrays. When messages are tall (many registros)
+# and the batch is narrow, that fixed per-rank cost dominates: measured
+# 22x SLOWER than the row-serial scalar parser at 3 msgs x 8000 regs,
+# while being ~4x faster at 3125 msgs x 5 regs. Crossover sits at
+# ~16-64 KB/msg across probed shapes (see SCALE.md table); batches
+# averaging more than this fall back to the scalar parser per row.
+_TALL_MSG_BYTES = 32 * 1024
+
+
 def decode_batch(data: pa.Array) -> pa.StructArray:
     """BinaryArray of Avro records -> StructArray<MENSAGEM_CARGA>,
-    value-identical to ``avro_codec.decode_mensagem`` per row."""
+    value-identical to ``avro_codec.decode_mensagem`` per row.
+
+    Tall-message batches (avg > ``_TALL_MSG_BYTES`` per message) are
+    parsed row-serially via the scalar codec — the per-registro-rank
+    numpy fixed cost of the vectorized state machine loses to a tight
+    Python byte walk once registros-per-message dwarfs rows-per-batch."""
     if isinstance(data, pa.ChunkedArray):
         data = data.combine_chunks()
     n = len(data)
     buf, starts, _lens = _str_view(data)
+    if n and int(_lens.sum()) > n * _TALL_MSG_BYTES:
+        from teste_carga_avro_vs_json_spark.functions import avro_codec
+
+        return pa.array(
+            [avro_codec.decode_mensagem(v.as_py()) for v in data],
+            type=_MSG_T,
+        )
 
     p = starts.copy()
     idl, p = _read_varints(buf, p)
