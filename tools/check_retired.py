@@ -1,0 +1,241 @@
+"""Oracle re-verification of the REGISTRY-RETIRED queries.
+
+The driver checks only the first 50 ``registry.queries()`` entries
+(CLAUDE.md hard cap), so queries retired during the r4 consolidation
+survive as pytest pins only. This tool restores the full Spark-vs-DuckDB
+hash check for every retired query that is oracle-capable — the same
+comparison protocol as ``tools/check_correctness.py`` — so each round
+can commit a ``CORRECTNESS_LOCAL_r{N}.json`` artifact proving the
+retired surface is still green, not merely unit-consistent.
+
+Retired inventory (r3 registry minus r4's 50-entry window; COVERAGE.md):
+
+- q_lang_id / q_quality_score / q_token_count / q_fingerprint — fused
+  into ``q_doc_profile`` (components still exported standalone);
+- q_media_features / q_media_resize — fused into ``q_media_pipeline``;
+- q_file_json_roundtrip / q_file_parquet_roundtrip — avro kept as the
+  registry representative of the file surface;
+- q_cosine_topk_scale (salted twin), q_salted_agg — skew-shape twins of
+  oracle-identical plain queries;
+- q_stream_sessionize — streaming twin of q_sessionize (function still
+  lives in registry.py, unlisted).
+
+``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
+not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
+
+Usage: python tools/check_retired.py [sf_dir] [query ...] [--json OUT]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark import registry
+from teste_carga_avro_vs_json_spark.operators import (
+    asof,
+    multimodal,
+    similarity,
+    skew,
+    text,
+)
+from teste_carga_avro_vs_json_spark.session import get_spark, load_table
+from teste_carga_avro_vs_json_spark.sources import generator
+from tools.check_correctness import TABLES, _hash
+
+
+def _q_lang_id(spark, sf_dir):
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_quality_score(spark, sf_dir):
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _q_token_count(spark, sf_dir):
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def _q_media_features(spark, sf_dir):
+    return multimodal.media_features(load_table(spark, sf_dir, "documents"))
+
+
+def _q_media_resize(spark, sf_dir):
+    media = multimodal.synth_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize(media).select(
+        "doc_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+def _q_cosine_topk_scale(spark, sf_dir):
+    return similarity.cosine_topk_scale(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_salted_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.length("props").cast("long").alias("nbytes")
+    )
+    return skew.salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("count", "user_id", "n"),
+            ("sum", "nbytes", "total_bytes"),
+            ("min", "user_id", "min_user"),
+            ("max", "user_id", "max_user"),
+        ],
+    ).orderBy("event_type")
+
+
+def _q_file_json_roundtrip(spark, sf_dir):
+    return registry._file_roundtrip(spark, "json")
+
+
+def _q_file_parquet_roundtrip(spark, sf_dir):
+    return registry._file_roundtrip(spark, "parquet")
+
+
+def _media_resize_sql() -> str:
+    from teste_carga_avro_vs_json_spark.functions.portable import hex32_sql
+
+    w_hash = hex32_sql("'w-' || doc_id")
+    h_hash = hex32_sql("'h-' || doc_id")
+    w = f"({w_hash} % 1920 + 1)"
+    h = f"({h_hash} % 1080 + 1)"
+    return f"""
+        SELECT doc_id,
+               224 AS width,
+               224 AS height,
+               GREATEST(1, FLOOR(64 * ((224.0 * 224.0) / ({w} * {h}))))::BIGINT
+                   AS n_bytes
+        FROM documents
+    """
+
+
+def _salted_agg_sql() -> str:
+    return """
+        SELECT event_type,
+               COUNT(user_id) AS n,
+               SUM(length(props))::BIGINT AS total_bytes,
+               MIN(user_id) AS min_user,
+               MAX(user_id) AS max_user
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
+def _stream_sessionize_sql() -> str:
+    return f"""
+        SELECT user_id, start_ms, n_events
+        FROM ({asof.sessionize_sql()})
+        ORDER BY user_id, start_ms
+    """
+
+
+def retired_queries() -> dict:
+    return {
+        "q_lang_id": _q_lang_id,
+        "q_quality_score": _q_quality_score,
+        "q_token_count": _q_token_count,
+        "q_fingerprint": _q_fingerprint,
+        "q_media_features": _q_media_features,
+        "q_media_resize": _q_media_resize,
+        "q_file_json_roundtrip": _q_file_json_roundtrip,
+        "q_file_parquet_roundtrip": _q_file_parquet_roundtrip,
+        "q_cosine_topk_scale": _q_cosine_topk_scale,
+        "q_salted_agg": _q_salted_agg,
+        "q_stream_sessionize": registry.q_stream_sessionize,
+    }
+
+
+def retired_oracle_sql() -> dict:
+    flat = generator.registros_flat_sql(registry.GEN_TOTAL, registry.GEN_KB)
+    return {
+        "q_lang_id": text.lang_id_sql(),
+        "q_quality_score": text.quality_score_sql(),
+        "q_token_count": text.token_counts_sql(),
+        "q_fingerprint": text.fingerprint_sql(),
+        "q_media_features": multimodal.media_features_sql(),
+        "q_media_resize": _media_resize_sql(),
+        "q_file_json_roundtrip": flat,
+        "q_file_parquet_roundtrip": flat,
+        "q_cosine_topk_scale": similarity.cosine_topk_sql(),
+        "q_salted_agg": _salted_agg_sql(),
+        "q_stream_sessionize": _stream_sessionize_sql(),
+    }
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    out_json = None
+    if "--json" in sys.argv:
+        i = sys.argv.index("--json")
+        out_json = sys.argv[i + 1]
+        args = [a for a in sys.argv[1:] if a not in ("--json", out_json)]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    spark = get_spark("check-retired")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = retired_oracle_sql()
+    results: dict = {}
+    failures = 0
+    for name, fn in retired_queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        rec: dict = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "err": None,
+        }
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+            rec["spark_rows"], rec["oracle_rows"] = len(srows), len(orows)
+            rec["rows_match"] = len(srows) == len(orows)
+            rec["schema_match"] = sorted(scols) == sorted(ocols)
+            if rec["schema_match"]:
+                rec["hash_match"] = _hash(
+                    scols, [tuple(r) for r in srows]
+                ) == _hash(ocols, orows)
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"{type(e).__name__}: {e}"
+        ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+        if not ok:
+            failures += 1
+        print(
+            f"{'ok  ' if ok else 'FAIL'} {name}: "
+            f"{rec.get('spark_rows', '?')} rows  ({time.time() - t0:.1f}s)"
+            + (f"  err={rec['err']}" if rec["err"] else "")
+        )
+        results[name] = rec
+    print("failures:", failures)
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=2)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
