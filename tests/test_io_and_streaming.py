@@ -483,3 +483,65 @@ def test_compact_parquet_rejects_overlapping_dst(spark, tmp_path):
     spark.range(4).write.mode("overwrite").parquet(ok_src)
     io_files.compact_parquet(spark, ok_src, ok_dst, partition_col=None)
     assert spark.read.parquet(ok_dst).count() == 4
+
+
+def test_fetch_offsets_drives_kafka_python_api_contract(monkeypatch):
+    """fetch_offsets' kafka-python usage pinned end-to-end against a
+    fake `kafka` module injected via sys.modules (the lib isn't in this
+    container): partitions_for_topic -> TopicPartition list ->
+    beginning_offsets/end_offsets keyed BY TopicPartition. A real
+    kafka-python install satisfies exactly these shapes, so the gate
+    flips live with no code change — same approach as the schema
+    registry's loopback server test."""
+    import sys
+    import types
+
+    from teste_carga_avro_vs_json_spark.sources import io_kafka
+
+    calls = {}
+
+    class TopicPartition:
+        def __init__(self, topic, partition):
+            self.topic, self.partition = topic, partition
+
+        def __hash__(self):
+            return hash((self.topic, self.partition))
+
+        def __eq__(self, other):
+            return (self.topic, self.partition) == (other.topic, other.partition)
+
+    class KafkaConsumer:
+        def __init__(self, bootstrap_servers=None):
+            calls["bootstrap"] = bootstrap_servers
+
+        def partitions_for_topic(self, topic):
+            calls["topic"] = topic
+            return {0, 1, 2}
+
+        def beginning_offsets(self, parts):
+            calls["begin_parts"] = sorted(p.partition for p in parts)
+            return {p: 5 * p.partition for p in parts}
+
+        def end_offsets(self, parts):
+            return {p: 100 + 10 * p.partition for p in parts}
+
+    fake = types.ModuleType("kafka")
+    fake.KafkaConsumer = KafkaConsumer
+    fake.TopicPartition = TopicPartition
+    monkeypatch.setitem(sys.modules, "kafka", fake)
+
+    begins, ends = io_kafka.fetch_offsets("b1:9092,b2:9092", "carga")
+    assert calls == {
+        "bootstrap": "b1:9092,b2:9092",
+        "topic": "carga",
+        "begin_parts": [0, 1, 2],
+    }
+    assert begins == {0: 0, 1: 5, 2: 10}
+    assert ends == {0: 100, 1: 110, 2: 120}
+    # and the offsets feed the tail-N arithmetic unchanged
+    opts = io_kafka.kafka_tail_n_read_options(
+        "b1:9092", "carga", begins, ends, target_total=30
+    )
+    assert opts["startingOffsets"] == (
+        '{"carga": {"0": 90, "1": 100, "2": 110}}'
+    )
