@@ -32,10 +32,18 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
     from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
 
     from teste_carga_avro_vs_json_spark import registry
-    from teste_carga_avro_vs_json_spark.operators import text
+    from teste_carga_avro_vs_json_spark.operators import (
+        corpus,
+        dedup,
+        routing,
+        serde,
+        text,
+    )
     from teste_carga_avro_vs_json_spark.session import configure, load_table
+    from teste_carga_avro_vs_json_spark.sources import generator
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -62,7 +70,29 @@ def main() -> None:
         run(text.quality_score(docs))
         run(text.lang_id(docs))
 
-    lanes = {"metrics_report": w_metrics, "text_analysis": w_text}
+    n_msgs = 100_000
+
+    def _avro(vectorized):
+        msgs = generator.mensagens(spark, n_msgs, tamanho_kb=1)
+        dec = serde.avro_roundtrip(msgs, vectorized=vectorized)
+        sized = routing.size_estimate(routing.route(dec, 18))
+        run(
+            sized.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("tamanho_estimado").alias("bytes"),
+            )
+        )
+
+    lanes = {
+        "metrics_report": w_metrics,
+        "text_analysis": w_text,
+        "corpus_clean": lambda: run(corpus.corpus_clean(docs_df(), scale=True)),
+        "minhash_lsh": lambda: run(
+            dedup.minhash_lsh_candidates_scale(docs_df())
+        ),
+        "avro_e2e": lambda: _avro(False),
+        "avro_e2e_arrow": lambda: _avro(True),
+    }
     wanted = sys.argv[1:] or list(lanes)
     picked = {name: lanes[name] for name in wanted}
 
