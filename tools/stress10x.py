@@ -113,6 +113,42 @@ def main() -> None:
     out["token_budget_sample_sec"] = round(time.perf_counter() - t0, 2)
     out["token_budget_sampled_docs"] = n_samp
 
+    # ---- temporal operators at 10x events (1M rows) ----------------
+    # Replicas get DISTINCT user_id/event_id namespaces (offset by
+    # r * 10^9): 10x the KEYS with the per-key history preserved — the
+    # realistic cluster scale-up for window-partitioned operators (a
+    # 10x-per-key variant would instead grow window state; per-key
+    # volume is bounded by human behavior, key count is not).
+    from teste_carga_avro_vs_json_spark.operators import asof
+
+    events = load_table(spark, sf_dir, "events")
+    events10 = (
+        events.crossJoin(spark.range(10).select(F.col("id").alias("r")))
+        .select(
+            (F.col("event_id") + F.col("r") * 1_000_000_000).alias("event_id"),
+            (F.col("user_id") + F.col("r") * 1_000_000_000).alias("user_id"),
+            "event_type",
+            "ts",
+            "value",
+            "props",
+        )
+        .repartition(cpus)
+        .persist()
+    )
+    out["events_rows_10x"] = events10.count()
+
+    t0 = time.perf_counter()
+    run(asof.attribution(events10))
+    out["asof_attribution_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    run(asof.sessionize(events10))
+    out["sessionize_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    run(asof.error_sessions(events10))
+    out["interval_join_sec"] = round(time.perf_counter() - t0, 2)
+
     try:
         out["loadavg_1m"] = round(os.getloadavg()[0], 1)
     except OSError:
