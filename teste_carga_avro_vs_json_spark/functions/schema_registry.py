@@ -40,10 +40,14 @@ def _strip_nonidentity(node):
     """Recursively drop Avro attributes that never affect parsing —
     ``doc`` and ``aliases`` (the [STRIP] step of Avro's Parsing
     Canonical Form, spec §"Transforming into Parsing Canonical Form")
-    — so documentation-only edits don't mint new schema ids."""
+    — so documentation-only edits don't mint new schema ids.
+
+    ``default`` values are JSON DATA, not schema: a record default may
+    legitimately contain keys named ``doc``/``aliases``, so recursion
+    stops at them (they pass through verbatim)."""
     if isinstance(node, dict):
         return {
-            k: _strip_nonidentity(v)
+            k: (v if k == "default" else _strip_nonidentity(v))
             for k, v in node.items()
             if k not in ("doc", "aliases")
         }

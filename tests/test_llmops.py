@@ -103,9 +103,12 @@ def test_neardup_clusters_transitive(spark):
         (6, "totally unrelated content here nine ten eleven twelve"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
     out = {
         r.doc_id: (r.cluster_id, r.is_canonical)
-        for r in dedup.neardup_clusters(df, threshold=0.85).collect()
+        for r in dedup.neardup_clusters(
+            df, threshold=0.85, stats=stats
+        ).collect()
     }
     assert out == {
         1: (1, True),
@@ -114,6 +117,10 @@ def test_neardup_clusters_transitive(spark):
         4: (4, True),
         5: (4, False),
     }
+    # the chain closes in the fused init; the loop's only round is the
+    # zero-change convergence probe (counted), so rounds is tiny and
+    # reported via the stats hook
+    assert 1 <= stats["rounds"] <= 3
 
 
 def test_corpus_clean_gates(spark):

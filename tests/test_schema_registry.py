@@ -207,3 +207,23 @@ def test_http_client_against_loopback_server():
         srv.shutdown()
         srv.server_close()
         thread.join(timeout=5)
+
+
+def test_canonicalization_never_touches_default_values():
+    """A field default is JSON DATA — a record default containing keys
+    named doc/aliases must survive canonicalization verbatim (only
+    schema-level attributes are stripped)."""
+    s = (
+        '{"type": "record", "name": "R", "fields": ['
+        '{"name": "f", "doc": "strip me", "type": {"type": "record",'
+        ' "name": "Sub", "fields": [{"name": "doc", "type": "long"},'
+        ' {"name": "aliases", "type": "long"}]},'
+        ' "default": {"doc": 7, "aliases": 9}}]}'
+    )
+    canon = json.loads(schema_registry.canonical_schema(s))
+    field = canon["fields"][0]
+    assert "doc" not in field  # schema attribute stripped
+    assert field["default"] == {"doc": 7, "aliases": 9}  # data kept
+    # subfields NAMED doc/aliases are name VALUES, not attribute keys
+    subnames = [f["name"] for f in field["type"]["fields"]]
+    assert subnames == ["doc", "aliases"]
