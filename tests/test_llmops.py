@@ -667,3 +667,24 @@ def test_registry_stays_within_driver_window():
     q, o = registry.queries(), registry.oracle_sql()
     assert len(q) <= 50, f"{len(q)} entries exceed the driver's 50-row window"
     assert set(q) == set(o)
+
+
+def test_neardup_clusters_long_chain_multi_round(spark):
+    """A 10-doc path graph (each doc near-dup ONLY of its neighbors —
+    sliding 20-word windows, threshold between J(adjacent)≈0.9 and
+    J(skip)≈0.8) has diameter 9: min-label propagation needs several
+    rounds, so this pins the multi-round loop (incl. the lazy
+    checkpoint chaining rounds) rather than the 1-2 round clique case."""
+    n = 10
+    w = [f"w{i}" for i in range(20 + n - 1)]
+    rows = [(i + 1, " ".join(w[i : i + 20])) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    out = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.neardup_clusters(
+            df, threshold=0.85, stats=stats
+        ).collect()
+    }
+    assert out == {i + 1: (1, i == 0) for i in range(n)}
+    assert stats["rounds"] >= 2  # genuinely multi-round, not one clique
