@@ -28,6 +28,14 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for pandas UDFs (Avro codec, multimodal decode).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # collect_set/collect_list aggregations (LSH pair dedup, ANN fetch
+    # fuse) run as ObjectHashAggregate, which silently degrades to
+    # sort-based aggregation past this many in-memory groups PER
+    # PARTITION (Spark default: 128 — tiny). The engine's fused dedup
+    # shapes routinely hold a few thousand groups per partition;
+    # measured ~8% on the minhash lane locally, and the sort fallback's
+    # extra spill+sort grows with group count at cluster scale.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "2048",
 }
 
 # Confs that must be set at build time.
