@@ -169,6 +169,91 @@ def cosine_topk_scale(
     )
 
 
+def cosine_topk_np(
+    emb: DataFrame, k: int = 10, query_modulus: int = 50
+) -> DataFrame:
+    """Vectorized twin of :func:`cosine_topk`: ALL #queries cosines per
+    Arrow batch as ONE numpy matmul — the dense-linear-algebra case
+    where the HOF formulation loses badly (it folds 3 × dim
+    zip_with/aggregate steps PER (row, query) pair; the matmul does the
+    whole batch × query block in BLAS). Same rounding (9 dp), same
+    tie-break, same output contract; pytest pins exact result equality
+    with the HOF path on the fixture corpus (after 9-dp rounding the
+    pairwise-vs-sequential summation difference is far below the
+    quantum except knife-edge ties, which the fixture would expose
+    deterministically).
+
+    The query block is collected to the driver — bounded by the same
+    small-query contract that lets :func:`cosine_topk` broadcast it
+    (identical bytes moved; they land in a UDF closure instead of a
+    broadcast variable). The corpus never moves: one scan computing
+    scores, then the same per-query top-k window.
+    """
+    import numpy as np
+
+    v = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    qrows = (
+        v.filter(F.col("vec_id") % query_modulus == 0).orderBy("vec_id").collect()
+    )
+    qids = [int(r.vec_id) for r in qrows]
+    Q = np.array([r.vec for r in qrows], dtype=np.float64)  # (m, dim)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0  # zero query vector -> scores 0, never NaN
+    Qn = (Q / qn[:, None]).T  # (dim, m)
+    dim = Q.shape[1]
+
+    def _score_mat(M: "np.ndarray") -> "np.ndarray":
+        vn = np.linalg.norm(M, axis=1)
+        vn[vn == 0.0] = 1.0
+        return np.round((M / vn[:, None]) @ Qn, 9)  # (n, m)
+
+    try:
+        import pyarrow as pa
+        from pyspark.sql.functions import arrow_udf
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        @arrow_udf(ArrayType(DoubleType()))
+        def _scores(col):
+            arr = (
+                col.combine_chunks()
+                if isinstance(col, pa.ChunkedArray)
+                else col
+            )
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            s = _score_mat(flat.reshape(len(arr), dim))
+            offsets = pa.array(
+                np.arange(0, (len(arr) + 1) * len(qids), len(qids), dtype=np.int32)
+            )
+            return pa.ListArray.from_arrays(offsets, pa.array(s.ravel()))
+
+    except ImportError:  # pragma: no cover - Spark < 4.1 fallback
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<double>")
+        def _scores(col: pd.Series) -> pd.Series:
+            s = _score_mat(np.vstack(col.to_numpy()))
+            return pd.Series(list(map(list, s)))
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        v.select("vec_id", F.posexplode(_scores(F.col("vec"))))
+        .withColumnRenamed("col", "cos_sim")
+        .withColumn("query_id", F.element_at(qid_arr, F.col("pos") + 1))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
 # ------------------------------------------------------ embedding near-dup
 def embedding_neardup(
     emb: DataFrame, threshold: float = 0.3, modulus: int = 10

@@ -688,3 +688,23 @@ def test_neardup_clusters_long_chain_multi_round(spark):
     }
     assert out == {i + 1: (1, i == 0) for i in range(n)}
     assert stats["rounds"] >= 2  # genuinely multi-round, not one clique
+
+
+def test_cosine_topk_np_equals_hof(spark, sf_dir):
+    """The numpy-matmul scale twin must reproduce the HOF/oracle path
+    EXACTLY (same 9-dp rounding, same tie-break) on the fixture corpus —
+    pairwise-vs-sequential summation differences vanish under the
+    rounding quantum. At 10x corpus the matmul path measures 4.5x
+    faster (SCALE.md); at fixture scale they tie, which is why the
+    bench lane runs the np path while q_cosine_topk keeps the
+    DuckDB-reproducible fold."""
+    emb = _emb(spark, sf_dir)
+    hof = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in similarity.cosine_topk(emb).collect()
+    }
+    npv = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in similarity.cosine_topk_np(emb).collect()
+    }
+    assert hof == npv and len(hof) > 0
