@@ -167,24 +167,24 @@ _UDF_CACHE: dict[str, object] = {}
 
 
 def _vectorized() -> bool:
-    """Arrow-native codec (avro_vec) — opt-IN via SPARK_GRAFT_AVRO_ARROW=1.
+    """Arrow-native codec (avro_vec) is the DEFAULT; opt OUT via
+    SPARK_GRAFT_AVRO_SCALAR=1.
 
-    Default is the scalar pandas codec — measured faster AND far more
-    stable at BOTH benchmark shapes (local[32], alternating 10-lap
-    A/B): the ~1 KB/5-registro baseline shape medians 0.98 s scalar vs
-    1.09 s Arrow (Arrow spread 0.65-2.6 s vs scalar 0.86-1.07 s), and
-    the reference's default 2 MB/10486-registro shape runs 3.4-3.6 s
-    scalar vs 4.3-16 s Arrow — the vectorized path's per-batch numpy
-    staging never amortizes, and its giant per-batch allocations cause
-    the multi-second straggler laps. bench.py times both lanes every
-    round so a runtime/shape change that flips the winner is visible in
-    one JSON line. SPARK_GRAFT_AVRO_SCALAR=1 still forces the scalar
-    path (back-compat; wins over the Arrow knob)."""
+    The default flipped in r6 on committed evidence: after the r5
+    tall-message decode dispatch (avro_vec.py — decode falls back to
+    the scalar parser above ~32 KB/msg, which was the pathology behind
+    the early 2 MB-shape straggler laps), the Arrow lane WINS the
+    ~1 KB/5-registro bench shape (contended driver window 1.71 vs
+    2.10 s; quiet bench_runs/r5_run1.json 1.136 vs 1.161 s) and ties
+    the 2 MB/10486-registro shape. bench.py still times BOTH lanes
+    every round so a runtime/shape change that flips the winner is
+    visible in one JSON line. SPARK_GRAFT_AVRO_SCALAR=1 forces the
+    scalar pandas codec (wins over SPARK_GRAFT_AVRO_ARROW=1, which is
+    now a no-op kept for back-compat); the Arrow path also silently
+    degrades to scalar when arrow_udf is unavailable."""
     import os
 
     if os.environ.get("SPARK_GRAFT_AVRO_SCALAR") == "1":
-        return False
-    if os.environ.get("SPARK_GRAFT_AVRO_ARROW") != "1":
         return False
     try:
         from pyspark.sql.functions import arrow_udf  # noqa: F401

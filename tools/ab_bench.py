@@ -90,8 +90,8 @@ def main() -> None:
         "minhash_lsh": lambda: run(
             dedup.minhash_lsh_candidates_scale(docs_df())
         ),
-        "avro_e2e": lambda: _avro(False),
-        "avro_e2e_arrow": lambda: _avro(True),
+        "avro_e2e": lambda: _avro(True),  # Arrow-native = default since r6
+        "avro_e2e_scalar": lambda: _avro(False),
     }
     wanted = sys.argv[1:] or list(lanes)
     picked = {name: lanes[name] for name in wanted}
