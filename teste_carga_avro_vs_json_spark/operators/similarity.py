@@ -29,6 +29,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql.window import Window
 
 
@@ -46,7 +47,15 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity, DEFINED AS 0.0 when either vector has zero
+    norm. The naive dot/(|a|·|b|) raises DIVIDE_BY_ZERO under Spark 4's
+    default ANSI mode the moment a 100 TB corpus contains one zero
+    embedding (r5 ADVICE; the conditional keeps the division in the
+    guarded branch, which Spark's If evaluates lazily per row), and the
+    0.0 convention is portable: no NaN-vs-NULL ordering divergence
+    between Spark, DuckDB, and the numpy fast path."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != 0.0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 _DOT_SQL = (
@@ -59,9 +68,12 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def _cosine_sql(a: str, b: str) -> str:
+    # zero-norm convention mirrors :func:`cosine`: CASE keeps DuckDB's
+    # IEEE 0/0 -> NaN out of the hash comparison
+    denom = f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
     return (
-        f"({_dot_sql(a, b)} / "
-        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+        f"(CASE WHEN {denom} = 0 THEN 0.0 "
+        f"ELSE {_dot_sql(a, b)} / {denom} END)"
     )
 
 
@@ -197,10 +209,25 @@ def cosine_topk_np(
     qrows = (
         v.filter(F.col("vec_id") % query_modulus == 0).orderBy("vec_id").collect()
     )
+    if not qrows:  # empty query sample: same empty frame the HOF path yields
+        return v.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", v.schema["vec_id"].dataType),
+                    T.StructField("vec_id", v.schema["vec_id"].dataType),
+                    T.StructField("cos_sim", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType(), nullable=False),
+                ]
+            ),
+        )
     qids = [int(r.vec_id) for r in qrows]
     Q = np.array([r.vec for r in qrows], dtype=np.float64)  # (m, dim)
+    # zero-norm -> norm 1 so the zero vector scores 0.0 against
+    # everything — the same convention :func:`cosine` and the oracle
+    # CASE implement (r5 ADVICE unified all three paths)
     qn = np.linalg.norm(Q, axis=1)
-    qn[qn == 0.0] = 1.0  # zero query vector -> scores 0, never NaN
+    qn[qn == 0.0] = 1.0
     Qn = (Q / qn[:, None]).T  # (dim, m)
     dim = Q.shape[1]
 

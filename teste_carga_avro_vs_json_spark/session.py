@@ -53,9 +53,12 @@ _BUILD_CONFS = {
 }
 
 
-# (session id, conf key) pairs already warned about — configure() runs on
-# every load_table call, so failures surface ONCE per session, not per read.
-_WARNED_CONFS: set[tuple[int, str]] = set()
+# Conf keys already warned about are stamped ON the session object —
+# configure() runs on every load_table call, so failures surface ONCE per
+# session, not per read. (An id(spark)-keyed module set was the r5 way:
+# CPython reuses ids after GC, which could silently suppress a later
+# session's warning, and the set grew unboundedly — r5 ADVICE.)
+_WARNED_ATTR = "_graft_warned_confs"
 
 
 def configure(spark: SparkSession) -> SparkSession:
@@ -72,9 +75,12 @@ def configure(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(k, v)
         except Exception as exc:
-            mark = (id(spark), k)
-            if mark not in _WARNED_CONFS:
-                _WARNED_CONFS.add(mark)
+            warned = getattr(spark, _WARNED_ATTR, None)
+            if warned is None:
+                warned = set()
+                setattr(spark, _WARNED_ATTR, warned)
+            if k not in warned:
+                warned.add(k)
                 warnings.warn(
                     f"could not set session conf {k}={v!r} ({exc}); "
                     "if it is static on this build it must be preset "

@@ -708,3 +708,51 @@ def test_cosine_topk_np_equals_hof(spark, sf_dir):
         for r in similarity.cosine_topk_np(emb).collect()
     }
     assert hof == npv and len(hof) > 0
+
+
+def test_cosine_topk_np_zero_norm_matches_hof(spark):
+    """r5 ADVICE: zero-norm vectors used to diverge — the HOF path's
+    naive dot/(|a||b|) even RAISES DIVIDE_BY_ZERO under Spark 4 ANSI
+    mode (a single zero embedding would kill a 100 TB job), while the
+    np path clamped to 0.0. All three engines (Spark HOF, DuckDB CASE
+    oracle, numpy) now define cosine(zero, ·) = 0.0; the paths must
+    agree exactly and the zero vectors must rank by the tie-break, not
+    crash or float to the top as NaN."""
+    rows = [
+        (0, [0.0, 0.0, 0.0]),  # zero QUERY vector (0 % 50 == 0)
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero CORPUS vector
+        (50, [1.0, 1.0, 0.0]),  # second, nonzero query
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def key(df):
+        return {
+            (r.query_id, r.vec_id, r.rank, r.cos_sim) for r in df.collect()
+        }
+
+    hof = key(similarity.cosine_topk(emb, k=4))
+    npv = key(similarity.cosine_topk_np(emb, k=4))
+    assert hof == npv and len(hof) > 0
+    # the zero query scores 0.0 against every neighbor
+    assert {t[3] for t in npv if t[0] == 0} == {0.0}
+    # zero corpus vec scores 0.0 vs query 50 — ranked BELOW real matches
+    [zero_row] = [t for t in npv if t[0] == 50 and t[1] == 3]
+    finite_best = min(t[2] for t in npv if t[0] == 50 and t[3] > 0.0)
+    assert zero_row[3] == 0.0 and zero_row[2] > finite_best
+
+
+def test_cosine_topk_np_empty_query_sample(spark):
+    """r5 ADVICE: no vec_id % modulus == 0 used to raise IndexError at
+    Q.shape[1]; must return an empty frame with the HOF path's schema."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = similarity.cosine_topk_np(emb, k=3, query_modulus=50)
+    assert out.count() == 0
+    hof = similarity.cosine_topk(emb, k=3, query_modulus=50)
+    assert [f.name for f in out.schema.fields] == [f.name for f in hof.schema.fields]
+    assert [f.dataType for f in out.schema.fields] == [
+        f.dataType for f in hof.schema.fields
+    ]

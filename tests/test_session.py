@@ -127,9 +127,22 @@ def test_configure_warns_once_per_session_on_static_conf():
         n_before = len(caught)
         session_mod.configure(fake)
         assert len(caught) == n_before
-    # a DIFFERENT session warns afresh
-    fake2 = _StaticSession()
+    # a DIFFERENT session warns afresh — including when CPython reuses
+    # the dead session's id() (r5 ADVICE: the old module-level
+    # id(spark)-keyed set silently suppressed this case). The warned-set
+    # lives on the session object now, so a successor at the same
+    # address starts clean.
+    old_id = id(fake)
+    del fake
+    import gc
+
+    gc.collect()
+    fake2 = _StaticSession()  # frequently lands on the freed address
     with _warnings.catch_warnings(record=True) as caught2:
         _warnings.simplefilter("always")
         session_mod.configure(fake2)
-        assert any(w.category is RuntimeWarning for w in caught2)
+        msgs2 = [str(w.message) for w in caught2 if w.category is RuntimeWarning]
+        assert len(msgs2) == len(session_mod._RUNTIME_CONFS), (
+            "fresh session must warn afresh even on id reuse",
+            id(fake2) == old_id,
+        )
