@@ -264,7 +264,21 @@ def _banded_jaccard(
       frame is persisted because banding + both fetch sides read it.
     """
     rows = num_hashes // bands
-    base = base.persist()
+    # r6: both persisted frames are KEY-partitioned before caching, and
+    # InMemoryTableScan reports the cached partitioning — so the band
+    # self-join (band_key = band_key) and BOTH shingle-fetch joins
+    # (doc_a/doc_b are renames of doc_id) are exchange-free at the join,
+    # verified in the executed plan. The former shape paid the shuffles
+    # at the joins instead: the banded frame moved twice (no runtime
+    # exchange reuse fires here, measured) and the shingle ARRAYS moved
+    # twice — at 100 TB that is two extra corpus-sized array shuffles.
+    # Explicit numPartitions keeps the cached partitioning a plain
+    # hashpartitioning the join requirement can match (AQE won't
+    # renumber a REPARTITION_BY_NUM exchange).
+    n_part = int(
+        base.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = base.repartition(n_part, "doc_id").persist()
     banded = (
         base.withColumn("mh", mh)
         .select(
@@ -285,6 +299,7 @@ def _banded_jaccard(
                 )
             ).alias("band_key"),
         )
+        .repartition(n_part, "band_key")
         .hint("shuffle_hash")
         .persist()
     )
@@ -492,24 +507,31 @@ def neardup_clusters(
     rounds = 0
     for _ in range(max_iters - 1):
         rounds += 1
-        # Edge symmetry guarantees every labelled node appears as dst,
-        # so the inner joins below lose nobody.
-        nbr = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .select(F.col("dst").alias("nid"), "cluster_id")
-            .groupBy("nid")
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        # One shuffle per round (r6; was two): neighbour labels and the
+        # node's own label ride the SAME groupBy — self rows are tagged
+        # so the aggregation recovers the old label for the convergence
+        # probe (new < old). The former shape aggregated neighbour mins
+        # and then JOINED them back onto labels, paying a second keyed
+        # shuffle per round for the same fixpoint. Edge symmetry plus
+        # the union'd self rows guarantee nobody is lost.
+        prop = edges.join(labels, edges["src"] == labels["doc_id"]).select(
+            F.col("dst").alias("nid"), "cluster_id", F.lit(False).alias("own")
         )
+        mine = labels.select(
+            F.col("doc_id").alias("nid"), "cluster_id", F.lit(True).alias("own")
+        )
+        old_label = F.min(F.when(F.col("own"), F.col("cluster_id")))
         # Lazy checkpoint + probe = ONE job per round (the probe's agg
         # materializes the checkpoint it sums over); the eager variant
         # paid a materialization job AND a probe job every round.
         new_labels = (
-            labels.join(nbr, labels["doc_id"] == nbr["nid"])
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"), F.col("nbr_min")).alias("cluster_id"),
-                (F.col("nbr_min") < F.col("cluster_id")).cast("long").alias("chg"),
+            prop.unionByName(mine)
+            .groupBy("nid")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                (F.min("cluster_id") < old_label).cast("long").alias("chg"),
             )
+            .select(F.col("nid").alias("doc_id"), "cluster_id", "chg")
             .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("chg")).first()[0]

@@ -44,11 +44,42 @@ class PlanAudit:
     warnings: list[str] = field(default_factory=list)
 
 
+def executed_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges the query itself executes, counted by walking
+    the physical-plan TREE. A string count over ``toString`` double
+    counts: an InMemoryRelation's build plan (including any repartition
+    exchange paid once at cache materialization) is re-printed inline
+    under every InMemoryTableScan that reads it. In the tree,
+    InMemoryTableScanExec is a leaf — its build plan is a separate
+    query execution — so cache-internal exchanges are correctly
+    excluded, and ReusedExchange wrappers aren't counted as new
+    shuffles. AdaptiveSparkPlan / QueryStage wrappers are descended
+    through (both are leaves in ``children()`` terms)."""
+
+    def walk(node) -> int:
+        name = node.getClass().getSimpleName()
+        n = 1 if name.startswith("ShuffleExchange") else 0
+        kids = []
+        try:
+            if name.startswith("AdaptiveSparkPlan"):
+                kids = [node.executedPlan()]
+            elif name.endswith("QueryStageExec"):
+                kids = [node.plan()]
+        except Exception:
+            kids = []
+        if not kids:
+            ch = node.children()
+            kids = [ch.apply(i) for i in range(ch.length())]
+        return n + sum(walk(k) for k in kids)
+
+    return walk(df._jdf.queryExecution().executedPlan())
+
+
 def audit(df: DataFrame) -> PlanAudit:
     plan = compact_plan(df)
     fmt = formatted_plan(df)
     a = PlanAudit(
-        exchanges=plan.count("Exchange"),
+        exchanges=executed_exchanges(df),
         python_evals=plan.count("EvalPython"),
         codegen_spans=len({tok for tok in plan.split() if tok.startswith("*(")}),
         broadcast_joins=plan.count("BroadcastHashJoin"),
