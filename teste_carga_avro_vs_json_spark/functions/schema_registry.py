@@ -57,29 +57,121 @@ def _strip_nonidentity(node):
 
 
 def canonical_schema(schema: str) -> str:
-    """Canonical form used for schema identity: parsed JSON with
-    ``doc``/``aliases`` stripped (as Avro Parsing Canonical Form does),
-    re-dumped with sorted keys and no whitespace, so formatting,
-    key-order, and documentation variants of the same schema resolve to
-    the same id.
-
-    Remaining divergences from a real Confluent registry's
-    canonicalization, which a live deployment would dedupe further:
-
-    - ``default`` and ``order`` are KEPT here (PCF strips them) —
-      defaults matter to schema-resolution reads and this canon is also
-      what :meth:`InMemorySchemaRegistry.get_by_id` hands back to
-      decoders, so dropping them would change decode semantics;
-    - names are not fullname-normalized (PCF inlines namespaces into
-      every name) and numeric literals are not normalized.
-
-    Schemas differing ONLY in those attributes get distinct ids here but
-    one id on a live registry."""
+    """STORED canonical form — what :meth:`InMemorySchemaRegistry.
+    get_by_id` hands back to decoders: parsed JSON with ``doc``/
+    ``aliases`` stripped, re-dumped with sorted keys and no whitespace.
+    ``default`` and ``order`` are KEPT because they matter to
+    schema-resolution reads; schema IDENTITY (which id a registration
+    resolves to) uses the full :func:`parsing_canonical_form` instead,
+    matching a real Confluent registry's dedup."""
     return json.dumps(
         _strip_nonidentity(json.loads(schema)),
         sort_keys=True,
         separators=(",", ":"),
     )
+
+
+# --------------------------------------------- Parsing Canonical Form
+# Avro spec, §"Transforming into Parsing Canonical Form" (public):
+# [PRIMITIVES] {"type":"string"} -> "string"; [FULLNAMES] namespaces
+# inlined into every name, namespace attribute dropped; [STRIP] only
+# the eight parsing-relevant attributes survive (doc/aliases/default/
+# order/logicalType/... all go); [ORDER] object keys emitted in the
+# fixed order name,type,fields,symbols,items,values,size; [STRINGS]/
+# [WHITESPACE] minimal-escape, whitespace-free JSON.
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+}
+
+
+def _fullname(name: str, namespace: str | None) -> str:
+    if "." in name or not namespace:
+        return name
+    return f"{namespace}.{name}"
+
+
+def _resolve_name(node: dict, ns: str | None) -> tuple[str, str | None]:
+    """(fullname, namespace-for-children) of a named-type node. A dotted
+    ``name`` wins over any ``namespace`` attribute (Avro spec, §Names);
+    children inherit the namespace the type itself landed in."""
+    name = node["name"]
+    if "." in name:
+        return name, name.rsplit(".", 1)[0]
+    namespace = node.get("namespace", ns)
+    return _fullname(name, namespace), namespace
+
+
+def _pcf_node(node, ns: str | None):
+    if isinstance(node, str):
+        return node if node in _PRIMITIVES else _fullname(node, ns)
+    if isinstance(node, list):  # union
+        return [_pcf_node(branch, ns) for branch in node]
+    t = node.get("type")
+    if isinstance(t, (dict, list)):  # {"type": <nested schema>} wrapper
+        return _pcf_node(t, ns)
+    if t in ("record", "error"):
+        full, child_ns = _resolve_name(node, ns)
+        return {
+            "name": full,
+            "type": t,
+            "fields": [
+                {"name": f["name"], "type": _pcf_node(f["type"], child_ns)}
+                for f in node["fields"]
+            ],
+        }
+    if t == "enum":
+        full, _ = _resolve_name(node, ns)
+        return {"name": full, "type": "enum", "symbols": node["symbols"]}
+    if t == "fixed":
+        full, _ = _resolve_name(node, ns)
+        return {"name": full, "type": "fixed", "size": int(node["size"])}
+    if t == "array":
+        return {"type": "array", "items": _pcf_node(node["items"], ns)}
+    if t == "map":
+        return {"type": "map", "values": _pcf_node(node["values"], ns)}
+    if t in _PRIMITIVES:  # primitive with extra attrs (logicalType, …)
+        return t
+    return _fullname(t, ns)  # named-type reference with extra attrs
+
+
+def parsing_canonical_form(schema: str) -> str:
+    """Full Avro Parsing Canonical Form of an Avro schema JSON string.
+    Two schemas have the same PCF iff an Avro binary decoder treats them
+    identically — this is the identity a real Confluent Schema Registry
+    resolves registrations by, so the engine's ids line up with a live
+    deployment (r5 residual: doc/alias-stripping alone still gave
+    distinct ids to default/order/namespace-form variants).
+
+    The dicts are BUILT in the spec's [ORDER] key order and dumped
+    without sort_keys, giving the mandated attribute ordering;
+    ``ensure_ascii=False`` keeps [STRINGS] minimal-escape."""
+    return json.dumps(
+        _pcf_node(json.loads(schema), None),
+        separators=(",", ":"),
+        ensure_ascii=False,
+    )
+
+
+def rabin_fingerprint(pcf: str) -> int:
+    """64-bit Rabin fingerprint (CRC-64-AVRO) of a Parsing Canonical
+    Form string — the spec's standard schema fingerprint (Avro spec,
+    §Schema Fingerprints; the EMPTY polynomial seed is given there).
+    Returned as an unsigned int; used for compact schema identity where
+    a registry id is unavailable."""
+    empty = 0xC15D213AA4D7A795
+    table = getattr(rabin_fingerprint, "_table", None)
+    if table is None:
+        table = []
+        for i in range(256):
+            fp = i
+            for _ in range(8):
+                fp = (fp >> 1) ^ (empty & -(fp & 1))
+            table.append(fp)
+        rabin_fingerprint._table = table
+    fp = empty
+    for byte in pcf.encode("utf-8"):
+        fp = (fp >> 1) ^ table[(fp ^ byte) & 0xFF]
+    return fp
 
 
 class InMemorySchemaRegistry:
@@ -95,13 +187,16 @@ class InMemorySchemaRegistry:
         self._next_id = 1
 
     def register(self, subject: str, schema: str) -> int:
-        canon = canonical_schema(schema)
+        # identity = full PCF (what a live Confluent registry dedups
+        # by); stored form = canonical_schema, which keeps default/order
+        # for decoders. First registration's stored form wins for an id.
+        canon = parsing_canonical_form(schema)
         sid = self._id_by_canon.get(canon)
         if sid is None:
             sid = self._next_id
             self._next_id += 1
             self._id_by_canon[canon] = sid
-            self._by_id[sid] = canon
+            self._by_id[sid] = canonical_schema(schema)
         versions = self._subject_versions.setdefault(subject, [])
         if sid not in versions:
             versions.append(sid)

@@ -119,6 +119,114 @@ def test_canonicalization_strips_doc_and_aliases():
     ) != schema_registry.canonical_schema(SCHEMA)
 
 
+REF_PCF = (
+    '{"name":"br.com.sandbox.kafka.avro.MensagemCarga","type":"record",'
+    '"fields":[{"name":"id","type":"string"},'
+    '{"name":"timestamp","type":"long"},'
+    '{"name":"sequencia","type":"long"},'
+    '{"name":"dados","type":{"type":"array","items":'
+    '{"name":"br.com.sandbox.kafka.avro.Registro","type":"record",'
+    '"fields":[{"name":"indice","type":"int"},'
+    '{"name":"texto","type":"string"},'
+    '{"name":"numero","type":"double"},'
+    '{"name":"timestamp","type":"long"},'
+    '{"name":"uuid","type":"string"}]}}},'
+    '{"name":"versao","type":"string"}]}'
+)
+
+
+def test_pcf_golden_reference_schema():
+    """Full Parsing Canonical Form of the engine's MensagemCarga schema
+    (dict twin of /root/reference MensagemCarga.avsc:1-30): namespace
+    inlined into every name (Registro INHERITS the enclosing
+    namespace), doc/default stripped, spec [ORDER] key order, no
+    whitespace — the hand-derived golden below applies the spec's
+    transformation steps to the .avsc by hand."""
+    from teste_carga_avro_vs_json_spark.schemas import MENSAGEM_CARGA_AVSC
+
+    pcf = schema_registry.parsing_canonical_form(
+        json.dumps(MENSAGEM_CARGA_AVSC)
+    )
+    assert pcf == REF_PCF
+
+
+def test_pcf_variants_resolve_to_one_id():
+    """The r5 residual divergence classes — field-default presence,
+    attribute order, namespace spelled inline vs as an attribute,
+    {"type":"string"} vs bare "string", logicalType — are all PCF-equal
+    and must resolve to ONE registry id, as on a live Confluent
+    deployment. The stored (decoder-facing) schema keeps the FIRST
+    registration's defaults."""
+    base = (
+        '{"type": "record", "name": "M", "namespace": "com.x", "fields":'
+        ' [{"name": "v", "type": "string", "default": "1.0"}]}'
+    )
+    no_default = (
+        '{"type": "record", "name": "com.x.M", "fields":'
+        ' [{"type": {"type": "string"}, "name": "v"}]}'
+    )
+    logical = (
+        '{"type": "record", "name": "com.x.M", "fields": [{"name": "v",'
+        ' "type": {"type": "string", "logicalType": "uuid"}}]}'
+    )
+    pcfs = {
+        schema_registry.parsing_canonical_form(s)
+        for s in (base, no_default, logical)
+    }
+    assert len(pcfs) == 1
+    reg = schema_registry.InMemorySchemaRegistry()
+    sid = reg.register("s", base)
+    assert reg.register("s", no_default) == sid
+    assert reg.register("s", logical) == sid
+    # stored form keeps the first registration's default for decoders
+    assert json.loads(reg.get_by_id(sid))["fields"][0]["default"] == "1.0"
+    # a genuinely different schema still gets a new id
+    assert reg.register("s", OTHER) == sid + 1
+
+
+def test_pcf_primitives_unions_enums_fixed():
+    """PCF across the non-record schema forms: bare primitives quote as
+    JSON strings, unions stay ordered lists, enum/fixed keep only their
+    parsing attributes with fullnames."""
+    pcf = schema_registry.parsing_canonical_form
+    assert pcf('{"type": "string"}') == '"string"'
+    assert pcf('"int"') == '"int"'
+    assert (
+        pcf('["null", {"type": "long"}]') == '["null","long"]'
+    )
+    enum = (
+        '{"type": "enum", "name": "E", "namespace": "n.s", "doc": "d",'
+        ' "symbols": ["A", "B"], "default": "A"}'
+    )
+    assert pcf(enum) == '{"name":"n.s.E","type":"enum","symbols":["A","B"]}'
+    fixed = '{"type": "fixed", "name": "n.s.F", "size": 16, "aliases": ["G"]}'
+    assert pcf(fixed) == '{"name":"n.s.F","type":"fixed","size":16}'
+    # map values + named-type reference pick up the enclosing namespace
+    rec = (
+        '{"type": "record", "name": "R", "namespace": "n.s", "fields":'
+        ' [{"name": "m", "type": {"type": "map", "values": "F"}}]}'
+    )
+    assert (
+        pcf(rec)
+        == '{"name":"n.s.R","type":"record","fields":'
+        '[{"name":"m","type":{"type":"map","values":"n.s.F"}}]}'
+    )
+
+
+def test_rabin_fingerprint_spec_seed_and_stability():
+    """CRC-64-AVRO over PCF strings: deterministic, PCF-variant
+    invariant (same fingerprint for doc/default/order variants), and
+    distinct across genuinely different schemas."""
+    fp = schema_registry.rabin_fingerprint
+    pcf = schema_registry.parsing_canonical_form
+    a = fp(pcf(SCHEMA))
+    assert a == fp(pcf(SCHEMA_REORDERED)) == fp(pcf(SCHEMA_DOCED))
+    assert a != fp(pcf(OTHER))
+    assert 0 <= a < 2**64
+    # empty input returns the spec's EMPTY seed itself
+    assert fp("") == 0xC15D213AA4D7A795
+
+
 def _loopback_registry_server():
     """Minimal in-process Schema Registry speaking the two REST
     endpoints the client uses, with Confluent id semantics."""
