@@ -603,11 +603,95 @@ def test_audio_features_plumbing(spark, sf_dir):
     # cluster image with soundfile/PyAV the same suite must stay green
     # (real decode flips on), so the raise-assertions are conditional.
     if multimodal._soundfile() is None:
+        # non-RIFF payloads are still env-gated (compressed codecs);
+        # RIFF/WAVE routes to the stdlib decoder (tested below)
         with _pytest.raises(NotImplementedError):
-            multimodal.decode_audio(b"RIFF", "wav")
+            multimodal.decode_audio(b"OggS\x00", "ogg")
     if multimodal._pyav() is None:
         with _pytest.raises(NotImplementedError):
             multimodal.decode_video_frames(b"\x00", "mp4")
+
+
+def _synth_wav(frames, rate=8000, width=2, channels=1):
+    """Build a real RIFF/PCM WAV via the stdlib wave module.
+    ``frames``: list of per-frame sample tuples (ints at the target
+    width's scale)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        fmt = {1: "B", 2: "<h", 4: "<i"}[width]
+        raw = b"".join(
+            struct.pack(fmt, s) for frame in frames for s in frame
+        )
+        wf.writeframes(raw)
+    return buf.getvalue()
+
+
+def test_wav_stdlib_real_decode(spark):
+    """REAL audio decode with zero third-party deps: stdlib RIFF/PCM
+    parsing (VERDICT r5 item 6). Exact frames/rate/peak on synthesized
+    WAVs across widths and channel counts, then the same decoder
+    through the mapInPandas extractor (fake=False) — so on every
+    environment the WAV path exercises true decoding, not the byte-stat
+    stand-in."""
+    # 16-bit mono: peak -20000 -> int(20000/32768*32767)
+    w16 = _synth_wav([(1000,), (-20000,), (5,)], rate=16000)
+    assert multimodal.decode_wav_stdlib(w16) == (
+        3,
+        16000,
+        int(20000 / 32768 * 32767),
+    )
+    # 16-bit stereo: peak scans ALL channels
+    w16s = _synth_wav([(0, -32768), (12, 7)], rate=44100, channels=2)
+    assert multimodal.decode_wav_stdlib(w16s) == (2, 44100, 32767)
+    # 8-bit unsigned: offset-binary around 128, full scale 128
+    w8 = _synth_wav([(128,), (255,), (64,)], rate=8000, width=1)
+    assert multimodal.decode_wav_stdlib(w8) == (
+        3,
+        8000,
+        int(127 / 128 * 32767),
+    )
+    # 32-bit signed
+    w32 = _synth_wav([(2**30,), (-3,)], rate=48000, width=4)
+    assert multimodal.decode_wav_stdlib(w32) == (
+        2,
+        48000,
+        int(2**30 / 2**31 * 32767),
+    )
+    # empty data chunk
+    assert multimodal.decode_wav_stdlib(_synth_wav([], rate=8000)) == (
+        0,
+        8000,
+        0,
+    )
+    # decode_audio dispatch: RIFF payloads decode without soundfile
+    if multimodal._soundfile() is None:
+        assert multimodal.decode_audio(w16, "wav")[0] == 3
+
+    # through the Arrow-batched extractor: fake=False is the REAL path
+    media = spark.createDataFrame(
+        [(1, bytearray(w16), "wav"), (2, bytearray(w16s), "wav")],
+        "doc_id long, payload binary, format string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in multimodal.extract_audio_features(media, fake=False).collect()
+    }
+    assert rows[1].n_samples == 3 and rows[1].duration_ms == 3 * 1000 // 16000
+    assert rows[1].peak == int(20000 / 32768 * 32767)
+    assert rows[2].n_samples == 2 and rows[2].peak == 32767
+    assert rows[1].n_bytes == len(w16)
+    # schema contract identical to the fake path
+    assert (
+        multimodal.extract_audio_features(media, fake=False).schema
+        == multimodal.extract_audio_features(media, fake=True).schema
+    )
 
 
 def test_incremental_dedup_equals_union_dedup(spark, sf_dir):
