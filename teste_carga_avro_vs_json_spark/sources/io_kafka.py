@@ -59,15 +59,15 @@ def starting_offsets_tail_n(
 
 
 def fetch_offsets(bootstrap_servers: str, topic: str) -> tuple[dict, dict]:
-    """Begin/end offsets via kafka-python AdminClient — import-gated:
-    the lib isn't in this container (SURVEY.md §4: plain driver-side
+    """Begin/end offsets for tail-N pruning (O9) — kafka-python when
+    installed, else the stdlib wire-protocol client
+    (:mod:`sources.kafka_wire`), so offset discovery works against any
+    broker on a bare environment (SURVEY.md §4: plain driver-side
     helper, not a Catalyst concern)."""
     try:
         from kafka import KafkaConsumer, TopicPartition  # type: ignore
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "kafka-python not installed; supply begin/end offsets explicitly"
-        ) from e
+    except ImportError:
+        return fetch_offsets_wire(bootstrap_servers, topic)
     consumer = KafkaConsumer(bootstrap_servers=bootstrap_servers)
     parts = [TopicPartition(topic, p) for p in consumer.partitions_for_topic(topic)]
     begins = consumer.beginning_offsets(parts)
@@ -76,6 +76,27 @@ def fetch_offsets(bootstrap_servers: str, topic: str) -> tuple[dict, dict]:
         {tp.partition: o for tp, o in begins.items()},
         {tp.partition: o for tp, o in ends.items()},
     )
+
+
+def fetch_offsets_wire(bootstrap_servers: str, topic: str) -> tuple[dict, dict]:
+    """Begin/end offsets via the stdlib Kafka wire-protocol client
+    (Metadata v1 + ListOffsets v1) — no third-party dependency; the
+    loopback broker test drives this against a real socket."""
+    from teste_carga_avro_vs_json_spark.sources import kafka_wire
+
+    host, _, port = bootstrap_servers.partition(":")
+    client = kafka_wire.WireKafkaClient(host, int(port))
+    try:
+        parts = client.partitions_for(topic)
+        begins = {
+            p: client.list_offset(topic, p, kafka_wire.EARLIEST) for p in parts
+        }
+        ends = {
+            p: client.list_offset(topic, p, kafka_wire.LATEST) for p in parts
+        }
+        return begins, ends
+    finally:
+        client.close()
 
 
 # ----------------------------------------------------------- wire frames

@@ -1,0 +1,199 @@
+"""Loopback Kafka wire-protocol tests (VERDICT r5 item 5): the engine's
+produce → offset-discovery → tail-N consume loop runs end-to-end over a
+REAL TCP socket with real Kafka framing (record batch v2, CRC32C,
+varints) — the last previously-untested real-user surface.
+
+Reference behavior being mirrored: ProdutorAvro.java:67-95 (keyed,
+partition-routed produce) and ConsumidorAvro.java:57-180 (tail-N
+offset arithmetic + bounded poll loop)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from teste_carga_avro_vs_json_spark.sources import io_kafka, kafka_wire
+from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+    EARLIEST,
+    LATEST,
+    StubBroker,
+    WireKafkaClient,
+    crc32c,
+    decode_record_batches,
+    encode_record_batch,
+    read_varint,
+    write_varint,
+)
+
+
+# ------------------------------------------------------------ unit level
+def test_crc32c_known_answers():
+    # Castagnoli check value from the CRC catalogue (public)
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_varint_zigzag_roundtrip():
+    import io
+
+    for n in [0, 1, -1, 63, 64, -64, -65, 300, -300, 2**31, -(2**31), 2**62]:
+        assert read_varint(io.BytesIO(write_varint(n))) == n
+
+
+def test_record_batch_roundtrip_and_crc():
+    recs = [(b"k1", b"v1"), (None, b"v2"), (b"k3", None), (b"", b"")]
+    batch = encode_record_batch(recs, base_offset=7)
+    out = decode_record_batches(batch)
+    assert out == [(7 + i, k, v) for i, (k, v) in enumerate(recs)]
+    # corrupting any payload byte must trip the CRC32C
+    corrupt = bytearray(batch)
+    corrupt[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32C"):
+        decode_record_batches(bytes(corrupt))
+    # two concatenated batches decode as one stream (fetch responses)
+    two = batch + encode_record_batch([(b"x", b"y")], base_offset=11)
+    assert decode_record_batches(two)[-1] == (11, b"x", b"y")
+
+
+# ------------------------------------------------------- socket loopback
+def test_broker_produce_fetch_list_offsets():
+    with StubBroker(num_partitions=3) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            versions = c.api_versions()
+            assert versions[0][1] >= 3 and versions[1][1] >= 4
+            md = c.metadata("carga")
+            assert sorted(md["topics"]["carga"]["partitions"]) == [0, 1, 2]
+            assert md["brokers"][0][2] == broker.addr[1]
+
+            # two batches on partition 1; offsets must be contiguous
+            assert c.produce("carga", 1, [(b"a", b"1"), (b"b", b"2")]) == 0
+            assert c.produce("carga", 1, [(b"c", b"3")]) == 2
+            assert c.list_offset("carga", 1, EARLIEST) == 0
+            assert c.list_offset("carga", 1, LATEST) == 3
+            assert c.list_offset("carga", 0, LATEST) == 0
+
+            hw, recs = c.fetch("carga", 1, 0)
+            assert hw == 3
+            assert [(o, k, v) for o, k, v in recs] == [
+                (0, b"a", b"1"),
+                (1, b"b", b"2"),
+                (2, b"c", b"3"),
+            ]
+            # fetch from mid-batch offset: rider records below the
+            # requested offset are filtered client-side (Kafka semantics)
+            _, tail = c.fetch("carga", 1, 1)
+            assert [o for o, _, _ in tail] == [1, 2]
+            # corrupt produce -> CORRUPT_MESSAGE, log untouched
+            bad = bytearray(encode_record_batch([(b"z", b"9")]))
+            bad[-1] ^= 0xFF
+            body = (
+                kafka_wire._W()
+                .string(None)
+                .i16(-1)
+                .i32(1000)
+                .i32(1)
+                .string("carga")
+                .i32(1)
+                .i32(1)
+                .bytes_(bytes(bad))
+            )
+            r = c._call(kafka_wire._API_PRODUCE, 3, bytes(body.b))
+            r.i32(); r.string(); r.i32(); r.i32()
+            assert r.i16() == 2  # CORRUPT_MESSAGE
+            assert c.list_offset("carga", 1, LATEST) == 3
+        finally:
+            c.close()
+
+
+def test_tail_n_consume_end_to_end(spark):
+    """The full reference loop over a socket: route + Avro-encode 54
+    messages into 6 partitions, produce with real wire framing, discover
+    offsets via the stdlib client (io_kafka.fetch_offsets fallback),
+    apply the tail-N arithmetic, drain the bounded consume, and
+    Avro-decode the fetched bytes back through the engine's codec."""
+    from teste_carga_avro_vs_json_spark.functions.avro_codec import to_avro
+    from teste_carga_avro_vs_json_spark.operators import serde
+    from teste_carga_avro_vs_json_spark.sources import generator
+
+    n, parts, target = 54, 6, 18
+    msgs = generator.mensagens(spark, n, tamanho_kb=1)
+    wire = io_kafka.to_wire_frame(
+        msgs, to_avro(F.struct("id", "timestamp", "sequencia", "dados", "versao")),
+        num_particoes=parts,
+    )
+    rows = wire.collect()  # loopback harness: bounded driver-side produce
+    assert len(rows) == n
+
+    with StubBroker(num_partitions=parts) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            by_part: dict[int, list] = {}
+            for r in rows:
+                by_part.setdefault(r.partition, []).append(
+                    (r.key.encode(), bytes(r.value))
+                )
+            for p, recs in by_part.items():
+                # two batches per partition so fetch crosses batches
+                half = len(recs) // 2
+                c.produce("carga", p, recs[:half])
+                c.produce("carga", p, recs[half:])
+
+            bootstrap = f"{broker.addr[0]}:{broker.addr[1]}"
+            begins, ends = io_kafka.fetch_offsets_wire(bootstrap, "carga")
+            assert begins == {p: 0 for p in range(parts)}
+            assert ends == {p: len(by_part[p]) for p in range(parts)}
+
+            starts = io_kafka.tail_n_offsets(begins, ends, target)
+            per_part = math.ceil(target / parts)
+            fetched = c.consume_from("carga", starts)
+        finally:
+            c.close()
+
+    assert len(fetched) == per_part * parts
+    # decode the fetched Avro bytes through the engine codec and check
+    # they are exactly the LAST per_part messages of each partition
+    got = spark.createDataFrame(
+        [(p, o, k.decode(), bytearray(v)) for p, o, k, v in fetched],
+        "partition int, offset long, key string, valor_avro binary",
+    )
+    dec = serde.avro_decode(got.select("partition", "key", "valor_avro"))
+    seqs = sorted(r.sequencia for r in dec.collect())
+    expected = sorted(
+        seq
+        for p in range(parts)
+        for seq in [s for s in range(1, n + 1) if (s - 1) % parts == p][-per_part:]
+    )
+    assert seqs == expected
+    # keys carry the reference's msg-{i} contract across the wire
+    keys = {k.decode() for _, _, k, _ in fetched}
+    assert keys == {f"msg-{s}" for s in expected}
+
+
+def test_fetch_offsets_falls_back_to_wire(monkeypatch):
+    """io_kafka.fetch_offsets uses the stdlib wire client when
+    kafka-python is absent (ImportError), against a real socket."""
+    import builtins
+    import sys
+
+    monkeypatch.delitem(sys.modules, "kafka", raising=False)
+    real_import = builtins.__import__
+
+    def no_kafka(name, *a, **kw):
+        if name == "kafka" or name.startswith("kafka."):
+            raise ImportError(name)
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_kafka)
+    with StubBroker(num_partitions=2) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            c.produce("t", 0, [(None, b"a"), (None, b"b")])
+        finally:
+            c.close()
+        bootstrap = f"{broker.addr[0]}:{broker.addr[1]}"
+        begins, ends = io_kafka.fetch_offsets(bootstrap, "t")
+    assert begins == {0: 0, 1: 0}
+    assert ends == {0: 2, 1: 0}
