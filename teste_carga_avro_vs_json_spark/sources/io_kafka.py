@@ -78,6 +78,85 @@ def fetch_offsets(bootstrap_servers: str, topic: str) -> tuple[dict, dict]:
     )
 
 
+def read_kafka_wire_batch(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    target_total: int | None = None,
+    offsets: tuple[dict[int, int], dict[int, int]] | None = None,
+    max_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Distributed batch consume over the stdlib wire-protocol client —
+    a working Kafka SOURCE with zero non-stdlib dependencies, for
+    environments without the spark-sql-kafka jar (this container; any
+    bare PySpark install).
+
+    Execution model mirrors the real connector (O8, parallel source):
+    the driver discovers per-partition [start, end) bounds (tail-N
+    arithmetic when ``target_total`` is given — O9), builds one plan
+    row per TopicPartition, and ``mapInPandas`` fetches each partition
+    executor-side over its own socket — one task per TopicPartition,
+    records streamed out in Arrow batches, no driver traffic. Output
+    columns match ``format("kafka")``: (topic, partition, offset, key,
+    value) with binary key/value.
+
+    On a cluster the JVM connector remains the production choice
+    (SCALE.md) — it adds rack-aware replica fetching, SSL/SASL, and
+    offset-commit integration this client does not attempt."""
+    import pandas as pd
+
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
+
+    begins, ends = offsets if offsets is not None else fetch_offsets_wire(
+        bootstrap_servers, topic
+    )
+    starts = (
+        tail_n_offsets(begins, ends, target_total)
+        if target_total is not None
+        else {p: begins.get(p, 0) for p in ends}
+    )
+    plan = [(p, int(starts.get(p, 0)), int(end)) for p, end in sorted(ends.items())]
+    host, _, port_s = bootstrap_servers.partition(":")
+    port = int(port_s)
+
+    def _fetch(batches):
+        client = None
+        try:
+            for pdf in batches:
+                for p, start, end in zip(pdf["partition"], pdf["start"], pdf["end"]):
+                    p, offset, end = int(p), int(start), int(end)
+                    if offset >= end:
+                        continue
+                    if client is None:
+                        client = WireKafkaClient(host, port)
+                    while offset < end:
+                        _hw, recs = client.fetch(topic, p, offset, max_bytes)
+                        recs = [t for t in recs if t[0] < end]
+                        if not recs:
+                            break
+                        yield pd.DataFrame(
+                            {
+                                "topic": topic,
+                                "partition": p,
+                                "offset": [o for o, _, _ in recs],
+                                "key": [k for _, k, _ in recs],
+                                "value": [v for _, _, v in recs],
+                            }
+                        )
+                        offset = recs[-1][0] + 1
+        finally:
+            if client is not None:
+                client.close()
+
+    plan_df = spark.createDataFrame(
+        plan, "partition int, start long, end long"
+    ).repartition(max(len(plan), 1), "partition")
+    return plan_df.mapInPandas(
+        _fetch,
+        "topic string, partition int, offset long, key binary, value binary",
+    )
+
+
 def fetch_offsets_wire(bootstrap_servers: str, topic: str) -> tuple[dict, dict]:
     """Begin/end offsets via the stdlib Kafka wire-protocol client
     (Metadata v1 + ListOffsets v1) — no third-party dependency; the

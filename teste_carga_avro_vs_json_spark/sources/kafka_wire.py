@@ -36,6 +36,15 @@ import socketserver
 import struct
 import threading
 
+try:  # pickle-by-value: executors don't need the repo on PYTHONPATH
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass
+
 # ------------------------------------------------------------- CRC32C
 # Castagnoli polynomial (reflected 0x82F63B78), table-driven — the
 # checksum record-batch v2 mandates (zlib.crc32 is CRC32/IEEE, wrong

@@ -172,6 +172,62 @@ def test_tail_n_consume_end_to_end(spark):
     assert keys == {f"msg-{s}" for s in expected}
 
 
+def test_read_kafka_wire_batch_distributed_source(spark):
+    """The wire client as a DISTRIBUTED Spark source: one plan row per
+    TopicPartition, mapInPandas fetches executor-side over its own
+    socket, output contract matches format(\"kafka\"). Tail-N bounds
+    (O9) and the full read both verified against produced data."""
+    from teste_carga_avro_vs_json_spark.functions.avro_codec import to_avro
+    from teste_carga_avro_vs_json_spark.operators import serde
+    from teste_carga_avro_vs_json_spark.sources import generator
+
+    n, parts = 54, 6
+    msgs = generator.mensagens(spark, n, tamanho_kb=1)
+    wire = io_kafka.to_wire_frame(
+        msgs, to_avro(F.struct("id", "timestamp", "sequencia", "dados", "versao")),
+        num_particoes=parts,
+    )
+    rows = wire.collect()
+    with StubBroker(num_partitions=parts) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            by_part: dict[int, list] = {}
+            for r in rows:
+                by_part.setdefault(r.partition, []).append(
+                    (r.key.encode(), bytes(r.value))
+                )
+            for p, recs in by_part.items():
+                c.produce("carga", p, recs)
+        finally:
+            c.close()
+        bootstrap = f"{broker.addr[0]}:{broker.addr[1]}"
+
+        full = io_kafka.read_kafka_wire_batch(spark, bootstrap, "carga")
+        assert full.columns == ["topic", "partition", "offset", "key", "value"]
+        got = full.collect()
+        assert len(got) == n
+        assert {r.topic for r in got} == {"carga"}
+        # per-partition offsets are contiguous from 0
+        for p in range(parts):
+            offs = sorted(r.offset for r in got if r.partition == p)
+            assert offs == list(range(len(by_part[p])))
+
+        # tail-N bounded read decodes through the engine codec
+        tail = io_kafka.read_kafka_wire_batch(
+            spark, bootstrap, "carga", target_total=18
+        )
+        # rename value -> valor_avro for the serde contract
+        tail2 = tail.withColumnRenamed("value", "valor_avro")
+        dec = serde.avro_decode(tail2.select("partition", "valor_avro"))
+        seqs = sorted(r.sequencia for r in dec.collect())
+        expected = sorted(
+            s
+            for p in range(parts)
+            for s in [x for x in range(1, n + 1) if (x - 1) % parts == p][-3:]
+        )
+        assert seqs == expected
+
+
 def test_fetch_offsets_falls_back_to_wire(monkeypatch):
     """io_kafka.fetch_offsets uses the stdlib wire client when
     kafka-python is absent (ImportError), against a real socket."""

@@ -18,7 +18,14 @@ Prints one JSON line. Surviving at all is the OOM check (the fused
 array-carrying LSH variant measured executor-OOM on exactly this
 corpus); timings + output sizes are the SCALE.md table rows.
 
-Usage: python tools/stress10x.py  (knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+Usage: python tools/stress10x.py [replicas]  (default 10; r6 graduates
+the heavy lanes to 30 per VERDICT item 4). Knobs: SPARK_GRAFT_SF_DIR,
+SPARK_GRAFT_CPUS, SPARK_GRAFT_DRIVER_MEM (the 30x run pins 8g to answer
+whether the engine's default driver sizing holds at that scale).
+
+Shuffle evidence: the Spark UI REST API is scraped at the end for the
+peak per-stage shuffle write and the run total — committed artifacts
+carry measured shuffle volume, not prose claims.
 """
 
 from __future__ import annotations
@@ -27,15 +34,33 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
+def _shuffle_stats(ui_url: str) -> dict:
+    """Max per-stage + total shuffle write bytes via the status REST API."""
+    with urllib.request.urlopen(f"{ui_url}/api/v1/applications") as r:
+        app_id = json.load(r)[0]["id"]
+    with urllib.request.urlopen(
+        f"{ui_url}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    writes = [s.get("shuffleWriteBytes", 0) for s in stages]
+    return {
+        "peak_stage_shuffle_write_bytes": max(writes, default=0),
+        "total_shuffle_write_bytes": sum(writes),
+        "stages": len(stages),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 
     from pyspark.sql import SparkSession
     import pyspark.sql.functions as F
@@ -47,7 +72,8 @@ def main() -> None:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("stress10x")
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
@@ -61,9 +87,9 @@ def main() -> None:
     # clique. doc_id = original*10 + r keeps ids unique and makes the
     # original (r=0) the canonical min.
     corpus10 = (
-        docs.crossJoin(spark.range(10).select(F.col("id").alias("r")))
+        docs.crossJoin(spark.range(replicas).select(F.col("id").alias("r")))
         .select(
-            (F.col("doc_id") * 10 + F.col("r")).alias("doc_id"),
+            (F.col("doc_id") * replicas + F.col("r")).alias("doc_id"),
             F.concat(
                 F.col("text"), F.lit(" zrep"), F.col("r").cast("string")
             ).alias("text"),
@@ -78,7 +104,9 @@ def main() -> None:
     def run(df):
         df.write.format("noop").mode("overwrite").save()
 
-    out: dict = {"sf_dir": sf_dir, "cpus": cpus, "rows_10x": n10}
+    out: dict = {"sf_dir": sf_dir, "cpus": cpus, "replicas": replicas,
+               "driver_memory": spark.conf.get("spark.driver.memory"),
+               "rows_10x": n10}
 
     t0 = time.perf_counter()
     run(dedup.minhash_lsh_candidates_scale(corpus10.select("doc_id", "text")))
@@ -123,7 +151,7 @@ def main() -> None:
 
     events = load_table(spark, sf_dir, "events")
     events10 = (
-        events.crossJoin(spark.range(10).select(F.col("id").alias("r")))
+        events.crossJoin(spark.range(replicas).select(F.col("id").alias("r")))
         .select(
             (F.col("event_id") + F.col("r") * 1_000_000_000).alias("event_id"),
             (F.col("user_id") + F.col("r") * 1_000_000_000).alias("user_id"),
@@ -153,6 +181,10 @@ def main() -> None:
         out["loadavg_1m"] = round(os.getloadavg()[0], 1)
     except OSError:
         pass
+    try:
+        out.update(_shuffle_stats(spark.sparkContext.uiWebUrl))
+    except Exception as e:  # noqa: BLE001 - diagnostics only
+        out["shuffle_stats_error"] = str(e)
     print(json.dumps(out))
     spark.stop()
 
