@@ -184,9 +184,14 @@ def encode_record_batch(
     records: list[tuple[bytes | None, bytes | None]],
     base_offset: int = 0,
     base_timestamp: int = 0,
+    codec: str | None = None,
 ) -> bytes:
     """Record batch, magic 2 (KIP-98 layout): header + varint-framed
-    records, CRC32C over everything after the crc field."""
+    records, CRC32C over everything after the crc field. ``codec``:
+    None or "gzip" — the records section (everything after recordCount)
+    is compressed as one blob and attributes bits 0-2 carry the codec
+    id, per the published format. gzip is the one codec the stdlib
+    provides; snappy/lz4/zstd would need external libs."""
     body = bytearray()
     for i, (key, value) in enumerate(records):
         rec = bytearray()
@@ -203,9 +208,18 @@ def encode_record_batch(
         body += write_varint(len(rec))
         body += rec
 
+    if codec is None:
+        attributes = 0
+    elif codec == "gzip":
+        import gzip
+
+        attributes = 1
+        body = gzip.compress(bytes(body))
+    else:
+        raise NotImplementedError(f"unsupported compression codec {codec!r}")
     after_crc = (
         _W()
-        .i16(0)  # attributes: no compression, CREATE_TIME
+        .i16(attributes)  # bits 0-2 = compression codec, CREATE_TIME
         .i32(len(records) - 1)  # lastOffsetDelta
         .i64(base_timestamp)
         .i64(base_timestamp)  # maxTimestamp
@@ -250,7 +264,7 @@ def decode_record_batches(
         if check_crc and crc32c(after_crc) != crc:
             raise ValueError("record batch CRC32C mismatch")
         rr = _R(after_crc)
-        rr.i16()  # attributes
+        attributes = rr.i16()
         rr.i32()  # lastOffsetDelta
         rr.i64()
         rr.i64()
@@ -258,6 +272,16 @@ def decode_record_batches(
         rr.i16()
         rr.i32()
         count = rr.i32()
+        comp = attributes & 0x07
+        if comp == 1:  # gzip — the stdlib codec
+            import gzip
+
+            rr = _R(gzip.decompress(rr.remaining()))
+        elif comp:  # snappy(2)/lz4(3)/zstd(4) need external libs
+            raise NotImplementedError(
+                f"compression codec {comp} not available without "
+                "third-party libraries (stdlib supports gzip only)"
+            )
         for _ in range(count):
             read_varint(rr.buf)  # record length
             rr.i8()  # attributes
@@ -370,9 +394,10 @@ class WireKafkaClient:
         partition: int,
         records: list[tuple[bytes | None, bytes | None]],
         timeout_ms: int = 30000,
+        codec: str | None = None,
     ) -> int:
         """Produce one batch; returns the assigned base offset."""
-        batch = encode_record_batch(records)
+        batch = encode_record_batch(records, codec=codec)
         body = (
             _W()
             .string(None)  # transactional_id

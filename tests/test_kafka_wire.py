@@ -57,6 +57,37 @@ def test_record_batch_roundtrip_and_crc():
     assert decode_record_batches(two)[-1] == (11, b"x", b"y")
 
 
+def test_record_batch_gzip_codec():
+    """Compressed batches: attributes bits carry codec 1 (gzip), the
+    records section is one compressed blob, decode is transparent."""
+    recs = [(b"k", b"v" * 500), (None, b"w" * 500)]
+    plain = encode_record_batch(recs)
+    gz = encode_record_batch(recs, codec="gzip")
+    assert len(gz) < len(plain)  # repetitive payloads compress
+    assert decode_record_batches(gz) == decode_record_batches(plain)
+    with pytest.raises(NotImplementedError, match="codec"):
+        encode_record_batch(recs, codec="snappy")
+    # a foreign-codec batch (e.g. lz4=3) is a clear error, not garbage
+    tampered = bytearray(plain)
+    # attributes live right after the 21-byte pre-crc header
+    tampered[21 + 1] = 3
+    import struct as _s
+
+    after = bytes(tampered[21:])
+    tampered[17:21] = _s.pack(">I", crc32c(after))
+    with pytest.raises(NotImplementedError, match="third-party"):
+        decode_record_batches(bytes(tampered))
+    # gzip survives the socket: broker CRC-validates + re-serves it
+    with StubBroker(num_partitions=1) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            c.produce("gz", 0, recs, codec="gzip")
+            _hw, out = c.fetch("gz", 0, 0)
+            assert [(k, v) for _, k, v in out] == recs
+        finally:
+            c.close()
+
+
 # ------------------------------------------------------- socket loopback
 def test_broker_produce_fetch_list_offsets():
     with StubBroker(num_partitions=3) as broker:
