@@ -1,0 +1,253 @@
+"""``format("kafka_wire")`` — a Spark 4 Python DataSource over the
+stdlib wire-protocol client (:mod:`sources.kafka_wire`).
+
+Gives the engine a REGISTERED Kafka source/sink usable through the
+standard reader/writer API with zero non-stdlib dependencies:
+
+- **batch read** — the driver discovers per-partition ``[start, end)``
+  bounds (tail-N pruning via ``target_total``, O9) and emits ONE
+  ``InputPartition`` per TopicPartition; each Spark task fetches its
+  partition over its own socket (O8, the same execution model as the
+  JVM connector).
+- **batch write** — each task groups its rows by the ``partition``
+  column (the reference's explicit routing, O7 —
+  ProdutorAvro.java:67-90) and produces record batches per partition.
+- **streaming read** — a ``SimpleDataSourceStreamReader`` that walks
+  per-partition offsets; ``maxRecordsPerBatch`` bounds each micro-batch
+  (flow control, O17 — the ``maxOffsetsPerTrigger`` analogue).
+
+Options: ``bootstrap`` (host:port, required), ``topic`` (required),
+``target_total`` (tail-N bound, batch read), ``max_bytes`` (per fetch),
+``maxRecordsPerBatch`` (streaming), ``batch_size`` (write).
+
+Scale notes: on a real cluster the JVM connector
+(spark-sql-kafka-0-10) remains the production path — SSL/SASL, replica
+fetching, offset commit. This source is the no-dependency fallback and
+the loopback test surface; its *shape* (partition-parallel fetch, no
+driver traffic on the data path) is the connector's. Python data
+sources pay one Python worker hop per task — the same cost class as
+this environment's Avro codec path.
+
+Reference parity: ConsumidorAvro.java:57-180 (bounded tail-N consume),
+ProdutorAvro.java:67-95 (keyed, partition-routed produce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+
+try:  # pickle-by-value: executors don't need the repo on PYTHONPATH
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001
+    pass
+
+_SCHEMA = "topic string, partition int, offset long, key binary, value binary"
+
+
+def _client(options):
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
+
+    bootstrap = options["bootstrap"]
+    host, _, port = bootstrap.partition(":")
+    return WireKafkaClient(host, int(port))
+
+
+class _TP(InputPartition):
+    def __init__(self, partition: int, start: int, end: int):
+        self.partition = partition
+        self.start = start
+        self.end = end
+
+
+class KafkaWireBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.options = options
+        self.topic = options["topic"]
+        self.max_bytes = int(options.get("max_bytes", 1 << 20))
+
+    def partitions(self):
+        from teste_carga_avro_vs_json_spark.sources.io_kafka import (
+            fetch_offsets_wire,
+            tail_n_offsets,
+        )
+
+        begins, ends = fetch_offsets_wire(self.options["bootstrap"], self.topic)
+        target = self.options.get("target_total")
+        starts = (
+            tail_n_offsets(begins, ends, int(target))
+            if target is not None
+            else begins
+        )
+        return [
+            _TP(p, int(starts.get(p, 0)), int(end))
+            for p, end in sorted(ends.items())
+        ]
+
+    def read(self, part: _TP):
+        client = _client(self.options)
+        try:
+            offset = part.start
+            while offset < part.end:
+                _hw, recs = client.fetch(
+                    self.topic, part.partition, offset, self.max_bytes
+                )
+                recs = [t for t in recs if t[0] < part.end]
+                if not recs:
+                    break
+                for off, key, value in recs:
+                    yield (self.topic, part.partition, off, key, value)
+                offset = recs[-1][0] + 1
+        finally:
+            client.close()
+
+
+class _Committed(WriterCommitMessage):
+    def __init__(self, n: int):
+        self.n = n
+
+
+class KafkaWireBatchWriter(DataSourceWriter):
+    """Per-task produce with explicit routing: rows are grouped by
+    their ``partition`` column (missing/null → partition 0) and sent
+    as one record batch per ``batch_size`` rows per partition."""
+
+    def __init__(self, options):
+        self.options = options
+        self.topic = options["topic"]
+        self.batch_size = int(options.get("batch_size", 500))
+
+    def write(self, rows):
+        client = None
+        pending: dict[int, list] = {}
+        n = 0
+        try:
+            for row in rows:
+                d = row.asDict()
+                p = int(d.get("partition") or 0)
+                key = d.get("key")
+                value = d.get("value")
+                pending.setdefault(p, []).append(
+                    (
+                        bytes(key) if isinstance(key, (bytes, bytearray)) else (
+                            key.encode() if key is not None else None
+                        ),
+                        bytes(value) if isinstance(value, (bytes, bytearray)) else (
+                            value.encode() if value is not None else None
+                        ),
+                    )
+                )
+                n += 1
+                if len(pending[p]) >= self.batch_size:
+                    if client is None:
+                        client = _client(self.options)
+                    client.produce(self.topic, p, pending.pop(p))
+            for p, recs in pending.items():
+                if client is None:
+                    client = _client(self.options)
+                client.produce(self.topic, p, recs)
+        finally:
+            if client is not None:
+                client.close()
+        return _Committed(n)
+
+
+class KafkaWireStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader: the offset is a per-partition dict; each
+    ``read`` drains up to ``maxRecordsPerBatch`` NEW records across
+    partitions (round-robin by partition order) and returns the
+    advanced offset. An empty poll returns the same offset, so
+    ``processAllAvailable`` terminates when the broker is drained."""
+
+    def __init__(self, options):
+        self.options = options
+        self.topic = options["topic"]
+        self.max_bytes = int(options.get("max_bytes", 1 << 20))
+        self.per_batch = int(options.get("maxRecordsPerBatch", 10_000))
+
+    def initialOffset(self) -> dict:
+        from teste_carga_avro_vs_json_spark.sources.io_kafka import (
+            fetch_offsets_wire,
+        )
+
+        begins, ends = fetch_offsets_wire(self.options["bootstrap"], self.topic)
+        source = (
+            ends
+            if self.options.get("startingOffsets", "earliest") == "latest"
+            else begins
+        )
+        return {str(p): int(o) for p, o in sorted(source.items())}
+
+    def read(self, start: dict):
+        client = _client(self.options)
+        rows, offsets = [], dict(start)
+        budget = self.per_batch
+        try:
+            for p_str in sorted(offsets, key=int):
+                if budget <= 0:
+                    break
+                p, offset = int(p_str), int(offsets[p_str])
+                while budget > 0:
+                    hw, recs = client.fetch(self.topic, p, offset, self.max_bytes)
+                    if offset >= hw or not recs:
+                        break
+                    for off, key, value in recs[:budget]:
+                        rows.append((self.topic, p, off, key, value))
+                        offset = off + 1
+                    budget -= len(recs[:budget])
+                offsets[p_str] = offset
+        finally:
+            client.close()
+        return iter(rows), offsets
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        client = _client(self.options)
+        rows = []
+        try:
+            for p_str in sorted(start, key=int):
+                p = int(p_str)
+                offset, stop = int(start[p_str]), int(end.get(p_str, start[p_str]))
+                while offset < stop:
+                    _hw, recs = client.fetch(self.topic, p, offset, self.max_bytes)
+                    recs = [t for t in recs if t[0] < stop]
+                    if not recs:
+                        break
+                    for off, key, value in recs:
+                        rows.append((self.topic, p, off, key, value))
+                    offset = recs[-1][0] + 1
+        finally:
+            client.close()
+        return iter(rows)
+
+
+class KafkaWireDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_wire"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema):
+        return KafkaWireBatchReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return KafkaWireBatchWriter(self.options)
+
+    def simpleStreamReader(self, schema):
+        return KafkaWireStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """``spark.dataSource.register`` wrapper (idempotent)."""
+    spark.dataSource.register(KafkaWireDataSource)

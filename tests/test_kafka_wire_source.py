@@ -1,0 +1,132 @@
+"""format("kafka_wire") — the registered Spark 4 Python DataSource over
+the stdlib wire client: batch read (one InputPartition per
+TopicPartition), batch write (partition-routed produce), and streaming
+read with maxRecordsPerBatch flow control, all against the loopback
+broker over real sockets."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.sources import kafka_wire_source
+from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+    StubBroker,
+    WireKafkaClient,
+)
+
+
+def _produce(broker, topic, by_part):
+    c = WireKafkaClient(*broker.addr)
+    try:
+        for p, recs in by_part.items():
+            c.produce(topic, p, recs)
+    finally:
+        c.close()
+
+
+def test_batch_read_partition_per_tp(spark):
+    kafka_wire_source.register(spark)
+    by_part = {
+        p: [(f"k{p}-{i}".encode(), f"v{p}-{i}".encode()) for i in range(5)]
+        for p in range(3)
+    }
+    with StubBroker(num_partitions=3) as broker:
+        _produce(broker, "carga", by_part)
+        df = (
+            spark.read.format("kafka_wire")
+            .option("bootstrap", f"{broker.addr[0]}:{broker.addr[1]}")
+            .option("topic", "carga")
+            .load()
+        )
+        assert df.columns == ["topic", "partition", "offset", "key", "value"]
+        # one Spark input partition per TopicPartition (connector model)
+        assert df.rdd.getNumPartitions() == 3
+        rows = df.collect()
+    assert len(rows) == 15
+    got = {(r.partition, r.offset): (bytes(r.key), bytes(r.value)) for r in rows}
+    for p, recs in by_part.items():
+        for i, kv in enumerate(recs):
+            assert got[(p, i)] == kv
+
+
+def test_batch_read_tail_n(spark):
+    kafka_wire_source.register(spark)
+    by_part = {p: [(None, f"{p}:{i}".encode()) for i in range(10)] for p in range(2)}
+    with StubBroker(num_partitions=2) as broker:
+        _produce(broker, "t", by_part)
+        df = (
+            spark.read.format("kafka_wire")
+            .option("bootstrap", f"{broker.addr[0]}:{broker.addr[1]}")
+            .option("topic", "t")
+            .option("target_total", "6")
+            .load()
+        )
+        rows = df.collect()
+    # ceil(6/2)=3 per partition, from the tail
+    assert sorted((r.partition, r.offset) for r in rows) == [
+        (0, 7), (0, 8), (0, 9), (1, 7), (1, 8), (1, 9),
+    ]
+
+
+def test_batch_write_routes_by_partition_column(spark):
+    kafka_wire_source.register(spark)
+    data = [(f"msg-{i}", f"payload-{i}", (i - 1) % 4) for i in range(1, 41)]
+    df = spark.createDataFrame(data, "key string, value string, partition int")
+    with StubBroker(num_partitions=4) as broker:
+        bootstrap = f"{broker.addr[0]}:{broker.addr[1]}"
+        (
+            df.write.format("kafka_wire")
+            .option("bootstrap", bootstrap)
+            .option("topic", "out")
+            .option("batch_size", "4")
+            .mode("append")
+            .save()
+        )
+        # read back through the batch reader and check routing
+        back = (
+            spark.read.format("kafka_wire")
+            .option("bootstrap", bootstrap)
+            .option("topic", "out")
+            .load()
+            .collect()
+        )
+    assert len(back) == 40
+    for r in back:
+        key = bytes(r.key).decode()
+        seq = int(key.split("-")[1])
+        assert r.partition == (seq - 1) % 4
+        assert bytes(r.value).decode() == f"payload-{seq}"
+
+
+def test_stream_read_flow_control(spark, tmp_path):
+    kafka_wire_source.register(spark)
+    by_part = {0: [(None, f"a{i}".encode()) for i in range(30)]}
+    with StubBroker(num_partitions=1) as broker:
+        _produce(broker, "s", by_part)
+        stream = (
+            spark.readStream.format("kafka_wire")
+            .option("bootstrap", f"{broker.addr[0]}:{broker.addr[1]}")
+            .option("topic", "s")
+            .option("maxRecordsPerBatch", "8")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("kw_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.sql("select * from kw_sink").collect()
+    assert len(out) == 30
+    assert sorted(r.offset for r in out) == list(range(30))
+    assert {bytes(r.value).decode() for r in out} == {f"a{i}" for i in range(30)}
+    # flow control: 30 records at 8/batch needs >= 4 micro-batches
+    prog = q.recentProgress
+    batches_with_rows = [p for p in prog if p["numInputRows"] > 0]
+    assert len(batches_with_rows) >= 4
+    assert max(p["numInputRows"] for p in batches_with_rows) <= 8
