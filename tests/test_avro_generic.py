@@ -1,0 +1,262 @@
+"""Generic schema-driven Avro codec + spec Schema Resolution
+(functions/avro_generic.py): full-type round-trips, the evolution
+matrix a registry-backed consumer hits (added/removed fields,
+promotions, aliases, enum defaults, union changes), and the
+Arrow-batched Spark exposure."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from teste_carga_avro_vs_json_spark.functions import avro_generic as ag
+
+
+KITCHEN_SINK = json.dumps(
+    {
+        "type": "record",
+        "name": "Everything",
+        "namespace": "test.ns",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "F8", "size": 8}},
+            {
+                "name": "e",
+                "type": {"type": "enum", "name": "Color", "symbols": ["RED", "GREEN"]},
+            },
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "u", "type": ["null", "string"]},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "Inner",
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            },
+            {"name": "nested2", "type": "Inner"},  # named-type reference
+        ],
+    }
+)
+
+SINK_VALUE = {
+    "b": True,
+    "i": -42,
+    "l": 1 << 40,
+    "f": 1.5,
+    "d": -2.25,
+    "s": "héllo",
+    "by": b"\x00\xff",
+    "fx": b"12345678",
+    "e": "GREEN",
+    "arr": [1, -2, 3],
+    "m": {"k1": "v1", "k2": "v2"},
+    "u": "set",
+    "nested": {"x": 7},
+    "nested2": {"x": -9},
+}
+
+
+def test_kitchen_sink_roundtrip():
+    raw = ag.encode(KITCHEN_SINK, SINK_VALUE)
+    assert ag.decode(KITCHEN_SINK, raw) == SINK_VALUE
+    # null union branch
+    v2 = dict(SINK_VALUE, u=None)
+    assert ag.decode(KITCHEN_SINK, ag.encode(KITCHEN_SINK, v2))["u"] is None
+
+
+def test_resolution_added_removed_promoted_aliased():
+    writer = json.dumps(
+        {
+            "type": "record",
+            "name": "V1",
+            "fields": [
+                {"name": "id", "type": "int"},
+                {"name": "legacy", "type": {"type": "array", "items": "string"}},
+                {"name": "score", "type": "int"},
+                {"name": "tag", "type": "string"},
+            ],
+        }
+    )
+    reader = json.dumps(
+        {
+            "type": "record",
+            "name": "V1",
+            "fields": [
+                # promoted int -> long
+                {"name": "id", "type": "long"},
+                # writer 'legacy' is SKIPPED (absent here)
+                # promoted int -> double
+                {"name": "score", "type": "double"},
+                # renamed via alias
+                {"name": "label", "type": "string", "aliases": ["tag"]},
+                # added with default
+                {"name": "added", "type": "string", "default": "dflt"},
+                # added nullable with null default
+                {"name": "opt", "type": ["null", "long"], "default": None},
+            ],
+        }
+    )
+    raw = ag.encode(writer, {"id": 7, "legacy": ["a", "b"], "score": 3, "tag": "t"})
+    out = ag.decode_resolved(writer, reader, raw)
+    assert out == {
+        "id": 7,
+        "score": 3.0,
+        "label": "t",
+        "added": "dflt",
+        "opt": None,
+    }
+    assert isinstance(out["score"], float)
+
+
+def test_resolution_enum_default_and_union_shapes():
+    w_enum = json.dumps(
+        {"type": "enum", "name": "E", "symbols": ["A", "B", "NEW"]}
+    )
+    r_enum = json.dumps(
+        {"type": "enum", "name": "E", "symbols": ["A", "B", "OTHER"], "default": "OTHER"}
+    )
+    assert ag.decode_resolved(w_enum, r_enum, ag.encode(w_enum, "NEW")) == "OTHER"
+    assert ag.decode_resolved(w_enum, r_enum, ag.encode(w_enum, "B")) == "B"
+    # no default -> error only when the unknown symbol is actually read
+    r_strict = json.dumps({"type": "enum", "name": "E", "symbols": ["A", "B"]})
+    assert ag.decode_resolved(w_enum, r_strict, ag.encode(w_enum, "A")) == "A"
+    with pytest.raises(ag.AvroResolutionError):
+        ag.decode_resolved(w_enum, r_strict, ag.encode(w_enum, "NEW"))
+    # writer non-union -> reader union
+    assert ag.decode_resolved('"int"', '["null", "long"]', ag.encode('"int"', 5)) == 5
+    # writer union -> reader single type: ok branch decodes, bad branch raises
+    w_u = '["null", "string", "long"]'
+    assert ag.decode_resolved(w_u, '"string"', ag.encode(w_u, "x")) == "x"
+    with pytest.raises(ag.AvroResolutionError):
+        ag.decode_resolved(w_u, '"string"', ag.encode(w_u, 9))
+    # string <-> bytes both ways
+    assert ag.decode_resolved('"string"', '"bytes"', ag.encode('"string"', "ab")) == b"ab"
+    assert ag.decode_resolved('"bytes"', '"string"', ag.encode('"bytes"', b"ab")) == "ab"
+    # incompatible pair fails at compile time
+    with pytest.raises(ag.AvroResolutionError):
+        ag.decode_resolved('"long"', '"int"', ag.encode('"long"', 1))
+
+
+def test_reader_missing_field_without_default_is_an_error():
+    writer = json.dumps(
+        {"type": "record", "name": "R", "fields": [{"name": "a", "type": "int"}]}
+    )
+    reader = json.dumps(
+        {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "a", "type": "int"},
+                {"name": "b", "type": "string"},
+            ],
+        }
+    )
+    with pytest.raises(ag.AvroResolutionError, match="no default"):
+        ag.decode_resolved(writer, reader, ag.encode(writer, {"a": 1}))
+
+
+def test_bytes_default_and_record_default():
+    reader = json.dumps(
+        {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "a", "type": "int"},
+                {"name": "blob", "type": "bytes", "default": "\u00ff\u0000"},
+                {
+                    "name": "sub",
+                    "type": {
+                        "type": "record",
+                        "name": "S",
+                        "fields": [
+                            {"name": "x", "type": "int", "default": 3},
+                        ],
+                    },
+                    "default": {},
+                },
+            ],
+        }
+    )
+    writer = json.dumps(
+        {"type": "record", "name": "R", "fields": [{"name": "a", "type": "int"}]}
+    )
+    out = ag.decode_resolved(writer, reader, ag.encode(writer, {"a": 2}))
+    assert out == {"a": 2, "blob": b"\xff\x00", "sub": {"x": 3}}
+
+
+def test_matches_fixed_codec_on_reference_schema():
+    """The generic codec must produce byte-identical output to the
+    hand-rolled MensagemCarga codec (same spec, two implementations)."""
+    from teste_carga_avro_vs_json_spark.functions import avro_codec
+    from teste_carga_avro_vs_json_spark.schemas import MENSAGEM_CARGA_AVSC
+
+    row = {
+        "id": "msg-1",
+        "timestamp": 1700000000123,
+        "sequencia": 1,
+        "dados": [
+            {
+                "indice": 0,
+                "texto": "abc",
+                "numero": 1.25,
+                "timestamp": 1700000000124,
+                "uuid": "u-1",
+            }
+        ],
+        "versao": "1.0",
+    }
+    assert ag.encode(MENSAGEM_CARGA_AVSC, row) == avro_codec.encode_mensagem(row)
+    assert ag.decode(MENSAGEM_CARGA_AVSC, avro_codec.encode_mensagem(row)) == row
+
+
+def test_spark_from_avro_any_evolution(spark):
+    """Executor-side: encode under writer v1, decode under an evolved
+    reader v2 — Arrow-batched, schema-derived Spark types."""
+    import pyspark.sql.functions as F
+
+    writer = json.dumps(
+        {
+            "type": "record",
+            "name": "Doc",
+            "fields": [
+                {"name": "id", "type": "int"},
+                {"name": "text", "type": "string"},
+                {"name": "junk", "type": {"type": "map", "values": "long"}},
+            ],
+        }
+    )
+    reader = json.dumps(
+        {
+            "type": "record",
+            "name": "Doc",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "text", "type": "string"},
+                {"name": "lang", "type": "string", "default": "und"},
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "id int, text string"
+    ).select(
+        F.struct("id", "text", F.create_map(F.lit("k"), F.lit(1).cast("long")).alias("junk")).alias("v")
+    )
+    enc = df.select(ag.to_avro_any(F.col("v"), writer).alias("raw"))
+    dec = enc.select(ag.from_avro_any(F.col("raw"), writer, reader).alias("msg")).select("msg.*")
+    assert [f.dataType.simpleString() for f in dec.schema.fields] == [
+        "bigint",
+        "string",
+        "string",
+    ]
+    rows = {r.id: r for r in dec.collect()}
+    assert len(rows) == 50
+    assert rows[7].text == "t7" and rows[7].lang == "und"
