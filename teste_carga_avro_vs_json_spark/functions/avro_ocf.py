@@ -38,12 +38,14 @@ from teste_carga_avro_vs_json_spark.schemas import MENSAGEM_CARGA_AVSC
 MAGIC = b"Obj\x01"
 
 
-def _schema_json() -> str:
+def _schema_json(schema_json: str | None = None) -> str:
+    if schema_json is not None:
+        return schema_json
     return json.dumps(MENSAGEM_CARGA_AVSC, separators=(",", ":"))
 
 
-def sync_marker(token: str = "") -> bytes:
-    return hashlib.md5((_schema_json() + token).encode()).digest()
+def sync_marker(token: str = "", schema_json: str | None = None) -> bytes:
+    return hashlib.md5((_schema_json(schema_json) + token).encode()).digest()
 
 
 def _write_bytes(buf: bytearray, raw: bytes) -> None:
@@ -56,16 +58,20 @@ def write_ocf(
     codec: str = "null",
     block_records: int = 1000,
     sync_token: str = "",
+    schema_json: str | None = None,
 ) -> bytes:
-    """Serialize pre-encoded Avro record bytes into one OCF byte string."""
+    """Serialize pre-encoded Avro record bytes into one OCF byte
+    string. ``schema_json`` embeds a caller schema (default: the
+    reference's MensagemCarga) — with :mod:`functions.avro_generic`
+    this writes standard container files for ANY schema."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported avro.codec: {codec!r}")
-    sync = sync_marker(sync_token)
+    sync = sync_marker(sync_token, schema_json)
     buf = bytearray(MAGIC)
     # metadata map: one block of 2 entries, then end-of-map 0
     _write_long(buf, 2)
     _write_bytes(buf, b"avro.schema")
-    _write_bytes(buf, _schema_json().encode())
+    _write_bytes(buf, _schema_json(schema_json).encode())
     _write_bytes(buf, b"avro.codec")
     _write_bytes(buf, codec.encode())
     _write_long(buf, 0)
@@ -81,8 +87,8 @@ def write_ocf(
     return bytes(buf)
 
 
-def read_ocf(data: bytes) -> list[dict]:
-    """Parse an OCF byte string into decoded MensagemCarga dicts."""
+def _parse_header(data: bytes) -> tuple[dict[str, bytes], bytes, int]:
+    """(metadata map, sync marker, position after header)."""
     if data[:4] != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     pos = 4
@@ -101,10 +107,11 @@ def read_ocf(data: bytes) -> list[dict]:
             vlen, pos = _read_long(data, pos)
             meta[key] = data[pos : pos + vlen]
             pos += vlen
-    codec = meta.get("avro.codec", b"null").decode()
     sync = data[pos : pos + 16]
-    pos += 16
-    out: list[dict] = []
+    return meta, sync, pos + 16
+
+
+def _iter_blocks(data: bytes, codec: str, sync: bytes, pos: int):
     while pos < len(data):
         n_rec, pos = _read_long(data, pos)
         n_bytes, pos = _read_long(data, pos)
@@ -112,14 +119,51 @@ def read_ocf(data: bytes) -> list[dict]:
         pos += n_bytes
         if codec == "deflate":
             payload = zlib.decompress(payload, wbits=-15)
+        yield n_rec, payload
+        if data[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch — corrupt block boundary")
+        pos += 16
+
+
+def read_ocf(data: bytes) -> list[dict]:
+    """Parse an OCF byte string into decoded MensagemCarga dicts (the
+    hot fixed-schema path)."""
+    meta, sync, pos = _parse_header(data)
+    codec = meta.get("avro.codec", b"null").decode()
+    out: list[dict] = []
+    for n_rec, payload in _iter_blocks(data, codec, sync, pos):
         rpos = 0
         for _ in range(n_rec):
             rec, rpos = decode_mensagem_at(payload, rpos)
             out.append(rec)
-        if data[pos : pos + 16] != sync:
-            raise ValueError("sync marker mismatch — corrupt block boundary")
-        pos += 16
     return out
 
 
-__all__ = ["MAGIC", "write_ocf", "read_ocf", "sync_marker"]
+def read_ocf_any(data: bytes, reader_schema: str | None = None) -> list:
+    """Schema-agnostic OCF reader with spec resolution: the WRITER
+    schema comes from the file's own ``avro.schema`` metadata (OCFs are
+    self-describing); ``reader_schema`` evolves it — added fields
+    default-fill, removed fields skip, promotions apply
+    (:func:`functions.avro_generic.make_resolver`). ``None`` reads in
+    the writer's shape."""
+    from teste_carga_avro_vs_json_spark.functions import avro_generic as ag
+
+    meta, sync, pos = _parse_header(data)
+    codec = meta.get("avro.codec", b"null").decode()
+    writer = meta["avro.schema"].decode()
+    w_root, w_env = ag.parse_schema(writer)
+    if reader_schema is None:
+        resolver = ag._make_decoder(w_root, w_env)
+    else:
+        r_root, r_env = ag.parse_schema(reader_schema)
+        resolver = ag.make_resolver(w_root, r_root, w_env, r_env)
+    out: list = []
+    for n_rec, payload in _iter_blocks(data, codec, sync, pos):
+        rpos = 0
+        for _ in range(n_rec):
+            rec, rpos = resolver(payload, rpos)
+            out.append(rec)
+    return out
+
+
+__all__ = ["MAGIC", "write_ocf", "read_ocf", "read_ocf_any", "sync_marker"]

@@ -218,6 +218,63 @@ def test_matches_fixed_codec_on_reference_schema():
     assert ag.decode(MENSAGEM_CARGA_AVSC, avro_codec.encode_mensagem(row)) == row
 
 
+def test_ocf_any_schema_and_evolution():
+    """OCF files are self-describing: write a container with a CUSTOM
+    embedded schema, read it back with no schema at all (writer shape)
+    and with an evolved reader (default fill + promotion); the fixed
+    MensagemCarga reader and the generic reader agree on reference
+    files."""
+    from teste_carga_avro_vs_json_spark.functions import avro_ocf
+
+    v1 = json.dumps(
+        {
+            "type": "record",
+            "name": "Pt",
+            "fields": [
+                {"name": "x", "type": "int"},
+                {"name": "tag", "type": "string"},
+            ],
+        }
+    )
+    recs = [{"x": i, "tag": f"t{i}"} for i in range(7)]
+    for codec in ("null", "deflate"):
+        blob = avro_ocf.write_ocf(
+            [ag.encode(v1, r) for r in recs],
+            codec=codec,
+            block_records=3,
+            schema_json=v1,
+        )
+        assert avro_ocf.read_ocf_any(blob) == recs
+        reader = json.dumps(
+            {
+                "type": "record",
+                "name": "Pt",
+                "fields": [
+                    {"name": "x", "type": "double"},
+                    {"name": "unit", "type": "string", "default": "m"},
+                ],
+            }
+        )
+        assert avro_ocf.read_ocf_any(blob, reader) == [
+            {"x": float(i), "unit": "m"} for i in range(7)
+        ]
+    # reference-schema files: generic reader == fixed reader
+    from teste_carga_avro_vs_json_spark.functions import avro_codec
+    from teste_carga_avro_vs_json_spark.schemas import MENSAGEM_CARGA_AVSC
+
+    row = {
+        "id": "m", "timestamp": 5, "sequencia": 1,
+        "dados": [], "versao": "1.0",
+    }
+    blob = avro_ocf.write_ocf([avro_codec.encode_mensagem(row)])
+    assert avro_ocf.read_ocf_any(blob) == avro_ocf.read_ocf(blob) == [row]
+    sink = json.loads(KITCHEN_SINK)
+    blob2 = avro_ocf.write_ocf(
+        [ag.encode(KITCHEN_SINK, SINK_VALUE)], schema_json=json.dumps(sink)
+    )
+    assert avro_ocf.read_ocf_any(blob2) == [SINK_VALUE]
+
+
 def test_spark_from_avro_any_evolution(spark):
     """Executor-side: encode under writer v1, decode under an evolved
     reader v2 — Arrow-batched, schema-derived Spark types."""
