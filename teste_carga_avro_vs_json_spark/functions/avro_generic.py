@@ -227,8 +227,13 @@ def encode(schema, value) -> bytes:
 
 
 # ----------------------------------------------------- decoding / skip
-def _make_decoder(schema, env):
-    """Compile ``schema`` into a closure ``(data, pos) -> (value, pos)``."""
+def _make_decoder(schema, env, _cache: dict | None = None):
+    """Compile ``schema`` into a closure ``(data, pos) -> (value, pos)``.
+    ``_cache`` makes recursive named types (a record referencing
+    itself, e.g. a linked list) compile to a finite closure tree via a
+    late-bound trampoline instead of recursing forever."""
+    if _cache is None:
+        _cache = {}
     schema = _deref(schema, env)
     t = _type_of(schema, env)
     if t == "null":
@@ -261,7 +266,7 @@ def _make_decoder(schema, env):
 
         return _enum
     if t == "array":
-        item = _make_decoder(schema["items"], env)
+        item = _make_decoder(schema["items"], env, _cache)
 
         def _array(d, p):
             out = []
@@ -278,7 +283,7 @@ def _make_decoder(schema, env):
 
         return _array
     if t == "map":
-        val = _make_decoder(schema["values"], env)
+        val = _make_decoder(schema["values"], env, _cache)
 
         def _map(d, p):
             out = {}
@@ -295,7 +300,16 @@ def _make_decoder(schema, env):
 
         return _map
     if t == "record":
-        parts = [(f["name"], _make_decoder(f["type"], env)) for f in schema["fields"]]
+        full = schema.get("fullname")
+        if full is not None and full in _cache:
+            return _cache[full]
+        holder: dict = {}
+        if full is not None:  # trampoline: recursion binds late
+            _cache[full] = lambda d, p: holder["fn"](d, p)
+        parts = [
+            (f["name"], _make_decoder(f["type"], env, _cache))
+            for f in schema["fields"]
+        ]
 
         def _record(d, p):
             out = {}
@@ -303,9 +317,10 @@ def _make_decoder(schema, env):
                 out[name], p = dec(d, p)
             return out, p
 
+        holder["fn"] = _record
         return _record
     if t == "union":
-        branches = [_make_decoder(b, env) for b in schema]
+        branches = [_make_decoder(b, env, _cache) for b in schema]
 
         def _union(d, p):
             i, p = _read_long(d, p)
@@ -372,18 +387,22 @@ _PROMOTIONS = {
 }
 
 
-def make_resolver(writer, reader, w_env: dict, r_env: dict):
+def make_resolver(writer, reader, w_env: dict, r_env: dict, _cache: dict | None = None):
     """Compile (writer, reader) into ``(data, pos) -> (value, pos)``
     that reads WRITER bytes and yields READER-shaped values, per the
     spec's Schema Resolution section. Raises AvroResolutionError on an
-    incompatible pair (at compile time wherever the spec allows)."""
+    incompatible pair (at compile time wherever the spec allows).
+    ``_cache`` late-binds recursive record pairs (same trampoline as
+    ``_make_decoder``)."""
+    if _cache is None:
+        _cache = {}
     w, r = _deref(writer, w_env), _deref(reader, r_env)
     wt, rt = _type_of(w, w_env), _type_of(r, r_env)
 
     if wt == "union":
         # read the branch index, then resolve that branch against reader
         branch_resolvers = [
-            _lazy_resolver(b, reader, w_env, r_env) for b in w
+            _lazy_resolver(b, reader, w_env, r_env, _cache) for b in w
         ]
 
         def _union_w(d, p):
@@ -395,7 +414,7 @@ def make_resolver(writer, reader, w_env: dict, r_env: dict):
         # writer not a union: first reader branch that resolves
         for b in r:
             try:
-                return make_resolver(writer, b, w_env, r_env)
+                return make_resolver(writer, b, w_env, r_env, _cache)
             except AvroResolutionError:
                 continue
         raise AvroResolutionError(f"no reader union branch matches {wt}")
@@ -417,7 +436,7 @@ def make_resolver(writer, reader, w_env: dict, r_env: dict):
     if wt != rt:
         raise AvroResolutionError(f"{wt} vs {rt}")
     if wt == "array":
-        item = make_resolver(w["items"], r["items"], w_env, r_env)
+        item = make_resolver(w["items"], r["items"], w_env, r_env, _cache)
 
         def _array(d, p):
             out = []
@@ -434,7 +453,7 @@ def make_resolver(writer, reader, w_env: dict, r_env: dict):
 
         return _array
     if wt == "map":
-        val = make_resolver(w["values"], r["values"], w_env, r_env)
+        val = make_resolver(w["values"], r["values"], w_env, r_env, _cache)
 
         def _map(d, p):
             out = {}
@@ -479,6 +498,21 @@ def make_resolver(writer, reader, w_env: dict, r_env: dict):
 
         return _enum
     if wt == "record":
+        pair = (w.get("fullname"), r.get("fullname"))
+        if pair[0] is not None and pair in _cache:
+            return _cache[pair]
+        holder: dict = {}
+        if pair[0] is not None:  # trampoline: recursion binds late
+            _cache[pair] = lambda d, p: holder["fn"](d, p)
+        try:
+            return _resolve_record(w, r, w_env, r_env, _cache, holder)
+        except Exception:
+            _cache.pop(pair, None)  # failed pairs must not leave a stub
+            raise
+    raise AvroResolutionError(f"unsupported type {wt}")  # pragma: no cover
+
+
+def _resolve_record(w, r, w_env, r_env, _cache, holder):
         # match by reader field name OR reader field aliases
         w_fields = {f["name"]: f for f in w["fields"]}
         steps = []  # (kind, name, fn) kind: read|default
@@ -493,7 +527,8 @@ def make_resolver(writer, reader, w_env: dict, r_env: dict):
                         "read",
                         rf["name"],
                         make_resolver(
-                            w_fields[src]["type"], rf["type"], w_env, r_env
+                            w_fields[src]["type"], rf["type"], w_env, r_env,
+                            _cache,
                         ),
                         w_fields[src],
                     )
@@ -534,15 +569,15 @@ def make_resolver(writer, reader, w_env: dict, r_env: dict):
                 out[name] = val
             return out, p
 
+        holder["fn"] = _record
         return _record
-    raise AvroResolutionError(f"unsupported type {wt}")  # pragma: no cover
 
 
-def _lazy_resolver(writer, reader, w_env, r_env):
+def _lazy_resolver(writer, reader, w_env, r_env, _cache):
     """Defer branch-vs-reader resolution errors until the branch is
     actually read (the spec resolves per-datum for writer unions)."""
     try:
-        return make_resolver(writer, reader, w_env, r_env)
+        return make_resolver(writer, reader, w_env, r_env, _cache)
     except AvroResolutionError as e:
         msg = str(e)
 
@@ -562,13 +597,21 @@ def decode_resolved(writer_schema, reader_schema, data: bytes):
 
 
 # ------------------------------------------------------- spark exposure
-def spark_type_of(schema, env=None) -> T.DataType:
+def spark_type_of(schema, env=None, _visiting: frozenset = frozenset()) -> T.DataType:
     """Spark type for an Avro schema. Unions must be [null, X] (Spark
-    has no variant column type); enum→string, fixed/bytes→binary."""
+    has no variant column type); enum→string, fixed/bytes→binary.
+    Recursive records raise (Spark has no recursive struct type)."""
     if env is None:
         schema, env = parse_schema(schema)
     schema = _deref(schema, env)
     t = _type_of(schema, env)
+    if t == "record":
+        full = schema.get("fullname")
+        if full in _visiting:
+            raise ValueError(
+                f"recursive record {full} has no Spark column type"
+            )
+        _visiting = _visiting | {full}
     simple = {
         "null": T.NullType(),
         "boolean": T.BooleanType(),
@@ -586,13 +629,17 @@ def spark_type_of(schema, env=None) -> T.DataType:
     if t == "fixed":
         return T.BinaryType()
     if t == "array":
-        return T.ArrayType(spark_type_of(schema["items"], env))
+        return T.ArrayType(spark_type_of(schema["items"], env, _visiting))
     if t == "map":
-        return T.MapType(T.StringType(), spark_type_of(schema["values"], env))
+        return T.MapType(
+            T.StringType(), spark_type_of(schema["values"], env, _visiting)
+        )
     if t == "record":
         return T.StructType(
             [
-                T.StructField(f["name"], spark_type_of(f["type"], env), True)
+                T.StructField(
+                    f["name"], spark_type_of(f["type"], env, _visiting), True
+                )
                 for f in schema["fields"]
             ]
         )
@@ -602,7 +649,7 @@ def spark_type_of(schema, env=None) -> T.DataType:
             raise ValueError(
                 "only [null, X] unions map to a Spark column type"
             )
-        return spark_type_of(non_null[0], env)
+        return spark_type_of(non_null[0], env, _visiting)
     raise ValueError(f"unknown schema type {t}")  # pragma: no cover
 
 

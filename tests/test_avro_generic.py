@@ -218,6 +218,44 @@ def test_matches_fixed_codec_on_reference_schema():
     assert ag.decode(MENSAGEM_CARGA_AVSC, avro_codec.encode_mensagem(row)) == row
 
 
+def test_recursive_schema_linked_list():
+    """Recursive named types (legal Avro) compile to finite closure
+    trees via the late-bound trampoline — encode/decode/resolve a
+    linked list; Spark typing raises clearly (no recursive structs)."""
+    lst = json.dumps(
+        {
+            "type": "record",
+            "name": "Node",
+            "fields": [
+                {"name": "v", "type": "int"},
+                {"name": "next", "type": ["null", "Node"]},
+            ],
+        }
+    )
+    chain = {"v": 1, "next": {"v": 2, "next": {"v": 3, "next": None}}}
+    raw = ag.encode(lst, chain)
+    assert ag.decode(lst, raw) == chain
+    # resolution on a recursive pair: evolved node adds a defaulted tag
+    lst2 = json.dumps(
+        {
+            "type": "record",
+            "name": "Node",
+            "fields": [
+                {"name": "v", "type": "long"},
+                {"name": "tag", "type": "string", "default": "-"},
+                {"name": "next", "type": ["null", "Node"]},
+            ],
+        }
+    )
+    out = ag.decode_resolved(lst, lst2, raw)
+    assert out == {
+        "v": 1, "tag": "-",
+        "next": {"v": 2, "tag": "-", "next": {"v": 3, "tag": "-", "next": None}},
+    }
+    with pytest.raises(ValueError, match="recursive"):
+        ag.spark_type_of(lst)
+
+
 def test_ocf_any_schema_and_evolution():
     """OCF files are self-describing: write a container with a CUSTOM
     embedded schema, read it back with no schema at all (writer shape)
