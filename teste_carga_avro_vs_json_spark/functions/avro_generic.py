@@ -111,6 +111,9 @@ def _walk(node, ns: str | None, env: dict):
     if t == "map":
         return {"type": "map", "values": _walk(node["values"], ns, env)}
     if t in _PRIMITIVES:
+        if "logicalType" in node:  # annotation rides on the base type
+            keep = {"type", "logicalType", "precision", "scale"}
+            return {k: v for k, v in node.items() if k in keep}
         return t
     return _walk(t, ns, env)  # {"type": {...}} wrapper
 
@@ -612,6 +615,14 @@ def spark_type_of(schema, env=None, _visiting: frozenset = frozenset()) -> T.Dat
                 f"recursive record {full} has no Spark column type"
             )
         _visiting = _visiting | {full}
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
+    if lt == "date":
+        return T.DateType()
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        return T.TimestampType()
+    if lt == "decimal":
+        return T.DecimalType(schema["precision"], schema.get("scale", 0))
+    # uuid / time-* / unknown logical types fall through to the base type
     simple = {
         "null": T.NullType(),
         "boolean": T.BooleanType(),
@@ -653,6 +664,168 @@ def spark_type_of(schema, env=None, _visiting: frozenset = frozenset()) -> T.Dat
     raise ValueError(f"unknown schema type {t}")  # pragma: no cover
 
 
+# -------------------------------------------------------- logical types
+# Wire representation is ALWAYS the base type (spec: logical types are
+# annotations); these converters translate at the Spark boundary only —
+# pure decode()/encode() keep the raw representation.
+_EPOCH = None  # lazy: datetime import stays off the module import path
+
+
+def _epoch():
+    global _EPOCH
+    if _EPOCH is None:
+        import datetime
+
+        _EPOCH = (
+            datetime.date(1970, 1, 1),
+            datetime.datetime(1970, 1, 1),
+            datetime.timedelta,
+        )
+    return _EPOCH
+
+
+def _make_reader_converter(schema, env, _seen: frozenset = frozenset()):
+    """Closure converting a decoded raw value into the Spark-facing
+    value per the schema's logical types — or None when the subtree has
+    no logical types (identity, zero overhead)."""
+    schema = _deref(schema, env)
+    t = _type_of(schema, env)
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
+    if lt == "date":
+        def _date(v):
+            d0, _dt0, td = _epoch()
+            return d0 + td(days=v)
+
+        return _date
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        unit = "milliseconds" if lt == "timestamp-millis" else "microseconds"
+
+        def _ts(v):
+            _d0, dt0, td = _epoch()
+            return dt0 + td(**{unit: v})
+
+        return _ts
+    if lt == "decimal":
+        import decimal
+
+        scale = schema.get("scale", 0)
+
+        def _dec(v):
+            n = int.from_bytes(v, "big", signed=True) if v else 0
+            return decimal.Decimal(n).scaleb(-scale)
+
+        return _dec
+    if t == "record":
+        full = schema.get("fullname")
+        if full in _seen:
+            return None  # recursion: no Spark type anyway (guarded above)
+        sub = [
+            (f["name"], _make_reader_converter(f["type"], env, _seen | {full}))
+            for f in schema["fields"]
+        ]
+        if all(c is None for _n, c in sub):
+            return None
+        convs = [(n, c) for n, c in sub if c is not None]
+
+        def _rec(v):
+            out = dict(v)
+            for n, c in convs:
+                if out.get(n) is not None:
+                    out[n] = c(out[n])
+            return out
+
+        return _rec
+    if t == "array":
+        item = _make_reader_converter(schema["items"], env, _seen)
+        return (lambda v: [item(x) if x is not None else None for x in v]) if item else None
+    if t == "map":
+        val = _make_reader_converter(schema["values"], env, _seen)
+        return (
+            lambda v: {k: val(x) if x is not None else None for k, x in v.items()}
+        ) if val else None
+    if t == "union":
+        subs = [_make_reader_converter(b, env, _seen) for b in schema]
+        if all(c is None for c in subs):
+            return None
+        non_null = [c for b, c in zip(schema, subs) if _type_of(b, env) != "null"]
+        conv = non_null[0]  # [null, X] unions only reach Spark
+        return lambda v: conv(v) if (v is not None and conv) else v
+    return None
+
+
+def _make_writer_converter(schema, env, _seen: frozenset = frozenset()):
+    """Inverse of :func:`_make_reader_converter`: Spark-facing values →
+    the raw base-type representation the encoder expects."""
+    schema = _deref(schema, env)
+    t = _type_of(schema, env)
+    lt = schema.get("logicalType") if isinstance(schema, dict) else None
+    if lt == "date":
+        def _date(v):
+            d0, _dt0, _td = _epoch()
+            return (v - d0).days
+
+        return _date
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        div = 1000 if lt == "timestamp-millis" else 1
+
+        def _ts(v):
+            if hasattr(v, "value"):  # pandas Timestamp: ns since epoch
+                return v.value // (1000 * div)
+            _d0, dt0, _td = _epoch()
+            delta = v.replace(tzinfo=None) - dt0
+            micros = (delta.days * 86_400_000_000 + delta.seconds * 1_000_000
+                      + delta.microseconds)
+            return micros // div
+
+        return _ts
+    if lt == "decimal":
+        scale = schema.get("scale", 0)
+        size = schema.get("size") if isinstance(schema, dict) else None
+
+        def _dec(v):
+            n = int(v.scaleb(scale).to_integral_value())
+            length = size or (n.bit_length() // 8) + 1
+            return n.to_bytes(length, "big", signed=True)
+
+        return _dec
+    if t == "record":
+        full = schema.get("fullname")
+        if full in _seen:
+            return None
+        sub = [
+            (f["name"], _make_writer_converter(f["type"], env, _seen | {full}))
+            for f in schema["fields"]
+        ]
+        if all(c is None for _n, c in sub):
+            return None
+        convs = [(n, c) for n, c in sub if c is not None]
+
+        def _rec(v):
+            out = dict(v)
+            for n, c in convs:
+                if out.get(n) is not None:
+                    out[n] = c(out[n])
+            return out
+
+        return _rec
+    if t == "array":
+        item = _make_writer_converter(schema["items"], env, _seen)
+        return (lambda v: [item(x) if x is not None else None for x in v]) if item else None
+    if t == "map":
+        val = _make_writer_converter(schema["values"], env, _seen)
+        return (
+            lambda v: {k: val(x) if x is not None else None for k, x in v.items()}
+        ) if val else None
+    if t == "union":
+        subs = [_make_writer_converter(b, env, _seen) for b in schema]
+        if all(c is None for c in subs):
+            return None
+        non_null = [c for b, c in zip(schema, subs) if _type_of(b, env) != "null"]
+        conv = non_null[0]
+        return lambda v: conv(v) if (v is not None and conv) else v
+    return None
+
+
 def from_avro_any(
     col: Column, writer_schema: str, reader_schema: str | None = None
 ) -> Column:
@@ -667,23 +840,25 @@ def from_avro_any(
     def _resolve():
         w_root, w_env = parse_schema(writer_schema)
         r_root, r_env = parse_schema(reader)
-        return make_resolver(w_root, r_root, w_env, r_env)
+        resolver = make_resolver(w_root, r_root, w_env, r_env)
+        conv = _make_reader_converter(r_root, r_env)
+        if conv is None:
+            return lambda b: resolver(b, 0)[0]
+        return lambda b: conv(resolver(b, 0)[0])
 
     if is_struct:  # struct results ride back as a pandas DataFrame
 
         @pandas_udf(out_type)
         def _decode(s: pd.Series) -> pd.DataFrame:
-            resolver = _resolve()
-            return pd.DataFrame(
-                [resolver(bytes(b), 0)[0] for b in s], columns=names
-            )
+            one = _resolve()
+            return pd.DataFrame([one(bytes(b)) for b in s], columns=names)
 
     else:
 
         @pandas_udf(out_type)
         def _decode(s: pd.Series) -> pd.Series:
-            resolver = _resolve()
-            return pd.Series([resolver(bytes(b), 0)[0] for b in s])
+            one = _resolve()
+            return pd.Series([one(bytes(b)) for b in s])
 
     return _decode(col)
 
@@ -697,23 +872,31 @@ def to_avro_any(col: Column, schema: str) -> Column:
     root, env = parse_schema(schema)
     is_record = _type_of(root, env) == "record"
 
-    def _one(parsed, v):
-        buf = bytearray()
-        encode_value(parsed[0], v, buf, parsed[1])
-        return bytes(buf)
+    def _one_fn():
+        parsed = parse_schema(schema)
+        conv = _make_writer_converter(parsed[0], parsed[1])
+
+        def one(v):
+            if conv is not None:
+                v = conv(v)
+            buf = bytearray()
+            encode_value(parsed[0], v, buf, parsed[1])
+            return bytes(buf)
+
+        return one
 
     if is_record:  # struct inputs arrive as a pandas DataFrame
 
         @pandas_udf(T.BinaryType())
         def _encode(s: pd.DataFrame) -> pd.Series:
-            parsed = parse_schema(schema)
-            return pd.Series([_one(parsed, v) for v in s.to_dict("records")])
+            one = _one_fn()
+            return pd.Series([one(v) for v in s.to_dict("records")])
 
     else:
 
         @pandas_udf(T.BinaryType())
         def _encode(s: pd.Series) -> pd.Series:
-            parsed = parse_schema(schema)
-            return pd.Series([_one(parsed, v) for v in s])
+            one = _one_fn()
+            return pd.Series([one(v) for v in s])
 
     return _encode(col)

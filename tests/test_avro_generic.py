@@ -218,6 +218,95 @@ def test_matches_fixed_codec_on_reference_schema():
     assert ag.decode(MENSAGEM_CARGA_AVSC, avro_codec.encode_mensagem(row)) == row
 
 
+def test_logical_types_spark_boundary(spark):
+    """date / timestamp-micros / timestamp-millis / decimal logical
+    types: wire representation stays the base type (pure decode returns
+    raw ints/bytes), the Spark boundary converts both directions and
+    the derived column types are Date/Timestamp/Decimal."""
+    import datetime
+    from decimal import Decimal
+
+    import pyspark.sql.functions as F
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "Evt",
+            "fields": [
+                {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+                {
+                    "name": "ts",
+                    "type": {"type": "long", "logicalType": "timestamp-micros"},
+                },
+                {
+                    "name": "tsm",
+                    "type": {"type": "long", "logicalType": "timestamp-millis"},
+                },
+                {
+                    "name": "amt",
+                    "type": {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 10,
+                        "scale": 2,
+                    },
+                },
+                {
+                    "name": "opt_d",
+                    "type": [
+                        "null",
+                        {"type": "int", "logicalType": "date"},
+                    ],
+                    "default": None,
+                },
+            ],
+        }
+    )
+    assert ag.spark_type_of(schema).simpleString() == (
+        "struct<d:date,ts:timestamp,tsm:timestamp,amt:decimal(10,2),opt_d:date>"
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                datetime.date(2024, 2, 29),
+                datetime.datetime(2024, 2, 29, 12, 34, 56, 789123),
+                datetime.datetime(2024, 2, 29, 12, 34, 56, 789000),
+                Decimal("-12345.67"),
+                datetime.date(1969, 12, 31),
+            ),
+            (
+                datetime.date(1970, 1, 1),
+                datetime.datetime(1970, 1, 1),
+                datetime.datetime(1970, 1, 1),
+                Decimal("0.05"),
+                None,
+            ),
+        ],
+        "d date, ts timestamp, tsm timestamp, amt decimal(10,2), opt_d date",
+    )
+    enc = df.select(
+        ag.to_avro_any(F.struct("d", "ts", "tsm", "amt", "opt_d"), schema).alias("raw")
+    )
+    # pure decode sees RAW representations (annotation, not wire change)
+    raw0 = sorted(
+        (r["d"], r["ts"], r["amt"], r["opt_d"])
+        for r in (ag.decode(schema, bytes(x.raw)) for x in enc.collect())
+    )
+    assert raw0[1][0] == (datetime.date(2024, 2, 29) - datetime.date(1970, 1, 1)).days
+    assert raw0[1][2] == int.to_bytes(-1234567, 3, "big", signed=True)
+    assert raw0[0] == (0, 0, b"\x05", None)
+    assert raw0[1][3] == -1  # 1969-12-31
+    dec = enc.select(ag.from_avro_any(F.col("raw"), schema).alias("m")).select("m.*")
+    back = {r.d: r for r in dec.collect()}
+    r1 = back[datetime.date(2024, 2, 29)]
+    assert r1.ts == datetime.datetime(2024, 2, 29, 12, 34, 56, 789123)
+    assert r1.tsm == datetime.datetime(2024, 2, 29, 12, 34, 56, 789000)
+    assert r1.amt == Decimal("-12345.67")
+    assert r1.opt_d == datetime.date(1969, 12, 31)
+    r2 = back[datetime.date(1970, 1, 1)]
+    assert r2.amt == Decimal("0.05") and r2.opt_d is None
+
+
 def test_recursive_schema_linked_list():
     """Recursive named types (legal Avro) compile to finite closure
     trees via the late-bound trampoline — encode/decode/resolve a
