@@ -218,6 +218,124 @@ def test_matches_fixed_codec_on_reference_schema():
     assert ag.decode(MENSAGEM_CARGA_AVSC, avro_codec.encode_mensagem(row)) == row
 
 
+def _schema_and_value():
+    """Hypothesis strategy: a random (schema, matching value) pair over
+    the full generic type system (records/arrays/maps/unions/enums/
+    fixed/primitives, bounded depth)."""
+    from hypothesis import strategies as st
+
+    prim = st.sampled_from(
+        ["boolean", "int", "long", "float", "double", "bytes", "string"]
+    )
+
+    def value_for(schema):
+        t = schema if isinstance(schema, str) else (
+            "union" if isinstance(schema, list) else schema["type"]
+        )
+        if t == "boolean":
+            return st.booleans()
+        if t == "int":
+            return st.integers(-(2**31), 2**31 - 1)
+        if t == "long":
+            return st.integers(-(2**63), 2**63 - 1)
+        if t == "float":
+            # restrict to exactly float32-representable values
+            return st.integers(-1000, 1000).map(lambda n: float(n) / 4)
+        if t == "double":
+            return st.floats(allow_nan=False, allow_infinity=False, width=64)
+        if t == "bytes":
+            return st.binary(max_size=20)
+        if t == "string":
+            return st.text(max_size=20)
+        if t == "enum":
+            return st.sampled_from(schema["symbols"])
+        if t == "fixed":
+            return st.binary(min_size=schema["size"], max_size=schema["size"])
+        if t == "array":
+            return st.lists(value_for(schema["items"]), max_size=4)
+        if t == "map":
+            return st.dictionaries(
+                st.text(max_size=8), value_for(schema["values"]), max_size=4
+            )
+        if t == "union":  # [null, X] unions only (deterministic branch pick)
+            return st.one_of(st.none(), value_for(schema[1]))
+        if t == "record":
+            return st.fixed_dictionaries(
+                {f["name"]: value_for(f["type"]) for f in schema["fields"]}
+            )
+        raise AssertionError(t)
+
+    counter = st.shared(st.just([0]), key="name-counter")
+
+    def named(kind):
+        # unique names per draw via a shared mutable counter
+        def mk(c):
+            c[0] += 1
+            if kind == "enum":
+                return {
+                    "type": "enum",
+                    "name": f"E{c[0]}",
+                    "symbols": ["A", "B", "C"],
+                }
+            return {"type": "fixed", "name": f"X{c[0]}", "size": 4}
+
+        return counter.map(mk)
+
+    schema = st.recursive(
+        st.one_of(prim, named("enum"), named("fixed")),
+        lambda children: st.one_of(
+            st.builds(lambda i: {"type": "array", "items": i}, children),
+            st.builds(lambda v: {"type": "map", "values": v}, children),
+            st.builds(lambda b: ["null", b], children.filter(
+                lambda s: not isinstance(s, list)
+            )),
+            st.builds(
+                lambda fs, c: {
+                    "type": "record",
+                    "name": (c.__setitem__(0, c[0] + 1), f"R{c[0]}")[1],
+                    "fields": [
+                        {"name": f"f{i}", "type": t} for i, t in enumerate(fs)
+                    ],
+                },
+                st.lists(children, min_size=1, max_size=4),
+                counter,
+            ),
+        ),
+        max_leaves=8,
+    )
+
+    # record roots only (matches real datasets; also exercises nesting)
+    root = schema.map(
+        lambda s: {
+            "type": "record",
+            "name": "Root",
+            "namespace": "prop.test",
+            "fields": [{"name": "v", "type": s}],
+        }
+    )
+    return root.flatmap(
+        lambda s: st.tuples(st.just(s), value_for(s))
+    )
+
+
+def test_property_roundtrip_random_schemas():
+    """Any schema the generator builds must round-trip encode→decode
+    exactly, and resolve against ITSELF to the identical value (the
+    resolver's no-evolution case must equal plain decode)."""
+    from hypothesis import given, settings
+
+    @settings(max_examples=120, deadline=None)
+    @given(_schema_and_value())
+    def check(sv):
+        schema, value = sv
+        s = json.dumps(schema)
+        raw = ag.encode(s, value)
+        assert ag.decode(s, raw) == value
+        assert ag.decode_resolved(s, s, raw) == value
+
+    check()
+
+
 def test_logical_types_spark_boundary(spark):
     """date / timestamp-micros / timestamp-millis / decimal logical
     types: wire representation stays the base type (pure decode returns
