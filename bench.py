@@ -144,6 +144,35 @@ def main() -> None:
         # so codec-path regressions/flips show up in the same JSON line.
         _avro_e2e_body(vectorized=False)
 
+    def w_avro_generic():
+        # Diagnostic lane (r6): the any-schema generic codec on the same
+        # pipeline — tracks the cost of schema-driven dispatch vs the
+        # fixed hand-rolled codec, with the struct re-encoded under the
+        # reference schema and decoded back through the generic resolver.
+        import json as _json
+
+        from teste_carga_avro_vs_json_spark.functions import avro_generic
+        from teste_carga_avro_vs_json_spark.schemas import MENSAGEM_CARGA_AVSC
+
+        schema = _json.dumps(MENSAGEM_CARGA_AVSC)
+        msgs = generator.mensagens(spark, n_msgs, tamanho_kb=1)
+        enc = msgs.select(
+            avro_generic.to_avro_any(
+                F.struct("id", "timestamp", "sequencia", "dados", "versao"),
+                schema,
+            ).alias("raw")
+        )
+        dec = enc.select(
+            avro_generic.from_avro_any(F.col("raw"), schema).alias("msg")
+        ).select("msg.*")
+        sized = routing.size_estimate(routing.route(dec, 18))
+        run(
+            sized.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("tamanho_estimado").alias("bytes"),
+            )
+        )
+
     def w_metrics():
         run(registry.q_report_format(spark, sf_dir))
 
@@ -231,11 +260,12 @@ def main() -> None:
     # avro_e2e_scalar is an A/B diagnostic lane (forces the non-default
     # codec); it is timed and reported but EXCLUDED from headline_total
     # so round-over-round totals stay comparable to BENCH_BASELINE.
-    diagnostic = {"avro_e2e_scalar"}
+    diagnostic = {"avro_e2e_scalar", "avro_generic_e2e"}
     workloads = {
         "json_e2e": w_json_e2e,
         "avro_e2e": w_avro_e2e,
         "avro_e2e_scalar": w_avro_e2e_scalar,
+        "avro_generic_e2e": w_avro_generic,
         "file_json": lambda: _file_roundtrip("json"),
         "file_avro": lambda: _file_roundtrip("avro"),
         "file_parquet": lambda: _file_roundtrip("parquet"),
