@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -117,49 +118,75 @@ class _Committed(WriterCommitMessage):
         self.n = n
 
 
+def _produce_rows(options, rows) -> "_Committed":
+    """Shared per-task produce: group rows by their ``partition``
+    column (missing/null → partition 0), send one record batch per
+    ``batch_size`` rows per partition."""
+    topic = options["topic"]
+    batch_size = int(options.get("batch_size", 500))
+    client = None
+    pending: dict[int, list] = {}
+    n = 0
+
+    def as_bytes(v):
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        return v.encode() if v is not None else None
+
+    try:
+        for row in rows:
+            d = row.asDict()
+            p = int(d.get("partition") or 0)
+            pending.setdefault(p, []).append(
+                (as_bytes(d.get("key")), as_bytes(d.get("value")))
+            )
+            n += 1
+            if len(pending[p]) >= batch_size:
+                if client is None:
+                    client = _client(options)
+                client.produce(topic, p, pending.pop(p))
+        for p, recs in pending.items():
+            if client is None:
+                client = _client(options)
+            client.produce(topic, p, recs)
+    finally:
+        if client is not None:
+            client.close()
+    return _Committed(n)
+
+
 class KafkaWireBatchWriter(DataSourceWriter):
-    """Per-task produce with explicit routing: rows are grouped by
-    their ``partition`` column (missing/null → partition 0) and sent
-    as one record batch per ``batch_size`` rows per partition."""
+    def __init__(self, options):
+        self.options = options
+
+    def write(self, rows):
+        return _produce_rows(self.options, rows)
+
+
+class KafkaWireStreamWriter(DataSourceStreamWriter):
+    """Micro-batch streaming produce — ``writeStream.format("kafka_wire")``.
+    The reference's continuous producer loop (ProdutorAvro.java:67-95)
+    as a Structured Streaming sink. Semantics are AT-LEAST-ONCE: Kafka
+    appends are not transactional here (no producer ids/epochs in the
+    wire client), so a task retry can re-produce its rows — the same
+    contract as the JVM connector without idempotence enabled; pair
+    with the engine's streaming dedup downstream for effective
+    exactly-once."""
 
     def __init__(self, options):
         self.options = options
-        self.topic = options["topic"]
-        self.batch_size = int(options.get("batch_size", 500))
 
     def write(self, rows):
-        client = None
-        pending: dict[int, list] = {}
-        n = 0
-        try:
-            for row in rows:
-                d = row.asDict()
-                p = int(d.get("partition") or 0)
-                key = d.get("key")
-                value = d.get("value")
-                pending.setdefault(p, []).append(
-                    (
-                        bytes(key) if isinstance(key, (bytes, bytearray)) else (
-                            key.encode() if key is not None else None
-                        ),
-                        bytes(value) if isinstance(value, (bytes, bytearray)) else (
-                            value.encode() if value is not None else None
-                        ),
-                    )
-                )
-                n += 1
-                if len(pending[p]) >= self.batch_size:
-                    if client is None:
-                        client = _client(self.options)
-                    client.produce(self.topic, p, pending.pop(p))
-            for p, recs in pending.items():
-                if client is None:
-                    client = _client(self.options)
-                client.produce(self.topic, p, recs)
-        finally:
-            if client is not None:
-                client.close()
-        return _Committed(n)
+        return _produce_rows(self.options, rows)
+
+    def commit(self, messages, batchId) -> None:
+        # appends are already durable in the broker; nothing to finalize
+        pass
+
+    def abort(self, messages, batchId) -> None:
+        # at-least-once: produced rows of a failed batch remain (see
+        # class docstring); nothing to roll back in the wire protocol
+        pass
 
 
 class KafkaWireStreamReader(SimpleDataSourceStreamReader):
@@ -243,6 +270,9 @@ class KafkaWireDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return KafkaWireBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return KafkaWireStreamWriter(self.options)
 
     def simpleStreamReader(self, schema):
         return KafkaWireStreamReader(self.options)

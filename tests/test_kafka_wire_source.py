@@ -98,6 +98,57 @@ def test_batch_write_routes_by_partition_column(spark):
         assert bytes(r.value).decode() == f"payload-{seq}"
 
 
+def test_stream_relay_read_then_write(spark, tmp_path):
+    """Streaming RELAY through both halves of the DataSource: readStream
+    from topic 'in', writeStream to topic 'out' on the same broker —
+    the reference's continuous produce/consume loop as one Structured
+    Streaming query. Offsets checkpoint through the reader; the sink is
+    at-least-once by contract (documented on KafkaWireStreamWriter)."""
+    kafka_wire_source.register(spark)
+    by_part = {
+        0: [(f"k{i}".encode(), f"v{i}".encode()) for i in range(0, 12, 2)],
+        1: [(f"k{i}".encode(), f"v{i}".encode()) for i in range(1, 12, 2)],
+    }
+    with StubBroker(num_partitions=2) as broker:
+        _produce(broker, "in", by_part)
+        bootstrap = f"{broker.addr[0]}:{broker.addr[1]}"
+        stream = (
+            spark.readStream.format("kafka_wire")
+            .option("bootstrap", bootstrap)
+            .option("topic", "in")
+            .option("maxRecordsPerBatch", "5")
+            .load()
+        )
+        q = (
+            stream.select("key", "value", "partition")
+            .writeStream.format("kafka_wire")
+            .option("bootstrap", bootstrap)
+            .option("topic", "out")
+            .option("checkpointLocation", str(tmp_path / "relay_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # read the relayed topic back: same records, same partitions
+        out = (
+            spark.read.format("kafka_wire")
+            .option("bootstrap", bootstrap)
+            .option("topic", "out")
+            .load()
+            .collect()
+        )
+    assert len(out) == 12
+    got = {
+        p: sorted(
+            (bytes(r.key), bytes(r.value)) for r in out if r.partition == p
+        )
+        for p in (0, 1)
+    }
+    assert got == {p: sorted(recs) for p, recs in by_part.items()}
+
+
 def test_stream_read_flow_control(spark, tmp_path):
     kafka_wire_source.register(spark)
     by_part = {0: [(None, f"a{i}".encode()) for i in range(30)]}
