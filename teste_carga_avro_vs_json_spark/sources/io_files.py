@@ -221,6 +221,64 @@ def read_avro_ocf(spark: SparkSession, path: str) -> DataFrame:
     return raw.select("path", "content").mapInPandas(_decode, schema)
 
 
+def read_avro_ocf_any(
+    spark: SparkSession,
+    path: str,
+    reader_schema: str | None = None,
+    pattern: str = "*.avro",
+) -> DataFrame:
+    """ANY-schema OCF dataset reader with evolution: decodes container
+    files through the generic resolver (functions/avro_generic). The
+    writer schema comes from each file's own ``avro.schema`` metadata;
+    ``reader_schema`` evolves it (defaults/promotions/skips), and the
+    Spark schema derives from the reader. With ``reader_schema=None``
+    the schema is sniffed from ONE file header driver-side (the same
+    inference contract as Spark's own Avro reader) and every file is
+    decoded in that shape.
+
+    Scale shape: binaryFile source (one task per file), Arrow-batched
+    decode, no shuffle; the driver touches only a single file header.
+    """
+    import glob as _glob
+
+    from teste_carga_avro_vs_json_spark.functions import avro_generic, avro_ocf
+
+    if reader_schema is None:
+        candidates = sorted(
+            _glob.glob(os.path.join(path, pattern))
+            or _glob.glob(os.path.join(path, "**", pattern), recursive=True)
+        )
+        if not candidates:
+            raise FileNotFoundError(f"no {pattern} under {path}")
+        with open(candidates[0], "rb") as f:
+            header = f.read(1 << 20)  # header fits well inside 1 MB
+        meta, _sync, _pos = avro_ocf._parse_header(header)
+        reader_schema = meta["avro.schema"].decode()
+    out_type = avro_generic.spark_type_of(reader_schema)
+    if not hasattr(out_type, "fields"):
+        raise ValueError("OCF datasets must have a record root schema")
+    names = [fld.name for fld in out_type.fields]
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+
+    def _decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"].tolist():
+                for rec in avro_ocf.read_ocf_any(bytes(blob), reader_schema):
+                    rows.append(tuple(rec[n] for n in names))
+            yield pd.DataFrame(rows, columns=names)
+
+    return raw.select("content").mapInPandas(_decode, out_type)
+
+
 # --------------------------------------------------------------- Parquet
 def write_parquet(
     msgs: DataFrame,

@@ -520,6 +520,66 @@ def test_ocf_any_schema_and_evolution():
     assert avro_ocf.read_ocf_any(blob2) == [SINK_VALUE]
 
 
+def test_read_avro_ocf_any_spark(spark, tmp_path):
+    """Spark-side ANY-schema OCF reads: schema sniffed from the file
+    header when no reader is given; an evolved reader applies
+    defaults/promotions across every file; the engine's own OCF
+    datasets decode identically through the generic path."""
+    from teste_carga_avro_vs_json_spark.functions import avro_ocf
+    from teste_carga_avro_vs_json_spark.sources import generator, io_files
+
+    v1 = json.dumps(
+        {
+            "type": "record",
+            "name": "Pt",
+            "fields": [
+                {"name": "x", "type": "int"},
+                {"name": "tag", "type": "string"},
+            ],
+        }
+    )
+    d = tmp_path / "pts"
+    d.mkdir()
+    for fidx in range(3):
+        recs = [{"x": fidx * 10 + i, "tag": f"f{fidx}"} for i in range(4)]
+        (d / f"part-{fidx}.avro").write_bytes(
+            avro_ocf.write_ocf(
+                [ag.encode(v1, r) for r in recs],
+                codec="deflate",
+                schema_json=v1,
+                sync_token=str(fidx),
+            )
+        )
+    # sniffed schema (reader=None)
+    df = io_files.read_avro_ocf_any(spark, str(d))
+    assert df.columns == ["x", "tag"]
+    assert df.count() == 12 and df.agg({"x": "max"}).first()[0] == 23
+    # evolved reader: promotion + default, applied to every file
+    reader = json.dumps(
+        {
+            "type": "record",
+            "name": "Pt",
+            "fields": [
+                {"name": "x", "type": "long"},
+                {"name": "unit", "type": "string", "default": "m"},
+            ],
+        }
+    )
+    ev = io_files.read_avro_ocf_any(spark, str(d), reader)
+    assert dict(ev.dtypes) == {"x": "bigint", "unit": "string"}
+    assert ev.filter(ev.unit == "m").count() == 12
+    # the engine's own OCF dataset through the generic path == fixed path
+    msgs = generator.mensagens(spark, 40, tamanho_kb=1)
+    p2 = str(tmp_path / "msgs")
+    io_files.write_avro_ocf(msgs, p2, num_particoes=4)
+    generic = io_files.read_avro_ocf_any(spark, p2)
+    fixed = io_files.read_avro_ocf(spark, p2)
+    assert sorted(r.sequencia for r in generic.collect()) == sorted(
+        r.sequencia for r in fixed.collect()
+    )
+    assert set(generic.columns) == set(fixed.columns) - {"particao"}
+
+
 def test_spark_from_avro_any_evolution(spark):
     """Executor-side: encode under writer v1, decode under an evolved
     reader v2 — Arrow-batched, schema-derived Spark types."""
