@@ -139,6 +139,52 @@ def test_broker_produce_fetch_list_offsets():
             c.close()
 
 
+def test_concurrent_producers_offsets_contiguous():
+    """Broker thread-safety: N threads producing batches to the SAME
+    partition concurrently must yield contiguous offsets with no loss
+    or duplication (the lock covers assign+append atomically)."""
+    import threading
+
+    n_threads, batches_each = 6, 20
+    with StubBroker(num_partitions=1) as broker:
+        bases: list[list[int]] = [[] for _ in range(n_threads)]
+
+        def worker(t):
+            c = WireKafkaClient(*broker.addr)
+            try:
+                for i in range(batches_each):
+                    bases[t].append(
+                        c.produce(
+                            "hot", 0,
+                            [(f"{t}".encode(), f"{t}:{i}".encode()), (None, b"x")],
+                        )
+                    )
+            finally:
+                c.close()
+
+        threads = [
+            threading.Thread(target=worker, args=(t,)) for t in range(n_threads)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+
+        c = WireKafkaClient(*broker.addr)
+        try:
+            hw = c.list_offset("hot", 0, LATEST)
+            _hw, recs = c.fetch("hot", 0, 0, max_bytes=1 << 24)
+        finally:
+            c.close()
+    total = n_threads * batches_each * 2
+    assert hw == total
+    # every base offset unique and even (2 records per batch)
+    all_bases = sorted(b for bs in bases for b in bs)
+    assert all_bases == list(range(0, total, 2))
+    # fetched stream is exactly offsets 0..total-1, no loss/dup
+    assert [o for o, _, _ in recs] == list(range(total))
+
+
 def test_tail_n_consume_end_to_end(spark):
     """The full reference loop over a socket: route + Avro-encode 54
     messages into 6 partitions, produce with real wire framing, discover
