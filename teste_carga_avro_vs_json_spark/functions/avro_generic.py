@@ -837,14 +837,20 @@ def from_avro_any(
     is_struct = isinstance(out_type, T.StructType)
     names = [f.name for f in out_type.fields] if is_struct else None
 
+    _state: dict = {}  # worker-local: resolver compiles ONCE, not per batch
+
     def _resolve():
-        w_root, w_env = parse_schema(writer_schema)
-        r_root, r_env = parse_schema(reader)
-        resolver = make_resolver(w_root, r_root, w_env, r_env)
-        conv = _make_reader_converter(r_root, r_env)
-        if conv is None:
-            return lambda b: resolver(b, 0)[0]
-        return lambda b: conv(resolver(b, 0)[0])
+        if "one" not in _state:
+            w_root, w_env = parse_schema(writer_schema)
+            r_root, r_env = parse_schema(reader)
+            resolver = make_resolver(w_root, r_root, w_env, r_env)
+            conv = _make_reader_converter(r_root, r_env)
+            _state["one"] = (
+                (lambda b: resolver(b, 0)[0])
+                if conv is None
+                else (lambda b: conv(resolver(b, 0)[0]))
+            )
+        return _state["one"]
 
     if is_struct:  # struct results ride back as a pandas DataFrame
 
@@ -872,18 +878,22 @@ def to_avro_any(col: Column, schema: str) -> Column:
     root, env = parse_schema(schema)
     is_record = _type_of(root, env) == "record"
 
+    _state: dict = {}  # worker-local: schema parses ONCE, not per batch
+
     def _one_fn():
-        parsed = parse_schema(schema)
-        conv = _make_writer_converter(parsed[0], parsed[1])
+        if "one" not in _state:
+            parsed = parse_schema(schema)
+            conv = _make_writer_converter(parsed[0], parsed[1])
 
-        def one(v):
-            if conv is not None:
-                v = conv(v)
-            buf = bytearray()
-            encode_value(parsed[0], v, buf, parsed[1])
-            return bytes(buf)
+            def one(v):
+                if conv is not None:
+                    v = conv(v)
+                buf = bytearray()
+                encode_value(parsed[0], v, buf, parsed[1])
+                return bytes(buf)
 
-        return one
+            _state["one"] = one
+        return _state["one"]
 
     if is_record:  # struct inputs arrive as a pandas DataFrame
 

@@ -180,11 +180,20 @@ class InMemorySchemaRegistry:
     the same id in every subject (Confluent guarantees this), new
     schemas get monotone ids, and re-registration is idempotent."""
 
+    DEFAULT_COMPATIBILITY = "BACKWARD"  # the live registry's default
+
     def __init__(self) -> None:
         self._subject_versions: dict[str, list[int]] = {}
         self._id_by_canon: dict[str, int] = {}
         self._by_id: dict[int, str] = {}
+        self._compat: dict[str, str] = {}
         self._next_id = 1
+
+    def set_compatibility(self, subject: str, mode: str) -> None:
+        """Per-subject compatibility mode (BACKWARD/FORWARD/FULL/NONE);
+        the Confluent config API equivalent."""
+        check_compatible('"int"', '"int"', mode)  # validates the name
+        self._compat[subject] = mode.upper()
 
     def register(self, subject: str, schema: str) -> int:
         # identity = full PCF (what a live Confluent registry dedups
@@ -192,12 +201,22 @@ class InMemorySchemaRegistry:
         # for decoders. First registration's stored form wins for an id.
         canon = parsing_canonical_form(schema)
         sid = self._id_by_canon.get(canon)
+        versions = self._subject_versions.setdefault(subject, [])
+        if versions and (sid is None or sid not in versions):
+            # evolving the subject: enforce its compatibility mode
+            # against the latest version, as a live registry does (409)
+            mode = self._compat.get(subject, self.DEFAULT_COMPATIBILITY)
+            latest = self._by_id[versions[-1]]
+            if not check_compatible(schema, latest, mode):
+                raise IncompatibleSchemaError(
+                    f"schema is {mode}-incompatible with the latest "
+                    f"version of subject {subject!r}"
+                )
         if sid is None:
             sid = self._next_id
             self._next_id += 1
             self._id_by_canon[canon] = sid
             self._by_id[sid] = canonical_schema(schema)
-        versions = self._subject_versions.setdefault(subject, [])
         if sid not in versions:
             versions.append(sid)
         return sid
@@ -258,6 +277,47 @@ class HttpSchemaRegistry:
         if status != 200:
             raise RuntimeError(f"schema lookup failed: HTTP {status}")
         return json.loads(body)["schema"]
+
+
+# -------------------------------------------------- compatibility modes
+def can_read(writer_schema: str, reader_schema: str) -> bool:
+    """True iff data written with ``writer_schema`` is readable under
+    ``reader_schema`` per the Avro spec — checked by actually compiling
+    the resolver (:func:`functions.avro_generic.make_resolver`), so the
+    answer can never drift from what decode does."""
+    from teste_carga_avro_vs_json_spark.functions import avro_generic as ag
+
+    w_root, w_env = ag.parse_schema(writer_schema)
+    r_root, r_env = ag.parse_schema(reader_schema)
+    try:
+        ag.make_resolver(w_root, r_root, w_env, r_env)
+        return True
+    except ag.AvroResolutionError:
+        return False
+
+
+def check_compatible(new_schema: str, old_schema: str, mode: str) -> bool:
+    """Confluent subject compatibility semantics (public API contract):
+    BACKWARD = consumers on the NEW schema can read OLD data;
+    FORWARD = consumers on the OLD schema can read NEW data;
+    FULL = both; NONE = always compatible."""
+    mode = mode.upper()
+    if mode == "NONE":
+        return True
+    if mode == "BACKWARD":
+        return can_read(old_schema, new_schema)
+    if mode == "FORWARD":
+        return can_read(new_schema, old_schema)
+    if mode == "FULL":
+        return can_read(old_schema, new_schema) and can_read(
+            new_schema, old_schema
+        )
+    raise ValueError(f"unknown compatibility mode {mode!r}")
+
+
+class IncompatibleSchemaError(ValueError):
+    """Registration rejected by the subject's compatibility mode (the
+    409 a live Confluent registry returns)."""
 
 
 def serialize_confluent(

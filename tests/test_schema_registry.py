@@ -335,3 +335,67 @@ def test_canonicalization_never_touches_default_values():
     # subfields NAMED doc/aliases are name VALUES, not attribute keys
     subnames = [f["name"] for f in field["type"]["fields"]]
     assert subnames == ["doc", "aliases"]
+
+
+def test_compatibility_modes_and_enforcement():
+    """Confluent subject-compatibility semantics, checked by COMPILING
+    the resolver (so the verdict can't drift from what decode does):
+    BACKWARD = new reader reads old data, FORWARD = old reader reads
+    new data, FULL = both; the in-memory registry enforces the mode on
+    register() like a live registry's 409."""
+    import json
+
+    from teste_carga_avro_vs_json_spark.functions.schema_registry import (
+        IncompatibleSchemaError,
+        InMemorySchemaRegistry,
+        can_read,
+        check_compatible,
+    )
+
+    def rec(fields):
+        return json.dumps(
+            {"type": "record", "name": "S", "fields": fields}
+        )
+
+    v1 = rec([{"name": "a", "type": "int"}])
+    add_default = rec(
+        [{"name": "a", "type": "int"}, {"name": "b", "type": "string", "default": "x"}]
+    )
+    add_required = rec(
+        [{"name": "a", "type": "int"}, {"name": "b", "type": "string"}]
+    )
+    promote = rec([{"name": "a", "type": "long"}])
+
+    # resolver ground truth
+    assert can_read(v1, add_default)           # default fills
+    assert not can_read(v1, add_required)      # no default -> unreadable
+    assert can_read(add_required, v1)          # extra writer field skips
+    assert can_read(v1, promote) and not can_read(promote, v1)
+
+    # mode semantics
+    assert check_compatible(add_default, v1, "BACKWARD")
+    assert not check_compatible(add_required, v1, "BACKWARD")
+    assert check_compatible(add_required, v1, "FORWARD")
+    assert check_compatible(add_default, v1, "FULL")
+    assert not check_compatible(promote, v1, "FULL")  # one-way promotion
+    assert check_compatible(add_required, v1, "NONE")
+
+    # registry enforcement (default BACKWARD)
+    reg = InMemorySchemaRegistry()
+    reg.register("s-value", v1)
+    with pytest.raises(IncompatibleSchemaError, match="BACKWARD"):
+        reg.register("s-value", add_required)
+    sid2 = reg.register("s-value", add_default)  # compatible evolution
+    assert reg.latest("s-value")[0] == sid2
+    # NONE lifts the gate; FULL rejects the one-way promotion
+    reg.set_compatibility("s-value", "NONE")
+    reg.register("s-value", add_required)
+    reg.set_compatibility("s-value", "FULL")
+    with pytest.raises(IncompatibleSchemaError, match="FULL"):
+        reg.register("s-value", rec([{"name": "a", "type": "double"},
+                                     {"name": "b", "type": "string"}]))
+    with pytest.raises(ValueError, match="unknown compatibility"):
+        reg.set_compatibility("s-value", "SIDEWAYS")
+    # re-registering an existing version of the subject never trips the
+    # gate (idempotent re-register of the CURRENT schema)
+    assert reg.register("s-value", add_required) is not None
