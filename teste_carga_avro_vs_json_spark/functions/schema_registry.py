@@ -278,6 +278,23 @@ class HttpSchemaRegistry:
             raise RuntimeError(f"schema lookup failed: HTTP {status}")
         return json.loads(body)["schema"]
 
+    def test_compatibility(
+        self, subject: str, schema: str, version: str = "latest"
+    ) -> bool:
+        """The registry's pre-flight check endpoint
+        (``POST /compatibility/subjects/{subject}/versions/{version}``)
+        — ask before registering instead of handling the 409."""
+        payload = json.dumps({"schema": canonical_schema(schema)}).encode()
+        quoted = urllib.parse.quote(subject, safe="")
+        status, body = self._open(
+            "POST",
+            f"{self._base}/compatibility/subjects/{quoted}/versions/{version}",
+            payload,
+        )
+        if status != 200:
+            raise RuntimeError(f"compatibility check failed: HTTP {status}")
+        return bool(json.loads(body)["is_compatible"])
+
 
 # -------------------------------------------------- compatibility modes
 def can_read(writer_schema: str, reader_schema: str) -> bool:

@@ -242,17 +242,37 @@ def encode_record_batch(
     return bytes(batch.b)
 
 
+# attributes..recordCount header (40 B) + partitionLeaderEpoch/magic/crc
+_MIN_BATCH_LEN = 4 + 1 + 4 + 40
+
+
 def decode_record_batches(
     data: bytes, check_crc: bool = True
 ) -> list[tuple[int, bytes | None, bytes | None]]:
     """Decode a concatenation of v2 record batches into
-    ``(offset, key, value)`` triples (CRC-validated by default)."""
+    ``(offset, key, value)`` triples (CRC-validated by default).
+    Malformed input (hostile or truncated mid-field) raises a clean
+    ``ValueError`` — never hangs, loops, or leaks struct errors."""
+    try:
+        return _decode_record_batches(data, check_crc)
+    except NotImplementedError:
+        raise
+    except ValueError:
+        raise
+    except Exception as e:  # struct.error, zlib.error, IndexError, EOF
+        raise ValueError(f"malformed record batch: {e}") from e
+
+
+def _decode_record_batches(data: bytes, check_crc: bool):
     out = []
     pos = 0
     while pos + 12 <= len(data):
         r = _R(data[pos:])
         base_offset = r.i64()
         batch_len = r.i32()
+        if batch_len < _MIN_BATCH_LEN:
+            # also guards a negative length walking `pos` backwards
+            raise ValueError(f"record batch length {batch_len} too small")
         if pos + 12 + batch_len > len(data):
             break  # partial batch at the tail (broker may truncate)
         r.i32()  # partitionLeaderEpoch

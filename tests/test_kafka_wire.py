@@ -330,3 +330,30 @@ def test_fetch_offsets_falls_back_to_wire(monkeypatch):
         begins, ends = io_kafka.fetch_offsets(bootstrap, "t")
     assert begins == {0: 0, 1: 0}
     assert ends == {0: 2, 1: 0}
+
+
+def test_decoder_rejects_garbage_cleanly():
+    """Fuzz the batch decoder: arbitrary bytes must fail with a clean
+    exception (or decode to records for crafted prefixes) — never hang
+    or corrupt state. Brokers face hostile/truncated input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=200))
+    def check(data):
+        try:
+            out = decode_record_batches(data)
+        except (ValueError, NotImplementedError):  # the full contract
+            return
+        assert isinstance(out, list)
+
+    check()
+    # truncated REAL batch at every split point: clean behavior
+    batch = encode_record_batch([(b"k", b"v"), (None, b"w" * 50)])
+    for cut in range(len(batch)):
+        try:
+            out = decode_record_batches(batch[:cut])
+            assert out == []  # partial tail is ignored per fetch semantics
+        except (ValueError, IndexError):
+            pass

@@ -399,3 +399,25 @@ def test_compatibility_modes_and_enforcement():
     # re-registering an existing version of the subject never trips the
     # gate (idempotent re-register of the CURRENT schema)
     assert reg.register("s-value", add_required) is not None
+
+
+def test_http_compatibility_endpoint_contract():
+    """POST /compatibility/subjects/{s}/versions/{v} request shape and
+    is_compatible parsing (the pre-flight alternative to the 409)."""
+    calls = []
+
+    def opener(method, url, body):
+        calls.append((method, url, json.loads(body)))
+        return 200, b'{"is_compatible": true}'
+
+    reg = schema_registry.HttpSchemaRegistry("http://sr:8081", opener=opener)
+    assert reg.test_compatibility("t value", SCHEMA) is True
+    m, url, payload = calls[0]
+    assert m == "POST"
+    assert url == "http://sr:8081/compatibility/subjects/t%20value/versions/latest"
+    assert payload == {"schema": schema_registry.canonical_schema(SCHEMA)}
+    bad = schema_registry.HttpSchemaRegistry(
+        "http://sr:8081", opener=lambda m, u, b: (404, b"{}")
+    )
+    with pytest.raises(RuntimeError, match="HTTP 404"):
+        bad.test_compatibility("t", SCHEMA)
