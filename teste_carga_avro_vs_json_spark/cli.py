@@ -3,7 +3,10 @@
 The reference fat-jar selects one of four applications from
 ``TIPO_APLICACAO`` and exits 1 on an invalid value
 (AplicacaoPrincipal.java:14-59). The engine's equivalent apps run the
-same pipelines against a partitioned file dataset instead of a broker:
+same pipelines against a partitioned file dataset — or, when
+``KAFKA_BOOTSTRAP_SERVERS`` is set (r6), against a REAL broker topic
+through the wire-protocol DataSource (``format("kafka_wire")``), which
+is the reference's actual produce/consume scenario:
 
 - PRODUTOR_AVRO / PRODUTOR_JSON: generate TOTAL_MENSAGENS messages of
   TAMANHO_MENSAGEM_KB, serialize, write the partitioned wire dataset,
@@ -87,6 +90,58 @@ def run_app(app: str, path: str, cfg: EngineConfig, spark=None) -> dict:
             else serde.avro_roundtrip(msgs)
         )
         report = _producer_metrics(decoded, warmup)
+    elif cfg.bootstrap_servers:
+        # TRUE Kafka mode (r6): the reference's actual scenario — the
+        # producer app publishes keyed, partition-routed wire frames to
+        # a broker topic; the consumer app reads the topic back and
+        # reports. Runs against any broker speaking the wire protocol
+        # (loopback StubBroker in tests; a real cluster in prod) via
+        # the registered format("kafka_wire") DataSource.
+        from teste_carga_avro_vs_json_spark.functions.avro_codec import to_avro
+        from teste_carga_avro_vs_json_spark.operators import serde
+        from teste_carga_avro_vs_json_spark.sources import io_kafka, kafka_wire_source
+
+        kafka_wire_source.register(spark)
+        is_json = app.endswith("JSON")
+        topic = cfg.topico_json if is_json else cfg.topico_avro
+        if app.startswith("PRODUTOR"):
+            msgs = generator.mensagens(spark, total, kb)
+            struct = F.struct("id", "timestamp", "sequencia", "dados", "versao")
+            value = (
+                F.encode(F.to_json(struct), "UTF-8") if is_json else to_avro(struct)
+            )
+            wire = io_kafka.to_wire_frame(msgs, value, P)
+            (
+                wire.write.format("kafka_wire")
+                .option("bootstrap", cfg.bootstrap_servers)
+                .option("topic", topic)
+                .mode("append")
+                .save()
+            )
+            report = _producer_metrics(msgs, warmup)
+        else:
+            raw = io_kafka.read_kafka_wire_batch(
+                spark, cfg.bootstrap_servers, topic
+            )
+            if cfg.bench_mode == "TRANSPORTE":
+                src = raw.select(
+                    F.col("offset").alias("sequencia"),
+                    F.octet_length("value").cast("long").alias("tamanho_bytes"),
+                    F.lit(True).alias("sucesso"),
+                    F.lit(generator.EPOCH0).alias("ts_ms"),
+                )
+                report = metrics.relatorio(metrics.metricas_agg(src))
+            else:  # E2E_PARSE
+                decoded = (
+                    serde.json_decode(
+                        raw.select(F.decode("value", "UTF-8").alias("valor_json"))
+                    )
+                    if is_json
+                    else serde.avro_decode(
+                        raw.withColumnRenamed("value", "valor_avro")
+                    )
+                )
+                report = _consumer_metrics(spark, decoded, warmup)
     elif app.startswith("PRODUTOR"):
         msgs = generator.mensagens(spark, total, kb)
         if app == "PRODUTOR_JSON":

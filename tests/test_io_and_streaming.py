@@ -545,3 +545,53 @@ def test_fetch_offsets_drives_kafka_python_api_contract(monkeypatch):
     assert opts["startingOffsets"] == (
         '{"carga": {"0": 90, "1": 100, "2": 110}}'
     )
+
+
+def test_cli_apps_against_live_broker(spark):
+    """r6: the reference's TRUE scenario — all four apps run against a
+    broker socket. Producer apps publish keyed, partition-routed wire
+    frames to the topic via format("kafka_wire"); consumer apps read
+    the topic back (E2E_PARSE decodes, TRANSPORTE counts raw bytes) and
+    report the same metrics contract as the file mode."""
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+        StubBroker,
+        WireKafkaClient,
+    )
+
+    with StubBroker(num_partitions=4) as broker:
+        bootstrap = f"{broker.addr[0]}:{broker.addr[1]}"
+        cfg = EngineConfig(
+            total_mensagens=24, tamanho_mensagem_kb=1, num_particoes=4,
+            warmup_mensagens=4, bootstrap_servers=bootstrap,
+        )
+        cfg.validate(require_kafka=True)  # fail-fast contract holds
+
+        prod = run_app("PRODUTOR_AVRO", "", cfg, spark)
+        assert prod["total_mensagens"] == 20  # 24 - 4 warmup
+        # the broker REALLY holds the messages, routed (i-1) % P
+        c = WireKafkaClient(*broker.addr)
+        try:
+            per_part = {
+                p: c.list_offset(cfg.topico_avro, p, -1) for p in range(4)
+            }
+        finally:
+            c.close()
+        assert sum(per_part.values()) == 24
+        assert all(n == 6 for n in per_part.values())  # 24/4 round-robin
+
+        cons = run_app("CONSUMIDOR_AVRO", "", cfg, spark)
+        assert cons["total_mensagens"] == 20
+        assert cons["taxa_sucesso_porcentagem"] == "100.00"
+
+        prod_j = run_app("PRODUTOR_JSON", "", cfg, spark)
+        assert prod_j["total_mensagens"] == 20
+        cons_j = run_app("CONSUMIDOR_JSON", "", cfg, spark)
+        assert cons_j["total_mensagens"] == 20
+
+        cfg_t = EngineConfig(
+            total_mensagens=24, tamanho_mensagem_kb=1, num_particoes=4,
+            bench_mode="TRANSPORTE", bootstrap_servers=bootstrap,
+        )
+        rep = run_app("CONSUMIDOR_AVRO", "", cfg_t, spark)
+        assert rep["total_mensagens"] == 24
+        assert rep["total_bytes"] > 0
