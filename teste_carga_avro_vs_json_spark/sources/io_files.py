@@ -221,6 +221,64 @@ def read_avro_ocf(spark: SparkSession, path: str) -> DataFrame:
     return raw.select("path", "content").mapInPandas(_decode, schema)
 
 
+def write_avro_ocf_any(
+    df: DataFrame,
+    path: str,
+    schema_json: str,
+    codec: str = "null",
+    block_records: int = 1000,
+) -> DataFrame:
+    """ANY-schema OCF dataset writer: encodes every row of ``df`` under
+    ``schema_json`` (generic codec, logical types included) and writes
+    one container file per task — the write twin of
+    :func:`read_avro_ocf_any`. The DataFrame's columns must match the
+    record schema's fields (the encoder consumes row dicts).
+
+    Returns the write manifest (file, n_records, n_bytes). Executor-side
+    writes, no driver collect; local-FS sink as with
+    :func:`write_avro_ocf` (on a cluster: DFS mount or the JVM
+    spark-avro package)."""
+    from teste_carga_avro_vs_json_spark.functions import avro_generic, avro_ocf
+
+    root, env = avro_generic.parse_schema(schema_json)
+    names = [f["name"] for f in root["fields"]]
+    enc = df.select(
+        avro_generic.to_avro_any(
+            F.struct(*[F.col(n) for n in names]), schema_json
+        ).alias("value")
+    )
+
+    def _write(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        task_id = TaskContext.get().partitionId()
+        records: list[bytes] = []
+        for pdf in batches:
+            records.extend(bytes(v) for v in pdf["value"].tolist())
+        rows = []
+        if records:
+            os.makedirs(path, exist_ok=True)
+            fpath = os.path.join(path, f"part-{task_id:05d}.avro")
+            blob = avro_ocf.write_ocf(
+                records,
+                codec=codec,
+                block_records=block_records,
+                sync_token=str(task_id),
+                schema_json=schema_json,
+            )
+            with open(fpath, "wb") as f:
+                f.write(blob)
+            rows.append((fpath, len(records), len(blob)))
+        yield pd.DataFrame(rows, columns=["file", "n_records", "n_bytes"])
+
+    manifest = enc.mapInPandas(
+        _write, "file string, n_records long, n_bytes long"
+    ).cache()
+    manifest.count()  # materialize: files hit disk exactly once
+    return manifest
+
+
 def read_avro_ocf_any(
     spark: SparkSession,
     path: str,
@@ -269,10 +327,16 @@ def read_avro_ocf_any(
     def _decode(batches):
         import pandas as pd
 
+        # logical types (date/timestamp/decimal) ride the wire as base
+        # types; convert at the Spark boundary like from_avro_any does
+        r_root, r_env = avro_generic.parse_schema(reader_schema)
+        conv = avro_generic._make_reader_converter(r_root, r_env)
         for pdf in batches:
             rows = []
             for blob in pdf["content"].tolist():
                 for rec in avro_ocf.read_ocf_any(bytes(blob), reader_schema):
+                    if conv is not None:
+                        rec = conv(rec)
                     rows.append(tuple(rec[n] for n in names))
             yield pd.DataFrame(rows, columns=names)
 

@@ -580,6 +580,55 @@ def test_read_avro_ocf_any_spark(spark, tmp_path):
     assert set(generic.columns) == set(fixed.columns) - {"particao"}
 
 
+def test_write_read_avro_ocf_any_roundtrip(spark, tmp_path):
+    """Write twin: an arbitrary DataFrame (incl. logical-typed columns)
+    goes to standard OCF files under a caller schema, and reads back
+    losslessly through read_avro_ocf_any — full generic file story."""
+    import datetime
+    from decimal import Decimal
+
+    from teste_carga_avro_vs_json_spark.sources import io_files
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "Tx",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+                {
+                    "name": "amt",
+                    "type": {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 12,
+                        "scale": 2,
+                    },
+                },
+                {"name": "note", "type": ["null", "string"], "default": None},
+            ],
+        }
+    )
+    rows = [
+        (i, datetime.date(2024, 1, 1 + i % 28), Decimal(f"{i}.25"),
+         None if i % 3 == 0 else f"n{i}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, day date, amt decimal(12,2), note string"
+    ).repartition(4)
+    p = str(tmp_path / "tx")
+    manifest = io_files.write_avro_ocf_any(df, p, schema, codec="deflate")
+    m = manifest.collect()
+    assert sum(r.n_records for r in m) == 200 and len(m) >= 1
+    back = io_files.read_avro_ocf_any(spark, p)
+    assert dict(back.dtypes) == {
+        "id": "bigint", "day": "date", "amt": "decimal(12,2)", "note": "string",
+    }
+    got = sorted((r.id, r.day, r.amt, r.note) for r in back.collect())
+    assert got == sorted(rows)
+
+
 def test_spark_from_avro_any_evolution(spark):
     """Executor-side: encode under writer v1, decode under an evolved
     reader v2 — Arrow-batched, schema-derived Spark types."""
