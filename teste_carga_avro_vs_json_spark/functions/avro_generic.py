@@ -748,6 +748,8 @@ def _make_reader_converter(schema, env, _seen: frozenset = frozenset()):
         if all(c is None for c in subs):
             return None
         non_null = [c for b, c in zip(schema, subs) if _type_of(b, env) != "null"]
+        if not non_null:  # [null]-only unions have nothing to convert
+            return None
         conv = non_null[0]  # [null, X] unions only reach Spark
         return lambda v: conv(v) if (v is not None and conv) else v
     return None
@@ -821,6 +823,8 @@ def _make_writer_converter(schema, env, _seen: frozenset = frozenset()):
         if all(c is None for c in subs):
             return None
         non_null = [c for b, c in zip(schema, subs) if _type_of(b, env) != "null"]
+        if not non_null:  # [null]-only unions have nothing to convert
+            return None
         conv = non_null[0]
         return lambda v: conv(v) if (v is not None and conv) else v
     return None
