@@ -214,6 +214,9 @@ def encode_record_batch(
     base_offset: int = 0,
     base_timestamp: int = 0,
     codec: str | None = None,
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
 ) -> bytes:
     """Record batch, magic 2 (KIP-98 layout): header + varint-framed
     records, CRC32C over everything after the crc field. ``codec``:
@@ -252,9 +255,9 @@ def encode_record_batch(
         .i32(len(records) - 1)  # lastOffsetDelta
         .i64(base_timestamp)
         .i64(base_timestamp)  # maxTimestamp
-        .i64(-1)  # producerId
-        .i16(-1)  # producerEpoch
-        .i32(-1)  # baseSequence
+        .i64(producer_id)
+        .i16(producer_epoch)
+        .i32(base_sequence)
         .i32(len(records))
         .raw(bytes(body))
         .b
@@ -353,6 +356,7 @@ def _decode_record_batches(data: bytes, check_crc: bool):
 # ------------------------------------------------------------- client
 _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS = 0, 1, 2
 _API_METADATA, _API_VERSIONS = 3, 18
+_API_INIT_PRODUCER_ID = 22
 EARLIEST, LATEST = -2, -1
 
 
@@ -437,6 +441,17 @@ class WireKafkaClient:
     def partitions_for(self, topic: str) -> list[int]:
         return sorted(self.metadata(topic)["topics"][topic]["partitions"])
 
+    def init_producer_id(self) -> tuple[int, int]:
+        """InitProducerId v0 (KIP-98): broker-assigned (producer_id,
+        epoch) for idempotent produce."""
+        body = _W().string(None).i32(30000)
+        r = self._call(_API_INIT_PRODUCER_ID, 0, bytes(body.b))
+        r.i32()  # throttle_time
+        err = r.i16()
+        if err:
+            raise ValueError(f"init_producer_id error code {err}")
+        return r.i64(), r.i16()
+
     def produce(
         self,
         topic: str,
@@ -444,9 +459,22 @@ class WireKafkaClient:
         records: list[tuple[bytes | None, bytes | None]],
         timeout_ms: int = 30000,
         codec: str | None = None,
+        producer_id: int = -1,
+        producer_epoch: int = -1,
+        base_sequence: int = -1,
     ) -> int:
-        """Produce one batch; returns the assigned base offset."""
-        batch = encode_record_batch(records, codec=codec)
+        """Produce one batch; returns the assigned base offset. With a
+        ``producer_id`` + ``base_sequence`` the broker dedupes retries
+        (idempotent produce, KIP-98): re-sending a batch the broker has
+        already appended returns its ORIGINAL base offset instead of
+        appending twice."""
+        batch = encode_record_batch(
+            records,
+            codec=codec,
+            producer_id=producer_id,
+            producer_epoch=producer_epoch,
+            base_sequence=base_sequence,
+        )
         body = (
             _W()
             .string(None)  # transactional_id
@@ -564,11 +592,16 @@ class WireKafkaClient:
 
 # ------------------------------------------------------------- broker
 class _PartitionLog:
-    """In-memory partition: list of (base_offset, batch_bytes)."""
+    """In-memory partition: list of (base_offset, batch_bytes).
+    ``seen_seq`` maps (producer_id, base_sequence) -> original base
+    offset for idempotent-produce dedupe (KIP-98; a real broker keeps a
+    bounded window of 5 sequences per producer — unbounded here is fine
+    for a loopback test log)."""
 
     def __init__(self):
         self.batches: list[tuple[int, bytes]] = []
         self.next_offset = 0
+        self.seen_seq: dict[tuple[int, int], int] = {}
 
 
 class StubBroker:
@@ -585,6 +618,7 @@ class StubBroker:
         self.num_partitions = num_partitions
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._lock = threading.Lock()
+        self._next_pid = 1000
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -654,15 +688,23 @@ class StubBroker:
         r.string()  # client_id
         w = _W().i32(corr)
         if api_key == _API_VERSIONS:
-            w.i16(0).i32(5)
+            w.i16(0).i32(6)
             for k, lo, hi in (
                 (_API_PRODUCE, 0, 3),
                 (_API_FETCH, 0, 4),
                 (_API_LIST_OFFSETS, 0, 1),
                 (_API_METADATA, 0, 1),
                 (_API_VERSIONS, 0, 0),
+                (_API_INIT_PRODUCER_ID, 0, 0),
             ):
                 w.i16(k).i16(lo).i16(hi)
+        elif api_key == _API_INIT_PRODUCER_ID:
+            r.string()  # transactional_id (None: idempotence only)
+            r.i32()  # transaction_timeout_ms
+            with self._lock:
+                pid = self._next_pid
+                self._next_pid += 1
+            w.i32(0).i16(0).i64(pid).i16(0)  # throttle, err, pid, epoch
         elif api_key == _API_METADATA:
             n = r.i32()
             topics = [r.string() for _ in range(max(n, 0))]
@@ -753,11 +795,21 @@ class StubBroker:
             records = decode_record_batches(record_set)  # CRC check
         except ValueError:
             return 2, -1
+        # idempotent produce (KIP-98): producerId at batch bytes 43:51,
+        # baseSequence at 53:57 (both fixed header offsets in magic 2)
+        pid = struct.unpack(">q", record_set[43:51])[0]
+        seq = struct.unpack(">i", record_set[53:57])[0]
         with self._lock:
             log = self._log(topic, partition)
+            if pid >= 0 and seq >= 0:
+                dup = log.seen_seq.get((pid, seq))
+                if dup is not None:
+                    return 0, dup  # retry: ack with the ORIGINAL offset
             base = log.next_offset
             # re-base the batch so stored offsets are the real ones
             rebased = struct.pack(">q", base) + record_set[8:]
             log.batches.append((base, rebased))
             log.next_offset = base + len(records)
+            if pid >= 0 and seq >= 0:
+                log.seen_seq[(pid, seq)] = base
         return 0, base

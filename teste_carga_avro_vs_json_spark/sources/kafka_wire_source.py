@@ -118,20 +118,58 @@ class _Committed(WriterCommitMessage):
         self.n = n
 
 
-def _produce_rows(options, rows) -> "_Committed":
+def _produce_rows(options, rows, producer_id: int = -1, producer_epoch: int = -1) -> "_Committed":
     """Shared per-task produce: group rows by their ``partition``
     column (missing/null → partition 0), send one record batch per
-    ``batch_size`` rows per partition."""
+    ``batch_size`` rows per partition.
+
+    With ``producer_id >= 0`` (streaming), each batch carries a
+    DETERMINISTIC base_sequence composed from (micro-batch id, task
+    partition, per-partition chunk index) — all stable across task
+    retries because the stream source replays checkpointed offsets in
+    deterministic order — so the broker's KIP-98 dedupe turns a task
+    retry into an ack of the original append instead of a duplicate.
+    (int32 sequence packs 11/10/10 bits; a query run past 2047
+    micro-batches wraps the id — the real producer wraps sequences the
+    same way, with the broker holding only a recent window.)"""
     topic = options["topic"]
     batch_size = int(options.get("batch_size", 500))
     client = None
     pending: dict[int, list] = {}
+    chunk_idx: dict[int, int] = {}
     n = 0
+
+    batch_id = task_pid = -1
+    if producer_id >= 0:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is not None:
+            batch_id = int(tc.getLocalProperty("streaming.sql.batchId") or -1)
+            task_pid = tc.partitionId()
+
+    def seq_for(p: int) -> int:
+        if producer_id < 0 or batch_id < 0:
+            return -1
+        c = chunk_idx.get(p, 0)
+        chunk_idx[p] = c + 1
+        return ((batch_id & 0x7FF) << 20) | ((task_pid & 0x3FF) << 10) | (c & 0x3FF)
 
     def as_bytes(v):
         if isinstance(v, (bytes, bytearray)):
             return bytes(v)
         return v.encode() if v is not None else None
+
+    def send(p, recs):
+        nonlocal client
+        if client is None:
+            client = _client(options)
+        client.produce(
+            topic, p, recs,
+            producer_id=producer_id,
+            producer_epoch=producer_epoch,
+            base_sequence=seq_for(p),
+        )
 
     try:
         for row in rows:
@@ -142,13 +180,9 @@ def _produce_rows(options, rows) -> "_Committed":
             )
             n += 1
             if len(pending[p]) >= batch_size:
-                if client is None:
-                    client = _client(options)
-                client.produce(topic, p, pending.pop(p))
+                send(p, pending.pop(p))
         for p, recs in pending.items():
-            if client is None:
-                client = _client(options)
-            client.produce(topic, p, recs)
+            send(p, recs)
     finally:
         if client is not None:
             client.close()
@@ -166,18 +200,33 @@ class KafkaWireBatchWriter(DataSourceWriter):
 class KafkaWireStreamWriter(DataSourceStreamWriter):
     """Micro-batch streaming produce — ``writeStream.format("kafka_wire")``.
     The reference's continuous producer loop (ProdutorAvro.java:67-95)
-    as a Structured Streaming sink. Semantics are AT-LEAST-ONCE: Kafka
-    appends are not transactional here (no producer ids/epochs in the
-    wire client), so a task retry can re-produce its rows — the same
-    contract as the JVM connector without idempotence enabled; pair
-    with the engine's streaming dedup downstream for effective
-    exactly-once."""
+    as a Structured Streaming sink.
+
+    Semantics: IDEMPOTENT within a query run (default) — at query start
+    the driver obtains a KIP-98 producer id (InitProducerId), every
+    task's batches carry deterministic sequences, and the broker acks
+    retried batches with their original offsets instead of appending
+    twice. Across query RESTARTS the replayed last micro-batch gets a
+    fresh producer id, so the cross-restart contract is at-least-once —
+    exactly the JVM connector's idempotent (non-transactional) producer
+    behavior; pair with the engine's streaming dedup downstream for
+    end-to-end exactly-once. ``idempotent=false`` opts out."""
 
     def __init__(self, options):
         self.options = options
+        self.producer_id = -1
+        self.producer_epoch = -1
+        if str(options.get("idempotent", "true")).lower() != "false":
+            client = _client(options)  # driver-side, once per query run
+            try:
+                self.producer_id, self.producer_epoch = client.init_producer_id()
+            finally:
+                client.close()
 
     def write(self, rows):
-        return _produce_rows(self.options, rows)
+        return _produce_rows(
+            self.options, rows, self.producer_id, self.producer_epoch
+        )
 
     def commit(self, messages, batchId) -> None:
         # appends are already durable in the broker; nothing to finalize

@@ -102,8 +102,10 @@ def test_stream_relay_read_then_write(spark, tmp_path):
     """Streaming RELAY through both halves of the DataSource: readStream
     from topic 'in', writeStream to topic 'out' on the same broker —
     the reference's continuous produce/consume loop as one Structured
-    Streaming query. Offsets checkpoint through the reader; the sink is
-    at-least-once by contract (documented on KafkaWireStreamWriter)."""
+    Streaming query. Offsets checkpoint through the reader; the sink
+    runs the default IDEMPOTENT path (driver-assigned producer id,
+    batchId-derived sequences) so this also exercises KIP-98 framing
+    end-to-end in real streaming tasks."""
     kafka_wire_source.register(spark)
     by_part = {
         0: [(f"k{i}".encode(), f"v{i}".encode()) for i in range(0, 12, 2)],
@@ -181,3 +183,102 @@ def test_stream_read_flow_control(spark, tmp_path):
     batches_with_rows = [p for p in prog if p["numInputRows"] > 0]
     assert len(batches_with_rows) >= 4
     assert max(p["numInputRows"] for p in batches_with_rows) <= 8
+
+
+def test_idempotent_produce_dedupes_retries():
+    """KIP-98 idempotent produce: same (producer_id, base_sequence) on
+    a partition acks with the ORIGINAL offset instead of appending; a
+    different sequence appends normally; pid -1 never dedupes."""
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
+
+    with StubBroker(num_partitions=1) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            pid, epoch = c.init_producer_id()
+            pid2, _ = c.init_producer_id()
+            assert pid2 == pid + 1  # broker-assigned, monotone
+            recs = [(b"k", b"v"), (b"k2", b"v2")]
+            base = c.produce("t", 0, recs, producer_id=pid,
+                             producer_epoch=epoch, base_sequence=7)
+            # retry of the SAME batch: acked at the original offset
+            assert c.produce("t", 0, recs, producer_id=pid,
+                             producer_epoch=epoch, base_sequence=7) == base
+            assert c.list_offset("t", 0, LATEST := -1) == 2  # no dup append
+            # next sequence appends
+            assert c.produce("t", 0, recs, producer_id=pid,
+                             producer_epoch=epoch, base_sequence=8) == 2
+            # another producer with the same sequence is independent
+            assert c.produce("t", 0, recs, producer_id=pid2,
+                             producer_epoch=0, base_sequence=7) == 4
+            # non-idempotent produce never dedupes
+            assert c.produce("t", 0, recs) == 6
+            assert c.produce("t", 0, recs) == 8
+        finally:
+            c.close()
+
+
+def test_stream_writer_task_retry_no_duplicates(spark):
+    """Simulated Spark task retry of a streaming micro-batch: calling
+    the stream writer's write() twice with the same rows (same batch,
+    same task partition) must leave ONE copy in the broker — the
+    deterministic (pid, sequence) dedupe at work. A second query run
+    (new writer => new pid) appends again, as documented."""
+    from pyspark.sql import Row
+
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire_source import (
+        KafkaWireStreamWriter,
+    )
+
+    rows = [Row(key=b"k%d" % i, value=b"v%d" % i, partition=0) for i in range(7)]
+    with StubBroker(num_partitions=1) as broker:
+        opts = {
+            "bootstrap": f"{broker.addr[0]}:{broker.addr[1]}",
+            "topic": "retry",
+        }
+        w = KafkaWireStreamWriter(opts)
+        assert w.producer_id >= 1000
+        # outside a real streaming task there is no batchId local
+        # property; pin one deterministically via a fake TaskContext?
+        # No — drive through a real micro-batch id by monkeypatching the
+        # local-property lookup is brittle; instead simulate the task
+        # body exactly: same writer, same rows, same (batch, task) ids.
+        import teste_carga_avro_vs_json_spark.sources.kafka_wire_source as kws
+
+        real_produce_rows = kws._produce_rows
+
+        class _FakeTC:
+            @staticmethod
+            def get():
+                class _T:
+                    def getLocalProperty(self, k):
+                        return "5" if k == "streaming.sql.batchId" else None
+
+                    def partitionId(self):
+                        return 3
+
+                return _T()
+
+        import pyspark
+
+        orig_tc = pyspark.TaskContext
+        pyspark.TaskContext = _FakeTC
+        try:
+            w.write(iter(rows))
+            w.write(iter(rows))  # the retry
+            c = WireKafkaClient(*broker.addr)
+            try:
+                assert c.list_offset("retry", 0, -1) == 7  # ONE copy
+            finally:
+                c.close()
+            # new query run: fresh pid -> appends (at-least-once across runs)
+            w2 = KafkaWireStreamWriter(opts)
+            assert w2.producer_id != w.producer_id
+            w2.write(iter(rows))
+            c = WireKafkaClient(*broker.addr)
+            try:
+                assert c.list_offset("retry", 0, -1) == 14
+            finally:
+                c.close()
+        finally:
+            pyspark.TaskContext = orig_tc
