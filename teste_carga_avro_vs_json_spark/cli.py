@@ -120,8 +120,11 @@ def run_app(app: str, path: str, cfg: EngineConfig, spark=None) -> dict:
             )
             report = _producer_metrics(msgs, warmup)
         else:
+            # the reference consumer positions at end-N before reading
+            # (posicionarNoFimMenosN, ConsumidorAvro.java:163-180): only
+            # the LAST total_mensagens records count toward the report
             raw = io_kafka.read_kafka_wire_batch(
-                spark, cfg.bootstrap_servers, topic
+                spark, cfg.bootstrap_servers, topic, target_total=total
             )
             if cfg.bench_mode == "TRANSPORTE":
                 src = raw.select(

@@ -595,3 +595,29 @@ def test_cli_apps_against_live_broker(spark):
         rep = run_app("CONSUMIDOR_AVRO", "", cfg_t, spark)
         assert rep["total_mensagens"] == 24
         assert rep["total_bytes"] > 0
+
+
+def test_cli_kafka_consumer_tail_n_positioning(spark):
+    """The Kafka-mode consumer applies the reference's end-N start
+    positioning (ConsumidorAvro.java:163-180): with older messages
+    already on the topic, the report counts only the LAST
+    total_mensagens."""
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import StubBroker
+
+    with StubBroker(num_partitions=3) as broker:
+        bootstrap = f"{broker.addr[0]}:{broker.addr[1]}"
+        # epoch 1: 30 older messages
+        cfg_old = EngineConfig(
+            total_mensagens=30, tamanho_mensagem_kb=1, num_particoes=3,
+            bootstrap_servers=bootstrap,
+        )
+        run_app("PRODUTOR_AVRO", "", cfg_old, spark)
+        # epoch 2: 12 fresh messages; consumer configured for 12
+        cfg = EngineConfig(
+            total_mensagens=12, tamanho_mensagem_kb=1, num_particoes=3,
+            bootstrap_servers=bootstrap,
+        )
+        run_app("PRODUTOR_AVRO", "", cfg, spark)
+        rep = run_app("CONSUMIDOR_AVRO", "", cfg, spark)
+    # tail-12 over 42 on the topic -> exactly 12 in the report
+    assert rep["total_mensagens"] == 12
