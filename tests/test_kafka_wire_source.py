@@ -172,12 +172,17 @@ def test_stream_read_flow_control(spark, tmp_path):
         )
         try:
             q.processAllAvailable()
+            assert spark.sql("select count(*) c from kw_sink").first().c == 30
+            # records arriving AFTER the query started are picked up
+            # from the checkpointed offsets (incremental source)
+            _produce(broker, "s", {0: [(None, f"a{i}".encode()) for i in range(30, 35)]})
+            q.processAllAvailable()
         finally:
             q.stop()
         out = spark.sql("select * from kw_sink").collect()
-    assert len(out) == 30
-    assert sorted(r.offset for r in out) == list(range(30))
-    assert {bytes(r.value).decode() for r in out} == {f"a{i}" for i in range(30)}
+    assert len(out) == 35
+    assert sorted(r.offset for r in out) == list(range(35))
+    assert {bytes(r.value).decode() for r in out} == {f"a{i}" for i in range(35)}
     # flow control: 30 records at 8/batch needs >= 4 micro-batches
     prog = q.recentProgress
     batches_with_rows = [p for p in prog if p["numInputRows"] > 0]
