@@ -622,7 +622,9 @@ def spark_type_of(schema, env=None, _visiting: frozenset = frozenset()) -> T.Dat
         return T.TimestampType()
     if lt == "decimal":
         return T.DecimalType(schema["precision"], schema.get("scale", 0))
-    # uuid / time-* / unknown logical types fall through to the base type
+    if lt in ("time-millis", "time-micros"):
+        return T.TimeType()
+    # uuid / unknown logical types fall through to the base type
     simple = {
         "null": T.NullType(),
         "boolean": T.BooleanType(),
@@ -715,6 +717,21 @@ def _make_reader_converter(schema, env, _seen: frozenset = frozenset()):
             return decimal.Decimal(n).scaleb(-scale)
 
         return _dec
+    if lt in ("time-millis", "time-micros"):
+        import datetime
+
+        mult = 1000 if lt == "time-millis" else 1
+
+        def _time(v):
+            us = v * mult
+            return datetime.time(
+                us // 3_600_000_000,
+                us // 60_000_000 % 60,
+                us // 1_000_000 % 60,
+                us % 1_000_000,
+            )
+
+        return _time
     if t == "record":
         full = schema.get("fullname")
         if full in _seen:
@@ -790,6 +807,17 @@ def _make_writer_converter(schema, env, _seen: frozenset = frozenset()):
             return n.to_bytes(length, "big", signed=True)
 
         return _dec
+    if lt in ("time-millis", "time-micros"):
+        div = 1000 if lt == "time-millis" else 1
+
+        def _time(v):
+            us = (
+                (v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000
+                + v.microsecond
+            )
+            return us // div
+
+        return _time
     if t == "record":
         full = schema.get("fullname")
         if full in _seen:

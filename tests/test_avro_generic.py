@@ -671,3 +671,38 @@ def test_spark_from_avro_any_evolution(spark):
     rows = {r.id: r for r in dec.collect()}
     assert len(rows) == 50
     assert rows[7].text == "t7" and rows[7].lang == "und"
+
+
+def test_time_logical_types(spark):
+    """time-millis/time-micros map to Spark 4's TimeType with the
+    base-int wire representation (micros/millis since midnight)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "T",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "tm", "type": {"type": "long", "logicalType": "time-micros"}},
+                {"name": "tms", "type": {"type": "int", "logicalType": "time-millis"}},
+            ],
+        }
+    )
+    assert (
+        ag.spark_type_of(schema).simpleString()
+        == "struct<id:bigint,tm:time(6),tms:time(6)>"
+    )
+    t1 = datetime.time(13, 45, 30, 123456)
+    t2 = datetime.time(0, 0, 0, 5000)  # millis-representable
+    df = spark.createDataFrame(
+        [(1, t1, t2)], "id long, tm time, tms time"
+    )
+    enc = df.select(ag.to_avro_any(F.struct("id", "tm", "tms"), schema).alias("raw"))
+    raw = ag.decode(schema, bytes(enc.first().raw))
+    assert raw["tm"] == ((13 * 3600 + 45 * 60 + 30) * 1_000_000 + 123456)
+    assert raw["tms"] == 5
+    back = enc.select(ag.from_avro_any(F.col("raw"), schema).alias("m")).select("m.*").first()
+    assert back.tm == t1 and back.tms == t2
