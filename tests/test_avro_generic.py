@@ -706,3 +706,74 @@ def test_time_logical_types(spark):
     assert raw["tms"] == 5
     back = enc.select(ag.from_avro_any(F.col("raw"), schema).alias("m")).select("m.*").first()
     assert back.tm == t1 and back.tms == t2
+
+
+def test_interop_with_apache_avro_java(spark):
+    """Cross-validation against the REAL Apache Avro implementation
+    (the avro-1.12 jar inside Spark's JVM, driven over py4j): bytes our
+    codec produces must decode in Java and re-encode to the IDENTICAL
+    bytes (proves canonical binary form for every type incl. unions,
+    fixed, maps, nested records), and Java's own schema-resolution of a
+    (writer, reader) pair must agree with decode_resolved."""
+    jvm = spark._jvm
+
+    def java_roundtrip(schema_json, raw):
+        sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+        reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+        dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(raw, None)
+        rec = reader.read(None, dec)
+        writer = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        enc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, None)
+        writer.write(rec, enc)
+        enc.flush()
+        return bytes(baos.toByteArray())
+
+    # kitchen sink: every type class, byte-for-byte canonical
+    raw = ag.encode(KITCHEN_SINK, SINK_VALUE)
+    assert java_roundtrip(KITCHEN_SINK, raw) == raw
+
+    # the reference schema through the fixed codec, same law
+    from teste_carga_avro_vs_json_spark.functions import avro_codec
+    from teste_carga_avro_vs_json_spark.schemas import MENSAGEM_CARGA_AVSC
+
+    row = {
+        "id": "m-1", "timestamp": 123, "sequencia": 9,
+        "dados": [
+            {"indice": 0, "texto": "t", "numero": 0.5,
+             "timestamp": 124, "uuid": "u"},
+        ],
+        "versao": "1.0",
+    }
+    raw2 = avro_codec.encode_mensagem(row)
+    assert java_roundtrip(json.dumps(MENSAGEM_CARGA_AVSC), raw2) == raw2
+
+    # schema RESOLUTION parity with Java: promotion + default + skip + alias
+    writer_s = json.dumps(
+        {
+            "type": "record", "name": "V", "fields": [
+                {"name": "id", "type": "int"},
+                {"name": "drop", "type": "string"},
+                {"name": "tag", "type": "string"},
+            ],
+        }
+    )
+    reader_s = json.dumps(
+        {
+            "type": "record", "name": "V", "fields": [
+                {"name": "id", "type": "double"},
+                {"name": "label", "type": "string", "aliases": ["tag"]},
+                {"name": "lang", "type": "string", "default": "und"},
+            ],
+        }
+    )
+    wraw = ag.encode(writer_s, {"id": 6, "drop": "x", "tag": "hello"})
+    ours = ag.decode_resolved(writer_s, reader_s, wraw)
+    wsch = jvm.org.apache.avro.Schema.Parser().parse(writer_s)
+    rsch = jvm.org.apache.avro.Schema.Parser().parse(reader_s)
+    jreader = jvm.org.apache.avro.generic.GenericDatumReader(wsch, rsch)
+    dec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(wraw, None)
+    jrec = jreader.read(None, dec)
+    assert json.loads(jrec.toString()) == ours == {
+        "id": 6.0, "label": "hello", "lang": "und",
+    }
