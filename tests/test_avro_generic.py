@@ -777,3 +777,37 @@ def test_interop_with_apache_avro_java(spark):
     assert json.loads(jrec.toString()) == ours == {
         "id": 6.0, "label": "hello", "lang": "und",
     }
+
+
+def test_ocf_files_readable_by_apache_avro_java(spark):
+    """The 'readable by any Avro tooling' claim, proven: container
+    files from write_ocf open in Java's DataFileReader (magic, metadata
+    map, sync markers, deflate codec, multi-block) and yield the same
+    records in order."""
+    jvm = spark._jvm
+    from teste_carga_avro_vs_json_spark.functions import avro_ocf
+
+    v1 = json.dumps(
+        {
+            "type": "record", "name": "Pt", "fields": [
+                {"name": "x", "type": "int"},
+                {"name": "tag", "type": "string"},
+            ],
+        }
+    )
+    recs = [{"x": i, "tag": f"t{i}"} for i in range(10)]
+    for codec in ("null", "deflate"):
+        blob = avro_ocf.write_ocf(
+            [ag.encode(v1, r) for r in recs],
+            codec=codec, block_records=4, schema_json=v1,
+        )
+        sin = jvm.org.apache.avro.file.SeekableByteArrayInput(blob)
+        jreader = jvm.org.apache.avro.file.DataFileReader(
+            sin, jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        assert json.loads(jreader.getSchema().toString()) == json.loads(v1)
+        out = []
+        while jreader.hasNext():
+            out.append(json.loads(jreader.next().toString()))
+        jreader.close()
+        assert out == recs, codec
