@@ -377,3 +377,18 @@ def test_crc32c_slice_by_8_equals_reference():
     for ln in [0, 1, 3, 7, 8, 9, 15, 16, 17, 31, 64, 100, 1000, 4097]:
         d = bytes(rnd.getrandbits(8) for _ in range(ln))
         assert crc32c(d) == ref(d), ln
+
+
+def test_crc32c_matches_jdk_implementation(spark):
+    """Pin our CRC32C against the JDK's java.util.zip.CRC32C (the same
+    implementation Kafka's Java client uses for batch checksums) on
+    random payloads of every alignment class."""
+    import random
+
+    jvm = spark._jvm
+    rnd = random.Random(99)
+    for ln in [0, 1, 7, 8, 9, 63, 100, 1000, 4096, 70001]:
+        d = bytes(rnd.getrandbits(8) for _ in range(ln))
+        j = jvm.java.util.zip.CRC32C()
+        j.update(d, 0, len(d))
+        assert crc32c(d) == j.getValue(), ln
