@@ -811,3 +811,50 @@ def test_ocf_files_readable_by_apache_avro_java(spark):
             out.append(json.loads(jreader.next().toString()))
         jreader.close()
         assert out == recs, codec
+
+
+def test_java_written_ocf_readable_by_our_reader(spark):
+    """Inverse interop: container files written by the REAL Apache Avro
+    DataFileWriter (its own sync markers, block sizing, deflate codec)
+    must open in read_ocf_any — our reader handles real-world files,
+    not just our own writer's output."""
+    jvm = spark._jvm
+    from teste_carga_avro_vs_json_spark.functions import avro_ocf
+
+    v1 = json.dumps(
+        {
+            "type": "record", "name": "Jv", "fields": [
+                {"name": "x", "type": "long"},
+                {"name": "s", "type": "string"},
+            ],
+        }
+    )
+    sch = jvm.org.apache.avro.Schema.Parser().parse(v1)
+    for codec in (None, "deflate"):
+        w = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+        )
+        if codec:
+            w.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+        baos = jvm.java.io.ByteArrayOutputStream()
+        w.create(sch, baos)
+        for i in range(25):
+            rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+            rec.put("x", i)
+            rec.put("s", f"j{i}")
+            w.append(rec)
+        w.close()
+        blob = bytes(baos.toByteArray())
+        out = avro_ocf.read_ocf_any(blob)
+        assert out == [{"x": i, "s": f"j{i}"} for i in range(25)], codec
+        # evolution read over the Java-written file
+        reader = json.dumps(
+            {
+                "type": "record", "name": "Jv", "fields": [
+                    {"name": "x", "type": "double"},
+                    {"name": "lang", "type": "string", "default": "und"},
+                ],
+            }
+        )
+        ev = avro_ocf.read_ocf_any(blob, reader)
+        assert ev[3] == {"x": 3.0, "lang": "und"}
