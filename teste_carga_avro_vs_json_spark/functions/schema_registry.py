@@ -170,7 +170,11 @@ def rabin_fingerprint(pcf: str) -> int:
         rabin_fingerprint._table = table
     fp = empty
     for byte in pcf.encode("utf-8"):
-        fp = (fp >> 1) ^ table[(fp ^ byte) & 0xFF]
+        # per the spec's reference code: fp = (fp >>> 8) ^ table[...]
+        # (the table builder shifts by 1 eight times; the byte step
+        # shifts by 8 — r6 interop testing against Java's
+        # SchemaNormalization caught a >>1 here)
+        fp = (fp >> 8) ^ table[(fp ^ byte) & 0xFF]
     return fp
 
 

@@ -421,3 +421,34 @@ def test_http_compatibility_endpoint_contract():
     )
     with pytest.raises(RuntimeError, match="HTTP 404"):
         bad.test_compatibility("t", SCHEMA)
+
+
+def test_pcf_and_rabin_match_apache_avro_java(spark):
+    """Parsing Canonical Form and the 64-bit Rabin fingerprint pinned
+    against the reference implementation (org.apache.avro
+    SchemaNormalization in the avro-1.12 jar): strings must be equal
+    and fingerprints must agree (Java returns signed long). Caught a
+    real bug: the byte step shifted by 1 instead of 8."""
+    jvm = spark._jvm
+
+    from teste_carga_avro_vs_json_spark.schemas import MENSAGEM_CARGA_AVSC
+
+    cases = [
+        '"int"',
+        '["null","string"]',
+        SCHEMA,
+        SCHEMA_DOCED,
+        json.dumps(MENSAGEM_CARGA_AVSC),
+        '{"type":"record","name":"M","namespace":"ns","doc":"d",'
+        '"fields":[{"name":"id","type":"string","default":"x"},'
+        '{"name":"e","type":{"type":"enum","name":"E","symbols":["A"]}},'
+        '{"name":"f","type":{"type":"fixed","name":"F","size":4}},'
+        '{"name":"m","type":{"type":"map","values":"long"}}]}',
+    ]
+    for s in cases:
+        sch = jvm.org.apache.avro.Schema.Parser().parse(s)
+        jpcf = jvm.org.apache.avro.SchemaNormalization.toParsingForm(sch)
+        jfp = jvm.org.apache.avro.SchemaNormalization.parsingFingerprint64(sch)
+        ours = schema_registry.parsing_canonical_form(s)
+        assert ours == jpcf, s
+        assert schema_registry.rabin_fingerprint(ours) == jfp % (1 << 64), s
