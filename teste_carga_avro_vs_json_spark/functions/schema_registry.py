@@ -300,6 +300,41 @@ class HttpSchemaRegistry:
         return bool(json.loads(body)["is_compatible"])
 
 
+# ------------------------------------------- single-object encoding
+SINGLE_OBJECT_MAGIC = b"\xc3\x01"
+
+
+def single_object_wrap(body: bytes, schema: str) -> bytes:
+    """Avro single-object encoding (spec §Single-object encoding):
+    2-byte magic C3 01 + the schema's 8-byte LITTLE-ENDIAN CRC-64-AVRO
+    fingerprint + the binary-encoded body — the registry-less framing
+    for datum-at-a-time transports (message queues, logs). The
+    fingerprint is pinned against Java's SchemaNormalization."""
+    fp = rabin_fingerprint(parsing_canonical_form(schema))
+    return SINGLE_OBJECT_MAGIC + fp.to_bytes(8, "little") + body
+
+
+def single_object_unwrap(
+    frame: bytes, store: dict[int, str]
+) -> tuple[str, bytes]:
+    """Parse a single-object frame: returns (writer_schema, body) by
+    looking the fingerprint up in ``store`` (fingerprint -> schema
+    JSON). Raises KeyError for an unknown fingerprint and ValueError
+    for bad magic."""
+    if frame[:2] != SINGLE_OBJECT_MAGIC:
+        raise ValueError("not a single-object frame (bad magic)")
+    fp = int.from_bytes(frame[2:10], "little")
+    return store[fp], frame[10:]
+
+
+def fingerprint_store(*schemas: str) -> dict[int, str]:
+    """fingerprint -> schema map for :func:`single_object_unwrap` (the
+    consumer-side registry-less schema store)."""
+    return {
+        rabin_fingerprint(parsing_canonical_form(s)): s for s in schemas
+    }
+
+
 # -------------------------------------------------- compatibility modes
 def can_read(writer_schema: str, reader_schema: str) -> bool:
     """True iff data written with ``writer_schema`` is readable under

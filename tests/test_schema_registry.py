@@ -452,3 +452,45 @@ def test_pcf_and_rabin_match_apache_avro_java(spark):
         ours = schema_registry.parsing_canonical_form(s)
         assert ours == jpcf, s
         assert schema_registry.rabin_fingerprint(ours) == jfp % (1 << 64), s
+
+
+def test_single_object_encoding_roundtrip_and_evolution(spark):
+    """Avro single-object encoding: C3 01 magic + little-endian Rabin
+    fingerprint + body. The fingerprint identifies the WRITER schema
+    registry-lessly; combined with the generic resolver the consumer
+    reads any known writer version into its own shape. Frame header
+    pinned against Java's own fingerprint bytes."""
+    from teste_carga_avro_vs_json_spark.functions import avro_generic as ag
+    from teste_carga_avro_vs_json_spark.functions.schema_registry import (
+        fingerprint_store,
+        single_object_unwrap,
+        single_object_wrap,
+    )
+
+    v1 = '{"type":"record","name":"D","fields":[{"name":"a","type":"int"}]}'
+    v2 = ('{"type":"record","name":"D","fields":[{"name":"a","type":"int"},'
+          '{"name":"b","type":"string","default":"x"}]}')
+    reader = ('{"type":"record","name":"D","fields":[{"name":"a","type":"long"},'
+              '{"name":"b","type":"string","default":"x"}]}')
+    store = fingerprint_store(v1, v2)
+    frames = [
+        single_object_wrap(ag.encode(v1, {"a": 1}), v1),
+        single_object_wrap(ag.encode(v2, {"a": 2, "b": "y"}), v2),
+    ]
+    out = []
+    for f in frames:
+        writer, body = single_object_unwrap(f, store)
+        out.append(ag.decode_resolved(writer, reader, body))
+    assert out == [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    # header matches Java's fingerprint, little-endian, after the magic
+    jvm = spark._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(v1)
+    jfp = jvm.org.apache.avro.SchemaNormalization.parsingFingerprint64(sch)
+    assert frames[0][:2] == b"\xc3\x01"
+    assert frames[0][2:10] == (jfp % (1 << 64)).to_bytes(8, "little")
+    with pytest.raises(ValueError, match="magic"):
+        single_object_unwrap(b"\x00\x01" + frames[0][2:], store)
+    with pytest.raises(KeyError):
+        single_object_unwrap(
+            single_object_wrap(b"", '"int"'), store
+        )
