@@ -335,6 +335,31 @@ def fingerprint_store(*schemas: str) -> dict[int, str]:
     }
 
 
+def single_object_wrap_col(body: Column, schema: str) -> Column:
+    """Column form of :func:`single_object_wrap`: the 10-byte header is
+    a per-schema LITERAL, so framing is a scan-local JVM ``concat`` —
+    zero Python in the hot path (same shape as the Confluent framing
+    wrappers in functions/avro_codec.py)."""
+    import pyspark.sql.functions as F
+
+    fp = rabin_fingerprint(parsing_canonical_form(schema))
+    header = SINGLE_OBJECT_MAGIC + fp.to_bytes(8, "little")
+    return F.concat(F.lit(header), body)
+
+
+def single_object_fingerprint_col(frame: Column) -> Column:
+    """Extract the frame's 8-byte little-endian fingerprint as an
+    unsigned decimal STRING column (JVM-side: hex the bytes, reverse
+    the byte pairs to big-endian, ``conv`` base 16→10 — all scan-local,
+    no Python). Compare against ``str(rabin_fingerprint(...))``."""
+    import pyspark.sql.functions as F
+
+    hx = F.hex(F.substring(frame, 3, 8))  # 16 hex chars, LE byte order
+    pairs = [F.substring(hx, i * 2 + 1, 2) for i in range(8)]
+    big_endian = F.concat(*reversed(pairs))
+    return F.conv(big_endian, 16, 10).alias("fingerprint")
+
+
 # -------------------------------------------------- compatibility modes
 def can_read(writer_schema: str, reader_schema: str) -> bool:
     """True iff data written with ``writer_schema`` is readable under

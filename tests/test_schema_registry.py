@@ -494,3 +494,39 @@ def test_single_object_encoding_roundtrip_and_evolution(spark):
         single_object_unwrap(
             single_object_wrap(b"", '"int"'), store
         )
+
+
+def test_single_object_column_wrappers(spark):
+    """JVM-side single-object framing: wrap is one literal concat,
+    fingerprint extraction is hex/conv arithmetic — zero Python; a
+    consumer can route frames to writer schemas by fingerprint with a
+    plain filter/join."""
+    import pyspark.sql.functions as F
+
+    from teste_carga_avro_vs_json_spark.functions import avro_generic as ag
+    from teste_carga_avro_vs_json_spark.functions.schema_registry import (
+        parsing_canonical_form,
+        rabin_fingerprint,
+        single_object_fingerprint_col,
+        single_object_unwrap,
+        single_object_wrap_col,
+        fingerprint_store,
+    )
+
+    v1 = '{"type":"record","name":"D","fields":[{"name":"a","type":"int"}]}'
+    df = spark.range(5).select(
+        ag.to_avro_any(F.struct(F.col("id").cast("int").alias("a")), v1).alias("body")
+    )
+    framed = df.select(single_object_wrap_col(F.col("body"), v1).alias("frame"))
+    fp = rabin_fingerprint(parsing_canonical_form(v1))
+    out = framed.select(
+        single_object_fingerprint_col(F.col("frame")).alias("fp"), "frame"
+    ).collect()
+    assert all(r.fp == str(fp) for r in out)
+    # frames parse back through the scalar unwrap + generic decode
+    store = fingerprint_store(v1)
+    vals = sorted(
+        ag.decode(*single_object_unwrap(bytes(r.frame), store))["a"]
+        for r in out
+    )
+    assert vals == [0, 1, 2, 3, 4]
