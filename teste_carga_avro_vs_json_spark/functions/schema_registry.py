@@ -282,6 +282,20 @@ class HttpSchemaRegistry:
             raise RuntimeError(f"schema lookup failed: HTTP {status}")
         return json.loads(body)["schema"]
 
+    def set_compatibility(self, subject: str, mode: str) -> str:
+        """``PUT /config/{subject}`` — set the subject's compatibility
+        mode (the Confluent config API; mirrors
+        InMemorySchemaRegistry.set_compatibility)."""
+        check_compatible('"int"', '"int"', mode)  # validates the name
+        payload = json.dumps({"compatibility": mode.upper()}).encode()
+        quoted = urllib.parse.quote(subject, safe="")
+        status, body = self._open(
+            "PUT", f"{self._base}/config/{quoted}", payload
+        )
+        if status != 200:
+            raise RuntimeError(f"config update failed: HTTP {status}")
+        return json.loads(body)["compatibility"]
+
     def test_compatibility(
         self, subject: str, schema: str, version: str = "latest"
     ) -> bool:

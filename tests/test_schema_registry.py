@@ -530,3 +530,22 @@ def test_single_object_column_wrappers(spark):
         for r in out
     )
     assert vals == [0, 1, 2, 3, 4]
+
+
+def test_http_set_compatibility_contract():
+    """PUT /config/{subject} request shape + response parsing; invalid
+    modes rejected client-side before any request."""
+    calls = []
+
+    def opener(method, url, body):
+        calls.append((method, url, json.loads(body)))
+        return 200, b'{"compatibility": "FULL"}'
+
+    reg = schema_registry.HttpSchemaRegistry("http://sr:8081", opener=opener)
+    assert reg.set_compatibility("t value", "full") == "FULL"
+    assert calls == [
+        ("PUT", "http://sr:8081/config/t%20value", {"compatibility": "FULL"})
+    ]
+    with pytest.raises(ValueError, match="unknown compatibility"):
+        reg.set_compatibility("t", "SIDEWAYS")
+    assert len(calls) == 1  # invalid mode never hit the wire
