@@ -273,7 +273,20 @@ def read_kafka_tail_n(
     TopicPartition (O8); raw bytes come back — decode with
     operators/serde or functions/avro_codec downstream. ``offsets``
     (begins, ends) skips the live AdminClient fetch when the caller
-    already knows them."""
+    already knows them.
+
+    Connector autodetect (r6): uses the JVM connector
+    (spark-sql-kafka-0-10) when its jar is on the classpath — the
+    production path — else falls back to the wire-protocol source
+    (:func:`read_kafka_wire_batch`, same partition-parallel shape, no
+    dependencies), so this API works against any broker on a bare
+    PySpark install. Column sets match except the JVM connector's extra
+    timestamp/timestampType columns."""
+    if not _jvm_kafka_connector_available(spark):
+        return read_kafka_wire_batch(
+            spark, bootstrap_servers, topic,
+            target_total=target_total, offsets=offsets,
+        )
     begins, ends = offsets if offsets is not None else fetch_offsets(
         bootstrap_servers, topic
     )
@@ -287,6 +300,17 @@ def read_kafka_tail_n(
         )
         .load()
     )
+
+
+def _jvm_kafka_connector_available(spark: SparkSession) -> bool:
+    """True when spark-sql-kafka-0-10 is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:  # noqa: BLE001 - py4j raises wrapped JVM errors
+        return False
 
 
 def read_kafka_stream(

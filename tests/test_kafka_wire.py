@@ -392,3 +392,31 @@ def test_crc32c_matches_jdk_implementation(spark):
         j = jvm.java.util.zip.CRC32C()
         j.update(d, 0, len(d))
         assert crc32c(d) == j.getValue(), ln
+
+
+def test_read_kafka_tail_n_falls_back_to_wire_source(spark):
+    """read_kafka_tail_n — the public O9 batch API — autodetects that
+    the JVM connector jar is absent and serves the bounded read through
+    the wire source, so the API works on a bare PySpark install."""
+    from teste_carga_avro_vs_json_spark.sources.io_kafka import (
+        _jvm_kafka_connector_available,
+        read_kafka_tail_n,
+    )
+
+    assert not _jvm_kafka_connector_available(spark)  # this environment
+    with StubBroker(num_partitions=2) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            for p in range(2):
+                c.produce(
+                    "t", p, [(None, f"{p}:{i}".encode()) for i in range(8)]
+                )
+        finally:
+            c.close()
+        df = read_kafka_tail_n(
+            spark, f"{broker.addr[0]}:{broker.addr[1]}", "t", target_total=6
+        )
+        rows = df.collect()
+    assert sorted((r.partition, r.offset) for r in rows) == [
+        (0, 5), (0, 6), (0, 7), (1, 5), (1, 6), (1, 7),
+    ]
