@@ -421,23 +421,25 @@ def test_write_kafka_reaches_connector_boundary(spark):
 
 
 def test_read_kafka_reaches_connector_boundary(spark):
-    """Read-side twin of the write boundary test: the tail-N batch
-    consume path (offset arithmetic -> startingOffsets JSON ->
-    format("kafka").load()) must compose a legal read that fails only
-    at data-source resolution in this connector-less container."""
+    """Read-side twin of the write boundary test. Since r6
+    read_kafka_tail_n AUTODETECTS the missing JVM connector and falls
+    back to the wire source, so the plan composes lazily against the
+    given offsets; the failure surface moved from data-source
+    resolution to the socket connect at execution time (there is no
+    broker at this address) — the API itself is total now."""
     from teste_carga_avro_vs_json_spark.sources import io_kafka
 
+    df = io_kafka.read_kafka_tail_n(
+        spark,
+        "127.0.0.1:1",  # nothing listens here
+        "t",
+        target_total=100,
+        offsets=({0: 0, 1: 0}, {0: 500, 1: 500}),
+    )
+    assert df.columns == ["topic", "partition", "offset", "key", "value"]
     with pytest.raises(Exception) as ei:
-        io_kafka.read_kafka_tail_n(
-            spark,
-            "broker:9092",
-            "t",
-            target_total=100,
-            offsets=({0: 0, 1: 0}, {0: 500, 1: 500}),
-        )
-    msg = str(ei.value)
-    assert "kafka" in msg.lower()
-    assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+        df.collect()  # execution reaches the (dead) socket
+    assert "refused" in str(ei.value).lower() or "Connection" in str(ei.value)
 
 
 def test_compact_parquet_bounds_file_counts(spark, tmp_path):
