@@ -390,6 +390,22 @@ _PROMOTIONS = {
 }
 
 
+def _names_match(w: dict, r: dict) -> bool:
+    """Spec Schema Resolution name rule for named types (record / enum /
+    fixed): the schemas match when their unqualified names are equal, or
+    the reader declares an alias for the writer's (full or unqualified)
+    name. Without this gate, structurally-similar named types resolve
+    against each other — and writer-union branch selection can bind the
+    wrong branch (a real Confluent registry rejects such evolutions)."""
+    wf, rf = w.get("fullname"), r.get("fullname")
+    if wf is None or rf is None:  # defensive: named types always carry one
+        return True
+    if wf.split(".")[-1] == rf.split(".")[-1]:
+        return True
+    aliases = set(r.get("aliases", []))
+    return wf in aliases or wf.split(".")[-1] in aliases
+
+
 def make_resolver(writer, reader, w_env: dict, r_env: dict, _cache: dict | None = None):
     """Compile (writer, reader) into ``(data, pos) -> (value, pos)``
     that reads WRITER bytes and yields READER-shaped values, per the
@@ -473,12 +489,15 @@ def make_resolver(writer, reader, w_env: dict, r_env: dict, _cache: dict | None 
 
         return _map
     if wt == "fixed":
-        if w["fullname"].split(".")[-1] != r["fullname"].split(".")[-1] or (
-            w["size"] != r["size"]
-        ):
+        if not _names_match(w, r) or w["size"] != r["size"]:
             raise AvroResolutionError("fixed name/size mismatch")
         return _make_decoder(w, w_env)
     if wt == "enum":
+        if not _names_match(w, r):
+            raise AvroResolutionError(
+                f"enum name mismatch: writer {w.get('fullname')} vs "
+                f"reader {r.get('fullname')}"
+            )
         r_symbols = r["symbols"]
         fallback = r.get("default")
         mapped = []
@@ -501,6 +520,11 @@ def make_resolver(writer, reader, w_env: dict, r_env: dict, _cache: dict | None 
 
         return _enum
     if wt == "record":
+        if not _names_match(w, r):
+            raise AvroResolutionError(
+                f"record name mismatch: writer {w.get('fullname')} vs "
+                f"reader {r.get('fullname')} (no matching reader alias)"
+            )
         pair = (w.get("fullname"), r.get("fullname"))
         if pair[0] is not None and pair in _cache:
             return _cache[pair]
@@ -885,18 +909,26 @@ def from_avro_any(
         return _state["one"]
 
     if is_struct:  # struct results ride back as a pandas DataFrame
-
+        # null input cells (Kafka tombstones, nullable columns) decode
+        # to a row of all-null fields — the closest a pandas-UDF struct
+        # return can get to the JVM from_avro's null struct (a plain
+        # DataFrame has no per-row null marker)
         @pandas_udf(out_type)
         def _decode(s: pd.Series) -> pd.DataFrame:
             one = _resolve()
-            return pd.DataFrame([one(bytes(b)) for b in s], columns=names)
+            return pd.DataFrame(
+                [one(bytes(b)) if b is not None else {} for b in s],
+                columns=names,
+            )
 
     else:
 
         @pandas_udf(out_type)
         def _decode(s: pd.Series) -> pd.Series:
             one = _resolve()
-            return pd.Series([one(bytes(b)) for b in s])
+            return pd.Series(
+                [one(bytes(b)) if b is not None else None for b in s]
+            )
 
     return _decode(col)
 

@@ -146,6 +146,47 @@ def test_resolution_enum_default_and_union_shapes():
         ag.decode_resolved('"long"', '"int"', ag.encode('"long"', 1))
 
 
+def test_resolution_named_type_name_matching():
+    """Spec Schema Resolution name rule (r7, ADVICE fix): record/enum
+    renames without a reader alias are incompatible; a reader alias (full
+    or unqualified writer name) permits the rename; namespaces alone do
+    not break the match (unqualified-name rule, as for fixed)."""
+    w = json.dumps(
+        {"type": "record", "name": "Old", "fields": [{"name": "a", "type": "int"}]}
+    )
+    renamed = {"type": "record", "name": "New",
+               "fields": [{"name": "a", "type": "int"}]}
+    with pytest.raises(ag.AvroResolutionError, match="name mismatch"):
+        ag.decode_resolved(w, json.dumps(renamed), ag.encode(w, {"a": 1}))
+    # reader alias for the writer name lifts the mismatch
+    aliased = dict(renamed, aliases=["Old"])
+    assert ag.decode_resolved(w, json.dumps(aliased), ag.encode(w, {"a": 1})) == {"a": 1}
+    # same unqualified name under different namespaces still matches
+    ns = json.dumps(
+        {"type": "record", "name": "Old", "namespace": "com.y",
+         "fields": [{"name": "a", "type": "int"}]}
+    )
+    assert ag.decode_resolved(w, ns, ag.encode(w, {"a": 1})) == {"a": 1}
+    # enum rename: same rule
+    we = json.dumps({"type": "enum", "name": "E1", "symbols": ["A"]})
+    re_bad = json.dumps({"type": "enum", "name": "E2", "symbols": ["A"]})
+    with pytest.raises(ag.AvroResolutionError, match="name mismatch"):
+        ag.decode_resolved(we, re_bad, ag.encode(we, "A"))
+    re_ok = json.dumps(
+        {"type": "enum", "name": "E2", "aliases": ["E1"], "symbols": ["A"]}
+    )
+    assert ag.decode_resolved(we, re_ok, ag.encode(we, "A")) == "A"
+    # union branch selection now binds by NAME, not just structure:
+    # writer union [Old, New] with identical shapes decodes the New
+    # branch against reader New, and REJECTS the structurally-identical
+    # Old branch (hand-framed union bytes: zigzag branch idx + record)
+    w_u = json.dumps([json.loads(w), renamed])
+    rec = ag.encode(json.dumps(renamed), {"a": 7})
+    assert ag.decode_resolved(w_u, json.dumps(renamed), b"\x02" + rec) == {"a": 7}
+    with pytest.raises(ag.AvroResolutionError):
+        ag.decode_resolved(w_u, json.dumps(renamed), b"\x00" + rec)
+
+
 def test_reader_missing_field_without_default_is_an_error():
     writer = json.dumps(
         {"type": "record", "name": "R", "fields": [{"name": "a", "type": "int"}]}
@@ -671,6 +712,38 @@ def test_spark_from_avro_any_evolution(spark):
     rows = {r.id: r for r in dec.collect()}
     assert len(rows) == 50
     assert rows[7].text == "t7" and rows[7].lang == "und"
+
+
+def test_spark_from_avro_any_null_cells(spark):
+    """Null binary cells (Kafka tombstones) decode to null instead of
+    killing the task (r7, ADVICE fix): scalar readers yield NULL, struct
+    readers yield a row of null fields (a pandas-UDF struct return has
+    no per-row null marker)."""
+    import pyspark.sql.functions as F
+
+    rec = json.dumps(
+        {"type": "record", "name": "R",
+         "fields": [{"name": "a", "type": "int"},
+                    {"name": "s", "type": "string"}]}
+    )
+    payload = ag.encode(rec, {"a": 5, "s": "x"})
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, None)], "id int, raw binary"
+    )
+    out = df.select(
+        "id", ag.from_avro_any(F.col("raw"), rec).alias("msg")
+    ).orderBy("id").collect()
+    assert out[0].msg.asDict() == {"a": 5, "s": "x"}
+    assert out[1].msg.a is None and out[1].msg.s is None
+    # scalar reader: plain NULL
+    df2 = spark.createDataFrame(
+        [(1, bytearray(ag.encode('"string"', "hi"))), (2, None)],
+        "id int, raw binary",
+    )
+    sc = df2.select(
+        "id", ag.from_avro_any(F.col("raw"), '"string"').alias("v")
+    ).orderBy("id").collect()
+    assert sc[0].v == "hi" and sc[1].v is None
 
 
 def test_time_logical_types(spark):

@@ -21,6 +21,9 @@ def test_in_memory_ids_are_monotone_and_idempotent():
     # same schema (even reformatted / key-reordered) -> same id
     assert reg.register("topic-value", SCHEMA_REORDERED) == sid
     # different schema -> next id; lookup round-trips the canonical form
+    # (record rename M->N is a BACKWARD-incompatible evolution on a real
+    # registry since the r7 name-match fix - lift the gate for the id test)
+    reg.set_compatibility("topic-value", "NONE")
     sid2 = reg.register("topic-value", OTHER)
     assert sid2 == 2
     assert reg.get_by_id(sid) == schema_registry.canonical_schema(SCHEMA)
@@ -180,7 +183,9 @@ def test_pcf_variants_resolve_to_one_id():
     assert reg.register("s", logical) == sid
     # stored form keeps the first registration's default for decoders
     assert json.loads(reg.get_by_id(sid))["fields"][0]["default"] == "1.0"
-    # a genuinely different schema still gets a new id
+    # a genuinely different schema still gets a new id (rename = an
+    # incompatible evolution under BACKWARD since r7; lift the gate)
+    reg.set_compatibility("s", "NONE")
     assert reg.register("s", OTHER) == sid + 1
 
 
