@@ -103,6 +103,8 @@ def read_kafka_wire_batch(
     On a cluster the JVM connector remains the production choice
     (SCALE.md) — it adds rack-aware replica fetching, SSL/SASL, and
     offset-commit integration this client does not attempt."""
+    from itertools import islice
+
     import pandas as pd
 
     from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
@@ -116,8 +118,6 @@ def read_kafka_wire_batch(
         else {p: begins.get(p, 0) for p in ends}
     )
     plan = [(p, int(starts.get(p, 0)), int(end)) for p, end in sorted(ends.items())]
-    host, _, port_s = bootstrap_servers.partition(":")
-    port = int(port_s)
 
     def _fetch(batches):
         client = None
@@ -128,10 +128,14 @@ def read_kafka_wire_batch(
                     if offset >= end:
                         continue
                     if client is None:
-                        client = WireKafkaClient(host, port)
-                    while offset < end:
-                        _hw, recs = client.fetch(topic, p, offset, max_bytes)
-                        recs = [t for t in recs if t[0] < end]
+                        # multi-host bootstrap with failover (r7)
+                        client = WireKafkaClient.connect(bootstrap_servers)
+                    # fetch_until retries transient empty fetches and
+                    # raises instead of silently truncating the bounded
+                    # read (r7, ADVICE fix)
+                    it = client.fetch_until(topic, p, offset, end, max_bytes)
+                    while True:
+                        recs = list(islice(it, 10_000))
                         if not recs:
                             break
                         yield pd.DataFrame(
@@ -143,7 +147,6 @@ def read_kafka_wire_batch(
                                 "value": [v for _, _, v in recs],
                             }
                         )
-                        offset = recs[-1][0] + 1
         finally:
             if client is not None:
                 client.close()
@@ -163,8 +166,7 @@ def fetch_offsets_wire(bootstrap_servers: str, topic: str) -> tuple[dict, dict]:
     loopback broker test drives this against a real socket."""
     from teste_carga_avro_vs_json_spark.sources import kafka_wire
 
-    host, _, port = bootstrap_servers.partition(":")
-    client = kafka_wire.WireKafkaClient(host, int(port))
+    client = kafka_wire.WireKafkaClient.connect(bootstrap_servers)
     try:
         parts = client.partitions_for(topic)
         begins = {

@@ -220,10 +220,13 @@ def encode_record_batch(
 ) -> bytes:
     """Record batch, magic 2 (KIP-98 layout): header + varint-framed
     records, CRC32C over everything after the crc field. ``codec``:
-    None or "gzip" — the records section (everything after recordCount)
-    is compressed as one blob and attributes bits 0-2 carry the codec
-    id, per the published format. gzip is the one codec the stdlib
-    provides; snappy/lz4/zstd would need external libs."""
+    None or one of gzip / snappy / lz4 / zstd (the reference's full
+    codec matrix, ConfiguracaoKafka.java:112-118; its DEFAULT is lz4)
+    — the records section (everything after recordCount) is compressed
+    as one blob and attributes bits 0-2 carry the codec id, per the
+    published format. gzip is stdlib; snappy (xerial-framed) and lz4
+    (frame format) are the pure-Python codecs in
+    :mod:`sources.compression`; zstd rides pyarrow's bundled codec."""
     body = bytearray()
     for i, (key, value) in enumerate(records):
         rec = bytearray()
@@ -240,15 +243,17 @@ def encode_record_batch(
         body += write_varint(len(rec))
         body += rec
 
-    if codec is None:
+    if codec is None or codec == "none":
         attributes = 0
-    elif codec == "gzip":
-        import gzip
-
-        attributes = 1
-        body = gzip.compress(bytes(body))
     else:
-        raise NotImplementedError(f"unsupported compression codec {codec!r}")
+        from teste_carga_avro_vs_json_spark.sources import compression
+
+        if codec not in compression.KAFKA_CODEC_IDS:
+            raise NotImplementedError(
+                f"unsupported compression codec {codec!r}"
+            )
+        attributes = compression.KAFKA_CODEC_IDS[codec]
+        body = compression.compress(codec, bytes(body))
     after_crc = (
         _W()
         .i16(attributes)  # bits 0-2 = compression codec, CREATE_TIME
@@ -325,15 +330,15 @@ def _decode_record_batches(data: bytes, check_crc: bool):
         rr.i32()
         count = rr.i32()
         comp = attributes & 0x07
-        if comp == 1:  # gzip — the stdlib codec
-            import gzip
+        if comp:  # gzip(1)/snappy(2)/lz4(3)/zstd(4)
+            from teste_carga_avro_vs_json_spark.sources import compression
 
-            rr = _R(gzip.decompress(rr.remaining()))
-        elif comp:  # snappy(2)/lz4(3)/zstd(4) need external libs
-            raise NotImplementedError(
-                f"compression codec {comp} not available without "
-                "third-party libraries (stdlib supports gzip only)"
-            )
+            name = compression.KAFKA_CODECS.get(comp)
+            if name is None:
+                raise NotImplementedError(
+                    f"unknown compression codec id {comp}"
+                )
+            rr = _R(compression.decompress(name, rr.remaining()))
         for _ in range(count):
             read_varint(rr.buf)  # record length
             rr.i8()  # attributes
@@ -359,6 +364,15 @@ _API_METADATA, _API_VERSIONS = 3, 18
 _API_INIT_PRODUCER_ID = 22
 EARLIEST, LATEST = -2, -1
 
+# the protocol error codes this stack produces/interprets
+ERR_CORRUPT_MESSAGE = 2
+ERR_OUT_OF_ORDER_SEQUENCE = 45
+_ERR_NAMES = {2: "CORRUPT_MESSAGE", 45: "OUT_OF_ORDER_SEQUENCE_NUMBER"}
+
+
+def _err_name(code: int) -> str:
+    return _ERR_NAMES.get(code, f"error {code}")
+
 
 class WireKafkaClient:
     """Blocking wire-protocol client (one persistent socket, locked).
@@ -372,6 +386,30 @@ class WireKafkaClient:
         self._corr = 0
         self._lock = threading.Lock()
         self._sock = socket.create_connection((host, port), timeout=30)
+
+    @classmethod
+    def connect(
+        cls, bootstrap_servers: str, client_id: str = "spark-graft"
+    ) -> "WireKafkaClient":
+        """Connect to the first reachable host in a standard multi-host
+        bootstrap string (``h1:9092,h2:9092``) — the failover every real
+        client performs; a malformed entry or unreachable host moves on
+        to the next, and exhaustion raises one clear error listing every
+        attempt instead of an opaque ``int()`` ValueError."""
+        errors = []
+        for entry in bootstrap_servers.split(","):
+            entry = entry.strip()
+            if not entry:
+                continue
+            host, _, port_s = entry.rpartition(":")
+            try:
+                return cls(host, int(port_s), client_id)
+            except (OSError, ValueError) as e:
+                errors.append(f"{entry}: {e}")
+        raise ConnectionError(
+            f"no reachable broker in {bootstrap_servers!r}"
+            + (f" ({'; '.join(errors)})" if errors else " (empty list)")
+        )
 
     def close(self):
         self._sock.close()
@@ -495,7 +533,7 @@ class WireKafkaClient:
         r.i32()  # partition
         err = r.i16()
         if err:
-            raise ValueError(f"produce error code {err}")
+            raise ValueError(f"produce error code {err} ({_err_name(err)})")
         base = r.i64()
         r.i64()  # log_append_time
         return base
@@ -568,6 +606,37 @@ class WireKafkaClient:
         recs = [t for t in decode_record_batches(record_set) if t[0] >= offset]
         return hw, recs
 
+    def fetch_until(
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        end: int,
+        max_bytes: int = 1 << 20,
+        attempts: int = 5,
+    ):
+        """Generator of ``(offset, key, value)`` draining
+        ``[offset, end)``. A transient empty fetch while ``offset < end``
+        (max_wait expiry, replication lag on a real broker) is RETRIED up
+        to ``attempts`` times and then raises — a read that promises
+        completeness must never truncate silently (r7, ADVICE fix)."""
+        empty = 0
+        while offset < end:
+            _hw, recs = self.fetch(topic, partition, offset, max_bytes)
+            recs = [t for t in recs if t[0] < end]
+            if not recs:
+                empty += 1
+                if empty >= attempts:
+                    raise RuntimeError(
+                        f"fetch returned no records for {topic}-{partition}"
+                        f" at offset {offset} < end {end} after {attempts}"
+                        " attempts — refusing to truncate a bounded read"
+                    )
+                continue
+            empty = 0
+            yield from recs
+            offset = recs[-1][0] + 1
+
     def consume_from(
         self, topic: str, starts: dict[int, int]
     ) -> list[tuple[int, int, bytes | None, bytes | None]]:
@@ -577,31 +646,31 @@ class WireKafkaClient:
         arithmetic). Returns (partition, offset, key, value) rows."""
         out = []
         for p, start in sorted(starts.items()):
-            offset = start
-            while True:
-                hw, recs = self.fetch(topic, p, offset)
-                if offset >= hw:
-                    break
-                for off, key, value in recs:
-                    out.append((p, off, key, value))
-                    offset = max(offset, off + 1)
-                if not recs:
-                    break  # nothing below hw was returned; avoid spinning
+            hw = self.list_offset(topic, p, LATEST)
+            for off, key, value in self.fetch_until(topic, p, start, hw):
+                out.append((p, off, key, value))
         return out
 
 
 # ------------------------------------------------------------- broker
 class _PartitionLog:
     """In-memory partition: list of (base_offset, batch_bytes).
-    ``seen_seq`` maps (producer_id, base_sequence) -> original base
-    offset for idempotent-produce dedupe (KIP-98; a real broker keeps a
-    bounded window of 5 sequences per producer — unbounded here is fine
-    for a loopback test log)."""
+
+    Idempotent-produce state (KIP-98): ``next_seq[pid]`` is the
+    expected base_sequence of the next batch from that producer
+    (sequences advance by RECORD count, not batch count);
+    ``recent[pid]`` maps the last 5 batches' base_sequence -> original
+    base offset for duplicate acks, mirroring the real broker's
+    5-deep ProducerStateManager cache. ``seen_seq`` is the legacy
+    map-lookup dedupe used only when the broker runs with
+    ``strict_sequences=False`` (stub-only replay mode)."""
 
     def __init__(self):
         self.batches: list[tuple[int, bytes]] = []
         self.next_offset = 0
         self.seen_seq: dict[tuple[int, int], int] = {}
+        self.next_seq: dict[int, int] = {}
+        self.recent: dict[int, dict[int, int]] = {}
 
 
 class StubBroker:
@@ -614,8 +683,23 @@ class StubBroker:
     ``with StubBroker(num_partitions=6) as b: WireKafkaClient(*b.addr)``.
     """
 
-    def __init__(self, num_partitions: int = 3, host: str = "127.0.0.1"):
+    def __init__(
+        self,
+        num_partitions: int = 3,
+        host: str = "127.0.0.1",
+        strict_sequences: bool = True,
+    ):
+        """``strict_sequences`` (default, real-broker semantics) enforces
+        per-(producer, partition) sequence contiguity per KIP-98: a new
+        pid may start anywhere (KIP-360-style state reset), each batch
+        must then continue at last_seq + record_count, one of the last 5
+        batches re-sent acks with its original offset, and anything else
+        fails with OUT_OF_ORDER_SEQUENCE_NUMBER (45). ``False`` keeps
+        the pre-r7 map-lookup dedupe that accepts ANY unseen sequence —
+        needed only by the stub-only ``sequence_mode=replay`` produce
+        path, which a real broker would reject."""
         self.num_partitions = num_partitions
+        self.strict_sequences = strict_sequences
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._lock = threading.Lock()
         self._next_pid = 1000
@@ -802,14 +886,27 @@ class StubBroker:
         with self._lock:
             log = self._log(topic, partition)
             if pid >= 0 and seq >= 0:
-                dup = log.seen_seq.get((pid, seq))
-                if dup is not None:
-                    return 0, dup  # retry: ack with the ORIGINAL offset
+                if self.strict_sequences:
+                    expected = log.next_seq.get(pid)
+                    recent = log.recent.setdefault(pid, {})
+                    if seq in recent:  # last-5 window: duplicate ack
+                        return 0, recent[seq]
+                    if expected is not None and seq != expected:
+                        return ERR_OUT_OF_ORDER_SEQUENCE, -1
+                    # new pid: any start (state reset); else contiguous
+                    log.next_seq[pid] = seq + len(records)
+                    recent[seq] = log.next_offset
+                    while len(recent) > 5:
+                        recent.pop(next(iter(recent)))
+                else:
+                    dup = log.seen_seq.get((pid, seq))
+                    if dup is not None:
+                        return 0, dup  # retry: ack the ORIGINAL offset
             base = log.next_offset
             # re-base the batch so stored offsets are the real ones
             rebased = struct.pack(">q", base) + record_set[8:]
             log.batches.append((base, rebased))
             log.next_offset = base + len(records)
-            if pid >= 0 and seq >= 0:
+            if pid >= 0 and seq >= 0 and not self.strict_sequences:
                 log.seen_seq[(pid, seq)] = base
         return 0, base

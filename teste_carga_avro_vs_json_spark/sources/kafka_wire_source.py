@@ -59,9 +59,8 @@ _SCHEMA = "topic string, partition int, offset long, key binary, value binary"
 def _client(options):
     from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
 
-    bootstrap = options["bootstrap"]
-    host, _, port = bootstrap.partition(":")
-    return WireKafkaClient(host, int(port))
+    # standard multi-host bootstrap ("h1:9092,h2:9092") with failover
+    return WireKafkaClient.connect(options["bootstrap"])
 
 
 class _TP(InputPartition):
@@ -98,17 +97,12 @@ class KafkaWireBatchReader(DataSourceReader):
     def read(self, part: _TP):
         client = _client(self.options)
         try:
-            offset = part.start
-            while offset < part.end:
-                _hw, recs = client.fetch(
-                    self.topic, part.partition, offset, self.max_bytes
-                )
-                recs = [t for t in recs if t[0] < part.end]
-                if not recs:
-                    break
-                for off, key, value in recs:
-                    yield (self.topic, part.partition, off, key, value)
-                offset = recs[-1][0] + 1
+            # fetch_until retries transient empty fetches and raises
+            # rather than silently truncating the bounded read (r7)
+            for off, key, value in client.fetch_until(
+                self.topic, part.partition, part.start, part.end, self.max_bytes
+            ):
+                yield (self.topic, part.partition, off, key, value)
         finally:
             client.close()
 
@@ -118,29 +112,50 @@ class _Committed(WriterCommitMessage):
         self.n = n
 
 
-def _produce_rows(options, rows, producer_id: int = -1, producer_epoch: int = -1) -> "_Committed":
+def _produce_rows(
+    options,
+    rows,
+    idempotent: bool = False,
+    replay_producer: tuple[int, int] | None = None,
+) -> "_Committed":
     """Shared per-task produce: group rows by their ``partition``
     column (missing/null → partition 0), send one record batch per
-    ``batch_size`` rows per partition.
+    ``batch_size`` rows per partition; ``compression`` option applies
+    the reference's codec matrix (none/gzip/snappy/lz4/zstd).
 
-    With ``producer_id >= 0`` (streaming), each batch carries a
-    DETERMINISTIC base_sequence composed from (micro-batch id, task
-    partition, per-partition chunk index) — all stable across task
-    retries because the stream source replays checkpointed offsets in
-    deterministic order — so the broker's KIP-98 dedupe turns a task
-    retry into an ack of the original append instead of a duplicate.
-    (int32 sequence packs 11/10/10 bits; a query run past 2047
-    micro-batches wraps the id — the real producer wraps sequences the
-    same way, with the broker holding only a recent window.)"""
+    Idempotence (KIP-98), two modes:
+
+    - **task** (default with ``idempotent``): the task opens its own
+      producer session — InitProducerId on first send, then per-
+      partition sequences contiguous from 0 advancing by record count.
+      This is exactly what a real broker's ProducerStateManager
+      enforces and what the JVM connector's idempotent producer does:
+      wire-level re-sends within the session dedupe; a Spark TASK retry
+      is a new session and appends again (at-least-once).
+    - **replay** (``replay_producer`` given): the r6 scheme — one
+      driver-assigned pid for the whole query, base_sequence packed
+      from (micro-batch id 11b, task partition 10b, chunk 10b), stable
+      across task retries so a replayed task acks at the original
+      offsets. STUB-ONLY: sequences are not contiguous, so only the
+      StubBroker's ``strict_sequences=False`` map-lookup dedupe accepts
+      them — a real broker rejects the first batch with
+      OUT_OF_ORDER_SEQUENCE_NUMBER. Kept for loopback exactly-once
+      tests; never claim it against a real cluster."""
     topic = options["topic"]
     batch_size = int(options.get("batch_size", 500))
+    codec = options.get("compression") or None
+    if codec == "none":
+        codec = None
     client = None
     pending: dict[int, list] = {}
-    chunk_idx: dict[int, int] = {}
     n = 0
 
+    producer_id = producer_epoch = -1
+    seq_next: dict[int, int] = {}  # task mode: contiguous per partition
+    chunk_idx: dict[int, int] = {}  # replay mode: per-partition chunk
     batch_id = task_pid = -1
-    if producer_id >= 0:
+    if replay_producer is not None:
+        producer_id, producer_epoch = replay_producer
         from pyspark import TaskContext
 
         tc = TaskContext.get()
@@ -148,12 +163,20 @@ def _produce_rows(options, rows, producer_id: int = -1, producer_epoch: int = -1
             batch_id = int(tc.getLocalProperty("streaming.sql.batchId") or -1)
             task_pid = tc.partitionId()
 
-    def seq_for(p: int) -> int:
-        if producer_id < 0 or batch_id < 0:
+    def seq_for(p: int, count: int) -> int:
+        if replay_producer is not None:
+            if batch_id < 0:
+                return -1
+            c = chunk_idx.get(p, 0)
+            chunk_idx[p] = c + 1
+            return (
+                ((batch_id & 0x7FF) << 20) | ((task_pid & 0x3FF) << 10) | (c & 0x3FF)
+            )
+        if producer_id < 0:
             return -1
-        c = chunk_idx.get(p, 0)
-        chunk_idx[p] = c + 1
-        return ((batch_id & 0x7FF) << 20) | ((task_pid & 0x3FF) << 10) | (c & 0x3FF)
+        s = seq_next.get(p, 0)
+        seq_next[p] = s + count  # sequences advance by RECORD count
+        return s
 
     def as_bytes(v):
         if isinstance(v, (bytes, bytearray)):
@@ -161,14 +184,18 @@ def _produce_rows(options, rows, producer_id: int = -1, producer_epoch: int = -1
         return v.encode() if v is not None else None
 
     def send(p, recs):
-        nonlocal client
+        nonlocal client, producer_id, producer_epoch
         if client is None:
             client = _client(options)
+            if idempotent and replay_producer is None:
+                # task mode: one producer session per task
+                producer_id, producer_epoch = client.init_producer_id()
         client.produce(
             topic, p, recs,
+            codec=codec,
             producer_id=producer_id,
             producer_epoch=producer_epoch,
-            base_sequence=seq_for(p),
+            base_sequence=seq_for(p, len(recs)),
         )
 
     try:
@@ -202,21 +229,34 @@ class KafkaWireStreamWriter(DataSourceStreamWriter):
     The reference's continuous producer loop (ProdutorAvro.java:67-95)
     as a Structured Streaming sink.
 
-    Semantics: IDEMPOTENT within a query run (default) — at query start
-    the driver obtains a KIP-98 producer id (InitProducerId), every
-    task's batches carry deterministic sequences, and the broker acks
-    retried batches with their original offsets instead of appending
-    twice. Across query RESTARTS the replayed last micro-batch gets a
-    fresh producer id, so the cross-restart contract is at-least-once —
-    exactly the JVM connector's idempotent (non-transactional) producer
-    behavior; pair with the engine's streaming dedup downstream for
-    end-to-end exactly-once. ``idempotent=false`` opts out."""
+    Semantics (default ``idempotent=true``, ``sequence_mode=task``):
+    each task opens its own KIP-98 producer session (InitProducerId +
+    per-partition sequences contiguous from 0) — valid against a REAL
+    broker's sequence enforcement, and matching the JVM connector's
+    idempotent (non-transactional) producer: wire-level re-sends within
+    a session dedupe; task retries and query restarts append again, so
+    the end-to-end contract is AT-LEAST-ONCE — pair with the engine's
+    streaming dedup downstream for exactly-once.
+
+    ``sequence_mode=replay`` keeps the r6 deterministic-sequence scheme
+    that also dedupes whole task retries — STUB-ONLY: it requires
+    ``StubBroker(strict_sequences=False)``; a real broker rejects its
+    non-contiguous sequences with OUT_OF_ORDER_SEQUENCE_NUMBER (see
+    ``_produce_rows``). ``idempotent=false`` opts out entirely."""
 
     def __init__(self, options):
         self.options = options
+        self.idempotent = (
+            str(options.get("idempotent", "true")).lower() != "false"
+        )
+        self.sequence_mode = options.get("sequence_mode", "task")
+        if self.sequence_mode not in ("task", "replay"):
+            raise ValueError(
+                f"sequence_mode must be task|replay, got {self.sequence_mode!r}"
+            )
         self.producer_id = -1
         self.producer_epoch = -1
-        if str(options.get("idempotent", "true")).lower() != "false":
+        if self.idempotent and self.sequence_mode == "replay":
             client = _client(options)  # driver-side, once per query run
             try:
                 self.producer_id, self.producer_epoch = client.init_producer_id()
@@ -225,7 +265,14 @@ class KafkaWireStreamWriter(DataSourceStreamWriter):
 
     def write(self, rows):
         return _produce_rows(
-            self.options, rows, self.producer_id, self.producer_epoch
+            self.options,
+            rows,
+            idempotent=self.idempotent,
+            replay_producer=(
+                (self.producer_id, self.producer_epoch)
+                if self.idempotent and self.sequence_mode == "replay"
+                else None
+            ),
         )
 
     def commit(self, messages, batchId) -> None:
@@ -293,14 +340,12 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             for p_str in sorted(start, key=int):
                 p = int(p_str)
                 offset, stop = int(start[p_str]), int(end.get(p_str, start[p_str]))
-                while offset < stop:
-                    _hw, recs = client.fetch(self.topic, p, offset, self.max_bytes)
-                    recs = [t for t in recs if t[0] < stop]
-                    if not recs:
-                        break
-                    for off, key, value in recs:
-                        rows.append((self.topic, p, off, key, value))
-                    offset = recs[-1][0] + 1
+                # committed-range replay must be COMPLETE: retry empty
+                # fetches, raise instead of silently truncating (r7)
+                for off, key, value in client.fetch_until(
+                    self.topic, p, offset, stop, self.max_bytes
+                ):
+                    rows.append((self.topic, p, off, key, value))
         finally:
             client.close()
         return iter(rows)

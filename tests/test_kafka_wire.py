@@ -65,17 +65,22 @@ def test_record_batch_gzip_codec():
     gz = encode_record_batch(recs, codec="gzip")
     assert len(gz) < len(plain)  # repetitive payloads compress
     assert decode_record_batches(gz) == decode_record_batches(plain)
+    # r7: the full reference codec matrix encodes + decodes transparently
+    for codec in ("snappy", "lz4", "zstd"):
+        cz = encode_record_batch(recs, codec=codec)
+        assert len(cz) < len(plain), codec
+        assert decode_record_batches(cz) == decode_record_batches(plain), codec
     with pytest.raises(NotImplementedError, match="codec"):
-        encode_record_batch(recs, codec="snappy")
-    # a foreign-codec batch (e.g. lz4=3) is a clear error, not garbage
+        encode_record_batch(recs, codec="brotli")
+    # a reserved codec id (5) is a clear error, not garbage
     tampered = bytearray(plain)
     # attributes live right after the 21-byte pre-crc header
-    tampered[21 + 1] = 3
+    tampered[21 + 1] = 5
     import struct as _s
 
     after = bytes(tampered[21:])
     tampered[17:21] = _s.pack(">I", crc32c(after))
-    with pytest.raises(NotImplementedError, match="third-party"):
+    with pytest.raises(NotImplementedError, match="codec"):
         decode_record_batches(bytes(tampered))
     # gzip survives the socket: broker CRC-validates + re-serves it
     with StubBroker(num_partitions=1) as broker:

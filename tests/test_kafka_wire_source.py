@@ -191,9 +191,13 @@ def test_stream_read_flow_control(spark, tmp_path):
 
 
 def test_idempotent_produce_dedupes_retries():
-    """KIP-98 idempotent produce: same (producer_id, base_sequence) on
-    a partition acks with the ORIGINAL offset instead of appending; a
-    different sequence appends normally; pid -1 never dedupes."""
+    """KIP-98 idempotent produce under REAL broker sequence rules (r7):
+    a new pid may start at any sequence, the next batch must continue
+    at last_seq + record_count, a re-sent recent batch acks with the
+    ORIGINAL offset, a sequence gap fails with
+    OUT_OF_ORDER_SEQUENCE_NUMBER (45), and pid -1 never dedupes."""
+    import pytest
+
     from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
 
     with StubBroker(num_partitions=1) as broker:
@@ -209,10 +213,14 @@ def test_idempotent_produce_dedupes_retries():
             assert c.produce("t", 0, recs, producer_id=pid,
                              producer_epoch=epoch, base_sequence=7) == base
             assert c.list_offset("t", 0, LATEST := -1) == 2  # no dup append
-            # next sequence appends
+            # sequences advance by RECORD count: 7 + 2 records -> 9;
+            # a batch at 8 is a gap -> OUT_OF_ORDER_SEQUENCE_NUMBER
+            with pytest.raises(ValueError, match="45"):
+                c.produce("t", 0, recs, producer_id=pid,
+                          producer_epoch=epoch, base_sequence=8)
             assert c.produce("t", 0, recs, producer_id=pid,
-                             producer_epoch=epoch, base_sequence=8) == 2
-            # another producer with the same sequence is independent
+                             producer_epoch=epoch, base_sequence=9) == 2
+            # another producer with its own sequences is independent
             assert c.produce("t", 0, recs, producer_id=pid2,
                              producer_epoch=0, base_sequence=7) == 4
             # non-idempotent produce never dedupes
@@ -223,11 +231,13 @@ def test_idempotent_produce_dedupes_retries():
 
 
 def test_stream_writer_task_retry_no_duplicates(spark):
-    """Simulated Spark task retry of a streaming micro-batch: calling
-    the stream writer's write() twice with the same rows (same batch,
-    same task partition) must leave ONE copy in the broker — the
-    deterministic (pid, sequence) dedupe at work. A second query run
-    (new writer => new pid) appends again, as documented."""
+    """sequence_mode=replay (STUB-ONLY, r7): calling the stream
+    writer's write() twice with the same rows (same batch, same task
+    partition) must leave ONE copy in the broker — the deterministic
+    (pid, sequence) dedupe at work. Requires the broker's lenient
+    map-lookup mode: a real broker rejects replay's non-contiguous
+    sequences (pinned in test_replay_mode_rejected_by_strict_broker).
+    A second query run (new writer => new pid) appends again."""
     from pyspark.sql import Row
 
     from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
@@ -236,10 +246,11 @@ def test_stream_writer_task_retry_no_duplicates(spark):
     )
 
     rows = [Row(key=b"k%d" % i, value=b"v%d" % i, partition=0) for i in range(7)]
-    with StubBroker(num_partitions=1) as broker:
+    with StubBroker(num_partitions=1, strict_sequences=False) as broker:
         opts = {
             "bootstrap": f"{broker.addr[0]}:{broker.addr[1]}",
             "topic": "retry",
+            "sequence_mode": "replay",
         }
         w = KafkaWireStreamWriter(opts)
         assert w.producer_id >= 1000
@@ -287,6 +298,145 @@ def test_stream_writer_task_retry_no_duplicates(spark):
                 c.close()
         finally:
             pyspark.TaskContext = orig_tc
+
+
+def test_task_mode_contiguous_sequences_on_strict_broker():
+    """Default idempotent mode (r7): each _produce_rows call is one
+    producer session — own pid, per-partition sequences contiguous
+    from 0 advancing by record count — valid against the broker's REAL
+    KIP-98 enforcement (strict_sequences=True default). A task retry is
+    a new session: appends again (at-least-once), never an error."""
+    from pyspark.sql import Row
+
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire_source import (
+        _produce_rows,
+    )
+
+    rows = [
+        Row(key=b"k%d" % i, value=b"v%d" % i, partition=i % 2)
+        for i in range(10)
+    ]
+    with StubBroker(num_partitions=2) as broker:
+        opts = {
+            "bootstrap": f"{broker.addr[0]}:{broker.addr[1]}",
+            "topic": "strict",
+            "batch_size": "2",  # multiple batches per partition session
+        }
+        _produce_rows(opts, iter(rows), idempotent=True)
+        _produce_rows(opts, iter(rows), idempotent=True)  # "retry"
+        c = WireKafkaClient(*broker.addr)
+        try:
+            # at-least-once: both sessions appended, no error 45
+            assert c.list_offset("strict", 0, -1) == 10
+            assert c.list_offset("strict", 1, -1) == 10
+        finally:
+            c.close()
+
+
+def test_replay_mode_rejected_by_strict_broker():
+    """The ADVICE finding, pinned: replay-mode sequences (batchId/task/
+    chunk packing) are NOT contiguous, so a broker enforcing real
+    KIP-98 rules rejects the produce with OUT_OF_ORDER_SEQUENCE_NUMBER
+    on the second chunk. This is why replay mode is stub-only."""
+    import pytest
+    from pyspark.sql import Row
+
+    import teste_carga_avro_vs_json_spark.sources.kafka_wire_source as kws
+
+    rows = [Row(key=b"k%d" % i, value=b"v%d" % i, partition=0) for i in range(6)]
+
+    class _FakeTC:
+        @staticmethod
+        def get():
+            class _T:
+                def getLocalProperty(self, k):
+                    return "1" if k == "streaming.sql.batchId" else None
+
+                def partitionId(self):
+                    return 0
+
+            return _T()
+
+    import pyspark
+
+    with StubBroker(num_partitions=1) as broker:  # strict by default
+        opts = {
+            "bootstrap": f"{broker.addr[0]}:{broker.addr[1]}",
+            "topic": "rej",
+            "batch_size": "2",  # 3 chunks: seqs S, S+1, S+2 (not S+2k)
+        }
+        w = kws.KafkaWireStreamWriter(dict(opts, sequence_mode="replay"))
+        orig_tc = pyspark.TaskContext
+        pyspark.TaskContext = _FakeTC
+        try:
+            with pytest.raises(ValueError, match="45"):
+                w.write(iter(rows))
+        finally:
+            pyspark.TaskContext = orig_tc
+
+
+def test_compressed_produce_fetch_roundtrip():
+    """The reference's full codec matrix (ConfiguracaoKafka.java:112-118,
+    default lz4) over the REAL socket path: produce a compressed batch,
+    broker CRC-validates and stores it, fetch + decode returns the
+    records — for gzip, snappy (xerial), lz4 (frame), and zstd."""
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
+
+    recs = [
+        (b"key-%d" % i, (b"payload-%d-" % i) + b"um texto repetitivo " * 20)
+        for i in range(40)
+    ]
+    with StubBroker(num_partitions=1) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            for codec in ["gzip", "snappy", "lz4", "zstd"]:
+                base = c.produce("comp", 0, recs, codec=codec)
+                _hw, got = c.fetch("comp", 0, base, max_bytes=1 << 22)
+                got = [t for t in got if base <= t[0] < base + len(recs)]
+                assert [(k, v) for _o, k, v in got] == recs, codec
+        finally:
+            c.close()
+
+
+def test_multi_host_bootstrap_failover():
+    """'h1:9092,h2:9092' bootstrap (r7, ADVICE fix): unreachable and
+    malformed entries are skipped, the first live broker wins; full
+    exhaustion raises one clear ConnectionError listing the attempts."""
+    import pytest
+
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
+
+    with StubBroker(num_partitions=1) as broker:
+        live = f"{broker.addr[0]}:{broker.addr[1]}"
+        # dead host first, then malformed, then the live one
+        c = WireKafkaClient.connect(f"127.0.0.1:1, nonsense ,{live}")
+        try:
+            assert c.partitions_for("t") == [0]
+        finally:
+            c.close()
+    with pytest.raises(ConnectionError, match="no reachable broker"):
+        WireKafkaClient.connect("127.0.0.1:1,127.0.0.1:2")
+
+
+def test_fetch_until_raises_instead_of_truncating():
+    """A bounded read that cannot reach its promised end offset raises
+    after bounded retries instead of silently returning a prefix (r7,
+    ADVICE fix): ask for [0, hw+5) on a drained partition."""
+    import pytest
+
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
+
+    with StubBroker(num_partitions=1) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            c.produce("short", 0, [(None, b"only")])
+            out = list(c.fetch_until("short", 0, 0, 1))
+            assert [v for _o, _k, v in out] == [b"only"]
+            with pytest.raises(RuntimeError, match="refusing to truncate"):
+                list(c.fetch_until("short", 0, 0, 6, attempts=2))
+        finally:
+            c.close()
 
 
 def test_stream_restart_from_checkpoint_continues(spark, tmp_path):
