@@ -315,8 +315,9 @@ def main() -> None:
         sum(t for name, t in timings.items() if name not in diagnostic), 3
     )
     # per-query regression tracking vs the committed baseline
-    # (BENCH_BASELINE.json = round-2 numbers at sf0.1/32cpu); deltas are
-    # only meaningful at the same sf/cpu configuration.
+    # (BENCH_BASELINE.json = r7 re-baseline: the mid of the five r6 raw
+    # min-of-5 runs, same estimator as this bench); deltas are only
+    # meaningful at the same sf/cpu configuration.
     deltas = {}
     try:
         with open(os.path.join(_REPO, "BENCH_BASELINE.json")) as f:

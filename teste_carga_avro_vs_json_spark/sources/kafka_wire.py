@@ -283,6 +283,74 @@ def encode_record_batch(
 _MIN_BATCH_LEN = 4 + 1 + 4 + 40
 
 
+def jvm_crc32c_fn():
+    """Optional CRC32C accelerator: ``java.util.zip.CRC32C`` through the
+    live Spark py4j gateway (~50 MB/s transfer-bound vs ~13 MB/s for the
+    pure-Python slice-by-8 — measured in this container). Driver-side
+    only (executor workers have no gateway); returns None when no JVM is
+    up, keeping the module pure-stdlib by default. PySpark's pinned-
+    thread ClientServer gives each Python thread its own connection, so
+    broker handler threads may call this concurrently."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+        if spark is None:
+            return None
+        jvm = spark._jvm
+        jvm.java.util.zip.CRC32C  # probe
+
+        def crc(data: bytes) -> int:
+            c = jvm.java.util.zip.CRC32C()
+            c.update(data, 0, len(data))
+            return c.getValue()
+
+        # self-check against the known CRC32C vector before trusting it
+        if crc(b"123456789") != 0xE3069283:  # pragma: no cover
+            return None
+        return crc
+    except Exception:  # noqa: BLE001 - any py4j/session failure -> pure path
+        return None
+
+
+def count_records_validated(record_set: bytes, crc_fn=None) -> int:
+    """CRC32C-validate every batch and return the total record count
+    WITHOUT parsing record internals — what a real broker's produce
+    validation does (it checks batch CRCs and trusts the CRC-covered
+    recordCount header field; it never decompresses or walks records).
+    r7: this replaced full ``decode_record_batches`` in the StubBroker
+    append path, which was the produce soak's GIL bottleneck.
+    ``crc_fn`` overrides the CRC32C implementation (the broker passes
+    the JVM accelerator when one is live — :func:`jvm_crc32c_fn`).
+    Raises ValueError on CRC mismatch / malformed framing."""
+    if crc_fn is None:
+        crc_fn = crc32c
+    total = 0
+    pos = 0
+    n = len(record_set)
+    while pos + 12 <= n:
+        base_hdr = struct.unpack_from(">qi", record_set, pos)
+        batch_len = base_hdr[1]
+        if batch_len < _MIN_BATCH_LEN:
+            raise ValueError(f"record batch length {batch_len} too small")
+        if pos + 12 + batch_len > n:
+            raise ValueError("truncated record batch")
+        magic = record_set[pos + 16]
+        if magic != 2:
+            raise ValueError(f"unsupported record batch magic {magic}")
+        (crc,) = struct.unpack_from(">I", record_set, pos + 17)
+        after_crc = record_set[pos + 21 : pos + 12 + batch_len]
+        if crc_fn(after_crc) != crc:
+            raise ValueError("record batch CRC32C mismatch")
+        # attributes(2) lastOffsetDelta(4) ts(8+8) pid(8) epoch(2) seq(4)
+        (count,) = struct.unpack_from(">i", after_crc, 36)
+        if count < 0:
+            raise ValueError(f"negative record count {count}")
+        total += count
+        pos += 12 + batch_len
+    return total
+
+
 def decode_record_batches(
     data: bytes, check_crc: bool = True
 ) -> list[tuple[int, bytes | None, bytes | None]]:
@@ -700,6 +768,9 @@ class StubBroker:
         path, which a real broker would reject."""
         self.num_partitions = num_partitions
         self.strict_sequences = strict_sequences
+        # CRC32C accelerator (JVM via py4j) when a Spark driver is live;
+        # None -> pure-Python slice-by-8 (the stdlib-only default)
+        self._crc_fn = jvm_crc32c_fn()
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
         self._lock = threading.Lock()
         self._next_pid = 1000
@@ -874,11 +945,16 @@ class StubBroker:
         self, topic: str, partition: int, record_set: bytes
     ) -> tuple[int, int]:
         """Validate + append a produced record set; returns
-        (error_code, base_offset). Error 2 = CORRUPT_MESSAGE."""
+        (error_code, base_offset). Error 2 = CORRUPT_MESSAGE.
+
+        Validation is header-level like a real broker's: CRC32C over
+        each batch + the CRC-covered recordCount field — no record
+        parsing, no decompression (r7; full decode here was the produce
+        soak's GIL bottleneck)."""
         try:
-            records = decode_record_batches(record_set)  # CRC check
+            n_records = count_records_validated(record_set, self._crc_fn)
         except ValueError:
-            return 2, -1
+            return ERR_CORRUPT_MESSAGE, -1
         # idempotent produce (KIP-98): producerId at batch bytes 43:51,
         # baseSequence at 53:57 (both fixed header offsets in magic 2)
         pid = struct.unpack(">q", record_set[43:51])[0]
@@ -894,7 +970,7 @@ class StubBroker:
                     if expected is not None and seq != expected:
                         return ERR_OUT_OF_ORDER_SEQUENCE, -1
                     # new pid: any start (state reset); else contiguous
-                    log.next_seq[pid] = seq + len(records)
+                    log.next_seq[pid] = seq + n_records
                     recent[seq] = log.next_offset
                     while len(recent) > 5:
                         recent.pop(next(iter(recent)))
@@ -906,7 +982,7 @@ class StubBroker:
             # re-base the batch so stored offsets are the real ones
             rebased = struct.pack(">q", base) + record_set[8:]
             log.batches.append((base, rebased))
-            log.next_offset = base + len(records)
+            log.next_offset = base + n_records
             if pid >= 0 and seq >= 0 and not self.strict_sequences:
                 log.seen_seq[(pid, seq)] = base
         return 0, base

@@ -63,6 +63,21 @@ def main() -> None:
             to_avro(F.struct("id", "timestamp", "sequencia", "dados", "versao")),
             num_particoes=parts,
         )
+        # co-locate each Kafka partition in one task (the JVM sink's
+        # shuffle-to-partition shape): full-size record batches, one
+        # producer session per partition instead of tasks x partitions
+        # small chunks (r7; also lets KIP-98 sequences stay dense)
+        wire = wire.repartition(parts, "partition")
+        # warm lap (same protocol as bench.py): Python worker spin-up +
+        # codegen + the broker's JVM-CRC py4j connections, on a tiny
+        # throwaway topic so the measured topic stays clean
+        (
+            wire.limit(2000).write.format("kafka_wire")
+            .option("bootstrap", bootstrap)
+            .option("topic", "warm")
+            .mode("append")
+            .save()
+        )
         t0 = time.perf_counter()
         (
             wire.write.format("kafka_wire")
