@@ -439,6 +439,75 @@ def test_fetch_until_raises_instead_of_truncating():
             c.close()
 
 
+def test_stream_writer_restart_replays_at_least_once(spark, tmp_path):
+    """Kill-and-resume contract pin (r7, VERDICT item 8): across query
+    RESTARTS the wire sink is AT-LEAST-ONCE — a replayed micro-batch
+    appends again (new producer session => new pid, no dedupe), never
+    loses records. Forced deterministically: delete the final entry in
+    the checkpoint's commits/ log after a clean drain, so the restarted
+    query must re-execute that batch (the standard crash-between-
+    epoch-write-and-commit shape). A future change claiming cross-
+    restart exactly-once must flip the duplicate assertion below."""
+    import os
+
+    kafka_wire_source.register(spark)
+    by_part = {0: [(f"k{i}".encode(), f"v{i}".encode()) for i in range(12)]}
+    ck = str(tmp_path / "kr_ck")
+    with StubBroker(num_partitions=1) as broker:
+        bootstrap = f"{broker.addr[0]}:{broker.addr[1]}"
+        _produce(broker, "in", by_part)
+
+        def run_relay():
+            q = (
+                spark.readStream.format("kafka_wire")
+                .option("bootstrap", bootstrap)
+                .option("topic", "in")
+                .option("maxRecordsPerBatch", "5")
+                .load()
+                .select("key", "value", "partition")
+                .writeStream.format("kafka_wire")
+                .option("bootstrap", bootstrap)
+                .option("topic", "out")
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run_relay()  # 12 records in 3 micro-batches (5/5/2)
+        out = (
+            spark.read.format("kafka_wire")
+            .option("bootstrap", bootstrap).option("topic", "out")
+            .load().collect()
+        )
+        assert len(out) == 12
+        # simulate a crash between the sink write and the epoch commit:
+        # drop the newest commit marker; offsets/<n> survives, so the
+        # restarted query re-executes exactly that batch
+        commits = sorted(
+            f for f in os.listdir(f"{ck}/commits") if not f.startswith(".")
+        )
+        os.remove(f"{ck}/commits/{commits[-1]}")
+        crc_sidecar = f"{ck}/commits/.{commits[-1]}.crc"
+        if os.path.exists(crc_sidecar):  # hadoop checksum-fs sidecar
+            os.remove(crc_sidecar)
+        run_relay()
+        out2 = (
+            spark.read.format("kafka_wire")
+            .option("bootstrap", bootstrap).option("topic", "out")
+            .load().collect()
+        )
+    vals = [bytes(r.value) for r in out2]
+    # no loss: every input record delivered
+    assert set(vals) == {v for _k, v in by_part[0]}
+    # at-least-once, NOT exactly-once: the replayed batch appended again
+    assert len(vals) > 12
+    dup_counts = {v: vals.count(v) for v in set(vals)}
+    assert max(dup_counts.values()) == 2  # only the replayed batch dups
+
+
 def test_stream_restart_from_checkpoint_continues(spark, tmp_path):
     """Checkpoint recovery: a second query run on the SAME checkpoint
     resumes from the committed offsets — already-delivered records are
