@@ -8,21 +8,34 @@ from the individual operators in :mod:`operators.text` and
 1. **Score** — quality heuristics + per-language stopword evidence as a
    single projection over ``documents`` (no joins between the scorers:
    they are all expressions over the same token array, so Catalyst
-   computes them in one whole-stage-codegen pass).
-2. **Gate** — keep docs with ``quality >= min_quality`` and predicted
-   language == ``lang``; both predicates are scan-local.
-3. **Exact dedup** — ``row_number() over (partition by md5(text) order
-   by doc_id) = 1``: one shuffle keyed on the content hash, survivor =
-   min doc_id. No join against a keep-list.
+   computes them in one pass) evaluated ONCE per row, map-side.
+2. **Exact dedup** — ``groupBy(md5(text)).agg(min(...))``: one hash agg
+   keyed on the content hash, survivor = min doc_id. A hash agg, not a
+   ``row_number`` window: no per-partition sort, and map-side partial
+   aggregation collapses duplicate texts BEFORE they shuffle (web-crawl
+   corpora run 30-50 % exact dups — at 100 TB that is the difference
+   between shuffling the corpus and shuffling its distinct texts).
+3. **Gate** — keep docs with ``quality >= min_quality`` and predicted
+   language == ``lang``, applied ABOVE the aggregation where the score
+   columns are plain attributes. Ordering rationale (r7, measured):
+   identical text ⇒ identical scores, so gating before or after exact
+   dedup returns the same survivors — but a filter placed BELOW the
+   dedup gets its aliased score expressions substituted in by predicate
+   pushdown, re-evaluating the tokenizer + marker HOFs ~15x per row
+   (CaseWhen argmax expansion; +0.57 s at sf0.1, ~16x the scoring cost
+   itself), while the gate here evaluates each score exactly once. The
+   gate keeps ~91 % of docs anyway, so the "filter early" shuffle
+   saving it gave up is noise next to the partial-agg dup collapse.
 4. **Near-dup removal** — :func:`dedup.neardup_clusters` over the
    survivors; non-canonical cluster members are anti-joined away. The
    drop-list is left to AQE: broadcast when small (typical), keyed
    shuffle join when a high-dup corpus makes it huge.
 
-Scale shape: one full scan + one md5-keyed shuffle + the LSH banding
-shuffle over the (already reduced) survivor set; the final anti-join is
-keyed on doc_id. Nothing is quadratic; nothing collects rows to the
-driver beyond the label-propagation convergence counters.
+Scale shape: one full scan + one md5-keyed hash-agg shuffle (partial
+agg collapses dups map-side) + the LSH banding shuffle over the
+(already reduced) survivor set; the final anti-join is keyed on doc_id.
+Nothing is quadratic; nothing collects rows to the driver beyond the
+label-propagation convergence counters.
 
 Reference scope note: the reference engine has no corpus operators at
 all (SURVEY.md §2.2) — this module is part of the §2.3 extension
@@ -75,6 +88,18 @@ def corpus_clean(
             for code, ws in _MARKERS.items()
         ],
     )
+    # Exact dedup as a hash agg on the content hash. min() everywhere:
+    # doc_id min IS the survivor rule; text/chars/words/s_* are
+    # identical within an md5 group, so min = the value (and min, unlike
+    # first(), is order-independent — fully deterministic for the
+    # oracle) and every aggregate partial-aggregates map-side.
+    grouped = scored.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("text").alias("text"),
+        F.min("chars").alias("chars"),
+        F.min("words").alias("words"),
+        *[F.min(f"s_{code}").alias(f"s_{code}") for code in _MARKERS],
+    )
     words_nz = F.greatest(F.col("words"), F.lit(1))
     quality = (
         F.when(
@@ -90,19 +115,14 @@ def corpus_clean(
     pred = F.when(best <= 0, F.lit("und"))
     for code in sorted(_MARKERS):  # alphabetical tiebreak, same as lang_id
         pred = pred.when(F.col(f"s_{code}") == best, F.lit(code))
-    kept = (
-        scored.withColumn("quality", quality)
-        .withColumn("lang_pred", pred)
-        .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
-    )
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     # The survivor set feeds BOTH near-dup candidate generation and the
-    # final anti-join; without a persist the whole score→gate→window
+    # final anti-join; without a persist the whole score→dedup→gate
     # subtree runs twice (measured 2x at sf0.1). ContextCleaner drops
     # the cache when the returned plan is garbage collected.
     uniq = (
-        kept.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        grouped.withColumn("quality", quality)
+        .withColumn("lang_pred", pred)
+        .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
         .select("doc_id", "text", "words", "quality")
         .persist()
     )
