@@ -9,8 +9,10 @@ from the individual operators in :mod:`operators.text` and
    single projection over ``documents`` (no joins between the scorers:
    they are all expressions over the same token array, so Catalyst
    computes them in one pass) evaluated ONCE per row, map-side.
-2. **Exact dedup** — ``groupBy(md5(text)).agg(min(...))``: one hash agg
-   keyed on the content hash, survivor = min doc_id. A hash agg, not a
+2. **Exact dedup** — ``groupBy(text).agg(min(...))``: one hash agg
+   keyed on the document text (the oracle's md5 grouping, minus the
+   hash collision; the text rides the shuffle either way for the
+   near-dup stage), survivor = min doc_id. A hash agg, not a
    ``row_number`` window: no per-partition sort, and map-side partial
    aggregation collapses duplicate texts BEFORE they shuffle (web-crawl
    corpora run 30-50 % exact dups — at 100 TB that is the difference
@@ -58,20 +60,14 @@ from teste_carga_avro_vs_json_spark.operators.text import (
 )
 
 
-def corpus_clean(
-    docs: DataFrame,
-    lang: str = "en",
-    min_quality: float = 0.5,
-    neardup_threshold: float = 0.3,
-    scale: bool = False,
+def gated_unique(
+    docs: DataFrame, lang: str = "en", min_quality: float = 0.5
 ) -> DataFrame:
-    """Clean ``docs`` (doc_id, text, …) into a training-ready corpus.
-
-    Returns one row per surviving document: (doc_id, words, quality).
-    ``scale=True`` switches near-dup candidate generation to the
-    xxhash64 signatures (production path; md5 default keeps the DuckDB
-    oracle bit-exact).
-    """
+    """Steps 1-3 of :func:`corpus_clean` (score once map-side →
+    hash-agg exact dedup → gate above the agg), un-persisted: one row
+    per surviving distinct text, ``(doc_id, text, words, quality)``.
+    Factored out so the plan shape (hash agg, no window/sort, no
+    expensive filter) is directly pinnable in tests."""
     staged = docs.select(
         "doc_id",
         "text",
@@ -88,14 +84,20 @@ def corpus_clean(
             for code, ws in _MARKERS.items()
         ],
     )
-    # Exact dedup as a hash agg on the content hash. min() everywhere:
-    # doc_id min IS the survivor rule; text/chars/words/s_* are
-    # identical within an md5 group, so min = the value (and min, unlike
-    # first(), is order-independent — fully deterministic for the
-    # oracle) and every aggregate partial-aggregates map-side.
-    grouped = scored.groupBy(F.md5("text").alias("fp")).agg(
+    # Exact dedup as a hash agg keyed on the text ITSELF (semantically
+    # the md5(text) grouping the oracle uses, minus the hash collision):
+    # text must ride the shuffle anyway for the near-dup stage, and
+    # keeping it as the GROUP KEY instead of a min(text) aggregate is
+    # what keeps this a HashAggregate — grouping keys may be any type,
+    # but a string in the aggregation BUFFER is not UnsafeRow-mutable
+    # and silently demotes the whole dedup to SortAggregate (two extra
+    # per-partition sorts; plan-pinned). min() elsewhere: doc_id min IS
+    # the survivor rule; chars/words/s_* are identical within a text
+    # group, so min = the value (and min, unlike first(), is
+    # order-independent — fully deterministic for the oracle); every
+    # aggregate partial-aggregates map-side.
+    grouped = scored.groupBy("text").agg(
         F.min("doc_id").alias("doc_id"),
-        F.min("text").alias("text"),
         F.min("chars").alias("chars"),
         F.min("words").alias("words"),
         *[F.min(f"s_{code}").alias(f"s_{code}") for code in _MARKERS],
@@ -115,17 +117,33 @@ def corpus_clean(
     pred = F.when(best <= 0, F.lit("und"))
     for code in sorted(_MARKERS):  # alphabetical tiebreak, same as lang_id
         pred = pred.when(F.col(f"s_{code}") == best, F.lit(code))
-    # The survivor set feeds BOTH near-dup candidate generation and the
-    # final anti-join; without a persist the whole score→dedup→gate
-    # subtree runs twice (measured 2x at sf0.1). ContextCleaner drops
-    # the cache when the returned plan is garbage collected.
-    uniq = (
+    return (
         grouped.withColumn("quality", quality)
         .withColumn("lang_pred", pred)
         .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
         .select("doc_id", "text", "words", "quality")
-        .persist()
     )
+
+
+def corpus_clean(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    neardup_threshold: float = 0.3,
+    scale: bool = False,
+) -> DataFrame:
+    """Clean ``docs`` (doc_id, text, …) into a training-ready corpus.
+
+    Returns one row per surviving document: (doc_id, words, quality).
+    ``scale=True`` switches near-dup candidate generation to the
+    xxhash64 signatures (production path; md5 default keeps the DuckDB
+    oracle bit-exact).
+    """
+    # The survivor set feeds BOTH near-dup candidate generation and the
+    # final anti-join; without a persist the whole score→dedup→gate
+    # subtree runs twice (measured 2x at sf0.1). ContextCleaner drops
+    # the cache when the returned plan is garbage collected.
+    uniq = gated_unique(docs, lang, min_quality).persist()
     clusters = dedup.neardup_clusters(
         uniq.select("doc_id", "text"), threshold=neardup_threshold, scale=scale
     )

@@ -411,9 +411,17 @@ def ivf_topk(
     cost O(rows × n_probe / n_centroids) per query list, never a full
     scan per query (contrast :func:`cosine_topk`)."""
     cents = ivf_centroids(emb, n_centroids, iters)
+    # coalesce(-1) marks the assignment non-nullable (it never IS null:
+    # argmin over a non-empty literal centroid array). Without it the
+    # equi-join's inferred isnotnull(cluster) constraint gets the whole
+    # argmin expression substituted in by pushdown and re-runs the
+    # 16-centroid x 64-dim distance fold a SECOND time for every corpus
+    # row (plan-audited, r7); a non-nullable key infers no null filter.
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-    ).withColumn("cluster", _nearest(F.col("vec"), cents))
+    ).withColumn(
+        "cluster", F.coalesce(_nearest(F.col("vec"), cents), F.lit(-1))
+    )
     q_base = v.filter(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )

@@ -41,6 +41,7 @@ class PlanAudit:
     bnl_joins: int = 0
     hash_aggregates: int = 0
     pushed_filters: list[str] = field(default_factory=list)
+    expensive_filters: list[str] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
 
 
@@ -75,6 +76,69 @@ def executed_exchanges(df: DataFrame) -> int:
     return walk(df._jdf.queryExecution().executedPlan())
 
 
+# Expression markers that are per-row EXPENSIVE (interpreted HOF lambdas,
+# regex engines, per-element array passes). Catalyst's predicate pushdown
+# substitutes aliased expressions into a Filter it pushes through a
+# Project with NO cost model — a gate referencing scored columns becomes
+# a Filter re-running the full scoring tree per input row, on top of the
+# Project above re-running it for survivors (corpus_clean measured ~16x
+# the scoring cost before its r7 restructure). This marker scan makes
+# that failure mode machine-visible per plan.
+_EXPENSIVE_MARKERS = (
+    "lambdafunction",  # any higher-order function (filter/transform/...)
+    "split(",
+    "regexp_",
+    "rlike",
+    "array_intersect",
+    "sentences(",
+)
+
+
+def expensive_filter_nodes(df: DataFrame) -> list[str]:
+    """Filter nodes whose CONDITION evaluates expensive expressions.
+
+    Walks the physical tree (AQE/QueryStage-aware, cache builds
+    excluded, same traversal as :func:`executed_exchanges`) and returns
+    a one-line summary per offending FilterExec: the markers found and
+    a clipped condition snippet. A hit is not automatically a bug —
+    one-shot verification predicates (e.g. ``jaccard >= t``) legitimately
+    compute their value in the filter — but a hit whose expression tree
+    also feeds a Project above is the pushdown-duplication smell, and a
+    hit with a WIDE expanded tree (the corpus_clean case: every score
+    column substituted into one gate) is a restructure candidate.
+    """
+
+    hits: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name in ("FilterExec", "Filter"):
+            try:
+                cond = node.condition().toString()
+            except Exception:
+                cond = node.toString().splitlines()[0]
+            found = sorted({m for m in _EXPENSIVE_MARKERS if m in cond})
+            if found:
+                clip = cond if len(cond) <= 160 else cond[:157] + "..."
+                hits.append(f"[{','.join(found)}] {clip}")
+        kids = []
+        try:
+            if name.startswith("AdaptiveSparkPlan"):
+                kids = [node.executedPlan()]
+            elif name.endswith("QueryStageExec"):
+                kids = [node.plan()]
+        except Exception:
+            kids = []
+        if not kids:
+            ch = node.children()
+            kids = [ch.apply(i) for i in range(ch.length())]
+        for k in kids:
+            walk(k)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return hits
+
+
 def audit(df: DataFrame) -> PlanAudit:
     plan = compact_plan(df)
     fmt = formatted_plan(df)
@@ -92,6 +156,7 @@ def audit(df: DataFrame) -> PlanAudit:
             for line in fmt.splitlines()
             if "PushedFilters" in line and "PushedFilters: []" not in line
         ],
+        expensive_filters=expensive_filter_nodes(df),
     )
     if a.cartesian:
         a.warnings.append("CartesianProduct present — O(n^2) at scale")

@@ -83,13 +83,26 @@ def mensagens(
 
 def registros_flat(msgs: DataFrame) -> DataFrame:
     """Exploded one-row-per-Registro view (FIXTURES.md F2) — the shape
-    the SQL oracle checks without UNNEST gymnastics."""
+    the SQL oracle checks without UNNEST gymnastics.
+
+    ``explode_outer``, not ``explode`` (r7): on a non-outer explode,
+    Catalyst's InferFiltersFromGenerate inserts ``size(dados) > 0``
+    below the Generate, and predicate pushdown substitutes the aliased
+    array EXPRESSION into it — when ``dados`` is built by the generator
+    (a transform building ~1 KB of registro strings) or decoded by
+    ``from_json``, the whole construction/parse ran TWICE per row
+    (plan-audited). ``dados`` is non-empty by construction
+    (n_registros >= 1 per message; FIXTURES.md F1) so outer vs inner
+    explode emit identical rows — oracle-pinned — and outer infers no
+    filter. For pathological input a null/empty ``dados`` now yields
+    one null-registro row instead of silently dropping the message —
+    the lossless behavior a flat *view* should have anyway."""
     return msgs.select(
         "sequencia",
         "id",
         F.col("timestamp").alias("msg_ts"),
         "versao",
-        F.explode("dados").alias("r"),
+        F.explode_outer("dados").alias("r"),
     ).select(
         "sequencia",
         "id",

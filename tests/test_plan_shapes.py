@@ -126,6 +126,49 @@ def test_token_budget_sample_windows_are_partitioned(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_no_expensive_expressions_in_filters(spark, sf_dir):
+    """Catalyst substitutes aliased expressions into any Filter it
+    pushes through a Project, with no cost model — a gate over scored
+    columns silently re-runs the whole scoring tree per input row (the
+    corpus_clean gate paid ~16x its scoring cost before r7; the
+    registros_flat explode and the IVF join key each paid 2x via
+    inferred size()/isnotnull() filters). Pin the previously-affected
+    plans to zero Filter nodes evaluating HOF-lambda/regex/split
+    expressions (plans.expensive_filter_nodes)."""
+    from teste_carga_avro_vs_json_spark.operators import corpus
+    from teste_carga_avro_vs_json_spark.plans import expensive_filter_nodes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    msgs = generator.mensagens(spark, 200, tamanho_kb=1)
+    cases = {
+        "registros_flat": generator.registros_flat(msgs),
+        "json_roundtrip_flat": generator.registros_flat(
+            serde.json_roundtrip(msgs)
+        ),
+        "corpus_clean": corpus.corpus_clean(docs),
+        "ivf_topk": similarity.ivf_topk(emb),
+    }
+    for name, df in cases.items():
+        hits = expensive_filter_nodes(df)
+        assert not hits, f"{name} grew an expensive filter: {hits}"
+
+
+def test_corpus_clean_dedup_is_hash_agg_not_window(spark, sf_dir):
+    """Exact dedup inside corpus_clean must stay a hash aggregation on
+    md5(text) — partial agg collapses duplicate texts map-side BEFORE
+    the shuffle and nothing sorts. A row_number() window formulation
+    (the pre-r7 shape) shuffles every gated row AND pays a
+    per-partition sort at 100 TB."""
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpus.gated_unique(docs))
+    assert "Window" not in plan
+    assert "Sort " not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
 def test_corpus_clean_drop_list_keyed_anti_join(spark, sf_dir):
     """Near-dup removal must be a KEYED anti-join on doc_id — never a
     cartesian/nested-loop. The drop-list side is deliberately NOT

@@ -28,8 +28,11 @@ def main() -> None:
         print(
             f"{name}: exch={a.exchanges} py={a.python_evals} "
             f"codegen={a.codegen_spans} bhj={a.broadcast_joins} "
-            f"smj={a.sortmerge_joins} cart={a.cartesian} [{flags}]"
+            f"smj={a.sortmerge_joins} cart={a.cartesian} "
+            f"expfilt={len(a.expensive_filters)} [{flags}]"
         )
+        for h in a.expensive_filters:
+            print(f"    expensive-filter: {h}")
     spark.stop()
 
 

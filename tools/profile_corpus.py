@@ -19,7 +19,6 @@ sys.path.insert(0, _REPO)
 
 from pyspark.sql import SparkSession
 import pyspark.sql.functions as F
-from pyspark.sql.window import Window
 
 
 def main() -> None:
@@ -70,43 +69,13 @@ def main() -> None:
             ],
         )
 
-    def gated():
-        sc = scored()
-        words_nz = F.greatest(F.col("words"), F.lit(1))
-        quality = (
-            F.when((F.col("words") >= 20) & (F.col("words") <= 2000), F.lit(0.5))
-            .otherwise(F.lit(0.0))
-            + F.when(F.col("s_en") > 0, F.lit(0.3)).otherwise(F.lit(0.0))
-            + F.when(
-                (F.col("chars") / words_nz >= 3)
-                & (F.col("chars") / words_nz <= 12),
-                F.lit(0.2),
-            ).otherwise(F.lit(0.0))
-        )
-        best = F.greatest(*[F.col(f"s_{code}") for code in _MARKERS])
-        pred = F.when(best <= 0, F.lit("und"))
-        for code in sorted(_MARKERS):
-            pred = pred.when(F.col(f"s_{code}") == best, F.lit(code))
-        return (
-            sc.withColumn("quality", quality)
-            .withColumn("lang_pred", pred)
-            .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
-        )
-
     def uniq():
-        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-        return (
-            gated()
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("doc_id", "text", "words", "quality")
-        )
+        return corpus.gated_unique(docs_df())
 
     stages = {
         "scan_tokens": lambda: run(staged().select("doc_id", F.size("toks").alias("n"))),
         "plus_marker_scores": lambda: run(scored().drop("text")),
-        "plus_gate": lambda: run(gated().drop("text", "toks")),
-        "plus_md5_window": lambda: run(uniq().drop("text")),
+        "gated_unique": lambda: run(uniq().drop("text")),
         "neardup_on_survivors": None,  # filled below (needs cached survivors)
         "full_corpus_clean": lambda: run(
             corpus.corpus_clean(docs_df(), scale=True)
