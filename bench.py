@@ -210,6 +210,21 @@ def main() -> None:
         # full cleaning pipeline on the production (xxhash64) LSH path
         run(corpus.corpus_clean(docs_df(), scale=True))
 
+    def w_decontaminate():
+        # diagnostic lane (r7, not in headline_total): n-gram
+        # decontamination on the production xxhash64 gram keys
+        from teste_carga_avro_vs_json_spark.operators import decontam
+
+        docs = docs_df()
+        run(
+            decontam.decontaminate(
+                docs.filter(F.col("doc_id") % 17 != 0),
+                docs.filter(F.col("doc_id") % 17 == 0),
+                n=5,
+                scale=True,
+            )
+        )
+
     def w_pii_scrub():
         run(
             text.pii_scrub(docs_df()).agg(
@@ -260,7 +275,7 @@ def main() -> None:
     # avro_e2e_scalar is an A/B diagnostic lane (forces the non-default
     # codec); it is timed and reported but EXCLUDED from headline_total
     # so round-over-round totals stay comparable to BENCH_BASELINE.
-    diagnostic = {"avro_e2e_scalar", "avro_generic_e2e"}
+    diagnostic = {"avro_e2e_scalar", "avro_generic_e2e", "decontaminate"}
     workloads = {
         "json_e2e": w_json_e2e,
         "avro_e2e": w_avro_e2e,
@@ -275,6 +290,7 @@ def main() -> None:
         "minhash_lsh": w_minhash,
         "text_analysis": w_text,
         "corpus_clean": w_corpus_clean,
+        "decontaminate": w_decontaminate,
         "pii_scrub": w_pii_scrub,
         "intra_doc_dedup": w_intra_doc_dedup,
         "cosine_topk": w_topk,

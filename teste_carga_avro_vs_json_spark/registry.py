@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from teste_carga_avro_vs_json_spark.operators import (
     analytics,
     corpus,
+    decontam,
     dedup,
     metrics,
     multimodal,
@@ -811,10 +812,27 @@ def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti integrity audit: orders with no lineitem rows."""
+    """Left-anti integrity audit: orders with no lineitem rows.
+    Registry-RETIRED r7 (the LeftAnti shape is already plan-pinned in
+    corpus_clean and test_anti_join_probe_side_projects_key_only);
+    re-oracled each round by tools/check_retired.py. Its 50-window slot
+    went to q_decontaminate."""
     return analytics.orders_without_items(
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: per-train-doc word n-gram overlap
+    against the deterministic doc_id % 17 == 0 test split (n = 5 here —
+    the synthetic docs are ~50 words, so the published 13-gram default
+    would make the hit set degenerate; the operator defaults to 13)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontam.decontaminate(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+        n=5,
     )
 
 
@@ -1051,7 +1069,7 @@ def queries() -> dict[str, QueryFn]:
         "q_pricing_summary": q_pricing_summary,
         "q_star_join": q_star_join,
         "q_rollup_report": q_rollup_report,
-        "q_anti_join": q_anti_join,
+        "q_decontaminate": q_decontaminate,
         "q_quantile_profile": q_quantile_profile,
         "q_topk_per_group": q_topk_per_group,
         "q_media_pipeline": q_media_pipeline,
@@ -1113,7 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pricing_summary": analytics.pricing_summary_sql(),
         "q_star_join": analytics.star_revenue_sql(),
         "q_rollup_report": analytics.rollup_report_sql(),
-        "q_anti_join": analytics.orders_without_items_sql(),
+        "q_decontaminate": decontam.decontaminate_sql(n=5),
         "q_quantile_profile": analytics.quantile_profile_sql(),
         "q_topk_per_group": analytics.topk_per_group_sql(),
         "q_media_pipeline": _media_pipeline_sql(),

@@ -7,6 +7,7 @@ from teste_carga_avro_vs_json_spark.session import load_table
 
 from teste_carga_avro_vs_json_spark.operators import (
     corpus,
+    decontam,
     dedup,
     multimodal,
     similarity,
@@ -840,3 +841,69 @@ def test_cosine_topk_np_empty_query_sample(spark):
     assert [f.dataType for f in out.schema.fields] == [
         f.dataType for f in hof.schema.fields
     ]
+
+
+# ------------------------------------------------------- decontamination
+def test_decontaminate_goldens(spark):
+    """Hand-built contamination: train doc 1 shares a 3-gram with the
+    test set, doc 2 shares nothing, doc 3 is shorter than n (zero
+    grams). n_hits counts DISTINCT overlapping grams."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # grams: abg, bgd -> abg hits
+            (2, "foo bar baz qux"),
+            (3, "tiny doc"),  # < n words -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "alpha beta gamma zeta")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+        for r in decontam.decontaminate(train, test, n=3).collect()
+    }
+    assert out == {
+        1: (2, 1, True),
+        2: (2, 0, False),
+        3: (0, 0, False),
+    }
+
+
+def test_decontaminate_scale_twin_agrees(spark, sf_dir):
+    """The xxhash64-keyed production path must return the same stats as
+    the exact-string path (hash collisions aside, which would need a
+    64-bit collision within one corpus's gram set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    exact = {
+        r.doc_id: (r.n_grams, r.n_hits)
+        for r in decontam.decontaminate(train, test, n=5).collect()
+    }
+    scale = {
+        r.doc_id: (r.n_grams, r.n_hits)
+        for r in decontam.decontaminate(train, test, n=5, scale=True).collect()
+    }
+    assert exact == scale
+    assert sum(1 for _, h in exact.values() if h > 0) > 0  # signal exists
+
+
+def test_decontaminate_shuffle_join_variant_agrees(spark):
+    """broadcast_test=False (huge-test-side fallback) keeps values."""
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame([(9, "b c d q r")], "doc_id long, text string")
+    a = sorted(
+        map(tuple, decontam.decontaminate(train, test, n=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            decontam.decontaminate(
+                train, test, n=3, broadcast_test=False
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -169,6 +169,26 @@ def test_corpus_clean_dedup_is_hash_agg_not_window(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
+def test_decontaminate_plan_shape(spark, sf_dir):
+    """The test-gram side must arrive as a broadcast (an eval suite is
+    tiny next to a training corpus), the probe must be a hash join on
+    the gram key — never a doc x doc product — and shingling must not
+    leak into a pushed-down filter."""
+    from teste_carga_avro_vs_json_spark.operators import decontam
+    from teste_carga_avro_vs_json_spark.plans import expensive_filter_nodes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = decontam.decontaminate(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+        n=5,
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert not expensive_filter_nodes(out)
+
+
 def test_corpus_clean_drop_list_keyed_anti_join(spark, sf_dir):
     """Near-dup removal must be a KEYED anti-join on doc_id — never a
     cartesian/nested-loop. The drop-list side is deliberately NOT

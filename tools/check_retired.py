@@ -18,7 +18,10 @@ Retired inventory (r3 registry minus r4's 50-entry window; COVERAGE.md):
 - q_cosine_topk_scale (salted twin), q_salted_agg — skew-shape twins of
   oracle-identical plain queries;
 - q_stream_sessionize — streaming twin of q_sessionize (function still
-  lives in registry.py, unlisted).
+  lives in registry.py, unlisted);
+- q_anti_join (r7) — slot given to q_decontaminate; the LeftAnti shape
+  stays plan-pinned (test_anti_join_probe_side_projects_key_only and
+  corpus_clean's drop-list join).
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -137,6 +140,12 @@ def _salted_agg_sql() -> str:
     """
 
 
+def _anti_join_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import analytics
+
+    return analytics.orders_without_items_sql()
+
+
 def _stream_sessionize_sql() -> str:
     return f"""
         SELECT user_id, start_ms, n_events
@@ -158,6 +167,7 @@ def retired_queries() -> dict:
         "q_cosine_topk_scale": _q_cosine_topk_scale,
         "q_salted_agg": _q_salted_agg,
         "q_stream_sessionize": registry.q_stream_sessionize,
+        "q_anti_join": registry.q_anti_join,
     }
 
 
@@ -175,6 +185,7 @@ def retired_oracle_sql() -> dict:
         "q_cosine_topk_scale": similarity.cosine_topk_sql(),
         "q_salted_agg": _salted_agg_sql(),
         "q_stream_sessionize": _stream_sessionize_sql(),
+        "q_anti_join": _anti_join_sql(),
     }
 
 
