@@ -141,6 +141,25 @@ def main() -> None:
     out["token_budget_sample_sec"] = round(time.perf_counter() - t0, 2)
     out["token_budget_sampled_docs"] = n_samp
 
+    # ---- decontamination at Nx train rows (r7) ---------------------
+    # Worst-ish case: every replica family shares most grams with its
+    # original, and the test split (every 17th doc family) contaminates
+    # all its near-replicas — gram fan-out scales with corpus size and
+    # hit density is high. xxhash64 keys (the scale path) ride the join.
+    from teste_carga_avro_vs_json_spark.operators import decontam
+
+    fam = F.floor(F.col("doc_id") / replicas)
+    t0 = time.perf_counter()
+    decon = decontam.decontaminate(
+        corpus10.filter(fam % 17 != 0),
+        corpus10.filter(fam % 17 == 0),
+        n=5,
+        scale=True,
+    )
+    out["decontaminate_contaminated"] = decon.filter("contaminated").count()
+    out["decontaminate_sec"] = round(time.perf_counter() - t0, 2)
+    out["decontaminate_train_docs"] = decon.count()
+
     # ---- temporal operators at 10x events (1M rows) ----------------
     # Replicas get DISTINCT user_id/event_id namespaces (offset by
     # r * 10^9): 10x the KEYS with the per-key history preserved — the
