@@ -454,6 +454,98 @@ def token_budget_sample_sql(
     """
 
 
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 2048, n_buckets: int = 32
+) -> DataFrame:
+    """Sequence-packing plan: lay documents end-to-end in a
+    deterministic shuffled order and cut the token stream into
+    fixed-``seq_len`` training sequences (the GPT-style pack — docs are
+    concatenated and windows split mid-document rather than padding).
+
+    Returns one row per document: its token count, its global start
+    offset in the packed stream, the sequence it starts in
+    (``seq_id = start_tok div seq_len``), its offset within that
+    sequence, and how many sequences it spans (``n_seqs``; 0 for
+    empty docs — they occupy no window). Downstream writers group by
+    ``seq_id`` to emit the actual token windows; this operator is the
+    pure-plan step that makes that grouping embarrassingly parallel.
+
+    Scale shape: identical distributed prefix sum as
+    :func:`token_budget_sample` — per-bucket totals (tiny agg), running
+    offsets over ``n_buckets`` rows, within-bucket windows parallel
+    across buckets, broadcast offset join. The packing order
+    (bucket, skey, doc_id) is content-independent md5 shuffling, which
+    is what a training pipeline wants anyway (neighboring sequences
+    decorrelated from source order). No global-ordered window over data
+    rows anywhere; raise ``n_buckets`` with cluster size.
+    """
+    key = hex32(F.concat(F.lit("pack|"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        key.alias("skey"),
+    ).withColumn("bucket", F.pmod(F.col("skey"), F.lit(n_buckets)).cast("int"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0))
+        )
+        .select("bucket", "offset")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    start = (
+        F.col("offset") + F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+    )
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn("start_tok", start)
+        .withColumn("seq_id", F.expr(f"start_tok div {seq_len}"))
+        .withColumn("seq_off", F.pmod(F.col("start_tok"), F.lit(seq_len)))
+        .withColumn(
+            "n_seqs",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(f"(start_tok + n_tokens - 1) div {seq_len}")
+                - F.col("seq_id")
+                + F.lit(1),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .select("doc_id", "n_tokens", "start_tok", "seq_id", "seq_off", "n_seqs")
+    )
+
+
+def pack_sequences_sql(
+    table: str = "documents", seq_len: int = 2048, n_buckets: int = 32
+) -> str:
+    skey = hex32_sql("'pack|' || doc_id::VARCHAR")
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({tokens_sql("text")})::BIGINT AS n_tokens,
+                   {skey} AS skey
+            FROM {table}
+        ),
+        ordered AS (
+            SELECT doc_id, n_tokens,
+                   (SUM(n_tokens) OVER (
+                       ORDER BY skey % {n_buckets}, skey, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens)::BIGINT AS start_tok
+            FROM base
+        )
+        SELECT doc_id, n_tokens, start_tok,
+               (start_tok // {seq_len})::BIGINT AS seq_id,
+               (start_tok % {seq_len})::BIGINT AS seq_off,
+               CASE WHEN n_tokens > 0
+                    THEN ((start_tok + n_tokens - 1) // {seq_len})
+                         - (start_tok // {seq_len}) + 1
+                    ELSE 0 END::BIGINT AS n_seqs
+        FROM ordered
+    """
+
+
 def corpus_clean_sql(
     table: str = "documents",
     lang: str = "en",

@@ -842,8 +842,21 @@ def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per priority via row_number window."""
+    """Top-3 orders per priority via row_number window.
+    Registry-RETIRED r7 (the partitioned rank-window shape is already
+    in-window three times via q_cosine_topk / q_lsh_ann_topk /
+    q_ivf_ann_topk); re-oracled each round by tools/check_retired.py.
+    Its 50-window slot went to q_pack_sequences."""
     return analytics.topk_per_group(load_table(spark, sf_dir, "orders"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan over documents at seq_len=512 (small
+    enough that the synthetic ~50-word docs produce straddling docs and
+    multi-sequence spans; the operator default is 2048)."""
+    return corpus.pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=512
+    )
 
 
 # ------------------------------------------------------------- multimodal
@@ -1071,7 +1084,7 @@ def queries() -> dict[str, QueryFn]:
         "q_rollup_report": q_rollup_report,
         "q_decontaminate": q_decontaminate,
         "q_quantile_profile": q_quantile_profile,
-        "q_topk_per_group": q_topk_per_group,
+        "q_pack_sequences": q_pack_sequences,
         "q_media_pipeline": q_media_pipeline,
         "q_frame_sample": q_frame_sample,
     }
@@ -1133,7 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_report": analytics.rollup_report_sql(),
         "q_decontaminate": decontam.decontaminate_sql(n=5),
         "q_quantile_profile": analytics.quantile_profile_sql(),
-        "q_topk_per_group": analytics.topk_per_group_sql(),
+        "q_pack_sequences": corpus.pack_sequences_sql(seq_len=512),
         "q_media_pipeline": _media_pipeline_sql(),
         "q_frame_sample": _frame_sample_sql(),
     }

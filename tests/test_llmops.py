@@ -907,3 +907,40 @@ def test_decontaminate_shuffle_join_variant_agrees(spark):
         )
     )
     assert a == b
+
+
+# ---------------------------------------------------- sequence packing
+def test_pack_sequences_invariants(spark, sf_dir):
+    """The packing plan must tile the token stream exactly: start
+    offsets are a permutation-consistent prefix sum (sum of n_tokens ==
+    max(start+n)), sequence ids/offsets follow from integer division,
+    span counts match the window boundaries crossed, and no two docs
+    overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    W = 512
+    rows = corpus.pack_sequences(docs, seq_len=W).collect()
+    assert len(rows) == docs.count()
+    total = sum(r.n_tokens for r in rows)
+    ends = sorted((r.start_tok, r.start_tok + r.n_tokens) for r in rows)
+    # contiguous, non-overlapping tiling starting at 0
+    assert ends[0][0] == 0
+    for (s0, e0), (s1, e1) in zip(ends, ends[1:]):
+        assert s1 == e0
+    assert ends[-1][1] == total
+    for r in rows:
+        assert r.seq_id == r.start_tok // W
+        assert r.seq_off == r.start_tok % W
+        if r.n_tokens == 0:
+            assert r.n_seqs == 0
+        else:
+            last = r.start_tok + r.n_tokens - 1
+            assert r.n_seqs == last // W - r.start_tok // W + 1
+    # the fixture really exercises straddling: some doc spans 2+ windows
+    assert any(r.n_seqs > 1 for r in rows)
+
+
+def test_pack_sequences_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, corpus.pack_sequences(docs, seq_len=512).collect()))
+    b = sorted(map(tuple, corpus.pack_sequences(docs, seq_len=512).collect()))
+    assert a == b

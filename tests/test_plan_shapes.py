@@ -126,6 +126,22 @@ def test_token_budget_sample_windows_are_partitioned(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_pack_sequences_windows_are_partitioned(spark, sf_dir):
+    """Same distributed-prefix-sum contract as token_budget_sample: the
+    running-total windows over DATA rows must be bucket-partitioned
+    (parallel); the only unpartitioned window is the n_buckets-row
+    offsets frame; the offsets join must broadcast."""
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpus.pack_sequences(docs, seq_len=512))
+    window_lines = [ln for ln in plan.splitlines() if "Window " in ln]
+    partitioned = [ln for ln in window_lines if "bucket" in ln.split("], [")[1]]
+    assert partitioned, f"no bucket-partitioned window in:\n{window_lines}"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_expensive_expressions_in_filters(spark, sf_dir):
     """Catalyst substitutes aliased expressions into any Filter it
     pushes through a Project, with no cost model — a gate over scored

@@ -21,7 +21,10 @@ Retired inventory (r3 registry minus r4's 50-entry window; COVERAGE.md):
   lives in registry.py, unlisted);
 - q_anti_join (r7) — slot given to q_decontaminate; the LeftAnti shape
   stays plan-pinned (test_anti_join_probe_side_projects_key_only and
-  corpus_clean's drop-list join).
+  corpus_clean's drop-list join);
+- q_topk_per_group (r7) — slot given to q_pack_sequences; the
+  partitioned rank-window shape stays in-window three times via the
+  ANN top-k queries.
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -146,6 +149,12 @@ def _anti_join_sql() -> str:
     return analytics.orders_without_items_sql()
 
 
+def _topk_per_group_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import analytics
+
+    return analytics.topk_per_group_sql()
+
+
 def _stream_sessionize_sql() -> str:
     return f"""
         SELECT user_id, start_ms, n_events
@@ -168,6 +177,7 @@ def retired_queries() -> dict:
         "q_salted_agg": _q_salted_agg,
         "q_stream_sessionize": registry.q_stream_sessionize,
         "q_anti_join": registry.q_anti_join,
+        "q_topk_per_group": registry.q_topk_per_group,
     }
 
 
@@ -186,6 +196,7 @@ def retired_oracle_sql() -> dict:
         "q_salted_agg": _salted_agg_sql(),
         "q_stream_sessionize": _stream_sessionize_sql(),
         "q_anti_join": _anti_join_sql(),
+        "q_topk_per_group": _topk_per_group_sql(),
     }
 
 
