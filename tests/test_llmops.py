@@ -944,3 +944,17 @@ def test_pack_sequences_deterministic(spark, sf_dir):
     a = sorted(map(tuple, corpus.pack_sequences(docs, seq_len=512).collect()))
     b = sorted(map(tuple, corpus.pack_sequences(docs, seq_len=512).collect()))
     assert a == b
+
+
+def test_decontaminate_empty_test_set(spark):
+    """An empty test set contaminates nothing and still returns every
+    train doc with its gram count."""
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame([], "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+        for r in decontam.decontaminate(train, test, n=3).collect()
+    }
+    assert out == {1: (3, 0, False), 2: (0, 0, False)}

@@ -141,6 +141,19 @@ def main() -> None:
     out["token_budget_sample_sec"] = round(time.perf_counter() - t0, 2)
     out["token_budget_sampled_docs"] = n_samp
 
+    # ---- sequence packing at Nx rows (r7) --------------------------
+    t0 = time.perf_counter()
+    packed = corpus.pack_sequences(corpus10, seq_len=2048, n_buckets=cpus)
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("start_tok") + F.col("n_tokens")).alias("total_toks"),
+        F.sum("n_tokens").alias("sum_toks"),
+    ).first()
+    out["pack_sequences_sec"] = round(time.perf_counter() - t0, 2)
+    out["pack_sequences_docs"] = agg.n
+    # exact-tiling check at stress scale: max(start+len) == sum(len)
+    out["pack_sequences_tiling_exact"] = bool(agg.total_toks == agg.sum_toks)
+
     # ---- decontamination at Nx train rows (r7) ---------------------
     # Worst-ish case: every replica family shares most grams with its
     # original, and the test split (every 17th doc family) contaminates
