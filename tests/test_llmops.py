@@ -958,3 +958,35 @@ def test_decontaminate_empty_test_set(spark):
         for r in decontam.decontaminate(train, test, n=3).collect()
     }
     assert out == {1: (3, 0, False), 2: (0, 0, False)}
+
+
+def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The stateless streaming gate must emit exactly the batch
+    operator's per-doc stats (stream-static broadcast of the
+    single-row test-gram array; zero streaming state)."""
+    from teste_carga_avro_vs_json_spark.streaming import run_bounded_append
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    test = docs.filter(F.col("doc_id") % 17 == 0)
+    path = str(tmp_path / "train_stream")
+    train.select(
+        F.to_json(F.struct("doc_id", "text")).alias("value")
+    ).write.mode("overwrite").format("text").save(path)
+    stream = spark.readStream.schema("doc_id long, text string").json(path)
+    out = run_bounded_append(decontam.decontaminate_stream(stream, test, n=5))
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+        for r in out.collect()
+    }
+    want = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+        for r in decontam.decontaminate(train, test, n=5).collect()
+    }
+    assert got == want
+    # batch frames work through the same code path (it is plain ops)
+    got_batch = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+        for r in decontam.decontaminate_stream(train, test, n=5).collect()
+    }
+    assert got_batch == want
