@@ -516,6 +516,64 @@ def pack_sequences(
     )
 
 
+def pack_windows(
+    docs: DataFrame, seq_len: int = 2048, n_buckets: int = 32
+) -> DataFrame:
+    """Materialize the training sequences that :func:`pack_sequences`
+    plans: one row per ``seq_id`` with its packed token array (every
+    window exactly ``seq_len`` tokens except possibly the last).
+
+    This is the step that actually MOVES tokens, and its shuffle is the
+    irreducible cost of packing: every token travels once, keyed by the
+    destination sequence (``global position div seq_len``). Shape:
+
+    - join the (tiny per-doc) packing plan back to the token arrays on
+      doc_id — the plan side is ids+offsets only;
+    - ``posexplode`` assigns each token its global position
+      (``start_tok + i``) — a projection, no shuffle;
+    - ONE groupBy(seq_id) with ``array_sort(collect_list(struct(pos,
+      tok)))`` rebuilds each window in order. Per-group state is
+      bounded by ``seq_len`` (tokens per window), so executor memory
+      per key is constant regardless of corpus size; the
+      objectHashAggregate fallback threshold conf (session.py) keeps
+      the agg hash-based at realistic group counts.
+
+    A 100 TB corpus packs into ~corpus/seq_len groups — parallelism
+    scales with data, and no key can be skewed (every group holds at
+    most ``seq_len`` tokens by construction).
+    """
+    plan = pack_sequences(docs, seq_len, n_buckets).select(
+        "doc_id", "start_tok"
+    )
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    placed = (
+        toks.join(plan, "doc_id")
+        .select(
+            "start_tok",
+            F.posexplode_outer("toks").alias("i", "tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .select(
+            (F.col("start_tok") + F.col("i")).alias("pos"),
+            F.col("tok"),
+        )
+    )
+    return (
+        placed.withColumn("seq_id", F.expr(f"pos div {seq_len}"))
+        .groupBy("seq_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+            ).alias("placed")
+        )
+        .select(
+            "seq_id",
+            F.size("placed").cast("long").alias("n_tokens"),
+            F.transform("placed", lambda s: s["tok"]).alias("toks"),
+        )
+    )
+
+
 def pack_sequences_sql(
     table: str = "documents", seq_len: int = 2048, n_buckets: int = 32
 ) -> str:

@@ -990,3 +990,29 @@ def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in decontam.decontaminate_stream(train, test, n=5).collect()
     }
     assert got_batch == want
+
+
+def test_pack_windows_reconstruction(spark, sf_dir):
+    """Materialized windows must be the exact packed token stream: every
+    window is seq_len tokens except possibly the last, and concatenating
+    windows in seq_id order reproduces each document's tokens
+    contiguously at the offsets the plan assigned."""
+    docs = load_table(spark, sf_dir, "documents")
+    W = 512
+    wins = sorted(
+        ((r.seq_id, r.n_tokens, r.toks)
+         for r in corpus.pack_windows(docs, seq_len=W).collect())
+    )
+    assert [w[0] for w in wins] == list(range(len(wins)))
+    for seq_id, n, _ in wins[:-1]:
+        assert n == W
+    stream = [t for _, _, toks in wins for t in toks]
+    plan = corpus.pack_sequences(docs, seq_len=W).collect()
+    texts = {
+        r.doc_id: r.text.split() for r in docs.select("doc_id", "text").collect()
+    }
+    total = sum(r.n_tokens for r in plan)
+    assert len(stream) == total
+    for r in plan:
+        want = [t for t in texts[r.doc_id] if t]
+        assert stream[r.start_tok : r.start_tok + r.n_tokens] == want

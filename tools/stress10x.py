@@ -154,6 +154,22 @@ def main() -> None:
     # exact-tiling check at stress scale: max(start+len) == sum(len)
     out["pack_sequences_tiling_exact"] = bool(agg.total_toks == agg.sum_toks)
 
+    # ---- window materialization: every token moves once ------------
+    t0 = time.perf_counter()
+    wins = corpus.pack_windows(corpus10, seq_len=2048, n_buckets=cpus)
+    wagg = wins.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_tokens").alias("total_toks"),
+        F.sum(
+            F.when(F.col("n_tokens") != 2048, F.lit(1)).otherwise(F.lit(0))
+        ).alias("short_windows"),
+    ).first()
+    out["pack_windows_sec"] = round(time.perf_counter() - t0, 2)
+    out["pack_windows_count"] = wagg.n_windows
+    out["pack_windows_tokens"] = wagg.total_toks
+    # only the final window may be short
+    out["pack_windows_exact"] = bool(wagg.short_windows <= 1)
+
     # ---- decontamination at Nx train rows (r7) ---------------------
     # Worst-ish case: every replica family shares most grams with its
     # original, and the test split (every 17th doc family) contaminates
