@@ -225,6 +225,11 @@ def main() -> None:
             )
         )
 
+    def w_pack_windows():
+        # diagnostic lane (r7, not in headline_total): full packing
+        # materialization — every corpus token through one shuffle
+        run(corpus.pack_windows(docs_df(), seq_len=2048))
+
     def w_pii_scrub():
         run(
             text.pii_scrub(docs_df()).agg(
@@ -275,7 +280,12 @@ def main() -> None:
     # avro_e2e_scalar is an A/B diagnostic lane (forces the non-default
     # codec); it is timed and reported but EXCLUDED from headline_total
     # so round-over-round totals stay comparable to BENCH_BASELINE.
-    diagnostic = {"avro_e2e_scalar", "avro_generic_e2e", "decontaminate"}
+    diagnostic = {
+        "avro_e2e_scalar",
+        "avro_generic_e2e",
+        "decontaminate",
+        "pack_windows",
+    }
     workloads = {
         "json_e2e": w_json_e2e,
         "avro_e2e": w_avro_e2e,
@@ -291,6 +301,7 @@ def main() -> None:
         "text_analysis": w_text,
         "corpus_clean": w_corpus_clean,
         "decontaminate": w_decontaminate,
+        "pack_windows": w_pack_windows,
         "pii_scrub": w_pii_scrub,
         "intra_doc_dedup": w_intra_doc_dedup,
         "cosine_topk": w_topk,
