@@ -130,12 +130,25 @@ def _shingled(
     """(doc_id, sh) distinct word k-shingle arrays. The token array is
     materialized as a real column first — captured expressions inside
     HOF lambdas re-evaluate per element, so staging is what keeps
-    shingling linear in document length."""
-    toks = docs.select("doc_id", tokens(text_col).alias("toks"))
-    out = toks.select(
+    shingling linear in document length.
+
+    The nonempty gate is a REGEX over the raw text column, not
+    ``size(sh) > 0``: a filter on the aliased shingle column gets the
+    whole shingling expression substituted in by predicate pushdown and
+    the corpus is shingled TWICE per doc (caught by the r7 plan audit;
+    at 100x dup-stress that is 500k double-shinglings). ``>= k
+    non-space runs`` is exactly ``size(tokens) >= k`` is exactly
+    ``size(sh) > 0`` (shingle count = max(tokens - k + 1, 0)), and the
+    predicate references only the scan attribute, so it evaluates once
+    and pushes all the way down."""
+    has_k_tokens = F.col(text_col).rlike(
+        r"^\s*(\S+\s+){" + str(k - 1) + r"}\S"
+    )
+    src = docs.filter(has_k_tokens) if nonempty else docs
+    toks = src.select("doc_id", tokens(text_col).alias("toks"))
+    return toks.select(
         "doc_id", F.array_distinct(word_kgrams(F.col("toks"), k)).alias("sh")
     )
-    return out.filter(F.size("sh") > 0) if nonempty else out
 
 
 def shingles_sql(expr: str, k: int = 3) -> str:
