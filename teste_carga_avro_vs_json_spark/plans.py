@@ -110,7 +110,7 @@ def expensive_filter_nodes(df: DataFrame) -> list[str]:
 
     hits: list[str] = []
 
-    def walk(node) -> None:
+    def walk(node, in_cache: bool) -> None:
         name = node.getClass().getSimpleName()
         if name in ("FilterExec", "Filter"):
             try:
@@ -120,22 +120,33 @@ def expensive_filter_nodes(df: DataFrame) -> list[str]:
             found = sorted({m for m in _EXPENSIVE_MARKERS if m in cond})
             if found:
                 clip = cond if len(cond) <= 160 else cond[:157] + "..."
-                hits.append(f"[{','.join(found)}] {clip}")
+                where = "cache-build: " if in_cache else ""
+                hits.append(f"[{','.join(found)}] {where}{clip}")
         kids = []
         try:
             if name.startswith("AdaptiveSparkPlan"):
                 kids = [node.executedPlan()]
             elif name.endswith("QueryStageExec"):
                 kids = [node.plan()]
+            elif name.startswith("InMemoryTableScan"):
+                # Unlike the exchange counter (which excludes cache
+                # builds because their shuffles are paid once), an
+                # expensive filter INSIDE a cache build still runs per
+                # row at materialization — the r7 _shingled
+                # double-shingling hid exactly here. Descend, tagged.
+                kids = [node.relation().cachedPlan()]
+                for k in kids:
+                    walk(k, True)
+                return
         except Exception:
             kids = []
         if not kids:
             ch = node.children()
             kids = [ch.apply(i) for i in range(ch.length())]
         for k in kids:
-            walk(k)
+            walk(k, in_cache)
 
-    walk(df._jdf.queryExecution().executedPlan())
+    walk(df._jdf.queryExecution().executedPlan(), False)
     return hits
 
 
