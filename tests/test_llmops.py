@@ -1016,3 +1016,30 @@ def test_pack_windows_reconstruction(spark, sf_dir):
     for r in plan:
         want = [t for t in texts[r.doc_id] if t]
         assert stream[r.start_tok : r.start_tok + r.n_tokens] == want
+
+
+def test_shingled_regex_gate_equivalence(spark):
+    """The r7 nonempty gate (>= k non-space runs over raw text) must
+    keep exactly the docs whose shingle array is non-empty — including
+    on adversarial whitespace (tabs/newlines, NBSP which Java \\s does
+    NOT match, leading/trailing runs, empty and short docs)."""
+    rows = [
+        (1, "a b c"),            # exactly k=3 tokens
+        (2, "a b"),              # k-1 -> gated out
+        (3, "  a\tb\nc  "),      # mixed whitespace, padded
+        (4, ""),                 # empty
+        (5, "   "),              # whitespace only
+        (6, "a b c"),       # NBSP is NOT \s: 'a b' is ONE token -> 2 tokens
+        (7, "a b c d"),     # 3 tokens incl. the NBSP-glued one
+        (8, "one"),              # 1 token
+        (9, "w x y z"),          # 4 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    gated = {r.doc_id for r in dedup._shingled(df, 3).collect()}
+    truth = {
+        r.doc_id
+        for r in dedup._shingled(df, 3, nonempty=False)
+        .filter(F.size("sh") > 0)
+        .collect()
+    }
+    assert gated == truth == {1, 3, 7, 9}
