@@ -46,7 +46,13 @@ from teste_carga_avro_vs_json_spark.operators.dedup import shingles_sql
 
 
 def _gram_key(gram: Column, scale: bool) -> Column:
-    return F.xxhash64(gram) if scale else gram
+    if not scale:
+        return gram
+    # Null-safe: xxhash64 SKIPS null inputs (returning the bare seed),
+    # so a zero-gram doc's null placeholder would otherwise get a real
+    # 64-bit key that a test gram could in principle collide with; a
+    # null key joins nothing, exactly like the string path.
+    return F.when(gram.isNotNull(), F.xxhash64(gram))
 
 
 def decontaminate(
