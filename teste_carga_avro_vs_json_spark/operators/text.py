@@ -454,6 +454,179 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     )
 
 
+def repetition_profile(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Per-document repetition signals — the Gopher/MassiveText quality
+    filters (Rae et al. 2021 §A.1.1) adapted to word n-grams: duplicate
+    word counts, the modal n-gram's character share ("top n-gram
+    fraction"), and characters inside duplicated n-grams ("duplicated
+    n-gram fraction"). The reference engine has no corpus analysis
+    (SURVEY.md §2.2); this is the standard pre-training hygiene gate a
+    100 TB pipeline runs before tokenization.
+
+    Scale shape: ZERO shuffle. The naive plan — explode n-grams,
+    ``groupBy(doc_id, gram)``, re-agg per doc — shuffles every gram of
+    the corpus twice. Instead the per-doc gram multiset is counted
+    ROW-LOCALLY: sort the gram array, then one ``F.aggregate`` fold over
+    adjacent runs (O(k log k) per row, all JVM expression code). The
+    token and sorted-gram arrays are staged behind projections so each
+    is computed once per row (HOF-lambda rule, see :func:`word_kgrams`).
+
+    Everything the flag depends on is an exact long (char/occurrence
+    counts); ``repetitive`` itself is long arithmetic — no doubles, so
+    the DuckDB oracle twin (which counts relationally via GROUP BY at
+    its own scale) matches hash-exactly.
+
+    Output per doc: word totals (``n_words``/``n_distinct_words``/
+    ``dup_words``), ``total_chars``, the modal n-gram with its
+    occurrence count and char mass (count x gram length; ties resolve
+    to the lexicographically smallest gram — the fold only replaces on
+    a strictly greater count over the ascending-sorted array), char
+    mass of ALL duplicated n-grams, and the drop flag
+    ``repetitive`` = dup-gram chars > 20% of the doc OR duplicate
+    words > 50% of words.
+    """
+    staged = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("total_chars"),
+        tokens("text").alias("toks"),
+    )
+    sorted_grams = staged.select(
+        "doc_id",
+        "total_chars",
+        F.size("toks").cast("long").alias("n_words"),
+        F.size(F.array_distinct("toks")).cast("long").alias(
+            "n_distinct_words"
+        ),
+        F.array_sort(word_kgrams(F.col("toks"), n)).alias("g"),
+    )
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit("").alias("top_gram"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run2 = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        # Duplicated-gram chars: a run of r >= 2 equal grams contributes
+        # r * len(gram) — booked as 2*len when the run reaches 2 (the
+        # first occurrence becomes retroactively duplicated) plus len
+        # for each further repeat.
+        dup2 = acc["dup"] + (
+            F.when(run2 == 2, 2 * F.length(x))
+            .when(run2 > 2, F.length(x))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        new_top = run2 > acc["top"]
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(new_top, run2).otherwise(acc["top"]).alias("top"),
+            F.when(new_top, x).otherwise(acc["top_gram"]).alias("top_gram"),
+            dup2.alias("dup"),
+        )
+
+    folded = sorted_grams.select(
+        "doc_id",
+        "total_chars",
+        "n_words",
+        "n_distinct_words",
+        F.aggregate(F.col("g"), zero, step).alias("st"),
+    )
+    top = folded.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        (F.col("n_words") - F.col("n_distinct_words")).alias("dup_words"),
+        "total_chars",
+        F.when(F.col("st.top") > 0, F.col("st.top_gram")).alias("top_gram"),
+        F.col("st.top").alias("top_gram_count"),
+        F.when(
+            F.col("st.top") > 0,
+            F.col("st.top") * F.length(F.col("st.top_gram")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_gram_chars"),
+        F.col("st.dup").alias("dup_gram_chars"),
+    )
+    return top.withColumn(
+        "repetitive",
+        (5 * F.col("dup_gram_chars") > F.col("total_chars"))
+        | (2 * F.col("dup_words") > F.col("n_words")),
+    )
+
+
+def repetition_profile_sql(table: str = "documents", n: int = 2) -> str:
+    """DuckDB twin of :func:`repetition_profile` — counts the gram
+    multiset relationally (unnest + GROUP BY is the natural DuckDB
+    form; the Spark side folds row-locally instead, but both count the
+    same multiset). Ties for the modal gram resolve identically:
+    ``ORDER BY c DESC, gram ASC`` picks the lexicographically smallest
+    max-count gram, exactly the fold's strictly-greater-replaces rule
+    over the ascending-sorted array. Docs with no grams survive via the
+    LEFT JOINs (unnest emits no rows for them)."""
+    t = tokens_sql("text")
+    grams = (
+        f"list_transform(generate_series(1, GREATEST(len(toks) - {n - 1}, 0)), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+        WITH per AS (
+            SELECT doc_id,
+                   length(text)::BIGINT AS total_chars,
+                   {t} AS toks
+            FROM {table}
+        ),
+        sized AS (
+            SELECT doc_id, total_chars,
+                   len(toks)::BIGINT AS n_words,
+                   len(list_distinct(toks))::BIGINT AS n_distinct_words,
+                   {grams} AS grams
+            FROM per
+        ),
+        counts AS (
+            SELECT doc_id, gram, COUNT(*)::BIGINT AS c
+            FROM (SELECT doc_id, unnest(grams) AS gram FROM sized)
+            GROUP BY doc_id, gram
+        ),
+        top AS (
+            SELECT doc_id, gram, c FROM (
+                SELECT doc_id, gram, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY c DESC, gram ASC
+                       ) AS rn
+                FROM counts
+            ) WHERE rn = 1
+        ),
+        dup AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)::BIGINT
+                       AS dup_gram_chars
+            FROM counts GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.n_words, s.n_distinct_words,
+               (s.n_words - s.n_distinct_words)::BIGINT AS dup_words,
+               s.total_chars,
+               t.gram AS top_gram,
+               COALESCE(t.c, 0)::BIGINT AS top_gram_count,
+               COALESCE(t.c * length(t.gram), 0)::BIGINT AS top_gram_chars,
+               COALESCE(d.dup_gram_chars, 0)::BIGINT AS dup_gram_chars,
+               (5 * COALESCE(d.dup_gram_chars, 0) > s.total_chars
+                OR 2 * (s.n_words - s.n_distinct_words) > s.n_words)
+                   AS repetitive
+        FROM sized s
+        LEFT JOIN top t USING (doc_id)
+        LEFT JOIN dup d USING (doc_id)
+    """
+
+
 def winnow_fingerprints_sql(table: str = "documents", k: int = 5, w: int = 4) -> str:
     from teste_carga_avro_vs_json_spark.functions.portable import hex32_sql
 

@@ -747,7 +747,17 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-RETIRED r7-late (slot given to q_repetition_profile; the
+    signature family stays in-window via q_minhash_lsh/q_ngram_jaccard
+    and this query is re-oracled each round by tools/check_retired.py)."""
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals (operators/text.py):
+    duplicate words, modal-bigram char share, duplicated-bigram char
+    mass — zero-shuffle row-local fold over sorted gram arrays."""
+    return text.repetition_profile(load_table(spark, sf_dir, "documents"))
 
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,7 +1082,7 @@ def queries() -> dict[str, QueryFn]:
         "q_neardup_clusters": q_neardup_clusters,
         "q_corpus_clean": q_corpus_clean,
         "q_token_budget_sample": q_token_budget_sample,
-        "q_simhash": q_simhash,
+        "q_repetition_profile": q_repetition_profile,
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_neardup": q_embedding_neardup,
         "q_lsh_ann_topk": q_lsh_ann_topk,
@@ -1134,7 +1144,7 @@ def oracle_sql() -> dict[str, str]:
         "q_neardup_clusters": dedup.neardup_clusters_sql(),
         "q_corpus_clean": corpus.corpus_clean_sql(),
         "q_token_budget_sample": corpus.token_budget_sample_sql(),
-        "q_simhash": dedup.simhash_sql(),
+        "q_repetition_profile": text.repetition_profile_sql(),
         "q_cosine_topk": similarity.cosine_topk_sql(),
         "q_embedding_neardup": similarity.embedding_neardup_sql(),
         "q_lsh_ann_topk": similarity.lsh_ann_topk_sql(),

@@ -357,6 +357,92 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 0, 0)
 
 
+def test_repetition_profile_goldens(spark):
+    """Hand-computed Gopher-signal goldens: a looping doc, a clean doc,
+    an empty doc, and a one-word doc (no bigrams at all)."""
+    df = spark.createDataFrame(
+        [
+            # bigrams: "ab cd"x3, "cd ab"x2, "cd ef"x1 -> top = "ab cd"
+            # (count 3, 5 chars each); duplicated grams: 3*5 + 2*5 = 25
+            (1, "ab cd ab cd ab cd ef"),
+            (2, "one two three four"),
+            (3, ""),
+            (4, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.repetition_profile(df).collect()}
+
+    r1 = out[1]
+    assert (r1.n_words, r1.n_distinct_words, r1.dup_words) == (7, 3, 4)
+    assert r1.total_chars == len("ab cd ab cd ab cd ef")
+    assert (r1.top_gram, r1.top_gram_count, r1.top_gram_chars) == ("ab cd", 3, 15)
+    assert r1.dup_gram_chars == 25
+    assert r1.repetitive  # 5*25 > 20 and 2*4 > 7
+
+    r2 = out[2]
+    assert (r2.n_words, r2.dup_words, r2.dup_gram_chars) == (4, 0, 0)
+    assert r2.top_gram_count == 1 and r2.top_gram is not None
+    # tie on count=1 resolves to the lexicographically smallest bigram
+    assert r2.top_gram == sorted(["one two", "two three", "three four"])[0]
+    assert not r2.repetitive
+
+    r3 = out[3]
+    assert (r3.n_words, r3.total_chars, r3.top_gram_count) == (0, 0, 0)
+    assert r3.top_gram is None and r3.dup_gram_chars == 0
+    assert not r3.repetitive
+
+    r4 = out[4]
+    assert (r4.n_words, r4.top_gram_count, r4.dup_gram_chars) == (1, 0, 0)
+    assert r4.top_gram is None and not r4.repetitive
+
+
+def test_repetition_profile_fold_matches_relational(spark, sf_dir):
+    """The row-local sorted-fold must count the gram multiset exactly
+    like the shuffle-based explode + groupBy formulation (the shape the
+    operator deliberately avoids), over the real corpus."""
+    docs = _docs(spark, sf_dir)
+    got = {
+        r.doc_id: (r.top_gram, r.top_gram_count, r.dup_gram_chars)
+        for r in text.repetition_profile(docs).collect()
+    }
+    toks = text.tokens("text")
+    staged = docs.select("doc_id", toks.alias("toks"))
+    grams = staged.select(
+        "doc_id", F.explode(text.word_kgrams(F.col("toks"), 2)).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("gram").asc()
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "gram", "c")
+    )
+    dup = counts.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dup_chars")
+    )
+    want = {
+        r.doc_id: (r.gram, r.c, r.dup_chars)
+        for r in top.join(dup, "doc_id").collect()
+    }
+    for doc_id, (gram, c, dup_chars) in want.items():
+        assert got[doc_id] == (gram, c, dup_chars), doc_id
+    # docs absent from `want` have no bigrams at all
+    for doc_id, (gram, c, dup_chars) in got.items():
+        if doc_id not in want:
+            assert (gram, c, dup_chars) == (None, 0, 0)
+
+
 def test_intra_doc_dedup_drops_repeated_chunks(spark):
     words = [f"w{i}" for i in range(20)]
     rep = " ".join(words + words + [f"x{i}" for i in range(20)])

@@ -279,6 +279,21 @@ def test_intra_doc_dedup_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_repetition_profile_is_shuffle_free(spark, sf_dir):
+    """The gram multiset is counted ROW-LOCALLY (sorted-array fold),
+    never via explode + groupBy(doc_id, gram) — zero Exchange, no
+    Python, and no expensive expression leaked into a Filter."""
+    from teste_carga_avro_vs_json_spark.operators import text as t
+    from teste_carga_avro_vs_json_spark.plans import expensive_filter_nodes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = t.repetition_profile(docs)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert expensive_filter_nodes(out) == []
+
+
 def test_corpus_mix_is_scan_local(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus as c
 

@@ -24,7 +24,10 @@ Retired inventory (r3 registry minus r4's 50-entry window; COVERAGE.md):
   corpus_clean's drop-list join);
 - q_topk_per_group (r7) — slot given to q_pack_sequences; the
   partitioned rank-window shape stays in-window three times via the
-  ANN top-k queries.
+  ANN top-k queries;
+- q_simhash (r7-late) — slot given to q_repetition_profile; the
+  per-doc signature family stays in-window via q_minhash_lsh and
+  q_ngram_jaccard.
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -155,6 +158,12 @@ def _topk_per_group_sql() -> str:
     return analytics.topk_per_group_sql()
 
 
+def _simhash_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import dedup
+
+    return dedup.simhash_sql()
+
+
 def _stream_sessionize_sql() -> str:
     return f"""
         SELECT user_id, start_ms, n_events
@@ -178,6 +187,7 @@ def retired_queries() -> dict:
         "q_stream_sessionize": registry.q_stream_sessionize,
         "q_anti_join": registry.q_anti_join,
         "q_topk_per_group": registry.q_topk_per_group,
+        "q_simhash": registry.q_simhash,
     }
 
 
@@ -197,6 +207,7 @@ def retired_oracle_sql() -> dict:
         "q_stream_sessionize": _stream_sessionize_sql(),
         "q_anti_join": _anti_join_sql(),
         "q_topk_per_group": _topk_per_group_sql(),
+        "q_simhash": _simhash_sql(),
     }
 
 
