@@ -477,22 +477,20 @@ def _l2_sql(a: str, b: str) -> str:
     )
 
 
-def ivf_topk_sql(
-    table: str = "embeddings",
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    query_modulus: int = 50,
-    iters: int = 2,
-) -> str:
-    """DuckDB twin of :func:`ivf_topk`: the Lloyd loop is deterministic
-    (init = lowest vec_ids, quantized-exact centroid means), so the
-    ``iters`` iterations unroll into a CTE chain — assignment is an
-    argmin window over the (corpus × centroids) cross join (fine at
-    oracle scale; the Spark side instead evaluates broadcast centroid
-    literals in a projection), the update replays the exact
-    ``(Σ floor(x·1000+0.5) / n) / 1000`` sequence. Probe, candidate
-    equi-join, dedup, and ranking mirror the Spark plan."""
+def _kmeans_assign_ctes(
+    table: str, n_centroids: int, iters: int
+) -> tuple[list[str], str]:
+    """The deterministic-k-means replay shared by every oracle that
+    depends on :func:`ivf_centroids`' cluster assignment
+    (:func:`ivf_topk_sql`, :func:`semantic_dedup_sql`): the Lloyd loop
+    is deterministic (init = lowest vec_ids, quantized-exact centroid
+    means), so the ``iters`` iterations unroll into a CTE chain —
+    assignment is an argmin window over the (corpus × centroids) cross
+    join (fine at oracle scale; the Spark side instead evaluates
+    broadcast centroid literals in a projection), the update replays
+    the exact ``(Σ floor(x·1000+0.5) / n) / 1000`` sequence. Returns
+    (ctes, final_centroid_cte_name); the last CTE ``assign`` holds
+    (vec_id, vec, cluster)."""
     ctes = [
         f"v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM {table})",
         f"""c0 AS (
@@ -537,6 +535,21 @@ def ivf_topk_sql(
             FROM v CROSS JOIN {cfin} c
         ) WHERE rn = 1
     )""")
+    return ctes, cfin
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_modulus: int = 50,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk`: deterministic-k-means replay
+    (see :func:`_kmeans_assign_ctes`), then probe, candidate equi-join,
+    dedup, and ranking mirror the Spark plan."""
+    ctes, cfin = _kmeans_assign_ctes(table, n_centroids, iters)
     ctes.append(f"""probes AS (
         SELECT query_id, qvec, cluster FROM (
             SELECT q.vec_id AS query_id, q.vec AS qvec, c.cluster,
@@ -800,4 +813,175 @@ def lsh_ann_topk_sql(
             FROM scored
         )
         SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# ----------------------------------------------------------- SemDeDup
+def _semdedup_assigned(
+    emb: DataFrame, n_centroids: int, iters: int
+) -> DataFrame:
+    """(vec_id, vec, cluster) with the deterministic k-means assignment.
+    coalesce(-1) marks the cluster key non-nullable for the same reason
+    as :func:`ivf_topk`: a nullable computed join key would get the
+    whole argmin expression substituted into an inferred isnotnull
+    Filter by pushdown (r7 plan-audit rule).
+
+    Null ``vec_id`` rows are excluded up front (the id IS the dedup
+    identity, so a null id has no defined keep-order) — and doing it on
+    the SHARED frame is what lets the self-join reuse one Exchange: the
+    LeftOuter join infers ``isnotnull(vec_id)`` on its build side only,
+    and an asymmetric Filter makes the two otherwise-identical scan
+    subtrees canonically different (no ReusedExchange; verified on the
+    executed plan, r7)."""
+    cents = ivf_centroids(emb, n_centroids, iters)
+    return (
+        emb.filter(F.col("vec_id").isNotNull())
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+        )
+        .withColumn(
+            "cluster", F.coalesce(_nearest(F.col("vec"), cents), F.lit(-1))
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the
+    deterministic k-means of :func:`ivf_centroids`, then WITHIN each
+    cluster drop every vector that has a lower-``vec_id`` neighbor with
+    cosine >= ``threshold``. The reference engine has no similarity
+    operators (SURVEY.md §2.2); this is the embedding-space sibling of
+    the MinHash near-dup tier — it catches paraphrases exact n-grams
+    miss.
+
+    Returns one row per input vector: (vec_id, cluster, kept). Callers
+    drop with ``filter("kept")``; keeping losers visible makes the
+    dedup rate auditable (and the oracle total).
+
+    Scale design — this supersedes the retired brute-force
+    ``embedding_neardup`` (all-pairs over a sample, O(n²)): candidate
+    pairs form ONLY within a cluster via a self-join on the cluster id
+    (aliases of ONE frame, so the cluster-keyed Exchange is planned
+    once and reused). Pair cost is Σ c_i² over cluster sizes — at
+    corpus scale ``n_centroids`` grows so clusters stay bounded (the
+    SemDeDup recipe: n_centroids ∝ n / target_cluster_size), keeping
+    the join linear-ish, never all-pairs. The vectors must ride this
+    join (the cosine is computed at match time) — acceptable precisely
+    because candidates are cluster-bounded, in contrast to the LSH tail
+    where candidate fan-out is data-dependent (SCALE.md); the join is
+    pinned shuffle_hash for the same mis-broadcast reason. The
+    keep-lowest-id rule is the deterministic variant of SemDeDup's
+    keep-one-per-duplicate-set (drop v iff SOME smaller-id
+    same-cluster neighbor is >= threshold — independent per vector, so
+    the decision needs no iterative connected components).
+
+    ``threshold`` defaults low for the synthetic fixture corpus (its
+    vectors are diffuse — within-cluster cosine tops out near 0.5;
+    measured at sf0.01: 68/500 dropped at 0.35). On real sentence
+    embeddings SemDeDup operates at ~0.95+.
+
+    The per-cluster matmul twin :func:`semantic_dedup_np` is the
+    production hot path at fixed output; pytest pins equality.
+    """
+    v = _semdedup_assigned(emb, n_centroids, iters)
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b.hint("shuffle_hash"),
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("b.vec_id") < F.col("a.vec_id"))
+        & (
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 9)
+            >= F.lit(threshold)
+        ),
+        "left",
+    )
+    return (
+        pairs.groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(
+            F.first(F.col("a.cluster")).alias("cluster"),
+            F.max(F.col("b.vec_id")).alias("_hit"),
+        )
+        .select(
+            "vec_id", "cluster", F.col("_hit").isNull().alias("kept")
+        )
+    )
+
+
+def semantic_dedup_np(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-cluster numpy matmul twin of :func:`semantic_dedup` — the
+    production hot path: ``groupBy(cluster).applyInPandas`` computes
+    the within-cluster cosine matrix as ONE float64 GEMM and takes the
+    strict-lower-triangle row-wise any() for the drop decision. One
+    shuffle (cluster-keyed), no pair materialization; per-task memory
+    is O(c·dim + c²) for cluster size c — bounded by the same
+    n_centroids ∝ corpus-size rule as the join form. Output rows and
+    values are pytest-pinned identical to the expression form (cosines
+    rounded to 9 decimals before the threshold compare on both paths,
+    same discipline as cosine_topk_np)."""
+    import numpy as np
+
+    v = _semdedup_assigned(emb, n_centroids, iters)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf["vec_id"].to_numpy().argsort(kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        M = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["vec"].to_numpy()[order]]
+        )
+        norms = np.sqrt((M * M).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Mn = M / norms[:, None]
+        C = np.round(Mn @ Mn.T, 9)
+        dup = np.tril(C >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy()[order],
+                "kept": ~dup,
+            }
+        )
+
+    return v.groupBy("cluster").applyInPandas(per_cluster, schema)
+
+
+def semantic_dedup_sql(
+    table: str = "embeddings",
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup`: replay the deterministic
+    k-means (shared :func:`_kmeans_assign_ctes`), then the
+    keep-lowest-id rule as a within-cluster self-join + LEFT JOIN."""
+    ctes, _ = _kmeans_assign_ctes(table, n_centroids, iters)
+    cos = _cosine_sql("a.vec", "b.vec")
+    ctes.append(f"""dropped AS (
+        SELECT DISTINCT a.vec_id
+        FROM assign a JOIN assign b
+          ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        WHERE ROUND({cos}, 9) >= {threshold}
+    )""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS kept
+        FROM assign s LEFT JOIN dropped d USING (vec_id)
     """

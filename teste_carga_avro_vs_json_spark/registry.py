@@ -778,7 +778,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-RETIRED r7-late (slot given to q_semantic_dedup, its
+    cluster-bounded successor; re-oracled each round by
+    tools/check_retired.py)."""
     return similarity.embedding_neardup(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py): deterministic-k-means
+    clusters bound the candidate pairs; keep-lowest-id within each
+    near-dup neighborhood. Oracle replays the Lloyd loop as a CTE
+    chain (same machinery as q_ivf_ann_topk)."""
+    return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1084,7 +1095,7 @@ def queries() -> dict[str, QueryFn]:
         "q_token_budget_sample": q_token_budget_sample,
         "q_repetition_profile": q_repetition_profile,
         "q_cosine_topk": q_cosine_topk,
-        "q_embedding_neardup": q_embedding_neardup,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_lsh_ann_topk": q_lsh_ann_topk,
         "q_ivf_ann_topk": q_ivf_ann_topk,
         "q_confluent_framing": q_confluent_framing,
@@ -1146,7 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "q_token_budget_sample": corpus.token_budget_sample_sql(),
         "q_repetition_profile": text.repetition_profile_sql(),
         "q_cosine_topk": similarity.cosine_topk_sql(),
-        "q_embedding_neardup": similarity.embedding_neardup_sql(),
+        "q_semantic_dedup": similarity.semantic_dedup_sql(),
         "q_lsh_ann_topk": similarity.lsh_ann_topk_sql(),
         "q_ivf_ann_topk": similarity.ivf_topk_sql(),
         "q_confluent_framing": _confluent_framing_sql(),

@@ -226,6 +226,66 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert len(partial) > 0
 
 
+def test_semantic_dedup_np_equals_join_form(spark, sf_dir):
+    """The per-cluster matmul scale twin must emit exactly the join
+    form's (vec_id, cluster, kept) rows on the fixture corpus."""
+    emb = _emb(spark, sf_dir)
+    a = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in similarity.semantic_dedup(emb).collect()
+    }
+    b = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in similarity.semantic_dedup_np(emb).collect()
+    }
+    assert a == b
+    assert len(a) == emb.count()
+    # the fixture threshold must actually drop something (non-trivial)
+    assert any(not kept for _, kept in a.values())
+    assert any(kept for _, kept in a.values())
+
+
+def test_semantic_dedup_single_cluster_matches_brute(spark, sf_dir):
+    """With ONE cluster the keep-lowest-id rule degenerates to the
+    retired brute-force all-pairs operator: a vector is dropped iff it
+    appears as the higher id of some >=-threshold pair."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
+    tau = 0.3
+    dropped_brute = {
+        r.vec_b
+        for r in similarity.embedding_neardup(
+            emb, threshold=tau, modulus=1
+        ).collect()
+    }
+    out = similarity.semantic_dedup(emb, threshold=tau, n_centroids=1).collect()
+    dropped = {r.vec_id for r in out if not r.kept}
+    assert dropped == dropped_brute
+
+
+def test_semantic_dedup_keeps_lowest_id_of_exact_dups(spark):
+    """Injected exact duplicates: only the lowest vec_id of each
+    identical group survives, regardless of cluster count."""
+    base = [0.5] * 8
+    other = [(-1.0) ** i * 0.25 for i in range(8)]
+    lone = [1.0, -1.0, 0.0, 0.0, 1.0, 0.5, -0.5, 0.25]
+    rows = [
+        (10, base),
+        (11, other),
+        (20, base),
+        (30, base),
+        (21, other),
+        (40, lone),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r.kept
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.999, n_centroids=2
+        ).collect()
+    }
+    assert out == {10: True, 11: True, 20: False, 30: False, 21: False, 40: True}
+
+
 def test_ivf_centroids_deterministic(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     c1 = similarity.ivf_centroids(emb, n_centroids=4, iters=1)

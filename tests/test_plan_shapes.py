@@ -428,6 +428,32 @@ def test_topk_per_group_single_keyed_shuffle(spark, sf_dir):
     assert all("o_orderpriority" in ln for ln in window_lines)
 
 
+def test_semantic_dedup_plan_shape(spark, sf_dir):
+    """SemDeDup's scale contract: candidate pairs form ONLY via the
+    cluster-keyed self-join — never a cartesian/BNL — the join is a
+    pinned ShuffledHashJoin (array payloads make Catalyst size
+    estimates untrustworthy, same mis-broadcast guard as the LSH
+    tail), no expensive expression leaks into a Filter, and the two
+    aliased sides of the self-join resolve to ONE executed
+    cluster-Exchange (ReusedExchange: the corpus is scanned and
+    cluster-assigned once, not twice)."""
+    from teste_carga_avro_vs_json_spark.plans import (
+        audit,
+        expensive_filter_nodes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.semantic_dedup(emb)
+    plan = _plan(out)
+    aud = audit(out)
+    assert aud.cartesian == 0 and aud.bnl_joins == 0
+    assert plan.count("ShuffledHashJoin") == 1
+    assert expensive_filter_nodes(out) == []
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
 def test_lsh_ann_dedup_carries_ids_only(spark, sf_dir):
     """Ids-first pins for the LSH ANN tail (mirrors the MinHash rule):
     the pair-dedup aggregate (collect_set of query ids keyed by vec_id,

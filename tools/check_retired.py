@@ -27,7 +27,10 @@ Retired inventory (r3 registry minus r4's 50-entry window; COVERAGE.md):
   ANN top-k queries;
 - q_simhash (r7-late) — slot given to q_repetition_profile; the
   per-doc signature family stays in-window via q_minhash_lsh and
-  q_ngram_jaccard.
+  q_ngram_jaccard;
+- q_embedding_neardup (r7-late) — slot given to q_semantic_dedup, its
+  cluster-bounded successor (the brute all-pairs form stays the pytest
+  ground truth for the single-cluster equivalence pin).
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -188,6 +191,7 @@ def retired_queries() -> dict:
         "q_anti_join": registry.q_anti_join,
         "q_topk_per_group": registry.q_topk_per_group,
         "q_simhash": registry.q_simhash,
+        "q_embedding_neardup": registry.q_embedding_neardup,
     }
 
 
@@ -208,6 +212,7 @@ def retired_oracle_sql() -> dict:
         "q_anti_join": _anti_join_sql(),
         "q_topk_per_group": _topk_per_group_sql(),
         "q_simhash": _simhash_sql(),
+        "q_embedding_neardup": similarity.embedding_neardup_sql(),
     }
 
 
