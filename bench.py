@@ -230,6 +230,16 @@ def main() -> None:
         # materialization — every corpus token through one shuffle
         run(corpus.pack_windows(docs_df(), seq_len=2048))
 
+    def w_repetition_profile():
+        # diagnostic lane (r7-late, not in headline_total): Gopher
+        # repetition signals — zero-shuffle sorted-gram fold
+        run(text.repetition_profile(docs_df()))
+
+    def w_semantic_dedup():
+        # diagnostic lane (r7-late, not in headline_total): SemDeDup on
+        # the production per-cluster GEMM path
+        run(similarity.semantic_dedup_np(emb_df()))
+
     def w_pii_scrub():
         run(
             text.pii_scrub(docs_df()).agg(
@@ -285,6 +295,8 @@ def main() -> None:
         "avro_generic_e2e",
         "decontaminate",
         "pack_windows",
+        "repetition_profile",
+        "semantic_dedup",
     }
     workloads = {
         "json_e2e": w_json_e2e,
@@ -302,6 +314,8 @@ def main() -> None:
         "corpus_clean": w_corpus_clean,
         "decontaminate": w_decontaminate,
         "pack_windows": w_pack_windows,
+        "repetition_profile": w_repetition_profile,
+        "semantic_dedup": w_semantic_dedup,
         "pii_scrub": w_pii_scrub,
         "intra_doc_dedup": w_intra_doc_dedup,
         "cosine_topk": w_topk,

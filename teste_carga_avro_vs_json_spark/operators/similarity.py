@@ -21,6 +21,7 @@ any arithmetic so products/sums are identical IEEE-754 op sequences.
 from __future__ import annotations
 
 import hashlib
+from typing import Iterator
 
 # Module-level so pandas_udf type-hint inference can resolve the
 # 'pd.Series' string annotations (PEP 563 via `from __future__ import
@@ -324,16 +325,80 @@ def embedding_neardup_sql(
 
 
 # ----------------------------------------------------------- IVF ANN path
+def assign_np(
+    v: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "vec",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Vectorized centroid assignment, BIT-IDENTICAL to
+    ``withColumn(out_col, _nearest(vec, centroids))``.
+
+    The expression form evaluates an interpreted HOF fold per (row,
+    centroid) — O(n·k·d) interpreter steps, which dies as the centroid
+    count grows with the corpus (measured: 100 s for 60k vecs × 60
+    centroids at 30× stress, vs ~1 s here). This twin computes the same
+    distances in numpy with the SAME IEEE-754 result: per-dim squared
+    differences accumulated by ``cumsum`` along the dim axis — cumsum
+    is exactly the fold's left-to-right add order (and 0.0 + x0 == x0),
+    so every distance is bit-equal to the expression fold's, and
+    ``argmin`` picks the first minimum exactly like ``array_min`` over
+    (dist, idx) structs. That bit-identity is what lets the Lloyd loop
+    and the scale paths use this while the DuckDB oracles keep
+    replaying the expression semantics (pytest pins the equality).
+
+    Batches are chunked so the (chunk × k × d) intermediate stays
+    ~tens of MB regardless of Arrow batch size."""
+    import numpy as np
+
+    C = np.asarray([c for _, c in centroids], dtype=np.float64)
+    idxs = np.asarray([i for i, _ in centroids], dtype=np.int64)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        chunk = max(1, 32 * 1024 * 1024 // (C.shape[0] * C.shape[1] * 8))
+        for batch in batches:
+            vals = batch.to_numpy()
+            out = np.empty(len(vals), dtype=np.int32)
+            for lo in range(0, len(vals), chunk):
+                M = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in vals[lo : lo + chunk]]
+                )
+                if M.size == 0:
+                    continue
+                diffs = (M[:, None, :] - C[None, :, :]) ** 2
+                dists = diffs.cumsum(axis=2)[:, :, -1]
+                out[lo : lo + chunk] = idxs[dists.argmin(axis=1)]
+            yield pd.Series(out)
+
+    return v.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+#: Init oversampling: the k-means seeds are the first ``n_centroids``
+#: DISTINCT vectors among the ``INIT_OVERSAMPLE × n_centroids``
+#: lowest-vec_id rows. Plain lowest-ids init collapses on
+#: duplicate-heavy corpora (exactly what a dedup operator sees): at 30×
+#: replica stress it seeded only 2 distinct positions, every vector
+#: landed in 2 mega-clusters, and the per-cluster pair cost went
+#: quadratic (measured 100 s → 3 s with dedup'd init).
+INIT_OVERSAMPLE = 64
+
+
 def ivf_centroids(
-    emb: DataFrame, n_centroids: int = 16, iters: int = 2
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    vectorized: bool = True,
 ) -> list[tuple[int, list[float]]]:
     """Coarse quantizer: k-means with deterministic init (the
     ``n_centroids`` lowest vec_ids) and ``iters`` Lloyd steps.
 
     The iterative part is the textbook Spark k-means shape: assignment
-    is a projection against broadcast centroid literals; the update is
-    ``posexplode`` → groupBy(cluster, dim) — only (n_centroids × dim)
-    tiny rows ever reach the driver per iteration.
+    is evaluated against broadcast centroids (``assign_np`` by default
+    — bit-identical to the `_nearest` expression, see its docstring;
+    pass ``vectorized=False`` for the pure-expression form); the update
+    is ``posexplode`` → groupBy(cluster, dim) — only (n_centroids ×
+    dim) tiny rows ever reach the driver per iteration.
 
     Centroid means are **quantized-exact**: each component is summed as
     ``floor(x·1000 + 0.5)`` longs (an exact integer aggregation, so
@@ -348,12 +413,31 @@ def ivf_centroids(
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    # TakeOrderedAndProject (per-partition top-k + driver merge), never a
-    # global single-partition window sort of the corpus.
-    init = v.orderBy("vec_id").limit(n_centroids).collect()
-    centroids = [(i, list(r.vec)) for i, r in enumerate(init)]
+    # Seeds = first n_centroids DISTINCT vectors among the oversampled
+    # lowest-id rows (see INIT_OVERSAMPLE). The sample is a
+    # TakeOrderedAndProject (per-partition top-k + driver merge, never a
+    # global single-partition sort); dedup happens driver-side on the
+    # tiny sample. If the corpus is so duplicate-heavy that fewer than
+    # n_centroids distinct vectors exist in the sample, k degrades
+    # gracefully to what was found.
+    sample = (
+        v.orderBy("vec_id").limit(INIT_OVERSAMPLE * n_centroids).collect()
+    )
+    seen: set[tuple[float, ...]] = set()
+    centroids: list[tuple[int, list[float]]] = []
+    for r in sample:
+        key = tuple(r.vec)
+        if key not in seen:
+            seen.add(key)
+            centroids.append((len(centroids), list(r.vec)))
+            if len(centroids) == n_centroids:
+                break
     for _ in range(iters):
-        assigned = v.withColumn("cluster", _nearest(F.col("vec"), centroids))
+        assigned = (
+            assign_np(v, centroids)
+            if vectorized
+            else v.withColumn("cluster", _nearest(F.col("vec"), centroids))
+        )
         means = (
             assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -491,12 +575,19 @@ def _kmeans_assign_ctes(
     the exact ``(Σ floor(x·1000+0.5) / n) / 1000`` sequence. Returns
     (ctes, final_centroid_cte_name); the last CTE ``assign`` holds
     (vec_id, vec, cluster)."""
+    # c0 mirrors the duplicate-robust init: first n_centroids DISTINCT
+    # vectors (by min vec_id) within the oversampled lowest-id window.
     ctes = [
         f"v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM {table})",
         f"""c0 AS (
-            SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cluster,
+            SELECT (ROW_NUMBER() OVER (ORDER BY mid) - 1)::INT AS cluster,
                    vec AS cvec
-            FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {n_centroids})
+            FROM (
+                SELECT vec, MIN(vec_id) AS mid FROM (
+                    SELECT vec_id, vec FROM v
+                    ORDER BY vec_id LIMIT {INIT_OVERSAMPLE * n_centroids}
+                ) GROUP BY vec ORDER BY mid LIMIT {n_centroids}
+            )
         )""",
     ]
     for i in range(iters):
@@ -818,7 +909,7 @@ def lsh_ann_topk_sql(
 
 # ----------------------------------------------------------- SemDeDup
 def _semdedup_assigned(
-    emb: DataFrame, n_centroids: int, iters: int
+    emb: DataFrame, n_centroids: int, iters: int, vectorized: bool = False
 ) -> DataFrame:
     """(vec_id, vec, cluster) with the deterministic k-means assignment.
     coalesce(-1) marks the cluster key non-nullable for the same reason
@@ -832,16 +923,21 @@ def _semdedup_assigned(
     LeftOuter join infers ``isnotnull(vec_id)`` on its build side only,
     and an asymmetric Filter makes the two otherwise-identical scan
     subtrees canonically different (no ReusedExchange; verified on the
-    executed plan, r7)."""
+    executed plan, r7).
+
+    ``vectorized=True`` swaps the assignment to :func:`assign_np`
+    (bit-identical distances/tie-break, see its docstring) — used by
+    the scale paths so assignment stays O(n·k·d) in BLAS, not in the
+    Catalyst interpreter; the oracle-checked join form keeps the
+    expression so the registry plan stays pure-JVM."""
     cents = ivf_centroids(emb, n_centroids, iters)
-    return (
-        emb.filter(F.col("vec_id").isNotNull())
-        .select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("vec")
-        )
-        .withColumn(
-            "cluster", F.coalesce(_nearest(F.col("vec"), cents), F.lit(-1))
-        )
+    base = emb.filter(F.col("vec_id").isNotNull()).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    if vectorized:
+        return assign_np(base, cents)
+    return base.withColumn(
+        "cluster", F.coalesce(_nearest(F.col("vec"), cents), F.lit(-1))
     )
 
 
@@ -928,10 +1024,13 @@ def semantic_dedup_np(
     n_centroids ∝ corpus-size rule as the join form. Output rows and
     values are pytest-pinned identical to the expression form (cosines
     rounded to 9 decimals before the threshold compare on both paths,
-    same discipline as cosine_topk_np)."""
+    same discipline as cosine_topk_np). Assignment runs through the
+    bit-identical :func:`assign_np` so the whole path is vectorized —
+    the interpreted argmin fold was the 30x-stress bottleneck (100 s →
+    O(s) at 60k vecs × 60 centroids)."""
     import numpy as np
 
-    v = _semdedup_assigned(emb, n_centroids, iters)
+    v = _semdedup_assigned(emb, n_centroids, iters, vectorized=True)
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -949,8 +1048,18 @@ def semantic_dedup_np(
         norms = np.sqrt((M * M).sum(axis=1))
         norms[norms == 0.0] = 1.0
         Mn = M / norms[:, None]
-        C = np.round(Mn @ Mn.T, 9)
-        dup = np.tril(C >= threshold, k=-1).any(axis=1)
+        n = len(ids)
+        # Blocked GEMM: a skewed cluster must cost O(c²) COMPUTE (the
+        # SemDeDup contract) but never O(c²) MEMORY in one allocation —
+        # row blocks of ~32 MB against the full column set, comparing
+        # only columns strictly before each row (ids ascending).
+        block = max(1, 32 * 1024 * 1024 // (8 * max(n, 1)))
+        dup = np.zeros(n, dtype=bool)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            Cb = np.round(Mn[lo:hi] @ Mn.T, 9)
+            mask = np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
+            dup[lo:hi] = ((Cb >= threshold) & mask).any(axis=1)
         return pd.DataFrame(
             {
                 "vec_id": ids,

@@ -226,6 +226,40 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert len(partial) > 0
 
 
+def test_assign_np_bit_identical_to_expression(spark, sf_dir):
+    """assign_np's cumsum distances + first-min argmin must reproduce
+    the `_nearest` expression fold EXACTLY, vector by vector (this is
+    the invariant that lets Lloyd iterations and the scale paths go
+    vectorized while the DuckDB oracles keep replaying the expression
+    semantics)."""
+    emb = _emb(spark, sf_dir)
+    cents = similarity.ivf_centroids(emb, n_centroids=8, iters=1)
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    expr = {
+        r.vec_id: r.cluster
+        for r in v.withColumn(
+            "cluster", similarity._nearest(F.col("vec"), cents)
+        ).collect()
+    }
+    vec = {
+        r.vec_id: r.cluster
+        for r in similarity.assign_np(v, cents).collect()
+    }
+    assert vec == expr
+
+
+def test_ivf_centroids_vectorized_matches_expression(spark, sf_dir):
+    """The Lloyd loop must learn the SAME centroids whichever
+    assignment engine runs (bit-identical assignment => identical
+    quantized-exact means)."""
+    emb = _emb(spark, sf_dir)
+    a = similarity.ivf_centroids(emb, n_centroids=6, iters=2, vectorized=True)
+    b = similarity.ivf_centroids(emb, n_centroids=6, iters=2, vectorized=False)
+    assert a == b
+
+
 def test_semantic_dedup_np_equals_join_form(spark, sf_dir):
     """The per-cluster matmul scale twin must emit exactly the join
     form's (vec_id, cluster, kept) rows on the fixture corpus."""

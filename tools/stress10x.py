@@ -189,6 +189,49 @@ def main() -> None:
     out["decontaminate_sec"] = round(time.perf_counter() - t0, 2)
     out["decontaminate_train_docs"] = decon.count()
 
+    # ---- repetition profile at Nx rows (r7-late) -------------------
+    # Zero-shuffle scan lane: the question is pure per-row fold cost
+    # growth (sorted gram arrays), not shuffle survival.
+    from teste_carga_avro_vs_json_spark.operators import text as text_ops
+
+    t0 = time.perf_counter()
+    rep = text_ops.repetition_profile(corpus10)
+    out["repetition_profile_repetitive"] = rep.filter("repetitive").count()
+    out["repetition_profile_sec"] = round(time.perf_counter() - t0, 2)
+
+    # ---- SemDeDup at Nx embeddings (r7-late) -----------------------
+    # Each vector gets `replicas` exact copies with distinct vec_ids —
+    # the realistic semantic-dedup scenario (near-identical content
+    # re-crawled). Cluster count follows the SemDeDup scaling rule
+    # n_centroids ~ n / target_cluster_size so per-cluster pair cost
+    # (and the GEMM twin's per-task O(c^2) memory) stays bounded as the
+    # corpus grows — THE knob a 100 TB run turns.
+    from teste_carga_avro_vs_json_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_n = (
+        emb.crossJoin(spark.range(replicas).select(F.col("id").alias("r")))
+        .select(
+            (F.col("vec_id") * replicas + F.col("r")).alias("vec_id"),
+            "embedding",
+        )
+        .repartition(cpus)
+        .persist()
+    )
+    n_emb = emb_n.count()
+    out["emb_rows_nx"] = n_emb
+    n_cent = max(16, n_emb // 1000)
+    out["semantic_dedup_n_centroids"] = n_cent
+    t0 = time.perf_counter()
+    sd = similarity.semantic_dedup_np(emb_n, n_centroids=n_cent)
+    kept = sd.filter("kept").count()
+    out["semantic_dedup_sec"] = round(time.perf_counter() - t0, 2)
+    out["semantic_dedup_kept"] = kept
+    out["semantic_dedup_dropped"] = n_emb - kept
+    # every exact-replica family must collapse to >= its original; the
+    # keep rate can't exceed the unique-vector count
+    out["semantic_dedup_kept_le_uniques"] = bool(kept <= n_emb // replicas)
+
     # ---- temporal operators at 10x events (1M rows) ----------------
     # Replicas get DISTINCT user_id/event_id namespaces (offset by
     # r * 10^9): 10x the KEYS with the per-key history preserved — the
