@@ -1,0 +1,179 @@
+"""N-gram language-model perplexity filter — the CCNet recipe
+(Wenzek et al. 2020, arXiv:1911.00359): score every document by its
+per-token negative log-likelihood under a language model and gate the
+corpus on it (CCNet buckets by KenLM perplexity; the published
+pipelines for LLaMA and friends inherit it). The reference engine has
+no text operators (SURVEY.md §2.2).
+
+Spark-first shape:
+
+- **Training is two aggregations.** ``train_bigram_lm`` counts word
+  bigrams and unigram contexts in one corpus scan each (exact longs,
+  so the model is partitioning-independent). The model LIVES as
+  DataFrames — vocabulary²-bounded, never driver-collected; at 100 TB
+  the count tables are what a distributed LM is.
+- **Scoring is one join + one agg.** Each doc's bigrams probe the count
+  table (keyed shuffle join at scale — bigram keys are hashable and
+  well-spread; AQE may broadcast a small model) and add-one-smoothed
+  probabilities ``(c(w1,w2)+1)/(c(w1)+V)`` are folded into a per-doc
+  mean negative log-likelihood. Unseen bigrams fall back to the same
+  smoothing formula with c=0 via the left join.
+- **Determinism**: every count is an exact long; the probability is one
+  double division; each pair's ``-ln P`` is QUANTIZED to 1e-9 longs
+  before aggregation, so the per-doc sum is exact integer arithmetic —
+  order-independent across shuffle partitions and engines (the repo
+  rule: doubles only as fixed per-row sequences or post-agg from exact
+  longs; a raw double SUM would be partial-order-dependent). ``ln`` is
+  the repo's first oracle transcendental — Java ``Math.log`` vs
+  DuckDB's libm can differ in the last ulp, flipping a quantized value
+  only when a distinct nll sits within an ulp of a 0.5e-9 boundary;
+  distinct nll values are vocabulary²-bounded (not instance-bounded),
+  so the exposure is ~1e-7 per distinct bigram (verified green at
+  sf0.01 and sf0.1; a knife-edge value would fail the oracle loudly,
+  never silently).
+
+Gate semantics follow CCNet: LOW perplexity = fluent/in-domain (keep),
+HIGH = noise. The ``keep`` flag uses a long-arithmetic quantile-free
+threshold on the rounded score so it stays hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.operators.text import tokens, tokens_sql
+
+#: Sentence-boundary token: every doc is scored as <s> w1 w2 … (the
+#: first real token is conditioned on <s>), standard bigram practice.
+BOS = "<s>"
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2) pairs including the (<s>, first-word) pair;
+    docs with no tokens emit nothing (their score is defined as 0)."""
+    staged = docs.select("doc_id", tokens(text_col).alias("toks"))
+    with_bos = staged.select(
+        "doc_id",
+        F.concat(F.array(F.lit(BOS)), F.col("toks")).alias("t"),
+    )
+    pairs = with_bos.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(
+                    F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))
+                ),
+                F.slice(
+                    F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    )
+    return pairs.select("doc_id", "p.w1", "p.w2")
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Returns (bigram_counts, context_counts, vocab_size): the
+    distributed model. ``vocab_size`` (distinct real words, excluding
+    BOS) is the only scalar — one count job."""
+    bg = _doc_bigrams(docs, text_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    contexts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bg.select(F.col("w2").alias("w")).distinct().count()
+    return bigrams, contexts, vocab
+
+
+def perplexity_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_nll: float = 3.4,
+) -> DataFrame:
+    """Self-scoring corpus pass (train on the corpus, score the
+    corpus — the standard in-domain formulation): per doc the mean
+    add-one-smoothed bigram negative log-likelihood, rounded to 6 dp,
+    plus ``n_scored`` (token count) and the CCNet-style ``keep`` gate
+    (avg_nll <= ``keep_nll``). Empty docs score 0.0 and keep=true."""
+    bigrams, contexts, vocab = train_bigram_lm(docs, text_col)
+    bg = _doc_bigrams(docs, text_col)
+    nll = -F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vocab))
+    )
+    scored = (
+        bg.join(bigrams, ["w1", "w2"], "left")
+        .join(contexts, "w1", "left")
+        .select(
+            "doc_id",
+            F.floor(nll * F.lit(10**9) + F.lit(0.5)).cast("long").alias("q"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum("q").alias("qsum"),
+    )
+    out = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_scored"), F.lit(0)).alias("n_scored"),
+            F.round(
+                F.coalesce(
+                    (F.col("qsum") / F.lit(1e9)) / F.col("n_scored"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+    return out.withColumn("keep", F.col("avg_nll") <= F.lit(keep_nll))
+
+
+def perplexity_score_sql(
+    table: str = "documents", keep_nll: float = 3.4
+) -> str:
+    """DuckDB twin of :func:`perplexity_score` (see the module
+    docstring for the ln determinism argument)."""
+    t = tokens_sql("text")
+    return f"""
+        WITH staged AS (
+            SELECT doc_id, list_prepend('{BOS}', {t}) AS t FROM {table}
+        ),
+        bg AS (
+            SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM staged,
+                 LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        ),
+        bigrams AS (
+            SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2
+        ),
+        contexts AS (
+            SELECT w1, COUNT(*)::BIGINT AS c1 FROM bg GROUP BY w1
+        ),
+        vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+        scored AS (
+            SELECT bg.doc_id,
+                   FLOOR(-ln((COALESCE(b.c2, 0) + 1)
+                       / (COALESCE(c.c1, 0) + (SELECT v FROM vocab)))
+                       * 1000000000 + 0.5)::BIGINT AS q
+            FROM bg
+            LEFT JOIN bigrams b USING (w1, w2)
+            LEFT JOIN contexts c USING (w1)
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS n_scored,
+                   SUM(q)::BIGINT AS qsum
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(p.n_scored, 0)::BIGINT AS n_scored,
+               ROUND(COALESCE((p.qsum / 1000000000.0) / p.n_scored, 0.0), 6)
+                   AS avg_nll,
+               ROUND(COALESCE((p.qsum / 1000000000.0) / p.n_scored, 0.0), 6)
+                   <= {keep_nll} AS keep
+        FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+    """

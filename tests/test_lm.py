@@ -1,0 +1,73 @@
+"""Bigram-LM perplexity filter (operators/lm.py). The full
+Spark-vs-DuckDB oracle runs in tools/check_retired.py (extra surface);
+here: hand-computed goldens, the empty-doc contract, gate behavior,
+and the quantized-exact determinism claim."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.operators import lm
+
+
+def test_perplexity_golden_tiny_corpus(spark):
+    """Corpus 'a b', 'a b', 'a c': hand-computed add-one bigram NLLs.
+
+    Bigrams incl. BOS: (<s>,a)x3, (a,b)x2, (a,c)x1, vocab={a,b,c}=3,
+    contexts: <s>:3, a:3.
+      P(a|<s>) = (3+1)/(3+3) = 2/3
+      P(b|a)   = (2+1)/(3+3) = 1/2
+      P(c|a)   = (1+1)/(3+3) = 1/3
+    """
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in lm.perplexity_score(docs).collect()}
+
+    def q(p):
+        return math.floor(-math.log(p) * 10**9 + 0.5)
+
+    exp1 = round((q(4 / 6) + q(3 / 6)) / 1e9 / 2, 6)
+    exp3 = round((q(4 / 6) + q(2 / 6)) / 1e9 / 2, 6)
+    assert out[1].avg_nll == exp1 == out[2].avg_nll
+    assert out[3].avg_nll == exp3
+    assert out[3].avg_nll > out[1].avg_nll  # rarer continuation
+    assert all(r.n_scored == 2 for r in out.values())
+
+
+def test_perplexity_empty_doc_contract(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_scored, r.avg_nll, r.keep) for r in
+           lm.perplexity_score(docs).collect()}
+    assert out[2] == (0, 0.0, True)
+    assert out[3] == (0, 0.0, True)
+    assert out[1][0] == 3
+
+
+def test_perplexity_gate_splits_fixture(spark, sf_dir):
+    """The default threshold must actually split the corpus, and rare
+    word sequences must score strictly higher than common ones."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lm.perplexity_score(docs)
+    kept = out.filter("keep").count()
+    total = out.count()
+    assert 0 < kept < total
+    stats = out.filter("n_scored > 0").agg(
+        F.min("avg_nll").alias("lo"), F.max("avg_nll").alias("hi")
+    ).first()
+    assert stats.hi > stats.lo
+
+
+def test_perplexity_partitioning_invariant(spark, sf_dir):
+    """Quantized-exact sums: identical scores whatever the input
+    partitioning (the claim that justifies a float-derived metric in
+    an oracle)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    a = {r.doc_id: r.avg_nll for r in lm.perplexity_score(docs).collect()}
+    b = {
+        r.doc_id: r.avg_nll
+        for r in lm.perplexity_score(docs.repartition(13)).collect()
+    }
+    assert a == b

@@ -32,6 +32,14 @@ Retired inventory (r3 registry minus r4's 50-entry window; COVERAGE.md):
   cluster-bounded successor (the brute all-pairs form stays the pytest
   ground truth for the single-cluster equivalence pin).
 
+Beyond retirements, this tool also hash-checks EXTRA oracle-capable
+surfaces that never held a registry slot (the 50-entry window is a
+driver cap, not a correctness cap):
+
+- q_lm_perplexity — CCNet-style bigram-LM perplexity filter
+  (operators/lm.py), full Spark-vs-DuckDB oracle incl. the quantized
+  ln discipline.
+
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
 
@@ -167,6 +175,18 @@ def _simhash_sql() -> str:
     return dedup.simhash_sql()
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import lm
+
+    return lm.perplexity_score(load_table(spark, sf_dir, "documents"))
+
+
+def _lm_perplexity_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import lm
+
+    return lm.perplexity_score_sql()
+
+
 def _stream_sessionize_sql() -> str:
     return f"""
         SELECT user_id, start_ms, n_events
@@ -192,6 +212,7 @@ def retired_queries() -> dict:
         "q_topk_per_group": registry.q_topk_per_group,
         "q_simhash": registry.q_simhash,
         "q_embedding_neardup": registry.q_embedding_neardup,
+        "q_lm_perplexity": _q_lm_perplexity,
     }
 
 
@@ -213,6 +234,7 @@ def retired_oracle_sql() -> dict:
         "q_topk_per_group": _topk_per_group_sql(),
         "q_simhash": _simhash_sql(),
         "q_embedding_neardup": similarity.embedding_neardup_sql(),
+        "q_lm_perplexity": _lm_perplexity_sql(),
     }
 
 
