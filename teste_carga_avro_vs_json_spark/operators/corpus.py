@@ -665,3 +665,116 @@ def corpus_clean_sql(
             SELECT doc_id FROM ({closure}) WHERE NOT is_canonical
         )
     """
+
+
+# ------------------------------------------------- temperature sampling
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget: int = 200,
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture sampling — the multilingual α-sampling
+    recipe (mBERT / XLM-R / mT5, e.g. arXiv:1911.02116 §3.1): the
+    output mixture over groups follows p_g ∝ n_g^α, with α < 1
+    flattening the distribution so low-resource groups are upweighted
+    relative to their raw share. ``corpus_mix`` applies HAND-CHOSEN
+    rates; this derives them from the data.
+
+    Deterministic end to end: per-group weights are ``pow(n_g, α)``
+    QUANTIZED to 1e-9 longs (pow is transcendental — quantizing per
+    DISTINCT group size bounds cross-engine ulp exposure, the same
+    discipline as operators/lm.py), quotas are exact integer arithmetic
+    ``budget·w_g DIV Σw`` capped at n_g, and each group keeps its
+    ``quota`` lowest docs by content-independent portable hash
+    (``hex32('temp|' || doc_id)``, doc_id tiebreak) — stable
+    run-over-run and refresh-stable like ``corpus_mix``.
+
+    Output: kept rows as (doc_id, group, grp_rank, grp_quota) — rank
+    and quota kept visible so the mixture is auditable.
+
+    Scale: one tiny aggregation (group sizes), a broadcast quota join,
+    and ONE keyed shuffle for the per-group rank window. A huge group
+    funnels through its reducer here (same shape as grouped top-k); at
+    100 TB either pre-filter with the scan-local hash-gate
+    approximation (keep iff hash % n_g < quota_g — binomially
+    approximate counts, zero shuffle) or use the salted two-phase rank
+    (cosine_topk_scale pattern). The exact-rank form is the reference
+    semantics the oracle checks.
+    """
+    sizes = docs.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    weights = sizes.select(
+        "g",
+        "n",
+        F.floor(F.pow(F.col("n").cast("double"), F.lit(alpha)) * F.lit(10**9) + F.lit(0.5))
+        .cast("long")
+        .alias("w"),
+    )
+    total = weights.agg(F.sum("w").alias("tw"))
+    quotas = weights.crossJoin(F.broadcast(total)).select(
+        "g",
+        "n",
+        F.least(
+            F.expr(f"({budget} * w) DIV tw"), F.col("n")
+        ).alias("grp_quota"),
+    )
+    ranked = docs.join(
+        F.broadcast(quotas), docs[group_col] == F.col("g")
+    ).withColumn(
+        "_hk",
+        hex32(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))),
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.col("_hk").asc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.withColumn("grp_rank", F.row_number().over(w))
+        .filter(F.col("grp_rank") <= F.col("grp_quota"))
+        .select(
+            "doc_id",
+            F.col("g").alias("grp"),
+            F.col("grp_rank").cast("long").alias("grp_rank"),
+            F.col("grp_quota").cast("long").alias("grp_quota"),
+        )
+    )
+
+
+def temperature_sample_sql(
+    table: str = "documents",
+    alpha: float = 0.5,
+    budget: int = 200,
+    group_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`temperature_sample`."""
+    hk = hex32_sql("'temp|' || doc_id::VARCHAR")
+    return f"""
+        WITH sizes AS (
+            SELECT {group_col} AS g, COUNT(*)::BIGINT AS n
+            FROM {table} GROUP BY {group_col}
+        ),
+        weights AS (
+            SELECT g, n,
+                   FLOOR(POW(n::DOUBLE, {alpha}) * 1000000000 + 0.5)::BIGINT
+                       AS w
+            FROM sizes
+        ),
+        quotas AS (
+            SELECT g, n,
+                   LEAST(({budget} * w) // (SELECT SUM(w)::BIGINT FROM weights),
+                         n) AS grp_quota
+            FROM weights
+        ),
+        ranked AS (
+            SELECT d.doc_id, q.g, q.grp_quota,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.g
+                       ORDER BY {hk} ASC, d.doc_id ASC
+                   ) AS grp_rank
+            FROM {table} d JOIN quotas q ON d.{group_col} = q.g
+        )
+        SELECT doc_id, g AS grp, grp_rank::BIGINT AS grp_rank,
+               grp_quota::BIGINT AS grp_quota
+        FROM ranked WHERE grp_rank <= grp_quota
+    """

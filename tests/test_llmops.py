@@ -451,6 +451,60 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 0, 0)
 
 
+def test_temperature_sample_flattens_mixture(spark, sf_dir):
+    """alpha<1 must upweight small sources relative to their raw share
+    (the whole point of α-sampling), alpha=1 must reproduce the raw
+    proportions (up to integer quotas), and quotas never exceed group
+    sizes."""
+    docs = _docs(spark, sf_dir)
+    # group by lang: the fixture's sources are uniform (25 docs each
+    # at sf0.01 — flattening a flat mixture is a no-op), langs are not
+    sizes = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(sizes.values())
+    small = min(sizes, key=sizes.get)
+    big = max(sizes, key=sizes.get)
+
+    out = corpus.temperature_sample(
+        docs, alpha=0.5, budget=200, group_col="lang"
+    )
+    kept = {
+        r.grp: r.n
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    quotas = {
+        r.grp: r.grp_quota for r in out.select("grp", "grp_quota").distinct().collect()
+    }
+    for g, q in quotas.items():
+        assert q <= sizes[g]
+        assert kept[g] == q  # exact-rank selection fills the quota
+    # flattening: small source's kept share > its raw share; big's <
+    assert kept[small] / sum(kept.values()) > sizes[small] / total
+    assert kept[big] / sum(kept.values()) < sizes[big] / total
+
+    flat = corpus.temperature_sample(
+        docs, alpha=1.0, budget=200, group_col="lang"
+    )
+    kept1 = {
+        r.grp: r.n
+        for r in flat.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    for g, k in kept1.items():
+        assert abs(k - 200 * sizes[g] / total) <= 1  # raw proportions
+
+
+def test_temperature_sample_deterministic(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = sorted(r.doc_id for r in corpus.temperature_sample(docs).collect())
+    b = sorted(
+        r.doc_id
+        for r in corpus.temperature_sample(docs.repartition(7)).collect()
+    )
+    assert a == b
+
+
 def test_repetition_profile_goldens(spark):
     """Hand-computed Gopher-signal goldens: a looping doc, a clean doc,
     an empty doc, and a one-word doc (no bigrams at all)."""

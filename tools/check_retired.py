@@ -38,7 +38,10 @@ driver cap, not a correctness cap):
 
 - q_lm_perplexity — CCNet-style bigram-LM perplexity filter
   (operators/lm.py), full Spark-vs-DuckDB oracle incl. the quantized
-  ln discipline.
+  ln discipline;
+- q_temperature_sample — multilingual α-sampling
+  (corpus.temperature_sample), quantized-pow quotas + portable-hash
+  ranks.
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -187,6 +190,23 @@ def _lm_perplexity_sql() -> str:
     return lm.perplexity_score_sql()
 
 
+def _q_temperature_sample(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    # group by lang: the fixture's sources are uniform (α-sampling is
+    # a no-op there); the lang mixture is skewed, so this checks real
+    # flattening arithmetic
+    return corpus.temperature_sample(
+        load_table(spark, sf_dir, "documents"), group_col="lang"
+    )
+
+
+def _temperature_sample_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    return corpus.temperature_sample_sql(group_col="lang")
+
+
 def _stream_sessionize_sql() -> str:
     return f"""
         SELECT user_id, start_ms, n_events
@@ -213,6 +233,7 @@ def retired_queries() -> dict:
         "q_simhash": registry.q_simhash,
         "q_embedding_neardup": registry.q_embedding_neardup,
         "q_lm_perplexity": _q_lm_perplexity,
+        "q_temperature_sample": _q_temperature_sample,
     }
 
 
@@ -235,6 +256,7 @@ def retired_oracle_sql() -> dict:
         "q_simhash": _simhash_sql(),
         "q_embedding_neardup": similarity.embedding_neardup_sql(),
         "q_lm_perplexity": _lm_perplexity_sql(),
+        "q_temperature_sample": _temperature_sample_sql(),
     }
 
 
