@@ -60,6 +60,33 @@ def test_perplexity_gate_splits_fixture(spark, sf_dir):
     assert stats.hi > stats.lo
 
 
+def test_perplexity_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The stateless streaming scorer (broadcast in-memory model, pure
+    projection per micro-batch) must emit exactly the batch join-form
+    scores — including the ln-quantization agreement across the
+    libm/Java boundary."""
+    from teste_carga_avro_vs_json_spark.streaming import run_bounded_append
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = {
+        r.doc_id: (r.n_scored, r.avg_nll, r.keep)
+        for r in lm.perplexity_score(docs).collect()
+    }
+    model = lm.collect_model(*lm.train_bigram_lm(docs))
+    path = str(tmp_path / "docs_stream")
+    docs.select(
+        F.to_json(F.struct("doc_id", "text")).alias("value")
+    ).write.mode("overwrite").format("text").save(path)
+    stream = spark.readStream.schema("doc_id long, text string").json(path)
+    out = run_bounded_append(lm.perplexity_stream(stream, model))
+    got = {
+        r.doc_id: (r.n_scored, r.avg_nll, r.keep) for r in out.collect()
+    }
+    assert got == want
+
+
 def test_perplexity_partitioning_invariant(spark, sf_dir):
     """Quantized-exact sums: identical scores whatever the input
     partitioning (the claim that justifies a float-derived metric in
