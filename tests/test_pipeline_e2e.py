@@ -1,0 +1,131 @@
+"""End-to-end training-data pipeline composition: every cleaning /
+dedup / gating / packing operator chained the way a real pre-training
+corpus build runs them. This is the proof the operators COMPOSE — one
+DataFrame flows through the whole chain without materialization
+boundaries, collect()s, or schema fights."""
+
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.operators import (
+    corpus,
+    decontam,
+    dedup,
+    lm,
+    text,
+)
+from teste_carga_avro_vs_json_spark.operators import quality_model as qm
+
+
+def test_full_corpus_pipeline(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. PII scrub (rewrite pass — no row loss)
+    scrubbed = text.pii_scrub(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).join(docs.select("doc_id", "lang", "source"), "doc_id")
+    assert scrubbed.count() == n0
+
+    # 2. heuristic quality gate
+    q = text.quality_score(scrubbed)
+    gated = scrubbed.join(
+        q.filter(F.col("quality") >= 0.5).select("doc_id"), "doc_id"
+    )
+    n_gated = gated.count()
+    assert 0 < n_gated <= n0
+
+    # 3. repetition gate (Gopher)
+    rep = text.repetition_profile(gated)
+    unrepetitive = gated.join(
+        rep.filter(~F.col("repetitive")).select("doc_id"), "doc_id"
+    )
+    n_rep = unrepetitive.count()
+    assert 0 < n_rep <= n_gated
+
+    # 4. perplexity gate (CCNet)
+    ppl = lm.perplexity_score(unrepetitive)
+    fluent = unrepetitive.join(
+        ppl.filter("keep").select("doc_id"), "doc_id"
+    )
+    n_ppl = fluent.count()
+    assert 0 < n_ppl <= n_rep
+
+    # 5. exact dedup then near-dup clustering (keep canonicals)
+    exact = dedup.exact_dedup(fluent)
+    kept_exact = fluent.join(
+        exact.select(F.col("keep_doc_id").alias("doc_id")), "doc_id"
+    )
+    clusters = dedup.neardup_clusters(kept_exact.select("doc_id", "text"))
+    non_canonical = clusters.filter(~F.col("is_canonical")).select("doc_id")
+    unique = kept_exact.join(non_canonical, "doc_id", "left_anti")
+    n_unique = unique.count()
+    assert 0 < n_unique <= n_ppl
+
+    # 6. decontaminate against a held-out "benchmark" split
+    test_split = docs.filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id", "text"
+    )
+    decon = decontam.decontaminate(
+        unique.select("doc_id", "text"), test_split, n=5
+    )
+    clean = unique.join(
+        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    n_clean = clean.count()
+    assert 0 < n_clean <= n_unique
+
+    # 7. temperature mixture over the skewed lang distribution
+    mixed = corpus.temperature_sample(
+        clean, alpha=0.5, budget=max(50, n_clean // 2), group_col="lang"
+    )
+    picked = clean.join(mixed.select("doc_id"), "doc_id")
+    n_mixed = picked.count()
+    assert 0 < n_mixed <= n_clean
+
+    # 8. pack into fixed-length training sequences; exact tiling
+    packed = corpus.pack_sequences(picked, seq_len=256)
+    agg = packed.agg(
+        F.sum("n_tokens").alias("total"),
+        F.max(F.col("start_tok") + F.col("n_tokens")).alias("hi"),
+    ).first()
+    assert agg.total == agg.hi  # gap-free tiling over the final corpus
+    assert packed.count() == n_mixed
+
+    # the funnel must actually funnel
+    assert n_mixed < n0
+
+
+def test_learned_filter_composes_with_pipeline(spark, sf_dir):
+    """The trained classifier slots into the same chain: train on
+    corpus-vs-junk, gate the corpus, and the survivors still flow into
+    packing."""
+    from teste_carga_avro_vs_json_spark.functions.portable import rand_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    junk = spark.range(200).select(
+        (F.col("id") + 5_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[rand_text(F.concat(F.lit(f"p{i}-"), F.col("id")), 8)
+              for i in range(25)],
+        ).alias("text"),
+    )
+    labeled = docs.withColumn("y", F.lit(1)).unionByName(
+        junk.withColumn("y", F.lit(0))
+    )
+    wts = qm.train_quality_model(labeled, "y", n_features=1024, epochs=6)
+    kept = qm.score_with_model(labeled, wts).filter("keep")
+    survivors = labeled.join(kept.select("doc_id"), "doc_id")
+    n_kept = survivors.count()
+    assert 0 < n_kept < labeled.count()
+    # the gate must favor corpus over junk decisively (the >=95%
+    # separation strength at the 2048-feature config is pinned in
+    # test_quality_model; here the subject is COMPOSITION)
+    junk_kept = survivors.filter(F.col("doc_id") >= 5_000_000).count()
+    good_kept = n_kept - junk_kept
+    assert junk_kept / 200 < 0.3
+    assert good_kept / docs.count() > 0.7
+    packed = corpus.pack_sequences(survivors, seq_len=512)
+    assert packed.count() == n_kept
