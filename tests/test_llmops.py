@@ -451,6 +451,43 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (out[2].n_emails, out[2].n_ips, out[2].n_phones) == (0, 0, 0)
 
 
+def test_shared_passages_detects_injected_overlap(spark):
+    """Two docs sharing a >= w+k-1 word run must pair (winnowing
+    guarantee); unrelated docs must not; and a passage shared by MORE
+    than max_df docs is stop-listed (no quadratic boilerplate blowup),
+    while distinctive passages still pair."""
+    shared = " ".join(f"s{i}" for i in range(12))  # >= w+k-1 = 8 words
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (1, shared + " " + " ".join(f"x{i}" for i in range(10))),
+        (2, " ".join(f"y{i}" for i in range(10)) + " " + shared),
+        (3, " ".join(f"z{i}" for i in range(20))),
+    ]
+    # boilerplate in 6 docs > max_df=5 -> all its fps stop-listed
+    rows += [(10 + i, boiler + f" tail{i}a tail{i}b tail{i}c") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in text.shared_passages(
+            docs, min_shared=1, max_df=5
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert all(3 not in pair for pair in got)
+    assert not any(a >= 10 and b >= 10 for a, b in got)
+
+
+def test_shared_passages_plan_shape(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.plans import audit
+
+    docs = _docs(spark, sf_dir)
+    out = text.shared_passages(docs)
+    aud = audit(out)
+    assert aud.cartesian == 0 and aud.bnl_joins == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+
+
 def test_temperature_sample_flattens_mixture(spark, sf_dir):
     """alpha<1 must upweight small sources relative to their raw share
     (the whole point of α-sampling), alpha=1 must reproduce the raw

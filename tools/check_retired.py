@@ -41,7 +41,10 @@ driver cap, not a correctness cap):
   ln discipline;
 - q_temperature_sample — multilingual α-sampling
   (corpus.temperature_sample), quantized-pow quotas + portable-hash
-  ranks.
+  ranks;
+- q_shared_passages — cross-doc shared-passage pairs via winnowing
+  fingerprints with stop-fingerprint fan-out capping
+  (text.shared_passages).
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -207,6 +210,10 @@ def _temperature_sample_sql() -> str:
     return corpus.temperature_sample_sql(group_col="lang")
 
 
+def _q_shared_passages(spark, sf_dir):
+    return text.shared_passages(load_table(spark, sf_dir, "documents"))
+
+
 def _stream_sessionize_sql() -> str:
     return f"""
         SELECT user_id, start_ms, n_events
@@ -234,6 +241,7 @@ def retired_queries() -> dict:
         "q_embedding_neardup": registry.q_embedding_neardup,
         "q_lm_perplexity": _q_lm_perplexity,
         "q_temperature_sample": _q_temperature_sample,
+        "q_shared_passages": _q_shared_passages,
     }
 
 
@@ -257,6 +265,7 @@ def retired_oracle_sql() -> dict:
         "q_embedding_neardup": similarity.embedding_neardup_sql(),
         "q_lm_perplexity": _lm_perplexity_sql(),
         "q_temperature_sample": _temperature_sample_sql(),
+        "q_shared_passages": text.shared_passages_sql(),
     }
 
 
