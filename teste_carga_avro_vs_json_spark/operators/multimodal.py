@@ -95,14 +95,20 @@ def _pil():
 
 def decode_image(payload: bytes, fmt: str):
     """Real image decode — PIL-backed when Pillow is installed (a
-    cluster image flips this on with no code changes), raising here
-    (no Pillow in this container) so callers fall back to
-    :func:`_fake_feature_vec`."""
+    cluster image flips this on with no code changes); BMP payloads
+    fall back to the dependency-free stdlib decoder
+    (:func:`decode_bmp_stdlib`) so BMP decode is REAL on every
+    environment — the image twin of the WAV fallback in
+    :func:`decode_audio`. Only compressed formats (png/jpeg/webp)
+    still require Pillow."""
     image_mod = _pil()
     if image_mod is None:
+        if payload[:2] == b"BM":
+            return decode_bmp_stdlib(payload)
         raise NotImplementedError(
-            "image decoding requires PIL which is not in this container; "
-            "use extract_features(..., fake=True) for the deterministic "
+            "decoding non-BMP images requires PIL which is not in this "
+            "container; BMP payloads decode via the stdlib path, or use "
+            "extract_features(..., fake=True) for the deterministic "
             "stand-in"
         )
     import io
@@ -488,3 +494,154 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
         "doc_id",
         F.explode(frames).alias("frame_idx"),
     ).withColumn("frame_offset", F.col("frame_idx") * 16)
+
+
+# ------------------------------------------------------ BMP (stdlib-real)
+def encode_bmp_stdlib(width: int, height: int, rgb: bytes) -> bytes:
+    """Pure-stdlib 24-bit uncompressed BMP encoder: ``rgb`` is
+    row-major TOP-DOWN RGB triples (len == width*height*3). Produces a
+    spec-correct BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up
+    BGR rows padded to 4 bytes — openable by any image viewer/PIL.
+    The image twin of the r6 WAV move: real media bytes with zero
+    third-party dependencies."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[y * row_raw : (y + 1) * row_raw]
+        # RGB -> BGR per pixel
+        bgr = bytearray(row_raw)
+        bgr[0::3] = row[2::3]
+        bgr[1::3] = row[1::3]
+        bgr[2::3] = row[0::3]
+        body += bgr + b"\x00" * pad
+    pixel_off = 14 + 40
+    file_size = pixel_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return header + info + bytes(body)
+
+
+def decode_bmp_stdlib(payload: bytes) -> tuple[int, int, list[float]]:
+    """Pure-stdlib 24-bit BMP decode: returns ``(width, height,
+    quadrant_features)`` where the features are the mean luminance of
+    the four image quadrants scaled to [0, 1] (ITU-R BT.601 integer
+    luma) — REAL spatial features, the stdlib stand-in for the PIL
+    path's grayscale-thumbnail vector (same length-4 contract).
+
+    Channel sums use byte-slice arithmetic per ROW (no per-pixel
+    Python loop); supports the encoder's own dialect: bottom-up or
+    top-down (negative height), 24 bpp, BI_RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    (
+        hdr_size, width, height_raw, _planes, bpp, compression
+    ) = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    bottom_up = height_raw > 0
+    height = abs(height_raw)
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    half_w, half_h = (width + 1) // 2, (height + 1) // 2
+    sums = [0, 0, 0, 0]
+    counts = [0, 0, 0, 0]
+    for y in range(height):
+        src_row = (height - 1 - y) if bottom_up else y
+        off = pixel_off + src_row * stride
+        row = payload[off : off + row_raw]
+        for qx, (lo, hi) in enumerate(
+            ((0, half_w), (half_w, width))
+        ):
+            if lo >= hi:
+                continue
+            seg = row[lo * 3 : hi * 3]
+            # BGR order in the file
+            lum_sum = (
+                114 * sum(seg[0::3])
+                + 587 * sum(seg[1::3])
+                + 299 * sum(seg[2::3])
+            ) // 1000
+            q = (0 if y < half_h else 2) + qx
+            sums[q] += lum_sum
+            counts[q] += hi - lo
+    feats = [
+        (s / c / 255.0) if c else 0.0 for s, c in zip(sums, counts)
+    ]
+    return width, height, feats
+
+
+def synth_bmp_media(docs: DataFrame, max_dim: int = 24) -> DataFrame:
+    """REAL media table: every payload is a decodable 24-bit BMP whose
+    pixels derive deterministically from md5(text). Dimensions come
+    from the same hex32 metadata scheme as :func:`synth_media`
+    (bounded by ``max_dim`` so the fixture stays small). Payload
+    construction is an Arrow-batched pandas UDF — the bytes are built
+    executor-side and never shuffle."""
+    import hashlib
+
+    @F.pandas_udf("binary")
+    def make_bmp(
+        cols: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        def one(text: str, w: int, h: int) -> bytes:
+            need = w * h * 3
+            seed = hashlib.md5((text or "").encode()).digest()
+            reps = need // len(seed) + 1
+            return encode_bmp_stdlib(w, h, (seed * reps)[:need])
+
+        for texts, ws, hs in cols:
+            yield pd.Series(
+                [one(t, int(w), int(h)) for t, w, h in zip(texts, ws, hs)]
+            )
+
+    w = (hex32(F.concat(F.lit("bw-"), F.col("doc_id"))) % max_dim + 1).cast(
+        "int"
+    )
+    h = (hex32(F.concat(F.lit("bh-"), F.col("doc_id"))) % max_dim + 1).cast(
+        "int"
+    )
+    staged = docs.select("doc_id", "text", w.alias("width"), h.alias("height"))
+    return staged.select(
+        "doc_id",
+        make_bmp("text", "width", "height").alias("payload"),
+        F.lit("bmp").alias("format"),
+        "width",
+        "height",
+    )
+
+
+def extract_features_bmp(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction on every environment for BMP
+    payloads: decode with :func:`decode_bmp_stdlib` inside the same
+    ``mapInPandas`` batch shape as :func:`extract_features` —
+    width/height read from the FILE HEADER (not trusted metadata),
+    features = quadrant luminance. Non-BMP payloads raise (callers
+    route by format, mirroring the WAV/soundfile split)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, fmt, b in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                raw = bytes(b)
+                w, h, feats = decode_bmp_stdlib(raw)
+                rows.append(
+                    (did, fmt, w, h, len(raw), int(raw[0]), feats)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURES.fields]
+            )
+
+    return media.mapInPandas(_extract, FEATURES)

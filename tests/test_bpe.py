@@ -123,6 +123,32 @@ def test_bpe_tokenize_plan_is_scan_local(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_bpe_property_random_corpora(spark):
+    """Property pin: on RANDOM small corpora the Spark merge loop must
+    equal the reference implementation exactly — merges, tie-breaks,
+    and early stops included. One Spark session, driver-side loop over
+    hypothesis-style generated cases (explicit seeds: each example
+    costs Spark jobs, so the case list is bounded and reproducible)."""
+    import random
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        vocab = [
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(2, 12))
+        ]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            for _ in range(rng.randint(1, 6))
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        want = _ref_bpe(_ref_word_freqs(texts), num_merges=12)
+        got = bpe.bpe_learn(docs, num_merges=12)
+        assert got == want, f"seed {seed}"
+
+
 def test_bpe_learn_deterministic(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert bpe.bpe_learn(docs, num_merges=10) == bpe.bpe_learn(

@@ -905,6 +905,51 @@ def _synth_wav(frames, rate=8000, width=2, channels=1):
     return buf.getvalue()
 
 
+def test_bmp_stdlib_real_roundtrip(spark, sf_dir):
+    """REAL image decode with zero third-party deps (the image twin of
+    the WAV move): spec-correct 24-bit BMP encode -> exact quadrant
+    luminance on hand-built pixels (incl. odd-width row padding), then
+    the whole path through synth_bmp_media -> mapInPandas extraction —
+    header-read dimensions must match the metadata scheme and features
+    must be real, not byte stats."""
+    # 2x2: quadrants are single pixels; BT.601 integer luma
+    px = bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  255, 255, 255]
+    )
+    payload = multimodal.encode_bmp_stdlib(2, 2, px)
+    assert payload[:2] == b"BM"
+    w, h, feats = multimodal.decode_bmp_stdlib(payload)
+    assert (w, h) == (2, 2)
+    exp = [
+        (299 * 255) // 1000 / 255.0,
+        (587 * 255) // 1000 / 255.0,
+        (114 * 255) // 1000 / 255.0,
+        ((299 + 587 + 114) * 255 // 1000) / 255.0,
+    ]
+    assert feats == exp
+    # odd width exercises the 4-byte row padding
+    px3 = bytes(range(3 * 2 * 3))
+    p3 = multimodal.encode_bmp_stdlib(3, 2, px3)
+    w3, h3, f3 = multimodal.decode_bmp_stdlib(p3)
+    assert (w3, h3) == (3, 2) and all(0.0 <= x <= 1.0 for x in f3)
+    # decode_image dispatch: BMP decodes without PIL
+    assert multimodal.decode_image(payload, "bmp") == (2, 2, exp)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    media = multimodal.synth_bmp_media(docs)
+    out = {r.doc_id: r for r in multimodal.extract_features_bmp(media).collect()}
+    meta = {r.doc_id: (r.width, r.height) for r in media.select(
+        "doc_id", "width", "height").collect()}
+    assert len(out) == 40
+    for did, r in out.items():
+        assert (r.width, r.height) == meta[did]  # header == metadata
+        assert len(r.features) == 4
+        assert all(0.0 <= x <= 1.0 for x in r.features)
+    # real spatial features vary across docs (not a constant stand-in)
+    assert len({tuple(r.features) for r in out.values()}) > 10
+
+
 def test_wav_stdlib_real_decode(spark):
     """REAL audio decode with zero third-party deps: stdlib RIFF/PCM
     parsing (VERDICT r5 item 6). Exact frames/rate/peak on synthesized
