@@ -1094,3 +1094,92 @@ def semantic_dedup_sql(
         SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS kept
         FROM assign s LEFT JOIN dropped d USING (vec_id)
     """
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    iters: int = 2,
+    test_modulus: int = 23,
+) -> DataFrame:
+    """Semantic train/test decontamination — the embedding-space
+    sibling of ``decontam.decontaminate`` (which catches exact n-gram
+    overlap; this catches PARAPHRASED benchmark leakage, the failure
+    mode n-grams miss). Bipartite SemDeDup: cluster the embedding
+    space once (deterministic k-means over the full table, so the
+    oracle can replay it), split vectors into train
+    (``vec_id % test_modulus != 0``) and test (== 0), and flag every
+    train vector having a test neighbor with cosine >= ``threshold``
+    in the SAME cluster.
+
+    Returns one row per train vector: (vec_id, cluster, n_hits,
+    contaminated) — n_hits = number of >=-threshold test neighbors in
+    the cluster, the same auditability contract as the n-gram
+    operator.
+
+    Scale: candidate pairs are cluster-bounded exactly as in
+    :func:`semantic_dedup` (n_centroids ∝ corpus size); the test side
+    is an eval suite — orders smaller than train — so the per-cluster
+    bipartite compare is test-side-bounded. The join is pinned
+    shuffle_hash (array payloads defeat size estimates, SCALE.md).
+    """
+    v = _semdedup_assigned(emb, n_centroids, iters)
+    train = v.filter(F.pmod(F.col("vec_id"), F.lit(test_modulus)) != 0)
+    test = v.filter(F.pmod(F.col("vec_id"), F.lit(test_modulus)) == 0).select(
+        F.col("cluster").alias("t_cluster"),
+        F.col("vec_id").alias("t_id"),
+        F.col("vec").alias("t_vec"),
+    )
+    pairs = train.join(
+        test.hint("shuffle_hash"),
+        (F.col("cluster") == F.col("t_cluster"))
+        & (
+            F.round(cosine(F.col("vec"), F.col("t_vec")), 9)
+            >= F.lit(threshold)
+        ),
+        "left",
+    )
+    return (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.first("cluster").alias("cluster"),
+            F.count(F.col("t_id")).cast("long").alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
+def semantic_decontaminate_sql(
+    table: str = "embeddings",
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    iters: int = 2,
+    test_modulus: int = 23,
+) -> str:
+    """DuckDB twin of :func:`semantic_decontaminate` (k-means replay
+    shared with the IVF / SemDeDup oracles)."""
+    ctes, _ = _kmeans_assign_ctes(table, n_centroids, iters)
+    cos = _cosine_sql("tr.vec", "te.vec")
+    ctes.append(f"""train AS (
+        SELECT vec_id, vec, cluster FROM assign
+        WHERE vec_id % {test_modulus} <> 0
+    )""")
+    ctes.append(f"""test AS (
+        SELECT vec_id, vec, cluster FROM assign
+        WHERE vec_id % {test_modulus} = 0
+    )""")
+    ctes.append(f"""hits AS (
+        SELECT tr.vec_id, COUNT(*)::BIGINT AS n_hits
+        FROM train tr JOIN test te ON tr.cluster = te.cluster
+        WHERE ROUND({cos}, 9) >= {threshold}
+        GROUP BY tr.vec_id
+    )""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT tr.vec_id, tr.cluster,
+               COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+               COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM train tr LEFT JOIN hits h USING (vec_id)
+    """

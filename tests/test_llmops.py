@@ -320,6 +320,60 @@ def test_semantic_dedup_keeps_lowest_id_of_exact_dups(spark):
     assert out == {10: True, 11: True, 20: False, 30: False, 21: False, 40: True}
 
 
+def test_semantic_decontaminate_flags_cross_split_dups(spark):
+    """An exact duplicate of a test-split vector in the train split
+    must flag contaminated; an unrelated train vector must not; counts
+    follow the left-join contract (every train vector reported)."""
+    base = [0.5] * 8
+    lone = [1.0, -1.0, 0.0, 0.0, 1.0, 0.5, -0.5, 0.25]
+    rows = [
+        (23, base),   # test split (23 % 23 == 0)
+        (24, base),   # train, exact dup of test vec 23
+        (25, lone),   # train, unrelated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: (r.n_hits, r.contaminated)
+        for r in similarity.semantic_decontaminate(
+            emb, threshold=0.999, n_centroids=2
+        ).collect()
+    }
+    assert set(out) == {24, 25}  # one row per TRAIN vector
+    assert out[24] == (1, True)
+    assert out[25] == (0, False)
+
+
+def test_semantic_decontaminate_matches_brute_single_cluster(spark, sf_dir):
+    """With one cluster the rule degenerates to brute bipartite
+    cosine: flag train iff any test vec >= threshold."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 5 == 0)
+    tau = 0.3
+    out = {
+        r.vec_id: r.contaminated
+        for r in similarity.semantic_decontaminate(
+            emb, threshold=tau, n_centroids=1
+        ).collect()
+    }
+    rows = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 0.0 if na * nb == 0 else d / (na * nb)
+
+    test = [(i, v) for i, v in rows if i % 23 == 0]
+    for vid, vec in rows:
+        if vid % 23 == 0:
+            continue
+        want = any(round(cos(vec, tv), 9) >= tau for _, tv in test)
+        assert out[vid] == want, vid
+
+
 def test_ivf_centroids_deterministic(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     c1 = similarity.ivf_centroids(emb, n_centroids=4, iters=1)

@@ -44,7 +44,10 @@ driver cap, not a correctness cap):
   ranks;
 - q_shared_passages — cross-doc shared-passage pairs via winnowing
   fingerprints with stop-fingerprint fan-out capping
-  (text.shared_passages).
+  (text.shared_passages);
+- q_semantic_decontaminate — bipartite SemDeDup: train vectors with a
+  >=-threshold test-split neighbor in the same k-means cluster
+  (similarity.semantic_decontaminate).
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -214,6 +217,12 @@ def _q_shared_passages(spark, sf_dir):
     return text.shared_passages(load_table(spark, sf_dir, "documents"))
 
 
+def _q_semantic_decontaminate(spark, sf_dir):
+    return similarity.semantic_decontaminate(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def _stream_sessionize_sql() -> str:
     return f"""
         SELECT user_id, start_ms, n_events
@@ -242,6 +251,7 @@ def retired_queries() -> dict:
         "q_lm_perplexity": _q_lm_perplexity,
         "q_temperature_sample": _q_temperature_sample,
         "q_shared_passages": _q_shared_passages,
+        "q_semantic_decontaminate": _q_semantic_decontaminate,
     }
 
 
@@ -266,6 +276,7 @@ def retired_oracle_sql() -> dict:
         "q_lm_perplexity": _lm_perplexity_sql(),
         "q_temperature_sample": _temperature_sample_sql(),
         "q_shared_passages": text.shared_passages_sql(),
+        "q_semantic_decontaminate": similarity.semantic_decontaminate_sql(),
     }
 
 
