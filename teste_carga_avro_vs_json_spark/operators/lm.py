@@ -85,12 +85,20 @@ def train_bigram_lm(
     docs: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, int]:
     """Returns (bigram_counts, context_counts, vocab_size): the
-    distributed model. ``vocab_size`` (distinct real words, excluding
-    BOS) is the only scalar — one count job."""
+    distributed model. The corpus is scanned ONCE: context counts and
+    the vocabulary both derive from the (persisted, vocab²-bounded)
+    bigram table — ``c1(w1) = Σ_w2 c2(w1, w2)`` and vocab = distinct
+    ``w2`` — exact-long identities, so the numbers equal the direct
+    formulations the DuckDB twin uses. Persisting the TINY model table
+    (never the token-level bigram stream: a corpus-sized cache starves
+    executor memory downstream — measured in the e2e pipeline test)
+    is what keeps repeated model reads free."""
     bg = _doc_bigrams(docs, text_col)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    contexts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bg.select(F.col("w2").alias("w")).distinct().count()
+    bigrams = (
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).persist()
+    )
+    contexts = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = bigrams.select(F.col("w2").alias("w")).distinct().count()
     return bigrams, contexts, vocab
 
 
@@ -103,7 +111,12 @@ def perplexity_score(
     corpus — the standard in-domain formulation): per doc the mean
     add-one-smoothed bigram negative log-likelihood, rounded to 6 dp,
     plus ``n_scored`` (token count) and the CCNet-style ``keep`` gate
-    (avg_nll <= ``keep_nll``). Empty docs score 0.0 and keep=true."""
+    (avg_nll <= ``keep_nll``). Empty docs score 0.0 and keep=true.
+
+    Two corpus scans total: one builds the model (see
+    :func:`train_bigram_lm` — contexts/vocab derive from the persisted
+    tiny bigram table, never a token-level cache), one feeds the
+    scoring probe."""
     bigrams, contexts, vocab = train_bigram_lm(docs, text_col)
     bg = _doc_bigrams(docs, text_col)
     nll = -F.log(

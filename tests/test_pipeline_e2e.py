@@ -57,7 +57,12 @@ def test_full_corpus_pipeline(spark, sf_dir):
     )
     clusters = dedup.neardup_clusters(kept_exact.select("doc_id", "text"))
     non_canonical = clusters.filter(~F.col("is_canonical")).select("doc_id")
-    unique = kept_exact.join(non_canonical, "doc_id", "left_anti")
+    # phase boundary: a production build materializes between the
+    # gate phase and the dedup phase (truncates the combined DAG the
+    # local[4] test session would otherwise re-execute per action)
+    unique = kept_exact.join(
+        non_canonical, "doc_id", "left_anti"
+    ).localCheckpoint()
     n_unique = unique.count()
     assert 0 < n_unique <= n_ppl
 
@@ -70,7 +75,7 @@ def test_full_corpus_pipeline(spark, sf_dir):
     )
     clean = unique.join(
         decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint()
     n_clean = clean.count()
     assert 0 < n_clean <= n_unique
 
@@ -90,6 +95,21 @@ def test_full_corpus_pipeline(spark, sf_dir):
     ).first()
     assert agg.total == agg.hi  # gap-free tiling over the final corpus
     assert packed.count() == n_mixed
+
+    # 9. learn a BPE vocabulary from the FINAL corpus and tokenize it
+    # (the tokenizer-training step a real build runs on the cleaned
+    # mix). The final corpus is checkpointed first — BPE's merge loop
+    # would otherwise re-execute the whole 8-operator lineage per
+    # iteration, exactly the stage boundary a production build
+    # materializes.
+    from teste_carga_avro_vs_json_spark.operators import bpe
+
+    final = picked.select("doc_id", "text").localCheckpoint()
+    merges = bpe.bpe_learn(final, num_merges=10)
+    assert len(merges) > 0
+    toks = bpe.bpe_tokenize(final, merges)
+    assert toks.count() == n_mixed
+    assert toks.filter(F.col("n_bpe_tokens") <= 0).count() == 0
 
     # the funnel must actually funnel
     assert n_mixed < n0
