@@ -48,6 +48,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
+from pyspark.sql.window import Window
 
 from teste_carga_avro_vs_json_spark.operators.text import tokens, tokens_sql
 
@@ -279,3 +280,154 @@ def perplexity_stream(
         ).alias("avg_nll"),
     )
     return scored.withColumn("keep", F.col("avg_nll") <= F.lit(keep_nll))
+
+
+def dsir_select(
+    docs: DataFrame,
+    text_col: str = "text",
+    target_modulus: int = 13,
+    budget: int = 150,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169), the importance-weighting recipe behind
+    target-domain data curation: estimate feature distributions for a
+    TARGET sample and the RAW corpus, score every raw doc by the
+    log-likelihood ratio ``log p_target(x) − log p_raw(x)``, and keep
+    the ``budget`` highest-weight docs. The published method hashes
+    n-grams into buckets; here both distributions are the add-one
+    bigram models this module already builds, so the whole operator
+    reuses the deterministic LM machinery (the target split is
+    ``doc_id % target_modulus == 0`` — the same deterministic-split
+    convention as the decontamination oracles).
+
+    Per-doc weight = mean over the doc's bigrams of the quantized
+    per-pair ``nll_raw − nll_target`` (exact-long sums of 1e-9
+    quantized terms — the module's standard discipline, so the score
+    is partition- and engine-order independent; ties on the rounded
+    weight break by doc_id). Output: the selected docs as
+    (doc_id, n_scored, weight, rank).
+
+    Scale shape: two model builds (each one corpus scan into
+    vocab²-bounded count tables) + one scoring probe (two keyed joins
+    against the tiny models + one per-doc agg) + a global top-budget
+    — TakeOrdered-shaped via rank window over ONLY the scored doc
+    rows (one row per doc, not per token).
+    """
+    target = docs.filter(F.pmod(F.col("doc_id"), F.lit(target_modulus)) == 0)
+    t_bigrams, t_contexts, _t_vocab = train_bigram_lm(target, text_col)
+    r_bigrams, r_contexts, r_vocab = train_bigram_lm(docs, text_col)
+    bg = _doc_bigrams(docs, text_col)
+    t_b = t_bigrams.select("w1", "w2", F.col("c2").alias("t_c2"))
+    t_c = t_contexts.select("w1", F.col("c1").alias("t_c1"))
+    r_b = r_bigrams.select("w1", "w2", F.col("c2").alias("r_c2"))
+    r_c = r_contexts.select("w1", F.col("c1").alias("r_c1"))
+    # BOTH smoothing denominators use the RAW vocabulary: the
+    # importance ratio needs one shared feature space (per DSIR's
+    # hashed shared features). A per-model vocab would hand every
+    # target-UNSEEN bigram probability 1/V_target — which on a small
+    # target sample can exceed seen-bigram probabilities and rank
+    # off-target docs ABOVE target-like ones (caught by the
+    # vocab-disjointness pytest).
+    nll_t = -F.log(
+        (F.coalesce(F.col("t_c2"), F.lit(0)) + F.lit(1))
+        / (F.coalesce(F.col("t_c1"), F.lit(0)) + F.lit(r_vocab))
+    )
+    nll_r = -F.log(
+        (F.coalesce(F.col("r_c2"), F.lit(0)) + F.lit(1))
+        / (F.coalesce(F.col("r_c1"), F.lit(0)) + F.lit(r_vocab))
+    )
+    scored = (
+        bg.join(t_b, ["w1", "w2"], "left")
+        .join(t_c, "w1", "left")
+        .join(r_b, ["w1", "w2"], "left")
+        .join(r_c, "w1", "left")
+        .select(
+            "doc_id",
+            F.floor((nll_r - nll_t) * F.lit(10**9) + F.lit(0.5))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum("q").alias("qsum"),
+    )
+    weighted = per_doc.select(
+        "doc_id",
+        "n_scored",
+        F.round(
+            (F.col("qsum") / F.lit(1e9)) / F.col("n_scored"), 6
+        ).alias("weight"),
+    )
+    # top-budget via orderBy+limit = TakeOrderedAndProject (per-
+    # partition top-k + driver merge — never a single-partition window
+    # over every doc row); the rank window then runs over only the
+    # budget-sized survivors.
+    top = weighted.orderBy(
+        F.col("weight").desc(), F.col("doc_id").asc()
+    ).limit(budget)
+    w = Window.orderBy(F.col("weight").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def dsir_select_sql(
+    table: str = "documents",
+    target_modulus: int = 13,
+    budget: int = 150,
+) -> str:
+    """DuckDB twin of :func:`dsir_select`."""
+    t = tokens_sql("text")
+    return f"""
+        WITH staged AS (
+            SELECT doc_id, list_prepend('{BOS}', {t}) AS t FROM {table}
+        ),
+        bg AS (
+            SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM staged,
+                 LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        ),
+        tbg AS (SELECT * FROM bg WHERE doc_id % {target_modulus} = 0),
+        t_bigrams AS (
+            SELECT w1, w2, COUNT(*)::BIGINT AS t_c2 FROM tbg GROUP BY w1, w2
+        ),
+        t_contexts AS (
+            SELECT w1, SUM(t_c2)::BIGINT AS t_c1 FROM t_bigrams GROUP BY w1
+        ),
+        r_bigrams AS (
+            SELECT w1, w2, COUNT(*)::BIGINT AS r_c2 FROM bg GROUP BY w1, w2
+        ),
+        r_contexts AS (
+            SELECT w1, SUM(r_c2)::BIGINT AS r_c1 FROM r_bigrams GROUP BY w1
+        ),
+        r_vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM r_bigrams),
+        scored AS (
+            SELECT bg.doc_id,
+                   FLOOR((
+                       -ln((COALESCE(rb.r_c2, 0) + 1)
+                           / (COALESCE(rc.r_c1, 0) + (SELECT v FROM r_vocab)))
+                       - -ln((COALESCE(tb.t_c2, 0) + 1)
+                           / (COALESCE(tc.t_c1, 0) + (SELECT v FROM r_vocab)))
+                   ) * 1000000000 + 0.5)::BIGINT AS q
+            FROM bg
+            LEFT JOIN t_bigrams tb USING (w1, w2)
+            LEFT JOIN t_contexts tc USING (w1)
+            LEFT JOIN r_bigrams rb USING (w1, w2)
+            LEFT JOIN r_contexts rc USING (w1)
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS n_scored,
+                   SUM(q)::BIGINT AS qsum
+            FROM scored GROUP BY doc_id
+        ),
+        weighted AS (
+            SELECT doc_id, n_scored,
+                   ROUND((qsum / 1000000000.0) / n_scored, 6) AS weight
+            FROM per_doc
+        )
+        SELECT doc_id, n_scored, weight,
+               ROW_NUMBER() OVER (
+                   ORDER BY weight DESC, doc_id ASC
+               )::BIGINT AS rank
+        FROM weighted
+        QUALIFY rank <= {budget}
+    """

@@ -87,6 +87,53 @@ def test_perplexity_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_dsir_prefers_target_like_docs(spark):
+    """DSIR must rank documents from the target's vocabulary above
+    documents from a disjoint vocabulary: with target split
+    doc_id % 13 == 0 all drawn from vocab A, the top-budget selection
+    over a corpus of A-docs and B-docs must contain only A-docs."""
+    import random
+
+    rng = random.Random(7)
+    va = [f"a{i}" for i in range(12)]
+    vb = [f"b{i}" for i in range(12)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab) for _ in range(30))
+
+    rows = []
+    for i in range(120):
+        if i % 13 == 0:
+            rows.append((i, doc(va)))       # target split: vocab A
+        elif i % 2 == 0:
+            rows.append((i, doc(va)))       # raw, target-like
+        else:
+            rows.append((i, doc(vb)))       # raw, off-target
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_a = sum(1 for i, _ in rows if i % 13 == 0 or i % 2 == 0)
+    sel = lm.dsir_select(docs, budget=n_a // 2).collect()
+    assert len(sel) == n_a // 2
+    assert all(r.doc_id % 13 == 0 or r.doc_id % 2 == 0 for r in sel)
+    # ranks are contiguous 1..budget with descending weights
+    ranks = sorted(r.rank for r in sel)
+    assert ranks == list(range(1, n_a // 2 + 1))
+    by_rank = sorted(sel, key=lambda r: r.rank)
+    assert all(
+        by_rank[i].weight >= by_rank[i + 1].weight
+        for i in range(len(by_rank) - 1)
+    )
+
+
+def test_dsir_partitioning_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {(r.doc_id, r.weight, r.rank) for r in lm.dsir_select(docs, budget=40).collect()}
+    b = {
+        (r.doc_id, r.weight, r.rank)
+        for r in lm.dsir_select(docs.repartition(11), budget=40).collect()
+    }
+    assert a == b
+
+
 def test_perplexity_partitioning_invariant(spark, sf_dir):
     """Quantized-exact sums: identical scores whatever the input
     partitioning (the claim that justifies a float-derived metric in

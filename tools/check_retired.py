@@ -47,7 +47,9 @@ driver cap, not a correctness cap):
   (text.shared_passages);
 - q_semantic_decontaminate — bipartite SemDeDup: train vectors with a
   >=-threshold test-split neighbor in the same k-means cluster
-  (similarity.semantic_decontaminate).
+  (similarity.semantic_decontaminate);
+- q_dsir_select — DSIR importance resampling: top-budget docs by the
+  target-vs-raw bigram-LM log-likelihood ratio (lm.dsir_select).
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -223,6 +225,18 @@ def _q_semantic_decontaminate(spark, sf_dir):
     )
 
 
+def _q_dsir_select(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import lm
+
+    return lm.dsir_select(load_table(spark, sf_dir, "documents"))
+
+
+def _dsir_select_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import lm
+
+    return lm.dsir_select_sql()
+
+
 def _stream_sessionize_sql() -> str:
     return f"""
         SELECT user_id, start_ms, n_events
@@ -252,6 +266,7 @@ def retired_queries() -> dict:
         "q_temperature_sample": _q_temperature_sample,
         "q_shared_passages": _q_shared_passages,
         "q_semantic_decontaminate": _q_semantic_decontaminate,
+        "q_dsir_select": _q_dsir_select,
     }
 
 
@@ -277,6 +292,7 @@ def retired_oracle_sql() -> dict:
         "q_temperature_sample": _temperature_sample_sql(),
         "q_shared_passages": text.shared_passages_sql(),
         "q_semantic_decontaminate": similarity.semantic_decontaminate_sql(),
+        "q_dsir_select": _dsir_select_sql(),
     }
 
 
