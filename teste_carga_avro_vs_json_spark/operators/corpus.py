@@ -712,8 +712,12 @@ def temperature_sample(
         .cast("long")
         .alias("w"),
     )
-    total = weights.agg(F.sum("w").alias("tw"))
-    quotas = weights.crossJoin(F.broadcast(total)).select(
+    # scalar total attached via an all-rows window over the WEIGHTS
+    # frame (one row per group — tiny by construction), not a cross
+    # join: keeps even this auxiliary plan BNL-free
+    quotas = weights.withColumn(
+        "tw", F.sum("w").over(Window.partitionBy(F.lit(1)))
+    ).select(
         "g",
         "n",
         F.least(
