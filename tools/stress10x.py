@@ -199,6 +199,35 @@ def main() -> None:
     out["repetition_profile_repetitive"] = rep.filter("repetitive").count()
     out["repetition_profile_sec"] = round(time.perf_counter() - t0, 2)
 
+    # ---- LM / selection / passage operators at Nx rows (r7-late) ---
+    from teste_carga_avro_vs_json_spark.operators import lm as lm_ops
+
+    t0 = time.perf_counter()
+    ppl = lm_ops.perplexity_score(corpus10)
+    out["lm_perplexity_kept"] = ppl.filter("keep").count()
+    out["lm_perplexity_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    sel = lm_ops.dsir_select(corpus10, budget=5000)
+    out["dsir_selected"] = sel.count()
+    out["dsir_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    ts = corpus.temperature_sample(
+        corpus10, budget=5000, group_col="lang"
+    )
+    out["temperature_sampled"] = ts.count()
+    out["temperature_sec"] = round(time.perf_counter() - t0, 2)
+
+    # shared passages: replica families share most fingerprints; the
+    # stop-fingerprint cap (df > max_df) is the quadratic-blowup guard
+    # this corpus exists to test — at replicas > max_df the family
+    # fps stop-list themselves and pair counts collapse by design.
+    t0 = time.perf_counter()
+    sp = text_ops.shared_passages(corpus10)
+    out["shared_passage_pairs"] = sp.count()
+    out["shared_passages_sec"] = round(time.perf_counter() - t0, 2)
+
     # ---- SemDeDup at Nx embeddings (r7-late) -----------------------
     # Each vector gets `replicas` exact copies with distinct vec_ids —
     # the realistic semantic-dedup scenario (near-identical content
