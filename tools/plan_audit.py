@@ -1,4 +1,6 @@
-"""Print the scale audit (plans.audit) for every registry query.
+"""Print the scale audit (plans.audit) for every registry query AND
+every check_retired local-oracle surface (retired + extras), so plans
+outside the 50-slot driver window get the same per-round scrutiny.
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
@@ -15,10 +17,15 @@ from teste_carga_avro_vs_json_spark.session import get_spark
 
 
 def main() -> None:
+    from tools.check_retired import retired_queries
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    for name, fn in registry.queries().items():
+    local = {
+        f"[local] {name}": fn for name, fn in retired_queries().items()
+    }
+    for name, fn in {**registry.queries(), **local}.items():
         try:
             a = plans.audit(fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001
