@@ -49,7 +49,11 @@ driver cap, not a correctness cap):
   >=-threshold test-split neighbor in the same k-means cluster
   (similarity.semantic_decontaminate);
 - q_dsir_select — DSIR importance resampling: top-budget docs by the
-  target-vs-raw bigram-LM log-likelihood ratio (lm.dsir_select).
+  target-vs-raw bigram-LM log-likelihood ratio (lm.dsir_select);
+- q_exact_substring — ExactSubstr dedup (Lee et al. 2021): maximal
+  duplicated >=L-token spans merged per doc + cleaned text
+  (operators/substr_dedup.py), full relational oracle incl. the
+  LAG-based islands merge.
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -231,6 +235,20 @@ def _q_dsir_select(spark, sf_dir):
     return lm.dsir_select(load_table(spark, sf_dir, "documents"))
 
 
+def _q_exact_substring(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import substr_dedup
+
+    return substr_dedup.exact_substring_spans(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _exact_substring_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import substr_dedup
+
+    return substr_dedup.exact_substring_spans_sql()
+
+
 def _dsir_select_sql() -> str:
     from teste_carga_avro_vs_json_spark.operators import lm
 
@@ -267,6 +285,7 @@ def retired_queries() -> dict:
         "q_shared_passages": _q_shared_passages,
         "q_semantic_decontaminate": _q_semantic_decontaminate,
         "q_dsir_select": _q_dsir_select,
+        "q_exact_substring": _q_exact_substring,
     }
 
 
@@ -293,6 +312,7 @@ def retired_oracle_sql() -> dict:
         "q_shared_passages": text.shared_passages_sql(),
         "q_semantic_decontaminate": similarity.semantic_decontaminate_sql(),
         "q_dsir_select": _dsir_select_sql(),
+        "q_exact_substring": _exact_substring_sql(),
     }
 
 
