@@ -99,17 +99,20 @@ def decode_image(payload: bytes, fmt: str):
     fall back to the dependency-free stdlib decoder
     (:func:`decode_bmp_stdlib`) so BMP decode is REAL on every
     environment — the image twin of the WAV fallback in
-    :func:`decode_audio`. Only compressed formats (png/jpeg/webp)
-    still require Pillow."""
+    :func:`decode_audio`; PNG payloads decode via the stdlib zlib
+    path (:func:`decode_png_stdlib`). Only jpeg/webp still require
+    Pillow."""
     image_mod = _pil()
     if image_mod is None:
         if payload[:2] == b"BM":
             return decode_bmp_stdlib(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png_stdlib(payload)
         raise NotImplementedError(
-            "decoding non-BMP images requires PIL which is not in this "
-            "container; BMP payloads decode via the stdlib path, or use "
-            "extract_features(..., fake=True) for the deterministic "
-            "stand-in"
+            "decoding non-BMP/PNG images requires PIL which is not in "
+            "this container; BMP and PNG payloads decode via the stdlib "
+            "paths, or use extract_features(..., fake=True) for the "
+            "deterministic stand-in"
         )
     import io
 
@@ -640,6 +643,212 @@ def extract_features_bmp(media: DataFrame) -> DataFrame:
                 rows.append(
                     (did, fmt, w, h, len(raw), int(raw[0]), feats)
                 )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURES.fields]
+            )
+
+    return media.mapInPandas(_extract, FEATURES)
+
+
+# ------------------------------------------------------ PNG (stdlib-real)
+def encode_png_stdlib(width: int, height: int, rgb: bytes) -> bytes:
+    """Pure-stdlib PNG encoder (zlib IS the stdlib): 8-bit RGB (color
+    type 2), non-interlaced, filter 0 on every scanline. ``rgb`` is
+    row-major TOP-DOWN RGB triples (len == width*height*3). Emits a
+    spec-correct signature + IHDR + IDAT + IEND with CRC32 per chunk —
+    openable by any viewer/PIL. The compressed-format sibling of
+    :func:`encode_bmp_stdlib` (PNG spec, www.w3.org/TR/png-3/)."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * row : (y + 1) * row] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Parse a PNG and return ``(width, height, channels, pixels)`` with
+    ``pixels`` = unfiltered top-down rows, 8 bits/sample. Supports
+    color types 0 (gray), 2 (RGB), 6 (RGBA), bit depth 8,
+    non-interlaced — all FIVE scanline filters (None/Sub/Up/Average/
+    Paeth, PNG spec §9) so foreign encoders' output decodes too, not
+    just our own filter-0 stream. Interlaced (Adam7), palette, and
+    16-bit inputs raise ``NotImplementedError`` (documented boundary,
+    same convention as the 24-bit-only BMP path)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG payload")
+    pos, width = 8, 0
+    height = bit_depth = color_type = interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        expect = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != expect:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            (
+                width, height, bit_depth, color_type,
+                _comp, _filt, interlace,
+            ) = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if bit_depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit gray/RGB/RGBA non-interlaced PNG supported"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    row = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (row + 1) * height:
+        raise ValueError("PNG pixel stream length mismatch")
+    out = bytearray(row * height)
+    prev = bytearray(row)
+    for y in range(height):
+        ftype = raw[y * (row + 1)]
+        line = bytearray(raw[y * (row + 1) + 1 : (y + 1) * (row + 1)])
+        if ftype == 1:  # Sub
+            for i in range(ch, row):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * row : (y + 1) * row] = line
+        prev = line
+    return width, height, ch, out
+
+
+def decode_png_stdlib(payload: bytes) -> tuple[int, int, list[float]]:
+    """Pure-stdlib PNG decode with the SAME return contract as
+    :func:`decode_bmp_stdlib`: ``(width, height, quadrant_features)``,
+    features = mean luminance of the four image quadrants in [0, 1]
+    (BT.601 integer luma; gray/alpha handled per channel count)."""
+    width, height, ch, px = _png_decode_pixels(payload)
+    row = width * ch
+    half_w, half_h = (width + 1) // 2, (height + 1) // 2
+    sums = [0, 0, 0, 0]
+    counts = [0, 0, 0, 0]
+    for y in range(height):
+        line = px[y * row : (y + 1) * row]
+        for qx, (lo, hi) in enumerate(((0, half_w), (half_w, width))):
+            if lo >= hi:
+                continue
+            seg = line[lo * ch : hi * ch]
+            if ch == 1:
+                lum = 1000 * sum(seg)
+            else:  # RGB(A): alpha ignored for luma
+                lum = (
+                    299 * sum(seg[0::ch])
+                    + 587 * sum(seg[1::ch])
+                    + 114 * sum(seg[2::ch])
+                )
+            q = (0 if y < half_h else 2) + qx
+            sums[q] += lum // 1000
+            counts[q] += hi - lo
+    feats = [(s / c / 255.0) if c else 0.0 for s, c in zip(sums, counts)]
+    return width, height, feats
+
+
+def synth_png_media(docs: DataFrame, max_dim: int = 24) -> DataFrame:
+    """REAL compressed media table: every payload is a decodable 8-bit
+    RGB PNG with pixels derived deterministically from md5(text) — the
+    compressed sibling of :func:`synth_bmp_media`, same metadata
+    scheme, same Arrow-batched executor-side construction."""
+    import hashlib
+
+    @F.pandas_udf("binary")
+    def make_png(
+        cols: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        def one(text: str, w: int, h: int) -> bytes:
+            need = w * h * 3
+            seed = hashlib.md5((text or "").encode()).digest()
+            reps = need // len(seed) + 1
+            return encode_png_stdlib(w, h, (seed * reps)[:need])
+
+        for texts, ws, hs in cols:
+            yield pd.Series(
+                [one(t, int(w), int(h)) for t, w, h in zip(texts, ws, hs)]
+            )
+
+    w = (hex32(F.concat(F.lit("pw-"), F.col("doc_id"))) % max_dim + 1).cast(
+        "int"
+    )
+    h = (hex32(F.concat(F.lit("ph-"), F.col("doc_id"))) % max_dim + 1).cast(
+        "int"
+    )
+    staged = docs.select("doc_id", "text", w.alias("width"), h.alias("height"))
+    return staged.select(
+        "doc_id",
+        make_png("text", "width", "height").alias("payload"),
+        F.lit("png").alias("format"),
+        "width",
+        "height",
+    )
+
+
+def extract_features_png(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction for PNG payloads on every
+    environment — same ``mapInPandas`` batch shape and FEATURES schema
+    as :func:`extract_features_bmp`; width/height come from IHDR, not
+    trusted metadata."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, fmt, b in zip(
+                pdf["doc_id"], pdf["format"], pdf["payload"]
+            ):
+                raw = bytes(b)
+                w, h, feats = decode_png_stdlib(raw)
+                rows.append((did, fmt, w, h, len(raw), int(raw[0]), feats))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FEATURES.fields]
             )
