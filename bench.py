@@ -240,6 +240,13 @@ def main() -> None:
         # the production per-cluster GEMM path
         run(similarity.semantic_dedup_np(emb_df()))
 
+    def w_exact_substring():
+        # diagnostic lane (r7-late, not in headline_total): ExactSubstr
+        # span dedup on the production xxhash64 gram keys
+        from teste_carga_avro_vs_json_spark.operators import substr_dedup
+
+        run(substr_dedup.exact_substring_spans(docs_df(), scale=True))
+
     def w_pii_scrub():
         run(
             text.pii_scrub(docs_df()).agg(
@@ -297,6 +304,7 @@ def main() -> None:
         "pack_windows",
         "repetition_profile",
         "semantic_dedup",
+        "exact_substring",
     }
     workloads = {
         "json_e2e": w_json_e2e,
@@ -316,6 +324,7 @@ def main() -> None:
         "pack_windows": w_pack_windows,
         "repetition_profile": w_repetition_profile,
         "semantic_dedup": w_semantic_dedup,
+        "exact_substring": w_exact_substring,
         "pii_scrub": w_pii_scrub,
         "intra_doc_dedup": w_intra_doc_dedup,
         "cosine_topk": w_topk,

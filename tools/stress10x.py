@@ -199,6 +199,27 @@ def main() -> None:
     out["repetition_profile_repetitive"] = rep.filter("repetitive").count()
     out["repetition_profile_sec"] = round(time.perf_counter() - t0, 2)
 
+    # ---- ExactSubstr span dedup at Nx rows (r7-late) ---------------
+    # Worst case by construction: every 20-gram of every doc body
+    # occurs in all `replicas` near-copies, so the gram-count agg sees
+    # uniform hot keys (count == replicas) and nearly every token ends
+    # up covered — maximal join-back volume AND maximal per-doc start
+    # lists for the interval fold. xxhash64 gram keys (scale path).
+    from teste_carga_avro_vs_json_spark.operators import substr_dedup
+
+    t0 = time.perf_counter()
+    ess = substr_dedup.exact_substring_spans(corpus10, scale=True).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("n_spans") > 0, 1).otherwise(0)).alias("hit"),
+        F.sum("n_dup_tokens").alias("dup_toks"),
+        F.sum("n_tokens").alias("toks"),
+    ).first()
+    out["exact_substring_sec"] = round(time.perf_counter() - t0, 2)
+    out["exact_substring_docs_with_spans"] = int(ess.hit)
+    out["exact_substring_dup_token_share"] = round(
+        ess.dup_toks / max(ess.toks, 1), 4
+    )
+
     # ---- LM / selection / passage operators at Nx rows (r7-late) ---
     from teste_carga_avro_vs_json_spark.operators import lm as lm_ops
 
