@@ -420,6 +420,22 @@ def main() -> None:
     if deltas:
         out["delta_pct_vs_baseline"] = deltas
     print(json.dumps(out))
+    # The driver's tail capture clipped the FRONT of the (very long)
+    # full line in r7 and lost the headline field. Emit a second,
+    # compact line AFTER it — headline + per-lane mins only, no raw
+    # samples — so the tail of any capture always holds parseable JSON.
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": out["sf"],
+        "cpus": cpus,
+        "estimator": "min",
+        "compact": True,
+        "steal_pct": out.get("steal_pct"),
+        "loadavg_1m": out.get("loadavg_1m"),
+    }), flush=True)
     spark.stop()
 
 

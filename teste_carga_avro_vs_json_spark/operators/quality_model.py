@@ -210,7 +210,10 @@ def score_with_model(
         "doc_id",
         "margin",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("prob"),
-        (F.col("margin") > F.lit(0.0)
+        # margin >= 0 (not >) so the fast path is exactly
+        # prob >= 0.5 — otherwise a doc with margin exactly 0 flips
+        # between the two threshold forms.
+        (F.col("margin") >= F.lit(0.0)
          if threshold == 0.5
          else (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))
                >= F.lit(threshold))).alias("keep"),
@@ -274,5 +277,5 @@ def score_stream(
         "doc_id",
         "margin",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("prob"),
-        (F.col("margin") > F.lit(0.0)).alias("keep"),
+        (F.col("margin") >= F.lit(0.0)).alias("keep"),
     )

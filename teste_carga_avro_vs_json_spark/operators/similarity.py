@@ -351,15 +351,20 @@ def assign_np(
     ~tens of MB regardless of Arrow batch size."""
     import numpy as np
 
+    if not centroids:
+        raise ValueError("assign_np requires at least one centroid")
     C = np.asarray([c for _, c in centroids], dtype=np.float64)
     idxs = np.asarray([i for i, _ in centroids], dtype=np.int64)
 
     @F.pandas_udf(T.IntegerType())
     def nearest(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        chunk = max(1, 32 * 1024 * 1024 // (C.shape[0] * C.shape[1] * 8))
+        chunk = max(1, 32 * 1024 * 1024 // max(1, C.shape[0] * C.shape[1] * 8))
         for batch in batches:
             vals = batch.to_numpy()
-            out = np.empty(len(vals), dtype=np.int32)
+            # Pre-fill with the first centroid id so zero-dim embedding
+            # chunks (M.size == 0 below) get a defined assignment instead
+            # of uninitialized memory.
+            out = np.full(len(vals), idxs[0] if len(idxs) else -1, dtype=np.int32)
             for lo in range(0, len(vals), chunk):
                 M = np.asarray(
                     [np.asarray(x, dtype=np.float64) for x in vals[lo : lo + chunk]]
@@ -1125,8 +1130,11 @@ def semantic_decontaminate(
     shuffle_hash (array payloads defeat size estimates, SCALE.md).
     """
     v = _semdedup_assigned(emb, n_centroids, iters)
-    train = v.filter(F.pmod(F.col("vec_id"), F.lit(test_modulus)) != 0)
-    test = v.filter(F.pmod(F.col("vec_id"), F.lit(test_modulus)) == 0).select(
+    # `%` (sign of dividend), NOT pmod: the DuckDB oracle splits with
+    # SQL `%`, and decontam.py uses the same convention — pmod would
+    # diverge for negative vec_ids.
+    train = v.filter((F.col("vec_id") % test_modulus) != 0)
+    test = v.filter((F.col("vec_id") % test_modulus) == 0).select(
         F.col("cluster").alias("t_cluster"),
         F.col("vec_id").alias("t_id"),
         F.col("vec").alias("t_vec"),
