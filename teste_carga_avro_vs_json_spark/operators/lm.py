@@ -107,12 +107,33 @@ def perplexity_score(
     docs: DataFrame,
     text_col: str = "text",
     keep_nll: float = 3.4,
+    keep_frac: float | None = None,
 ) -> DataFrame:
     """Self-scoring corpus pass (train on the corpus, score the
     corpus — the standard in-domain formulation): per doc the mean
     add-one-smoothed bigram negative log-likelihood, rounded to 6 dp,
-    plus ``n_scored`` (token count) and the CCNet-style ``keep`` gate
-    (avg_nll <= ``keep_nll``). Empty docs score 0.0 and keep=true.
+    plus ``n_scored`` (token count) and the ``keep`` gate. Empty docs
+    score 0.0.
+
+    Two gate modes:
+
+    - ``keep_frac=None`` (default): absolute ``avg_nll <= keep_nll``.
+      An absolute default is a footgun on out-of-domain corpora — the
+      r7 30× stress kept 0 documents — so production gating should
+      prefer the quantile mode.
+    - ``keep_frac=q``: CCNet's actual bucketing (Wenzek et al. §4.3
+      buckets by perplexity *percentile*, not an absolute cutoff):
+      keep the lowest-NLL fraction ``q`` of the corpus —
+      ``keep = avg_nll <= PERCENTILE_DISC(q)`` over all docs, i.e.
+      keep iff (#docs with strictly smaller avg_nll)/n < q. Ties at
+      the cutoff are all kept (PERCENTILE_DISC semantics), so the kept
+      fraction is >= q and deterministic. Implemented as a rank window
+      over the DOC-level frame (one row per doc, same global-window
+      discipline as ``temperature_sample``); at 100 TB the doc frame
+      is corpus-cardinality — freeze the cutoff from a sample or use
+      ``approx_percentile`` for the gate and keep this exact form for
+      oracle-checkable profiles (same note as
+      ``analytics.quantile_profile``).
 
     Two corpus scans total: one builds the model (see
     :func:`train_bigram_lm` — contexts/vocab derive from the persisted
@@ -151,11 +172,49 @@ def perplexity_score(
             ).alias("avg_nll"),
         )
     )
-    return out.withColumn("keep", F.col("avg_nll") <= F.lit(keep_nll))
+    if keep_frac is None:
+        return out.withColumn("keep", F.col("avg_nll") <= F.lit(keep_nll))
+    # PERCENTILE_DISC gate: keep iff (#docs with smaller avg_nll)/n <
+    # keep_frac. rank() ties = min rank = exactly that count + 1, so
+    # the flag is tie-order independent; (r-1)/n is one long/long IEEE
+    # division in both engines.
+    w = Window.orderBy("avg_nll")
+    return (
+        out.withColumn("r", F.rank().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .select(
+            "doc_id",
+            "n_scored",
+            "avg_nll",
+            (
+                (F.col("r") - F.lit(1)) / F.col("n") < F.lit(keep_frac)
+            ).alias("keep"),
+        )
+    )
+
+
+def nll_cutoff(scored: DataFrame, keep_frac: float) -> float:
+    """The absolute avg_nll cutoff the quantile gate implies —
+    PERCENTILE_DISC(keep_frac): the largest avg_nll any kept doc has.
+    Compute this ONCE batch-side and freeze it into the streaming gate
+    (:func:`perplexity_stream` ``keep_nll=``): a stateless stream
+    cannot see the corpus distribution, which is exactly how CCNet
+    deploys its bucketing (thresholds come from a reference corpus).
+    Bounded driver collect: one scalar."""
+    w = Window.orderBy("avg_nll")
+    row = (
+        scored.withColumn("cd", F.cume_dist().over(w))
+        .filter(F.col("cd") >= F.lit(keep_frac))
+        .agg(F.min("avg_nll").alias("cut"))
+        .first()
+    )
+    return float(row["cut"]) if row["cut"] is not None else float("inf")
 
 
 def perplexity_score_sql(
-    table: str = "documents", keep_nll: float = 3.4
+    table: str = "documents",
+    keep_nll: float = 3.4,
+    keep_frac: float | None = None,
 ) -> str:
     """DuckDB twin of :func:`perplexity_score` (see the module
     docstring for the ln determinism argument)."""
@@ -190,6 +249,7 @@ def perplexity_score_sql(
                    SUM(q)::BIGINT AS qsum
             FROM scored GROUP BY doc_id
         )
+        {"" if keep_frac is None else ''', base AS ('''}
         SELECT d.doc_id,
                COALESCE(p.n_scored, 0)::BIGINT AS n_scored,
                ROUND(COALESCE((p.qsum / 1000000000.0) / p.n_scored, 0.0), 6)
@@ -197,6 +257,13 @@ def perplexity_score_sql(
                ROUND(COALESCE((p.qsum / 1000000000.0) / p.n_scored, 0.0), 6)
                    <= {keep_nll} AS keep
         FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+        {f'''
+        )
+        SELECT doc_id, n_scored, avg_nll,
+               ((RANK() OVER (ORDER BY avg_nll)) - 1)
+                   / (COUNT(*) OVER ())::DOUBLE < {keep_frac} AS keep
+        FROM base
+        ''' if keep_frac is not None else ""}
     """
 
 

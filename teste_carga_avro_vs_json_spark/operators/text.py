@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
+from pyspark.sql.window import Window
 
 # ------------------------------------------------------------- tokenizer
 def tokens(text: Column | str) -> Column:
@@ -705,6 +706,117 @@ def shared_passages(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def shared_passages_stats(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 10,
+) -> DataFrame:
+    """Cap-observability companion to :func:`shared_passages` — the
+    no-silent-caps rule made concrete. The stop-fingerprint cap
+    (df > ``max_df``) is the quadratic-blowup guard, but on a
+    high-duplication corpus it can silently drop EVERY fingerprint and
+    return 0 pairs after a full fingerprinting pass (measured: the r7
+    30× stress dropped 100 % of fps — `bench_runs/r7_stress30x_late2.
+    json` shows `shared_passage_pairs: 0` with no way to tell "no
+    shared passages" from "cap ate the corpus").
+
+    One row: ``n_fp_distinct`` (distinct fingerprints), ``n_fp_stop``
+    (df > max_df — DROPPED by the cap), ``n_fp_singleton`` (df < 2 —
+    can never pair), ``n_fp_live`` (what the pair join actually sees),
+    ``n_docs_affected`` (docs holding >= 1 dropped fp — the recall
+    exposure), ``df_p50`` / ``df_p99`` / ``df_max`` (the df
+    distribution, PERCENTILE_DISC on exact longs — pick ``max_df``
+    from these instead of guessing). ``n_fp_live == 0`` with
+    ``n_fp_stop > 0`` is the "cap zeroed recall" signal.
+
+    Scale: one fingerprint pass + one fp-keyed agg (map-side combine
+    absorbs hot fps) + one join back for the doc count + one global
+    agg — same shape class as the operator itself; run it beside the
+    operator, not inside it, so the operator's plan stays lean.
+    """
+    fps = winnow_fingerprints(docs, k, w).select("doc_id", "fp")
+    dfc = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_df"))
+    joined = fps.join(dfc, "fp")
+    w_df = Window.orderBy("n_df")
+    ranked = dfc.withColumn("cd", F.cume_dist().over(w_df))
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cd") >= F.lit(q), F.col("n_df"))
+    )
+    quantiles = ranked.agg(
+        pick(0.5).alias("df_p50"),
+        pick(0.99).alias("df_p99"),
+        F.max("n_df").alias("df_max"),
+    )
+    counts = joined.agg(
+        F.count_distinct(F.col("fp")).alias("n_fp_distinct"),
+        F.count_distinct(
+            F.when(F.col("n_df") > max_df, F.col("fp"))
+        ).alias("n_fp_stop"),
+        F.count_distinct(
+            F.when(F.col("n_df") < 2, F.col("fp"))
+        ).alias("n_fp_singleton"),
+        F.count_distinct(
+            F.when(
+                (F.col("n_df") >= 2) & (F.col("n_df") <= max_df),
+                F.col("fp"),
+            )
+        ).alias("n_fp_live"),
+        F.count_distinct(
+            F.when(F.col("n_df") > max_df, F.col("doc_id"))
+        ).alias("n_docs_affected"),
+    )
+    # both sides are exactly one row post-agg; a constant equi-key
+    # keeps this a BroadcastHashJoin (never a cartesian node)
+    return (
+        counts.withColumn("_k", F.lit(1))
+        .join(F.broadcast(quantiles.withColumn("_k", F.lit(1))), "_k")
+        .drop("_k")
+    )
+
+
+def shared_passages_stats_sql(
+    table: str = "documents",
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 10,
+) -> str:
+    """DuckDB twin of :func:`shared_passages_stats`."""
+    return f"""
+        WITH fps AS (
+            SELECT doc_id, fp FROM ({winnow_fingerprints_sql(table, k, w)})
+        ),
+        dfc AS (
+            SELECT fp, COUNT(*)::BIGINT AS n_df FROM fps GROUP BY fp
+        ),
+        joined AS (
+            SELECT f.doc_id, f.fp, d.n_df FROM fps f JOIN dfc d USING (fp)
+        ),
+        ranked AS (
+            SELECT n_df, cume_dist() OVER (ORDER BY n_df) AS cd FROM dfc
+        ),
+        quantiles AS (
+            SELECT MIN(CASE WHEN cd >= 0.5 THEN n_df END)::BIGINT AS df_p50,
+                   MIN(CASE WHEN cd >= 0.99 THEN n_df END)::BIGINT AS df_p99,
+                   MAX(n_df)::BIGINT AS df_max
+            FROM ranked
+        ),
+        counts AS (
+            SELECT COUNT(DISTINCT fp)::BIGINT AS n_fp_distinct,
+                   COUNT(DISTINCT CASE WHEN n_df > {max_df} THEN fp END
+                       )::BIGINT AS n_fp_stop,
+                   COUNT(DISTINCT CASE WHEN n_df < 2 THEN fp END
+                       )::BIGINT AS n_fp_singleton,
+                   COUNT(DISTINCT CASE WHEN n_df >= 2 AND n_df <= {max_df}
+                       THEN fp END)::BIGINT AS n_fp_live,
+                   COUNT(DISTINCT CASE WHEN n_df > {max_df} THEN doc_id END
+                       )::BIGINT AS n_docs_affected
+            FROM joined
+        )
+        SELECT * FROM counts, quantiles
+    """
 
 
 def shared_passages_sql(

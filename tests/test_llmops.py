@@ -1520,3 +1520,27 @@ def test_png_stdlib_real_roundtrip(spark, sf_dir):
         assert len(r.features) == 4
         assert all(0.0 <= x <= 1.0 for x in r.features)
     assert len({tuple(r.features) for r in out.values()}) > 10
+
+
+def test_shared_passages_stats_expose_cap(spark):
+    """No-silent-caps: the stats frame must surface the stop-fp drop
+    that shared_passages applies silently. Same corpus as the
+    injected-overlap test: boilerplate in 6 docs > max_df=5 is
+    stop-listed, so stats must report the dropped fps, the 6 affected
+    docs, and the partition identity distinct = stop+singleton+live."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (1, shared + " " + " ".join(f"x{i}" for i in range(10))),
+        (2, " ".join(f"y{i}" for i in range(10)) + " " + shared),
+        (3, " ".join(f"z{i}" for i in range(20))),
+    ]
+    rows += [(10 + i, boiler + f" tail{i}a tail{i}b tail{i}c") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    st = text.shared_passages_stats(docs, max_df=5).first()
+    assert st.n_fp_stop > 0, "cap dropped fps must be visible"
+    assert st.n_docs_affected == 6
+    assert st.n_fp_live > 0
+    assert st.n_fp_distinct == st.n_fp_stop + st.n_fp_singleton + st.n_fp_live
+    assert st.df_max == 6
+    assert st.df_p50 >= 1 and st.df_p99 <= st.df_max

@@ -145,3 +145,32 @@ def test_perplexity_partitioning_invariant(spark, sf_dir):
         for r in lm.perplexity_score(docs.repartition(13)).collect()
     }
     assert a == b
+
+
+def test_perplexity_quantile_gate_keeps_fraction(spark, sf_dir):
+    """keep_frac = CCNet percentile bucketing: the kept share reaches
+    the target, ties at the cutoff are all kept (PERCENTILE_DISC), the
+    flag is exactly avg_nll <= cutoff, and nll_cutoff() returns that
+    cutoff for freezing into a streaming gate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    out = lm.perplexity_score(docs, keep_frac=0.7).collect()
+    n = len(out)
+    kept = [r for r in out if r.keep]
+    assert kept, "quantile gate can never keep 0 docs on a nonempty corpus"
+    cutoff = max(r.avg_nll for r in kept)
+    assert all(r.keep == (r.avg_nll <= cutoff) for r in out)
+    n_below = sum(1 for r in out if r.avg_nll < cutoff)
+    assert n_below / n < 0.7 <= len(kept) / n
+    assert lm.nll_cutoff(lm.perplexity_score(docs), 0.7) == cutoff
+
+
+def test_perplexity_quantile_gate_partitioning_invariant(spark, sf_dir):
+    """The rank-window gate must not depend on input partitioning
+    (rank ties = min rank, value-determined)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    a = {r.doc_id: r.keep
+         for r in lm.perplexity_score(docs, keep_frac=0.4).collect()}
+    b = {r.doc_id: r.keep
+         for r in lm.perplexity_score(
+             docs.repartition(13), keep_frac=0.4).collect()}
+    assert a == b

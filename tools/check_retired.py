@@ -202,6 +202,20 @@ def _lm_perplexity_sql() -> str:
     return lm.perplexity_score_sql()
 
 
+def _q_lm_perplexity_frac(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import lm
+
+    return lm.perplexity_score(
+        load_table(spark, sf_dir, "documents"), keep_frac=0.7
+    )
+
+
+def _lm_perplexity_frac_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import lm
+
+    return lm.perplexity_score_sql(keep_frac=0.7)
+
+
 def _q_temperature_sample(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -221,6 +235,10 @@ def _temperature_sample_sql() -> str:
 
 def _q_shared_passages(spark, sf_dir):
     return text.shared_passages(load_table(spark, sf_dir, "documents"))
+
+
+def _q_shared_passages_stats(spark, sf_dir):
+    return text.shared_passages_stats(load_table(spark, sf_dir, "documents"))
 
 
 def _q_semantic_decontaminate(spark, sf_dir):
@@ -281,8 +299,10 @@ def retired_queries() -> dict:
         "q_simhash": registry.q_simhash,
         "q_embedding_neardup": registry.q_embedding_neardup,
         "q_lm_perplexity": _q_lm_perplexity,
+        "q_lm_perplexity_frac": _q_lm_perplexity_frac,
         "q_temperature_sample": _q_temperature_sample,
         "q_shared_passages": _q_shared_passages,
+        "q_shared_passages_stats": _q_shared_passages_stats,
         "q_semantic_decontaminate": _q_semantic_decontaminate,
         "q_dsir_select": _q_dsir_select,
         "q_exact_substring": _q_exact_substring,
@@ -308,8 +328,10 @@ def retired_oracle_sql() -> dict:
         "q_simhash": _simhash_sql(),
         "q_embedding_neardup": similarity.embedding_neardup_sql(),
         "q_lm_perplexity": _lm_perplexity_sql(),
+        "q_lm_perplexity_frac": _lm_perplexity_frac_sql(),
         "q_temperature_sample": _temperature_sample_sql(),
         "q_shared_passages": text.shared_passages_sql(),
+        "q_shared_passages_stats": text.shared_passages_stats_sql(),
         "q_semantic_decontaminate": similarity.semantic_decontaminate_sql(),
         "q_dsir_select": _dsir_select_sql(),
         "q_exact_substring": _exact_substring_sql(),

@@ -228,6 +228,18 @@ def main() -> None:
     out["lm_perplexity_kept"] = ppl.filter("keep").count()
     out["lm_perplexity_sec"] = round(time.perf_counter() - t0, 2)
 
+    # quantile gate (CCNet's actual bucketing): kept count must be
+    # ~keep_frac × docs regardless of the corpus' absolute NLL range —
+    # the r7 absolute-threshold footgun (kept 0 under stress) can't
+    # happen here by construction
+    t0 = time.perf_counter()
+    pplq = lm_ops.perplexity_score(corpus10, keep_frac=0.5)
+    nq = pplq.count()
+    kq = pplq.filter("keep").count()
+    out["lm_perplexity_frac_kept"] = kq
+    out["lm_perplexity_frac_kept_share"] = round(kq / max(nq, 1), 4)
+    out["lm_perplexity_frac_sec"] = round(time.perf_counter() - t0, 2)
+
     t0 = time.perf_counter()
     sel = lm_ops.dsir_select(corpus10, budget=5000)
     out["dsir_selected"] = sel.count()
@@ -248,6 +260,20 @@ def main() -> None:
     sp = text_ops.shared_passages(corpus10)
     out["shared_passage_pairs"] = sp.count()
     out["shared_passages_sec"] = round(time.perf_counter() - t0, 2)
+
+    # no-silent-caps: the companion stats frame makes the stop-fp drop
+    # observable — 0 pairs above must come with n_fp_stop > 0 here
+    # (cap zeroed recall), never be mistaken for "no shared passages"
+    t0 = time.perf_counter()
+    st = text_ops.shared_passages_stats(corpus10).first()
+    out["shared_passages_stats"] = {
+        k: int(st[k]) if st[k] is not None else None
+        for k in (
+            "n_fp_distinct", "n_fp_stop", "n_fp_singleton", "n_fp_live",
+            "n_docs_affected", "df_p50", "df_p99", "df_max",
+        )
+    }
+    out["shared_passages_stats_sec"] = round(time.perf_counter() - t0, 2)
 
     # ---- SemDeDup at Nx embeddings (r7-late) -----------------------
     # Each vector gets `replicas` exact copies with distinct vec_ids —
