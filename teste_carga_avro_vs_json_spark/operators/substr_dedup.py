@@ -67,6 +67,7 @@ def exact_substring_spans(
     min_len: int = 20,
     scale: bool = False,
     text_col: str = "text",
+    token_col: str | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span stats + cleaned text.
 
@@ -77,9 +78,29 @@ def exact_substring_spans(
     (doc_id, n_tokens, n_spans, n_dup_tokens, clean_text) — the maximal
     merged covered spans count, total covered tokens, and the text with
     covered tokens removed (single-space joined).
+
+    ``token_col``: operate on a PRE-TOKENIZED ``array<string>`` column
+    instead of whitespace-tokenizing ``text_col`` — the published
+    recipe runs on BPE tokens with L=50 (Lee et al. §4.1:
+    ``bpe.bpe_tokenize`` → this, see the chain pytest pin), and any
+    external tokenization plugs in the same way.  Identical plan (the
+    tokenizer is the only change, and it is row-local either way); the
+    output additionally carries ``clean_tokens`` (the uncovered tokens
+    as an array — space-joining BPE subwords is lossy, so the array is
+    the faithful artifact; ``clean_text`` stays the space-joined form
+    for contract parity).  On a whitespace-pretokenized corpus the two
+    paths agree exactly (pytest-pinned).
     """
     L = int(min_len)
-    toks = docs.select("doc_id", tokens(text_col).alias("toks"))
+    if token_col is None:
+        toks = docs.select("doc_id", tokens(text_col).alias("toks"))
+    else:
+        toks = docs.select(
+            "doc_id",
+            F.coalesce(
+                F.col(token_col), F.array().cast("array<string>")
+            ).alias("toks"),
+        )
     # (gkey, doc_id, pos): one row per L-gram occurrence.  posexplode
     # (0-based pos) over the staged gram array; _outer so short docs
     # don't invite an InferFiltersFromGenerate size() re-shingle below
@@ -151,8 +172,8 @@ def exact_substring_spans(
     covered = lambda i: F.exists(  # noqa: E731 — needs staged `spans`
         F.col("spans"), lambda sp: (sp["s"] <= i) & (i <= sp["e"])
     )
-    return merged.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         F.size("toks").cast("long").alias("n_tokens"),
         F.size("spans").cast("long").alias("n_spans"),
         F.aggregate(
@@ -166,7 +187,12 @@ def exact_substring_spans(
         F.concat_ws(
             " ", F.filter("toks", lambda t, i: ~covered(i))
         ).alias("clean_text"),
-    )
+    ]
+    if token_col is not None:
+        cols.append(
+            F.filter("toks", lambda t, i: ~covered(i)).alias("clean_tokens")
+        )
+    return merged.select(*cols)
 
 
 def exact_substring_spans_sql(
