@@ -623,3 +623,88 @@ def test_cli_kafka_consumer_tail_n_positioning(spark):
         rep = run_app("CONSUMIDOR_AVRO", "", cfg, spark)
     # tail-12 over 42 on the topic -> exactly 12 in the report
     assert rep["total_mensagens"] == 12
+
+
+def test_stream_stream_join_state_eviction(spark, tmp_path):
+    """Watermark must actually EVICT join state mid-run (the r7 stress
+    held every input row in state because its delay spanned the whole
+    corpus). Time-ordered file buckets + a tight delay: peak state
+    stays well below total input while the output is still exact."""
+    import json
+    import os
+    import time as _t
+
+    import pyspark.sql.functions as F
+
+    from teste_carga_avro_vs_json_spark.streaming import stream_stream_join
+
+    # 6 event-time buckets, 1 day apart; clicks precede purchases by
+    # 1 minute so every purchase matches exactly its own click within
+    # the 1-hour gap.
+    base_ms = 1_704_067_200_000
+    day = 86_400_000
+    mt = _t.time() - 600
+    n_per_bucket, n_buckets = 50, 6
+    for b in range(n_buckets):
+        rows = [
+            (b * n_per_bucket + i, 1000 + i, base_ms + b * day + i * 1000)
+            for i in range(n_per_bucket)
+        ]
+        p = spark.createDataFrame(
+            rows, "purchase_id long, user_id long, p_ms long"
+        )
+        c = spark.createDataFrame(
+            [(pid, uid, ms - 60_000) for pid, uid, ms in rows],
+            "click_id long, user_id long, c_ms long",
+        )
+        for sub, df in (("p", p), ("c", c)):
+            d = f"{tmp_path}/{sub}/b{b:02d}"
+            df.coalesce(1).write.parquet(d)
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    os.utime(f"{d}/{fn}", (mt + b, mt + b))
+    ps = (
+        spark.readStream.schema("purchase_id long, user_id long, p_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/p/b*")
+        .withColumn("p_ts", F.timestamp_millis("p_ms"))
+    )
+    cs = (
+        spark.readStream.schema("click_id long, user_id long, c_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/c/b*")
+        .withColumn("c_ts", F.timestamp_millis("c_ms"))
+    )
+    joined = stream_stream_join(
+        ps, cs, "user_id", "p_ts", "c_ts", max_gap="1 hour", delay="1 minute"
+    ).select("purchase_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("evict_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    peak_state = total_in = dropped = 0
+    batches = 0
+    for prog in q.recentProgress:
+        p = prog if isinstance(prog, dict) else json.loads(prog.json)
+        if p.get("numInputRows", 0) > 0:
+            batches += 1
+            total_in += p["numInputRows"]
+        for op in p.get("stateOperators", []):
+            peak_state = max(peak_state, op.get("numRowsTotal", 0))
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    q.stop()
+    got = spark.table("evict_join")
+    # exact: each purchase pairs with exactly its own click
+    assert got.count() == n_per_bucket * n_buckets
+    assert dropped == 0, "ordered ingestion must never drop late rows"
+    assert batches >= n_buckets // 2, "must span multiple micro-batches"
+    assert total_in == 2 * n_per_bucket * n_buckets
+    # the actual eviction pin: day-spaced buckets with a 1-minute delay
+    # retain at most ~2 buckets of state at any instant
+    assert peak_state <= 2 * 2 * n_per_bucket, (
+        f"state never evicted: peak {peak_state} of {total_in} input rows"
+    )

@@ -236,6 +236,100 @@ def main() -> None:
             **stats,
         }
 
+        # ------------------- 2b. join state EVICTION proof (r8, VERDICT
+        # item 5). Lane 2's 30-day watermark delay ≈ the fixture's FULL
+        # event span, so the watermark never passed anything and
+        # peak_state_rows == total input (the r7 finding) — that lane
+        # proves exactness under a worst-case delay, not eviction.
+        # Here: the same disjoint-user join with a 1-hour delay and
+        # time-ordered ingestion — both sides bucketed into `n_buckets`
+        # event-time ranges, each bucket written as its own files with
+        # FORCED monotone mod-times (the file source orders by mod
+        # time), so the watermark advances mid-run and Spark drops
+        # click state once it passes c_ts + max_gap. Output must STILL
+        # be exactly 30x: ordered ingestion means eviction only removes
+        # rows no future purchase can match.
+        n_buckets = 10
+        evict_base = f"{base}/join_evict"
+        b_ms = ev.agg(
+            F.min(F.expr("ts div 1000000")).alias("mn"),
+            F.max(F.expr("ts div 1000000")).alias("mx"),
+        ).first()
+        mn_ms, span_ms = b_ms.mn, b_ms.mx - b_ms.mn + 1
+        mt = time.time() - 3600
+        for etype, idcol, mscol, sub in (
+            ("purchase", "purchase_id", "p_ms", "p"),
+            ("click", "click_id", "c_ms", "c"),
+        ):
+            side = (
+                ev.filter(F.col("event_type") == etype)
+                .crossJoin(F.broadcast(rep))
+                .select(
+                    (F.col("event_id") + F.col("replica") * 100_000_000)
+                    .alias(idcol),
+                    (F.col("user_id") + F.col("replica") * 10_000_000)
+                    .alias("user_id"),
+                    F.expr("ts div 1000000").alias(mscol),
+                )
+                .withColumn(
+                    "bucket",
+                    (
+                        (F.col(mscol) - F.lit(mn_ms))
+                        * n_buckets
+                        / F.lit(span_ms)
+                    ).cast("int"),
+                )
+            )
+            side.persist().count()
+            for b in range(n_buckets):
+                d = f"{evict_base}/{sub}/b{b:02d}"
+                side.filter(F.col("bucket") == b).drop("bucket").coalesce(
+                    2
+                ).write.mode("overwrite").parquet(d)
+                # monotone mod-times: bucket b strictly older than b+1
+                for fn in os.listdir(d):
+                    if fn.endswith(".parquet"):
+                        os.utime(f"{d}/{fn}", (mt + b, mt + b))
+            side.unpersist()
+        pe = (
+            spark.readStream.schema(
+                "purchase_id long, user_id long, p_ms long"
+            )
+            .option("maxFilesPerTrigger", "2")
+            .parquet(f"{evict_base}/p/b*")
+            .withColumn("p_ts", F.timestamp_millis("p_ms"))
+        )
+        ce = (
+            spark.readStream.schema("click_id long, user_id long, c_ms long")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(f"{evict_base}/c/b*")
+            .withColumn("c_ts", F.timestamp_millis("c_ms"))
+        )
+        t0 = time.perf_counter()
+        stats = _drain(
+            stream_stream_join(
+                pe, ce, "user_id", "p_ts", "c_ts",
+                max_gap="24 hours", delay="1 hour",
+            ).select("purchase_id", "click_id"),
+            "stress_join_evict",
+            "append",
+        )
+        got = spark.table("stress_join_evict").count()
+        out["stream_stream_join_eviction"] = {
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "base_pairs": base_pairs,
+            "output_rows": got,
+            "exactly_30x": got == base_pairs * replicas,
+            "state_rows_over_input": round(
+                stats["peak_state_rows"]
+                / max(stats["total_input_rows"], 1),
+                4,
+            ),
+            "state_evicted": stats["peak_state_rows"]
+            < stats["total_input_rows"] // 2,
+            **stats,
+        }
+
         # ------------------------------------------- 3. sequence audit
         # 30x sequences over 18 partitions, ~1% dropped; state stays
         # O(1) per partition (applyInPandasWithState).
@@ -287,6 +381,8 @@ def main() -> None:
     ok = (
         out["stream_dedup"]["exactly_once"]
         and out["stream_stream_join"]["exactly_30x"]
+        and out["stream_stream_join_eviction"]["exactly_30x"]
+        and out["stream_stream_join_eviction"]["state_evicted"]
         and out["stream_sequence_audit"]["complete"]
     )
     out["all_exact"] = ok
