@@ -483,14 +483,17 @@ def snappy_xerial_decompress(data: bytes, max_size: int = 1 << 30) -> bytes:
 
 # -------------------------------------------------------------- zstd
 def zstd_compress(data: bytes) -> bytes:
-    """zstd via pyarrow's bundled codec (import-gated: no stdlib zstd
-    before Python 3.14, and a hand-rolled FSE/huffman decoder is out of
-    scope — SCALE.md boundary). pyarrow writes a standard frame WITH
-    Frame_Content_Size, which `zstd_decompress` relies on."""
+    """zstd: pyarrow's bundled libzstd when importable (the fast path —
+    real entropy coding), else the stdlib STORE-MODE encoder in
+    ``zstd_stdlib`` (spec-valid frame of raw blocks + xxh64 checksum;
+    any conformant zstd decodes it). The r7 "zstd needs pyarrow"
+    boundary is closed — both directions always work."""
     try:
         import pyarrow as pa
-    except ImportError as e:  # pragma: no cover - pyarrow ships w/ pyspark
-        raise NotImplementedError("zstd needs pyarrow") from e
+    except ImportError:
+        from teste_carga_avro_vs_json_spark.sources import zstd_stdlib
+
+        return zstd_stdlib.compress(data)
     return pa.Codec("zstd").compress(data, asbytes=True)
 
 
@@ -519,13 +522,18 @@ def _zstd_content_size(data: bytes) -> int | None:
 
 
 def zstd_decompress(data: bytes, max_size: int = 1 << 30) -> bytes:
-    """zstd via pyarrow. pyarrow demands the decompressed size, so read
-    Frame_Content_Size from the frame header; frames without one (some
-    streaming writers) fall back to a doubling size guess."""
+    """zstd via pyarrow (fast path). pyarrow demands the decompressed
+    size, so read Frame_Content_Size from the frame header; frames
+    without one (some streaming writers) fall back to a doubling size
+    guess. Without pyarrow: the full pure-stdlib RFC 8878 decoder
+    (``zstd_stdlib.decompress`` — Huffman/FSE, pinned against libzstd
+    output across levels 1-22 in pytest)."""
     try:
         import pyarrow as pa
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("zstd needs pyarrow") from e
+    except ImportError:
+        from teste_carga_avro_vs_json_spark.sources import zstd_stdlib
+
+        return zstd_stdlib.decompress(data, max_size)
     codec = pa.Codec("zstd")
     size = _zstd_content_size(data)
     if size is not None:

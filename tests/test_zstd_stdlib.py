@@ -1,0 +1,133 @@
+"""Pure-stdlib zstd decoder (sources/zstd_stdlib.py) pinned against a
+real independent implementation: pyarrow's bundled libzstd encodes,
+ours decodes — across compression levels (different block/table modes),
+content classes (random / tiny-alphabet / periodic / text / numeric),
+and sizes spanning 1-block and multi-block frames. Plus the store-mode
+encoder cross-decoded BY libzstd, xxh64 spec vectors, and the
+corruption/cap guards. No Spark session needed."""
+
+import random
+import struct
+
+import pytest
+
+from teste_carga_avro_vs_json_spark.sources import zstd_stdlib as Z
+
+pa = pytest.importorskip("pyarrow")
+
+
+def _corpus():
+    random.seed(1234)
+    words = [bytes([65 + i]) * random.randrange(1, 8) for i in range(20)]
+    cases = [
+        b"",
+        b"x",
+        b"a" * 10000,  # RLE-ish: predefined tables + repeat offsets
+        b"hello world " * 3,
+        (b"the quick brown fox jumps over the lazy dog. " * 2000),
+    ]
+    for kind in range(6):
+        for sz in (10, 5000, 66000, 300000):
+            random.seed(kind * 100 + sz)
+            if kind == 0:
+                d = bytes(random.randrange(256) for _ in range(sz))
+            elif kind == 1:
+                d = bytes(random.randrange(4) for _ in range(sz))
+            elif kind == 2:
+                d = b" ".join(random.choice(words) for _ in range(sz // 4))
+            elif kind == 3:
+                d = (b"abcdefgh" * (sz // 8 + 1))[:sz]
+            elif kind == 4:
+                d = bytes(
+                    min(255, max(0, int(128 + 50 * random.gauss(0, 1))))
+                    for _ in range(sz)
+                )
+            else:
+                d = b"".join(
+                    b"%d,%d,%.3f\n" % (i, i * i, i * 0.1)
+                    for i in range(sz // 12)
+                )
+            cases.append(d)
+    return cases
+
+
+@pytest.mark.parametrize("level", [1, 3, 9, 19, 22])
+def test_decodes_libzstd_output(level):
+    """Every frame libzstd emits must round-trip through our decoder —
+    levels pick different literals/sequence table strategies (RLE,
+    predefined, FSE-compressed, treeless, 1- vs 4-stream Huffman)."""
+    codec = pa.Codec("zstd", compression_level=level)
+    for d in _corpus():
+        comp = codec.compress(d, asbytes=True)
+        assert Z.decompress(comp) == d
+
+
+def test_multi_megabyte_multiblock():
+    """> 128 KiB forces multiple blocks: repeat offsets, treeless
+    literals and table-repeat modes must carry across block bounds."""
+    random.seed(9)
+    text = (b"the quick brown fox jumps over the lazy dog. " * 2000)
+    d = (text + bytes(random.randrange(256) for _ in range(1000))) * 4
+    comp = pa.Codec("zstd").compress(d, asbytes=True)
+    assert Z.decompress(comp) == d
+
+
+def test_store_mode_encoder_cross_decodes():
+    """Our store-mode frames are spec-valid: libzstd AND our decoder
+    both accept them, checksum included."""
+    random.seed(7)
+    for d in (b"", b"q", b"hello" * 100,
+              bytes(random.randrange(256) for _ in range(300_000))):
+        enc = Z.compress(d)
+        assert pa.Codec("zstd").decompress(enc, len(d), asbytes=True) == d
+        assert Z.decompress(enc) == d
+
+
+def test_checksum_detects_corruption():
+    enc = bytearray(Z.compress(b"payload bytes here"))
+    enc[-6] ^= 0x40
+    with pytest.raises(Z.ZstdError, match="checksum"):
+        Z.decompress(bytes(enc))
+
+
+def test_skippable_and_concatenated_frames():
+    sk = struct.pack("<II", 0x184D2A50, 3) + b"xyz"
+    two = sk + Z.compress(b"first.") + Z.compress(b"second.")
+    assert Z.decompress(two) == b"first.second."
+
+
+def test_size_cap_enforced():
+    enc = Z.compress(b"a" * 100_000)
+    with pytest.raises(Z.ZstdError, match="cap"):
+        Z.decompress(enc, max_size=1000)
+
+
+def test_dictionary_frames_rejected_loudly():
+    """A frame demanding an external dictionary must error, not
+    garbage-decode (honest boundary: raw-content dicts out of scope)."""
+    # hand-build a header with dict_id_flag=1, dict_id=7
+    frame = struct.pack("<I", 0xFD2FB528) + bytes([0x21, 7, 0x01])
+    with pytest.raises(Z.ZstdError, match="dictionary"):
+        Z.decompress(frame + b"\x00" * 8)
+
+
+def test_xxh64_spec_vectors():
+    assert Z.xxh64(b"") == 0xEF46DB3751D8E999
+    assert Z.xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert Z.xxh64(b"abc") == 0x44BC2CF5AD770999
+    # >=32-byte path
+    assert Z.xxh64(bytes(range(64))) == Z.xxh64(bytes(range(64)))
+
+
+def test_wire_codec_paths_agree():
+    """compression.decompress('zstd', ...) (pyarrow fast path here)
+    and the stdlib decoder agree on the same frames — the fallback is
+    interchangeable."""
+    from teste_carga_avro_vs_json_spark.sources import compression as C
+
+    random.seed(21)
+    for d in (b"kafka record batch " * 50,
+              bytes(random.randrange(256) for _ in range(10_000))):
+        comp = C.zstd_compress(d)
+        assert C.zstd_decompress(comp) == d
+        assert Z.decompress(comp) == d
