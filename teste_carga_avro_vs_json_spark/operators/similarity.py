@@ -437,6 +437,15 @@ def ivf_centroids(
             centroids.append((len(centroids), list(r.vec)))
             if len(centroids) == n_centroids:
                 break
+    # Mean update stays the posexplode -> groupBy(cluster, dim) shape.
+    # r8 A/B'd the "one hash agg with 2x dim long-buffer columns"
+    # alternative (no explode, n_clusters x 128 longs out instead of
+    # rows x dim through the shuffle) and it was 2x SLOWER at sf0.1
+    # (ivf min 1.59-1.62 s vs 0.72-0.75 s, interleaved quiet-window
+    # runs, bench_runs/r8_ab_centroid_agg.json): 128 aggregate columns
+    # exceed spark.sql.codegen.maxFields (100), demoting the whole
+    # aggregate out of whole-stage codegen — the explode's extra rows
+    # are cheaper than losing codegen. Keep the explode.
     for _ in range(iters):
         assigned = (
             assign_np(v, centroids)
