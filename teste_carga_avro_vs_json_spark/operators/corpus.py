@@ -782,3 +782,206 @@ def temperature_sample_sql(
                grp_quota::BIGINT AS grp_quota
         FROM ranked WHERE grp_rank <= grp_quota
     """
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_kept_lines: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """The C4 line-level cleaning recipe (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2 — the filter every T5-lineage corpus build
+    starts from; the reference engine has no text operators,
+    SURVEY.md §2.2). Line keeps: ends in terminal punctuation
+    (``. ! ? "``) and has >= ``min_words`` whitespace words and does
+    not mention "javascript" (case-insensitive). Page drops: any
+    "lorem ipsum", any curly brace ``{``, or fewer than
+    ``min_kept_lines`` surviving lines (C4 uses a 3-sentence floor;
+    the fixture documents are single-line, so the floor is a knob).
+
+    Output: (doc_id, n_lines, n_kept_lines, keep, clean_text) —
+    clean_text = surviving lines joined with newlines (empty when the
+    page is dropped, so downstream stages can filter on ``keep`` OR
+    consume clean_text directly).
+
+    Scale: a pure per-row expression tree — line split, the three line
+    predicates, and reassembly all live in one projection; ZERO
+    shuffles at any corpus size (same class as ``intra_doc_dedup``).
+    Arrays are staged behind projections per the HOF-lambda
+    re-evaluation rule.
+    """
+    staged = docs.select(
+        "doc_id", F.split(F.col(text_col), "\n").alias("lines")
+    )
+    words = lambda ln: F.size(  # noqa: E731
+        F.filter(F.split(ln, "[ \t]+"), lambda t: t != F.lit(""))
+    )
+    line_ok = lambda ln: (  # noqa: E731
+        F.rtrim(ln).rlike('[.!?"]$')
+        & (words(ln) >= F.lit(min_words))
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = staged.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.filter("lines", line_ok).alias("kept_lines"),
+        (
+            ~F.lower(F.concat_ws("\n", "lines")).contains("lorem ipsum")
+            & ~F.concat_ws("\n", "lines").contains("{")
+        ).alias("page_ok"),
+    )
+    return kept.select(
+        "doc_id",
+        "n_lines",
+        F.size("kept_lines").cast("long").alias("n_kept_lines"),
+        (
+            F.col("page_ok")
+            & (F.size("kept_lines") >= F.lit(min_kept_lines))
+        ).alias("keep"),
+        F.when(
+            F.col("page_ok")
+            & (F.size("kept_lines") >= F.lit(min_kept_lines)),
+            F.concat_ws("\n", "kept_lines"),
+        ).otherwise(F.lit("")).alias("clean_text"),
+    )
+
+
+def c4_line_filter_sql(
+    table: str = "documents",
+    min_words: int = 5,
+    min_kept_lines: int = 1,
+) -> str:
+    """DuckDB twin of :func:`c4_line_filter`."""
+    return f"""
+        WITH staged AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lines
+            FROM {table}
+        ),
+        kept AS (
+            SELECT doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   list_filter(lines, ln ->
+                       regexp_matches(rtrim(ln), '[.!?"]$')
+                       AND len(list_filter(
+                           regexp_split_to_array(ln, '[ \t]+'),
+                           t -> t <> '')) >= {min_words}
+                       AND NOT contains(lower(ln), 'javascript')
+                   ) AS kept_lines,
+                   (NOT contains(lower(array_to_string(lines, chr(10))),
+                                 'lorem ipsum')
+                    AND NOT contains(array_to_string(lines, chr(10)), '{{'))
+                       AS page_ok
+            FROM staged
+        )
+        SELECT doc_id, n_lines,
+               len(kept_lines)::BIGINT AS n_kept_lines,
+               (page_ok AND len(kept_lines) >= {min_kept_lines}) AS keep,
+               CASE WHEN page_ok AND len(kept_lines) >= {min_kept_lines}
+                    THEN array_to_string(kept_lines, chr(10))
+                    ELSE '' END AS clean_text
+        FROM kept
+    """
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_df: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level LINE deduplication — the RefinedWeb/MassiveText
+    pass (Penedo et al. 2023, arXiv:2306.01116; Rae et al. 2021 §A.1.2)
+    that strips boilerplate lines (nav bars, cookie banners, footers)
+    occurring across many pages: a line whose corpus-wide document
+    frequency exceeds ``max_df`` is removed from EVERY document.
+
+    Output: (doc_id, n_lines, n_kept, clean_text) — clean_text =
+    surviving lines joined by newline, original order preserved.
+
+    Scale shape: one hash aggregation on the md5 line key (map-side
+    combine absorbs boilerplate skew exactly like the ExactSubstr gram
+    agg — a nav line in 100M docs collapses to per-partition partials,
+    never a single-reducer sort), then ONE left-anti join of the line
+    stream against the (small, df-filtered) dup-key set. The line TEXT
+    rides that join deliberately: the anti join has no fan-out (keys
+    are unique on the build side), so carrying it is one shuffle of
+    the corpus vs the ids-first alternative's two (semi-join back on
+    (doc_id, idx) would re-shuffle the same rows again) — the
+    array-payload rule targets fan-out joins, not 1:1 filters.
+    Reassembly is a per-doc sort_array fold over the kept (idx, line)
+    structs. Empty docs survive via the final LEFT join from the
+    doc frame (fetch-after-dedup, same as ``exact_substring_spans``).
+    """
+    staged = docs.select(
+        "doc_id", F.split(F.col(text_col), "\n").alias("lines")
+    )
+    lines = (
+        staged.select(
+            "doc_id", F.posexplode_outer("lines").alias("idx", "line")
+        )
+        # _outer keeps the Generate barrier (no InferFiltersFromGenerate
+        # re-split below it); the null row an empty array would emit is
+        # dropped here, above the Generate, so empty docs rebuild as
+        # n_kept=0 via the final LEFT join exactly like the oracle
+        .filter(F.col("idx").isNotNull())
+        .select("doc_id", "idx", "line", F.md5("line").alias("k"))
+    )
+    dup = (
+        lines.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("k")
+    )
+    kept = lines.join(dup, "k", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("idx", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = staged.select(
+        "doc_id", F.size("lines").cast("long").alias("n_lines")
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def line_dedup_sql(table: str = "documents", max_df: int = 1) -> str:
+    """DuckDB twin of :func:`line_dedup`."""
+    return f"""
+        WITH staged AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lines
+            FROM {table}
+        ),
+        lns AS (
+            SELECT doc_id, lines[i] AS line, i, md5(lines[i]) AS k
+            FROM staged,
+                 LATERAL unnest(generate_series(1, len(lines))) AS u(i)
+        ),
+        dup AS (
+            SELECT k FROM lns GROUP BY k HAVING COUNT(*) > {max_df}
+        ),
+        kept AS (
+            SELECT l.* FROM lns l ANTI JOIN dup d USING (k)
+        ),
+        rebuilt AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+                   string_agg(line, chr(10) ORDER BY i) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               len(s.lines)::BIGINT AS n_lines,
+               COALESCE(r.n_kept, 0)::BIGINT AS n_kept,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM staged s LEFT JOIN rebuilt r USING (doc_id)
+    """

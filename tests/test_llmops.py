@@ -1544,3 +1544,70 @@ def test_shared_passages_stats_expose_cap(spark):
     assert st.n_fp_distinct == st.n_fp_stop + st.n_fp_singleton + st.n_fp_live
     assert st.df_max == 6
     assert st.df_p50 >= 1 and st.df_p99 <= st.df_max
+
+
+def test_c4_line_filter_recipe(spark):
+    """C4 §2.2 semantics on constructed multi-line pages: terminal
+    punctuation + >=5 words + no 'javascript' per line; 'lorem ipsum'
+    or '{' or too few kept lines drop the page."""
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    good = "this line has plenty of words and ends properly."
+    rows = [
+        (1, good + "\nshort line.\nno terminal punctuation here at all\n"
+            "Enable JavaScript to view this page.\n" + good),
+        (2, "Lorem ipsum dolor sit amet and then some more words here."),
+        (3, good + "\nfunction f() { return 1; }"),
+        (4, "tiny.\nalso tiny.\n"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.c4_line_filter(docs).collect()}
+    assert out[1].keep and out[1].n_kept_lines == 2
+    assert out[1].clean_text == good + "\n" + good
+    assert out[1].n_lines == 5
+    assert not out[2].keep and out[2].clean_text == ""  # lorem ipsum
+    assert not out[3].keep  # curly brace page drop
+    assert not out[4].keep and out[4].n_kept_lines == 0
+
+
+def test_c4_line_filter_plan_is_shuffle_free(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import corpus
+    from teste_carga_avro_vs_json_spark.plans import audit
+
+    out = corpus.c4_line_filter(_docs(spark, sf_dir))
+    aud = audit(out)
+    assert aud.exchanges == 0 and aud.cartesian == 0
+
+
+def test_line_dedup_strips_boilerplate_everywhere(spark):
+    """A line with corpus df > max_df disappears from EVERY doc; unique
+    lines survive in original order; fully-boilerplate docs come back
+    empty (not missing)."""
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    nav = "Home | About | Contact"
+    rows = [
+        (1, nav + "\nunique first content line\nunique second line"),
+        (2, nav + "\ndifferent content for doc two"),
+        (3, nav),
+        (4, "entirely original document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.line_dedup(docs).collect()}
+    assert out[1].clean_text == (
+        "unique first content line\nunique second line"
+    )
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    assert out[2].clean_text == "different content for doc two"
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[4].clean_text == "entirely original document"
+    # max_df=2 tolerates the nav appearing in <=2 docs
+    out2 = {
+        r.doc_id: r
+        for r in corpus.line_dedup(
+            spark.createDataFrame(rows[:2] + rows[3:],
+                                  "doc_id long, text string"),
+            max_df=2,
+        ).collect()
+    }
+    assert out2[1].n_kept == 3 and out2[2].n_kept == 2

@@ -253,6 +253,30 @@ def _q_dsir_select(spark, sf_dir):
     return lm.dsir_select(load_table(spark, sf_dir, "documents"))
 
 
+def _q_c4_line_filter(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    return corpus.c4_line_filter(load_table(spark, sf_dir, "documents"))
+
+
+def _c4_line_filter_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    return corpus.c4_line_filter_sql()
+
+
+def _q_line_dedup(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    return corpus.line_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _line_dedup_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    return corpus.line_dedup_sql()
+
+
 def _q_exact_substring(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import substr_dedup
 
@@ -306,6 +330,8 @@ def retired_queries() -> dict:
         "q_semantic_decontaminate": _q_semantic_decontaminate,
         "q_dsir_select": _q_dsir_select,
         "q_exact_substring": _q_exact_substring,
+        "q_c4_line_filter": _q_c4_line_filter,
+        "q_line_dedup": _q_line_dedup,
     }
 
 
@@ -335,6 +361,8 @@ def retired_oracle_sql() -> dict:
         "q_semantic_decontaminate": similarity.semantic_decontaminate_sql(),
         "q_dsir_select": _dsir_select_sql(),
         "q_exact_substring": _exact_substring_sql(),
+        "q_c4_line_filter": _c4_line_filter_sql(),
+        "q_line_dedup": _line_dedup_sql(),
     }
 
 
