@@ -1611,3 +1611,37 @@ def test_line_dedup_strips_boilerplate_everywhere(spark):
         ).collect()
     }
     assert out2[1].n_kept == 3 and out2[2].n_kept == 2
+
+
+def test_line_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming gate == batch operator when the reference corpus IS
+    the streamed corpus (the stream==batch pin every learned filter
+    carries)."""
+    from teste_carga_avro_vs_json_spark.operators import corpus
+    from teste_carga_avro_vs_json_spark.streaming import run_bounded_append
+
+    nav = "Home | About | Contact"
+    rows = [
+        (1, nav + "\nunique first content line\nunique second line"),
+        (2, nav + "\ndifferent content for doc two"),
+        (3, nav),
+        (4, "entirely original document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r.doc_id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in corpus.line_dedup(docs).collect()
+    }
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/stream_in")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/stream_in")
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.clean_text)
+        for r in run_bounded_append(
+            corpus.line_dedup_stream(stream, docs)
+        ).collect()
+    }
+    assert got == want
