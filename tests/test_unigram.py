@@ -88,3 +88,15 @@ def test_chain_with_exact_substring(spark):
         toks, min_len=6, token_col="tokens").collect()}
     assert out[1].n_dup_tokens > 0 and out[2].n_dup_tokens > 0
     assert out[3].n_dup_tokens == 0
+
+
+def test_tokenize_unseen_chars_fall_back(spark):
+    """Inference input containing characters absent from training must
+    still tokenize (char fallback), never drop content."""
+    train = spark.createDataFrame([(1, "aaa bbb aaa")],
+                                  "doc_id long, text string")
+    model = unigram.unigram_learn(train, vocab_size=20, seed_size=50)
+    docs = spark.createDataFrame([(9, "xyz aaa")],
+                                 "doc_id long, text string")
+    out = unigram.unigram_tokenize(docs, model).first()
+    assert "".join(out.tokens) == "xyzaaa"
