@@ -17,8 +17,16 @@ from teste_carga_avro_vs_json_spark.operators import quality_model as qm
 
 
 def test_full_corpus_pipeline(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n0 = docs.count()
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = raw.count()
+
+    # 0. line-level hygiene (RefinedWeb): strip lines shared by > 30
+    # docs — a rewrite pass, every doc survives as a row
+    lined = corpus.line_dedup(raw, max_df=30).select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).join(raw.select("doc_id", "lang", "source"), "doc_id")
+    docs = lined
+    assert docs.count() == n0
 
     # 1. PII scrub (rewrite pass — no row loss)
     scrubbed = text.pii_scrub(docs).select(
@@ -110,6 +118,25 @@ def test_full_corpus_pipeline(spark, sf_dir):
     toks = bpe.bpe_tokenize(final, merges)
     assert toks.count() == n_mixed
     assert toks.filter(F.col("n_bpe_tokens") <= 0).count() == 0
+
+    # 9b. the OTHER tokenizer family on the same corpus: unigram-LM
+    # (SentencePiece) — both train on identical pretokens, so a build
+    # can A/B vocabularies on one cleaned mix
+    from teste_carga_avro_vs_json_spark.operators import unigram
+
+    pieces = unigram.unigram_learn(final, vocab_size=150, seed_size=400)
+    utoks = unigram.unigram_tokenize(final, pieces)
+    assert utoks.count() == n_mixed
+    assert utoks.filter(F.col("n_pieces") <= 0).count() == 0
+
+    # 10. token-space ExactSubstr over the tokenized corpus (the
+    # published Lee et al. shape: dedup spans in BPE-token space)
+    from teste_carga_avro_vs_json_spark.operators import substr_dedup
+
+    spans = substr_dedup.exact_substring_spans(
+        toks.select("doc_id", "tokens"), min_len=20, token_col="tokens"
+    )
+    assert spans.count() == n_mixed
 
     # the funnel must actually funnel
     assert n_mixed < n0
