@@ -1,9 +1,11 @@
 """Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.3).
 
-All pure JVM built-ins over the ``documents`` table — no UDFs anywhere,
-so every operator is whole-stage-codegen eligible and scales linearly:
-tokenization is a per-row projection, the stats are single hash
-aggregations with map-side partial agg.
+Pure JVM built-ins over the ``documents`` table — whole-stage-codegen
+eligible, linear: tokenization is a per-row projection, the stats are
+single hash aggregations with map-side partial agg. ONE exception:
+:func:`normalize_text` needs CPython's ``unicodedata`` for NFC (Spark
+has no normalization expression) and is a documented Arrow-batched
+py-lane, same convention as the Avro codec.
 
 Every function has a DuckDB SQL twin for the driver oracle. Both
 dialects share the SAME tokenizer definition (split on whitespace runs,
@@ -11,6 +13,12 @@ drop empties) so token counts agree bit-for-bit.
 """
 
 from __future__ import annotations
+
+# Module-level so pandas_udf type-hint inference can resolve the
+# string annotations (PEP 563; see operators/similarity.py)
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
@@ -843,4 +851,82 @@ def shared_passages_sql(
           ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
         HAVING COUNT(*) >= {min_shared}
+    """
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode normalization — the pre-dedup canonicalization every
+    published pipeline runs before hashing text (CCNet §3.1 normalizes
+    before dedup; combining-sequence variants of the same string must
+    hash equal or every dedup operator under-recalls on non-ASCII
+    corpora). Three canonical steps, in order:
+
+    1. NFC composition (é as e+U+0301 == precomposed é),
+    2. control characters stripped (C0/C1 minus \\t \\n),
+    3. horizontal whitespace runs collapsed to one space and trimmed
+       per line (newlines preserved — line structure feeds
+       ``c4_line_filter`` / ``line_dedup`` downstream).
+
+    Output: (doc_id, clean_text, changed).
+
+    Implementation note: Spark has no built-in NFC expression, so step
+    1 is CPython ``unicodedata.normalize`` in an Arrow-batched pandas
+    UDF — same documented py-lane as the Avro codec (scan-local, zero
+    shuffle; the plan audit's py counter flags it by design). Steps
+    2-3 ride the same UDF (one pass per string). The DuckDB twin uses
+    ``nfc_normalize`` (utf8proc) — both implement the same Unicode
+    standard; equality is what the oracle checks.
+    """
+    import unicodedata
+
+    ctrl = dict.fromkeys(
+        c for c in range(0x20) if c not in (0x09, 0x0A)
+    )
+    ctrl.update(dict.fromkeys(range(0x7F, 0xA0)))
+
+    @F.pandas_udf("string")
+    def norm(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import re
+
+        hws = re.compile(r"[ \t]+")
+
+        def one(t: str) -> str:
+            s = unicodedata.normalize("NFC", t or "").translate(ctrl)
+            lines = [hws.sub(" ", ln).strip() for ln in s.split("\n")]
+            return "\n".join(lines)
+
+        for batch in texts:
+            yield batch.map(one)
+
+    out = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_orig"),
+        norm(F.col(text_col)).alias("clean_text"),
+    )
+    return out.select(
+        "doc_id",
+        "clean_text",
+        (F.col("clean_text") != F.col("_orig")).alias("changed"),
+    )
+
+
+def normalize_text_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`normalize_text` (nfc_normalize +
+    control strip + per-line horizontal-whitespace collapse)."""
+    return f"""
+        WITH n AS (
+            SELECT doc_id, text AS _orig,
+                   array_to_string(list_transform(
+                       string_split(
+                           regexp_replace(
+                               nfc_normalize(text),
+                               '[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]',
+                               '', 'g'),
+                           chr(10)),
+                       ln -> trim(regexp_replace(ln, '[ \\t]+', ' ', 'g'))
+                   ), chr(10)) AS clean_text
+            FROM {table}
+        )
+        SELECT doc_id, clean_text, clean_text <> _orig AS changed
+        FROM n
     """

@@ -1645,3 +1645,25 @@ def test_line_dedup_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_normalize_text_canonicalizes(spark):
+    """NFC composition, control stripping, whitespace collapse — the
+    pre-dedup canonicalization: combining-sequence variants of the same
+    string must come out byte-equal (or dedup under-recalls)."""
+    composed = "café touché"
+    decomposed = "café touché"
+    rows = [
+        (1, composed),
+        (2, decomposed),
+        (3, "ctrl\x07chars\x1bgone"),
+        (4, "tabs\tand   runs\ncollapse  \n  trimmed"),
+        (5, "plain ascii untouched"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.normalize_text(docs).collect()}
+    assert out[1].clean_text == out[2].clean_text == composed
+    assert not out[1].changed and out[2].changed
+    assert out[3].clean_text == "ctrlcharsgone"
+    assert out[4].clean_text == "tabs and runs\ncollapse\ntrimmed"
+    assert out[5].clean_text == "plain ascii untouched" and not out[5].changed

@@ -253,6 +253,10 @@ def _q_dsir_select(spark, sf_dir):
     return lm.dsir_select(load_table(spark, sf_dir, "documents"))
 
 
+def _q_normalize_text(spark, sf_dir):
+    return text.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
 def _q_c4_line_filter(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -332,6 +336,7 @@ def retired_queries() -> dict:
         "q_exact_substring": _q_exact_substring,
         "q_c4_line_filter": _q_c4_line_filter,
         "q_line_dedup": _q_line_dedup,
+        "q_normalize_text": _q_normalize_text,
     }
 
 
@@ -363,6 +368,7 @@ def retired_oracle_sql() -> dict:
         "q_exact_substring": _exact_substring_sql(),
         "q_c4_line_filter": _c4_line_filter_sql(),
         "q_line_dedup": _line_dedup_sql(),
+        "q_normalize_text": text.normalize_text_sql(),
     }
 
 
