@@ -300,6 +300,47 @@ def main() -> None:
     }
     out["shared_passages_stats_sec"] = round(time.perf_counter() - t0, 2)
 
+    # the 100 TB production shape (SCALE.md "wall anatomy"): fingerprint
+    # ONCE to parquet, then feed df-stats AND the pair join from the
+    # artifact — total wall should beat running both operators from text
+    import shutil
+    import tempfile
+
+    t0 = time.perf_counter()
+    fp_dir = tempfile.mkdtemp(prefix="sp_fps_")
+    try:
+        text_ops.winnow_fingerprints(corpus10).select(
+            "doc_id", "fp"
+        ).write.mode("overwrite").parquet(fp_dir)
+        fps = spark.read.parquet(fp_dir)
+        df_ok = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_df"))
+            .filter((F.col("n_df") >= 2) & (F.col("n_df") <= 10))
+            .select("fp")
+        )
+        live = fps.join(df_ok, "fp")
+        a, b = live.alias("a"), live.alias("b")
+        pairs = (
+            a.join(
+                b.hint("shuffle_hash"),
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+        )
+        out["shared_passages_materialized_pairs"] = pairs.count()
+        out["shared_passages_materialized_sec"] = round(
+            time.perf_counter() - t0, 2
+        )
+    finally:
+        shutil.rmtree(fp_dir, ignore_errors=True)
+
     # ---- SemDeDup at Nx embeddings (r7-late) -----------------------
     # Each vector gets `replicas` exact copies with distinct vec_ids —
     # the realistic semantic-dedup scenario (near-identical content
