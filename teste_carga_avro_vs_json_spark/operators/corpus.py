@@ -1044,3 +1044,80 @@ def line_dedup_stream(
         F.size("kept").cast("long").alias("n_kept"),
         F.concat_ws("\n", "kept").alias("clean_text"),
     )
+
+
+#: Default page-level blocklist: a deterministic stand-in inventory
+#: (real deployments load the published wordlists; the OPERATOR —
+#: broadcast multi-pattern scan + page gate — is what scales).
+BLOCK_PATTERNS = [
+    "click here to win",
+    "casino bonus",
+    "cheap pills",
+    "xxx",
+    "free crypto airdrop",
+]
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    patterns: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Page-level blocklist gate — the other half of the C4 cleaning
+    recipe (Raffel et al. 2020 §2.2 drop any page containing a word
+    from a blocklist; Gopher/MassiveText carry the same stage).
+    A page is dropped when it contains ANY pattern as a
+    case-insensitive substring.
+
+    Output: (doc_id, n_hits, first_hit, keep) — n_hits = number of
+    DISTINCT patterns present (auditability: the no-silent-caps rule
+    applied to content filtering), first_hit = lexicographically
+    smallest matching pattern (deterministic), keep = n_hits == 0.
+
+    Scale: the pattern list rides the plan as an array literal
+    (broadcast-constant); matching is one row-local HOF filter over it
+    — JVM-side ``contains`` per (row, pattern), zero shuffle, linear
+    in corpus × patterns. For list sizes where P × len(text) matters
+    (tens of thousands of patterns), the production path is an
+    Aho-Corasick automaton in an Arrow-batched UDF — the documented
+    py-lane convention; this expression form is exact for the
+    moderate lists the published recipes use.
+    """
+    pats = sorted(set(p.lower() for p in (patterns or BLOCK_PATTERNS)))
+    arr = F.array(*[F.lit(p) for p in pats])
+    staged = docs.select(
+        "doc_id", F.lower(F.col(text_col)).alias("_lt")
+    )
+    hits = staged.select(
+        "doc_id",
+        F.filter(arr, lambda p: F.col("_lt").contains(p)).alias("hits"),
+    )
+    return hits.select(
+        "doc_id",
+        F.size("hits").cast("long").alias("n_hits"),
+        F.coalesce(F.try_element_at("hits", F.lit(1)), F.lit("")).alias(
+            "first_hit"
+        ),
+        (F.size("hits") == 0).alias("keep"),
+    )
+
+
+def blocklist_filter_sql(
+    table: str = "documents", patterns: list[str] | None = None
+) -> str:
+    """DuckDB twin of :func:`blocklist_filter`."""
+    pats = sorted(set(p.lower() for p in (patterns or BLOCK_PATTERNS)))
+    arr = "[" + ", ".join("'" + p.replace("'", "''") + "'" for p in pats) + "]"
+    return f"""
+        WITH hits AS (
+            SELECT doc_id,
+                   list_filter({arr},
+                       p -> contains(lower(text), p)) AS hits
+            FROM {table}
+        )
+        SELECT doc_id,
+               len(hits)::BIGINT AS n_hits,
+               COALESCE(hits[1], '') AS first_hit,
+               len(hits) = 0 AS keep
+        FROM hits
+    """

@@ -1667,3 +1667,19 @@ def test_normalize_text_canonicalizes(spark):
     assert out[3].clean_text == "ctrlcharsgone"
     assert out[4].clean_text == "tabs and runs\ncollapse\ntrimmed"
     assert out[5].clean_text == "plain ascii untouched" and not out[5].changed
+
+
+def test_blocklist_filter_gates_pages(spark):
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    rows = [
+        (1, "an ordinary document about spark plans"),
+        (2, "CLICK HERE TO WIN a casino bonus today"),
+        (3, "mentions xxx once in passing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.blocklist_filter(docs).collect()}
+    assert out[1].keep and out[1].n_hits == 0 and out[1].first_hit == ""
+    assert not out[2].keep and out[2].n_hits == 2
+    assert out[2].first_hit == "casino bonus"  # lexicographic first
+    assert not out[3].keep and out[3].first_hit == "xxx"

@@ -253,6 +253,18 @@ def _q_dsir_select(spark, sf_dir):
     return lm.dsir_select(load_table(spark, sf_dir, "documents"))
 
 
+def _q_blocklist_filter(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    return corpus.blocklist_filter(load_table(spark, sf_dir, "documents"))
+
+
+def _blocklist_filter_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    return corpus.blocklist_filter_sql()
+
+
 def _q_normalize_text(spark, sf_dir):
     return text.normalize_text(load_table(spark, sf_dir, "documents"))
 
@@ -337,6 +349,7 @@ def retired_queries() -> dict:
         "q_c4_line_filter": _q_c4_line_filter,
         "q_line_dedup": _q_line_dedup,
         "q_normalize_text": _q_normalize_text,
+        "q_blocklist_filter": _q_blocklist_filter,
     }
 
 
@@ -369,6 +382,7 @@ def retired_oracle_sql() -> dict:
         "q_c4_line_filter": _c4_line_filter_sql(),
         "q_line_dedup": _line_dedup_sql(),
         "q_normalize_text": text.normalize_text_sql(),
+        "q_blocklist_filter": _blocklist_filter_sql(),
     }
 
 
