@@ -1683,3 +1683,29 @@ def test_blocklist_filter_gates_pages(spark):
     assert not out[2].keep and out[2].n_hits == 2
     assert out[2].first_hit == "casino bonus"  # lexicographic first
     assert not out[3].keep and out[3].first_hit == "xxx"
+
+
+def test_stateless_gates_compose_with_streams(spark, tmp_path):
+    """c4_line_filter and blocklist_filter are pure projections, so
+    they must run UNCHANGED on a streaming frame (stream == batch) —
+    the ingest-gate deployment shape."""
+    from teste_carga_avro_vs_json_spark.operators import corpus
+    from teste_carga_avro_vs_json_spark.streaming import run_bounded_append
+
+    good = "this line has plenty of words and ends properly."
+    rows = [
+        (1, good + "\nshort one."),
+        (2, "click here to win big money now, friend."),
+        (3, "Lorem ipsum dolor sit amet plus other words here."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/in")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in")
+    )
+    for op in (corpus.c4_line_filter, corpus.blocklist_filter):
+        want = {tuple(r) for r in op(docs).collect()}
+        got = {tuple(r) for r in run_bounded_append(op(stream)).collect()}
+        assert got == want, op.__name__
