@@ -265,6 +265,18 @@ def _blocklist_filter_sql() -> str:
     return corpus.blocklist_filter_sql()
 
 
+def _q_bm25_topk(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import retrieval
+
+    return retrieval.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+def _bm25_topk_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import retrieval
+
+    return retrieval.bm25_topk_sql()
+
+
 def _q_normalize_text(spark, sf_dir):
     return text.normalize_text(load_table(spark, sf_dir, "documents"))
 
@@ -350,6 +362,7 @@ def retired_queries() -> dict:
         "q_line_dedup": _q_line_dedup,
         "q_normalize_text": _q_normalize_text,
         "q_blocklist_filter": _q_blocklist_filter,
+        "q_bm25_topk": _q_bm25_topk,
     }
 
 
@@ -383,6 +396,7 @@ def retired_oracle_sql() -> dict:
         "q_line_dedup": _line_dedup_sql(),
         "q_normalize_text": text.normalize_text_sql(),
         "q_blocklist_filter": _blocklist_filter_sql(),
+        "q_bm25_topk": _bm25_topk_sql(),
     }
 
 
