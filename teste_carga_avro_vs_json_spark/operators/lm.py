@@ -108,6 +108,8 @@ def perplexity_score(
     text_col: str = "text",
     keep_nll: float = 3.4,
     keep_frac: float | None = None,
+    smoothing: str = "addone",
+    discount: float = 0.75,
 ) -> DataFrame:
     """Self-scoring corpus pass (train on the corpus, score the
     corpus — the standard in-domain formulation): per doc the mean
@@ -135,24 +137,78 @@ def perplexity_score(
       oracle-checkable profiles (same note as
       ``analytics.quantile_profile``).
 
+    Two smoothing modes (``smoothing=``):
+
+    - ``"addone"`` (default): add-one ``(c2+1)/(c1+V)`` — simple,
+      robust, the original operator contract.
+    - ``"kn"``: interpolated Kneser-Ney with absolute ``discount`` D
+      (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.26 — what CCNet's
+      KenLM actually ships): ``P = max(c2−D,0)/c1 + (D·T(w1)/c1)·Pc``
+      where ``T(w1)`` counts distinct successors and the continuation
+      probability ``Pc(w2) = (N1+(·w2)+1)/(Dt+V)`` is add-one-floored
+      over distinct-predecessor counts (``Dt`` = distinct bigrams) so
+      unseen words keep nonzero mass; an unseen CONTEXT backs off to
+      ``Pc`` alone. Every extra statistic (T, N1+, Dt) is one more
+      aggregation of the SAME persisted vocab²-bounded bigram table —
+      no additional corpus scan, and the determinism argument is
+      unchanged (exact longs into one fixed per-pair double sequence,
+      quantized straight out of ``ln``).
+
     Two corpus scans total: one builds the model (see
     :func:`train_bigram_lm` — contexts/vocab derive from the persisted
     tiny bigram table, never a token-level cache), one feeds the
     scoring probe."""
     bigrams, contexts, vocab = train_bigram_lm(docs, text_col)
     bg = _doc_bigrams(docs, text_col)
-    nll = -F.log(
-        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
-        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vocab))
-    )
-    scored = (
-        bg.join(bigrams, ["w1", "w2"], "left")
-        .join(contexts, "w1", "left")
-        .select(
-            "doc_id",
-            F.floor(nll * F.lit(10**9) + F.lit(0.5)).cast("long").alias("q"),
+    if smoothing == "addone":
+        nll = -F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vocab))
         )
-    )
+        scored = (
+            bg.join(bigrams, ["w1", "w2"], "left")
+            .join(contexts, "w1", "left")
+            .select(
+                "doc_id",
+                F.floor(nll * F.lit(10**9) + F.lit(0.5))
+                .cast("long")
+                .alias("q"),
+            )
+        )
+    elif smoothing == "kn":
+        kctx = bigrams.groupBy("w1").agg(
+            F.sum("c2").alias("c1"),
+            F.count(F.lit(1)).cast("long").alias("t"),
+        )
+        n1p = bigrams.groupBy("w2").agg(
+            F.count(F.lit(1)).cast("long").alias("n1p")
+        )
+        dtv = bigrams.count() + vocab  # distinct bigrams + vocab: longs
+        pc = (F.coalesce(F.col("n1p"), F.lit(0)) + F.lit(1)) / F.lit(dtv)
+        p_seen = (
+            F.greatest(
+                F.coalesce(F.col("c2"), F.lit(0)) - F.lit(discount),
+                F.lit(0.0),
+            )
+            / F.col("c1")
+            + ((F.lit(discount) * F.col("t")) / F.col("c1")) * pc
+        )
+        p = F.when(
+            F.coalesce(F.col("c1"), F.lit(0)) == F.lit(0), pc
+        ).otherwise(p_seen)
+        scored = (
+            bg.join(bigrams, ["w1", "w2"], "left")
+            .join(kctx, "w1", "left")
+            .join(n1p, "w2", "left")
+            .select(
+                "doc_id",
+                F.floor(-F.log(p) * F.lit(10**9) + F.lit(0.5))
+                .cast("long")
+                .alias("q"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown smoothing: {smoothing!r}")
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_scored"),
         F.sum("q").alias("qsum"),
@@ -215,10 +271,76 @@ def perplexity_score_sql(
     table: str = "documents",
     keep_nll: float = 3.4,
     keep_frac: float | None = None,
+    smoothing: str = "addone",
+    discount: float = 0.75,
 ) -> str:
     """DuckDB twin of :func:`perplexity_score` (see the module
-    docstring for the ln determinism argument)."""
+    docstring for the ln determinism argument). The ``kn`` branch
+    mirrors the Spark expression's association order term by term;
+    ``contexts`` doubles as (c1, T) and the continuation/distinct
+    statistics come from the same ``bigrams`` CTE the model uses."""
     t = tokens_sql("text")
+    if smoothing == "kn":
+        d = repr(discount)
+        dtv = "((SELECT dt FROM dtc) + (SELECT v FROM vocab))"
+        pc = f"(COALESCE(np.n1p, 0) + 1) / {dtv}"
+        q_expr = f"""FLOOR(-ln(CASE WHEN COALESCE(c.c1, 0) = 0
+                       THEN {pc}
+                       ELSE GREATEST(COALESCE(b.c2, 0) - {d}, 0.0) / c.c1
+                            + (({d} * c.t) / c.c1) * ({pc})
+                       END)
+                       * 1000000000 + 0.5)::BIGINT"""
+        return f"""
+        WITH staged AS (
+            SELECT doc_id, list_prepend('{BOS}', {t}) AS t FROM {table}
+        ),
+        bg AS (
+            SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM staged,
+                 LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        ),
+        bigrams AS (
+            SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2
+        ),
+        contexts AS (
+            SELECT w1, SUM(c2)::BIGINT AS c1, COUNT(*)::BIGINT AS t
+            FROM bigrams GROUP BY w1
+        ),
+        n1pc AS (
+            SELECT w2, COUNT(*)::BIGINT AS n1p FROM bigrams GROUP BY w2
+        ),
+        dtc AS (SELECT COUNT(*)::BIGINT AS dt FROM bigrams),
+        vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+        scored AS (
+            SELECT bg.doc_id, {q_expr} AS q
+            FROM bg
+            LEFT JOIN bigrams b USING (w1, w2)
+            LEFT JOIN contexts c USING (w1)
+            LEFT JOIN n1pc np USING (w2)
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS n_scored,
+                   SUM(q)::BIGINT AS qsum
+            FROM scored GROUP BY doc_id
+        )
+        {"" if keep_frac is None else ''', base AS ('''}
+        SELECT d.doc_id,
+               COALESCE(p.n_scored, 0)::BIGINT AS n_scored,
+               ROUND(COALESCE((p.qsum / 1000000000.0) / p.n_scored, 0.0), 6)
+                   AS avg_nll,
+               ROUND(COALESCE((p.qsum / 1000000000.0) / p.n_scored, 0.0), 6)
+                   <= {keep_nll} AS keep
+        FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+        {f'''
+        )
+        SELECT doc_id, n_scored, avg_nll,
+               ((RANK() OVER (ORDER BY avg_nll)) - 1)
+                   / (COUNT(*) OVER ())::DOUBLE < {keep_frac} AS keep
+        FROM base
+        ''' if keep_frac is not None else ""}
+    """
+    if smoothing != "addone":
+        raise ValueError(f"unknown smoothing: {smoothing!r}")
     return f"""
         WITH staged AS (
             SELECT doc_id, list_prepend('{BOS}', {t}) AS t FROM {table}
@@ -287,6 +409,8 @@ def collect_model(
 def perplexity_stream(
     docs: DataFrame, model: dict, text_col: str = "text",
     keep_nll: float = 3.4,
+    smoothing: str = "addone",
+    discount: float = 0.75,
 ) -> DataFrame:
     """Stateless streaming twin of :func:`perplexity_score`: score an
     UNBOUNDED stream of docs against a STATIC pre-trained model
@@ -308,6 +432,18 @@ def perplexity_stream(
     bigrams = model["bigrams"]
     contexts = model["contexts"]
     vocab = model["vocab"]
+    if smoothing == "kn":
+        # KN statistics derive entirely from the collected bigram dict
+        # (distinct-successor T, distinct-predecessor N1+, Dt) — the
+        # model artifact needs no new fields.
+        t_succ: dict = {}
+        n1p: dict = {}
+        for (w1, w2) in bigrams:
+            t_succ[w1] = t_succ.get(w1, 0) + 1
+            n1p[w2] = n1p.get(w2, 0) + 1
+        dtv = len(bigrams) + vocab
+    elif smoothing != "addone":
+        raise ValueError(f"unknown smoothing: {smoothing!r}")
 
     @F.pandas_udf("struct<n_scored: bigint, qsum: bigint>")
     def score(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -316,6 +452,20 @@ def perplexity_stream(
         # tokenizer matches operators.text.tokens byte-for-byte
         ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
+        def prob(prev: str, w2: str) -> float:
+            if smoothing == "addone":
+                return (bigrams.get((prev, w2), 0) + 1) / (
+                    contexts.get(prev, 0) + vocab
+                )
+            c1 = contexts.get(prev, 0)
+            pc = (n1p.get(w2, 0) + 1) / dtv
+            if c1 == 0:
+                return pc
+            return (
+                max(bigrams.get((prev, w2), 0) - discount, 0.0) / c1
+                + ((discount * t_succ.get(prev, 0)) / c1) * pc
+            )
+
         def one(text: str):
             toks = [t for t in ws.split(text or "") if t != ""]
             if not toks:
@@ -323,9 +473,7 @@ def perplexity_stream(
             qsum = 0
             prev = BOS
             for w2 in toks:
-                p = (bigrams.get((prev, w2), 0) + 1) / (
-                    contexts.get(prev, 0) + vocab
-                )
+                p = prob(prev, w2)
                 qsum += math.floor(-math.log(p) * 10**9 + 0.5)
                 prev = w2
             return {"n_scored": len(toks), "qsum": qsum}

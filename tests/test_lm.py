@@ -174,3 +174,86 @@ def test_perplexity_quantile_gate_partitioning_invariant(spark, sf_dir):
          for r in lm.perplexity_score(
              docs.repartition(13), keep_frac=0.4).collect()}
     assert a == b
+
+
+# ------------------------------------------------------- Kneser-Ney mode
+def test_perplexity_kn_golden_tiny_corpus(spark):
+    """Corpus 'a b', 'a b', 'a c': hand-computed interpolated KN
+    (D=0.75). Bigrams (<s>,a):3, (a,b):2, (a,c):1 → Dt=3, V=3,
+    contexts <s>:(c1=3,T=1), a:(c1=3,T=2); every continuation count
+    N1+ is 1 so Pc = (1+1)/(3+3) = 1/3 for a, b and c."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in lm.perplexity_score(docs, smoothing="kn").collect()
+    }
+
+    def q(p):
+        return math.floor(-math.log(p) * 10**9 + 0.5)
+
+    pc = (1 + 1) / 6
+    p_sa = max(3 - 0.75, 0.0) / 3 + ((0.75 * 1) / 3) * pc
+    p_ab = max(2 - 0.75, 0.0) / 3 + ((0.75 * 2) / 3) * pc
+    p_ac = max(1 - 0.75, 0.0) / 3 + ((0.75 * 2) / 3) * pc
+    exp1 = round((q(p_sa) + q(p_ab)) / 1e9 / 2, 6)
+    exp3 = round((q(p_sa) + q(p_ac)) / 1e9 / 2, 6)
+    assert out[1].avg_nll == exp1 == out[2].avg_nll
+    assert out[3].avg_nll == exp3
+    assert out[3].avg_nll > out[1].avg_nll  # rarer continuation
+
+
+def test_perplexity_kn_stream_matches_batch(spark, sf_dir, tmp_path):
+    """KN stream scorer (stats derived from the collected bigram dict)
+    must emit exactly the batch join-form scores."""
+    from teste_carga_avro_vs_json_spark.streaming import run_bounded_append
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = {
+        r.doc_id: (r.n_scored, r.avg_nll, r.keep)
+        for r in lm.perplexity_score(docs, smoothing="kn").collect()
+    }
+    model = lm.collect_model(*lm.train_bigram_lm(docs))
+    path = str(tmp_path / "docs_stream_kn")
+    docs.select(
+        F.to_json(F.struct("doc_id", "text")).alias("value")
+    ).write.mode("overwrite").format("text").save(path)
+    stream = spark.readStream.schema("doc_id long, text string").json(path)
+    out = run_bounded_append(
+        lm.perplexity_stream(stream, model, smoothing="kn")
+    )
+    got = {
+        r.doc_id: (r.n_scored, r.avg_nll, r.keep) for r in out.collect()
+    }
+    assert got == want
+
+
+def test_perplexity_kn_unseen_stays_finite(spark):
+    """Scoring NEW text against a fixed model: an unseen word (zero
+    continuation count) and an unseen context must both get finite,
+    positive NLL mass — the continuation floor at work. The stream
+    scorer doubles as the fixed-model batch scorer (pure projection)."""
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    model = lm.collect_model(*lm.train_bigram_lm(train))
+    probe = spark.createDataFrame(
+        [(10, "zz qq"), (11, "a b")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in lm.perplexity_stream(probe, model, smoothing="kn").collect()
+    }
+    assert out[10].n_scored == 2 and math.isfinite(out[10].avg_nll)
+    assert out[10].avg_nll > out[11].avg_nll
+
+
+def test_perplexity_unknown_smoothing_raises(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lm.perplexity_score(docs, smoothing="bogus")

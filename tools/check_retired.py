@@ -216,6 +216,20 @@ def _lm_perplexity_frac_sql() -> str:
     return lm.perplexity_score_sql(keep_frac=0.7)
 
 
+def _q_lm_perplexity_kn(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import lm
+
+    return lm.perplexity_score(
+        load_table(spark, sf_dir, "documents"), smoothing="kn", keep_frac=0.7
+    )
+
+
+def _lm_perplexity_kn_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import lm
+
+    return lm.perplexity_score_sql(smoothing="kn", keep_frac=0.7)
+
+
 def _q_temperature_sample(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -352,6 +366,7 @@ def retired_queries() -> dict:
         "q_embedding_neardup": registry.q_embedding_neardup,
         "q_lm_perplexity": _q_lm_perplexity,
         "q_lm_perplexity_frac": _q_lm_perplexity_frac,
+        "q_lm_perplexity_kn": _q_lm_perplexity_kn,
         "q_temperature_sample": _q_temperature_sample,
         "q_shared_passages": _q_shared_passages,
         "q_shared_passages_stats": _q_shared_passages_stats,
@@ -386,6 +401,7 @@ def retired_oracle_sql() -> dict:
         "q_embedding_neardup": similarity.embedding_neardup_sql(),
         "q_lm_perplexity": _lm_perplexity_sql(),
         "q_lm_perplexity_frac": _lm_perplexity_frac_sql(),
+        "q_lm_perplexity_kn": _lm_perplexity_kn_sql(),
         "q_temperature_sample": _temperature_sample_sql(),
         "q_shared_passages": text.shared_passages_sql(),
         "q_shared_passages_stats": text.shared_passages_stats_sql(),
