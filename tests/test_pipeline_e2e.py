@@ -20,6 +20,30 @@ def test_full_corpus_pipeline(spark, sf_dir):
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = raw.count()
 
+    # -1. HTML ingest (the crawl shape): pages synthesized from the
+    # fixture corpus, extracted back to text — the ingest stage must
+    # hand the EXACT token stream to the hygiene stages below
+    # (paragraph breaks fold back to whitespace under the pipeline's
+    # \s+ tokenizer).
+    from teste_carga_avro_vs_json_spark.operators import html_extract as hx
+
+    extracted = hx.extract_text(hx.synth_html(raw)).select(
+        "doc_id", F.regexp_replace("text", "\n", " ").alias("text")
+    )
+    orig_norm = raw.select(
+        "doc_id",
+        F.array_join(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit("")),
+            " ",
+        ).alias("orig"),
+    )
+    assert (
+        extracted.join(orig_norm, "doc_id")
+        .filter(F.col("text") != F.col("orig"))
+        .count()
+        == 0
+    )
+
     # 0. line-level hygiene (RefinedWeb): strip lines shared by > 30
     # docs — a rewrite pass, every doc survives as a row
     lined = corpus.line_dedup(raw, max_df=30).select(
