@@ -247,6 +247,14 @@ def main() -> None:
 
         run(substr_dedup.exact_substring_spans(docs_df(), scale=True))
 
+    def w_bm25():
+        # diagnostic lane (r8-late, not in headline_total): BM25 top-k
+        # retrieval — broadcast query-term probe, matched-only agg,
+        # per-query window top-k
+        from teste_carga_avro_vs_json_spark.operators import retrieval
+
+        run(retrieval.bm25_topk(docs_df()))
+
     def w_pii_scrub():
         run(
             text.pii_scrub(docs_df()).agg(
@@ -305,6 +313,7 @@ def main() -> None:
         "repetition_profile",
         "semantic_dedup",
         "exact_substring",
+        "bm25_topk",
     }
     workloads = {
         "json_e2e": w_json_e2e,
@@ -325,6 +334,7 @@ def main() -> None:
         "repetition_profile": w_repetition_profile,
         "semantic_dedup": w_semantic_dedup,
         "exact_substring": w_exact_substring,
+        "bm25_topk": w_bm25,
         "pii_scrub": w_pii_scrub,
         "intra_doc_dedup": w_intra_doc_dedup,
         "cosine_topk": w_topk,

@@ -374,6 +374,30 @@ def main() -> None:
     # keep rate can't exceed the unique-vector count
     out["semantic_dedup_kept_le_uniques"] = bool(kept <= n_emb // replicas)
 
+    # ---- BM25 retrieval at Nx docs (r8-late) -----------------------
+    # Saturated-df worst case: the common query terms match EVERY doc,
+    # so the per-query top-k window sees the whole corpus — the scale
+    # concern the operator docstring documents. The broadcast probe +
+    # (doc, term)-keyed agg must stay flat; only the final per-query
+    # window grows with matches.
+    from teste_carga_avro_vs_json_spark.operators import retrieval
+
+    t0 = time.perf_counter()
+    bm = retrieval.bm25_topk(corpus10.select("doc_id", "text"))
+    out["bm25_rows"] = bm.count()
+    out["bm25_sec"] = round(time.perf_counter() - t0, 2)
+
+    # ---- Kneser-Ney perplexity at Nx docs (r8-late) ----------------
+    # Same two-scan shape as the add-one lane plus three extra aggs of
+    # the vocab^2-bounded bigram table — wall should track the add-one
+    # lane, not the corpus replica factor.
+    t0 = time.perf_counter()
+    knq = lm_ops.perplexity_score(corpus10, smoothing="kn", keep_frac=0.5)
+    nk = knq.count()
+    kk = knq.filter("keep").count()
+    out["lm_perplexity_kn_kept_share"] = round(kk / max(nk, 1), 4)
+    out["lm_perplexity_kn_sec"] = round(time.perf_counter() - t0, 2)
+
     # ---- temporal operators at 10x events (1M rows) ----------------
     # Replicas get DISTINCT user_id/event_id namespaces (offset by
     # r * 10^9): 10x the KEYS with the per-key history preserved — the
