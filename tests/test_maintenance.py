@@ -1,0 +1,114 @@
+"""Dataset maintenance (operators/maintenance.py): compaction and
+range-clustering must preserve content exactly, hit the planned file
+counts, and — the point of clustering — leave pairwise-DISJOINT
+per-file min/max footer ranges on the cluster key (read back with
+pyarrow: the very statistics predicate pushdown consults)."""
+
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+
+
+def _same_multiset(a, b):
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_plan_output_files_math():
+    mb = 1024 * 1024
+    assert mt.plan_output_files(0, 256) == 1
+    assert mt.plan_output_files(1, 256) == 1
+    assert mt.plan_output_files(256 * mb, 256) == 1
+    assert mt.plan_output_files(256 * mb + 1, 256) == 2
+    assert mt.plan_output_files(10 * 256 * mb, 256) == 10
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """64-file ingest shape → compaction to the planned count with
+    exact content preservation and an honest audit dict."""
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(64).write.parquet(src)
+    frag = spark.read.parquet(src)
+    assert len(frag.inputFiles()) == 64
+
+    stats = mt.compact(spark, src, dst, target_mb=256)
+    assert stats["input_files"] == 64
+    assert stats["output_files"] == stats["planned_files"] == 1
+    assert _same_multiset(docs, spark.read.parquet(dst))
+
+
+def test_compact_respects_target_size(spark, sf_dir, tmp_path):
+    """A tiny target forces multiple output files: planned ==
+    ceil(bytes/target) and the writer delivers it."""
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "compact2")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(16).write.parquet(src)
+    stats = mt.compact(spark, src, dst, target_mb=0.01)
+    assert stats["planned_files"] >= 2
+    assert stats["output_files"] == stats["planned_files"]
+    assert _same_multiset(docs, spark.read.parquet(dst))
+
+
+def test_cluster_by_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """After cluster_by(doc_id): content identical, and every output
+    file's [min,max] doc_id footer range is disjoint from every
+    other's — whole-file pruning for any doc_id predicate."""
+    src = str(tmp_path / "unclustered")
+    dst = str(tmp_path / "clustered")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # scatter rows so input files have overlapping id ranges
+    docs.repartition(8, F.col("text")).write.parquet(src)
+
+    mt.cluster_by(spark, src, dst, "doc_id", n_files=4)
+    out = spark.read.parquet(dst)
+    assert _same_multiset(docs, out)
+
+    ranges = sorted(
+        mt.file_ranges(dst, "doc_id"), key=lambda r: r[1]
+    )
+    assert len(ranges) >= 2  # clustering actually produced spread
+    for (_, _, hi_prev), (_, lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next  # pairwise disjoint, strictly
+
+    # and the unclustered layout would NOT prune: at least one pair of
+    # source files overlaps on doc_id (sanity that the test is real)
+    src_ranges = sorted(
+        mt.file_ranges(src, "doc_id"), key=lambda r: r[1]
+    )
+    overlaps = any(
+        a[2] >= b[1]
+        for a, b in zip(src_ranges, src_ranges[1:])
+    )
+    assert overlaps
+
+
+def test_cluster_by_prunes_at_scan(spark, sf_dir, tmp_path):
+    """The executed scan over the clustered layout must read FEWER
+    files for a selective doc_id predicate than the scattered layout —
+    pruning observed at the plan level, not inferred."""
+    src = str(tmp_path / "unclustered_p")
+    dst = str(tmp_path / "clustered_p")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(8, F.col("text")).write.parquet(src)
+    mt.cluster_by(spark, src, dst, "doc_id", n_files=8)
+
+    # probe a MID-range id: scattered files are random id subsets, so
+    # every file's [min,max] straddles the median; clustered files are
+    # disjoint ranges, so exactly one can contain it. (A global-min
+    # probe would prune in both layouts — only the file holding the
+    # minimum has min <= lo.)
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    def candidate_files(path):
+        # footer-range candidacy — the statistics predicate pushdown
+        # consults: files whose range excludes `mid` cannot contribute
+        return sum(
+            1
+            for (_, mn, mx) in mt.file_ranges(path, "doc_id")
+            if mn <= mid <= mx
+        )
+
+    assert candidate_files(dst) == 1
+    assert candidate_files(src) == 8  # every scattered file straddles
