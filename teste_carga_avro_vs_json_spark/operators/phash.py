@@ -1,0 +1,267 @@
+"""Perceptual-hash image near-duplicate detection — the multimodal
+sibling of the text near-dup stack (``operators/dedup.py``). A crawl
+corpus carries the same image re-encoded, resized or lightly edited
+thousands of times; exact byte dedup misses all of it. The standard
+recipe (used by every large image-dataset pipeline, e.g. LAION's
+dedup pass) is a tiny perceptual fingerprint + a Hamming-ball join:
+
+1. **dHash** (difference hash): decode → grayscale → downscale to a
+   9x8 luminance grid → 64 bits, one per horizontally-adjacent cell
+   pair (``left < right``). Robust to re-encoding, scaling and small
+   edits; any single-pixel change flips at most a few bits.
+2. **Pigeonhole banding**: to find all pairs within Hamming distance
+   ``k`` WITHOUT an all-pairs O(n²) scan, split the 64 bits into
+   ``k+1`` disjoint bands — two hashes differing in ≤ k bits must
+   agree EXACTLY on at least one band (k differences cannot touch
+   k+1 bands). Equality self-join per band → candidates → verify
+   with ``bit_count(a XOR b) <= k``. Same candidate-generation
+   discipline as MinHash-LSH (`dedup.py:290`), and the same scale
+   rules: one aliased persisted frame so the Exchange is reused,
+   ``shuffle_hash``-pinned tail (Catalyst mis-estimates post-explode
+   sizes), ids+longs only through the fan-out join (no arrays).
+
+Decoding uses the repo's stdlib-real BMP/PNG codecs
+(`operators/multimodal.py`) inside one Arrow-batched pandas UDF —
+the documented py-lane, identical batch shape to
+``extract_features_bmp``. The reference engine has no image
+pipeline at all (SURVEY.md §2.2); this extends the multimodal
+surface (E5) with the dedup discipline of E2.
+
+Degenerate-image skew: constant-color thumbnails all hash to the
+same value, so one band key can fan out to the whole corpus. The
+``max_band_df`` cap drops over-dense band keys BEFORE the self-join
+(bounding fan-out at max_band_df² per key) and, per the
+no-silent-caps rule, reports what it dropped via the optional
+``stats`` dict — the same convention as ``neardup_clusters``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+GRID_W, GRID_H = 9, 8  # dHash grid: 8 comparisons per row x 8 rows
+
+
+# --------------------------------------------------------------- decode
+def _bmp_lum_rows(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """24-bit BMP → top-down rows of integer BT.601 luminance
+    (same dialect as ``multimodal.decode_bmp_stdlib``: BI_RGB,
+    bottom-up or top-down, row stride padded to 4 bytes)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    _, width, height_raw, _, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    bottom_up = height_raw > 0
+    height = abs(height_raw)
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    rows = []
+    for y in range(height):
+        src_row = (height - 1 - y) if bottom_up else y
+        off = pixel_off + src_row * stride
+        seg = payload[off : off + row_raw]
+        rows.append(
+            [
+                (299 * seg[x + 2] + 587 * seg[x + 1] + 114 * seg[x]) // 1000
+                for x in range(0, row_raw, 3)  # BGR in the file
+            ]
+        )
+    return width, height, rows
+
+
+def _png_lum_rows(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """PNG → top-down luminance rows via the stdlib decoder
+    (gray / RGB / RGBA, all scanline filters)."""
+    from .multimodal import _png_decode_pixels
+
+    width, height, channels, px = _png_decode_pixels(payload)
+    rows = []
+    for y in range(height):
+        base = y * width * channels
+        if channels == 1:
+            rows.append([px[base + x] for x in range(width)])
+        else:  # RGB / RGBA — alpha ignored for luminance
+            rows.append(
+                [
+                    (
+                        299 * px[base + x * channels]
+                        + 587 * px[base + x * channels + 1]
+                        + 114 * px[base + x * channels + 2]
+                    )
+                    // 1000
+                    for x in range(width)
+                ]
+            )
+    return width, height, rows
+
+
+def dhash64(width: int, height: int, lum_rows: list[list[int]]) -> int:
+    """64-bit dHash over a luminance image, exact integer arithmetic
+    throughout (deterministic across platforms):
+
+    - 9x8 grid, cell (i, j) = floor-mean luminance of the pixel block
+      ``[i*w//9, (i+1)*w//9) x [j*h//8, (j+1)*h//8)`` (empty blocks on
+      tiny images take the single nearest pixel — hi clamped to lo+1).
+    - bit ``j*8+i`` = 1 iff cell (i, j) < cell (i+1, j).
+
+    Returned as a SIGNED 64-bit value (two's complement) so it stores
+    directly in a Spark ``long``.
+    """
+    cells = []
+    for j in range(GRID_H):
+        y_lo = j * height // GRID_H
+        y_hi = max(y_lo + 1, (j + 1) * height // GRID_H)
+        row_cells = []
+        for i in range(GRID_W):
+            x_lo = i * width // GRID_W
+            x_hi = max(x_lo + 1, (i + 1) * width // GRID_W)
+            s = 0
+            for y in range(y_lo, min(y_hi, height)):
+                r = lum_rows[y]
+                for x in range(x_lo, min(x_hi, width)):
+                    s += r[x]
+            n = (min(y_hi, height) - y_lo) * (min(x_hi, width) - x_lo)
+            row_cells.append(s // max(1, n))
+        cells.append(row_cells)
+    h = 0
+    for j in range(GRID_H):
+        for i in range(GRID_W - 1):
+            if cells[j][i] < cells[j][i + 1]:
+                h |= 1 << (j * (GRID_W - 1) + i)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _payload_dhash(payload: bytes, fmt: str) -> int:
+    if fmt == "bmp":
+        return dhash64(*_bmp_lum_rows(payload))
+    if fmt == "png":
+        return dhash64(*_png_lum_rows(payload))
+    raise NotImplementedError(f"no stdlib decoder for format {fmt!r}")
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(doc_id, format, payload) → (doc_id, dhash long). One
+    Arrow-batched pandas UDF (the documented py-lane — decode cannot
+    be a JVM expression), shuffle-free: hashes are computed where the
+    payload bytes already live and only 8 bytes/row move on."""
+
+    @F.pandas_udf("long")
+    def _dh(
+        cols: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        for payloads, fmts in cols:
+            yield pd.Series(
+                [
+                    _payload_dhash(bytes(p), f)
+                    for p, f in zip(payloads, fmts)
+                ],
+                dtype="int64",
+            )
+
+    return media.select(
+        "doc_id", _dh("payload", "format").alias("dhash")
+    )
+
+
+# ------------------------------------------------------- Hamming join
+def _band_cols(col: str, n_bands: int) -> list:
+    """Split a signed-64 hash column into ``n_bands`` disjoint bit
+    bands (last band takes the remainder bits) — pure JVM bit ops."""
+    width = 64 // n_bands
+    out = []
+    for b in range(n_bands):
+        off = b * width
+        w = 64 - off if b == n_bands - 1 else width
+        if w >= 64:  # single band == the whole hash (max_hamming=0)
+            out.append(F.col(col))
+            continue
+        mask = (1 << w) - 1
+        out.append(
+            F.shiftrightunsigned(F.col(col), off).bitwiseAND(F.lit(mask))
+        )
+    return out
+
+
+def phash_neardup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_band_df: int | None = 1000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """All image pairs within Hamming distance ``max_hamming`` of each
+    other's dHash → (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Exact up to the ``max_band_df`` cap: the pigeonhole banding is
+    lossless (k+1 bands always catch a ≤k pair), so the ONLY recall
+    loss is capped band keys — and those are counted into ``stats``
+    (``band_keys_stop`` / ``band_rows_dropped``) rather than silently
+    swallowed. Pass ``max_band_df=None`` for the fully-exact variant
+    (unbounded fan-out on degenerate corpora — constant-color images
+    share one hash).
+    """
+    n_bands = max_hamming + 1
+    spark = media.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    hashes = image_dhash(media).repartition(n_part, "doc_id")
+    banded = hashes.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(F.array(*_band_cols("dhash", n_bands))).alias(
+            "band_id", "band_val"
+        ),
+    )
+    if max_band_df is not None:
+        df_per_key = banded.groupBy("band_id", "band_val").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        live_keys = df_per_key.filter(F.col("_df") <= max_band_df).select(
+            "band_id", "band_val"
+        )
+        if stats is not None:
+            stop = df_per_key.filter(F.col("_df") > max_band_df).agg(
+                F.count(F.lit(1)).alias("keys"),
+                F.coalesce(F.sum("_df"), F.lit(0)).alias("rows"),
+            ).collect()[0]
+            stats["band_keys_stop"] = stop["keys"]
+            stats["band_rows_dropped"] = stop["rows"]
+        banded = banded.join(
+            live_keys.hint("shuffle_hash"), ["band_id", "band_val"]
+        )
+    banded = (
+        banded.repartition(n_part, "band_id", "band_val")
+        .hint("shuffle_hash")
+        .persist()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # two longs ride the fan-out join (8 bytes each — the
+        # array-payload rule targets arrays); saves the fetch-back
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
