@@ -1,7 +1,8 @@
-"""Perceptual-hash image near-duplicate detection — the multimodal
-sibling of the text near-dup stack (``operators/dedup.py``). A crawl
-corpus carries the same image re-encoded, resized or lightly edited
-thousands of times; exact byte dedup misses all of it. The standard
+"""Perceptual-hash media near-duplicate detection (images + audio) —
+the multimodal sibling of the text near-dup stack
+(``operators/dedup.py``). A crawl corpus carries the same image or
+recording re-encoded, resized or lightly edited thousands of times;
+exact byte dedup misses all of it. The standard
 recipe (used by every large image-dataset pipeline, e.g. LAION's
 dedup pass) is a tiny perceptual fingerprint + a Hamming-ball join:
 
@@ -193,14 +194,16 @@ def _band_cols(col: str, n_bands: int) -> list:
     return out
 
 
-def phash_neardup(
-    media: DataFrame,
+def hamming_neardup(
+    hashes: DataFrame,
     max_hamming: int = 3,
     max_band_df: int | None = 1000,
     stats: dict | None = None,
 ) -> DataFrame:
-    """All image pairs within Hamming distance ``max_hamming`` of each
-    other's dHash → (doc_a, doc_b, hamming), doc_a < doc_b.
+    """All pairs from a ``(doc_id, dhash long)`` frame within Hamming
+    distance ``max_hamming`` → (doc_a, doc_b, hamming), doc_a < doc_b.
+    The fingerprint-agnostic half of perceptual dedup — image dHash
+    and audio energy-hash both feed it.
 
     Exact up to the ``max_band_df`` cap: the pigeonhole banding is
     lossless (k+1 bands always catch a ≤k pair), so the ONLY recall
@@ -211,10 +214,10 @@ def phash_neardup(
     share one hash).
     """
     n_bands = max_hamming + 1
-    spark = media.sparkSession
+    spark = hashes.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    hashes = image_dhash(media).repartition(n_part, "doc_id")
+    hashes = hashes.repartition(n_part, "doc_id")
     banded = hashes.select(
         "doc_id",
         "dhash",
@@ -265,3 +268,102 @@ def phash_neardup(
         .distinct()
     )
     return pairs
+
+
+def phash_neardup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_band_df: int | None = 1000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Image pairs within dHash Hamming distance ``max_hamming``
+    (see :func:`hamming_neardup` for the join contract)."""
+    return hamming_neardup(
+        image_dhash(media), max_hamming, max_band_df, stats
+    )
+
+
+# ------------------------------------------------------- audio twin
+def _wav_samples(payload: bytes) -> list[int]:
+    """RIFF/PCM WAV → one interleaved s16-scaled sample stream
+    (8/16/32-bit PCM, same dialect as
+    ``multimodal.decode_wav_stdlib``; array-module pass, no per-sample
+    Python loop for 16/32-bit)."""
+    import array
+    import io
+    import sys
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 1:  # u8 offset-binary → s16 scale
+        return [(b - 128) * 256 for b in raw]
+    if width in (2, 4):
+        samples = array.array("h" if width == 2 else "i")
+        samples.frombytes(raw[: len(raw) - len(raw) % width])
+        if sys.byteorder == "big":
+            samples.byteswap()
+        if width == 4:
+            return [s >> 16 for s in samples]
+        return list(samples)
+    raise NotImplementedError(f"unsupported PCM sample width {width}")
+
+
+def audio_fingerprint64(samples: list[int]) -> int:
+    """64-bit audio energy hash — dHash's recipe on the time axis:
+    split the sample stream into 65 equal chunks, chunk energy =
+    floor-mean |sample| (exact integer arithmetic), bit ``i`` = 1 iff
+    energy(i) < energy(i+1). Robust to re-encoding, resampling and
+    uniform gain (monotone transforms mostly preserve the energy
+    ORDER between adjacent chunks); any local edit flips only nearby
+    bits. Returns signed 64-bit for a Spark ``long``; silent or empty
+    streams hash to 0."""
+    n = len(samples)
+    cells = []
+    for i in range(GRID_W * GRID_H + 1):  # 65 chunks -> 64 comparisons
+        lo = i * n // 65
+        hi = max(lo + 1, (i + 1) * n // 65)
+        s = 0
+        cnt = 0
+        for x in range(lo, min(hi, n)):
+            s += samples[x] if samples[x] >= 0 else -samples[x]
+            cnt += 1
+        cells.append(s // cnt if cnt else 0)
+    h = 0
+    for i in range(64):
+        if cells[i] < cells[i + 1]:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def audio_dhash(media: DataFrame) -> DataFrame:
+    """(doc_id, payload WAV bytes) → (doc_id, dhash long); same
+    Arrow-batched shuffle-free shape as :func:`image_dhash`."""
+
+    @F.pandas_udf("long")
+    def _ah(payloads: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in payloads:
+            yield pd.Series(
+                [
+                    audio_fingerprint64(_wav_samples(bytes(p)))
+                    for p in batch
+                ],
+                dtype="int64",
+            )
+
+    return media.select("doc_id", _ah("payload").alias("dhash"))
+
+
+def audio_neardup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_band_df: int | None = 1000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Audio pairs within energy-hash Hamming distance ``max_hamming``
+    — near-identical recordings (re-encodes, gain changes, small
+    edits) under the same banding join as the image path."""
+    return hamming_neardup(
+        audio_dhash(media), max_hamming, max_band_df, stats
+    )

@@ -179,3 +179,77 @@ def test_phash_neardup_plan_shape(spark, sf_dir):
     out.collect()
     executed = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+# ---------------------------------------------------------- audio twin
+def _wav_bytes(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            b"".join(struct.pack("<h", s) for s in samples)
+        )
+    return buf.getvalue()
+
+
+def _synth_samples(seed: int, n=650):
+    # deterministic pseudo-audio: LCG over s16 range
+    x, out = seed * 2654435761 % (2**31), []
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (2**31)
+        out.append(x % 65536 - 32768)
+    return out
+
+
+def test_audio_fingerprint_goldens():
+    assert ph.audio_fingerprint64([0] * 650) == 0
+    # strictly rising |amplitude| ramp: every chunk's floor-mean
+    # energy is below the next -> all 64 bits set -> signed -1
+    ramp = [i * 50 for i in range(650)]
+    assert ph.audio_fingerprint64(ramp) == -1
+    # empty stream is defined, not an error
+    assert ph.audio_fingerprint64([]) == 0
+
+
+def test_audio_neardup_equals_bruteforce_with_planted_edit(spark):
+    rows = []
+    for i in range(30):
+        samples = _synth_samples(i + 1)
+        rows.append((i, _wav_bytes(samples), "wav"))
+        if i < 6:
+            # local edit: zero the last 2% of samples — flips only
+            # bits whose chunks overlap the tail
+            edited = samples[:-13] + [0] * 13
+            rows.append((i + 100000, _wav_bytes(edited), "wav"))
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, format string"
+    ).persist()
+
+    hashes = {
+        r["doc_id"]: r["dhash"] & ((1 << 64) - 1)
+        for r in ph.audio_dhash(media).collect()
+    }
+    # UDF vs driver recompute
+    for r in media.collect():
+        want = ph.audio_fingerprint64(
+            ph._wav_samples(bytes(r["payload"]))
+        ) & ((1 << 64) - 1)
+        assert hashes[r["doc_id"]] == want
+    # banded join == brute force
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in ph.audio_neardup(
+            media, max_hamming=3, max_band_df=None
+        ).collect()
+    }
+    assert got == _brute_pairs(hashes, 3)
+    # the planted tail-edits register as near-dups
+    planted_found = {a for a, b, _ in got if b - a == 100000}
+    assert len(planted_found) >= 4
+    media.unpersist()
