@@ -200,3 +200,44 @@ def test_learned_filter_composes_with_pipeline(spark, sf_dir):
     assert good_kept / docs.count() > 0.7
     packed = corpus.pack_sequences(survivors, seq_len=512)
     assert packed.count() == n_kept
+
+
+def test_media_sidecar_dedup_composes(spark, sf_dir):
+    """A multimodal build carries media sidecar tables keyed by the
+    same doc_ids as the text corpus: real (decodable) BMPs, re-crawled
+    exact copies planted under fresh ids, perceptual dedup keeps one
+    canonical per hash family, and the surviving media joins back onto
+    the text corpus 1:1 — media dedup composes with the text chain
+    instead of living beside it."""
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+    from teste_carga_avro_vs_json_spark.operators import phash as ph
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    media = mm.synth_bmp_media(docs)
+    recrawl = media.limit(30).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "payload",
+        "format",
+        "width",
+        "height",
+    )
+    corpus_media = media.unionByName(recrawl).persist()
+
+    # hamming-0 dedup: pairs form a clique per hash value, keep-min
+    # leaves exactly one doc per distinct fingerprint
+    pairs = ph.phash_neardup(corpus_media, max_hamming=0, max_band_df=None)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = corpus_media.join(drop, "doc_id", "left_anti")
+    n_families = ph.image_dhash(corpus_media).select("dhash").distinct().count()
+    assert kept.count() == n_families
+    # every planted re-crawl id lost to its lower-id original
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+    # the deduped sidecar still keys 1:1 into the text corpus
+    joined = kept.join(docs.select("doc_id", "text"), "doc_id")
+    assert joined.count() == kept.count()
+    corpus_media.unpersist()
