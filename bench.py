@@ -255,6 +255,23 @@ def main() -> None:
 
         run(retrieval.bm25_topk(docs_df()))
 
+    def w_phash_neardup():
+        # diagnostic lane (r8-late, not in headline_total): perceptual
+        # image near-dup — real BMP synth + dHash UDF + pigeonhole
+        # Hamming band join. Synth is INSIDE the lane on purpose: the
+        # encode+decode py-lane is the dominant 100 TB cost and should
+        # be visible in the trend.
+        from teste_carga_avro_vs_json_spark.operators import (
+            multimodal,
+            phash,
+        )
+
+        run(
+            phash.phash_neardup(
+                multimodal.synth_bmp_media(docs_df()), max_hamming=3
+            )
+        )
+
     def w_pii_scrub():
         run(
             text.pii_scrub(docs_df()).agg(
@@ -314,6 +331,7 @@ def main() -> None:
         "semantic_dedup",
         "exact_substring",
         "bm25_topk",
+        "phash_neardup",
     }
     workloads = {
         "json_e2e": w_json_e2e,
@@ -335,6 +353,7 @@ def main() -> None:
         "semantic_dedup": w_semantic_dedup,
         "exact_substring": w_exact_substring,
         "bm25_topk": w_bm25,
+        "phash_neardup": w_phash_neardup,
         "pii_scrub": w_pii_scrub,
         "intra_doc_dedup": w_intra_doc_dedup,
         "cosine_topk": w_topk,
