@@ -145,3 +145,87 @@ def file_ranges(dst_dir: str, col: str) -> list[tuple[str, object, object]]:
         if lo is not None:
             out.append((name, lo, hi))
     return out
+
+
+def _zvalue_col(bucket_cols: list, bits: int):
+    """Interleave the low ``bits`` bits of N bucket-index columns into
+    one Morton (Z-curve) value — fixed-width JVM bit arithmetic, a
+    pure projection (never filtered on, so no expensive-filter risk)."""
+    n = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(bucket_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(c.cast("long"), i).bitwiseAND(
+                        F.lit(1)
+                    ),
+                    i * n + j,
+                )
+            )
+    return z
+
+
+def zorder_by(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    cols: list[str],
+    n_files: int | None = None,
+    target_mb: float = 256,
+    bits: int = 6,
+) -> dict:
+    """Multi-column clustering via a Morton (Z-order) curve — the
+    lakehouse ZORDER: single-column range clustering gives perfect
+    pruning on ONE key and none on the others; interleaving the
+    quantile-bucket bits of each key makes every output file cover a
+    small hyper-rectangle of the key space, so footer min/max ranges
+    prune usefully on EVERY listed column at once.
+
+    Per column: 2^bits QUANTILE boundaries from ``approxQuantile``
+    (driver-side, 2^bits doubles — bounded; quantile buckets, not
+    equal-width, so skewed keys still fill the curve evenly, the same
+    choice Delta's ZORDER makes via range_partition_id). The bucket
+    lookup is a fold over the broadcast-constant boundary array —
+    O(2^bits) interpreted per row, which is why ``bits`` defaults to
+    6: 64 buckets/column = 4096 z-cells for two columns, far more
+    granularity than file-level pruning can use (cells >> files), at
+    63 compares/row. Do NOT raise bits past ~8 without moving the
+    lookup JVM-side (the k-means HOF-fold lesson). Then
+    bit-interleave → one range shuffle on the z-value + sort within
+    partitions. Content preserved exactly (multiset pin in tests);
+    pruning asserted by reading the per-file footer statistics back,
+    same contract as :func:`cluster_by`."""
+    df = spark.read.parquet(src_dir)
+    if n_files is None:
+        n_files = plan_output_files(_dataset_bytes(spark, src_dir), target_mb)
+    n_buckets = 1 << bits
+    bucket_exprs = []
+    for c in cols:
+        qs = df.stat.approxQuantile(
+            c, [i / n_buckets for i in range(1, n_buckets)], 0.001
+        )
+        # strictly increasing boundary list (dedup ties) keeps the
+        # bucket lookup a sorted-array search
+        bounds = sorted(set(qs))
+        arr = F.array(*[F.lit(b) for b in bounds])
+        # bucket = count of boundaries <= value: a fixed-size fold on a
+        # broadcast-constant array, row-local
+        bucket = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(c) >= b, F.lit(1)).otherwise(F.lit(0)),
+        )
+        bucket_exprs.append(F.coalesce(bucket, F.lit(0)))
+    z = _zvalue_col(bucket_exprs, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+    out_files = len(spark.read.parquet(dst_dir).inputFiles())
+    return {"planned_files": n_files, "output_files": out_files}

@@ -112,3 +112,54 @@ def test_cluster_by_prunes_at_scan(spark, sf_dir, tmp_path):
 
     assert candidate_files(dst) == 1
     assert candidate_files(src) == 8  # every scattered file straddles
+
+
+def test_zvalue_interleave_golden(spark):
+    # a=0b101, b=0b011, bits=3: a-bits land at even positions,
+    # b-bits at odd -> z = 1|2|8|16 = 27
+    row = spark.createDataFrame([(5, 3)], "a long, b long").select(
+        mt._zvalue_col([F.col("a"), F.col("b")], 3).alias("z")
+    ).first()
+    assert row.z == 27
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """The lakehouse-ZORDER contract: on a 64x64 uniform grid split
+    into 16 z-ordered files, a point predicate on EITHER column keeps
+    only the files whose footer range covers it (~1/4 of files for
+    either dimension), while single-column clustering prunes one
+    dimension perfectly and the other not at all."""
+    src = str(tmp_path / "grid")
+    zdst = str(tmp_path / "zordered")
+    cdst = str(tmp_path / "xclustered")
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    grid.repartition(8).write.parquet(src)
+    base = spark.read.parquet(src)
+
+    mt.zorder_by(spark, src, zdst, ["x", "y"], n_files=16)
+    out = spark.read.parquet(zdst)
+    assert base.exceptAll(out).count() == 0 and out.exceptAll(base).count() == 0
+
+    mt.cluster_by(spark, src, cdst, "x", n_files=16)
+
+    def candidates(path, col, val):
+        return sum(
+            1 for (_, mn, mx) in mt.file_ranges(path, col) if mn <= val <= mx
+        )
+
+    # scattered: every file straddles both mids (100% candidacy)
+    assert candidates(src, "x", 31) == 8
+    assert candidates(src, "y", 31) == 8
+    # z-order: BOTH dimensions prune. The file rectangles are aligned
+    # only up to repartitionByRange's sampled boundaries (the same
+    # jitter Delta's ZORDER has), so the bound is a fraction, not the
+    # ideal sqrt(n_files): observed 7-9 of 16 at this shape.
+    zx, zy = candidates(zdst, "x", 31), candidates(zdst, "y", 31)
+    assert 1 <= zx <= 11 and 1 <= zy <= 11
+    # x-clustering: perfect on x, useless on y
+    cx, cy = candidates(cdst, "x", 31), candidates(cdst, "y", 31)
+    assert cx <= 2
+    assert cy >= 12  # nearly every file straddles y
+    assert zy < cy  # the reason zorder exists
