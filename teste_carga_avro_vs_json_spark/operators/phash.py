@@ -367,3 +367,143 @@ def audio_neardup(
     return hamming_neardup(
         audio_dhash(media), max_hamming, max_band_df, stats
     )
+
+
+# ------------------------------------------------------- video twin
+def split_bmp_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-BMP frame stream into frames. Every BMP
+    self-describes its byte length (file-size field at offset 2,
+    little-endian u32), so the container needs no index — walk,
+    validate the magic, slice. The stdlib stand-in for frame-extracted
+    video (PyAV is env-gated, the multimodal convention): each frame
+    is a REAL decodable image, the container is just concatenation."""
+    import struct
+
+    frames = []
+    off = 0
+    n = len(payload)
+    while off < n:
+        if payload[off : off + 2] != b"BM":
+            raise NotImplementedError("not a BMP frame stream")
+        size = struct.unpack_from("<I", payload, off + 2)[0]
+        if size < 14 or off + size > n:
+            raise NotImplementedError("truncated BMP frame")
+        frames.append(payload[off : off + size])
+        off += size
+    return frames
+
+
+def synth_bmp_video(
+    docs: DataFrame, n_frames: int = 6, max_dim: int = 12
+) -> DataFrame:
+    """REAL video table: every payload is a stream of ``n_frames``
+    decodable BMPs whose pixels derive deterministically from
+    md5(text, frame index). One fixed per-doc dimension (frames of a
+    video share geometry)."""
+    import hashlib
+
+    from .multimodal import encode_bmp_stdlib
+
+    @F.pandas_udf("binary")
+    def make_stream(
+        cols: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        def one(text: str, w: int, h: int) -> bytes:
+            need = w * h * 3
+            out = []
+            for fr in range(n_frames):
+                seed = hashlib.md5(
+                    f"{fr}|{text or ''}".encode()
+                ).digest()
+                reps = need // len(seed) + 1
+                out.append(encode_bmp_stdlib(w, h, (seed * reps)[:need]))
+            return b"".join(out)
+
+        for texts, ws, hs in cols:
+            yield pd.Series(
+                [one(t, int(w), int(h)) for t, w, h in zip(texts, ws, hs)]
+            )
+
+    from ..functions.portable import hex32
+
+    w = (hex32(F.concat(F.lit("vw-"), F.col("doc_id"))) % max_dim + 4).cast(
+        "int"
+    )
+    h = (hex32(F.concat(F.lit("vh-"), F.col("doc_id"))) % max_dim + 4).cast(
+        "int"
+    )
+    staged = docs.select("doc_id", "text", w.alias("width"), h.alias("height"))
+    return staged.select(
+        "doc_id",
+        make_stream("text", "width", "height").alias("payload"),
+        F.lit("bmpstream").alias("format"),
+    )
+
+
+#: frame index width inside the synthetic frame id (max 2^10 frames)
+_FRAME_SHIFT = 10
+
+
+def video_frame_hashes(media: DataFrame) -> DataFrame:
+    """(doc_id, payload frame-stream) → one row per frame:
+    (doc_id, frame_idx, dhash). mapInPandas so a single input row may
+    emit many frame rows; decode stays payload-local."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, frame in enumerate(split_bmp_stream(bytes(b))):
+                    rows.append(
+                        (did, idx, dhash64(*_bmp_lum_rows(frame)))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "dhash"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(_frames, schema)
+
+
+def video_neardup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    min_shared_frames: int = 2,
+    max_band_df: int | None = 1000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Video pairs sharing >= ``min_shared_frames`` perceptually-equal
+    frames (per-frame dHash within ``max_hamming``) →
+    (doc_a, doc_b, shared_frames). The standard re-upload/re-encode
+    detection shape: frame hashes ride the SAME pigeonhole Hamming
+    join as images (frames get synthetic ids doc_id<<10 | idx), the
+    frame-pair fan-in to video pairs is one hash aggregation.
+
+    Requires frame_idx < 2^10 and doc_id < 2^53 (id packing)."""
+    frames = video_frame_hashes(media).select(
+        (
+            F.col("doc_id") * F.lit(1 << _FRAME_SHIFT) + F.col("frame_idx")
+        ).alias("doc_id"),
+        "dhash",
+    )
+    fpairs = hamming_neardup(frames, max_hamming, max_band_df, stats)
+    da = F.shiftrightunsigned(F.col("doc_a"), _FRAME_SHIFT)
+    db = F.shiftrightunsigned(F.col("doc_b"), _FRAME_SHIFT)
+    return (
+        fpairs.select(
+            F.least(da, db).alias("doc_a"),
+            F.greatest(da, db).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )

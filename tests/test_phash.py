@@ -253,3 +253,68 @@ def test_audio_neardup_equals_bruteforce_with_planted_edit(spark):
     planted_found = {a for a, b, _ in got if b - a == 100000}
     assert len(planted_found) >= 4
     media.unpersist()
+
+
+# ---------------------------------------------------------- video twin
+def test_split_bmp_stream_roundtrip(spark, sf_dir):
+    media = ph.synth_bmp_video(_docs(spark, sf_dir, 10), n_frames=5)
+    for r in media.collect():
+        frames = ph.split_bmp_stream(bytes(r["payload"]))
+        assert len(frames) == 5
+        dims = {ph._bmp_lum_rows(f)[:2] for f in frames}
+        assert len(dims) == 1  # frames share geometry
+    # malformed stream raises, not garbage
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        ph.split_bmp_stream(b"XX123456")
+
+
+def test_video_neardup_equals_bruteforce_with_planted_reupload(
+    spark, sf_dir
+):
+    docs = _docs(spark, sf_dir, 20)
+    media = ph.synth_bmp_video(docs, n_frames=6).persist()
+    # planted re-uploads: same video with the LAST 2 frames replaced
+    # by truncation+re-append of frame 0 (4 of 6 frames survive)
+    planted = []
+    for r in media.limit(5).collect():
+        frames = ph.split_bmp_stream(bytes(r["payload"]))
+        edited = frames[:4] + [frames[0], frames[0]]
+        planted.append(
+            (r["doc_id"] + 100000, b"".join(edited), "bmpstream")
+        )
+    extra = spark.createDataFrame(
+        planted, "doc_id long, payload binary, format string"
+    )
+    corpus = media.unionByName(extra).persist()
+
+    # brute force on driver-side frame hashes, same pair-count rule
+    fh = {}
+    for r in ph.video_frame_hashes(corpus).collect():
+        fh.setdefault(r["doc_id"], []).append(r["dhash"] & ((1 << 64) - 1))
+    import itertools
+
+    want = {}
+    for da, db in itertools.combinations(sorted(fh), 2):
+        n = sum(
+            1
+            for ha in fh[da]
+            for hb in fh[db]
+            if bin(ha ^ hb).count("1") <= 3
+        )
+        if n >= 2:
+            want[(da, db)] = n
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared_frames"]
+        for r in ph.video_neardup(
+            corpus, max_hamming=3, min_shared_frames=2, max_band_df=None
+        ).collect()
+    }
+    assert got == want
+    # every planted re-upload pairs with its original
+    for r in media.limit(5).collect():
+        assert (r["doc_id"], r["doc_id"] + 100000) in got
+        assert got[(r["doc_id"], r["doc_id"] + 100000)] >= 4
+    corpus.unpersist()
+    media.unpersist()
