@@ -487,7 +487,11 @@ def video_neardup(
     join as images (frames get synthetic ids doc_id<<10 | idx), the
     frame-pair fan-in to video pairs is one hash aggregation.
 
-    Requires frame_idx < 2^10 and doc_id < 2^53 (id packing)."""
+    ``shared_frames`` counts matching frame PAIRS (a frame of A
+    matching two frames of B contributes 2) — multiplicity is signal
+    for looped/padded re-uploads; the brute-force pytest pin mirrors
+    exactly this rule. Requires frame_idx < 2^10 and doc_id < 2^53
+    (id packing)."""
     frames = video_frame_hashes(media).select(
         (
             F.col("doc_id") * F.lit(1 << _FRAME_SHIFT) + F.col("frame_idx")
