@@ -143,11 +143,43 @@ def dhash64(width: int, height: int, lum_rows: list[list[int]]) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def _rgb_lum_rows(
+    width: int, height: int, rgb: bytes
+) -> tuple[int, int, list[list[int]]]:
+    """Packed RGB canvas → BT.601 luminance rows (same integer
+    dialect as the BMP/PNG paths)."""
+    rows = []
+    for y in range(height):
+        base = 3 * y * width
+        rows.append(
+            [
+                (
+                    299 * rgb[base + 3 * x]
+                    + 587 * rgb[base + 3 * x + 1]
+                    + 114 * rgb[base + 3 * x + 2]
+                )
+                // 1000
+                for x in range(width)
+            ]
+        )
+    return width, height, rows
+
+
+def _gif_frame_lums(payload: bytes) -> list[tuple[int, int, list[list[int]]]]:
+    """Animated GIF → one (w, h, lum rows) per composited frame."""
+    from .multimodal import decode_gif_stdlib
+
+    w, h, frames = decode_gif_stdlib(payload)
+    return [_rgb_lum_rows(w, h, fr) for fr in frames]
+
+
 def _payload_dhash(payload: bytes, fmt: str) -> int:
     if fmt == "bmp":
         return dhash64(*_bmp_lum_rows(payload))
     if fmt == "png":
         return dhash64(*_png_lum_rows(payload))
+    if fmt == "gif":  # still usage: hash the FIRST composited frame
+        return dhash64(*_gif_frame_lums(payload)[0])
     raise NotImplementedError(f"no stdlib decoder for format {fmt!r}")
 
 
@@ -440,6 +472,52 @@ def synth_bmp_video(
     )
 
 
+def synth_gif_video(
+    docs: DataFrame, n_frames: int = 6, max_dim: int = 12
+) -> DataFrame:
+    """REAL animated-GIF video table: every payload is a genuine
+    GIF89a (grayscale palette, per-frame GCE) whose frame pixels
+    derive deterministically from md5(text, frame index) — the same
+    pixel recipe as :func:`synth_bmp_video`, through a published
+    container format instead of the concatenation stand-in."""
+    import hashlib
+
+    from .multimodal import GRAY_PALETTE, encode_gif_stdlib
+
+    @F.pandas_udf("binary")
+    def make_gif(
+        cols: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        def one(text: str, w: int, h: int) -> bytes:
+            need = w * h
+            frames = []
+            for fr in range(n_frames):
+                seed = hashlib.md5(f"{fr}|{text or ''}".encode()).digest()
+                reps = need // len(seed) + 1
+                frames.append((seed * reps)[:need])
+            return encode_gif_stdlib(w, h, frames, GRAY_PALETTE)
+
+        for texts, ws, hs in cols:
+            yield pd.Series(
+                [one(t, int(w), int(h)) for t, w, h in zip(texts, ws, hs)]
+            )
+
+    from ..functions.portable import hex32
+
+    w = (hex32(F.concat(F.lit("vw-"), F.col("doc_id"))) % max_dim + 4).cast(
+        "int"
+    )
+    h = (hex32(F.concat(F.lit("vh-"), F.col("doc_id"))) % max_dim + 4).cast(
+        "int"
+    )
+    staged = docs.select("doc_id", "text", w.alias("width"), h.alias("height"))
+    return staged.select(
+        "doc_id",
+        make_gif("text", "width", "height").alias("payload"),
+        F.lit("gif").alias("format"),
+    )
+
+
 #: frame index width inside the synthetic frame id (max 2^10 frames)
 _FRAME_SHIFT = 10
 
@@ -462,10 +540,19 @@ def video_frame_hashes(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
-                for idx, frame in enumerate(split_bmp_stream(bytes(b))):
-                    rows.append(
-                        (did, idx, dhash64(*_bmp_lum_rows(frame)))
-                    )
+                raw = bytes(b)
+                # container autodetect by magic: animated GIF is a
+                # real interchange format; "BM" = the concatenated-BMP
+                # frame-stream stand-in for extracted video.
+                if raw[:4] == b"GIF8":
+                    lums = _gif_frame_lums(raw)
+                else:
+                    lums = [
+                        _bmp_lum_rows(frame)
+                        for frame in split_bmp_stream(raw)
+                    ]
+                for idx, lum in enumerate(lums):
+                    rows.append((did, idx, dhash64(*lum)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "dhash"]
             )
