@@ -1,0 +1,232 @@
+"""URL canonicalization + URL-level dedup — the FIRST dedup stage of
+every crawl pipeline (CommonCrawl/C4/RefinedWeb dedup by canonical URL
+before any content hashing: re-crawls, tracking-param variants and
+http/https mirrors are the cheapest duplicates to kill). The reference
+engine has no crawl operators (SURVEY.md §2.2); extension surface
+completing the ingest chain next to ``sources/warc.py``.
+
+Canonicalization contract (applied in BOTH engines, pinned by the
+DuckDB oracle in ``tools/check_retired.py`` — ``q_url_dedup``):
+
+1. scheme and host lower-cased;
+2. default port stripped (``:80`` for http, ``:443`` for https),
+   non-default ports kept;
+3. fragment dropped;
+4. tracking params dropped (``utm_*``, ``fbclid``, ``gclid``) with
+   separator repair (a leading ``&`` left by a stripped first param
+   becomes ``?``);
+5. trailing ``?``/``&`` dropped; one trailing slash dropped (also
+   immediately before ``?``); an empty path canonicalizes to ``/``.
+
+Documented boundary: a literal ``&`` inside the PATH (RFC-legal but
+discouraged) would confuse the separator repair — crawl URLs in the
+wild percent-encode it.
+
+Engine shape / 100 TB story: canonicalization is pure scan-local
+string expressions (JVM-side regex, whole-stage codegen — no Python);
+the dedup is ONE hash aggregation keyed on the canonical string, so
+map-side combine collapses re-crawl families before the shuffle —
+identical discipline to ``dedup.exact_dedup``. No joins, no arrays
+through shuffles. Regex steps avoid lookahead so the SAME patterns run
+under Java regex (Spark) and RE2 (DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+#: tracking params stripped by rule 4 (the de-facto standard list)
+_TRACKING = r"[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&]*"
+#: number of distinct content buckets in the synthetic URL table
+_BUCKETS = 101
+
+
+# ----------------------------------------------------------- synthesis
+
+
+def synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic MESSY URL per fixture doc: docs sharing
+    ``doc_id % 101`` point at the same content behind different mess —
+    scheme/host case, default-port spelling, tracking params, fragments
+    and trailing slashes all vary by doc_id, so canonicalization must
+    collapse each bucket (modulo the deliberate ``:8443`` holdouts,
+    which stay distinct by rule 2)."""
+    b = (F.col("doc_id") % _BUCKETS).cast("string")
+    scheme = (
+        F.when(F.col("doc_id") % 3 == 0, "https")
+        .when(F.col("doc_id") % 3 == 1, "HTTPS")
+        .otherwise("Https")
+    )
+    host = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("crawl.Example.COM"))
+    ).otherwise(F.lit("crawl.example.com"))
+    port = (
+        F.when(F.col("doc_id") % 11 == 0, ":8443")
+        .when(F.col("doc_id") % 5 == 0, ":443")
+        .otherwise("")
+    )
+    path = F.concat(
+        F.lit("/docs/"),
+        b,
+        F.when(F.col("doc_id") % 4 == 0, "/").otherwise(""),
+    )
+    query = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("?id="), b))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("?utm_source=s"),
+                F.col("doc_id").cast("string"),
+                F.lit("&id="),
+                b,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("?id="),
+                b,
+                F.lit("&utm_campaign=c"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    frag = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.lit("#sec"), F.col("doc_id").cast("string")),
+    ).otherwise("")
+    url = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    return docs.select("doc_id", url.alias("url"))
+
+
+def synth_urls_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`synth_urls` (same mess, same buckets)."""
+    b = f"CAST(doc_id % {_BUCKETS} AS VARCHAR)"
+    return f"""
+    SELECT doc_id,
+      (CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
+            ELSE 'Https' END)
+      || '://'
+      || (CASE WHEN doc_id % 2 = 0 THEN 'crawl.Example.COM'
+               ELSE 'crawl.example.com' END)
+      || (CASE WHEN doc_id % 11 = 0 THEN ':8443'
+               WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+      || '/docs/' || {b}
+      || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      || (CASE doc_id % 3
+            WHEN 0 THEN '?id=' || {b}
+            WHEN 1 THEN '?utm_source=s' || CAST(doc_id AS VARCHAR)
+                        || '&id=' || {b}
+            ELSE '?id=' || {b} || '&utm_campaign=c'
+                 || CAST(doc_id AS VARCHAR) END)
+      || (CASE WHEN doc_id % 2 = 1
+               THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
+      AS url
+    FROM {table}
+    """
+
+
+# ----------------------------------------------------- canonicalization
+
+
+def canon_url(url: Column) -> Column:
+    """Canonical form per the module contract — JVM-side string
+    expressions only (codegen-friendly, no UDF)."""
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(
+        F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(nofrag, r"^[^:/?#]+://([^/?#]*)", 1)
+    )
+    hp = (
+        F.when(
+            scheme == "http", F.regexp_replace(hostport, r":80$", "")
+        )
+        .when(
+            scheme == "https", F.regexp_replace(hostport, r":443$", "")
+        )
+        .otherwise(hostport)
+    )
+    rest = F.regexp_extract(nofrag, r"^[^:/?#]+://[^/?#]*(.*)$", 1)
+    rest = F.regexp_replace(rest, _TRACKING, "")
+    rest = F.regexp_replace(rest, r"^([^?]*)&", "$1?")  # repair lost '?'
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    rest = F.regexp_replace(rest, r"/\?", "?")
+    rest = F.regexp_replace(rest, r"/$", "")
+    rest = F.when(rest == "", "/").otherwise(rest)
+    return F.concat(scheme, F.lit("://"), hp, rest)
+
+
+def canon_url_sql(expr: str) -> str:
+    """DuckDB/RE2 twin of :func:`canon_url` — same pattern sequence,
+    RE2 backref syntax (``\\1``) and explicit 'g' flags where Spark
+    replaces globally."""
+    nofrag = f"regexp_replace({expr}, '#.*$', '')"
+    scheme = (
+        f"lower(regexp_extract({nofrag},"
+        f" '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    )
+    hostport = f"lower(regexp_extract({nofrag}, '^[^:/?#]+://([^/?#]*)', 1))"
+    hp = (
+        f"(CASE WHEN {scheme} = 'http'"
+        f" THEN regexp_replace({hostport}, ':80$', '')"
+        f" WHEN {scheme} = 'https'"
+        f" THEN regexp_replace({hostport}, ':443$', '')"
+        f" ELSE {hostport} END)"
+    )
+    rest = f"regexp_extract({nofrag}, '^[^:/?#]+://[^/?#]*(.*)$', 1)"
+    rest = f"regexp_replace({rest}, '{_TRACKING}', '', 'g')"
+    rest = f"regexp_replace({rest}, '^([^?]*)&', '\\1?')"
+    rest = f"regexp_replace({rest}, '[?&]$', '')"
+    rest = f"regexp_replace({rest}, '/\\?', '?', 'g')"
+    rest = f"regexp_replace({rest}, '/$', '')"
+    rest = f"(CASE WHEN {rest} = '' THEN '/' ELSE {rest} END)"
+    return f"({scheme} || '://' || {hp} || {rest})"
+
+
+# ------------------------------------------------------------- dedup
+
+
+def url_dedup(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canon_url, keep_doc_id, n_docs, n_raw_urls): one row per
+    canonical URL — the kept representative is the MIN doc_id (the
+    crawl-order-stable convention), with family size and raw-variant
+    diagnostics (no-silent-collapse: n_raw_urls shows how much mess
+    the canonicalization absorbed).
+
+    Plan shape (pinned): the exact ``count(DISTINCT url)`` triggers
+    Catalyst's two-phase distinct rewrite — a (canon, url) partial
+    agg then the canon agg, 2 exchanges, BOTH map-side-combining, no
+    joins. At 100 TB the first phase collapses identical re-crawl
+    rows before anything shuffles; swap to approx_count_distinct if
+    the diagnostic may be approximate (one exchange)."""
+    return (
+        urls.select(
+            "doc_id",
+            F.col(url_col).alias("url"),
+            canon_url(F.col(url_col)).alias("canon_url"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_urls"),
+        )
+    )
+
+
+def url_dedup_sql(table: str = "documents") -> str:
+    """Full DuckDB oracle: synth + canonicalize + dedup."""
+    return f"""
+    WITH urls AS ({synth_urls_sql(table)}),
+    canon AS (
+      SELECT doc_id, url, {canon_url_sql("url")} AS canon_url FROM urls
+    )
+    SELECT canon_url,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_docs,
+           count(DISTINCT url) AS n_raw_urls
+    FROM canon
+    GROUP BY canon_url
+    """

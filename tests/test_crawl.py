@@ -1,0 +1,110 @@
+"""URL canonicalization pins (operators/crawl.py): hand-written
+messy→canonical goldens (every rule of the module contract), the
+bucket-collapse property of the synthetic table, and the hash-level
+Spark-vs-DuckDB check via tools/check_retired (q_url_dedup)."""
+
+import pyspark.sql.functions as F
+
+from teste_carga_avro_vs_json_spark.operators import crawl
+
+
+def _canon(spark, raw: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    return [
+        r["c"] for r in df.select(crawl.canon_url(F.col("url")).alias("c"))
+        .collect()
+    ]
+
+
+def test_canonicalization_goldens(spark):
+    cases = {
+        # case + default port + fragment + tracking + trailing slash
+        "HTTP://WWW.Ex.COM:80/a/?utm_source=x#frag": "http://www.ex.com/a",
+        "https://h.io:443/p?id=1": "https://h.io/p?id=1",
+        # non-default port KEPT
+        "https://h.io:8443/p": "https://h.io:8443/p",
+        # tracking param first: separator repaired
+        "https://h.io/p?utm_a_b=1&b=2": "https://h.io/p?b=2",
+        # tracking param last
+        "https://h.io/p?b=2&fbclid=zz": "https://h.io/p?b=2",
+        # multiple tracking params, nothing left
+        "https://h.io/p?utm_s=1&gclid=2": "https://h.io/p",
+        # bare host → '/'
+        "https://H.IO": "https://h.io/",
+        "https://h.io/": "https://h.io/",
+        # slash before query stripped
+        "https://h.io/docs/7/?id=7": "https://h.io/docs/7?id=7",
+        # scheme case only
+        "HtTpS://h.io/x": "https://h.io/x",
+        # http :443 is NOT default for http — kept
+        "http://h.io:443/x": "http://h.io:443/x",
+    }
+    got = _canon(spark, list(cases))
+    for raw, want in zip(cases, got):
+        assert want == cases[raw], f"{raw} -> {want}, want {cases[raw]}"
+
+
+def test_synth_buckets_collapse(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = crawl.synth_urls(docs)
+    dd = crawl.url_dedup(urls)
+    n_docs = docs.count()
+    fam = dd.agg(
+        F.sum("n_docs").alias("t"),
+        F.count("*").alias("fams"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("multi"),
+    ).collect()[0]
+    # every doc lands in exactly one family; real collapse happened
+    assert fam["t"] == n_docs
+    assert fam["fams"] < n_docs and fam["multi"] > 0
+    # the :8443 holdouts stay distinct families
+    assert dd.where(F.col("canon_url").contains(":8443")).count() > 0
+    # keep_doc_id is the family minimum (stable representative)
+    joined = (
+        urls.select(
+            "doc_id", crawl.canon_url(F.col("url")).alias("canon_url")
+        )
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("want_keep"))
+        .join(dd, "canon_url")
+    )
+    assert joined.where(F.col("want_keep") != F.col("keep_doc_id")).count() == 0
+
+
+def test_url_dedup_oracle_hash(spark, sf_dir):
+    """Full Spark-vs-DuckDB value comparison at fixture scale (the
+    same families, counts and representatives)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = {
+        r[0]: r[1:]
+        for r in con.execute(crawl.url_dedup_sql()).fetchall()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["canon_url"]: (r["keep_doc_id"], r["n_docs"], r["n_raw_urls"])
+        for r in crawl.url_dedup(crawl.synth_urls(docs)).collect()
+    }
+    assert got == want
+
+
+def test_url_dedup_plan_shape(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        crawl.url_dedup(crawl.synth_urls(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # Catalyst's two-phase distinct rewrite: (canon, url) partial agg
+    # then the canon agg — exactly 2 exchanges, both preceded by
+    # partial/merge HashAggregates (map-side combine), no joins, no
+    # Python, and the regex canonicalization stays in the scan stage.
+    assert plan.count("Exchange") == 2
+    assert plan.count("partial_") >= 2
+    assert "Join" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "SortAggregate" not in plan  # long-only buffers, no demotion

@@ -295,6 +295,20 @@ def _q_normalize_text(spark, sf_dir):
     return text.normalize_text(load_table(spark, sf_dir, "documents"))
 
 
+def _q_url_dedup(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import crawl
+
+    return crawl.url_dedup(
+        crawl.synth_urls(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _url_dedup_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import crawl
+
+    return crawl.url_dedup_sql()
+
+
 def _q_c4_line_filter(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -378,6 +392,7 @@ def retired_queries() -> dict:
         "q_normalize_text": _q_normalize_text,
         "q_blocklist_filter": _q_blocklist_filter,
         "q_bm25_topk": _q_bm25_topk,
+        "q_url_dedup": _q_url_dedup,
     }
 
 
@@ -413,6 +428,7 @@ def retired_oracle_sql() -> dict:
         "q_normalize_text": text.normalize_text_sql(),
         "q_blocklist_filter": _blocklist_filter_sql(),
         "q_bm25_topk": _bm25_topk_sql(),
+        "q_url_dedup": _url_dedup_sql(),
     }
 
 
