@@ -272,6 +272,47 @@ def main() -> None:
             )
         )
 
+    def w_warc_ingest():
+        # diagnostic lane (r8-late, not in headline_total): the full
+        # crawl ingest loop — synth HTML pages → WARC shards on disk
+        # (per-record gzip members) → read back → HTML→text extraction
+        # agg. Write+read+extract all inside the lane: the codec+parse
+        # py-lanes are the dominant 100 TB ingest cost.
+        import shutil as _sh
+        import tempfile as _tf
+
+        from teste_carga_avro_vs_json_spark.operators import html_extract
+        from teste_carga_avro_vs_json_spark.sources import warc
+
+        pages = html_extract.synth_html(docs_df()).select(
+            "doc_id",
+            F.concat(
+                F.lit("https://bench.test/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            "html",
+        )
+        path = _tf.mkdtemp(prefix="bench_warc_")
+        try:
+            warc.write_warc(pages, path, num_files=cpus)
+            run(
+                html_extract.extract_text(
+                    warc.read_warc_responses(spark, path)
+                ).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.length("text")).alias("b"),
+                )
+            )
+        finally:
+            _sh.rmtree(path, ignore_errors=True)
+
+    def w_url_dedup():
+        # diagnostic lane (r8-late, not in headline_total): URL
+        # canonicalization + dedup — pure JVM regex chain + the
+        # two-phase distinct agg.
+        from teste_carga_avro_vs_json_spark.operators import crawl
+
+        run(crawl.url_dedup(crawl.synth_urls(docs_df())))
+
     def w_pii_scrub():
         run(
             text.pii_scrub(docs_df()).agg(
@@ -332,6 +373,8 @@ def main() -> None:
         "exact_substring",
         "bm25_topk",
         "phash_neardup",
+        "warc_ingest",
+        "url_dedup",
     }
     workloads = {
         "json_e2e": w_json_e2e,
@@ -354,6 +397,8 @@ def main() -> None:
         "exact_substring": w_exact_substring,
         "bm25_topk": w_bm25,
         "phash_neardup": w_phash_neardup,
+        "warc_ingest": w_warc_ingest,
+        "url_dedup": w_url_dedup,
         "pii_scrub": w_pii_scrub,
         "intra_doc_dedup": w_intra_doc_dedup,
         "cosine_topk": w_topk,
