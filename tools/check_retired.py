@@ -53,7 +53,10 @@ driver cap, not a correctness cap):
 - q_exact_substring — ExactSubstr dedup (Lee et al. 2021): maximal
   duplicated >=L-token spans merged per doc + cleaned text
   (operators/substr_dedup.py), full relational oracle incl. the
-  LAG-based islands merge.
+  LAG-based islands merge;
+- q_url_dedup — URL canonicalization + URL-level dedup
+  (operators/crawl.py): the synth/canon/dedup chain rebuilt in
+  DuckDB SQL with RE2-syntax regex twins.
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
