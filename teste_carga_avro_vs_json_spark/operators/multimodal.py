@@ -153,11 +153,13 @@ def decode_audio(payload: bytes, fmt: str):
     if sf_mod is None:
         if payload[:4] == b"RIFF":
             return decode_wav_stdlib(payload)
+        if payload[:4] == b"fLaC":
+            return decode_flac_stdlib(payload)
         raise NotImplementedError(
-            "decoding non-WAV audio requires soundfile which is not in "
-            "this container; WAV payloads decode via the stdlib path, "
-            "or use extract_audio_features(..., fake=True) for the "
-            "deterministic stand-in"
+            "decoding non-WAV/FLAC audio requires soundfile which is "
+            "not in this container; WAV and FLAC payloads decode via "
+            "the stdlib paths, or use extract_audio_features(..., "
+            "fake=True) for the deterministic stand-in"
         )
     import io
 
@@ -1137,3 +1139,57 @@ def decode_gif_stdlib(
 
 #: 256-entry grayscale palette: index i → (i, i, i).
 GRAY_PALETTE = bytes(v for i in range(256) for v in (i, i, i))
+
+
+# --------------------------------------------------------------- FLAC
+
+
+def decode_flac_stdlib(payload: bytes) -> tuple[int, int, int]:
+    """Real FLAC decode on stdlib only (``operators/flac_codec``, RFC
+    9639): returns ``(n_frames, rate, peak)`` with ``peak`` in s16
+    units — the same convention as :func:`decode_wav_stdlib`, so
+    feature rows agree across containers of the same recording."""
+    from .flac_codec import decode_flac
+
+    rate, channels, bps, samples = decode_flac(payload)
+    if bps >= 16:
+        mx = max((abs(s) >> (bps - 16) for s in samples), default=0)
+    else:
+        mx = max((abs(s) << (16 - bps) for s in samples), default=0)
+    return len(samples) // channels, rate, min(mx, 32767)
+
+
+def synth_flac_media(docs: DataFrame, n_samples: int = 400) -> DataFrame:
+    """REAL audio table: every payload is a genuine FLAC stream whose
+    16-bit PCM derives deterministically from md5(text) — the
+    compressed-container twin of the WAV fixtures (same
+    signal-from-digest recipe, so a doc's WAV and FLAC fingerprints
+    can be compared)."""
+    import hashlib
+
+    from .flac_codec import encode_flac
+
+    @F.pandas_udf("binary")
+    def make_flac(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(text: str) -> bytes:
+            out: list[int] = []
+            seed = b""
+            while len(out) < n_samples:
+                seed = hashlib.md5((text or "").encode() + seed).digest()
+                for i in range(0, 16, 2):
+                    out.append(
+                        int.from_bytes(seed[i : i + 2], "little", signed=True)
+                    )
+            return encode_flac(
+                out[:n_samples], channels=1,
+                sample_rate=_FAKE_SAMPLE_RATE, block_size=256,
+            )
+
+        for batch in texts:
+            yield pd.Series([one(t) for t in batch])
+
+    return docs.select(
+        "doc_id",
+        make_flac("text").alias("payload"),
+        F.lit("flac").alias("format"),
+    )

@@ -342,6 +342,22 @@ def _wav_samples(payload: bytes) -> list[int]:
     raise NotImplementedError(f"unsupported PCM sample width {width}")
 
 
+def _audio_samples(payload: bytes) -> list[int]:
+    """Container autodetect: FLAC (stdlib codec, exact) or RIFF/WAV —
+    both normalized to the s16 sample scale so fingerprints agree
+    across containers of the same recording."""
+    if payload[:4] == b"fLaC":
+        from .flac_codec import decode_flac
+
+        _, _, bps, samples = decode_flac(payload)
+        if bps == 16:
+            return samples
+        if bps < 16:
+            return [s << (16 - bps) for s in samples]
+        return [s >> (bps - 16) for s in samples]
+    return _wav_samples(payload)
+
+
 def audio_fingerprint64(samples: list[int]) -> int:
     """64-bit audio energy hash — dHash's recipe on the time axis:
     split the sample stream into 65 equal chunks, chunk energy =
@@ -370,15 +386,16 @@ def audio_fingerprint64(samples: list[int]) -> int:
 
 
 def audio_dhash(media: DataFrame) -> DataFrame:
-    """(doc_id, payload WAV bytes) → (doc_id, dhash long); same
-    Arrow-batched shuffle-free shape as :func:`image_dhash`."""
+    """(doc_id, payload WAV or FLAC bytes — container autodetect) →
+    (doc_id, dhash long); same Arrow-batched shuffle-free shape as
+    :func:`image_dhash`."""
 
     @F.pandas_udf("long")
     def _ah(payloads: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in payloads:
             yield pd.Series(
                 [
-                    audio_fingerprint64(_wav_samples(bytes(p)))
+                    audio_fingerprint64(_audio_samples(bytes(p)))
                     for p in batch
                 ],
                 dtype="int64",
