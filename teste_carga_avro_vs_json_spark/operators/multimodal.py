@@ -108,11 +108,13 @@ def decode_image(payload: bytes, fmt: str):
             return decode_bmp_stdlib(payload)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return decode_png_stdlib(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            return decode_jpeg_stdlib(payload)
         raise NotImplementedError(
-            "decoding non-BMP/PNG images requires PIL which is not in "
-            "this container; BMP and PNG payloads decode via the stdlib "
-            "paths, or use extract_features(..., fake=True) for the "
-            "deterministic stand-in"
+            "decoding non-BMP/PNG/JPEG images requires PIL which is not "
+            "in this container; BMP, PNG and baseline-JPEG payloads "
+            "decode via the stdlib paths, or use extract_features(..., "
+            "fake=True) for the deterministic stand-in"
         )
     import io
 
@@ -1192,4 +1194,75 @@ def synth_flac_media(docs: DataFrame, n_samples: int = 400) -> DataFrame:
         "doc_id",
         make_flac("text").alias("payload"),
         F.lit("flac").alias("format"),
+    )
+
+
+# --------------------------------------------------------------- JPEG
+
+
+def decode_jpeg_stdlib(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real baseline-JPEG decode on stdlib only
+    (``operators/jpeg_codec``, ITU-T T.81): returns ``(width, height,
+    quadrant_features)`` with the same length-4 luminance contract as
+    :func:`decode_bmp_stdlib`, so feature rows agree across image
+    containers."""
+    from .jpeg_codec import decode_jpeg
+
+    width, height, rgb = decode_jpeg(payload)
+    half_w, half_h = (width + 1) // 2, (height + 1) // 2
+    sums = [0.0] * 4
+    counts = [0] * 4
+    for y in range(height):
+        for x in range(width):
+            i = 3 * (y * width + x)
+            lum = (
+                299 * rgb[i] + 587 * rgb[i + 1] + 114 * rgb[i + 2]
+            ) / 1000.0
+            q = (0 if y < half_h else 2) + (0 if x < half_w else 1)
+            sums[q] += lum
+            counts[q] += 1
+    return width, height, [
+        (s / c / 255.0) if c else 0.0 for s, c in zip(sums, counts)
+    ]
+
+
+def synth_jpeg_media(
+    docs: DataFrame, max_dim: int = 24, quality: int = 95
+) -> DataFrame:
+    """REAL media table: every payload is a genuine baseline JFIF
+    stream whose source pixels derive deterministically from
+    md5(text) — the compressed twin of :func:`synth_bmp_media` (same
+    pixel recipe, so near-dup joins can pair a doc's BMP and JPEG)."""
+    import hashlib
+
+    from .jpeg_codec import encode_jpeg
+
+    @F.pandas_udf("binary")
+    def make_jpeg(
+        cols: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        def one(text: str, w: int, h: int) -> bytes:
+            need = w * h * 3
+            seed = hashlib.md5((text or "").encode()).digest()
+            reps = need // len(seed) + 1
+            return encode_jpeg(w, h, (seed * reps)[:need], quality=quality)
+
+        for texts, ws, hs in cols:
+            yield pd.Series(
+                [one(t, int(w), int(h)) for t, w, h in zip(texts, ws, hs)]
+            )
+
+    w = (hex32(F.concat(F.lit("w-"), F.col("doc_id"))) % max_dim + 8).cast(
+        "int"
+    )
+    h = (hex32(F.concat(F.lit("h-"), F.col("doc_id"))) % max_dim + 8).cast(
+        "int"
+    )
+    staged = docs.select("doc_id", "text", w.alias("width"), h.alias("height"))
+    return staged.select(
+        "doc_id",
+        make_jpeg("text", "width", "height").alias("payload"),
+        F.lit("jpeg").alias("format"),
+        "width",
+        "height",
     )

@@ -173,6 +173,31 @@ def _gif_frame_lums(payload: bytes) -> list[tuple[int, int, list[list[int]]]]:
     return [_rgb_lum_rows(w, h, fr) for fr in frames]
 
 
+def _jpeg_lum_rows(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Baseline JPEG → BT.601 luminance rows via the stdlib decoder.
+    JPEG is lossy, so a JPEG and a BMP of the same source pixels hash
+    CLOSE (small Hamming distance), not equal — which is exactly what
+    the near-dup join is for."""
+    from .jpeg_codec import decode_jpeg
+
+    width, height, rgb = decode_jpeg(payload)
+    rows = []
+    for y in range(height):
+        base = 3 * y * width
+        rows.append(
+            [
+                int(
+                    299 * rgb[base + 3 * x]
+                    + 587 * rgb[base + 3 * x + 1]
+                    + 114 * rgb[base + 3 * x + 2]
+                )
+                // 1000
+                for x in range(width)
+            ]
+        )
+    return width, height, rows
+
+
 def _payload_dhash(payload: bytes, fmt: str) -> int:
     if fmt == "bmp":
         return dhash64(*_bmp_lum_rows(payload))
@@ -180,6 +205,8 @@ def _payload_dhash(payload: bytes, fmt: str) -> int:
         return dhash64(*_png_lum_rows(payload))
     if fmt == "gif":  # still usage: hash the FIRST composited frame
         return dhash64(*_gif_frame_lums(payload)[0])
+    if fmt == "jpeg":
+        return dhash64(*_jpeg_lum_rows(payload))
     raise NotImplementedError(f"no stdlib decoder for format {fmt!r}")
 
 
