@@ -230,3 +230,27 @@ def url_dedup_sql(table: str = "documents") -> str:
     FROM canon
     GROUP BY canon_url
     """
+
+
+def url_dedup_stream(
+    urls: DataFrame,
+    url_col: str = "url",
+    event_time_col: str = "ev",
+    delay: str = "30 days",
+) -> DataFrame:
+    """Streaming twin of :func:`url_dedup`: emit the FIRST-seen doc per
+    canonical URL from an unbounded crawl firehose, with state bounded
+    by the watermark horizon (``streaming.stream_dedup`` semantics —
+    state per key is key+timestamp, evicted once the watermark passes;
+    the r8 eviction discipline). The batch operator's representative is
+    the corpus MIN doc_id; the stream keeps arrival-order firsts — the
+    standard batch-vs-stream difference, deterministic when duplicate
+    arrivals carry identical payloads (re-crawls do).
+
+    Canonicalization stays the same JVM expression chain, evaluated
+    per micro-batch before the stateful dedup, so the state key is the
+    ~60-byte canonical string, never the document."""
+    from teste_carga_avro_vs_json_spark.streaming import stream_dedup
+
+    canon = urls.withColumn("canon_url", canon_url(F.col(url_col)))
+    return stream_dedup(canon, ["canon_url"], event_time_col, delay)

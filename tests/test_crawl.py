@@ -108,3 +108,43 @@ def test_url_dedup_plan_shape(spark, sf_dir):
     assert "Join" not in plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert "SortAggregate" not in plan  # long-only buffers, no demotion
+
+
+def test_url_dedup_stream_matches_batch_families(spark, sf_dir, tmp_path):
+    """Streaming twin: the firehose carries every doc's messy URL
+    TWICE (at-least-once crawl source); the watermarked canon-key
+    dedup must emit exactly one row per canonical family — the same
+    family set the batch operator produces."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = crawl.synth_urls(docs)
+    wire = urls.select(F.to_json(F.struct("doc_id", "url")).alias("value"))
+    path = str(tmp_path / "urlstream")
+    wire.unionByName(wire).write.mode("overwrite").format("text").save(path)
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .json(path)
+        .withColumn(
+            "ev", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id"))
+        )
+    )
+    out_path = str(tmp_path / "urlout")
+    q = (
+        crawl.url_dedup_stream(stream, delay="30 days")
+        .select("canon_url", "doc_id")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "urlchk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path)
+    batch_fams = {
+        r["canon_url"]
+        for r in crawl.url_dedup(urls).select("canon_url").collect()
+    }
+    assert got.count() == len(batch_fams)  # one first per family
+    assert {r["canon_url"] for r in got.collect()} == batch_fams
