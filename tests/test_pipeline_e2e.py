@@ -241,3 +241,57 @@ def test_media_sidecar_dedup_composes(spark, sf_dir):
     joined = kept.join(docs.select("doc_id", "text"), "doc_id")
     assert joined.count() == kept.count()
     corpus_media.unpersist()
+
+def test_mixed_container_media_dedup_composes(spark, sf_dir):
+    """The r8-late codec wave makes the sidecar container-agnostic:
+    the SAME natural-looking image (a smooth per-doc gradient — the
+    honest domain of perceptual hashing; white noise is where lossy
+    codecs legitimately move bits) arrives as BMP, PNG and JPEG —
+    re-encoded mirrors, the dominant media-dup class in crawls. The
+    perceptual join must pair all three containers pairwise and
+    keep-min dedup must collapse each family to its BMP original."""
+    from teste_carga_avro_vs_json_spark.operators import jpeg_codec as jc
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+    from teste_carga_avro_vs_json_spark.operators import phash as ph
+
+    def gradient(doc_id: int, w: int = 24, h: int = 20) -> bytes:
+        out = bytearray()
+        a, b = (doc_id * 7) % 11 + 1, (doc_id * 13) % 9 + 1
+        for y in range(h):
+            for x in range(w):
+                v = min(255, a * x + b * y + (doc_id % 50))
+                out += bytes((v, v, v))
+        return bytes(out)
+
+    rows = []
+    for doc_id in range(30):
+        rgb = gradient(doc_id)
+        rows.append((doc_id, mm.encode_bmp_stdlib(24, 20, rgb), "bmp"))
+        rows.append(
+            (doc_id + 1_000_000, mm.encode_png_stdlib(24, 20, rgb), "png")
+        )
+        rows.append(
+            (
+                doc_id + 2_000_000,
+                jc.encode_jpeg(24, 20, rgb, quality=90),
+                "jpeg",
+            )
+        )
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, payload binary, format string"
+    ).persist()
+
+    pairs = ph.phash_neardup(corpus, max_hamming=3, max_band_df=None)
+    got = {(p["doc_a"], p["doc_b"]) for p in pairs.collect()}
+    for doc_id in range(30):
+        # all three containers of a family pair up pairwise
+        assert (doc_id, doc_id + 1_000_000) in got
+        assert (doc_id, doc_id + 2_000_000) in got
+        assert (doc_id + 1_000_000, doc_id + 2_000_000) in got
+
+    # keep-min dedup: the BMP original (lowest id) survives, both
+    # re-encoded mirrors drop — one row per pixel family
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = corpus.join(drop, "doc_id", "left_anti")
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    corpus.unpersist()
