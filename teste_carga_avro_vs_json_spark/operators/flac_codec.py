@@ -403,7 +403,20 @@ def decode_flac(
 ) -> tuple[int, int, int, list[int]]:
     """FLAC stream → (sample_rate, channels, bps, interleaved signed
     samples). ``verify`` checks frame CRC-8/CRC-16 and the STREAMINFO
-    MD5 (skipped when the encoder left it zeroed)."""
+    MD5 (skipped when the encoder left it zeroed). Malformed input of
+    ANY shape raises :class:`FlacFormatError` — a corrupt payload must
+    never kill a 100 TB scan stage with a bare IndexError."""
+    try:
+        return _decode_flac_impl(payload, verify)
+    except FlacFormatError:
+        raise
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        raise FlacFormatError(f"malformed FLAC stream: {e}") from e
+
+
+def _decode_flac_impl(
+    payload: bytes, verify: bool
+) -> tuple[int, int, int, list[int]]:
     if payload[:4] != MAGIC:
         raise FlacFormatError("not a FLAC payload")
     pos = 4

@@ -515,7 +515,19 @@ def encode_jpeg(
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
     """Baseline JFIF → (width, height, packed RGB floats 0..255,
-    row-major). Progressive raises NotImplementedError."""
+    row-major). Progressive raises NotImplementedError; malformed
+    input of ANY shape raises :class:`JpegFormatError` — a corrupt
+    payload must never kill a scan stage with a bare IndexError."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (JpegFormatError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, ValueError, OverflowError,
+            ZeroDivisionError, struct.error, _RestartMarker) as e:
+        raise JpegFormatError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[float]]:
     if payload[:2] != b"\xff\xd8":
         raise JpegFormatError("not a JPEG payload")
     pos = 2
@@ -534,6 +546,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
         seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seg_len < 2:  # would stall the marker walk → infinite loop
+            raise JpegFormatError("invalid marker segment length")
         seg = payload[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
             p = 0
@@ -562,6 +576,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
                 p += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
             height, width = struct.unpack(">HH", seg[1:5])
+            # 64M-px cap: a corrupt/hostile header must not OOM an
+            # executor before any entropy data is read
+            if width * height > (1 << 26):
+                raise JpegFormatError(
+                    f"JPEG {width}x{height} exceeds the decode cap"
+                )
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):

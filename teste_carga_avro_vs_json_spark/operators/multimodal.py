@@ -550,10 +550,13 @@ def decode_bmp_stdlib(payload: bytes) -> tuple[int, int, list[float]]:
 
     if payload[:2] != b"BM":
         raise NotImplementedError("not a BMP payload")
-    pixel_off = struct.unpack_from("<I", payload, 10)[0]
-    (
-        hdr_size, width, height_raw, _planes, bpp, compression
-    ) = struct.unpack_from("<IiiHHI", payload, 14)
+    try:
+        pixel_off = struct.unpack_from("<I", payload, 10)[0]
+        (
+            hdr_size, width, height_raw, _planes, bpp, compression
+        ) = struct.unpack_from("<IiiHHI", payload, 14)
+    except struct.error as e:  # truncated header
+        raise NotImplementedError(f"malformed BMP payload: {e}") from e
     if bpp != 24 or compression != 0:
         raise NotImplementedError("only 24-bit uncompressed BMP supported")
     bottom_up = height_raw > 0
@@ -707,7 +710,22 @@ def _png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
     Paeth, PNG spec §9) so foreign encoders' output decodes too, not
     just our own filter-0 stream. Interlaced (Adam7), palette, and
     16-bit inputs raise ``NotImplementedError`` (documented boundary,
-    same convention as the 24-bit-only BMP path)."""
+    same convention as the 24-bit-only BMP path). Malformed input
+    raises ``ValueError``/``NotImplementedError``, never a bare
+    struct/zlib error."""
+    import struct
+    import zlib
+
+    try:
+        return _png_decode_pixels_impl(payload)
+    except (NotImplementedError, ValueError):
+        raise
+    except (IndexError, KeyError, OverflowError, struct.error,
+            zlib.error) as e:
+        raise ValueError(f"malformed PNG payload: {e}") from e
+
+
+def _png_decode_pixels_impl(payload: bytes) -> tuple[int, int, int, bytearray]:
     import struct
     import zlib
 
@@ -738,9 +756,19 @@ def _png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
             "only 8-bit gray/RGB/RGBA non-interlaced PNG supported"
         )
     ch = {0: 1, 2: 3, 6: 4}[color_type]
+    if width * height > _MAX_PIXELS:
+        # dimension bomb: IHDR dims are u32 — cap before allocating
+        raise NotImplementedError(
+            f"PNG {width}x{height} exceeds the decode cap"
+        )
     row = width * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (row + 1) * height:
+    want = (row + 1) * height
+    # bounded inflate: a tiny IDAT must not balloon past the declared
+    # raster (zip-bomb guard — plain zlib.decompress has no limit)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), want)
+    extra = b"" if d.eof else d.decompress(d.unconsumed_tail, 1)
+    if len(raw) != want or extra:
         raise ValueError("PNG pixel stream length mismatch")
     out = bytearray(row * height)
     prev = bytearray(row)
@@ -1031,12 +1059,36 @@ def decode_gif_stdlib(
     the frame is emitted; transparent pixels leave the canvas
     untouched. Interlaced images and local color tables supported;
     disposal 3 (restore-previous) raises — documented boundary, rare
-    in crawl data."""
+    in crawl data. Malformed input of ANY shape raises
+    ``NotImplementedError`` (the module's format-error convention),
+    never a bare IndexError."""
+    import struct
+
+    try:
+        return _decode_gif_impl(payload)
+    except NotImplementedError:
+        raise
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        raise NotImplementedError(f"malformed GIF payload: {e}") from e
+
+
+#: canvas cap for header-declared dims (64M px ≈ 200 MB RGB): a corrupt
+#: or hostile header must not OOM an executor before any data is read.
+_MAX_PIXELS = 1 << 26
+
+
+def _decode_gif_impl(
+    payload: bytes,
+) -> tuple[int, int, list[bytes]]:
     import struct
 
     if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise NotImplementedError("not a GIF payload")
     width, height, packed, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
+    if width * height > _MAX_PIXELS:
+        raise NotImplementedError(
+            f"GIF canvas {width}x{height} exceeds the decode cap"
+        )
     pos = 13
     gct = b""
     if packed & 0x80:
@@ -1094,6 +1146,10 @@ def decode_gif_stdlib(
             lzw += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
+        if (len(frames) + 1) * 3 * width * height > (1 << 30):
+            # frame-count bomb: full-canvas compositing output is
+            # frames x canvas — cap total decode output at 1 GiB
+            raise NotImplementedError("GIF exceeds the decode cap")
         idx = _lzw_decode(bytes(lzw), min_code)
         if len(idx) < fw * fh:
             raise NotImplementedError("short LZW raster")

@@ -57,10 +57,13 @@ def _bmp_lum_rows(payload: bytes) -> tuple[int, int, list[list[int]]]:
 
     if payload[:2] != b"BM":
         raise NotImplementedError("not a BMP payload")
-    pixel_off = struct.unpack_from("<I", payload, 10)[0]
-    _, width, height_raw, _, bpp, compression = struct.unpack_from(
-        "<IiiHHI", payload, 14
-    )
+    try:
+        pixel_off = struct.unpack_from("<I", payload, 10)[0]
+        _, width, height_raw, _, bpp, compression = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+    except struct.error as e:  # truncated header
+        raise NotImplementedError(f"malformed BMP payload: {e}") from e
     if bpp != 24 or compression != 0:
         raise NotImplementedError("only 24-bit uncompressed BMP supported")
     bottom_up = height_raw > 0
@@ -461,6 +464,8 @@ def split_bmp_stream(payload: bytes) -> list[bytes]:
     while off < n:
         if payload[off : off + 2] != b"BM":
             raise NotImplementedError("not a BMP frame stream")
+        if off + 6 > n:
+            raise NotImplementedError("truncated BMP frame header")
         size = struct.unpack_from("<I", payload, off + 2)[0]
         if size < 14 or off + size > n:
             raise NotImplementedError("truncated BMP frame")

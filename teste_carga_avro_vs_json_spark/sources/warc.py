@@ -151,6 +151,8 @@ def parse_warc(
                 ).strip()
             lower = {k.lower(): v for k, v in headers.items()}
             length = int(lower["content-length"])
+            if length < 0:  # would walk pos backwards → infinite loop
+                raise WarcFormatError("negative Content-Length")
             body_start = head_end + 4
             if body_start + length > n:
                 raise WarcFormatError("payload overruns stream")
@@ -215,6 +217,8 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
         while True:
             eol = raw.index(b"\r\n", pos)
             size = int(raw[pos:eol].split(b";")[0], 16)
+            if size < 0:  # '-' parses in base 16 → would loop backwards
+                raise WarcFormatError("negative chunk size")
             if size == 0:
                 break
             body += raw[eol + 2 : eol + 2 + size]
@@ -235,6 +239,33 @@ def _charset(content_type: str | None) -> str:
 
 # -------------------------------------------------------- gzip members
 
+#: per-member inflate cap (1 GiB): one WARC record is one document —
+#: a member inflating past this is a decompression bomb, not a crawl
+#: record, and must not OOM the executor.
+_MAX_MEMBER_BYTES = 1 << 30
+
+
+def _inflate_member(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Inflate ONE gzip member starting at ``pos`` → (bytes, next_pos);
+    bounded by the bomb cap, raising WarcFormatError on truncation,
+    garbage, or cap breach."""
+    d = zlib.decompressobj(wbits=31)
+    out = bytearray()
+    tail = data[pos:]
+    try:
+        while True:
+            out += d.decompress(tail, _MAX_MEMBER_BYTES + 1)
+            if len(out) > _MAX_MEMBER_BYTES:
+                raise WarcFormatError("gzip member exceeds the inflate cap")
+            if d.eof or not d.unconsumed_tail:
+                break
+            tail = d.unconsumed_tail
+    except zlib.error as e:
+        raise WarcFormatError(f"bad gzip member: {e}") from e
+    if not d.eof:
+        raise WarcFormatError("truncated gzip member")
+    return bytes(out), len(data) - len(d.unused_data)
+
 
 def gzip_member_offsets(data: bytes) -> list[tuple[int, int]]:
     """(offset, length) of each gzip member — the CDX-style index a
@@ -243,16 +274,9 @@ def gzip_member_offsets(data: bytes) -> list[tuple[int, int]]:
     inside compressed payloads)."""
     out, pos = [], 0
     while pos < len(data):
-        d = zlib.decompressobj(wbits=31)
-        try:
-            d.decompress(data[pos:])
-        except zlib.error as e:
-            raise WarcFormatError(f"bad gzip member: {e}") from e
-        if not d.eof:
-            raise WarcFormatError("truncated gzip member")
-        consumed = len(data) - pos - len(d.unused_data)
-        out.append((pos, consumed))
-        pos += consumed
+        _, end = _inflate_member(data, pos)
+        out.append((pos, end - pos))
+        pos = end
     return out
 
 
@@ -261,15 +285,8 @@ def iter_gzip_members(data: bytes) -> Iterator[bytes]:
     inflate in memory at a time."""
     pos = 0
     while pos < len(data):
-        d = zlib.decompressobj(wbits=31)
-        try:
-            chunk = d.decompress(data[pos:])
-        except zlib.error as e:
-            raise WarcFormatError(f"bad gzip member: {e}") from e
-        if not d.eof:
-            raise WarcFormatError("truncated gzip member")
+        chunk, pos = _inflate_member(data, pos)
         yield chunk
-        pos = len(data) - len(d.unused_data)
 
 
 # ------------------------------------------------------------- sinks
@@ -396,9 +413,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 blob = bytes(blob)
                 if fpath.endswith(".gz"):
                     recs: list[WarcRecord] = []
-                    for member in iter_gzip_members(blob):
-                        rs, _bad = parse_warc(member, tolerant=True)
-                        recs.extend(rs)
+                    try:
+                        for member in iter_gzip_members(blob):
+                            rs, _bad = parse_warc(member, tolerant=True)
+                            recs.extend(rs)
+                    except WarcFormatError:
+                        # corrupt/truncated member: keep the valid
+                        # prefix — a bad shard tail must not kill the
+                        # task (crawl shards DO get truncated)
+                        pass
                 else:
                     recs, _bad = parse_warc(blob, tolerant=True)
                 for r in recs:
