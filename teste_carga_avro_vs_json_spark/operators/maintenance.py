@@ -229,3 +229,166 @@ def zorder_by(
     )
     out_files = len(spark.read.parquet(dst_dir).inputFiles())
     return {"planned_files": n_files, "output_files": out_files}
+
+
+# ----------------------------------------------------------- snapshots
+#
+# Versioned table snapshots — a minimal TRANSACTION LOG over plain
+# parquet, the mechanism behind Delta/Iceberg time travel re-expressed
+# as first principles: data files are immutable, each commit writes
+# its files into a fresh subdirectory and then publishes ONE manifest
+# json listing the full file set of that version. The manifest write
+# is the commit point — data directories without a manifest are
+# invisible to readers (a crashed writer leaves garbage, never a
+# half-visible table). Readers pin a version by reading its manifest's
+# explicit file list, so concurrent compaction/vacuum never moves data
+# under a running query — the core correctness property a mutable
+# 100 TB corpus needs between pipeline runs.
+#
+# Scope (documented): single-writer. Production log stores serialize
+# committers with atomic renames / conditional puts; this module's
+# contract is the layout + reader semantics, which are identical.
+
+_SNAP_DIR = "_snapshots"
+#: fixed default commit timestamp (determinism rule: never wall-clock)
+SNAP_EPOCH = 1704067200
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _SNAP_DIR, f"v{version:08d}.json")
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    """Committed versions, ascending (manifest listing IS the log)."""
+    snap = os.path.join(table_dir, _SNAP_DIR)
+    if not os.path.isdir(snap):
+        return []
+    out = []
+    for name in os.listdir(snap):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    import json
+
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def snapshot_commit(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    ts: int = SNAP_EPOCH,
+) -> int:
+    """Commit ``df`` as the next version. ``append`` unions the new
+    files with the parent version's file list; ``overwrite`` replaces
+    it. Data lands in ``data/v{N}/`` FIRST; publishing the manifest is
+    the atomic commit point. Returns the new version number."""
+    import json
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be append|overwrite")
+    versions = snapshot_versions(table_dir)
+    version = (versions[-1] + 1) if versions else 1
+    data_dir = os.path.join(table_dir, "data", f"v{version:08d}")
+    df.write.mode("overwrite").parquet(data_dir)
+    spark = df.sparkSession
+    new_files = []
+    for uri in spark.read.parquet(data_dir).inputFiles():
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        new_files.append(
+            {
+                "path": os.path.relpath(path, table_dir),
+                "bytes": os.path.getsize(path),
+            }
+        )
+    new_files.sort(key=lambda f: f["path"])
+    files = new_files
+    if mode == "append" and versions:
+        files = _read_manifest(table_dir, versions[-1])["files"] + new_files
+    manifest = {
+        "version": version,
+        "op": mode,
+        "ts": ts,
+        "n_files": len(files),
+        "n_bytes": sum(f["bytes"] for f in files),
+        "files": files,
+    }
+    os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
+    tmp = _manifest_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, _manifest_path(table_dir, version))  # commit point
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version (latest when None) — time travel. The
+    reader takes the manifest's EXPLICIT file list, never a directory
+    listing, so later commits/compactions/vacuums of other versions
+    cannot change what this query sees."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {table_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    manifest = _read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, f["path"]) for f in manifest["files"]]
+    if not paths:
+        return spark.read.parquet(os.path.join(table_dir, "data"))  # pragma: no cover
+    return spark.read.parquet(*paths)
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_mb: float = 128.0,
+    ts: int = SNAP_EPOCH,
+) -> dict:
+    """Rewrite the LATEST version's files at target size as a new
+    ``overwrite`` commit (content preserved exactly — the OPTIMIZE
+    operation). Readers pinned to older versions keep their files;
+    reclaim space afterwards with :func:`snapshot_vacuum`."""
+    latest = snapshot_read(spark, table_dir)
+    manifest = _read_manifest(table_dir, snapshot_versions(table_dir)[-1])
+    n_files = plan_output_files(manifest["n_bytes"], target_mb)
+    compacted = latest.coalesce(n_files)
+    version = snapshot_commit(compacted, table_dir, mode="overwrite", ts=ts)
+    return {
+        "version": version,
+        "planned_files": n_files,
+        "input_files": manifest["n_files"],
+    }
+
+
+def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
+    """Retire old versions: drop all but the last ``keep_last``
+    manifests, then delete data files no RETAINED manifest references.
+    Returns the deleted paths (no silent destruction). The deletion
+    order (manifests first) means a crashed vacuum can only strand
+    unreferenced files, never break a readable version."""
+    versions = snapshot_versions(table_dir)
+    retained = versions[-keep_last:] if keep_last > 0 else []
+    live: set[str] = set()
+    for v in retained:
+        for f in _read_manifest(table_dir, v)["files"]:
+            live.add(os.path.normpath(os.path.join(table_dir, f["path"])))
+    removed = []
+    for v in versions:
+        if v not in retained:
+            os.remove(_manifest_path(table_dir, v))
+    data_root = os.path.join(table_dir, "data")
+    for dirpath, _dirs, names in os.walk(data_root):
+        for name in names:
+            path = os.path.normpath(os.path.join(dirpath, name))
+            if name.endswith(".parquet") and path not in live:
+                os.remove(path)
+                removed.append(path)
+    return sorted(removed)

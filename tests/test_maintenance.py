@@ -163,3 +163,94 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
     assert cx <= 2
     assert cy >= 12  # nearly every file straddles y
     assert zy < cy  # the reason zorder exists
+
+
+# ----------------------------------------------------------- snapshots
+
+
+def _sums(df):
+    import pyspark.sql.functions as F
+
+    r = df.agg(
+        F.count("*").alias("n"), F.sum(F.crc32(F.col("text"))).alias("h")
+    ).collect()[0]
+    return r["n"], r["h"]
+
+
+def test_snapshot_time_travel_exact(spark, sf_dir, tmp_path):
+    from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    tdir = str(tmp_path / "table")
+    v1 = mt.snapshot_commit(a, tdir, mode="append")
+    v2 = mt.snapshot_commit(b, tdir, mode="append")
+    assert (v1, v2) == (1, 2)
+    assert mt.snapshot_versions(tdir) == [1, 2]
+    # time travel: v1 = evens only, v2 = full corpus
+    assert _sums(mt.snapshot_read(spark, tdir, 1)) == _sums(a)
+    assert _sums(mt.snapshot_read(spark, tdir, 2)) == _sums(docs)
+    assert _sums(mt.snapshot_read(spark, tdir)) == _sums(docs)
+
+    # overwrite replaces the view; older versions stay readable
+    v3 = mt.snapshot_commit(a.limit(10), tdir, mode="overwrite")
+    assert mt.snapshot_read(spark, tdir, v3).count() == 10
+    assert _sums(mt.snapshot_read(spark, tdir, 2)) == _sums(docs)
+
+
+def test_snapshot_manifest_is_the_commit_point(spark, sf_dir, tmp_path):
+    import os
+
+    from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.limit(50), tdir)
+    # simulate a crashed writer: data directory without a manifest
+    orphan = os.path.join(tdir, "data", "v99999999")
+    docs.limit(7).write.parquet(orphan)
+    assert mt.snapshot_versions(tdir) == [1]
+    assert mt.snapshot_read(spark, tdir).count() == 50  # orphan invisible
+
+
+def test_snapshot_compact_and_vacuum(spark, sf_dir, tmp_path):
+    import os
+
+    from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tdir = str(tmp_path / "table")
+    # many-file ingest: 3 appends at 8 partitions each = 24 tiny files
+    for i in range(3):
+        mt.snapshot_commit(
+            docs.filter(f"doc_id % 3 = {i}").repartition(8), tdir
+        )
+    before = _sums(mt.snapshot_read(spark, tdir))
+    pre_manifest_files = len(
+        mt._read_manifest(tdir, mt.snapshot_versions(tdir)[-1])["files"]
+    )
+    assert pre_manifest_files >= 24
+
+    info = mt.snapshot_compact(spark, tdir, target_mb=128.0)
+    assert info["version"] == 4
+    after = mt.snapshot_read(spark, tdir)
+    assert _sums(after) == before  # content preserved exactly
+    post_files = len(mt._read_manifest(tdir, 4)["files"])
+    assert post_files <= info["planned_files"] <= pre_manifest_files
+
+    # pinned reader on v3 still works after compaction
+    assert _sums(mt.snapshot_read(spark, tdir, 3)) == before
+
+    removed = mt.snapshot_vacuum(tdir, keep_last=1)
+    assert mt.snapshot_versions(tdir) == [4]
+    assert _sums(mt.snapshot_read(spark, tdir)) == before  # latest intact
+    assert len(removed) >= 24  # every pre-compaction file reclaimed
+    for path in removed:
+        assert not os.path.exists(path)
