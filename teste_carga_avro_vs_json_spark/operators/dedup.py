@@ -21,6 +21,9 @@ Everything is built-in expressions (md5/array HOFs) — no UDFs, no
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
@@ -635,3 +638,158 @@ def simhash_sql(table: str = "documents", bits: int = 16) -> str:
         WITH base AS (SELECT doc_id, list_distinct({t}) AS toks FROM {table})
         SELECT doc_id, ({terms})::BIGINT AS simhash FROM base
     """
+
+
+# ------------------------------------------------------------- bloom
+#
+# Bloom-filter incremental dedup — the Dolma mechanism: when the
+# historical corpus is 100 TB, even a fingerprints-only anti-join
+# (incremental_dedup above) means re-scanning 10^11 keys per ingest
+# batch. A Bloom filter compresses the ENTIRE seen-set into a fixed
+# byte array (e.g. 10^9 docs at 1% FP ≈ 1.2 GB) that broadcasts once
+# and gates the firehose with zero joins, zero shuffles and zero
+# state growth. The trade is principled: NO false negatives (a true
+# duplicate is always caught — the dedup guarantee), a tunable
+# false-positive rate (a tiny fraction of fresh docs wrongly dropped
+# — harmless for training corpora, and measurable: callers get the
+# theoretical rate alongside the filter).
+
+
+class BloomFilter:
+    """Immutable double-hash Bloom filter over text fingerprints.
+    k positions derive from two xxhash64-compatible md5 halves via the
+    standard Kirsch-Mitzenmacher construction h1 + i*h2 (published
+    result: asymptotically as good as k independent hashes)."""
+
+    __slots__ = ("m_bits", "k", "bits")
+
+    def __init__(self, m_bits: int, k: int, bits: bytes) -> None:
+        self.m_bits = m_bits
+        self.k = k
+        self.bits = bits
+
+    @staticmethod
+    def params(n_items: int, fpp: float) -> tuple[int, int]:
+        """Textbook sizing: m = -n·ln p / ln²2 (rounded up to a byte
+        boundary), k = (m/n)·ln 2."""
+        import math
+
+        n = max(1, n_items)
+        m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+        m = ((m + 7) // 8) * 8
+        k = max(1, round(m / n * math.log(2)))
+        return m, k
+
+    def theoretical_fpp(self, n_items: int) -> float:
+        import math
+
+        return (1.0 - math.exp(-self.k * n_items / self.m_bits)) ** self.k
+
+    def contains(self, text: str) -> bool:
+        h1, h2 = _bloom_h(text)
+        for i in range(self.k):
+            pos = (h1 + i * h2) % self.m_bits
+            if not (self.bits[pos >> 3] >> (pos & 7)) & 1:
+                return False
+        return True
+
+
+def _bloom_h(text: str) -> tuple[int, int]:
+    """Two 64-bit hash halves from one md5 (the portable-hash
+    discipline — deterministic across engines/partitionings)."""
+    import hashlib
+
+    d = hashlib.md5((text or "").encode("utf-8")).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little") | 1,  # odd => full-cycle stride
+    )
+
+
+def bloom_build(
+    corpus: DataFrame,
+    text_col: str = "text",
+    n_items: int | None = None,
+    fpp: float = 0.01,
+) -> BloomFilter:
+    """Distributed Bloom build: ONE corpus scan. Each partition folds
+    its texts into a local m-bit bitmap inside an Arrow batch pass
+    (``mapInPandas`` — the documented py-lane; bit setting is not a
+    JVM expression), emits the bitmap ONCE as chunked rows, and the
+    driver ORs the per-partition bitmaps — the classic commutative
+    monoid reduce, so the result is partitioning-independent. Driver
+    traffic is (n_partitions × m/8) bytes, never row data; a 1000-
+    executor deployment drops in ``treeAggregate`` semantics by
+    OR-reducing chunk rows with one extra shuffle stage if the
+    partition count makes the driver fan-in the bottleneck."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    if n_items is None:
+        n_items = corpus.count()
+    m_bits, k = BloomFilter.params(n_items, fpp)
+    n_bytes = m_bits // 8
+    chunk = 1 << 20
+
+    def _bitmaps(batches):
+        import numpy as np
+
+        local = np.zeros(n_bytes, dtype=np.uint8)
+        touched = False
+        for pdf in batches:
+            for text in pdf.iloc[:, 0]:
+                h1, h2 = _bloom_h(text)
+                for i in range(k):
+                    pos = (h1 + i * h2) % m_bits
+                    local[pos >> 3] |= 1 << (pos & 7)
+                touched = True
+        if touched:
+            rows = [
+                (off // chunk, local[off : off + chunk].tobytes())
+                for off in range(0, n_bytes, chunk)
+            ]
+            yield pd.DataFrame(rows, columns=["chunk_id", "bits"])
+
+    parts = corpus.select(text_col).mapInPandas(
+        _bitmaps, "chunk_id int, bits binary"
+    )
+    import numpy as np
+
+    merged = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts.collect():
+        off = row["chunk_id"] * chunk
+        arr = np.frombuffer(bytes(row["bits"]), dtype=np.uint8)
+        merged[off : off + len(arr)] |= arr
+    return BloomFilter(m_bits, k, merged.tobytes())
+
+
+def bloom_dedup(
+    delta: DataFrame,
+    bloom: BloomFilter,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gate an ingest batch (or unbounded stream — the projection is
+    stateless, the ``decontaminate_stream`` convention) against a
+    built filter: adds ``probably_seen``; callers keep the False rows.
+    NO false negatives: every text inserted by ``bloom_build`` tests
+    True here (same md5 halves, same stride). One Arrow-batched
+    projection, zero shuffle; the filter bytes ride the closure once
+    per executor."""
+    m_bits, k, bits = bloom.m_bits, bloom.k, bloom.bits
+
+    @F.pandas_udf("boolean")
+    def _seen(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in texts:
+            out = []
+            for text in batch:
+                h1, h2 = _bloom_h(text)
+                hit = True
+                for i in range(k):
+                    pos = (h1 + i * h2) % m_bits
+                    if not (bits[pos >> 3] >> (pos & 7)) & 1:
+                        hit = False
+                        break
+                out.append(hit)
+            yield pd.Series(out, dtype="bool")
+
+    return delta.withColumn("probably_seen", _seen(F.col(text_col)))
