@@ -58,9 +58,13 @@ def synth_urls(docs: DataFrame) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "HTTPS")
         .otherwise("Https")
     )
+    # 7 host shards (bucket-derived so a bucket's docs share a host),
+    # case-messed per doc
+    shard = ((F.col("doc_id") % _BUCKETS) % 7).cast("string")
     host = F.when(
-        F.col("doc_id") % 2 == 0, F.concat(F.lit("crawl.Example.COM"))
-    ).otherwise(F.lit("crawl.example.com"))
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("Shard"), shard, F.lit(".Example.COM")),
+    ).otherwise(F.concat(F.lit("shard"), shard, F.lit(".example.com")))
     port = (
         F.when(F.col("doc_id") % 11 == 0, ":8443")
         .when(F.col("doc_id") % 5 == 0, ":443")
@@ -107,8 +111,11 @@ def synth_urls_sql(table: str = "documents") -> str:
       (CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
             ELSE 'Https' END)
       || '://'
-      || (CASE WHEN doc_id % 2 = 0 THEN 'crawl.Example.COM'
-               ELSE 'crawl.example.com' END)
+      || (CASE WHEN doc_id % 2 = 0
+               THEN 'Shard' || CAST((doc_id % {_BUCKETS}) % 7 AS VARCHAR)
+                    || '.Example.COM'
+               ELSE 'shard' || CAST((doc_id % {_BUCKETS}) % 7 AS VARCHAR)
+                    || '.example.com' END)
       || (CASE WHEN doc_id % 11 = 0 THEN ':8443'
                WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
       || '/docs/' || {b}
@@ -254,3 +261,69 @@ def url_dedup_stream(
 
     canon = urls.withColumn("canon_url", canon_url(F.col(url_col)))
     return stream_dedup(canon, ["canon_url"], event_time_col, delay)
+
+
+# ----------------------------------------------------------- domains
+
+
+def domain_profile(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-domain crawl profile — the grouping every published recipe
+    filters on (C4's blocklists, RefinedWeb's per-domain caps, Gopher's
+    source mixing are all host-level decisions): (host, n_docs,
+    n_pages, share_ppm) where host comes from the CANONICAL url (so
+    case/port mess never splits a domain), n_pages counts distinct
+    canonical pages, and share_ppm is the exact-integer corpus share
+    (floor(n_docs·10⁶ / total) — the quantized-fraction discipline, no
+    doubles in the oracle hash).
+
+    Plan: one hash agg on host (map-side combine), then the window
+    total over the per-HOST frame — bounded by domain count, so the
+    single-partition window is safe (the temperature_sample lesson:
+    totals via window on the AGGREGATED frame, never a 1-row cross
+    join on the raw one)."""
+    from pyspark.sql.window import Window
+
+    hosts = urls.select(
+        F.regexp_extract(
+            canon_url(F.col(url_col)), r"^[a-z]+://([^/:]+)", 1
+        ).alias("host"),
+        canon_url(F.col(url_col)).alias("canon_url"),
+    )
+    agg = hosts.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("canon_url").alias("n_pages"),
+    )
+    with_total = agg.withColumn(
+        "total", F.sum("n_docs").over(Window.partitionBy(F.lit(1)))
+    )
+    return with_total.select(
+        "host",
+        "n_docs",
+        "n_pages",
+        # exact integer division in BOTH engines — no float in the hash
+        F.expr("(n_docs * 1000000) div total").cast("long").alias(
+            "share_ppm"
+        ),
+    )
+
+
+def domain_profile_sql(table: str = "documents") -> str:
+    """Full DuckDB oracle: synth + canonicalize + per-domain profile."""
+    canon = canon_url_sql("url")
+    return f"""
+    WITH urls AS ({synth_urls_sql(table)}),
+    canon AS (
+      SELECT regexp_extract({canon}, '^[a-z]+://([^/:]+)', 1) AS host,
+             {canon} AS canon_url
+      FROM urls
+    ),
+    agg AS (
+      SELECT host, count(*) AS n_docs,
+             count(DISTINCT canon_url) AS n_pages
+      FROM canon GROUP BY host
+    )
+    SELECT host, n_docs, n_pages,
+           CAST((n_docs * 1000000) // sum(n_docs) OVER () AS BIGINT)
+             AS share_ppm
+    FROM agg
+    """

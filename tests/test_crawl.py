@@ -148,3 +148,30 @@ def test_url_dedup_stream_matches_batch_families(spark, sf_dir, tmp_path):
     }
     assert got.count() == len(batch_fams)  # one first per family
     assert {r["canon_url"] for r in got.collect()} == batch_fams
+
+
+def test_domain_profile_oracle_and_shape(spark, sf_dir):
+    """7 host shards, exact-integer shares, Spark == DuckDB, and the
+    window total rides the tiny aggregated frame (bounded by domain
+    count), never the raw one."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = crawl.domain_profile(crawl.synth_urls(docs))
+    rows = {r["host"]: (r["n_docs"], r["n_pages"], r["share_ppm"])
+            for r in prof.collect()}
+    assert len(rows) == 7  # bucket%7 shards, case mess collapsed
+    assert all(h.startswith("shard") for h in rows)
+    assert sum(v[0] for v in rows.values()) == docs.count()
+    # ppm shares sum to ~1e6 (floor loss < n_hosts)
+    total_ppm = sum(v[2] for v in rows.values())
+    assert 1_000_000 - 7 <= total_ppm <= 1_000_000
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = {r[0]: tuple(r[1:]) for r in
+            con.execute(crawl.domain_profile_sql()).fetchall()}
+    assert rows == want

@@ -312,6 +312,20 @@ def _url_dedup_sql() -> str:
     return crawl.url_dedup_sql()
 
 
+def _q_domain_profile(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import crawl
+
+    return crawl.domain_profile(
+        crawl.synth_urls(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _domain_profile_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import crawl
+
+    return crawl.domain_profile_sql()
+
+
 def _q_c4_line_filter(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -396,6 +410,7 @@ def retired_queries() -> dict:
         "q_blocklist_filter": _q_blocklist_filter,
         "q_bm25_topk": _q_bm25_topk,
         "q_url_dedup": _q_url_dedup,
+        "q_domain_profile": _q_domain_profile,
     }
 
 
@@ -432,6 +447,7 @@ def retired_oracle_sql() -> dict:
         "q_blocklist_filter": _blocklist_filter_sql(),
         "q_bm25_topk": _bm25_topk_sql(),
         "q_url_dedup": _url_dedup_sql(),
+        "q_domain_profile": _domain_profile_sql(),
     }
 
 
