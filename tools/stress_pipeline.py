@@ -5,8 +5,10 @@ per-stage ledger as one JSON line — the end-to-end wall/survivor
 evidence for the composed pipeline (commit under bench_runs/ as
 r{N}_pipeline_sf01.json).
 
-Usage: python tools/stress_pipeline.py  (knobs: SPARK_GRAFT_SF_DIR,
-SPARK_GRAFT_CPUS, SPARK_GRAFT_DRIVER_MEM)
+Usage: python tools/stress_pipeline.py [replicas]   (default 1 = the
+plain sf table; N>1 replicates every doc with near-identical variants
+— the stress10x convention — so the dedup stages have real work).
+Knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_DRIVER_MEM.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ if _REPO not in sys.path:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 
     from pyspark.sql import SparkSession
     import pyspark.sql.functions as F
@@ -45,6 +48,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if replicas > 1:
+        docs = docs.crossJoin(
+            spark.range(replicas).select(F.col("id").alias("r"))
+        ).select(
+            (F.col("doc_id") * replicas + F.col("r")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" zrep"), F.col("r").cast("string")
+            ).alias("text"),
+        )
     # held-out decontamination split: every 97th doc plays the
     # benchmark set (deterministic, non-trivial overlap by design —
     # fixture texts share passages)
@@ -67,6 +79,7 @@ def main() -> None:
     out = {
         "sf_dir": sf_dir,
         "cpus": cpus,
+        "replicas": replicas,
         "driver_memory": spark.conf.get("spark.driver.memory"),
         "train_docs": n_train,
         "test_docs": test.count(),
