@@ -175,3 +175,97 @@ def test_domain_profile_oracle_and_shape(spark, sf_dir):
     want = {r[0]: tuple(r[1:]) for r in
             con.execute(crawl.domain_profile_sql()).fetchall()}
     assert rows == want
+
+
+def test_robots_filter_matches_stdlib_reference(spark):
+    """The gate must agree with DIRECT urllib.robotparser calls on
+    every row (the reference-implementation pin), plus hard cases:
+    missing robots.txt defaults to fetchable, named-agent groups win
+    for that agent, in-file rule order decides (stdlib 1994-draft
+    semantics — Allow after Disallow does NOT override for '*')."""
+    import urllib.robotparser
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example.com",
+                "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n",
+            ),
+            (
+                "b.example.com",
+                "User-agent: fetchbot\nDisallow: /\n"
+                "User-agent: *\nDisallow:\n",
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.example.com/public/x"),
+            (2, "https://a.example.com/private/secret"),
+            (3, "https://a.example.com/private/ok"),
+            (4, "https://b.example.com/anything"),
+            (5, "https://c.example.com/no-robots-here"),
+        ],
+        "doc_id long, url string",
+    )
+    bodies = {r["host"]: r["robots_txt"] for r in robots.collect()}
+
+    def want(agent):
+        out = {}
+        for did, url in [(r["doc_id"], r["url"]) for r in urls.collect()]:
+            host = url.split("/")[2]
+            if host not in bodies:
+                out[did] = True
+                continue
+            rp = urllib.robotparser.RobotFileParser()
+            rp.parse(bodies[host].splitlines())
+            out[did] = bool(rp.can_fetch(agent, url))
+        return out
+
+    for agent in ("*", "fetchbot"):
+        got = {r["doc_id"]: r["fetch_ok"]
+               for r in crawl.robots_filter(urls, robots,
+                                            agent=agent).collect()}
+        assert got == want(agent), agent
+    star = want("*")
+    bot = want("fetchbot")
+    # hard cases: stdlib in-order rules disallow /private/ok for '*'
+    assert star == {1: True, 2: False, 3: False, 4: True, 5: True}
+    assert bot[4] is False  # the named-agent group wins for fetchbot
+    assert bot[5] is True   # no robots.txt -> fetchable
+
+
+def test_sitemap_parse_and_fanout(spark):
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    urlset = (
+        f'<urlset {ns}><url><loc>https://e/a</loc>'
+        "<lastmod>2026-01-02</lastmod><priority>0.8</priority></url>"
+        "<url><loc>https://e/b</loc></url></urlset>"
+    )
+    index = (
+        f'<sitemapindex {ns}><sitemap>'
+        "<loc>https://e/sitemap1.xml</loc></sitemap></sitemapindex>"
+    )
+    rows = crawl.parse_sitemap(urlset)
+    assert rows == [
+        {"loc": "https://e/a", "lastmod": "2026-01-02",
+         "priority": "0.8", "is_index": False},
+        {"loc": "https://e/b", "lastmod": None, "priority": None,
+         "is_index": False},
+    ]
+    assert crawl.parse_sitemap(index)[0]["is_index"] is True
+    assert crawl.parse_sitemap("<garbage") == []
+    assert crawl.parse_sitemap("") == []
+
+    frames = spark.createDataFrame(
+        [("e", urlset), ("f", index), ("g", "<broken")],
+        "host string, xml string",
+    )
+    got = crawl.sitemap_urls(frames).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r["loc"])
+    assert by_host == {
+        "e": ["https://e/a", "https://e/b"],
+        "f": ["https://e/sitemap1.xml"],
+    }
