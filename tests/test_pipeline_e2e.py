@@ -295,3 +295,56 @@ def test_mixed_container_media_dedup_composes(spark, sf_dir):
     kept = corpus.join(drop, "doc_id", "left_anti")
     assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
     corpus.unpersist()
+
+
+def test_incremental_ingest_composes(spark, sf_dir, tmp_path):
+    """The r8 incremental-ingest story end to end: an initial corpus
+    is built, committed as a snapshot, and compressed into a Bloom
+    seen-set; a NEW crawl batch (half re-crawls, half fresh) is gated
+    by the filter with zero joins against history, and only the fresh
+    survivors are appended as the next snapshot version — time travel
+    shows both states, and no true duplicate ever lands (zero false
+    negatives is the Bloom guarantee)."""
+    from teste_carga_avro_vs_json_spark.operators import dedup
+    from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    history = docs.filter("doc_id % 2 = 0").persist()
+    tdir = str(tmp_path / "corpus")
+
+    # epoch 1: commit history, build the seen-set
+    v1 = mt.snapshot_commit(history, tdir)
+    bloom = dedup.bloom_build(mt.snapshot_read(spark, tdir, v1), fpp=0.01)
+
+    # epoch 2: new batch = re-crawls of history + genuinely fresh docs
+    recrawls = history.limit(40).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter("doc_id % 2 = 1").limit(60)
+    batch = recrawls.unionByName(fresh)
+    gated = dedup.bloom_dedup(batch, bloom).persist()
+
+    # every re-crawl is caught (zero false negatives)
+    assert gated.where(
+        (F.col("doc_id") >= 1_000_000) & ~F.col("probably_seen")
+    ).count() == 0
+    survivors = gated.where(~F.col("probably_seen")).select("doc_id", "text")
+    n_survivors = survivors.count()
+    assert n_survivors > 0  # FPs may eat a few fresh docs, never all
+
+    v2 = mt.snapshot_commit(survivors, tdir, mode="append")
+    # time travel: v1 is untouched history; v2 = history + survivors
+    assert mt.snapshot_read(spark, tdir, v1).count() == history.count()
+    assert (
+        mt.snapshot_read(spark, tdir, v2).count()
+        == history.count() + n_survivors
+    )
+    # and the appended corpus still has no EXACT duplicate texts from
+    # the re-crawl class (the whole point of the gate)
+    v2_df = mt.snapshot_read(spark, tdir, v2)
+    assert v2_df.groupBy("text").count().where("count > 1").count() == 0
+    gated.unpersist()
+    history.unpersist()
