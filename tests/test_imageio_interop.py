@@ -191,3 +191,50 @@ def test_bmp_both_directions_exact(spark):
     # same features from our own encoding of the same pixels
     _, _, want = mm.decode_bmp_stdlib(ours)
     assert feats == pytest.approx(want, abs=1e-12)
+
+
+# -------------------------------------------------- WAV via javax.sound
+
+
+def test_wav_interop_javax_sound(spark):
+    """Our WAV fixtures against the JVM's independent RIFF reader
+    (javax.sound.sampled): format header agreement and EXACT PCM
+    sample equality — completing 'every codec cross-verified where a
+    reference implementation exists in this container'."""
+    import io
+    import struct
+    import wave
+
+    samples = [((i * 37) % 2000) - 1000 for i in range(500)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    payload = buf.getvalue()
+
+    jvm = _jvm(spark)
+    stream = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(payload))
+    )
+    fmt = stream.getFormat()
+    assert fmt.getChannels() == 1
+    assert fmt.getSampleSizeInBits() == 16
+    assert int(fmt.getSampleRate()) == 16000
+    assert stream.getFrameLength() == len(samples)
+    raw = stream.readAllBytes()
+    got = [
+        struct.unpack_from("<h", raw, 2 * i)[0] for i in range(len(samples))
+    ]
+    assert got == samples
+
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+    from teste_carga_avro_vs_json_spark.operators import phash as ph
+
+    n, rate, peak = mm.decode_wav_stdlib(payload)
+    assert (n, rate) == (len(samples), 16000)
+    # the documented soundfile-compatible scaling: |x|/32768 * 32767
+    mx = max(abs(s) for s in samples)
+    assert peak == int(min(mx / 32768, 1.0) * 32767)
+    assert ph._wav_samples(payload) == samples
