@@ -1121,3 +1121,138 @@ def blocklist_filter_sql(
                len(hits) = 0 AS keep
         FROM hits
     """
+
+
+# ----------------------------------------------------------------- FIM
+
+#: FIM sentinels (the published three-token scheme)
+FIM_PRE, FIM_SUF, FIM_MID = "<|fim_pre|>", "<|fim_suf|>", "<|fim_mid|>"
+
+
+def fim_transform(
+    docs: DataFrame,
+    fim_rate: float = 0.5,
+    spm_rate: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    arXiv:2207.14255): rearrange a deterministic ``fim_rate`` fraction
+    of documents as prefix/suffix/middle with sentinel markers so the
+    model learns infilling — the standard code/text augmentation, run
+    at corpus-build time ("FIM-for-free").
+
+    Word-level splits with PORTABLE randomness (the temperature-sample
+    discipline): doc selection, the two split points and the PSM-vs-
+    SPM mode all derive from md5 hashes of doc_id, so the transform is
+    partitioning-independent and replayable in the DuckDB oracle.
+    Docs with < 3 words or outside the rate keep their text verbatim
+    (``fim_applied`` false, ``mode`` 'none'). Zero shuffle — one
+    projection, whole-stage codegen (array slice/join expressions).
+
+    Output: (doc_id, fim_text, fim_applied, mode)."""
+    did = F.col("doc_id").cast("string")
+    sel = hex32(F.concat(F.lit("fim|"), did)) % 1_000_000 < int(
+        fim_rate * 1_000_000
+    )
+    spm = hex32(F.concat(F.lit("fimM|"), did)) % 1_000_000 < int(
+        spm_rate * 1_000_000
+    )
+    staged = docs.select(
+        "doc_id",
+        F.col(text_col).alias("text"),
+        tokens(text_col).alias("w"),
+        (hex32(F.concat(F.lit("fimA|"), did))).alias("h1"),
+        (hex32(F.concat(F.lit("fimB|"), did))).alias("h2"),
+        sel.alias("sel"),
+        spm.alias("spm"),
+    )
+    n = F.size("w")
+    i = F.col("h1") % (n + 1)  # prefix length in [0, n]
+    j = i + F.col("h2") % (n - i + 1)  # middle end in [i, n]
+    prefix = F.array_join(F.slice("w", F.lit(1), i), " ")
+    middle = F.array_join(
+        F.slice("w", (i + 1).cast("int"), (j - i).cast("int")), " "
+    )
+    suffix = F.array_join(
+        F.slice("w", (j + 1).cast("int"), (n - j).cast("int")), " "
+    )
+    psm = F.concat(
+        F.lit(FIM_PRE), prefix, F.lit(FIM_SUF), suffix, F.lit(FIM_MID),
+        middle,
+    )
+    spm_text = F.concat(
+        F.lit(FIM_SUF), suffix, F.lit(FIM_PRE), prefix, F.lit(FIM_MID),
+        middle,
+    )
+    applied = F.col("sel") & (n >= 3)
+    return staged.select(
+        "doc_id",
+        F.when(~applied, F.col("text"))
+        .when(F.col("spm"), spm_text)
+        .otherwise(psm)
+        .alias("fim_text"),
+        applied.alias("fim_applied"),
+        F.when(~applied, F.lit("none"))
+        .when(F.col("spm"), F.lit("spm"))
+        .otherwise(F.lit("psm"))
+        .alias("mode"),
+    )
+
+
+def fim_transform_sql(
+    table: str = "documents",
+    fim_rate: float = 0.5,
+    spm_rate: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`fim_transform` (same hashes, same
+    slices — DuckDB list slicing is 1-based inclusive like
+    ``list_slice``)."""
+    did = "CAST(doc_id AS VARCHAR)"
+    key_fim = "'fim|' || " + did
+    key_mode = "'fimM|' || " + did
+    sel = (
+        f"({hex32_sql(key_fim)} % 1000000) < {int(fim_rate * 1_000_000)}"
+    )
+    spm = (
+        f"({hex32_sql(key_mode)} % 1000000) < {int(spm_rate * 1_000_000)}"
+    )
+    return f"""
+    WITH staged AS (
+      SELECT doc_id, text,
+             {tokens_sql('text')} AS w,
+             {hex32_sql(f"'fimA|' || {did}")} AS h1,
+             {hex32_sql(f"'fimB|' || {did}")} AS h2,
+             {sel} AS sel,
+             {spm} AS spm
+      FROM {table}
+    ),
+    pts AS (
+      SELECT *, len(w) AS n,
+             h1 % (len(w) + 1) AS i,
+             (h1 % (len(w) + 1))
+               + (h2 % (len(w) - (h1 % (len(w) + 1)) + 1)) AS j
+      FROM staged
+    ),
+    parts AS (
+      SELECT doc_id, text, sel, spm, n,
+             -- DuckDB: array_to_string([]) is NULL (Spark: ''), and
+             -- '||' propagates NULL — coalesce every part
+             coalesce(array_to_string(list_slice(w, 1, i), ' '), '')
+               AS prefix,
+             coalesce(array_to_string(list_slice(w, i + 1, j), ' '), '')
+               AS middle,
+             coalesce(array_to_string(list_slice(w, j + 1, n), ' '), '')
+               AS suffix
+      FROM pts
+    )
+    SELECT doc_id,
+           CASE WHEN NOT (sel AND n >= 3) THEN text
+                WHEN spm THEN '{FIM_SUF}' || suffix || '{FIM_PRE}'
+                     || prefix || '{FIM_MID}' || middle
+                ELSE '{FIM_PRE}' || prefix || '{FIM_SUF}' || suffix
+                     || '{FIM_MID}' || middle END AS fim_text,
+           (sel AND n >= 3) AS fim_applied,
+           CASE WHEN NOT (sel AND n >= 3) THEN 'none'
+                WHEN spm THEN 'spm' ELSE 'psm' END AS mode
+    FROM parts
+    """

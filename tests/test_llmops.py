@@ -1709,3 +1709,69 @@ def test_stateless_gates_compose_with_streams(spark, tmp_path):
         want = {tuple(r) for r in op(docs).collect()}
         got = {tuple(r) for r in run_bounded_append(op(stream)).collect()}
         assert got == want, op.__name__
+
+
+# ------------------------------------------------------------------ FIM
+
+
+def test_fim_transform_reconstruction_and_modes(spark, sf_dir):
+    """FIM is a REARRANGEMENT: stripping the sentinels and restoring
+    prefix+middle+suffix order must reproduce the original token
+    stream exactly for every applied doc; unapplied docs are verbatim;
+    the transform is partitioning-independent and oracle-equal."""
+    import duckdb
+
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = corpus.fim_transform(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n_applied = 0
+    for did, r in rows.items():
+        words = orig[did].split()
+        if not r["fim_applied"]:
+            assert r["mode"] == "none" and r["fim_text"] == orig[did]
+            continue
+        n_applied += 1
+        t = r["fim_text"]
+        if r["mode"] == "psm":
+            pre_rest = t.split(corpus.FIM_PRE, 1)[1]
+            prefix, rest = pre_rest.split(corpus.FIM_SUF, 1)
+            suffix, middle = rest.split(corpus.FIM_MID, 1)
+        else:
+            suf_rest = t.split(corpus.FIM_SUF, 1)[1]
+            suffix, rest = suf_rest.split(corpus.FIM_PRE, 1)
+            prefix, middle = rest.split(corpus.FIM_MID, 1)
+        rebuilt = (prefix.split() + middle.split() + suffix.split())
+        assert rebuilt == words, did
+    assert n_applied > 0
+
+    # short docs are never transformed
+    tiny = spark.createDataFrame(
+        [(1, "one two"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    for r in corpus.fim_transform(tiny, fim_rate=1.0).collect():
+        assert not r["fim_applied"] and r["mode"] == "none"
+
+    # partitioning-independence
+    a = {(r["doc_id"], r["fim_text"])
+         for r in corpus.fim_transform(docs.repartition(1)).collect()}
+    b = {(r["doc_id"], r["fim_text"])
+         for r in corpus.fim_transform(docs.repartition(16)).collect()}
+    assert a == b
+
+    # oracle equality
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in con.execute(corpus.fim_transform_sql()).fetchall()}
+    got = {d: (r["fim_text"], r["fim_applied"], r["mode"])
+           for d, r in rows.items()}
+    assert got == want

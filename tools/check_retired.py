@@ -326,6 +326,18 @@ def _domain_profile_sql() -> str:
     return crawl.domain_profile_sql()
 
 
+def _q_fim_transform(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    return corpus.fim_transform(load_table(spark, sf_dir, "documents"))
+
+
+def _fim_transform_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    return corpus.fim_transform_sql()
+
+
 def _q_c4_line_filter(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -411,6 +423,7 @@ def retired_queries() -> dict:
         "q_bm25_topk": _q_bm25_topk,
         "q_url_dedup": _q_url_dedup,
         "q_domain_profile": _q_domain_profile,
+        "q_fim_transform": _q_fim_transform,
     }
 
 
@@ -448,6 +461,7 @@ def retired_oracle_sql() -> dict:
         "q_bm25_topk": _bm25_topk_sql(),
         "q_url_dedup": _url_dedup_sql(),
         "q_domain_profile": _domain_profile_sql(),
+        "q_fim_transform": _fim_transform_sql(),
     }
 
 
