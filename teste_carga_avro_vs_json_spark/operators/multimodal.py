@@ -951,6 +951,14 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    if not 2 <= min_code_size <= 8:
+        # GIF pixels are palette indices (<= 8 bits), so the root
+        # alphabet never exceeds 256; also the table-size bomb guard —
+        # a corrupt size byte of e.g. 33 would demand a 2^33-entry
+        # root table before any data is read
+        raise NotImplementedError(
+            f"invalid GIF LZW minimum code size {min_code_size}"
+        )
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1

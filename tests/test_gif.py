@@ -217,3 +217,20 @@ def test_gif_still_image_dhash_matches_bmp_pixels(spark, sf_dir):
     hashes = {r["doc_id"]: r["dhash"]
               for r in ph.image_dhash(media).collect()}
     assert hashes[1] == hashes[2]
+
+
+def test_every_position_mutation_rejects_cleanly():
+    """Deterministic single-byte-corruption sweep over EVERY byte of a
+    two-frame GIF (the hypothesis fuzz found the LZW min-code-size
+    table bomb exactly here): decode must succeed or raise
+    NotImplementedError — never a raw error, never an allocation
+    blow-up."""
+    idx = bytes((i * 7) % 256 for i in range(120))
+    blob = mm.encode_gif_stdlib(12, 10, [idx] * 2, mm.GRAY_PALETTE)
+    for pos in range(len(blob)):
+        data = bytearray(blob)
+        data[pos] ^= 0x21  # the byte value that found the bomb
+        try:
+            mm.decode_gif_stdlib(bytes(data))
+        except NotImplementedError:
+            pass
