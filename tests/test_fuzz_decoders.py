@@ -21,9 +21,14 @@ from teste_carga_avro_vs_json_spark.operators import multimodal as mm
 from teste_carga_avro_vs_json_spark.operators import phash as ph
 from teste_carga_avro_vs_json_spark.sources import warc as W
 
+# derandomize: the suite is a REGRESSION gate (the driver runs pytest
+# per round — a fresh random find failing the build mid-round is the
+# wrong channel for discovery). Exploration mode = flip this off and
+# raise max_examples; that is how the GIF LZW table bomb was found.
 _FUZZ = settings(
     max_examples=120,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
 )
 
