@@ -157,11 +157,18 @@ def decode_audio(payload: bytes, fmt: str):
             return decode_wav_stdlib(payload)
         if payload[:4] == b"fLaC":
             return decode_flac_stdlib(payload)
+        if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+            rate, channels, bps, samples = decode_aiff_stdlib(payload)
+            if bps >= 16:
+                mx = max((abs(s) >> (bps - 16) for s in samples), default=0)
+            else:
+                mx = max((abs(s) << (16 - bps) for s in samples), default=0)
+            return len(samples) // channels, rate, min(mx, 32767)
         raise NotImplementedError(
-            "decoding non-WAV/FLAC audio requires soundfile which is "
-            "not in this container; WAV and FLAC payloads decode via "
-            "the stdlib paths, or use extract_audio_features(..., "
-            "fake=True) for the deterministic stand-in"
+            "decoding non-WAV/AIFF/FLAC audio requires soundfile which "
+            "is not in this container; WAV, AIFF and FLAC payloads "
+            "decode via the stdlib paths, or use extract_audio_features"
+            "(..., fake=True) for the deterministic stand-in"
         )
     import io
 
@@ -1330,3 +1337,100 @@ def synth_jpeg_media(
         "width",
         "height",
     )
+
+
+# --------------------------------------------------------------- AIFF
+
+
+def _f80_encode(rate: int) -> bytes:
+    """80-bit IEEE 754 extended float (the AIFF COMM sample-rate
+    field): sign(1) exponent(15, bias 16383) mantissa(64, explicit
+    leading 1)."""
+    if rate <= 0:
+        raise NotImplementedError("sample rate must be positive")
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    return (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _f80_decode(b: bytes) -> int:
+    exp = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:10], "big")
+    if exp & 0x8000:
+        raise NotImplementedError("negative AIFF sample rate")
+    e = exp - 16383
+    if not 0 <= e <= 63:
+        raise NotImplementedError("AIFF sample rate out of range")
+    return mant >> (63 - e)
+
+
+def encode_aiff_stdlib(
+    samples: list[int], channels: int = 1, rate: int = 16000,
+    bps: int = 16,
+) -> bytes:
+    """Interleaved signed PCM → AIFF (IFF FORM/AIFF with COMM + SSND;
+    big-endian samples — the byte-order mirror of WAV). Stdlib-real
+    like the WAV path; 8/16/24-bit."""
+    import struct
+
+    if bps not in (8, 16, 24):
+        raise NotImplementedError("8/16/24-bit PCM only")
+    width = bps // 8
+    n_frames = len(samples) // channels
+    if n_frames * channels != len(samples):
+        raise NotImplementedError("sample count not divisible by channels")
+    data = b"".join(
+        (s & ((1 << bps) - 1)).to_bytes(width, "big") for s in samples
+    )
+    comm = struct.pack(">hLh", channels, n_frames, bps) + _f80_encode(rate)
+    ssnd = struct.pack(">LL", 0, 0) + data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">L", len(comm)) + comm
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+        + (b"\x00" if len(ssnd) % 2 else b"")
+    )
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def decode_aiff_stdlib(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """AIFF → (rate, channels, bps, interleaved signed samples).
+    Chunk-walks the IFF container (COMM anywhere before/after SSND,
+    unknown chunks skipped, odd-length padding honored); malformed
+    input raises NotImplementedError only."""
+    import struct
+
+    try:
+        if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+            raise NotImplementedError("not an AIFF payload")
+        pos, end = 12, 8 + struct.unpack(">L", payload[4:8])[0]
+        channels = n_frames = bps = rate = None
+        data = None
+        while pos + 8 <= min(end, len(payload)):
+            tag = payload[pos : pos + 4]
+            ln = struct.unpack(">L", payload[pos + 4 : pos + 8])[0]
+            body = payload[pos + 8 : pos + 8 + ln]
+            if tag == b"COMM":
+                channels, n_frames, bps = struct.unpack(">hLh", body[:8])
+                rate = _f80_decode(body[8:18])
+            elif tag == b"SSND":
+                off = struct.unpack(">L", body[:4])[0]
+                data = body[8 + off :]
+            pos += 8 + ln + (ln & 1)  # odd chunks pad one byte
+        if channels is None or data is None:
+            raise NotImplementedError("missing COMM or SSND chunk")
+        if bps not in (8, 16, 24):
+            raise NotImplementedError(f"unsupported AIFF depth {bps}")
+        width = bps // 8
+        n = min(n_frames * channels, len(data) // width)
+        out = []
+        for i in range(n):
+            v = int.from_bytes(data[i * width : (i + 1) * width], "big")
+            if v & (1 << (bps - 1)):
+                v -= 1 << bps
+            out.append(v)
+        return rate, channels, bps, out
+    except NotImplementedError:
+        raise
+    except (IndexError, struct.error, OverflowError) as e:
+        raise NotImplementedError(f"malformed AIFF payload: {e}") from e

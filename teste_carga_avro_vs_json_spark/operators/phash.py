@@ -380,12 +380,17 @@ def _audio_samples(payload: bytes) -> list[int]:
         from .flac_codec import decode_flac
 
         _, _, bps, samples = decode_flac(payload)
-        if bps == 16:
-            return samples
-        if bps < 16:
-            return [s << (16 - bps) for s in samples]
-        return [s >> (bps - 16) for s in samples]
-    return _wav_samples(payload)
+    elif payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+        from .multimodal import decode_aiff_stdlib
+
+        _, _, bps, samples = decode_aiff_stdlib(payload)
+    else:
+        return _wav_samples(payload)
+    if bps == 16:
+        return samples
+    if bps < 16:
+        return [s << (16 - bps) for s in samples]
+    return [s >> (bps - 16) for s in samples]
 
 
 def audio_fingerprint64(samples: list[int]) -> int:

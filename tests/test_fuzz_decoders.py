@@ -45,6 +45,7 @@ _DECODERS = {
     "png": (mm.decode_png_stdlib, (NotImplementedError, ValueError)),
     "bmp_stream": (ph.split_bmp_stream, (NotImplementedError,)),
     "flac": (fc.decode_flac, (fc.FlacFormatError,)),
+    "aiff": (mm.decode_aiff_stdlib, (NotImplementedError,)),
     "jpeg": (jc.decode_jpeg, (jc.JpegFormatError, NotImplementedError)),
 }
 
@@ -71,6 +72,7 @@ def _valid_payloads() -> dict[str, bytes]:
         "png": mm.encode_png_stdlib(24, 16, rgb),
         "bmp_stream": mm.encode_bmp_stdlib(8, 8, rgb[: 8 * 8 * 3]) * 3,
         "flac": fc.encode_flac(samples, block_size=256),
+        "aiff": mm.encode_aiff_stdlib(samples, rate=16000),
         "jpeg": jc.encode_jpeg(24, 16, rgb, quality=90),
     }
 

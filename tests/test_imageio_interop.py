@@ -238,3 +238,68 @@ def test_wav_interop_javax_sound(spark):
     mx = max(abs(s) for s in samples)
     assert peak == int(min(mx / 32768, 1.0) * 32767)
     assert ph._wav_samples(payload) == samples
+
+
+def test_aiff_interop_javax_sound(spark):
+    """AIFF both directions against javax.sound.sampled: our encoder's
+    bytes parse with the right format (big-endian PCM) and exact
+    samples; a JVM-written AIFF decodes exactly in our chunk walker.
+    Cross-container: the SAME recording fingerprints identically as
+    WAV, AIFF and FLAC."""
+    import struct
+
+    from teste_carga_avro_vs_json_spark.operators import flac_codec as fc
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+    from teste_carga_avro_vs_json_spark.operators import phash as ph
+
+    samples = [((i * 37) % 2000) - 1000 for i in range(500)]
+    blob = mm.encode_aiff_stdlib(samples, rate=16000)
+
+    jvm = _jvm(spark)
+    stream = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+        jvm.java.io.ByteArrayInputStream(bytearray(blob))
+    )
+    fmt = stream.getFormat()
+    assert fmt.getChannels() == 1
+    assert fmt.getSampleSizeInBits() == 16
+    assert int(fmt.getSampleRate()) == 16000
+    assert fmt.isBigEndian()
+    raw = stream.readAllBytes()
+    got = [struct.unpack_from(">h", raw, 2 * i)[0]
+           for i in range(len(samples))]
+    assert got == samples
+
+    # foreign direction: JVM writes the AIFF
+    aiff_type = jvm.javax.sound.sampled.AudioFileFormat.Type.AIFF
+    afmt = jvm.javax.sound.sampled.AudioFormat(16000.0, 16, 1, True, True)
+    data = bytearray()
+    for s in samples:
+        data += struct.pack(">h", s)
+    src = jvm.javax.sound.sampled.AudioInputStream(
+        jvm.java.io.ByteArrayInputStream(data), afmt, len(samples)
+    )
+    out = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.sound.sampled.AudioSystem.write(src, aiff_type, out)
+    foreign = bytes(out.toByteArray())
+    rate, ch, bps, dec = mm.decode_aiff_stdlib(foreign)
+    assert (rate, ch, bps) == (16000, 1, 16)
+    assert dec == samples
+
+    # cross-container fingerprint equality: WAV == AIFF == FLAC
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    wav = buf.getvalue()
+    flac = fc.encode_flac(samples, sample_rate=16000, block_size=256)
+    h = {
+        name: ph.audio_fingerprint64(ph._audio_samples(payload))
+        for name, payload in (("wav", wav), ("aiff", blob),
+                              ("flac", flac), ("foreign_aiff", foreign))
+    }
+    assert len(set(h.values())) == 1, h
