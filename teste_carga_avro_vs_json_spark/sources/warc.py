@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import gzip
 import hashlib
+import re
 import zlib
 from typing import Iterator, NamedTuple
 
@@ -89,6 +90,23 @@ def _stable_record_id(warc_type: str, target_uri: str, payload: bytes) -> str:
     )
 
 
+def _clean_header(value: str) -> str:
+    """Strip CR/LF and other C0 control chars from a header name/value.
+
+    A crawled URL containing ``\\r\\n`` would otherwise split the WARC
+    header block (header-injection shape) and produce a record
+    :func:`parse_warc` rejects or mis-frames on read-back (r8 ADVICE).
+    Stripping (not rejecting) keeps the ingest path total on hostile
+    crawl data; the record stays self-consistent because the sanitized
+    value is what Content-Length framing is computed around."""
+    if _CTRL_RE.search(value):
+        value = _CTRL_RE.sub("", value)
+    return value
+
+
+_CTRL_RE = re.compile(r"[\x00-\x1f\x7f]")
+
+
 def build_record(
     warc_type: str,
     payload: bytes,
@@ -117,7 +135,8 @@ def build_record(
     headers.append(("Content-Length", str(len(payload))))
     head = b"WARC/1.1" + _CRLF
     head += b"".join(
-        f"{k}: {v}".encode("utf-8") + _CRLF for k, v in headers
+        f"{_clean_header(k)}: {_clean_header(v)}".encode("utf-8") + _CRLF
+        for k, v in headers
     )
     return head + _CRLF + payload + _CRLF + _CRLF
 

@@ -523,7 +523,11 @@ def _decode_block(data: bytes, ctx: _FrameCtx, window: bytearray) -> None:
         n_seq = ((b0 - 128) << 8) | data[pos + 1]
         pos += 2
     else:
-        n_seq = data[pos + 1] | (data[pos + 2] << 8) | 0x7F00
+        # RFC 8878 §3.1.1.3.2.1: byte0==255 → LE16 *plus* 0x7F00 (addition,
+        # not OR — for >=32768 sequences the LE16 overlaps bit 15 and OR
+        # silently corrupts the count; pinned vs libzstd in
+        # test_zstd_stdlib.py::test_long_sequence_count).
+        n_seq = data[pos + 1] + (data[pos + 2] << 8) + 0x7F00
         pos += 3
     if n_seq == 0:
         window += lits
@@ -607,7 +611,24 @@ def _decode_block(data: bytes, ctx: _FrameCtx, window: bytearray) -> None:
 
 # ------------------------------------------------------------- frames
 def decompress(data: bytes, max_size: int = 1 << 30) -> bytes:
-    """Decode one or more concatenated zstd frames (RFC 8878 §3.1)."""
+    """Decode one or more concatenated zstd frames (RFC 8878 §3.1).
+
+    Decoder-hardening contract (tests/test_fuzz_decoders.py): arbitrary
+    bytes raise :class:`ZstdError` only — raw IndexError/struct.error/
+    OverflowError from truncated or malformed input are wrapped here at
+    the entry point, since this is the Kafka-wire/compression fallback
+    for untrusted bytes.
+    """
+    try:
+        return _decompress_frames(data, max_size)
+    except ZstdError:
+        raise
+    except (IndexError, struct.error, OverflowError, KeyError,
+            MemoryError, ValueError) as exc:
+        raise ZstdError(f"malformed zstd input: {exc!r}") from exc
+
+
+def _decompress_frames(data: bytes, max_size: int) -> bytes:
     out = bytearray()
     pos = 0
     n = len(data)

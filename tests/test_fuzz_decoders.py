@@ -20,6 +20,7 @@ from teste_carga_avro_vs_json_spark.operators import jpeg_codec as jc
 from teste_carga_avro_vs_json_spark.operators import multimodal as mm
 from teste_carga_avro_vs_json_spark.operators import phash as ph
 from teste_carga_avro_vs_json_spark.sources import warc as W
+from teste_carga_avro_vs_json_spark.sources import zstd_stdlib as Z
 
 # derandomize: the suite is a REGRESSION gate (the driver runs pytest
 # per round — a fresh random find failing the build mid-round is the
@@ -47,6 +48,12 @@ _DECODERS = {
     "flac": (fc.decode_flac, (fc.FlacFormatError,)),
     "aiff": (mm.decode_aiff_stdlib, (NotImplementedError,)),
     "jpeg": (jc.decode_jpeg, (jc.JpegFormatError, NotImplementedError)),
+    # the Kafka-wire / compression fallback path for untrusted bytes —
+    # the r8 ADVICE flagged it missing from this table
+    "zstd": (
+        lambda b: Z.decompress(b, max_size=1 << 24),
+        (Z.ZstdError,),
+    ),
 }
 
 
@@ -74,6 +81,7 @@ def _valid_payloads() -> dict[str, bytes]:
         "flac": fc.encode_flac(samples, block_size=256),
         "aiff": mm.encode_aiff_stdlib(samples, rate=16000),
         "jpeg": jc.encode_jpeg(24, 16, rgb, quality=90),
+        "zstd": Z.compress(b"zstd fuzz payload " * 40),
     }
 
 

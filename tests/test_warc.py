@@ -186,3 +186,22 @@ def test_plain_warc_and_bad_member():
         list(W.iter_gzip_members(gzip.compress(b"x")[:-4]))
     with pytest.raises(W.WarcFormatError):
         W.gzip_member_offsets(b"\x1f\x8b" + b"\x00" * 10)
+
+
+def test_header_injection_sanitized():
+    """A crawled URL carrying CR/LF must not split the header block
+    (r8 ADVICE: header-injection shape). build_record strips control
+    chars; the record round-trips with the sanitized URI."""
+    body = b"payload"
+    evil = "https://e/x\r\nWARC-Type: injected\r\n\tpath"
+    rec = W.build_record(
+        "response", body, target_uri=evil,
+        extra_headers={"X-Meta": "a\rb\nc"},
+    )
+    records, n_bad = W.parse_warc(rec)
+    assert n_bad == 0 and len(records) == 1
+    r = records[0]
+    assert r.warc_type == "response"
+    assert r.target_uri == "https://e/xWARC-Type: injectedpath"
+    assert r.headers.get("X-Meta") == "abc"
+    assert r.payload == body

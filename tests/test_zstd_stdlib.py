@@ -161,8 +161,10 @@ def test_fuzz_corrupted_frames_fail_loudly():
             attempts += 1
             try:
                 Z.decompress(bytes(buf), max_size=1 << 24)
-            except (Z.ZstdError, struct.error, IndexError, OverflowError):
+            except Z.ZstdError:
                 rejected += 1
+            # raw struct.error/IndexError/OverflowError would propagate
+            # and fail the test: decompress() wraps them (r8 ADVICE)
     # most corruptions must be detected; all must terminate
     assert attempts == 300
     assert rejected > attempts // 2
@@ -172,8 +174,47 @@ def test_truncated_frames_fail_loudly():
     frame = pa.Codec("zstd").compress(b"some compressible text " * 100,
                                       asbytes=True)
     for cut in (4, 5, 9, len(frame) // 2, len(frame) - 1):
-        with pytest.raises((Z.ZstdError, struct.error, IndexError)):
+        with pytest.raises(Z.ZstdError):
             Z.decompress(frame[:cut])
+
+
+def _craft_long_seq_frame(n_seq: int) -> tuple[bytes, bytes]:
+    """Hand-build a spec-valid frame whose single compressed block holds
+    ``n_seq`` (>= 0x7F00) sequences, exercising the 3-byte
+    Number_of_Sequences escape (RFC 8878 §3.1.1.3.2.1: byte0==255 →
+    LE16 **plus** 0x7F00 — the r8 ADVICE found this decoder used OR).
+    Shape: a 1-byte raw block seeds the window with b"A"; then every
+    sequence is LL=0 / ML=3 / offset_value=4 (actual offset 1, 2 extra
+    bits each, all zero) under RLE tables, so the expected output is
+    b"A" * (1 + 3*n_seq). Returns (frame, expected)."""
+    assert n_seq >= 0x7F00
+    out = bytearray(struct.pack("<I", Z.ZSTD_MAGIC))
+    out += bytes([0x00, 0x38])        # FHD: no FCS; window 2**17
+    out += struct.pack("<I", 0 | (0 << 1) | (1 << 3))[:3] + b"A"  # raw "A"
+    blk = bytearray(b"\x00")          # raw literals, size 0
+    blk += bytes([0xFF]) + struct.pack("<H", n_seq - 0x7F00)
+    blk += bytes([0x54])              # LL/OF/ML all RLE mode
+    blk += bytes([0, 2, 0])           # ll_code=0, of_code=2, ml_code=0
+    # backward bitstream: 2 zero extra-bits per sequence + sentinel 1
+    total_bits = 2 * n_seq
+    n_full = total_bits // 8
+    rem = total_bits % 8
+    blk += b"\x00" * n_full + bytes([1 << rem])
+    out += struct.pack("<I", 1 | (2 << 1) | (len(blk) << 3))[:3] + blk
+    return bytes(out), b"A" * (1 + 3 * n_seq)
+
+
+@pytest.mark.parametrize("n_seq", [0x7F00, 33000, 40000])
+def test_long_sequence_count(n_seq):
+    """>=32768-sequence blocks: libzstd and our decoder must agree on
+    the crafted frame (the OR-vs-ADD escape bug corrupted every block
+    with >= 32768 sequences silently when no FCS/checksum is present)."""
+    frame, expected = _craft_long_seq_frame(n_seq)
+    assert (
+        pa.Codec("zstd").decompress(frame, len(expected), asbytes=True)
+        == expected
+    )
+    assert Z.decompress(frame) == expected
 
 
 def test_fallback_without_pyarrow(monkeypatch):
