@@ -56,6 +56,16 @@ class EngineConfig:
     topico_avro: str = "carga-sandbox-avro"
     topico_json: str = "carga-sandbox-json"
     bootstrap_servers: str | None = None     # fail-fast only for Kafka mode
+    # Confluent Cloud credential surface (ConfiguracaoKafka.java:19-25;
+    # the reference fail-fasts on ALL of these at class load — we
+    # fail-fast only when an authenticated path is requested, so the
+    # loopback/plaintext modes keep working without dummy env vars)
+    cluster_api_key: str | None = None       # KAFKA_CLUSTER_API_KEY
+    cluster_api_secret: str | None = None    # KAFKA_CLUSTER_API_SECRET
+    schema_registry_url: str | None = None   # SCHEMA_REGISTRY_URL
+    schema_registry_api_key: str | None = None
+    schema_registry_api_secret: str | None = None
+    security_protocol: str = "PLAINTEXT"     # reference runs SASL_SSL (:134)
     extra: dict = field(default_factory=dict)
 
     @property
@@ -66,12 +76,50 @@ class EngineConfig:
     def registros_por_mensagem(self) -> int:
         return n_registros(self.tamanho_mensagem_kb)
 
+    def kafka_security(self) -> dict:
+        """``WireKafkaClient`` security kwargs for this config.
+
+        PLAIN SASL credentials are the cluster API key/secret, exactly
+        the mapping the reference's jaas template performs
+        (ConfiguracaoKafka.java:136-138: PlainLoginModule with
+        username=CLUSTER_API_KEY password=CLUSTER_API_SECRET). Raises
+        when an authenticated protocol is configured without both."""
+        if self.security_protocol in ("SASL_PLAINTEXT", "SASL_SSL"):
+            if not (self.cluster_api_key and self.cluster_api_secret):
+                raise ValueError(
+                    "KAFKA_CLUSTER_API_KEY/KAFKA_CLUSTER_API_SECRET "
+                    f"obrigatorios para {self.security_protocol}"
+                )
+            return {
+                "security_protocol": self.security_protocol,
+                "sasl_mechanism": "PLAIN",
+                "sasl_username": self.cluster_api_key,
+                "sasl_password": self.cluster_api_secret,
+            }
+        if self.security_protocol == "SSL":
+            return {"security_protocol": "SSL"}
+        return {}
+
+    def schema_registry_auth(self) -> tuple[str, str] | None:
+        """Basic-auth pair for the Schema Registry client
+        (USER_INFO source, ConfiguracaoKafka.java:153-156)."""
+        if self.schema_registry_api_key and self.schema_registry_api_secret:
+            return (self.schema_registry_api_key,
+                    self.schema_registry_api_secret)
+        return None
+
     def validate(self, require_kafka: bool = False) -> "EngineConfig":
         if self.bench_mode not in BENCH_MODES:
             raise ValueError(f"BENCH_MODE invalido: {self.bench_mode!r}; use {BENCH_MODES}")
         if self.compression_type not in COMPRESSIONS:
             raise ValueError(
                 f"COMPRESSION_TYPE invalido: {self.compression_type!r}; use {COMPRESSIONS}"
+            )
+        _protos = ("PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL")
+        if self.security_protocol not in _protos:
+            raise ValueError(
+                f"SECURITY_PROTOCOL invalido: {self.security_protocol!r}; "
+                f"use {_protos}"
             )
         if require_kafka and not self.bootstrap_servers:
             # ConfiguracaoKafka.java:26-32 fail-fast behavior.
@@ -97,4 +145,19 @@ class EngineConfig:
             ),
             warmup_mensagens=_env_int("WARMUP_MENSAGENS", 0),
             bootstrap_servers=os.environ.get("KAFKA_BOOTSTRAP_SERVERS"),
+            cluster_api_key=os.environ.get("KAFKA_CLUSTER_API_KEY"),
+            cluster_api_secret=os.environ.get("KAFKA_CLUSTER_API_SECRET"),
+            schema_registry_url=os.environ.get("SCHEMA_REGISTRY_URL"),
+            schema_registry_api_key=os.environ.get(
+                "SCHEMA_REGISTRY_API_KEY"
+            ),
+            schema_registry_api_secret=os.environ.get(
+                "SCHEMA_REGISTRY_API_SECRET"
+            ),
+            security_protocol=(
+                os.environ.get("SECURITY_PROTOCOL", "PLAINTEXT")
+                .strip()
+                .upper()
+                or "PLAINTEXT"
+            ),
         ).validate()

@@ -85,6 +85,7 @@ def read_kafka_wire_batch(
     target_total: int | None = None,
     offsets: tuple[dict[int, int], dict[int, int]] | None = None,
     max_bytes: int = 1 << 20,
+    security: dict | None = None,
 ) -> DataFrame:
     """Distributed batch consume over the stdlib wire-protocol client —
     a working Kafka SOURCE with zero non-stdlib dependencies, for
@@ -100,17 +101,25 @@ def read_kafka_wire_batch(
     columns match ``format("kafka")``: (topic, partition, offset, key,
     value) with binary key/value.
 
+    ``security`` kwargs are forwarded to ``WireKafkaClient`` on every
+    socket (driver offset discovery AND executor fetches) — SASL PLAIN
+    and TLS are supported (the reference's SASL_SSL setup,
+    ConfiguracaoKafka.java:134-138); note an ``ssl_context`` in
+    ``security`` must be constructible executor-side (pass cert PATHS
+    via a loader, not a live SSLContext, on a real cluster).
+
     On a cluster the JVM connector remains the production choice
-    (SCALE.md) — it adds rack-aware replica fetching, SSL/SASL, and
-    offset-commit integration this client does not attempt."""
+    (SCALE.md) — it adds rack-aware replica fetching and offset-commit
+    integration this client does not attempt."""
     from itertools import islice
 
     import pandas as pd
 
     from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
 
+    security = security or {}
     begins, ends = offsets if offsets is not None else fetch_offsets_wire(
-        bootstrap_servers, topic
+        bootstrap_servers, topic, security=security
     )
     starts = (
         tail_n_offsets(begins, ends, target_total)
@@ -129,7 +138,9 @@ def read_kafka_wire_batch(
                         continue
                     if client is None:
                         # multi-host bootstrap with failover (r7)
-                        client = WireKafkaClient.connect(bootstrap_servers)
+                        client = WireKafkaClient.connect(
+                            bootstrap_servers, **security
+                        )
                     # fetch_until retries transient empty fetches and
                     # raises instead of silently truncating the bounded
                     # read (r7, ADVICE fix)
@@ -160,13 +171,17 @@ def read_kafka_wire_batch(
     )
 
 
-def fetch_offsets_wire(bootstrap_servers: str, topic: str) -> tuple[dict, dict]:
+def fetch_offsets_wire(
+    bootstrap_servers: str, topic: str, security: dict | None = None
+) -> tuple[dict, dict]:
     """Begin/end offsets via the stdlib Kafka wire-protocol client
     (Metadata v1 + ListOffsets v1) — no third-party dependency; the
     loopback broker test drives this against a real socket."""
     from teste_carga_avro_vs_json_spark.sources import kafka_wire
 
-    client = kafka_wire.WireKafkaClient.connect(bootstrap_servers)
+    client = kafka_wire.WireKafkaClient.connect(
+        bootstrap_servers, **(security or {})
+    )
     try:
         parts = client.partitions_for(topic)
         begins = {

@@ -429,13 +429,30 @@ def _decode_record_batches(data: bytes, check_crc: bool):
 # ------------------------------------------------------------- client
 _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS = 0, 1, 2
 _API_METADATA, _API_VERSIONS = 3, 18
+_API_SASL_HANDSHAKE = 17
 _API_INIT_PRODUCER_ID = 22
+_API_SASL_AUTHENTICATE = 36
 EARLIEST, LATEST = -2, -1
+
+#: security.protocol values, mirroring the Kafka client config surface
+#: the reference uses (ConfiguracaoKafka.java:134-138 runs SASL_SSL).
+SECURITY_PROTOCOLS = ("PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL")
+
+
+class SaslAuthenticationError(ConnectionError):
+    """SASL handshake/authenticate rejected by the broker (error 58 =
+    SASL_AUTHENTICATION_FAILED, 33 = UNSUPPORTED_SASL_MECHANISM)."""
 
 # the protocol error codes this stack produces/interprets
 ERR_CORRUPT_MESSAGE = 2
 ERR_OUT_OF_ORDER_SEQUENCE = 45
-_ERR_NAMES = {2: "CORRUPT_MESSAGE", 45: "OUT_OF_ORDER_SEQUENCE_NUMBER"}
+_ERR_NAMES = {
+    2: "CORRUPT_MESSAGE",
+    33: "UNSUPPORTED_SASL_MECHANISM",
+    34: "ILLEGAL_SASL_STATE",
+    45: "OUT_OF_ORDER_SEQUENCE_NUMBER",
+    58: "SASL_AUTHENTICATION_FAILED",
+}
 
 
 def _err_name(code: int) -> str:
@@ -446,18 +463,99 @@ class WireKafkaClient:
     """Blocking wire-protocol client (one persistent socket, locked).
 
     Speaks: ApiVersions v0, Metadata v1, Produce v3 (acks=-1),
-    Fetch v4, ListOffsets v1 — the minimal set the reference's
-    produce/consume loop needs (ConsumidorAvro.java:57-125)."""
+    Fetch v4, ListOffsets v1, SaslHandshake v1 + SaslAuthenticate v0
+    (PLAIN) — the minimal set the reference's authenticated
+    produce/consume loop needs (ConsumidorAvro.java:57-125;
+    ConfiguracaoKafka.java:134-138 runs security.protocol=SASL_SSL
+    with sasl.mechanism=PLAIN against Confluent Cloud).
 
-    def __init__(self, host: str, port: int, client_id: str = "spark-graft"):
+    ``security_protocol`` follows the Kafka client config values:
+    ``SSL``/``SASL_SSL`` wrap the socket in TLS before any byte of
+    Kafka protocol (``ssl_context`` defaults to
+    ``ssl.create_default_context()`` — pass a CA-loaded or
+    verification-relaxed context for self-signed test brokers);
+    ``SASL_*`` runs the handshake+authenticate exchange immediately
+    after connect, before any other API, exactly like the real client.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str = "spark-graft",
+        *,
+        security_protocol: str = "PLAINTEXT",
+        sasl_mechanism: str = "PLAIN",
+        sasl_username: str | None = None,
+        sasl_password: str | None = None,
+        ssl_context: "ssl.SSLContext | None" = None,
+        server_hostname: str | None = None,
+    ):
+        if security_protocol not in SECURITY_PROTOCOLS:
+            raise ValueError(
+                f"security_protocol {security_protocol!r}; "
+                f"use one of {SECURITY_PROTOCOLS}"
+            )
         self.client_id = client_id
         self._corr = 0
         self._lock = threading.Lock()
-        self._sock = socket.create_connection((host, port), timeout=30)
+        sock = socket.create_connection((host, port), timeout=30)
+        if security_protocol in ("SSL", "SASL_SSL"):
+            import ssl as _ssl
+
+            ctx = ssl_context or _ssl.create_default_context()
+            sock = ctx.wrap_socket(
+                sock, server_hostname=server_hostname or host
+            )
+        self._sock = sock
+        if security_protocol in ("SASL_PLAINTEXT", "SASL_SSL"):
+            if sasl_mechanism != "PLAIN":
+                raise ValueError(
+                    f"unsupported sasl_mechanism {sasl_mechanism!r}: "
+                    "only PLAIN is implemented (the reference's choice)"
+                )
+            if sasl_username is None or sasl_password is None:
+                raise ValueError(
+                    "SASL requires sasl_username and sasl_password "
+                    "(KAFKA_CLUSTER_API_KEY/SECRET in the reference)"
+                )
+            try:
+                self._sasl_plain(sasl_username, sasl_password)
+            except BaseException:
+                self._sock.close()
+                raise
+
+    def _sasl_plain(self, username: str, password: str) -> None:
+        """SaslHandshake v1 + SaslAuthenticate v0 with a PLAIN token
+        (RFC 4616: ``authzid NUL authcid NUL passwd`` — empty authzid,
+        the shape every Kafka client sends)."""
+        r = self._call(_API_SASL_HANDSHAKE, 1, bytes(_W().string("PLAIN").b))
+        err = r.i16()
+        mechanisms = [r.string() for _ in range(r.i32())]
+        if err:
+            raise SaslAuthenticationError(
+                f"SaslHandshake: {_err_name(err)}; broker offers "
+                f"{mechanisms}"
+            )
+        token = b"\x00" + username.encode() + b"\x00" + password.encode()
+        r = self._call(
+            _API_SASL_AUTHENTICATE, 0, bytes(_W().bytes_(token).b)
+        )
+        err = r.i16()
+        msg = r.string()
+        r.bytes_()  # server auth bytes (empty for PLAIN)
+        if err:
+            raise SaslAuthenticationError(
+                f"SaslAuthenticate: {_err_name(err)}"
+                + (f" ({msg})" if msg else "")
+            )
 
     @classmethod
     def connect(
-        cls, bootstrap_servers: str, client_id: str = "spark-graft"
+        cls,
+        bootstrap_servers: str,
+        client_id: str = "spark-graft",
+        **security: object,
     ) -> "WireKafkaClient":
         """Connect to the first reachable host in a standard multi-host
         bootstrap string (``h1:9092,h2:9092``) — the failover every real
@@ -471,7 +569,9 @@ class WireKafkaClient:
                 continue
             host, _, port_s = entry.rpartition(":")
             try:
-                return cls(host, int(port_s), client_id)
+                return cls(host, int(port_s), client_id, **security)
+            except SaslAuthenticationError:
+                raise  # bad credentials fail the same on every host
             except (OSError, ValueError) as e:
                 errors.append(f"{entry}: {e}")
         raise ConnectionError(
@@ -741,6 +841,23 @@ class _PartitionLog:
         self.recent: dict[int, dict[int, int]] = {}
 
 
+class _CloseConnection(Exception):
+    """Internal: drop the client connection without a response (the
+    real broker's reaction to requests in an illegal SASL state)."""
+
+
+class _ConnState:
+    """Per-connection SASL progress (each TCP connection authenticates
+    independently, like a real broker's SaslServerAuthenticator)."""
+
+    __slots__ = ("authenticated", "handshake_done", "close_after")
+
+    def __init__(self, authenticated: bool):
+        self.authenticated = authenticated
+        self.handshake_done = False
+        self.close_after = False
+
+
 class StubBroker:
     """Loopback broker for protocol-level end-to-end tests.
 
@@ -756,6 +873,8 @@ class StubBroker:
         num_partitions: int = 3,
         host: str = "127.0.0.1",
         strict_sequences: bool = True,
+        sasl_plain: dict[str, str] | None = None,
+        ssl_context: "ssl.SSLContext | None" = None,
     ):
         """``strict_sequences`` (default, real-broker semantics) enforces
         per-(producer, partition) sequence contiguity per KIP-98: a new
@@ -768,6 +887,16 @@ class StubBroker:
         path, which a real broker would reject."""
         self.num_partitions = num_partitions
         self.strict_sequences = strict_sequences
+        # ``sasl_plain={user: password}`` makes the broker REQUIRE a
+        # SaslHandshake/SaslAuthenticate exchange before any API other
+        # than ApiVersions, like a real SASL listener: out-of-order
+        # requests drop the connection (IllegalSaslState), a failed
+        # authenticate answers error 58 then drops. ``ssl_context`` (a
+        # server-side SSLContext) wraps every accepted socket in TLS
+        # first — together they reproduce the SASL_SSL listener the
+        # reference runs against (ConfiguracaoKafka.java:134-138).
+        self._sasl = dict(sasl_plain) if sasl_plain else None
+        self._ssl_ctx = ssl_context
         # CRC32C accelerator (JVM via py4j) when a Spark driver is live;
         # None -> pure-Python slice-by-8 (the stdlib-only default)
         self._crc_fn = jvm_crc32c_fn()
@@ -778,15 +907,22 @@ class StubBroker:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                conn = _ConnState(authenticated=broker._sasl is None)
                 try:
                     while True:
                         raw = self._recv_frame()
                         if raw is None:
                             return
-                        resp = broker._dispatch(raw)
+                        try:
+                            resp = broker._dispatch(raw, conn)
+                        except _CloseConnection:
+                            return  # real-broker behavior for
+                            # illegal SASL state: drop the connection
                         self.request.sendall(
                             struct.pack(">i", len(resp)) + resp
                         )
+                        if conn.close_after:
+                            return  # auth failure: error sent, drop
                 except (ConnectionError, OSError):
                     return
 
@@ -809,6 +945,30 @@ class StubBroker:
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
+
+            def get_request(_srv):
+                sock, addr = socketserver.ThreadingTCPServer.get_request(
+                    _srv
+                )
+                if broker._ssl_ctx is not None:
+                    sock = broker._ssl_ctx.wrap_socket(
+                        sock, server_side=True
+                    )
+                return sock, addr
+
+            def handle_error(_srv, request, client_address):
+                # TLS handshake failures from probing clients are an
+                # expected rejection, not a stub bug worth a traceback
+                import ssl as _ssl
+                import sys as _sys
+
+                exc = _sys.exc_info()[1]
+                if isinstance(exc, (_ssl.SSLError, ConnectionError,
+                                    OSError)):
+                    return
+                socketserver.ThreadingTCPServer.handle_error(
+                    _srv, request, client_address
+                )
 
         self._server = Server((host, 0), Handler)
         self.addr = self._server.server_address
@@ -837,22 +997,64 @@ class StubBroker:
             self._log(topic, 0)  # auto-create
             return sorted(p for t, p in self._logs if t == topic)
 
-    def _dispatch(self, raw: bytes) -> bytes:
+    def _dispatch(self, raw: bytes, conn: _ConnState | None = None) -> bytes:
+        if conn is None:  # direct-call tests without a socket
+            conn = _ConnState(authenticated=self._sasl is None)
         r = _R(raw)
         api_key, api_version, corr = r.i16(), r.i16(), r.i32()
         r.string()  # client_id
         w = _W().i32(corr)
+        if not conn.authenticated and api_key not in (
+            _API_VERSIONS,
+            _API_SASL_HANDSHAKE,
+            _API_SASL_AUTHENTICATE,
+        ):
+            # real brokers drop the connection on any other API
+            # before authentication completes
+            raise _CloseConnection()
         if api_key == _API_VERSIONS:
-            w.i16(0).i32(6)
+            w.i16(0).i32(8)
             for k, lo, hi in (
                 (_API_PRODUCE, 0, 3),
                 (_API_FETCH, 0, 4),
                 (_API_LIST_OFFSETS, 0, 1),
                 (_API_METADATA, 0, 1),
+                (_API_SASL_HANDSHAKE, 0, 1),
                 (_API_VERSIONS, 0, 0),
                 (_API_INIT_PRODUCER_ID, 0, 0),
+                (_API_SASL_AUTHENTICATE, 0, 0),
             ):
                 w.i16(k).i16(lo).i16(hi)
+        elif api_key == _API_SASL_HANDSHAKE:
+            mech = r.string()
+            if self._sasl is None:
+                # no SASL listener configured: mirror a PLAINTEXT
+                # listener receiving a handshake — illegal state
+                raise _CloseConnection()
+            if mech != "PLAIN":
+                w.i16(33).i32(1).string("PLAIN")  # UNSUPPORTED_SASL_MECHANISM
+                conn.close_after = True
+            else:
+                conn.handshake_done = True
+                w.i16(0).i32(1).string("PLAIN")
+        elif api_key == _API_SASL_AUTHENTICATE:
+            token = r.bytes_() or b""
+            if self._sasl is None or not conn.handshake_done:
+                raise _CloseConnection()  # authenticate before handshake
+            parts = token.split(b"\x00")
+            ok = (
+                len(parts) == 3
+                and self._sasl.get(parts[1].decode("utf-8", "replace"))
+                == parts[2].decode("utf-8", "replace")
+            )
+            if ok:
+                conn.authenticated = True
+                w.i16(0).string(None).bytes_(b"")
+            else:
+                w.i16(58).string(
+                    "Authentication failed: Invalid username or password"
+                ).bytes_(b"")
+                conn.close_after = True
         elif api_key == _API_INIT_PRODUCER_ID:
             r.string()  # transactional_id (None: idempotence only)
             r.i32()  # transaction_timeout_ms

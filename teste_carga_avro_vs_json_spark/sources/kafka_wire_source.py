@@ -60,7 +60,40 @@ def _client(options):
     from teste_carga_avro_vs_json_spark.sources.kafka_wire import WireKafkaClient
 
     # standard multi-host bootstrap ("h1:9092,h2:9092") with failover
-    return WireKafkaClient.connect(options["bootstrap"])
+    return WireKafkaClient.connect(
+        options["bootstrap"], **_security(options)
+    )
+
+
+def _security(options) -> dict:
+    """Security kwargs from DataSource options — mirrors the Kafka
+    DataSource option names ("kafka.security.protocol" etc. minus the
+    prefix) so a SASL cluster (the reference's Confluent setup,
+    ConfiguracaoKafka.java:134-138) works via ``.option()``. TLS for
+    the DataSource path needs executor-constructible cert material, so
+    ``ssl_ca_file`` takes a PATH (shipped via ``--files`` on a real
+    cluster), never a live SSLContext."""
+    security = {}
+    if "security_protocol" in options:
+        security["security_protocol"] = options["security_protocol"]
+    if "sasl_username" in options:
+        security.update(
+            sasl_username=options["sasl_username"],
+            sasl_password=options.get("sasl_password", ""),
+            sasl_mechanism=options.get("sasl_mechanism", "PLAIN"),
+        )
+        security.setdefault("security_protocol", "SASL_PLAINTEXT")
+    if "ssl_ca_file" in options:
+        import ssl as _ssl
+
+        ctx = _ssl.create_default_context(cafile=options["ssl_ca_file"])
+        if options.get("ssl_check_hostname", "true").lower() == "false":
+            ctx.check_hostname = False
+        security["ssl_context"] = ctx
+        if security.get("security_protocol") == "SASL_PLAINTEXT":
+            security["security_protocol"] = "SASL_SSL"
+        security.setdefault("security_protocol", "SSL")
+    return security
 
 
 class _TP(InputPartition):
@@ -82,7 +115,10 @@ class KafkaWireBatchReader(DataSourceReader):
             tail_n_offsets,
         )
 
-        begins, ends = fetch_offsets_wire(self.options["bootstrap"], self.topic)
+        begins, ends = fetch_offsets_wire(
+            self.options["bootstrap"], self.topic,
+            security=_security(self.options),
+        )
         target = self.options.get("target_total")
         starts = (
             tail_n_offsets(begins, ends, int(target))
@@ -303,7 +339,10 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             fetch_offsets_wire,
         )
 
-        begins, ends = fetch_offsets_wire(self.options["bootstrap"], self.topic)
+        begins, ends = fetch_offsets_wire(
+            self.options["bootstrap"], self.topic,
+            security=_security(self.options),
+        )
         source = (
             ends
             if self.options.get("startingOffsets", "earliest") == "latest"
