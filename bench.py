@@ -62,9 +62,66 @@ def _effective_cpus() -> float:
     return float(os.cpu_count() or 1)
 
 
+def _steal_pct_window(seconds: float = 2.0) -> float | None:
+    """Instantaneous steal%, measured over a short sleep."""
+    s0, t0 = _steal_ticks(), time.perf_counter()
+    time.sleep(seconds)
+    s1, t1 = _steal_ticks(), time.perf_counter()
+    if s0 < 0 or s1 < 0:
+        return None
+    budget = (t1 - t0) * 100.0 * _effective_cpus()
+    return min(100.0, 100.0 * (s1 - s0) / budget)
+
+
+def _await_quiet_window(
+    max_wait_sec: float, load_cap: float = 8.0, steal_cap: float = 1.0
+) -> dict:
+    """Contention gate (r8 VERDICT order #2): BENCH_r08.json was
+    captured in a steal-2.83%/loadavg-17.7 window that inflated every
+    lane 10-44% while nine committed raw runs disproved the regression.
+    Rather than publish artifacts the raw runs have to defend, wait
+    (bounded) for loadavg_1m <= ~8 and steal <= ~1% before timing, and
+    stamp the chosen window in the JSON. If the host never quiets down
+    within the budget, run anyway but mark ``contended_fallback: true``
+    so the verdict can discount the numbers without side evidence."""
+    waited = 0.0
+    samples = []
+    while True:
+        try:
+            load = os.getloadavg()[0]
+        except OSError:
+            load = 0.0
+        steal = _steal_pct_window(2.0)
+        waited += 2.0
+        samples.append(
+            {
+                "loadavg_1m": round(load, 1),
+                "steal_pct": None if steal is None else round(steal, 2),
+            }
+        )
+        if load <= load_cap and (steal is None or steal <= steal_cap):
+            return {
+                "waited_sec": round(waited),
+                "samples": samples,
+                "contended_fallback": False,
+            }
+        if waited >= max_wait_sec:
+            return {
+                "waited_sec": round(waited),
+                "samples": samples,
+                "contended_fallback": True,
+            }
+        sleep = min(28.0, max(0.0, max_wait_sec - waited))
+        time.sleep(sleep)
+        waited += sleep
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    gate = _await_quiet_window(
+        float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
+    )
     steal0, wall0 = _steal_ticks(), time.perf_counter()
 
     from pyspark.sql import SparkSession
@@ -422,10 +479,22 @@ def main() -> None:
     # contention only ever ADDS time — so reps default to 5 and each
     # lane reports its fastest lap. Raw per-lap samples are emitted
     # alongside so the spread stays auditable.
+    #
+    # r9 (VERDICT order #4): laps are PER-LANE BLOCKS — one untimed
+    # warm call immediately before each lane's timed reps — instead of
+    # interleaved whole-bench laps. With interleaving, ~24 other lanes
+    # ran between a lane's warm-up and its first timed lap, and the
+    # Python-worker-heavy diagnostic lanes (bm25_topk 4.42 vs 2.14,
+    # phash_neardup 2.91 vs 0.74, warc_ingest 4.47 vs 1.60 in the r8
+    # samples) re-paid worker spin-up on lap 1, making the min depend
+    # on lap count. Block mode keeps each lane's reps in one short
+    # window; the global warm lap above still covers session-wide
+    # state (JIT, codegen, the shared n_msgs scan).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     samples: dict[str, list[float]] = {name: [] for name in workloads}
-    for _ in range(reps):
-        for name, fn in workloads.items():
+    for name, fn in workloads.items():
+        fn()  # per-lane warm rep, untimed
+        for _ in range(reps):
             t0 = time.perf_counter()
             fn()
             samples[name].append(time.perf_counter() - t0)
@@ -491,6 +560,7 @@ def main() -> None:
         out["loadavg_1m"] = round(os.getloadavg()[0], 1)
     except OSError:
         pass
+    out["contention_gate"] = gate
     if deltas:
         out["delta_pct_vs_baseline"] = deltas
     print(json.dumps(out))
@@ -509,6 +579,8 @@ def main() -> None:
         "compact": True,
         "steal_pct": out.get("steal_pct"),
         "loadavg_1m": out.get("loadavg_1m"),
+        "contended_fallback": gate["contended_fallback"],
+        "gate_waited_sec": gate["waited_sec"],
     }), flush=True)
     spark.stop()
 

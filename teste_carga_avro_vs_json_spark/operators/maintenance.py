@@ -245,9 +245,25 @@ def zorder_by(
 # under a running query — the core correctness property a mutable
 # 100 TB corpus needs between pipeline runs.
 #
-# Scope (documented): single-writer. Production log stores serialize
-# committers with atomic renames / conditional puts; this module's
-# contract is the layout + reader semantics, which are identical.
+# Concurrency (r9, VERDICT order #8): concurrent APPENDS are safe.
+# Each commit writes its data files into a dir unique to the ATTEMPT
+# (``data/c-<unique>/``, mkdtemp — never keyed by the version number,
+# so two racing writers cannot clobber each other's parquet), then
+# publishes manifest vN+1 with create-exclusive semantics (os.link of
+# a private tmp onto the final name — fails atomically with EEXIST if
+# another writer already committed that version). The loser re-reads
+# the new latest manifest, recomputes its file list, and retries the
+# next version number — exactly the optimistic-concurrency loop
+# Delta/Iceberg run against a conditional-put object store. Bounded
+# retries; exhaustion raises SnapshotConflictError. ``overwrite``
+# retries the same way (last overwrite wins — a linear history is
+# still produced; cross-writer semantic conflicts, e.g. overwrite vs
+# append of the same logical rows, are the caller's domain, as in any
+# log store).
+
+class SnapshotConflictError(RuntimeError):
+    """Commit lost the version race ``max_retries`` times in a row."""
+
 
 _SNAP_DIR = "_snapshots"
 #: fixed default commit timestamp (determinism rule: never wall-clock)
@@ -282,18 +298,26 @@ def snapshot_commit(
     table_dir: str,
     mode: str = "append",
     ts: int = SNAP_EPOCH,
+    max_retries: int = 8,
 ) -> int:
     """Commit ``df`` as the next version. ``append`` unions the new
     files with the parent version's file list; ``overwrite`` replaces
-    it. Data lands in ``data/v{N}/`` FIRST; publishing the manifest is
-    the atomic commit point. Returns the new version number."""
+    it. Data lands in an attempt-unique ``data/c-*/`` dir FIRST;
+    publishing the manifest via create-exclusive link is the atomic
+    commit point, and losing the version race re-reads the new parent
+    and retries (optimistic concurrency — see the module comment).
+    Returns the committed version number."""
     import json
+    import tempfile
 
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append|overwrite")
-    versions = snapshot_versions(table_dir)
-    version = (versions[-1] + 1) if versions else 1
-    data_dir = os.path.join(table_dir, "data", f"v{version:08d}")
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    # data dir is unique per ATTEMPT, never keyed by version: two
+    # racing writers must not write into the same parquet directory
+    data_dir = tempfile.mkdtemp(
+        prefix="c-", dir=os.path.join(table_dir, "data")
+    )
     df.write.mode("overwrite").parquet(data_dir)
     spark = df.sparkSession
     new_files = []
@@ -306,23 +330,40 @@ def snapshot_commit(
             }
         )
     new_files.sort(key=lambda f: f["path"])
-    files = new_files
-    if mode == "append" and versions:
-        files = _read_manifest(table_dir, versions[-1])["files"] + new_files
-    manifest = {
-        "version": version,
-        "op": mode,
-        "ts": ts,
-        "n_files": len(files),
-        "n_bytes": sum(f["bytes"] for f in files),
-        "files": files,
-    }
     os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
-    tmp = _manifest_path(table_dir, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.rename(tmp, _manifest_path(table_dir, version))  # commit point
-    return version
+    for _attempt in range(max_retries):
+        versions = snapshot_versions(table_dir)
+        version = (versions[-1] + 1) if versions else 1
+        files = new_files
+        if mode == "append" and versions:
+            files = (
+                _read_manifest(table_dir, versions[-1])["files"] + new_files
+            )
+        manifest = {
+            "version": version,
+            "op": mode,
+            "ts": ts,
+            "n_files": len(files),
+            "n_bytes": sum(f["bytes"] for f in files),
+            "files": files,
+        }
+        fd, tmp = tempfile.mkstemp(
+            suffix=".tmp", dir=os.path.join(table_dir, _SNAP_DIR)
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+        try:
+            # commit point: link() is create-EXCLUSIVE — exactly one
+            # writer can publish v{N}; EEXIST means we lost the race
+            os.link(tmp, _manifest_path(table_dir, version))
+            return version
+        except FileExistsError:
+            continue  # re-read the winner's manifest and retry N+1
+        finally:
+            os.unlink(tmp)
+    raise SnapshotConflictError(
+        f"lost the commit race {max_retries} times on {table_dir!r}"
+    )
 
 
 def snapshot_read(

@@ -254,3 +254,112 @@ def test_snapshot_compact_and_vacuum(spark, sf_dir, tmp_path):
     assert len(removed) >= 24  # every pre-compaction file reclaimed
     for path in removed:
         assert not os.path.exists(path)
+
+
+def test_snapshot_concurrent_appends_both_commit(spark, sf_dir, tmp_path):
+    """r9 multi-writer story: two interleaved appenders — exactly one
+    wins each version, the loser retries cleanly, and BOTH datasets
+    are present in the final version (no lost update, no clobbered
+    data dir)."""
+    import threading
+
+    from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.limit(10), tdir)  # v1
+
+    a = docs.filter("doc_id % 2 = 0").limit(20)
+    b = docs.filter("doc_id % 2 = 1").limit(20)
+    results, errors = {}, []
+    barrier = threading.Barrier(2)
+
+    def commit(name, df):
+        try:
+            barrier.wait()
+            results[name] = mt.snapshot_commit(df, tdir, mode="append")
+        except Exception as e:  # noqa: BLE001
+            errors.append((name, e))
+
+    threads = [
+        threading.Thread(target=commit, args=("a", a)),
+        threading.Thread(target=commit, args=("b", b)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(results.values()) == [2, 3]  # one won v2, loser got v3
+    assert mt.snapshot_versions(tdir) == [1, 2, 3]
+    final = mt.snapshot_read(spark, tdir)
+    assert final.count() == 50  # 10 + 20 + 20: no lost update
+    # v2 holds v1 + exactly one of the writers' rows
+    assert mt.snapshot_read(spark, tdir, 2).count() == 30
+
+
+def test_snapshot_version_race_retries_against_prepublished(
+    spark, sf_dir, tmp_path
+):
+    """Deterministic CAS probe: another writer publishes v2 between
+    our data write and our manifest publish — snapshot_commit must
+    NOT overwrite v2; it re-reads the new parent and lands v3 with
+    the union file list."""
+    import json
+    import os
+
+    from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.limit(5), tdir)  # v1
+    v1_manifest = mt._read_manifest(tdir, 1)
+
+    # adversary: hand-publish v2 reusing v1's file list
+    foreign = dict(v1_manifest, version=2, op="append")
+    path2 = mt._manifest_path(tdir, 2)
+    with open(path2, "w") as f:
+        json.dump(foreign, f)
+    before = os.path.getmtime(path2)
+
+    v = mt.snapshot_commit(docs.limit(7), tdir, mode="append")
+    assert v == 3
+    assert os.path.getmtime(path2) == before  # v2 untouched
+    assert mt.snapshot_read(spark, tdir, 3).count() == 12
+    # no stray .tmp manifests left behind by the losing attempt
+    snap = os.path.join(tdir, mt._SNAP_DIR)
+    assert [n for n in os.listdir(snap) if n.endswith(".tmp")] == []
+
+
+def test_snapshot_commit_retries_on_stale_version_read(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Force the EEXIST path deterministically: the first version read
+    is stale (claims v1 is latest while v2 already exists), so the
+    first link() attempt collides and the retry must land v3."""
+    from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.limit(5), tdir)   # v1
+    mt.snapshot_commit(docs.limit(6), tdir)   # v2
+
+    real = mt.snapshot_versions
+    calls = {"n": 0}
+
+    def stale_once(table_dir):
+        calls["n"] += 1
+        out = real(table_dir)
+        return out[:-1] if calls["n"] == 1 else out
+
+    monkeypatch.setattr(mt, "snapshot_versions", stale_once)
+    v = mt.snapshot_commit(docs.limit(7), tdir, mode="append")
+    assert v == 3
+    assert calls["n"] >= 2  # the EEXIST retry re-read the log
+    assert mt.snapshot_read(spark, tdir, 3).count() == 5 + 6 + 7
