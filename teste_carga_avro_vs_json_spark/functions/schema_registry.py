@@ -255,14 +255,63 @@ def _default_opener(method: str, url: str, body: bytes | None) -> tuple[int, byt
         return e.code, e.read()
 
 
+def _basic_auth_opener(auth: tuple[str, str]) -> Opener:
+    """Default opener + ``Authorization: Basic`` on every request —
+    the USER_INFO credentials source the reference configures
+    (ConfiguracaoKafka.java:153-156: ``basic.auth.credentials.source=
+    USER_INFO``, ``basic.auth.user.info=key:secret``)."""
+    import base64
+
+    token = base64.b64encode(
+        f"{auth[0]}:{auth[1]}".encode("utf-8")
+    ).decode("ascii")
+
+    def opener(method: str, url: str, body: bytes | None):
+        req = urllib.request.Request(
+            url,
+            data=body,
+            method=method,
+            headers={
+                "Content-Type": "application/vnd.schemaregistry.v1+json",
+                "Authorization": f"Basic {token}",
+            },
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    return opener
+
+
+def _error_detail(body: bytes) -> str:
+    """Confluent error bodies are ``{"error_code": N, "message": s}``."""
+    try:
+        err = json.loads(body)
+        return f" ({err.get('error_code')}: {err.get('message')})"
+    except (ValueError, AttributeError):
+        return ""
+
+
 class HttpSchemaRegistry:
     """REST client for the Confluent Schema Registry API. ``opener`` is
     injectable so the request contract (method, URL, payload shape) is
-    pinned by tests without a live service."""
+    pinned by tests without a live service; ``auth=(key, secret)``
+    sends USER_INFO basic auth (ignored when an opener is injected —
+    the opener owns the transport). Socket-verified end-to-end against
+    :class:`SchemaRegistryServer`."""
 
-    def __init__(self, base_url: str, opener: Opener | None = None) -> None:
+    def __init__(
+        self,
+        base_url: str,
+        opener: Opener | None = None,
+        auth: tuple[str, str] | None = None,
+    ) -> None:
         self._base = base_url.rstrip("/")
-        self._open = opener or _default_opener
+        if opener is None:
+            opener = _basic_auth_opener(auth) if auth else _default_opener
+        self._open = opener
 
     def register(self, subject: str, schema: str) -> int:
         payload = json.dumps({"schema": canonical_schema(schema)}).encode()
@@ -270,16 +319,41 @@ class HttpSchemaRegistry:
         status, body = self._open(
             "POST", f"{self._base}/subjects/{quoted}/versions", payload
         )
+        if status == 409:
+            raise IncompatibleSchemaError(
+                f"registration rejected for subject {subject!r}"
+                + _error_detail(body)
+            )
         if status != 200:
-            raise RuntimeError(f"schema registration failed: HTTP {status}")
+            raise RuntimeError(
+                f"schema registration failed: HTTP {status}"
+                + _error_detail(body)
+            )
         return int(json.loads(body)["id"])
+
+    def latest(self, subject: str) -> tuple[int, str]:
+        """(id, schema) of the subject's latest version
+        (``GET /subjects/{s}/versions/latest``) — parity with
+        :meth:`InMemorySchemaRegistry.latest`."""
+        quoted = urllib.parse.quote(subject, safe="")
+        status, body = self._open(
+            "GET", f"{self._base}/subjects/{quoted}/versions/latest", None
+        )
+        if status != 200:
+            raise RuntimeError(
+                f"latest lookup failed: HTTP {status}" + _error_detail(body)
+            )
+        obj = json.loads(body)
+        return int(obj["id"]), obj["schema"]
 
     def get_by_id(self, schema_id: int) -> str:
         status, body = self._open(
             "GET", f"{self._base}/schemas/ids/{schema_id}", None
         )
         if status != 200:
-            raise RuntimeError(f"schema lookup failed: HTTP {status}")
+            raise RuntimeError(
+                f"schema lookup failed: HTTP {status}" + _error_detail(body)
+            )
         return json.loads(body)["schema"]
 
     def set_compatibility(self, subject: str, mode: str) -> str:
@@ -312,6 +386,228 @@ class HttpSchemaRegistry:
         if status != 200:
             raise RuntimeError(f"compatibility check failed: HTTP {status}")
         return bool(json.loads(body)["is_compatible"])
+
+
+# --------------------------------------------- HTTP registry server
+class SchemaRegistryServer:
+    """Stdlib ``http.server`` Schema Registry speaking the Confluent
+    REST protocol over a real socket (r8 VERDICT order #6) — the
+    loopback twin of :class:`StubBroker`: register / get-by-id /
+    latest / config / compatibility endpoints backed by an
+    :class:`InMemorySchemaRegistry`, with optional USER_INFO basic
+    auth (``auth=("key", "secret")`` — wrong or missing credentials
+    get 401 with a Confluent-style error body). Errors use the
+    documented shapes: 404 {"error_code": 40401/40403}, 409 for
+    compatibility rejections, 422 {"error_code": 42201} for unparsable
+    schemas.
+
+    Usage::
+
+        with SchemaRegistryServer(auth=("k", "s")) as srv:
+            client = HttpSchemaRegistry(srv.url, auth=("k", "s"))
+            sid = client.register("t-value", SCHEMA)
+    """
+
+    def __init__(
+        self,
+        auth: tuple[str, str] | None = None,
+        host: str = "127.0.0.1",
+    ) -> None:
+        import base64
+        import http.server
+
+        self.registry = InMemorySchemaRegistry()
+        expected = (
+            "Basic "
+            + base64.b64encode(f"{auth[0]}:{auth[1]}".encode()).decode()
+            if auth
+            else None
+        )
+        registry = self.registry
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def _send(self, status: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header(
+                    "Content-Type",
+                    "application/vnd.schemaregistry.v1+json",
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _authed(self) -> bool:
+                if expected is None:
+                    return True
+                if self.headers.get("Authorization") == expected:
+                    return True
+                self._send(
+                    401,
+                    {"error_code": 401, "message": "Unauthorized"},
+                )
+                return False
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length", "0"))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_GET(self):
+                if not self._authed():
+                    return
+                parts = self.path.strip("/").split("/")
+                if (
+                    len(parts) == 3
+                    and parts[:2] == ["schemas", "ids"]
+                    and parts[2].isdigit()
+                ):
+                    try:
+                        schema = registry.get_by_id(int(parts[2]))
+                    except KeyError:
+                        return self._send(
+                            404,
+                            {
+                                "error_code": 40403,
+                                "message": "Schema not found",
+                            },
+                        )
+                    return self._send(200, {"schema": schema})
+                if (
+                    len(parts) == 4
+                    and parts[0] == "subjects"
+                    and parts[2:] == ["versions", "latest"]
+                ):
+                    subject = urllib.parse.unquote(parts[1])
+                    try:
+                        sid, schema = registry.latest(subject)
+                    except KeyError:
+                        return self._send(
+                            404,
+                            {
+                                "error_code": 40401,
+                                "message": "Subject not found",
+                            },
+                        )
+                    version = registry._subject_versions[subject].index(
+                        sid
+                    ) + 1
+                    return self._send(
+                        200,
+                        {
+                            "subject": subject,
+                            "id": sid,
+                            "version": version,
+                            "schema": schema,
+                        },
+                    )
+                self._send(
+                    404, {"error_code": 404, "message": "Not found"}
+                )
+
+            def do_POST(self):
+                if not self._authed():
+                    return
+                parts = self.path.strip("/").split("/")
+                if (
+                    len(parts) == 3
+                    and parts[0] == "subjects"
+                    and parts[2] == "versions"
+                ):
+                    subject = urllib.parse.unquote(parts[1])
+                    try:
+                        schema = self._body()["schema"]
+                        json.loads(schema)  # must be parsable Avro JSON
+                    except (ValueError, KeyError):
+                        return self._send(
+                            422,
+                            {
+                                "error_code": 42201,
+                                "message": "Invalid schema",
+                            },
+                        )
+                    try:
+                        sid = registry.register(subject, schema)
+                    except IncompatibleSchemaError as e:
+                        return self._send(
+                            409,
+                            {"error_code": 409, "message": str(e)},
+                        )
+                    return self._send(200, {"id": sid})
+                if (
+                    len(parts) == 5
+                    and parts[:2] == ["compatibility", "subjects"]
+                    and parts[3] == "versions"
+                ):
+                    subject = urllib.parse.unquote(parts[2])
+                    try:
+                        schema = self._body()["schema"]
+                        _, latest_schema = registry.latest(subject)
+                    except (ValueError, KeyError):
+                        return self._send(
+                            404,
+                            {
+                                "error_code": 40401,
+                                "message": "Subject not found",
+                            },
+                        )
+                    mode = registry._compat.get(
+                        subject, registry.DEFAULT_COMPATIBILITY
+                    )
+                    ok = check_compatible(schema, latest_schema, mode)
+                    return self._send(200, {"is_compatible": ok})
+                self._send(
+                    404, {"error_code": 404, "message": "Not found"}
+                )
+
+            def do_PUT(self):
+                if not self._authed():
+                    return
+                parts = self.path.strip("/").split("/")
+                if len(parts) == 2 and parts[0] == "config":
+                    subject = urllib.parse.unquote(parts[1])
+                    try:
+                        mode = self._body()["compatibility"]
+                        registry.set_compatibility(subject, mode)
+                    except (ValueError, KeyError):
+                        return self._send(
+                            422,
+                            {
+                                "error_code": 42203,
+                                "message": "Invalid compatibility level",
+                            },
+                        )
+                    return self._send(
+                        200, {"compatibility": mode.upper()}
+                    )
+                self._send(
+                    404, {"error_code": 404, "message": "Not found"}
+                )
+
+        import http.server as _hs
+
+        self._server = _hs.ThreadingHTTPServer((host, 0), Handler)
+        self.url = (
+            f"http://{self._server.server_address[0]}"
+            f":{self._server.server_address[1]}"
+        )
+
+    def __enter__(self) -> "SchemaRegistryServer":
+        import threading
+
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._server.shutdown()
+        self._server.server_close()
 
 
 # ------------------------------------------- single-object encoding

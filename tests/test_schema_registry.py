@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from teste_carga_avro_vs_json_spark.functions import avro_codec, schema_registry
+from teste_carga_avro_vs_json_spark.functions import avro_generic as ag
 
 SCHEMA = '{"type": "record", "name": "M", "fields": [{"name": "id", "type": "string"}]}'
 SCHEMA_REORDERED = '{"fields": [{"type": "string", "name": "id"}], "name": "M", "type": "record"}'
@@ -554,3 +555,101 @@ def test_http_set_compatibility_contract():
     with pytest.raises(ValueError, match="unknown compatibility"):
         reg.set_compatibility("t", "SIDEWAYS")
     assert len(calls) == 1  # invalid mode never hit the wire
+
+
+# ---------------------------------------- stdlib HTTP registry server
+def test_sr_server_register_encode_decode_roundtrip_with_auth(spark):
+    """r8 VERDICT order #6: the Confluent SR REST protocol over a REAL
+    stdlib http.server with USER_INFO basic auth — register a schema
+    over the wire, frame a Spark column with the returned id, unwrap
+    and resolve the id back to the schema, decode the payload."""
+    from teste_carga_avro_vs_json_spark.functions.schema_registry import (
+        HttpSchemaRegistry,
+        SchemaRegistryServer,
+        canonical_schema,
+        serialize_confluent,
+    )
+
+    with SchemaRegistryServer(auth=("sr-key", "sr-secret")) as srv:
+        client = HttpSchemaRegistry(srv.url, auth=("sr-key", "sr-secret"))
+        df = spark.createDataFrame(
+            [("a",), ("b",)], "id string"
+        ).select(ag.to_avro_any(F.struct("id"), SCHEMA).alias("p"))
+        wire, sid = serialize_confluent(df["p"], client, "t-value", SCHEMA)
+        framed = df.select(wire.alias("w"))
+        assert sid == 1
+        # idempotent re-register of a canonical variant over the wire
+        assert client.register("t-value", SCHEMA_REORDERED) == sid
+        # consumer side: id from the frame -> schema from the registry
+        got_id = framed.select(
+            avro_codec.confluent_schema_id(F.col("w")).alias("sid")
+        ).first().sid
+        writer_schema = client.get_by_id(got_id)
+        assert writer_schema == canonical_schema(SCHEMA)
+        payload = framed.select(
+            avro_codec.confluent_unwrap(F.col("w")).alias("p")
+        )
+        dec = payload.select(
+            ag.from_avro_any(F.col("p"), writer_schema).alias("m")
+        )
+        assert sorted(r.m.id for r in dec.collect()) == ["a", "b"]
+        assert client.latest("t-value") == (sid, canonical_schema(SCHEMA))
+
+
+def test_sr_server_rejects_wrong_and_missing_credentials():
+    from teste_carga_avro_vs_json_spark.functions.schema_registry import (
+        HttpSchemaRegistry,
+        SchemaRegistryServer,
+    )
+
+    with SchemaRegistryServer(auth=("sr-key", "sr-secret")) as srv:
+        bad = HttpSchemaRegistry(srv.url, auth=("sr-key", "wrong"))
+        with pytest.raises(RuntimeError, match="HTTP 401"):
+            bad.register("t-value", SCHEMA)
+        anon = HttpSchemaRegistry(srv.url)
+        with pytest.raises(RuntimeError, match="HTTP 401"):
+            anon.get_by_id(1)
+        # correct credentials work on the same server
+        ok = HttpSchemaRegistry(srv.url, auth=("sr-key", "sr-secret"))
+        assert ok.register("t-value", SCHEMA) == 1
+
+
+def test_sr_server_compat_409_and_config_over_the_wire():
+    """An incompatible evolution returns HTTP 409 (raised as
+    IncompatibleSchemaError by the client); PUT /config lifts the
+    mode; the pre-flight compat endpoint answers before registering."""
+    from teste_carga_avro_vs_json_spark.functions.schema_registry import (
+        HttpSchemaRegistry,
+        IncompatibleSchemaError,
+        SchemaRegistryServer,
+    )
+
+    incompatible = (
+        '{"type": "record", "name": "M", "fields": '
+        '[{"name": "id", "type": "string"}, '
+        '{"name": "extra", "type": "string"}]}'
+    )
+    with SchemaRegistryServer() as srv:
+        client = HttpSchemaRegistry(srv.url)
+        client.register("t-value", SCHEMA)
+        assert client.test_compatibility("t-value", incompatible) is False
+        with pytest.raises(IncompatibleSchemaError):
+            client.register("t-value", incompatible)
+        assert client.set_compatibility("t-value", "NONE") == "NONE"
+        assert client.register("t-value", incompatible) == 2
+        # unknown id -> 404 with the Confluent error body shape
+        with pytest.raises(RuntimeError, match="40403"):
+            client.get_by_id(99)
+        # unparsable schema -> 422 (raw POST: the client canonicalizes
+        # client-side, so only a non-client REST caller can hit this)
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{srv.url}/subjects/t-value/versions",
+            data=json.dumps({"schema": "{not json"}).encode(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 422
+        assert json.loads(ei.value.read())["error_code"] == 42201

@@ -22,7 +22,14 @@ the join replicas get DISJOINT user_id spaces so output grows exactly
 data property, not an engine property); the audit keeps O(1) state per
 partition regardless of volume.
 
-Prints one JSON line (bench_runs/r7_stress_streaming.json is the
+Since r9 the HEADLINE ``stream_stream_join`` lane is the time-ordered
+eviction shape (1-h delay, monotone bucket mtimes → watermark advances
+mid-run, state stays bounded ~22% of input) and the former default —
+30-day delay spanning the whole fixture, state == input by watermark
+semantics — is published as the documented negative control
+``stream_stream_join_delay_spans_data`` (VERDICT r8 wrong #3).
+
+Prints one JSON line (bench_runs/r{N}_stress_streaming.json is the
 committed artifact). Usage:
     python tools/stress_streaming.py [replicas]   (default 30)
 Knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_DRIVER_MEM.
@@ -167,7 +174,8 @@ def main() -> None:
             **stats,
         }
 
-        # ---------------------------------------- 2. stream-stream join
+        # ------------- 2. stream-stream join, worst-case-delay shape
+        # (NEGATIVE CONTROL since r9 — see the artifact note below)
         # Disjoint user_id spaces per replica: output must be exactly
         # 30x the base join size; click-side state carries 30x rows.
         ev = load_table(spark, sf_dir, "events")
@@ -228,15 +236,26 @@ def main() -> None:
             "append",
         )
         got = spark.table("stress_join").count()
-        out["stream_stream_join"] = {
+        # r9 (VERDICT wrong #3): this shape is the documented NEGATIVE
+        # CONTROL, not the headline — its 30-day delay spans the whole
+        # fixture event span, so the watermark passes nothing and
+        # peak_state_rows == total input BY WATERMARK SEMANTICS. It
+        # proves exactness under a worst-case delay. The headline
+        # `stream_stream_join` lane below proves bounded state.
+        out["stream_stream_join_delay_spans_data"] = {
             "wall_sec": round(time.perf_counter() - t0, 2),
             "base_pairs": base_pairs,
             "output_rows": got,
             "exactly_30x": got == base_pairs * replicas,
+            "note": (
+                "negative control: delay (30d) >= fixture event span, "
+                "watermark never passes data, state == input by design"
+            ),
             **stats,
         }
 
-        # ------------------- 2b. join state EVICTION proof (r8, VERDICT
+        # ------- 2b. join state EVICTION proof == HEADLINE join lane
+        # since r9 (r8 lane, promoted per VERDICT r8 wrong-#3/order-#3;
         # item 5). Lane 2's 30-day watermark delay ≈ the fixture's FULL
         # event span, so the watermark never passed anything and
         # peak_state_rows == total input (the r7 finding) — that lane
@@ -315,7 +334,10 @@ def main() -> None:
             "append",
         )
         got = spark.table("stress_join_evict").count()
-        out["stream_stream_join_eviction"] = {
+        # HEADLINE join lane (r9 swap): time-ordered ingestion with a
+        # realistic 1-h delay — the shape a production stream actually
+        # has — proving output exactness AND bounded state together.
+        out["stream_stream_join"] = {
             "wall_sec": round(time.perf_counter() - t0, 2),
             "base_pairs": base_pairs,
             "output_rows": got,
@@ -380,9 +402,9 @@ def main() -> None:
         pass
     ok = (
         out["stream_dedup"]["exactly_once"]
+        and out["stream_stream_join_delay_spans_data"]["exactly_30x"]
         and out["stream_stream_join"]["exactly_30x"]
-        and out["stream_stream_join_eviction"]["exactly_30x"]
-        and out["stream_stream_join_eviction"]["state_evicted"]
+        and out["stream_stream_join"]["state_evicted"]
         and out["stream_sequence_audit"]["complete"]
     )
     out["all_exact"] = ok
