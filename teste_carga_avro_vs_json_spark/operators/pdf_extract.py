@@ -1,0 +1,765 @@
+"""PDF → text extraction — the crawl-ingest stage after HTML and WARC
+(r8 VERDICT order #7): PDFs are the most common non-HTML payload in a
+web crawl, and the pipeline could not read them. The reference engine
+has no text operators (SURVEY.md §2.2); this is extension surface.
+
+Pure-stdlib subset of ISO 32000 (zlib IS the stdlib), same engine
+shape as :mod:`html_extract`: ONE Arrow-batched pandas-UDF projection
+per document — scan-local, zero shuffle, no partitioning demands, so
+it parallelizes embarrassingly at 100 TB.
+
+Supported (enough for the dominant text-bearing crawl PDFs and for
+exact round-trip pins over :func:`build_pdf`):
+
+- classic cross-reference TABLES with /Prev incremental-update chains
+  (newest section wins per object number);
+- FlateDecode and ASCIIHexDecode stream filters (single or chained);
+- the page tree walk (/Root → /Pages → /Kids, cycle-guarded);
+- text operators: BT/ET, Tj, TJ (kerning-aware: a displacement ≤
+  ``TJ_SPACE_THRESHOLD`` thousandths of an em inserts a space), the
+  quote operators ' and ", line moves Td/TD/T*/Tm (each starts a new
+  output line when text is pending);
+- literal strings (all escapes, octal, balanced parens, continuation
+  lines) and hex strings, decoded as Latin-1 (≈ PDFDocEncoding for
+  the printable range).
+
+Documented boundaries (the progressive-JPEG convention — raise,
+never guess): encrypted files (/Encrypt), cross-reference STREAMS and
+object streams (PDF 1.5 compressed layout), LZW/DCT/other filters,
+and Type0/CID composite fonts (their strings are CID sequences whose
+meaning lives in an embedded CMap; extracting them as bytes would be
+silently wrong, so pages whose resources declare a Type0 font raise
+``NotImplementedError``).
+
+Decoder-hardening rule (tests/test_fuzz_decoders.py — this module is
+in the fuzz table): arbitrary bytes raise :class:`PdfFormatError` or
+``NotImplementedError`` only; inflate output is capped BEFORE
+allocation (``MAX_STREAM_BYTES``), object/page counts and page-tree
+depth are capped, and every offset/length read from the file is
+bounds-checked.
+
+No SQL oracle: DuckDB has no PDF parser — pinned by exact round-trips
+over :func:`build_pdf` goldens (the documented convention for
+non-relational codecs).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+class PdfFormatError(ValueError):
+    """Malformed or out-of-subset PDF input."""
+
+
+#: inflate bomb cap — applied per stream, BEFORE allocation
+MAX_STREAM_BYTES = 64 << 20
+MAX_OBJECTS = 200_000
+MAX_PAGES = 50_000
+MAX_TREE_DEPTH = 64
+#: TJ displacement (thousandths of em, negative = rightward gap) at or
+#: below which a space is inserted — the pdfminer-class heuristic,
+#: fixed and documented so extraction stays deterministic.
+TJ_SPACE_THRESHOLD = -180
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Name(str):
+    """A PDF name object (distinct from a string object)."""
+
+
+class _Ref(tuple):
+    """Indirect reference (num, gen)."""
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.p = pos
+        self.n = len(data)
+
+    def skip_ws(self) -> None:
+        while self.p < self.n:
+            c = self.d[self.p]
+            if c in _WS:
+                self.p += 1
+            elif c == 0x25:  # % comment to EOL
+                while self.p < self.n and self.d[self.p] not in b"\r\n":
+                    self.p += 1
+            else:
+                return
+
+    def _regular_run(self) -> bytes:
+        start = self.p
+        while (
+            self.p < self.n
+            and self.d[self.p] not in _WS
+            and self.d[self.p] not in _DELIM
+        ):
+            self.p += 1
+        if self.p == start:
+            raise PdfFormatError(
+                f"lexer stuck at byte {self.p} (0x{self.d[self.p]:02x})"
+            )
+        return self.d[start : self.p]
+
+    def _name(self) -> _Name:
+        self.p += 1  # "/"
+        start = self.p
+        while (
+            self.p < self.n
+            and self.d[self.p] not in _WS
+            and self.d[self.p] not in _DELIM
+        ):
+            self.p += 1
+        raw = self.d[start : self.p]
+        # #xx hex escapes in names (ISO 32000 §7.3.5)
+        if b"#" in raw:
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                if raw[i : i + 1] == b"#" and i + 2 < len(raw) + 1:
+                    try:
+                        out.append(int(raw[i + 1 : i + 3], 16))
+                        i += 3
+                        continue
+                    except ValueError:
+                        pass
+                out.append(raw[i])
+                i += 1
+            raw = bytes(out)
+        return _Name(raw.decode("latin-1"))
+
+    def _literal_string(self) -> bytes:
+        self.p += 1  # "("
+        out = bytearray()
+        depth = 1
+        while self.p < self.n:
+            c = self.d[self.p]
+            if c == 0x5C:  # backslash
+                self.p += 1
+                if self.p >= self.n:
+                    break
+                e = self.d[self.p]
+                if e in b"nrtbf":
+                    out.append(
+                        {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e]
+                    )
+                    self.p += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    self.p += 1
+                elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                    oct_digits = bytearray()
+                    while (
+                        len(oct_digits) < 3
+                        and self.p < self.n
+                        and 0x30 <= self.d[self.p] <= 0x37
+                    ):
+                        oct_digits.append(self.d[self.p])
+                        self.p += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    self.p += 1
+                    if (
+                        e == 0x0D
+                        and self.p < self.n
+                        and self.d[self.p] == 0x0A
+                    ):
+                        self.p += 1
+                else:
+                    out.append(e)
+                    self.p += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.p += 1
+            elif c == 0x29:
+                depth -= 1
+                self.p += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+                self.p += 1
+        raise PdfFormatError("unterminated literal string")
+
+    def _hex_string(self) -> bytes:
+        self.p += 1  # "<"
+        digits = bytearray()
+        while self.p < self.n and self.d[self.p] != 0x3E:
+            c = self.d[self.p]
+            if c not in _WS:
+                digits.append(c)
+            self.p += 1
+        if self.p >= self.n:
+            raise PdfFormatError("unterminated hex string")
+        self.p += 1  # ">"
+        if len(digits) % 2:
+            digits.append(0x30)
+        try:
+            return bytes.fromhex(digits.decode("ascii"))
+        except (UnicodeDecodeError, ValueError) as e:
+            raise PdfFormatError(f"bad hex string: {e}") from e
+
+    def value(self, depth: int = 0):
+        """One object value (scalar / name / string / array / dict /
+        indirect reference)."""
+        if depth > 96:
+            raise PdfFormatError("object nesting too deep")
+        self.skip_ws()
+        if self.p >= self.n:
+            raise PdfFormatError("unexpected end of data")
+        c = self.d[self.p]
+        if c == 0x2F:
+            return self._name()
+        if c == 0x28:
+            return self._literal_string()
+        if c == 0x3C:
+            if self.d[self.p + 1 : self.p + 2] == b"<":
+                self.p += 2
+                obj: dict = {}
+                while True:
+                    self.skip_ws()
+                    if self.d[self.p : self.p + 2] == b">>":
+                        self.p += 2
+                        return obj
+                    if self.p >= self.n:
+                        raise PdfFormatError("unterminated dictionary")
+                    if self.d[self.p] != 0x2F:
+                        raise PdfFormatError("dictionary key is not a name")
+                    key = self._name()
+                    obj[str(key)] = self.value(depth + 1)
+            return self._hex_string()
+        if c == 0x5B:
+            self.p += 1
+            arr = []
+            while True:
+                self.skip_ws()
+                if self.p >= self.n:
+                    raise PdfFormatError("unterminated array")
+                if self.d[self.p] == 0x5D:
+                    self.p += 1
+                    return arr
+                arr.append(self.value(depth + 1))
+        run = self._regular_run()
+        if run in (b"true", b"false"):
+            return run == b"true"
+        if run == b"null":
+            return None
+        # number — or the start of "num gen R" / "num gen obj"
+        try:
+            if b"." in run or b"e" in run or b"E" in run:
+                num = float(run)
+                return num
+            num = int(run)
+        except ValueError as e:
+            raise PdfFormatError(f"unexpected token {run[:20]!r}") from e
+        save = self.p
+        self.skip_ws()
+        start2 = self.p
+        try:
+            run2 = self._regular_run()
+            gen = int(run2)
+            self.skip_ws()
+            run3 = self._regular_run()
+            if run3 == b"R":
+                return _Ref((num, gen))
+        except (PdfFormatError, ValueError):
+            pass
+        self.p = save if start2 == save else save
+        self.p = save
+        return num
+
+
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class _Document:
+    """Parsed PDF: xref offsets, trailer, lazy object cache."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise PdfFormatError("missing %PDF- header")
+        self.data = data
+        self.offsets: dict[int, int] = {}
+        self.trailer: dict = {}
+        self._cache: dict[int, tuple[object, bytes | None]] = {}
+        self._parse_xref_chain()
+        if "Encrypt" in self.trailer:
+            raise NotImplementedError(
+                "encrypted PDFs are out of scope (documented boundary)"
+            )
+
+    # -- xref
+    def _parse_xref_chain(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise PdfFormatError("startxref not found")
+        offset = int(m.group(1))
+        seen_sections = set()
+        while True:
+            if offset in seen_sections:
+                raise PdfFormatError("xref /Prev cycle")
+            seen_sections.add(offset)
+            if len(seen_sections) > 64:
+                raise PdfFormatError("xref chain too long")
+            if offset < 0 or offset >= len(self.data):
+                raise PdfFormatError("xref offset out of bounds")
+            lx = _Lexer(self.data, offset)
+            lx.skip_ws()
+            if self.data[lx.p : lx.p + 4] != b"xref":
+                if _OBJ_HEADER_RE.match(self.data, lx.p):
+                    raise NotImplementedError(
+                        "cross-reference streams (PDF 1.5 compressed "
+                        "layout) are out of scope (documented boundary)"
+                    )
+                raise PdfFormatError("xref table not found at startxref")
+            lx.p += 4
+            while True:
+                lx.skip_ws()
+                if self.data[lx.p : lx.p + 7] == b"trailer":
+                    lx.p += 7
+                    break
+                first = lx._regular_run()
+                lx.skip_ws()
+                count = lx._regular_run()
+                try:
+                    first_i, count_i = int(first), int(count)
+                except ValueError as e:
+                    raise PdfFormatError("bad xref subsection header") from e
+                if count_i < 0 or first_i < 0:
+                    raise PdfFormatError("negative xref subsection")
+                if first_i + count_i > MAX_OBJECTS:
+                    raise PdfFormatError("xref object count exceeds cap")
+                for i in range(count_i):
+                    lx.skip_ws()
+                    entry = self.data[lx.p : lx.p + 18]
+                    if len(entry) < 18:
+                        raise PdfFormatError("truncated xref entry")
+                    try:
+                        off = int(entry[0:10])
+                    except ValueError as e:
+                        raise PdfFormatError("bad xref entry") from e
+                    kind = entry[17:18]
+                    num = first_i + i
+                    # newest section wins (we walk newest -> oldest)
+                    if kind == b"n" and num not in self.offsets:
+                        self.offsets[num] = off
+                    lx.p += 18
+            trailer = lx.value()
+            if not isinstance(trailer, dict):
+                raise PdfFormatError("trailer is not a dictionary")
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            prev = trailer.get("Prev")
+            if prev is None:
+                return
+            if not isinstance(prev, int):
+                raise PdfFormatError("non-integer /Prev")
+            offset = prev
+
+    # -- objects
+    def resolve(self, value, depth: int = 0):
+        while isinstance(value, _Ref):
+            if depth > 64:
+                raise PdfFormatError("reference chain too deep")
+            value = self.get_object(value[0])[0]
+            depth += 1
+        return value
+
+    def get_object(self, num: int) -> tuple[object, bytes | None]:
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is None:
+            # a missing object is null per the spec
+            self._cache[num] = (None, None)
+            return self._cache[num]
+        if off < 0 or off >= len(self.data):
+            raise PdfFormatError(f"object {num} offset out of bounds")
+        m = _OBJ_HEADER_RE.match(self.data, off) or _OBJ_HEADER_RE.match(
+            self.data, off + self._ws_len(off)
+        )
+        if m is None or int(m.group(1)) != num:
+            raise PdfFormatError(f"object header mismatch for {num}")
+        lx = _Lexer(self.data, m.end())
+        value = lx.value()
+        lx.skip_ws()
+        stream = None
+        if self.data[lx.p : lx.p + 6] == b"stream":
+            lx.p += 6
+            if self.data[lx.p : lx.p + 2] == b"\r\n":
+                lx.p += 2
+            elif self.data[lx.p : lx.p + 1] in (b"\n", b"\r"):
+                lx.p += 1
+            if not isinstance(value, dict):
+                raise PdfFormatError("stream without a dictionary")
+            length = self.resolve(value.get("Length"))
+            if not isinstance(length, int) or length < 0:
+                raise PdfFormatError("bad stream /Length")
+            if lx.p + length > len(self.data):
+                raise PdfFormatError("stream overruns file")
+            stream = self.data[lx.p : lx.p + length]
+        self._cache[num] = (value, stream)
+        return self._cache[num]
+
+    def _ws_len(self, off: int) -> int:
+        i = off
+        while i < len(self.data) and self.data[i] in _WS:
+            i += 1
+        return i - off
+
+    def decoded_stream(self, ref_or_dict) -> bytes:
+        if isinstance(ref_or_dict, _Ref):
+            d, raw = self.get_object(ref_or_dict[0])
+        else:
+            raise PdfFormatError("content stream must be indirect")
+        if raw is None:
+            raise PdfFormatError("expected a stream object")
+        filters = self.resolve(d.get("Filter"))
+        if filters is None:
+            chain: list[str] = []
+        elif isinstance(filters, _Name):
+            chain = [str(filters)]
+        elif isinstance(filters, list):
+            chain = [str(self.resolve(f)) for f in filters]
+        else:
+            raise PdfFormatError("bad /Filter")
+        out = raw
+        for f in chain:
+            if f == "FlateDecode":
+                dec = zlib.decompressobj()
+                try:
+                    out = dec.decompress(out, MAX_STREAM_BYTES)
+                except zlib.error as e:
+                    raise PdfFormatError(f"bad Flate stream: {e}") from e
+                if dec.unconsumed_tail:
+                    raise PdfFormatError("stream inflate exceeds cap")
+                if self.resolve(d.get("DecodeParms")) is not None:
+                    raise NotImplementedError(
+                        "FlateDecode predictors are out of scope"
+                    )
+            elif f == "ASCIIHexDecode":
+                body = out.split(b">", 1)[0]
+                digits = bytes(c for c in body if c not in _WS)
+                if len(digits) % 2:
+                    digits += b"0"
+                try:
+                    out = bytes.fromhex(digits.decode("ascii"))
+                except (UnicodeDecodeError, ValueError) as e:
+                    raise PdfFormatError("bad ASCIIHex stream") from e
+            else:
+                raise NotImplementedError(
+                    f"stream filter {f} is out of scope "
+                    "(documented boundary)"
+                )
+        return out
+
+
+# ------------------------------------------------------- page walk
+def _walk_pages(doc: _Document) -> list[dict]:
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise PdfFormatError("missing /Root catalog")
+    pages_ref = root.get("Pages")
+    out: list[dict] = []
+    seen: set[tuple] = set()
+
+    def walk(node_ref, depth: int) -> None:
+        if depth > MAX_TREE_DEPTH:
+            raise PdfFormatError("page tree too deep")
+        if isinstance(node_ref, _Ref):
+            if tuple(node_ref) in seen:
+                raise PdfFormatError("page tree cycle")
+            seen.add(tuple(node_ref))
+        node = doc.resolve(node_ref)
+        if not isinstance(node, dict):
+            raise PdfFormatError("page tree node is not a dictionary")
+        ntype = str(node.get("Type", ""))
+        if ntype == "Pages" or (ntype == "" and "Kids" in node):
+            kids = doc.resolve(node.get("Kids"))
+            if not isinstance(kids, list):
+                raise PdfFormatError("/Kids is not an array")
+            for kid in kids:
+                walk(kid, depth + 1)
+        elif ntype == "Page":
+            if len(out) >= MAX_PAGES:
+                raise PdfFormatError("page count exceeds cap")
+            out.append(node)
+        else:
+            raise PdfFormatError(f"unexpected page tree node {ntype!r}")
+
+    walk(pages_ref, 0)
+    return out
+
+
+def _check_fonts(doc: _Document, page: dict) -> None:
+    res = doc.resolve(page.get("Resources"))
+    if not isinstance(res, dict):
+        return
+    fonts = doc.resolve(res.get("Font"))
+    if not isinstance(fonts, dict):
+        return
+    for fref in fonts.values():
+        font = doc.resolve(fref)
+        if isinstance(font, dict) and str(font.get("Subtype", "")) == "Type0":
+            raise NotImplementedError(
+                "Type0/CID composite fonts are out of scope "
+                "(their strings are CMap-indexed code sequences)"
+            )
+
+
+# ----------------------------------------------------- content text
+def _content_text(stream: bytes) -> str:
+    """Text operators → lines (see the module docstring contract)."""
+    lx = _Lexer(stream)
+    operands: list = []
+    lines: list[str] = []
+    cur: list[str] = []
+
+    def newline() -> None:
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    def emit(raw) -> None:
+        if isinstance(raw, bytes):
+            cur.append(raw.decode("latin-1"))
+
+    while True:
+        lx.skip_ws()
+        if lx.p >= lx.n:
+            break
+        c = lx.d[lx.p]
+        if c in b"/(<[" or (0x30 <= c <= 0x39) or c in b"+-.":
+            try:
+                operands.append(lx.value())
+            except PdfFormatError:
+                lx.p += 1  # tolerate junk between ops (crawl PDFs)
+                operands.clear()
+            continue
+        op = lx._regular_run()
+        if op == b"Tj":
+            if operands:
+                emit(operands[-1])
+        elif op == b"TJ":
+            if operands and isinstance(operands[-1], list):
+                for el in operands[-1]:
+                    if isinstance(el, bytes):
+                        emit(el)
+                    elif (
+                        isinstance(el, (int, float))
+                        and el <= TJ_SPACE_THRESHOLD
+                    ):
+                        cur.append(" ")
+        elif op == b"'":
+            newline()
+            if operands:
+                emit(operands[-1])
+        elif op == b'"':
+            newline()
+            if operands:
+                emit(operands[-1])
+        elif op in (b"Td", b"TD", b"T*", b"Tm"):
+            newline()
+        elif op == b"ET":
+            newline()
+        operands.clear()
+    newline()
+    text_lines = []
+    for ln in lines:
+        ln = ln.strip()
+        if ln:
+            text_lines.append(ln)
+    return "\n".join(text_lines)
+
+
+# ------------------------------------------------------- public API
+def extract_pdf(data: bytes) -> tuple[str, int]:
+    """Pure-Python core: (text, n_pages). Raises PdfFormatError /
+    NotImplementedError only (fuzz-table contract)."""
+    try:
+        doc = _Document(data)
+        pages = _walk_pages(doc)
+        page_texts = []
+        for page in pages:
+            _check_fonts(doc, page)
+            contents = page.get("Contents")
+            if contents is None:
+                page_texts.append("")
+                continue
+            resolved = contents
+            if isinstance(resolved, _Ref):
+                val = doc.resolve(resolved)
+                streams = (
+                    [doc.decoded_stream(r) for r in val]
+                    if isinstance(val, list)
+                    else [doc.decoded_stream(resolved)]
+                )
+            elif isinstance(resolved, list):
+                streams = [doc.decoded_stream(r) for r in resolved]
+            else:
+                raise PdfFormatError("bad /Contents")
+            page_texts.append(_content_text(b"\n".join(streams)))
+        return "\n".join(t for t in page_texts if t), len(pages)
+    except (PdfFormatError, NotImplementedError):
+        raise
+    except (
+        IndexError,
+        KeyError,
+        ValueError,
+        TypeError,
+        AttributeError,
+        OverflowError,
+        RecursionError,
+        zlib.error,
+    ) as e:
+        raise PdfFormatError(f"malformed PDF: {e!r}") from e
+
+
+def extract_text_pdf(frame: DataFrame, pdf_col: str = "pdf") -> DataFrame:
+    """doc_id + (text, n_pages, error) per document — one Arrow-batched
+    projection, shuffle-free (the :func:`html_extract.extract_text`
+    shape). Malformed documents land with ``text=NULL`` and the error
+    class in ``error`` instead of failing the stage — at crawl scale
+    malformed input is the common case (no-silent-caps: the caller can
+    count and report them)."""
+
+    @F.pandas_udf(
+        "struct<text: string, n_pages: int, error: string>"
+    )
+    def ex(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for raw in batch:
+                try:
+                    text, n_pages = extract_pdf(bytes(raw))
+                    rows.append(
+                        {"text": text, "n_pages": n_pages, "error": None}
+                    )
+                except (PdfFormatError, NotImplementedError) as e:
+                    rows.append(
+                        {
+                            "text": None,
+                            "n_pages": 0,
+                            "error": type(e).__name__,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return frame.select("doc_id", ex(F.col(pdf_col)).alias("e")).select(
+        "doc_id", "e.text", "e.n_pages", "e.error"
+    )
+
+
+# ------------------------------------------------------------ synth
+def _escape_literal(s: str) -> bytes:
+    out = s.encode("latin-1", "replace")
+    return (
+        out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
+
+
+def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+    """Deterministic minimal PDF: one shared Helvetica font, one
+    content stream per page holding each line as ``(line) Tj T*``
+    under a 14-unit leading. Extraction must recover EXACTLY the
+    line structure (lines joined by newlines, pages concatenated) —
+    the round-trip pin. ``compress`` routes the content streams
+    through FlateDecode (zlib is deterministic at a fixed level)."""
+    objects: dict[int, bytes] = {}
+    n_pages = len(pages)
+    # layout: 1 catalog, 2 pages, 3 font, then (page, contents) pairs
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (
+        f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
+    )
+    objects[3] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    streams: dict[int, bytes] = {}
+    for i, lines in enumerate(pages):
+        page_num, content_num = 4 + 2 * i, 5 + 2 * i
+        objects[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {content_num} 0 R >>".encode()
+        )
+        body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td\n")
+        for line in lines:
+            body += b"(" + _escape_literal(line) + b") Tj T*\n"
+        body += b"ET"
+        raw = bytes(body)
+        if compress:
+            raw = zlib.compress(raw, 9)
+            streams[content_num] = raw
+            objects[content_num] = (
+                f"<< /Length {len(raw)} /Filter /FlateDecode >>".encode()
+            )
+        else:
+            streams[content_num] = raw
+            objects[content_num] = f"<< /Length {len(raw)} >>".encode()
+    # serialize with a correct classic xref table
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num]
+        if num in streams:
+            out += b"\nstream\n" + streams[num] + b"\nendstream"
+        out += b"\nendobj\n"
+    xref_at = len(out)
+    n_obj = max(objects) + 1
+    out += f"xref\n0 {n_obj}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, n_obj):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def synth_pdf(
+    docs: DataFrame, text_col: str = "text", compress: bool = True
+) -> DataFrame:
+    """One deterministic PDF per fixture doc: the doc's text split
+    into 8-word lines, 40 lines per page. Extraction must recover the
+    exact line structure — the round-trip pin (test-only surface, so
+    the build runs in the same Arrow-batched projection class as the
+    extractor rather than JVM-side: PDF xref tables need byte offsets,
+    which string expressions cannot compute)."""
+
+    @F.pandas_udf("binary")
+    def mk(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in batches:
+            built = []
+            for text in batch:
+                words = (text or "").split()
+                lines = [
+                    " ".join(words[i : i + 8])
+                    for i in range(0, max(len(words), 1), 8)
+                ]
+                pages = [
+                    lines[i : i + 40] for i in range(0, len(lines), 40)
+                ] or [[""]]
+                built.append(build_pdf(pages, compress=compress))
+            yield pd.Series(built)
+
+    return docs.select("doc_id", mk(F.col(text_col)).alias("pdf"))

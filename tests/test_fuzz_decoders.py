@@ -18,6 +18,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from teste_carga_avro_vs_json_spark.operators import flac_codec as fc
 from teste_carga_avro_vs_json_spark.operators import jpeg_codec as jc
 from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+from teste_carga_avro_vs_json_spark.operators import pdf_extract as px
 from teste_carga_avro_vs_json_spark.operators import phash as ph
 from teste_carga_avro_vs_json_spark.sources import warc as W
 from teste_carga_avro_vs_json_spark.sources import zstd_stdlib as Z
@@ -54,6 +55,11 @@ _DECODERS = {
         lambda b: Z.decompress(b, max_size=1 << 24),
         (Z.ZstdError,),
     ),
+    # r9: PDF ingest stage joins the table on arrival (hardening rule)
+    "pdf": (
+        px.extract_pdf,
+        (px.PdfFormatError, NotImplementedError),
+    ),
 }
 
 
@@ -82,6 +88,9 @@ def _valid_payloads() -> dict[str, bytes]:
         "aiff": mm.encode_aiff_stdlib(samples, rate=16000),
         "jpeg": jc.encode_jpeg(24, 16, rgb, quality=90),
         "zstd": Z.compress(b"zstd fuzz payload " * 40),
+        "pdf": px.build_pdf(
+            [["linha um dois tres", "quatro cinco"], ["pagina dois"]]
+        ),
     }
 
 

@@ -1,0 +1,269 @@
+"""PDF ingest stage pins (r8 VERDICT order #7): exact round-trips
+over build_pdf (compressed + raw streams, multi-page, escapes),
+hand-crafted bitstreams for the operators the builder doesn't emit
+(TJ kerning, quote operators, hex strings, ASCIIHexDecode, /Prev
+incremental updates), documented boundaries (encrypted, XRef streams,
+Type0 fonts, LZW), and the Spark surfaces (extract_text_pdf +
+synth_pdf) including the error-column contract on a malformed doc.
+Fuzz coverage lives in test_fuzz_decoders.py ("pdf" row)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from teste_carga_avro_vs_json_spark.operators import pdf_extract as px
+
+
+def test_roundtrip_exact_compressed_and_raw():
+    pages = [
+        ["Hello world this is line one", "second line (with parens) ok",
+         "back\\slash and fim"],
+        ["page two line", "last line"],
+    ]
+    expect = "\n".join(line for page in pages for line in page)
+    for comp in (True, False):
+        text, n_pages = px.extract_pdf(px.build_pdf(pages, compress=comp))
+        assert n_pages == 2
+        assert text == expect
+
+
+def test_roundtrip_latin1_and_empty_page():
+    pages = [["ação café naïve — ©"], [""]]
+    text, n_pages = px.extract_pdf(px.build_pdf(pages))
+    assert n_pages == 2
+    assert text == "ação café naïve — ©".encode("latin-1", "replace").decode(
+        "latin-1"
+    )
+
+
+def _wrap_content(content: bytes, filters: bytes = b"") -> bytes:
+    """Minimal single-page PDF around a raw content stream."""
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"
+        ),
+        4: b"<< /Length " + str(len(content)).encode() + filters + b" >>",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num]
+        if num == 4:
+            out += b"\nstream\n" + content + b"\nendstream"
+        out += b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for num in range(1, 5):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def test_tj_kerning_spaces_and_quote_operators():
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(Hel) -20 (lo) -500 (world)] TJ "
+        b"(next via quote) ' "
+        b"1 2 (double quote line) \" "
+        b"ET"
+    )
+    text, n = px.extract_pdf(_wrap_content(content))
+    # -20 > threshold: glued; -500 <= threshold: space
+    assert text == "Hello world\nnext via quote\ndouble quote line"
+    assert n == 1
+
+
+def test_hex_strings_and_asciihex_filter():
+    inner = b"BT (plain) Tj <48692074 6865 7265> Tj ET"
+    hexed = inner.hex().encode() + b">"
+    pdf = _wrap_content(hexed, filters=b" /Filter /ASCIIHexDecode")
+    text, _ = px.extract_pdf(pdf)
+    assert text == "plainHi there"
+
+
+def test_incremental_update_prev_chain_newest_wins():
+    """Append an update that replaces the content object (object 4)
+    via a second xref section with /Prev — classic incremental save.
+    The newest xref must win for object 4."""
+    base = _wrap_content(b"BT (old text) Tj ET")
+    # find original startxref for /Prev
+    old_xref = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    new_content = b"BT (new text) Tj ET"
+    upd = bytearray(base)
+    new4_at = len(upd)
+    upd += (
+        b"4 0 obj\n<< /Length " + str(len(new_content)).encode()
+        + b" >>\nstream\n" + new_content + b"\nendstream\nendobj\n"
+    )
+    xref_at = len(upd)
+    upd += (
+        b"xref\n4 1\n" + f"{new4_at:010d} 00000 n \n".encode()
+        + f"trailer\n<< /Size 5 /Root 1 0 R /Prev {old_xref} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    text, _ = px.extract_pdf(bytes(upd))
+    assert text == "new text"
+    # the original file alone still reads the old text
+    assert px.extract_pdf(base)[0] == "old text"
+
+
+def test_boundaries_raise_not_implemented():
+    # encrypted
+    enc = _wrap_content(b"BT (x) Tj ET").replace(
+        b"/Size 5 /Root 1 0 R", b"/Size 5 /Root 1 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        px.extract_pdf(enc)
+    # unsupported filter
+    lzw = _wrap_content(b"xxxx", filters=b" /Filter /LZWDecode")
+    with pytest.raises(NotImplementedError, match="LZWDecode"):
+        px.extract_pdf(lzw)
+    # xref stream layout: startxref points at an object header
+    fake = bytearray(b"%PDF-1.5\n")
+    obj_at = len(fake)
+    fake += b"1 0 obj\n<< /Type /XRef >>\nstream\nxx\nendstream\nendobj\n"
+    fake += f"startxref\n{obj_at}\n%%EOF\n".encode()
+    with pytest.raises(NotImplementedError, match="cross-reference"):
+        px.extract_pdf(bytes(fake))
+
+
+def test_type0_font_boundary():
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"
+        ),
+        4: b"<< /Length 14 >>",
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /X >>",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num]
+        if num == 4:
+            out += b"\nstream\nBT (x) Tj ET\nendstream"
+        out += b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for num in range(1, 6):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    with pytest.raises(NotImplementedError, match="Type0"):
+        px.extract_pdf(bytes(out))
+
+
+def test_inflate_bomb_capped(monkeypatch):
+    bomb_plain = b"BT " + b"(A) Tj " * 10 + b"ET"
+    comp = zlib.compress(bomb_plain + b"\x00" * 500_000, 9)
+    pdf = _wrap_content(comp, filters=b" /Filter /FlateDecode")
+    monkeypatch.setattr(px, "MAX_STREAM_BYTES", 10_000)
+    with pytest.raises(px.PdfFormatError, match="cap"):
+        px.extract_pdf(pdf)
+
+
+def test_page_tree_cycle_and_depth_capped():
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [2 0 R] >>",  # self-cycle
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 3\n0000000000 65535 f \n"
+    for num in range(1, 3):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size 3 /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    with pytest.raises(px.PdfFormatError, match="cycle|deep"):
+        px.extract_pdf(bytes(out))
+
+
+# ------------------------------------------------------ Spark stages
+def test_spark_synth_extract_roundtrip(spark, sf_dir):
+    """All-docs round trip: synth_pdf(docs) → extract_text_pdf must
+    recover the exact 8-word line structure for every document — the
+    synth_html convention."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(120)
+    pdfs = px.synth_pdf(docs)
+    got = px.extract_text_pdf(pdfs)
+    joined = (
+        got.alias("g")
+        .join(docs.alias("d"), "doc_id")
+        .select("doc_id", "g.text", "g.error", F.col("d.text").alias("src"))
+    )
+    rows = joined.collect()
+    assert len(rows) == 120
+    for r in rows:
+        assert r.error is None
+        words = (r.src or "").split()
+        expect = "\n".join(
+            " ".join(words[i : i + 8])
+            for i in range(0, max(len(words), 1), 8)
+        ).strip()
+        assert r.text == expect, r.doc_id
+
+
+def test_spark_malformed_doc_lands_in_error_column(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(px.build_pdf([["boa linha"]]))),
+         (2, bytearray(b"%PDF-1.4 truncated garbage"))],
+        "doc_id long, pdf binary",
+    )
+    rows = {r.doc_id: r for r in px.extract_text_pdf(df).collect()}
+    assert rows[1].text == "boa linha" and rows[1].error is None
+    assert rows[2].text is None and rows[2].error == "PdfFormatError"
+    assert rows[2].n_pages == 0
+
+
+def test_pdf_chains_into_corpus_builder(spark, sf_dir):
+    """The ingest chain the verdict asked for: PDFs → extract →
+    build_training_corpus, with the extractor's error column feeding
+    the no-silent-caps accounting (malformed docs are counted, then
+    excluded from the corpus input)."""
+    from teste_carga_avro_vs_json_spark.pipelines import (
+        build_training_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(60)
+    pdfs = px.synth_pdf(docs)
+    # poison two docs to exercise the error path mid-corpus
+    poisoned = pdfs.withColumn(
+        "pdf",
+        F.when(F.col("doc_id") % 29 == 0, F.lit(b"%PDF-1.4 bad")).otherwise(
+            F.col("pdf")
+        ),
+    )
+    extracted = px.extract_text_pdf(poisoned).cache()
+    n_bad = extracted.where("error is not null").count()
+    assert n_bad >= 1
+    good = extracted.where("error is null").select("doc_id", "text")
+    packed, ledger = build_training_corpus(
+        good, seq_len=256, line_filter=False, keep_frac=0.9
+    )
+    assert packed.count() > 0
+    stages = [s["stage"] for s in ledger]
+    assert stages[0] == "input"
+    assert ledger[0]["rows"] == 60 - n_bad
+    extracted.unpersist()
