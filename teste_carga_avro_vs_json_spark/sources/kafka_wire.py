@@ -443,6 +443,203 @@ class SaslAuthenticationError(ConnectionError):
     """SASL handshake/authenticate rejected by the broker (error 58 =
     SASL_AUTHENTICATION_FAILED, 33 = UNSUPPORTED_SASL_MECHANISM)."""
 
+
+# ------------------------------------------------ SCRAM (RFC 5802/7677)
+#: mechanism name -> hashlib constructor (Kafka ships both)
+SCRAM_ALGOS = {"SCRAM-SHA-256": "sha256", "SCRAM-SHA-512": "sha512"}
+
+
+def _scram_saslname(name: str) -> str:
+    """RFC 5802 §5.1 saslname escaping ('=' -> =3D, ',' -> =2C)."""
+    return name.replace("=", "=3D").replace(",", "=2C")
+
+
+def _scram_hi(password: bytes, salt: bytes, iterations: int, algo: str) -> bytes:
+    import hashlib
+
+    return hashlib.pbkdf2_hmac(algo, password, salt, iterations)
+
+
+def _scram_keys(
+    password: str, salt: bytes, iterations: int, algo: str
+) -> tuple[bytes, bytes]:
+    """(StoredKey, ServerKey) — what a server persists per user (the
+    broker never needs the cleartext password, RFC 5802 §3)."""
+    import hashlib
+    import hmac as _hmac
+
+    salted = _scram_hi(password.encode("utf-8"), salt, iterations, algo)
+    client_key = _hmac.new(salted, b"Client Key", algo).digest()
+    stored_key = hashlib.new(algo, client_key).digest()
+    server_key = _hmac.new(salted, b"Server Key", algo).digest()
+    return stored_key, server_key
+
+
+class ScramClient:
+    """Client side of one SCRAM exchange (RFC 5802; SHA-256 flavor
+    pinned against the full RFC 7677 example vector in
+    test_kafka_sasl.py). ``nonce`` is injectable for the vector test;
+    the default draws fresh randomness per exchange as the RFC
+    requires."""
+
+    def __init__(
+        self,
+        username: str,
+        password: str,
+        algo: str = "sha256",
+        nonce: str | None = None,
+    ):
+        if nonce is None:
+            import base64
+            import os as _os
+
+            nonce = base64.b64encode(_os.urandom(18)).decode("ascii")
+        self._user = username
+        self._password = password
+        self._algo = algo
+        self._nonce = nonce
+        self._first_bare = f"n={_scram_saslname(username)},r={nonce}"
+        self.server_signature: bytes | None = None
+
+    def first(self) -> bytes:
+        return ("n,," + self._first_bare).encode("utf-8")
+
+    def final(self, server_first: bytes) -> bytes:
+        import base64
+        import hashlib
+        import hmac as _hmac
+
+        attrs = dict(
+            kv.split("=", 1) for kv in server_first.decode("utf-8").split(",")
+        )
+        combined = attrs["r"]
+        if not combined.startswith(self._nonce):
+            raise SaslAuthenticationError("server nonce does not extend ours")
+        salt = base64.b64decode(attrs["s"])
+        iterations = int(attrs["i"])
+        if iterations < 1:
+            raise SaslAuthenticationError("non-positive SCRAM iterations")
+        salted = _scram_hi(
+            self._password.encode("utf-8"), salt, iterations, self._algo
+        )
+        client_key = _hmac.new(salted, b"Client Key", self._algo).digest()
+        stored_key = hashlib.new(self._algo, client_key).digest()
+        final_no_proof = f"c=biws,r={combined}"
+        auth_message = (
+            self._first_bare
+            + ","
+            + server_first.decode("utf-8")
+            + ","
+            + final_no_proof
+        ).encode("utf-8")
+        client_sig = _hmac.new(stored_key, auth_message, self._algo).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        server_key = _hmac.new(salted, b"Server Key", self._algo).digest()
+        self.server_signature = _hmac.new(
+            server_key, auth_message, self._algo
+        ).digest()
+        return (
+            final_no_proof + ",p=" + base64.b64encode(proof).decode("ascii")
+        ).encode("utf-8")
+
+    def verify(self, server_final: bytes) -> None:
+        """Mutual auth: the server proves it holds ServerKey — a fake
+        broker that accepted our proof without the credential DB fails
+        here (RFC 5802 §9)."""
+        import base64
+        import hmac as _hmac
+
+        msg = server_final.decode("utf-8")
+        if msg.startswith("e="):
+            raise SaslAuthenticationError(f"SCRAM server error: {msg[2:]}")
+        attrs = dict(kv.split("=", 1) for kv in msg.split(","))
+        got = base64.b64decode(attrs["v"])
+        if not _hmac.compare_digest(got, self.server_signature or b""):
+            raise SaslAuthenticationError(
+                "server signature mismatch (not a holder of our "
+                "credentials — possible MITM)"
+            )
+
+
+class _ScramServerExchange:
+    """Broker side of one SCRAM exchange over stored (not cleartext)
+    credentials."""
+
+    def __init__(self, users: dict[str, str], algo: str):
+        self._users = users
+        self._algo = algo
+        self._state = "first"
+        self._auth_prefix = ""
+        self._combined = ""
+        self._stored_key = b""
+        self._server_key = b""
+
+    # fixed, deterministic per-user salt parameters for the stub (a
+    # real broker stores per-user random salts in ZooKeeper/KRaft)
+    ITERATIONS = 4096
+
+    def _salt_for(self, user: str) -> bytes:
+        import hashlib
+
+        return hashlib.sha256(b"stub-salt\x00" + user.encode()).digest()[:16]
+
+    def step(self, token: bytes) -> tuple[bytes, bool, bool]:
+        """-> (response_token, done, ok)."""
+        import base64
+        import hashlib
+        import hmac as _hmac
+
+        if self._state == "first":
+            msg = token.decode("utf-8")
+            if not msg.startswith("n,,"):
+                return b"e=channel-binding-not-supported", True, False
+            bare = msg[3:]
+            attrs = dict(kv.split("=", 1) for kv in bare.split(","))
+            user = attrs.get("n", "").replace("=2C", ",").replace("=3D", "=")
+            cnonce = attrs.get("r", "")
+            if user not in self._users or not cnonce:
+                return b"e=unknown-user", True, False
+            snonce = base64.b64encode(
+                hashlib.sha256(cnonce.encode()).digest()[:12]
+            ).decode("ascii")
+            self._combined = cnonce + snonce
+            salt = self._salt_for(user)
+            self._stored_key, self._server_key = _scram_keys(
+                self._users[user], salt, self.ITERATIONS, self._algo
+            )
+            server_first = (
+                f"r={self._combined},"
+                f"s={base64.b64encode(salt).decode('ascii')},"
+                f"i={self.ITERATIONS}"
+            )
+            self._auth_prefix = bare + "," + server_first
+            self._state = "final"
+            return server_first.encode("utf-8"), False, True
+        msg = token.decode("utf-8")
+        attrs = dict(kv.split("=", 1) for kv in msg.split(","))
+        if attrs.get("r") != self._combined:
+            return b"e=other-error", True, False
+        final_no_proof = msg.rsplit(",p=", 1)[0]
+        auth_message = (self._auth_prefix + "," + final_no_proof).encode()
+        client_sig = _hmac.new(
+            self._stored_key, auth_message, self._algo
+        ).digest()
+        try:
+            proof = base64.b64decode(attrs["p"])
+        except (KeyError, ValueError):
+            return b"e=invalid-proof", True, False
+        client_key = bytes(a ^ b for a, b in zip(proof, client_sig))
+        if hashlib.new(self._algo, client_key).digest() != self._stored_key:
+            return b"e=invalid-proof", True, False
+        server_sig = _hmac.new(
+            self._server_key, auth_message, self._algo
+        ).digest()
+        return (
+            b"v=" + __import__("base64").b64encode(server_sig),
+            True,
+            True,
+        )
+
 # the protocol error codes this stack produces/interprets
 ERR_CORRUPT_MESSAGE = 2
 ERR_OUT_OF_ORDER_SEQUENCE = 45
@@ -464,7 +661,7 @@ class WireKafkaClient:
 
     Speaks: ApiVersions v0, Metadata v1, Produce v3 (acks=-1),
     Fetch v4, ListOffsets v1, SaslHandshake v1 + SaslAuthenticate v0
-    (PLAIN) — the minimal set the reference's authenticated
+    (PLAIN and SCRAM-SHA-256/512) — the minimal set the reference's authenticated
     produce/consume loop needs (ConsumidorAvro.java:57-125;
     ConfiguracaoKafka.java:134-138 runs security.protocol=SASL_SSL
     with sasl.mechanism=PLAIN against Confluent Cloud).
@@ -509,10 +706,11 @@ class WireKafkaClient:
             )
         self._sock = sock
         if security_protocol in ("SASL_PLAINTEXT", "SASL_SSL"):
-            if sasl_mechanism != "PLAIN":
+            if sasl_mechanism != "PLAIN" and sasl_mechanism not in SCRAM_ALGOS:
                 raise ValueError(
                     f"unsupported sasl_mechanism {sasl_mechanism!r}: "
-                    "only PLAIN is implemented (the reference's choice)"
+                    "PLAIN (the reference's choice) and "
+                    "SCRAM-SHA-256/512 are implemented"
                 )
             if sasl_username is None or sasl_password is None:
                 raise ValueError(
@@ -520,7 +718,12 @@ class WireKafkaClient:
                     "(KAFKA_CLUSTER_API_KEY/SECRET in the reference)"
                 )
             try:
-                self._sasl_plain(sasl_username, sasl_password)
+                if sasl_mechanism == "PLAIN":
+                    self._sasl_plain(sasl_username, sasl_password)
+                else:
+                    self._sasl_scram(
+                        sasl_mechanism, sasl_username, sasl_password
+                    )
             except BaseException:
                 self._sock.close()
                 raise
@@ -549,6 +752,41 @@ class WireKafkaClient:
                 f"SaslAuthenticate: {_err_name(err)}"
                 + (f" ({msg})" if msg else "")
             )
+
+    def _sasl_scram(self, mechanism: str, username: str, password: str):
+        """SaslHandshake v1 + the multi-round SaslAuthenticate v0
+        exchange SCRAM needs (client-first → server-first,
+        client-final → server-final, RFC 5802), with mandatory mutual
+        server-signature verification."""
+        r = self._call(
+            _API_SASL_HANDSHAKE, 1, bytes(_W().string(mechanism).b)
+        )
+        err = r.i16()
+        mechanisms = [r.string() for _ in range(r.i32())]
+        if err:
+            raise SaslAuthenticationError(
+                f"SaslHandshake: {_err_name(err)}; broker offers "
+                f"{mechanisms}"
+            )
+        scram = ScramClient(username, password, SCRAM_ALGOS[mechanism])
+
+        def authenticate(token: bytes) -> bytes:
+            resp = self._call(
+                _API_SASL_AUTHENTICATE, 0, bytes(_W().bytes_(token).b)
+            )
+            code = resp.i16()
+            msg = resp.string()
+            server_token = resp.bytes_() or b""
+            if code:
+                raise SaslAuthenticationError(
+                    f"SaslAuthenticate: {_err_name(code)}"
+                    + (f" ({msg})" if msg else "")
+                )
+            return server_token
+
+        server_first = authenticate(scram.first())
+        server_final = authenticate(scram.final(server_first))
+        scram.verify(server_final)
 
     @classmethod
     def connect(
@@ -850,12 +1088,17 @@ class _ConnState:
     """Per-connection SASL progress (each TCP connection authenticates
     independently, like a real broker's SaslServerAuthenticator)."""
 
-    __slots__ = ("authenticated", "handshake_done", "close_after")
+    __slots__ = (
+        "authenticated", "handshake_done", "close_after",
+        "mechanism", "scram",
+    )
 
     def __init__(self, authenticated: bool):
         self.authenticated = authenticated
         self.handshake_done = False
         self.close_after = False
+        self.mechanism = None
+        self.scram = None
 
 
 class StubBroker:
@@ -874,6 +1117,7 @@ class StubBroker:
         host: str = "127.0.0.1",
         strict_sequences: bool = True,
         sasl_plain: dict[str, str] | None = None,
+        sasl_scram: dict[str, str] | None = None,
         ssl_context: "ssl.SSLContext | None" = None,
     ):
         """``strict_sequences`` (default, real-broker semantics) enforces
@@ -895,7 +1139,11 @@ class StubBroker:
         # server-side SSLContext) wraps every accepted socket in TLS
         # first — together they reproduce the SASL_SSL listener the
         # reference runs against (ConfiguracaoKafka.java:134-138).
+        # ``sasl_scram={user: password}`` additionally (or instead)
+        # enables SCRAM-SHA-256/512; the broker stores only the derived
+        # StoredKey/ServerKey pairs, never cleartext (RFC 5802 §3).
         self._sasl = dict(sasl_plain) if sasl_plain else None
+        self._scram = dict(sasl_scram) if sasl_scram else None
         self._ssl_ctx = ssl_context
         # CRC32C accelerator (JVM via py4j) when a Spark driver is live;
         # None -> pure-Python slice-by-8 (the stdlib-only default)
@@ -907,7 +1155,9 @@ class StubBroker:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
-                conn = _ConnState(authenticated=broker._sasl is None)
+                conn = _ConnState(
+                    authenticated=not broker._sasl_required()
+                )
                 try:
                     while True:
                         raw = self._recv_frame()
@@ -984,6 +1234,17 @@ class StubBroker:
         self._server.shutdown()
         self._server.server_close()
 
+    def _sasl_required(self) -> bool:
+        return self._sasl is not None or self._scram is not None
+
+    def _enabled_mechanisms(self) -> list[str]:
+        out = []
+        if self._sasl is not None:
+            out.append("PLAIN")
+        if self._scram is not None:
+            out += ["SCRAM-SHA-256", "SCRAM-SHA-512"]
+        return out
+
     # -- request dispatch
     def _log(self, topic: str, partition: int) -> _PartitionLog:
         key = (topic, partition)
@@ -999,7 +1260,7 @@ class StubBroker:
 
     def _dispatch(self, raw: bytes, conn: _ConnState | None = None) -> bytes:
         if conn is None:  # direct-call tests without a socket
-            conn = _ConnState(authenticated=self._sasl is None)
+            conn = _ConnState(authenticated=not self._sasl_required())
         r = _R(raw)
         api_key, api_version, corr = r.i16(), r.i16(), r.i32()
         r.string()  # client_id
@@ -1027,34 +1288,59 @@ class StubBroker:
                 w.i16(k).i16(lo).i16(hi)
         elif api_key == _API_SASL_HANDSHAKE:
             mech = r.string()
-            if self._sasl is None:
+            enabled = self._enabled_mechanisms()
+            if not enabled:
                 # no SASL listener configured: mirror a PLAINTEXT
                 # listener receiving a handshake — illegal state
                 raise _CloseConnection()
-            if mech != "PLAIN":
-                w.i16(33).i32(1).string("PLAIN")  # UNSUPPORTED_SASL_MECHANISM
+            if mech not in enabled:
+                w.i16(33)  # UNSUPPORTED_SASL_MECHANISM
+                w.i32(len(enabled))
+                for m in enabled:
+                    w.string(m)
                 conn.close_after = True
             else:
                 conn.handshake_done = True
-                w.i16(0).i32(1).string("PLAIN")
+                conn.mechanism = mech
+                if mech in SCRAM_ALGOS:
+                    conn.scram = _ScramServerExchange(
+                        self._scram, SCRAM_ALGOS[mech]
+                    )
+                w.i16(0).i32(len(enabled))
+                for m in enabled:
+                    w.string(m)
         elif api_key == _API_SASL_AUTHENTICATE:
             token = r.bytes_() or b""
-            if self._sasl is None or not conn.handshake_done:
+            if not self._sasl_required() or not conn.handshake_done:
                 raise _CloseConnection()  # authenticate before handshake
-            parts = token.split(b"\x00")
-            ok = (
-                len(parts) == 3
-                and self._sasl.get(parts[1].decode("utf-8", "replace"))
-                == parts[2].decode("utf-8", "replace")
-            )
-            if ok:
-                conn.authenticated = True
-                w.i16(0).string(None).bytes_(b"")
+            if conn.mechanism in SCRAM_ALGOS:
+                out_token, done, ok = conn.scram.step(token)
+                if not ok:
+                    w.i16(58).string(
+                        "Authentication failed during SCRAM exchange: "
+                        + out_token.decode("utf-8", "replace")
+                    ).bytes_(out_token)
+                    conn.close_after = True
+                else:
+                    if done:
+                        conn.authenticated = True
+                    w.i16(0).string(None).bytes_(out_token)
             else:
-                w.i16(58).string(
-                    "Authentication failed: Invalid username or password"
-                ).bytes_(b"")
-                conn.close_after = True
+                parts = token.split(b"\x00")
+                ok = (
+                    len(parts) == 3
+                    and self._sasl is not None
+                    and self._sasl.get(parts[1].decode("utf-8", "replace"))
+                    == parts[2].decode("utf-8", "replace")
+                )
+                if ok:
+                    conn.authenticated = True
+                    w.i16(0).string(None).bytes_(b"")
+                else:
+                    w.i16(58).string(
+                        "Authentication failed: Invalid username or password"
+                    ).bytes_(b"")
+                    conn.close_after = True
         elif api_key == _API_INIT_PRODUCER_ID:
             r.string()  # transactional_id (None: idempotence only)
             r.i32()  # transaction_timeout_ms

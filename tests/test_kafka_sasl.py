@@ -370,3 +370,123 @@ def test_format_kafka_wire_datasource_over_sasl(spark):
         )
         rows = df.collect()
         assert [bytes(r.value) for r in rows] == [b"hello-sasl"]
+
+
+# ---------------------------------------------------------------- SCRAM
+def test_scram_sha256_rfc7677_vector():
+    """The full RFC 7677 §3 example exchange, both directions: with
+    the published client nonce, every message and the server signature
+    must match the RFC byte-for-byte (user 'user', password 'pencil')."""
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import ScramClient
+
+    c = ScramClient("user", "pencil", "sha256",
+                    nonce="rOprNGfwEbeRWgbNEkqO")
+    assert c.first() == b"n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    final = c.final(server_first)
+    assert final == (
+        b"c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    # and the mutual-auth check accepts exactly the RFC's v= value
+    c.verify(b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    with pytest.raises(SaslAuthenticationError):
+        c.verify(b"v=7rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    with pytest.raises(SaslAuthenticationError, match="server error"):
+        c.verify(b"e=invalid-proof")
+
+
+@pytest.mark.parametrize("mech", ["SCRAM-SHA-256", "SCRAM-SHA-512"])
+def test_scram_produce_consume_e2e(mech):
+    with StubBroker(
+        num_partitions=1, sasl_scram={"alice": "segredo"}
+    ) as b:
+        host, port = b.addr
+        client = WireKafkaClient(
+            host,
+            port,
+            security_protocol="SASL_PLAINTEXT",
+            sasl_mechanism=mech,
+            sasl_username="alice",
+            sasl_password="segredo",
+        )
+        try:
+            _produce_consume_loop(client)
+        finally:
+            client.close()
+
+
+def test_scram_wrong_password_rejected():
+    with StubBroker(
+        num_partitions=1, sasl_scram={"alice": "segredo"}
+    ) as b:
+        host, port = b.addr
+        with pytest.raises(SaslAuthenticationError, match="SASL_AUTH"):
+            WireKafkaClient(
+                host,
+                port,
+                security_protocol="SASL_PLAINTEXT",
+                sasl_mechanism="SCRAM-SHA-256",
+                sasl_username="alice",
+                sasl_password="errado",
+            )
+        with pytest.raises(SaslAuthenticationError):
+            WireKafkaClient(
+                host,
+                port,
+                security_protocol="SASL_PLAINTEXT",
+                sasl_mechanism="SCRAM-SHA-256",
+                sasl_username="desconhecida",
+                sasl_password="x",
+            )
+
+
+def test_scram_and_plain_coexist_and_handshake_lists_both():
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+        _API_SASL_HANDSHAKE,
+        _W,
+    )
+
+    with StubBroker(
+        num_partitions=1,
+        sasl_plain={"api-key-123": "api-secret-456"},
+        sasl_scram={"alice": "segredo"},
+    ) as b:
+        # PLAIN path still works
+        c1 = _sasl_client(b)
+        c1.close()
+        # SCRAM path works on the same broker
+        host, port = b.addr
+        c2 = WireKafkaClient(
+            host, port,
+            security_protocol="SASL_PLAINTEXT",
+            sasl_mechanism="SCRAM-SHA-512",
+            sasl_username="alice", sasl_password="segredo",
+        )
+        c2.close()
+        # handshake advertises all enabled mechanisms
+        probe = WireKafkaClient(*b.addr)
+        try:
+            r = probe._call(
+                _API_SASL_HANDSHAKE, 1, bytes(_W().string("GSSAPI").b)
+            )
+            assert r.i16() == 33
+            mechs = [r.string() for _ in range(r.i32())]
+            assert mechs == ["PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"]
+        finally:
+            probe.close()
+
+
+def test_scram_mechanism_rejected_when_only_plain_enabled():
+    with StubBroker(num_partitions=1, sasl_plain=CREDS) as b:
+        host, port = b.addr
+        with pytest.raises(SaslAuthenticationError, match="UNSUPPORTED"):
+            WireKafkaClient(
+                host, port,
+                security_protocol="SASL_PLAINTEXT",
+                sasl_mechanism="SCRAM-SHA-256",
+                sasl_username="alice", sasl_password="x",
+            )
