@@ -235,6 +235,7 @@ def test_spark_malformed_doc_lands_in_error_column(spark):
     assert rows[2].n_pages == 0
 
 
+@pytest.mark.slow
 def test_pdf_chains_into_corpus_builder(spark, sf_dir):
     """The ingest chain the verdict asked for: PDFs → extract →
     build_training_corpus, with the extractor's error column feeding
