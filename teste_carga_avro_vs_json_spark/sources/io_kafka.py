@@ -86,6 +86,7 @@ def read_kafka_wire_batch(
     offsets: tuple[dict[int, int], dict[int, int]] | None = None,
     max_bytes: int = 1 << 20,
     security: dict | None = None,
+    group: str | None = None,
 ) -> DataFrame:
     """Distributed batch consume over the stdlib wire-protocol client —
     a working Kafka SOURCE with zero non-stdlib dependencies, for
@@ -108,9 +109,20 @@ def read_kafka_wire_batch(
     ``security`` must be constructible executor-side (pass cert PATHS
     via a loader, not a live SSLContext, on a real cluster).
 
+    ``group`` (r9) gives bounded reads RESUME semantics over
+    broker-stored offsets: starts are overridden by the group's
+    committed offsets where present (uncommitted partitions keep the
+    computed start — auto.offset.reset=earliest, the reference's
+    setting), and the caller commits the frontier back explicitly via
+    :func:`commit_offsets_wire` AFTER materializing — a batch read
+    must never auto-commit offsets for data that may not have been
+    consumed.
+
     On a cluster the JVM connector remains the production choice
-    (SCALE.md) — it adds rack-aware replica fetching and offset-commit
-    integration this client does not attempt."""
+    (SCALE.md) — it adds rack-aware replica fetching and group
+    REBALANCE (JoinGroup/SyncGroup) this client deliberately skips:
+    Spark sources assign partitions statically, so only the offset
+    store is needed."""
     from itertools import islice
 
     import pandas as pd
@@ -126,6 +138,19 @@ def read_kafka_wire_batch(
         if target_total is not None
         else {p: begins.get(p, 0) for p in ends}
     )
+    if group is not None:
+        # resume semantics: a committed offset (the NEXT offset to
+        # read, Kafka convention) overrides the computed start for its
+        # partition; partitions with no commit keep theirs
+        # (auto.offset.reset=earliest — the reference's setting,
+        # ConfiguracaoKafka.java:171). Committing back after the read
+        # is the CALLER's explicit step (commit_offsets_wire) — batch
+        # reads must not auto-commit offsets for data the caller may
+        # never have materialized.
+        committed = fetch_committed_offsets_wire(
+            bootstrap_servers, group, topic, sorted(ends), security=security
+        )
+        starts = {p: committed.get(p, s0) for p, s0 in starts.items()}
     plan = [(p, int(starts.get(p, 0)), int(end)) for p, end in sorted(ends.items())]
 
     def _fetch(batches):
@@ -169,6 +194,50 @@ def read_kafka_wire_batch(
         _fetch,
         "topic string, partition int, offset long, key binary, value binary",
     )
+
+
+def fetch_committed_offsets_wire(
+    bootstrap_servers: str,
+    group: str,
+    topic: str,
+    partitions: list[int],
+    security: dict | None = None,
+) -> dict[int, int]:
+    """Broker-stored committed offsets for ``group`` (OffsetFetch v1)
+    — partitions with no commit are absent."""
+    from teste_carga_avro_vs_json_spark.sources import kafka_wire
+
+    client = kafka_wire.WireKafkaClient.connect(
+        bootstrap_servers, **(security or {})
+    )
+    try:
+        return client.offset_fetch(group, topic, partitions)
+    finally:
+        client.close()
+
+
+def commit_offsets_wire(
+    bootstrap_servers: str,
+    group: str,
+    topic: str,
+    offsets: dict[int, int],
+    security: dict | None = None,
+) -> None:
+    """Commit {partition: next_offset} for ``group`` (OffsetCommit v2)
+    — the explicit post-materialization step that makes bounded batch
+    reads resumable (`read_kafka_wire_batch(group=...)` starts from
+    these)."""
+    from teste_carga_avro_vs_json_spark.sources import kafka_wire
+
+    client = kafka_wire.WireKafkaClient.connect(
+        bootstrap_servers, **(security or {})
+    )
+    try:
+        client.offset_commit(
+            group, {(topic, p): off for p, off in offsets.items()}
+        )
+    finally:
+        client.close()
 
 
 def fetch_offsets_wire(

@@ -430,6 +430,7 @@ def _decode_record_batches(data: bytes, check_crc: bool):
 _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS = 0, 1, 2
 _API_METADATA, _API_VERSIONS = 3, 18
 _API_SASL_HANDSHAKE = 17
+_API_OFFSET_COMMIT, _API_OFFSET_FETCH, _API_FIND_COORDINATOR = 8, 9, 10
 _API_INIT_PRODUCER_ID = 22
 _API_SASL_AUTHENTICATE = 36
 EARLIEST, LATEST = -2, -1
@@ -967,6 +968,80 @@ class WireKafkaClient:
         r.i64()  # timestamp
         return r.i64()
 
+    # -- consumer-group offsets (KIP-faithful storage semantics only:
+    # commit/fetch against the coordinator. The full rebalance protocol
+    # (JoinGroup/SyncGroup/Heartbeat) is deliberately out of scope —
+    # this engine's Spark sources assign partitions statically, one
+    # task per TopicPartition, so only the offset STORE is needed to
+    # resume a bounded read where the last one stopped.)
+    def find_coordinator(self, group: str) -> tuple[int, str, int]:
+        """FindCoordinator v0 → (node_id, host, port). The StubBroker
+        is single-node, so it always answers with itself; against a
+        real cluster the caller would reconnect to the returned
+        host:port before committing."""
+        r = self._call(_API_FIND_COORDINATOR, 0, bytes(_W().string(group).b))
+        err = r.i16()
+        if err:
+            raise ValueError(f"find_coordinator: {_err_name(err)}")
+        return r.i32(), r.string(), r.i32()
+
+    def offset_commit(
+        self,
+        group: str,
+        offsets: dict[tuple[str, int], int],
+        metadata: str = "",
+    ) -> None:
+        """OffsetCommit v2 (broker-stored offsets, retention -1 =
+        broker default). ``offsets`` maps (topic, partition) → offset
+        to commit (the NEXT offset to read, Kafka convention)."""
+        by_topic: dict[str, list[tuple[int, int]]] = {}
+        for (topic, partition), off in sorted(offsets.items()):
+            by_topic.setdefault(topic, []).append((partition, off))
+        w = (
+            _W()
+            .string(group)
+            .i32(-1)       # generation_id (no group membership)
+            .string("")    # member_id
+            .i64(-1)       # retention_time
+            .i32(len(by_topic))
+        )
+        for topic, parts in by_topic.items():
+            w.string(topic).i32(len(parts))
+            for partition, off in parts:
+                w.i32(partition).i64(off).string(metadata)
+        r = self._call(_API_OFFSET_COMMIT, 2, bytes(w.b))
+        for _ in range(r.i32()):
+            r.string()
+            for _p in range(r.i32()):
+                r.i32()
+                err = r.i16()
+                if err:
+                    raise ValueError(f"offset_commit: {_err_name(err)}")
+
+    def offset_fetch(
+        self, group: str, topic: str, partitions: list[int]
+    ) -> dict[int, int]:
+        """OffsetFetch v1 (broker-stored offsets) → {partition:
+        committed_offset}; partitions with no commit are ABSENT from
+        the result (the broker answers -1 for them)."""
+        w = _W().string(group).i32(1).string(topic).i32(len(partitions))
+        for p in partitions:
+            w.i32(p)
+        r = self._call(_API_OFFSET_FETCH, 1, bytes(w.b))
+        out: dict[int, int] = {}
+        for _ in range(r.i32()):
+            r.string()  # topic
+            for _p in range(r.i32()):
+                partition = r.i32()
+                off = r.i64()
+                r.string()  # metadata
+                err = r.i16()
+                if err:
+                    raise ValueError(f"offset_fetch: {_err_name(err)}")
+                if off >= 0:
+                    out[partition] = off
+        return out
+
     def fetch(
         self,
         topic: str,
@@ -1149,6 +1224,9 @@ class StubBroker:
         # None -> pure-Python slice-by-8 (the stdlib-only default)
         self._crc_fn = jvm_crc32c_fn()
         self._logs: dict[tuple[str, int], _PartitionLog] = {}
+        # broker-stored consumer-group offsets (the __consumer_offsets
+        # equivalent): (group, topic, partition) -> (offset, metadata)
+        self._group_offsets: dict[tuple[str, str, int], tuple[int, str]] = {}
         self._lock = threading.Lock()
         self._next_pid = 1000
         broker = self
@@ -1274,12 +1352,15 @@ class StubBroker:
             # before authentication completes
             raise _CloseConnection()
         if api_key == _API_VERSIONS:
-            w.i16(0).i32(8)
+            w.i16(0).i32(11)
             for k, lo, hi in (
                 (_API_PRODUCE, 0, 3),
                 (_API_FETCH, 0, 4),
                 (_API_LIST_OFFSETS, 0, 1),
                 (_API_METADATA, 0, 1),
+                (_API_OFFSET_COMMIT, 0, 2),
+                (_API_OFFSET_FETCH, 0, 1),
+                (_API_FIND_COORDINATOR, 0, 0),
                 (_API_SASL_HANDSHAKE, 0, 1),
                 (_API_VERSIONS, 0, 0),
                 (_API_INIT_PRODUCER_ID, 0, 0),
@@ -1341,6 +1422,47 @@ class StubBroker:
                         "Authentication failed: Invalid username or password"
                     ).bytes_(b"")
                     conn.close_after = True
+        elif api_key == _API_FIND_COORDINATOR:
+            r.string()  # group id — single-node: always us
+            host, port = self.addr
+            w.i16(0).i32(0).string(host).i32(port)
+        elif api_key == _API_OFFSET_COMMIT:
+            group = r.string()
+            r.i32()  # generation_id
+            r.string()  # member_id
+            r.i64()  # retention_time
+            n_topics = r.i32()
+            results = []
+            for _ in range(n_topics):
+                topic = r.string()
+                for _p in range(r.i32()):
+                    partition = r.i32()
+                    off = r.i64()
+                    meta = r.string() or ""
+                    with self._lock:
+                        self._group_offsets[(group, topic, partition)] = (
+                            off,
+                            meta,
+                        )
+                    results.append((topic, partition))
+            w.i32(n_topics)
+            for topic, partition in results:
+                w.string(topic).i32(1).i32(partition).i16(0)
+        elif api_key == _API_OFFSET_FETCH:
+            group = r.string()
+            n_topics = r.i32()
+            w.i32(n_topics)
+            for _ in range(n_topics):
+                topic = r.string()
+                n_parts = r.i32()
+                w.string(topic).i32(n_parts)
+                for _p in range(n_parts):
+                    partition = r.i32()
+                    with self._lock:
+                        off, meta = self._group_offsets.get(
+                            (group, topic, partition), (-1, "")
+                        )
+                    w.i32(partition).i64(off).string(meta).i16(0)
         elif api_key == _API_INIT_PRODUCER_ID:
             r.string()  # transactional_id (None: idempotence only)
             r.i32()  # transaction_timeout_ms

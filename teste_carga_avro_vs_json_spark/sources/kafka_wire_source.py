@@ -125,6 +125,22 @@ class KafkaWireBatchReader(DataSourceReader):
             if target is not None
             else begins
         )
+        group = self.options.get("group")
+        if group is not None:
+            # resume from the group's broker-stored offsets (r9) —
+            # commit-back stays the caller's explicit step, see
+            # io_kafka.commit_offsets_wire
+            from teste_carga_avro_vs_json_spark.sources.io_kafka import (
+                fetch_committed_offsets_wire,
+            )
+
+            committed = fetch_committed_offsets_wire(
+                self.options["bootstrap"], group, self.topic,
+                sorted(ends), security=_security(self.options),
+            )
+            starts = {
+                p: committed.get(p, starts.get(p, 0)) for p in ends
+            }
         return [
             _TP(p, int(starts.get(p, 0)), int(end))
             for p, end in sorted(ends.items())
