@@ -268,3 +268,17 @@ def test_pdf_chains_into_corpus_builder(spark, sf_dir):
     assert stages[0] == "input"
     assert ledger[0]["rows"] == 60 - n_bad
     extracted.unpersist()
+
+
+def test_plan_shuffle_free(spark, sf_dir):
+    """Scale pin (the html_extract convention): the whole synth →
+    extract chain is one Arrow-batched projection — zero Exchange,
+    no expensive filter nodes."""
+    from teste_carga_avro_vs_json_spark import plans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = px.extract_text_pdf(px.synth_pdf(docs))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert plans.expensive_filter_nodes(df) == []
