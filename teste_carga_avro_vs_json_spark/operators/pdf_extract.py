@@ -13,7 +13,9 @@ exact round-trip pins over :func:`build_pdf`):
 
 - classic cross-reference TABLES with /Prev incremental-update chains
   (newest section wins per object number);
-- FlateDecode and ASCIIHexDecode stream filters (single or chained);
+- FlateDecode, LZWDecode (the TIFF-variant LZW with EarlyChange,
+  pinned against the ISO 32000 worked example) and ASCIIHexDecode
+  stream filters (single or chained);
 - the page tree walk (/Root → /Pages → /Kids, cycle-guarded);
 - text operators: BT/ET, Tj, TJ (kerning-aware: a displacement ≤
   ``TJ_SPACE_THRESHOLD`` thousandths of an em inserts a space), the
@@ -25,7 +27,8 @@ exact round-trip pins over :func:`build_pdf`):
 
 Documented boundaries (the progressive-JPEG convention — raise,
 never guess): encrypted files (/Encrypt), cross-reference STREAMS and
-object streams (PDF 1.5 compressed layout), LZW/DCT/other filters,
+object streams (PDF 1.5 compressed layout), DCT/JBIG2/predictor
+ filters,
 and Type0/CID composite fonts (their strings are CID sequences whose
 meaning lives in an embedded CMap; extracting them as bytes would be
 silently wrong, so pages whose resources declare a Type0 font raise
@@ -453,6 +456,19 @@ class _Document:
                     raise NotImplementedError(
                         "FlateDecode predictors are out of scope"
                     )
+            elif f == "LZWDecode":
+                parms = self.resolve(d.get("DecodeParms")) or {}
+                early = 1
+                if isinstance(parms, dict):
+                    if self.resolve(parms.get("Predictor", 1)) not in (
+                        None,
+                        1,
+                    ):
+                        raise NotImplementedError(
+                            "LZW predictors are out of scope"
+                        )
+                    early = int(self.resolve(parms.get("EarlyChange", 1)))
+                out = _lzw_decode(out, early)
             elif f == "ASCIIHexDecode":
                 body = out.split(b">", 1)[0]
                 digits = bytes(c for c in body if c not in _WS)
@@ -468,6 +484,57 @@ class _Document:
                     "(documented boundary)"
                 )
         return out
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (ISO 32000 §7.4.4 = the TIFF variant, NOT GIF's):
+    MSB-first code packing, 256 = ClearTable, 257 = EOD, code width
+    grows 9→12 bits; ``early`` (EarlyChange, default 1 per the spec)
+    widens one code early. Distinct from multimodal's GIF LZW, which
+    packs LSB-first with data-dependent code offsets — sharing one
+    implementation would entangle two pinned codecs."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width = 9
+    acc = bits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (acc >> bits) & ((1 << width) - 1)
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfFormatError("LZW first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK
+                table.append(entry)
+            else:
+                raise PdfFormatError("LZW code out of range")
+            out += entry
+            if len(out) > MAX_STREAM_BYTES:
+                raise PdfFormatError("LZW inflate exceeds cap")
+            prev = entry
+            # width switch (the classic TIFF-LZW off-by-one): with
+            # early=1 the width grows once the table holds
+            # (1<<width)-1 entries (511/1023/2047) — this exact
+            # threshold is pinned against the JDK TIFF writer's LZW
+            # in test_imageio_interop.py, not chosen from spec memory
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # missing EOD: tolerate (crawl PDFs do this)
 
 
 # ------------------------------------------------------- page walk

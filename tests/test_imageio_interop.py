@@ -303,3 +303,82 @@ def test_aiff_interop_javax_sound(spark):
                               ("flac", flac), ("foreign_aiff", foreign))
     }
     assert len(set(h.values())) == 1, h
+
+
+def test_pdf_lzw_decoder_against_jvm_tiff_lzw(spark):
+    """Foreign-LZW pin for operators/pdf_extract._lzw_decode: the JDK
+    TIFF writer (javax.imageio, an independent TIFF-variant LZW
+    encoder with early change — the exact dialect ISO 32000 specifies)
+    compresses a grayscale image; we rip the LZW strips out of the
+    TIFF container and our decoder must reproduce the raw row bytes.
+    This closes the 'round-trips only against our own test encoder'
+    caveat for the width-growth region (>512 table entries)."""
+    import struct
+
+    from teste_carga_avro_vs_json_spark.operators import pdf_extract as px
+
+    jvm = _jvm(spark)
+    w = h = 128
+    # varied digrams so the LZW table passes 512 and 1024 entries
+    pix = bytes(((x * 7 + y * 13) ^ (x >> 2)) % 11 * 23 for y in range(h)
+                for x in range(w))
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    )
+    raster = img.getRaster()
+    arr = spark.sparkContext._gateway.new_array(jvm.int, w * h)
+    for i, v in enumerate(pix):
+        arr[i] = v
+    raster.setPixels(0, 0, w, h, arr)
+
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("TIFF")
+    assert writers.hasNext(), "JDK TIFF writer missing"
+    writer = writers.next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+    )
+    param.setCompressionType("LZW")
+    out = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(
+        None, jvm.javax.imageio.IIOImage(img, None, None), param
+    )
+    ios.flush()
+    tiff = bytes(out.toByteArray())
+
+    # minimal classic-TIFF IFD walk for the strip layout
+    if tiff[:2] == b"II":
+        u16 = lambda o: struct.unpack_from("<H", tiff, o)[0]
+        u32 = lambda o: struct.unpack_from("<I", tiff, o)[0]
+    else:
+        u16 = lambda o: struct.unpack_from(">H", tiff, o)[0]
+        u32 = lambda o: struct.unpack_from(">I", tiff, o)[0]
+    ifd = u32(4)
+    n = u16(ifd)
+    tags = {}
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        tag, typ, cnt, val_off = (
+            u16(off), u16(off + 2), u32(off + 4), off + 8
+        )
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        vals = []
+        base = val_off if size * cnt <= 4 else u32(val_off)
+        for j in range(cnt):
+            vals.append(
+                u16(base + 2 * j) if typ == 3 else
+                u32(base + 4 * j) if typ == 4 else tiff[base + j]
+            )
+        tags[tag] = vals
+    assert tags[259] == [5], f"not LZW-compressed: {tags.get(259)}"
+    assert tags.get(317, [1]) == [1], "predictor unexpectedly enabled"
+    rows_per_strip = tags.get(278, [h])[0]
+    offsets, counts = tags[273], tags[279]
+    decoded = bytearray()
+    for so, sc in zip(offsets, counts):
+        decoded += px._lzw_decode(tiff[so : so + sc])
+    assert bytes(decoded) == pix

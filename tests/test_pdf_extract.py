@@ -124,9 +124,9 @@ def test_boundaries_raise_not_implemented():
     with pytest.raises(NotImplementedError, match="encrypted"):
         px.extract_pdf(enc)
     # unsupported filter
-    lzw = _wrap_content(b"xxxx", filters=b" /Filter /LZWDecode")
-    with pytest.raises(NotImplementedError, match="LZWDecode"):
-        px.extract_pdf(lzw)
+    dct = _wrap_content(b"xxxx", filters=b" /Filter /DCTDecode")
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        px.extract_pdf(dct)
     # xref stream layout: startxref points at an object header
     fake = bytearray(b"%PDF-1.5\n")
     obj_at = len(fake)
@@ -282,3 +282,74 @@ def test_plan_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
     assert plans.expensive_filter_nodes(df) == []
+
+
+# ------------------------------------------------------------- LZW
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Test-local TIFF-variant LZW encoder (MSB-first, 256=Clear,
+    257=EOD, EarlyChange) — exists only to exercise the decoder's
+    width growth and table handling; the decoder's external golden is
+    the ISO 32000 worked example below."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits: list[tuple[int, int]] = [(256, 9)]
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        # the decoder's table lags one entry behind at read time, so
+        # the encoder widens one assignment later than the decoder's
+        # len(table) threshold (JVM-pinned in test_imageio_interop)
+        if next_code + early > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096 - 1:
+            out_bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    acc = bits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        bits += wd
+        while bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_spec_golden():
+    """The ISO 32000 §7.4.4.2 worked example — external golden."""
+    assert px._lzw_decode(bytes.fromhex("800B6050220C0C8501")) == b"-----A---B"
+
+
+def test_lzw_roundtrip_with_width_growth_and_clear():
+    import random
+
+    rng = random.Random(7)
+    # enough distinct digrams to push the table past 512 and 1024
+    # entries (width 9→10→11) and past a mid-stream Clear
+    data = bytes(rng.randrange(8) for _ in range(60_000))
+    assert px._lzw_decode(_lzw_encode(data)) == data
+    # prose-like too
+    text = (b"the quick brown fox jumps over the lazy dog " * 400)
+    assert px._lzw_decode(_lzw_encode(text)) == text
+
+
+def test_lzw_pdf_content_stream_end_to_end():
+    content = b"BT /F1 12 Tf 72 720 Td (via LZW stream) Tj ET"
+    enc = _lzw_encode(content)
+    pdf = _wrap_content(enc, filters=b" /Filter /LZWDecode")
+    text, _ = px.extract_pdf(pdf)
+    assert text == "via LZW stream"
