@@ -299,6 +299,7 @@ def snapshot_commit(
     mode: str = "append",
     ts: int = SNAP_EPOCH,
     max_retries: int = 8,
+    extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next version. ``append`` unions the new
     files with the parent version's file list; ``overwrite`` replaces
@@ -347,6 +348,11 @@ def snapshot_commit(
             "n_bytes": sum(f["bytes"] for f in files),
             "files": files,
         }
+        if extra:
+            # application metadata rides the commit (e.g. the
+            # incremental builder's high-water raw version); readers
+            # that don't know the keys ignore them
+            manifest["extra"] = dict(extra)
         fd, tmp = tempfile.mkstemp(
             suffix=".tmp", dir=os.path.join(table_dir, _SNAP_DIR)
         )

@@ -106,6 +106,36 @@ def build_training_corpus(
     packing plan over the surviving cleaned text plus the per-stage
     ledger [{stage, rows, sec}, ...]."""
     led = _Ledger(measure)
+    cur = _clean_stages(
+        docs,
+        test,
+        led,
+        keep_frac=keep_frac,
+        min_quality=min_quality,
+        exact_substr_min_len=exact_substr_min_len,
+        line_filter=line_filter,
+    )
+
+    # 10. Sequence packing (the training-ready plan)
+    t0 = time.perf_counter()
+    packed = corpus.pack_sequences(cur, seq_len=seq_len)
+    packed = led.stage("pack_sequences", packed, t0)
+    return packed, led.stats
+
+
+def _clean_stages(
+    docs: DataFrame,
+    test: DataFrame | None,
+    led: "_Ledger",
+    *,
+    keep_frac: float,
+    min_quality: float,
+    exact_substr_min_len: int,
+    line_filter: bool,
+) -> DataFrame:
+    """Stages 1-9 of the published recipe (everything except packing)
+    — shared by :func:`build_training_corpus` and
+    :func:`build_corpus_incremental`."""
     t0 = time.perf_counter()
     cur = led.stage("input", docs.select("doc_id", "text"), t0)
 
@@ -227,8 +257,138 @@ def build_training_corpus(
     else:
         led.skip("decontaminate", "no test set supplied")
 
-    # 10. Sequence packing (the training-ready plan)
-    t0 = time.perf_counter()
-    packed = corpus.pack_sequences(cur, seq_len=seq_len)
-    packed = led.stage("pack_sequences", packed, t0)
-    return packed, led.stats
+    return cur
+
+
+def build_corpus_incremental(
+    spark,
+    raw_table: str,
+    clean_table: str,
+    *,
+    test: DataFrame | None = None,
+    keep_frac: float = 0.7,
+    min_quality: float = 0.0,
+    exact_substr_min_len: int = 20,
+    line_filter: bool = True,
+    measure: bool = True,
+    bloom_fpp: float = 0.01,
+) -> dict:
+    """Incremental corpus maintenance over snapshot tables — the
+    mechanism a CONTINUOUSLY-crawled 100 TB corpus actually needs:
+    each crawl batch lands in ``raw_table`` via ``snapshot_commit``;
+    this builder processes ONLY the files added since the last run
+    and appends the cleaned survivors to ``clean_table``, never
+    re-reading the processed history.
+
+    Mechanics (each piece is an already-pinned surface):
+
+    - **delta discovery**: the clean table's latest manifest carries
+      ``extra.raw_version`` (the high-water raw version processed);
+      the delta is the FILE-LIST difference between the raw manifests
+      — append-only raw tables yield exactly the new files, and a
+      compacted/overwritten raw table degrades safely to a full
+      re-scan whose re-emissions the Bloom gate then drops.
+    - **cross-history dedup**: a Bloom filter built from the EXISTING
+      clean corpus (fixed memory — the Dolma mechanism) gates the
+      delta before cleaning; probable-seen docs drop. False positives
+      drop genuinely-new docs at the filter's FP rate, so the count
+      is REPORTED per run (``n_bloom_dropped`` — no silent caps), and
+      the rate is a knob (``bloom_fpp``).
+    - **cleaning**: the same stage-1-9 recipe as
+      :func:`build_training_corpus` (ledger included) minus packing —
+      packing is a training-time view, not corpus state.
+    - **commit**: one ``snapshot_commit(mode="append")`` carrying the
+      new high-water mark; concurrent writers are safe (CAS publish)
+      and a crashed run re-processes its delta idempotently next time
+      (the commit IS the state update — exactly-once effect).
+
+    Returns a report dict: status, raw/clean versions, per-stage
+    ledger, delta + bloom-drop counts.
+    """
+    from teste_carga_avro_vs_json_spark.operators import (
+        maintenance as mt,
+    )
+
+    raw_versions = mt.snapshot_versions(raw_table)
+    if not raw_versions:
+        raise ValueError(f"raw table {raw_table!r} has no committed version")
+    raw_latest = raw_versions[-1]
+
+    clean_versions = mt.snapshot_versions(clean_table)
+    last_raw = 0
+    if clean_versions:
+        last_manifest = mt._read_manifest(clean_table, clean_versions[-1])
+        last_raw = int(last_manifest.get("extra", {}).get("raw_version", 0))
+    if last_raw >= raw_latest:
+        return {
+            "status": "up_to_date",
+            "raw_version": raw_latest,
+            "clean_version": clean_versions[-1] if clean_versions else None,
+            "n_delta_docs": 0,
+        }
+
+    # ---- delta = files in the latest raw manifest not in the last
+    # processed one (path identity; raw data files are immutable)
+    latest_files = {
+        f["path"] for f in mt._read_manifest(raw_table, raw_latest)["files"]
+    }
+    prev_files: set = set()
+    if last_raw and last_raw in raw_versions:
+        prev_files = {
+            f["path"]
+            for f in mt._read_manifest(raw_table, last_raw)["files"]
+        }
+    delta_paths = [
+        f"{raw_table}/{p}" for p in sorted(latest_files - prev_files)
+    ]
+    if not delta_paths:
+        # raw advanced versions without adding files (e.g. vacuum)
+        delta = spark.createDataFrame([], "doc_id long, text string")
+    else:
+        delta = spark.read.parquet(*delta_paths).select("doc_id", "text")
+
+    report: dict = {
+        "status": "appended",
+        "raw_version": raw_latest,
+        "raw_version_prev": last_raw,
+        "n_delta_files": len(delta_paths),
+    }
+
+    # ---- Bloom gate against the EXISTING clean corpus
+    n_delta = delta.count()
+    report["n_delta_docs"] = n_delta
+    if clean_versions and n_delta:
+        existing = mt.snapshot_read(spark, clean_table).select("text")
+        bloom = dedup.bloom_build(existing, "text", fpp=bloom_fpp)
+        gated = dedup.bloom_dedup(delta, bloom, "text")
+        fresh = gated.where(~F.col("probably_seen")).select(
+            "doc_id", "text"
+        )
+        n_fresh = fresh.count()
+        report["n_bloom_dropped"] = n_delta - n_fresh
+    else:
+        fresh = delta
+        report["n_bloom_dropped"] = 0
+
+    # ---- the shared cleaning recipe (stages 1-9, no packing)
+    led = _Ledger(measure)
+    cleaned = _clean_stages(
+        fresh,
+        test,
+        led,
+        keep_frac=keep_frac,
+        min_quality=min_quality,
+        exact_substr_min_len=exact_substr_min_len,
+        line_filter=line_filter,
+    )
+
+    # ---- one CAS-published append carrying the new high-water mark
+    version = mt.snapshot_commit(
+        cleaned,
+        clean_table,
+        mode="append",
+        extra={"raw_version": raw_latest},
+    )
+    report["clean_version"] = version
+    report["ledger"] = led.stats
+    return report

@@ -4,6 +4,7 @@ counts, the >95%-drop warning — no silent deaths), the decontamination
 stage removes planted contamination, the lazy (measure=False) mode
 builds the same final plan, and the packing plan is hole-free."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from teste_carga_avro_vs_json_spark import pipelines
@@ -118,3 +119,65 @@ def test_packing_plan_is_contiguous(spark, sf_dir):
     for r in rows:
         assert r["start_tok"] == pos  # end-to-end layout, no holes
         pos += r["n_tokens"]
+
+
+@pytest.mark.slow
+def test_incremental_build_processes_only_the_delta(spark, sf_dir, tmp_path):
+    """Two crawl batches land in a raw snapshot table; the incremental
+    builder cleans batch 1, then a second run must (a) read ONLY batch
+    2's files, (b) drop re-crawled duplicates of batch 1 via the Bloom
+    gate, (c) append survivors, and (d) a third run with no new raw
+    version is a no-op that commits nothing."""
+    from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+    from teste_carga_avro_vs_json_spark.pipelines import (
+        build_corpus_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    raw = str(tmp_path / "raw")
+    clean = str(tmp_path / "clean")
+
+    batch1 = docs.where("doc_id % 2 = 0").limit(40)
+    mt.snapshot_commit(batch1, raw)  # raw v1
+    r1 = build_corpus_incremental(
+        spark, raw, clean, line_filter=False, keep_frac=1.0
+    )
+    assert r1["status"] == "appended" and r1["raw_version"] == 1
+    assert r1["n_bloom_dropped"] == 0
+    n1 = mt.snapshot_read(spark, clean).count()
+    assert n1 > 0
+    stages = {s["stage"]: s for s in r1["ledger"]}
+    assert stages["input"]["rows"] == r1["n_delta_docs"] == 40
+
+    # batch 2 = new odd docs + 10 RE-CRAWLED batch-1 docs
+    recrawl = batch1.limit(10)
+    batch2 = docs.where("doc_id % 2 = 1").limit(30).unionByName(recrawl)
+    mt.snapshot_commit(batch2, raw)  # raw v2
+    r2 = build_corpus_incremental(
+        spark, raw, clean, line_filter=False, keep_frac=1.0
+    )
+    assert r2["status"] == "appended" and r2["raw_version"] == 2
+    assert r2["raw_version_prev"] == 1
+    # only batch 2's files were read
+    assert r2["n_delta_docs"] == 40
+    # the bloom gate dropped the re-crawls that survived batch-1
+    # cleaning (cleaning may drop some of the 10 before they entered
+    # the clean table, so the bound is <=10 and >0 for this fixture)
+    assert 0 < r2["n_bloom_dropped"] <= 10
+    n2 = mt.snapshot_read(spark, clean).count()
+    assert n2 > n1
+    # time travel still shows run-1's corpus unchanged
+    assert mt.snapshot_read(spark, clean, r1["clean_version"]).count() == n1
+
+    r3 = build_corpus_incremental(spark, raw, clean)
+    assert r3 == {
+        "status": "up_to_date",
+        "raw_version": 2,
+        "clean_version": r2["clean_version"],
+        "n_delta_docs": 0,
+    }
+    assert mt.snapshot_versions(clean) == [
+        r1["clean_version"], r2["clean_version"]
+    ]
