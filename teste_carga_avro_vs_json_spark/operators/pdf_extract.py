@@ -12,7 +12,11 @@ Supported (enough for the dominant text-bearing crawl PDFs and for
 exact round-trip pins over :func:`build_pdf`):
 
 - classic cross-reference TABLES with /Prev incremental-update chains
-  (newest section wins per object number);
+  (newest section wins per object number), PDF 1.5 cross-reference
+  STREAMS (/W-packed rows behind Flate + PNG predictors, /Index
+  subsections, /Prev chains, hybrid /XRefStm) and /Type /ObjStm
+  object streams (type-2 entries) — the layout modern crawl PDFs
+  actually use;
 - FlateDecode, LZWDecode (the TIFF-variant LZW with EarlyChange,
   pinned against the ISO 32000 worked example) and ASCIIHexDecode
   stream filters (single or chained);
@@ -26,9 +30,8 @@ exact round-trip pins over :func:`build_pdf`):
   the printable range).
 
 Documented boundaries (the progressive-JPEG convention — raise,
-never guess): encrypted files (/Encrypt), cross-reference STREAMS and
-object streams (PDF 1.5 compressed layout), DCT/JBIG2/predictor
- filters,
+never guess): encrypted files (/Encrypt), DCT/JBIG2 filters and the
+TIFF predictor (2),
 and Type0/CID composite fonts (their strings are CID sequences whose
 meaning lives in an embedded CMap; extracting them as bytes would be
 silently wrong, so pages whose resources declare a Type0 font raise
@@ -296,6 +299,9 @@ class _Document:
             raise PdfFormatError("missing %PDF- header")
         self.data = data
         self.offsets: dict[int, int] = {}
+        #: objects living in object streams: num -> (objstm_num, index)
+        self._in_objstm: dict[int, tuple[int, int]] = {}
+        self._objstm_cache: dict[int, tuple[bytes, list[tuple[int, int]], int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, tuple[object, bytes | None]] = {}
         self._parse_xref_chain()
@@ -326,10 +332,17 @@ class _Document:
             lx.skip_ws()
             if self.data[lx.p : lx.p + 4] != b"xref":
                 if _OBJ_HEADER_RE.match(self.data, lx.p):
-                    raise NotImplementedError(
-                        "cross-reference streams (PDF 1.5 compressed "
-                        "layout) are out of scope (documented boundary)"
-                    )
+                    # PDF 1.5 cross-reference STREAM section
+                    trailer = self._parse_xref_stream_at(lx.p)
+                    for k, v in trailer.items():
+                        self.trailer.setdefault(k, v)
+                    prev = trailer.get("Prev")
+                    if prev is None:
+                        return
+                    if not isinstance(prev, int):
+                        raise PdfFormatError("non-integer /Prev")
+                    offset = prev
+                    continue
                 raise PdfFormatError("xref table not found at startxref")
             lx.p += 4
             while True:
@@ -368,6 +381,12 @@ class _Document:
                 raise PdfFormatError("trailer is not a dictionary")
             for k, v in trailer.items():
                 self.trailer.setdefault(k, v)
+            xref_stm = trailer.get("XRefStm")
+            if isinstance(xref_stm, int):
+                # hybrid-reference file (ISO 32000 §7.5.8.4): the
+                # stream section takes precedence over /Prev but we
+                # fill first-wins, so parse it before following Prev
+                self._parse_xref_stream_at(xref_stm)
             prev = trailer.get("Prev")
             if prev is None:
                 return
@@ -389,16 +408,30 @@ class _Document:
             return self._cache[num]
         off = self.offsets.get(num)
         if off is None:
+            loc = self._in_objstm.get(num)
+            if loc is not None:
+                value = self._load_from_objstm(num, *loc)
+                self._cache[num] = (value, None)
+                return self._cache[num]
             # a missing object is null per the spec
             self._cache[num] = (None, None)
             return self._cache[num]
+        _num, value, stream = self._parse_object_at(off, expect_num=num)
+        self._cache[num] = (value, stream)
+        return self._cache[num]
+
+    def _parse_object_at(
+        self, off: int, expect_num: int | None = None
+    ) -> tuple[int, object, bytes | None]:
         if off < 0 or off >= len(self.data):
-            raise PdfFormatError(f"object {num} offset out of bounds")
+            raise PdfFormatError(f"object offset {off} out of bounds")
         m = _OBJ_HEADER_RE.match(self.data, off) or _OBJ_HEADER_RE.match(
             self.data, off + self._ws_len(off)
         )
-        if m is None or int(m.group(1)) != num:
-            raise PdfFormatError(f"object header mismatch for {num}")
+        if m is None or (
+            expect_num is not None and int(m.group(1)) != expect_num
+        ):
+            raise PdfFormatError(f"object header mismatch at {off}")
         lx = _Lexer(self.data, m.end())
         value = lx.value()
         lx.skip_ws()
@@ -417,8 +450,119 @@ class _Document:
             if lx.p + length > len(self.data):
                 raise PdfFormatError("stream overruns file")
             stream = self.data[lx.p : lx.p + length]
-        self._cache[num] = (value, stream)
-        return self._cache[num]
+        return int(m.group(1)), value, stream
+
+    def _parse_xref_stream_at(self, off: int) -> dict:
+        """One PDF 1.5 cross-reference stream section (ISO 32000
+        §7.5.8): /W-packed big-endian entry rows, usually behind
+        Flate + a PNG Up predictor. Returns the stream dictionary
+        (which doubles as the trailer). First-wins per object number,
+        matching the classic-table chain walk."""
+        _num, d, raw = self._parse_object_at(off)
+        if not isinstance(d, dict) or str(d.get("Type", "")) != "XRef":
+            raise PdfFormatError("startxref does not point at an XRef")
+        if raw is None:
+            raise PdfFormatError("XRef object has no stream")
+        data = self._decode_stream_data(d, raw)
+        w_raw = self.resolve(d.get("W"))
+        if not isinstance(w_raw, list) or len(w_raw) != 3:
+            raise PdfFormatError("bad XRef /W")
+        w = [int(self.resolve(x)) for x in w_raw]
+        if any(x < 0 or x > 8 for x in w) or sum(w) == 0:
+            raise PdfFormatError("bad XRef /W widths")
+        size = self.resolve(d.get("Size"))
+        if not isinstance(size, int) or size < 0 or size > MAX_OBJECTS:
+            raise PdfFormatError("bad XRef /Size")
+        index_raw = self.resolve(d.get("Index")) or [0, size]
+        index = [int(self.resolve(x)) for x in index_raw]
+        if len(index) % 2:
+            raise PdfFormatError("odd XRef /Index")
+        entry_len = sum(w)
+        pos = 0
+        for i in range(0, len(index), 2):
+            first, count = index[i], index[i + 1]
+            if first < 0 or count < 0 or first + count > MAX_OBJECTS:
+                raise PdfFormatError("XRef /Index out of bounds")
+            for num in range(first, first + count):
+                row = data[pos : pos + entry_len]
+                if len(row) < entry_len:
+                    raise PdfFormatError("truncated XRef stream")
+                pos += entry_len
+                fields = []
+                o = 0
+                for width in w:
+                    fields.append(
+                        int.from_bytes(row[o : o + width], "big")
+                        if width
+                        else None
+                    )
+                    o += width
+                etype = 1 if fields[0] is None else fields[0]
+                known = (
+                    num in self.offsets or num in self._in_objstm
+                )
+                if known:
+                    continue  # newest section already placed it
+                if etype == 1 and fields[1] is not None:
+                    self.offsets[num] = fields[1]
+                elif etype == 2 and fields[1] is not None:
+                    self._in_objstm[num] = (
+                        fields[1],
+                        fields[2] or 0,
+                    )
+                # type 0 (free) and unknown types: skip
+        return d
+
+    def _load_from_objstm(self, num: int, stm_num: int, idx: int):
+        """Object from a /Type /ObjStm container (ISO 32000 §7.5.7):
+        N (objnum, offset) header pairs, then the bodies starting at
+        /First. Objects in streams have no obj/endobj wrapper."""
+        if stm_num == num:
+            raise PdfFormatError("object stream containing itself")
+        cached = self._objstm_cache.get(stm_num)
+        if cached is None:
+            d, raw = self.get_object(stm_num)
+            if (
+                not isinstance(d, dict)
+                or str(d.get("Type", "")) != "ObjStm"
+                or raw is None
+            ):
+                raise PdfFormatError(f"object {stm_num} is not an ObjStm")
+            data = self._decode_stream_data(d, raw)
+            n = self.resolve(d.get("N"))
+            first = self.resolve(d.get("First"))
+            if (
+                not isinstance(n, int)
+                or not isinstance(first, int)
+                or n < 0
+                or n > MAX_OBJECTS
+                or first < 0
+                or first > len(data)
+            ):
+                raise PdfFormatError("bad ObjStm /N or /First")
+            lx = _Lexer(data[:first])
+            pairs = []
+            for _ in range(n):
+                lx.skip_ws()
+                objnum = int(lx._regular_run())
+                lx.skip_ws()
+                rel = int(lx._regular_run())
+                pairs.append((objnum, rel))
+            cached = (data, pairs, first)
+            self._objstm_cache[stm_num] = cached
+        data, pairs, first = cached
+        if idx < len(pairs) and pairs[idx][0] == num:
+            rel = pairs[idx][1]
+        else:  # tolerant: index drifted, search by object number
+            matches = [r for (on, r) in pairs if on == num]
+            if not matches:
+                raise PdfFormatError(
+                    f"object {num} not present in ObjStm {stm_num}"
+                )
+            rel = matches[0]
+        if first + rel > len(data):
+            raise PdfFormatError("ObjStm offset out of bounds")
+        return _Lexer(data, first + rel).value()
 
     def _ws_len(self, off: int) -> int:
         i = off
@@ -433,6 +577,12 @@ class _Document:
             raise PdfFormatError("content stream must be indirect")
         if raw is None:
             raise PdfFormatError("expected a stream object")
+        return self._decode_stream_data(d, raw)
+
+    def _decode_stream_data(self, d: dict, raw: bytes) -> bytes:
+        """Apply the /Filter chain (+ aligned /DecodeParms) to stream
+        bytes — shared by content streams, XRef streams and object
+        streams."""
         filters = self.resolve(d.get("Filter"))
         if filters is None:
             chain: list[str] = []
@@ -442,8 +592,17 @@ class _Document:
             chain = [str(self.resolve(f)) for f in filters]
         else:
             raise PdfFormatError("bad /Filter")
+        parms_raw = self.resolve(
+            d.get("DecodeParms", d.get("DP"))
+        )
+        if isinstance(parms_raw, list):
+            parms_list = [self.resolve(x) for x in parms_raw]
+        else:
+            parms_list = [parms_raw] + [None] * (len(chain) - 1)
+        parms_list += [None] * (len(chain) - len(parms_list))
         out = raw
-        for f in chain:
+        for f, parms in zip(chain, parms_list):
+            parms = parms if isinstance(parms, dict) else {}
             if f == "FlateDecode":
                 dec = zlib.decompressobj()
                 try:
@@ -452,23 +611,11 @@ class _Document:
                     raise PdfFormatError(f"bad Flate stream: {e}") from e
                 if dec.unconsumed_tail:
                     raise PdfFormatError("stream inflate exceeds cap")
-                if self.resolve(d.get("DecodeParms")) is not None:
-                    raise NotImplementedError(
-                        "FlateDecode predictors are out of scope"
-                    )
+                out = self._apply_predictor(out, parms)
             elif f == "LZWDecode":
-                parms = self.resolve(d.get("DecodeParms")) or {}
-                early = 1
-                if isinstance(parms, dict):
-                    if self.resolve(parms.get("Predictor", 1)) not in (
-                        None,
-                        1,
-                    ):
-                        raise NotImplementedError(
-                            "LZW predictors are out of scope"
-                        )
-                    early = int(self.resolve(parms.get("EarlyChange", 1)))
+                early = int(self.resolve(parms.get("EarlyChange", 1)))
                 out = _lzw_decode(out, early)
+                out = self._apply_predictor(out, parms)
             elif f == "ASCIIHexDecode":
                 body = out.split(b">", 1)[0]
                 digits = bytes(c for c in body if c not in _WS)
@@ -484,6 +631,72 @@ class _Document:
                     "(documented boundary)"
                 )
         return out
+
+    def _apply_predictor(self, data: bytes, parms: dict) -> bytes:
+        predictor = int(self.resolve(parms.get("Predictor", 1)) or 1)
+        if predictor == 1:
+            return data
+        if predictor == 2:
+            raise NotImplementedError(
+                "TIFF predictor 2 is out of scope (documented boundary)"
+            )
+        if predictor < 10 or predictor > 15:
+            raise PdfFormatError(f"unknown /Predictor {predictor}")
+        return _png_unpredict(
+            data,
+            int(self.resolve(parms.get("Columns", 1)) or 1),
+            int(self.resolve(parms.get("Colors", 1)) or 1),
+            int(self.resolve(parms.get("BitsPerComponent", 8)) or 8),
+        )
+
+
+def _png_unpredict(
+    data: bytes, columns: int, colors: int = 1, bpc: int = 8
+) -> bytes:
+    """PNG predictors (DecodeParms /Predictor >= 10) — the row-filter
+    scheme ISO 32000 borrows from PNG; cross-reference streams are
+    almost always Flate+Up(2)-predicted. Byte-aligned samples only
+    (bpc 8/16); each row = 1 filter byte + columns*colors*bpc/8
+    bytes, filters None/Sub/Up/Average/Paeth per the PNG spec."""
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if rowlen <= 0:
+        raise PdfFormatError("bad predictor Columns")
+    if len(data) % (rowlen + 1):
+        raise PdfFormatError("predicted stream not a whole row count")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos < len(data):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise PdfFormatError(f"unknown PNG row filter {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes, early: int = 1) -> bytes:
@@ -741,13 +954,30 @@ def _escape_literal(s: str) -> bytes:
     )
 
 
-def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+def build_pdf(
+    pages: list[list[str]],
+    compress: bool = True,
+    layout: str = "classic",
+) -> bytes:
     """Deterministic minimal PDF: one shared Helvetica font, one
     content stream per page holding each line as ``(line) Tj T*``
     under a 14-unit leading. Extraction must recover EXACTLY the
     line structure (lines joined by newlines, pages concatenated) —
     the round-trip pin. ``compress`` routes the content streams
-    through FlateDecode (zlib is deterministic at a fixed level)."""
+    through FlateDecode (zlib is deterministic at a fixed level).
+
+    ``layout`` selects the cross-reference representation so every
+    reader path has a builder twin:
+
+    - ``classic`` — PDF 1.4 xref table + trailer;
+    - ``xref_stream`` — a PDF 1.5 /Type /XRef stream (W=[1,4,2]
+      big-endian rows; Flate + PNG Up predictor when ``compress``);
+    - ``objstm`` — additionally packs every non-stream object
+      (catalog, page tree, pages, font) into a /Type /ObjStm
+      container referenced by type-2 entries.
+    """
+    if layout not in ("classic", "xref_stream", "objstm"):
+        raise ValueError(f"unknown layout {layout!r}")
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
     # layout: 1 catalog, 2 pages, 3 font, then (page, contents) pairs
@@ -781,25 +1011,115 @@ def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
         else:
             streams[content_num] = raw
             objects[content_num] = f"<< /Length {len(raw)} >>".encode()
-    # serialize with a correct classic xref table
+
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
-    for num in sorted(objects):
+    if layout == "classic":
+        offsets: dict[int, int] = {}
+        for num in sorted(objects):
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + objects[num]
+            if num in streams:
+                out += b"\nstream\n" + streams[num] + b"\nendstream"
+            out += b"\nendobj\n"
+        xref_at = len(out)
+        n_obj = max(objects) + 1
+        out += f"xref\n0 {n_obj}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, n_obj):
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    # ---- PDF 1.5 layouts
+    out[5:8] = b"1.5"
+    in_objstm: dict[int, int] = {}   # num -> index within the ObjStm
+    top_level = dict(objects)
+    if layout == "objstm":
+        packed = sorted(n for n in objects if n not in streams)
+        objstm_num = max(objects) + 1
+        header = bytearray()
+        bodies = bytearray()
+        rels = []
+        for n in packed:
+            rels.append(len(bodies))
+            bodies += objects[n] + b"\n"
+        for n, rel in zip(packed, rels):
+            header += f"{n} {rel} ".encode()
+        payload = bytes(header) + bytes(bodies)
+        first = len(header)
+        if compress:
+            comp = zlib.compress(payload, 9)
+            stm_dict = (
+                f"<< /Type /ObjStm /N {len(packed)} /First {first} "
+                f"/Length {len(comp)} /Filter /FlateDecode >>"
+            ).encode()
+            streams[objstm_num] = comp
+        else:
+            stm_dict = (
+                f"<< /Type /ObjStm /N {len(packed)} /First {first} "
+                f"/Length {len(payload)} >>"
+            ).encode()
+            streams[objstm_num] = payload
+        top_level = {
+            n: o for n, o in objects.items() if n in streams
+        }
+        top_level[objstm_num] = stm_dict
+        in_objstm = {n: i for i, n in enumerate(packed)}
+
+    xref_num = max(top_level) + 1
+    offsets = {}
+    for num in sorted(top_level):
         offsets[num] = len(out)
-        out += f"{num} 0 obj\n".encode() + objects[num]
+        out += f"{num} 0 obj\n".encode() + top_level[num]
         if num in streams:
             out += b"\nstream\n" + streams[num] + b"\nendstream"
         out += b"\nendobj\n"
     xref_at = len(out)
-    n_obj = max(objects) + 1
-    out += f"xref\n0 {n_obj}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for num in range(1, n_obj):
-        out += f"{offsets[num]:010d} 00000 n \n".encode()
-    out += (
-        f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
+    size = xref_num + 1
+    # W = [1, 4, 2] rows for objects 0..xref_num
+    rows = []
+    rows.append((0, 0, 65535))  # the free-list head
+    objstm_container = max(top_level) if layout == "objstm" else None
+    for num in range(1, size):
+        if num == xref_num:
+            rows.append((1, xref_at, 0))
+        elif num in offsets:
+            rows.append((1, offsets[num], 0))
+        elif num in in_objstm:
+            rows.append((2, objstm_container, in_objstm[num]))
+        else:
+            rows.append((0, 0, 0))
+    entry = b"".join(
+        t.to_bytes(1, "big") + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in rows
+    )
+    filt = b""
+    if compress:
+        # PNG Up predictor over 7-byte rows, then Flate — the layout
+        # real writers emit for xref streams
+        rowlen = 7
+        pred = bytearray()
+        prev = bytes(rowlen)
+        for i in range(0, len(entry), rowlen):
+            row = entry[i : i + rowlen]
+            pred.append(2)
+            pred += bytes((row[j] - prev[j]) & 0xFF for j in range(rowlen))
+            prev = row
+        entry = zlib.compress(bytes(pred), 9)
+        filt = (
+            b" /Filter /FlateDecode"
+            b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+        )
+    xref_dict = (
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
+        f"/Length {len(entry)}".encode() + filt + b" >>"
+    )
+    out += f"{xref_num} 0 obj\n".encode() + xref_dict
+    out += b"\nstream\n" + entry + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
 
 

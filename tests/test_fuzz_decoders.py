@@ -60,6 +60,10 @@ _DECODERS = {
         px.extract_pdf,
         (px.PdfFormatError, NotImplementedError),
     ),
+    "pdf15": (
+        px.extract_pdf,
+        (px.PdfFormatError, NotImplementedError),
+    ),
 }
 
 
@@ -90,6 +94,12 @@ def _valid_payloads() -> dict[str, bytes]:
         "zstd": Z.compress(b"zstd fuzz payload " * 40),
         "pdf": px.build_pdf(
             [["linha um dois tres", "quatro cinco"], ["pagina dois"]]
+        ),
+        # the PDF 1.5 compressed layout: mutations hit the xref-stream
+        # /W rows, predictor bytes and ObjStm header paths
+        "pdf15": px.build_pdf(
+            [["linha um dois tres", "quatro cinco"], ["pagina dois"]],
+            layout="objstm",
         ),
     }
 

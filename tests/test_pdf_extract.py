@@ -127,12 +127,15 @@ def test_boundaries_raise_not_implemented():
     dct = _wrap_content(b"xxxx", filters=b" /Filter /DCTDecode")
     with pytest.raises(NotImplementedError, match="DCTDecode"):
         px.extract_pdf(dct)
-    # xref stream layout: startxref points at an object header
+    # an XRef stream with a broken /W must fail loudly, not guess
     fake = bytearray(b"%PDF-1.5\n")
     obj_at = len(fake)
-    fake += b"1 0 obj\n<< /Type /XRef >>\nstream\nxx\nendstream\nendobj\n"
+    fake += (
+        b"1 0 obj\n<< /Type /XRef /Length 2 >>\nstream\nxx\nendstream"
+        b"\nendobj\n"
+    )
     fake += f"startxref\n{obj_at}\n%%EOF\n".encode()
-    with pytest.raises(NotImplementedError, match="cross-reference"):
+    with pytest.raises(px.PdfFormatError, match="/W"):
         px.extract_pdf(bytes(fake))
 
 
@@ -353,3 +356,84 @@ def test_lzw_pdf_content_stream_end_to_end():
     pdf = _wrap_content(enc, filters=b" /Filter /LZWDecode")
     text, _ = px.extract_pdf(pdf)
     assert text == "via LZW stream"
+
+
+# ------------------------------------------------ PDF 1.5 layouts
+@pytest.mark.parametrize("layout", ["xref_stream", "objstm"])
+@pytest.mark.parametrize("compress", [True, False])
+def test_pdf15_layout_roundtrip(layout, compress):
+    """Cross-reference streams (Flate + PNG Up predictor when
+    compressed) and object streams must round-trip exactly like the
+    classic layout — build_pdf is the builder twin for each reader
+    path."""
+    pages = [
+        ["linha um dois tres", "quatro (cinco) seis"],
+        ["pagina dois inteira"],
+    ]
+    pdf = px.build_pdf(pages, compress=compress, layout=layout)
+    text, n_pages = px.extract_pdf(pdf)
+    assert n_pages == 2
+    assert text == "\n".join(l for pg in pages for l in pg)
+    # the layout markers are really present
+    if layout == "objstm":
+        assert b"/ObjStm" in pdf
+    assert b"/Type /XRef" in pdf and b"trailer" not in pdf
+    if compress:
+        assert b"/Predictor 12" in pdf
+
+
+def test_pdf15_incremental_update_over_xref_stream():
+    """A classic-table update appended on top of an xref-stream base
+    (the common 'signed afterwards' shape): /Prev points at the
+    stream section, the newest table wins for the updated object."""
+    base = px.build_pdf([["texto antigo"]], layout="xref_stream")
+    old_startxref = int(
+        base.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0]
+    )
+    new_content = b"BT (texto novo) Tj ET"
+    upd = bytearray(base)
+    new4_at = len(upd)
+    upd += (
+        b"5 0 obj\n<< /Length " + str(len(new_content)).encode()
+        + b" >>\nstream\n" + new_content + b"\nendstream\nendobj\n"
+    )
+    xref_at = len(upd)
+    upd += (
+        b"xref\n5 1\n" + f"{new4_at:010d} 00000 n \n".encode()
+        + f"trailer\n<< /Size 7 /Root 1 0 R /Prev {old_startxref} >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    assert px.extract_pdf(bytes(upd))[0] == "texto novo"
+    assert px.extract_pdf(base)[0] == "texto antigo"
+
+
+def test_png_unpredict_filters():
+    """All five PNG row filters through the predictor path (the
+    builder only emits Up) — encode by applying each filter forward,
+    decode must invert it."""
+    rows = [bytes((i * 31 + j * 7) % 256 for j in range(8)) for i in range(5)]
+    filters = [0, 1, 2, 3, 4]
+    enc = bytearray()
+    prev = bytes(8)
+    for row, f in zip(rows, filters):
+        enc.append(f)
+        for j in range(8):
+            a = row[j - 1] if j >= 1 else 0
+            b = prev[j]
+            c = prev[j - 1] if j >= 1 else 0
+            if f == 0:
+                x = row[j]
+            elif f == 1:
+                x = (row[j] - a) & 0xFF
+            elif f == 2:
+                x = (row[j] - b) & 0xFF
+            elif f == 3:
+                x = (row[j] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                x = (row[j] - pred) & 0xFF
+            enc.append(x)
+        prev = row
+    assert px._png_unpredict(bytes(enc), columns=8) == b"".join(rows)
