@@ -272,19 +272,15 @@ class _Lexer:
         except ValueError as e:
             raise PdfFormatError(f"unexpected token {run[:20]!r}") from e
         save = self.p
-        self.skip_ws()
-        start2 = self.p
         try:
-            run2 = self._regular_run()
-            gen = int(run2)
             self.skip_ws()
-            run3 = self._regular_run()
-            if run3 == b"R":
+            gen = int(self._regular_run())
+            self.skip_ws()
+            if self._regular_run() == b"R":
                 return _Ref((num, gen))
         except (PdfFormatError, ValueError):
             pass
-        self.p = save if start2 == save else save
-        self.p = save
+        self.p = save  # not "num gen R" — plain number, backtrack
         return num
 
 
