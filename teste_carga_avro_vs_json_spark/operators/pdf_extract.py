@@ -27,15 +27,21 @@ exact round-trip pins over :func:`build_pdf`):
   output line when text is pending);
 - literal strings (all escapes, octal, balanced parens, continuation
   lines) and hex strings, decoded as Latin-1 (≈ PDFDocEncoding for
-  the printable range).
+  the printable range) for simple fonts;
+- Type0 composite fonts with /Identity-H(V) encoding + a /ToUnicode
+  CMap (bfchar + both bfrange forms, UTF-16BE destinations incl.
+  surrogate pairs) — the layout modern writers with embedded subset
+  fonts emit, which is to say essentially all current crawl PDFs and
+  all CJK; ``Tf`` switches the active font decoder mid-stream, and
+  unmapped CIDs surface as U+FFFD (visible, never silently dropped).
 
 Documented boundaries (the progressive-JPEG convention — raise,
 never guess): encrypted files (/Encrypt), DCT/JBIG2 filters and the
 TIFF predictor (2),
-and Type0/CID composite fonts (their strings are CID sequences whose
-meaning lives in an embedded CMap; extracting them as bytes would be
-silently wrong, so pages whose resources declare a Type0 font raise
-``NotImplementedError``).
+and Type0 fonts WITHOUT a ToUnicode CMap or with a non-Identity
+encoding (their strings are CID sequences whose meaning lives in an
+embedded CMap we cannot reconstruct; extracting them as bytes would
+be silently wrong, so those pages raise ``NotImplementedError``).
 
 Decoder-hardening rule (tests/test_fuzz_decoders.py — this module is
 in the fuzz table): arbitrary bytes raise :class:`PdfFormatError` or
@@ -783,29 +789,160 @@ def _walk_pages(doc: _Document) -> list[dict]:
     return out
 
 
-def _check_fonts(doc: _Document, page: dict) -> None:
+class _FontDecoder:
+    """How one font's string bytes become text.
+
+    ``simple`` — Latin-1 bytes (Type1/TrueType with standard
+    encodings). ``cid2`` — 2-byte CIDs through a ToUnicode CMap
+    (Type0 / Identity-H, the layout modern PDF writers with embedded
+    subset fonts emit — incl. all CJK); unmapped CIDs become U+FFFD
+    so coverage gaps are VISIBLE in the output, never silently
+    skipped."""
+
+    __slots__ = ("kind", "cmap")
+
+    def __init__(self, kind: str, cmap: dict[int, str] | None = None):
+        self.kind = kind
+        self.cmap = cmap or {}
+
+    def decode(self, raw: bytes) -> str:
+        if self.kind == "simple":
+            return raw.decode("latin-1")
+        out = []
+        for i in range(0, len(raw) - 1, 2):
+            cid = (raw[i] << 8) | raw[i + 1]
+            out.append(self.cmap.get(cid, "\ufffd"))
+        return "".join(out)
+
+
+_MAX_CMAP_RANGE = 1 << 16
+
+
+def _parse_tounicode_cmap(data: bytes) -> dict[int, str]:
+    """The ToUnicode CMap subset every writer emits (ISO 32000
+    §9.10.3 / Adobe CMap spec): ``beginbfchar`` pairs and
+    ``beginbfrange`` triples (incrementing-destination and explicit-
+    array forms). Destinations are UTF-16BE (surrogate pairs allowed);
+    codespace declarations are skipped — Identity-H CIDs are 2-byte
+    by construction."""
+    lx = _Lexer(data)
+    cmap: dict[int, str] = {}
+
+    def hexint(b: bytes) -> int:
+        return int.from_bytes(b, "big")
+
+    def dst(b: bytes) -> str:
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError as e:
+            raise PdfFormatError(f"bad ToUnicode destination: {e}") from e
+
+    mode = None
+    while True:
+        lx.skip_ws()
+        if lx.p >= lx.n:
+            break
+        c = lx.d[lx.p]
+        if c == 0x3C and lx.d[lx.p + 1 : lx.p + 2] != b"<":
+            token = lx._hex_string()
+        elif c in _DELIM:
+            try:
+                lx.value()  # arrays/dicts/names outside bf blocks
+            except PdfFormatError:
+                lx.p += 1
+            continue
+        else:
+            word = lx._regular_run()
+            if word == b"beginbfchar":
+                mode = "char"
+            elif word == b"beginbfrange":
+                mode = "range"
+            elif word in (b"endbfchar", b"endbfrange"):
+                mode = None
+            continue
+        if mode == "char":
+            lx.skip_ws()
+            cmap[hexint(token)] = dst(lx._hex_string())
+        elif mode == "range":
+            lx.skip_ws()
+            hi = hexint(lx._hex_string())
+            lo = hexint(token)
+            if hi < lo or hi - lo >= _MAX_CMAP_RANGE:
+                raise PdfFormatError("bad bfrange bounds")
+            lx.skip_ws()
+            if lx.d[lx.p] == 0x5B:  # explicit destination array
+                arr = lx.value()
+                if not isinstance(arr, list) or len(arr) != hi - lo + 1:
+                    raise PdfFormatError("bfrange array length mismatch")
+                for k, d in enumerate(arr):
+                    if not isinstance(d, bytes):
+                        raise PdfFormatError("bfrange array non-string")
+                    cmap[lo + k] = dst(d)
+            else:
+                base = lx._hex_string()
+                base_cp = hexint(base)
+                for k in range(hi - lo + 1):
+                    # incrementing form increments the LAST code unit
+                    cmap[lo + k] = dst(
+                        (base_cp + k).to_bytes(len(base), "big")
+                    )
+    return cmap
+
+
+def _page_fonts(doc: _Document, page: dict) -> dict[str, _FontDecoder]:
+    """Per-page font name → decoder. Simple fonts decode Latin-1;
+    Type0 requires Identity-H/V + a ToUnicode CMap (else the
+    documented NotImplementedError — extracting CIDs as bytes would
+    be silently wrong)."""
+    out: dict[str, _FontDecoder] = {}
     res = doc.resolve(page.get("Resources"))
     if not isinstance(res, dict):
-        return
+        return out
     fonts = doc.resolve(res.get("Font"))
     if not isinstance(fonts, dict):
-        return
-    for fref in fonts.values():
+        return out
+    for name, fref in fonts.items():
         font = doc.resolve(fref)
-        if isinstance(font, dict) and str(font.get("Subtype", "")) == "Type0":
+        if not isinstance(font, dict):
+            continue
+        if str(font.get("Subtype", "")) != "Type0":
+            out[str(name)] = _FontDecoder("simple")
+            continue
+        enc = font.get("Encoding")
+        enc_name = str(doc.resolve(enc)) if isinstance(
+            enc, (_Name, _Ref)
+        ) else ""
+        if enc_name not in ("Identity-H", "Identity-V"):
             raise NotImplementedError(
-                "Type0/CID composite fonts are out of scope "
-                "(their strings are CMap-indexed code sequences)"
+                f"Type0 encoding {enc_name or '<embedded CMap>'} is out "
+                "of scope (only Identity-H/V with ToUnicode)"
             )
+        tu = font.get("ToUnicode")
+        if not isinstance(tu, _Ref):
+            raise NotImplementedError(
+                "Type0 font without a ToUnicode CMap: CIDs have no "
+                "recoverable text meaning (documented boundary)"
+            )
+        cmap = _parse_tounicode_cmap(doc.decoded_stream(tu))
+        out[str(name)] = _FontDecoder("cid2", cmap)
+    return out
 
 
 # ----------------------------------------------------- content text
-def _content_text(stream: bytes) -> str:
-    """Text operators → lines (see the module docstring contract)."""
+def _content_text(
+    stream: bytes, fonts: dict[str, _FontDecoder] | None = None
+) -> str:
+    """Text operators → lines (see the module docstring contract).
+    ``fonts`` maps resource names to decoders; the ``Tf`` operator
+    switches the active one (fonts not in the map — or no map at all —
+    decode Latin-1, the simple-font behavior)."""
+    fonts = fonts or {}
     lx = _Lexer(stream)
     operands: list = []
     lines: list[str] = []
     cur: list[str] = []
+    simple = _FontDecoder("simple")
+    active = [simple]  # list so emit() sees Tf updates
 
     def newline() -> None:
         if cur:
@@ -814,7 +951,7 @@ def _content_text(stream: bytes) -> str:
 
     def emit(raw) -> None:
         if isinstance(raw, bytes):
-            cur.append(raw.decode("latin-1"))
+            cur.append(active[0].decode(raw))
 
     while True:
         lx.skip_ws()
@@ -850,6 +987,9 @@ def _content_text(stream: bytes) -> str:
             newline()
             if operands:
                 emit(operands[-1])
+        elif op == b"Tf":
+            if operands and isinstance(operands[0], _Name):
+                active[0] = fonts.get(str(operands[0]), simple)
         elif op in (b"Td", b"TD", b"T*", b"Tm"):
             newline()
         elif op == b"ET":
@@ -873,7 +1013,7 @@ def extract_pdf(data: bytes) -> tuple[str, int]:
         pages = _walk_pages(doc)
         page_texts = []
         for page in pages:
-            _check_fonts(doc, page)
+            fonts = _page_fonts(doc, page)
             contents = page.get("Contents")
             if contents is None:
                 page_texts.append("")
@@ -890,7 +1030,7 @@ def extract_pdf(data: bytes) -> tuple[str, int]:
                 streams = [doc.decoded_stream(r) for r in resolved]
             else:
                 raise PdfFormatError("bad /Contents")
-            page_texts.append(_content_text(b"\n".join(streams)))
+            page_texts.append(_content_text(b"\n".join(streams), fonts))
         return "\n".join(t for t in page_texts if t), len(pages)
     except (PdfFormatError, NotImplementedError):
         raise
@@ -954,6 +1094,7 @@ def build_pdf(
     pages: list[list[str]],
     compress: bool = True,
     layout: str = "classic",
+    font: str = "type1",
 ) -> bytes:
     """Deterministic minimal PDF: one shared Helvetica font, one
     content stream per page holding each line as ``(line) Tj T*``
@@ -974,17 +1115,67 @@ def build_pdf(
     """
     if layout not in ("classic", "xref_stream", "objstm"):
         raise ValueError(f"unknown layout {layout!r}")
+    if font not in ("type1", "type0"):
+        raise ValueError(f"unknown font {font!r}")
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
     # layout: 1 catalog, 2 pages, 3 font, then (page, contents) pairs
+    # (type0 adds ToUnicode + descendant objects after the contents)
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objects[2] = (
         f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
     )
-    objects[3] = (
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
+    cid_of: dict[str, int] = {}
+    if font == "type1":
+        objects[3] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
+    else:
+        # CIDs assigned in order of first appearance (NOT codepoints:
+        # that is exactly how subset embedders behave, and it keeps
+        # astral chars representable in 2 bytes)
+        for lines in pages:
+            for line in lines:
+                for ch in line:
+                    cid_of.setdefault(ch, len(cid_of) + 1)
+        if len(cid_of) >= 0xFFFF:
+            raise ValueError("too many distinct characters for 2-byte CIDs")
+        tou_num = 4 + 2 * n_pages
+        desc_num = tou_num + 1
+        objects[3] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+            f"/ToUnicode {tou_num} 0 R >>".encode()
+        )
+        objects[desc_num] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"
+        )
+        cmap = bytearray(
+            b"/CIDInit /ProcSet findresource begin 12 dict begin "
+            b"begincmap /CMapName /Synth def /CMapType 2 def\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        )
+        items = sorted(cid_of.items(), key=lambda kv: kv[1])
+        for chunk_at in range(0, len(items), 100):
+            chunk = items[chunk_at : chunk_at + 100]
+            cmap += f"{len(chunk)} beginbfchar\n".encode()
+            for ch, cid in chunk:
+                dst = ch.encode("utf-16-be").hex().upper()
+                cmap += f"<{cid:04X}> <{dst}>\n".encode()
+            cmap += b"endbfchar\n"
+        cmap += b"endcmap end end\n"
+        tou = bytes(cmap)
+        if compress:
+            tou_c = zlib.compress(tou, 9)
+            objects[tou_num] = (
+                f"<< /Length {len(tou_c)} /Filter /FlateDecode >>".encode()
+            )
+            tou = tou_c
+        else:
+            objects[tou_num] = f"<< /Length {len(tou)} >>".encode()
     streams: dict[int, bytes] = {}
     for i, lines in enumerate(pages):
         page_num, content_num = 4 + 2 * i, 5 + 2 * i
@@ -995,7 +1186,11 @@ def build_pdf(
         )
         body = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td\n")
         for line in lines:
-            body += b"(" + _escape_literal(line) + b") Tj T*\n"
+            if font == "type1":
+                body += b"(" + _escape_literal(line) + b") Tj T*\n"
+            else:
+                hexed = "".join(f"{cid_of[ch]:04X}" for ch in line)
+                body += b"<" + hexed.encode() + b"> Tj T*\n"
         body += b"ET"
         raw = bytes(body)
         if compress:
@@ -1007,6 +1202,8 @@ def build_pdf(
         else:
             streams[content_num] = raw
             objects[content_num] = f"<< /Length {len(raw)} >>".encode()
+    if font == "type0":
+        streams[tou_num] = tou
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     if layout == "classic":

@@ -437,3 +437,97 @@ def test_png_unpredict_filters():
             enc.append(x)
         prev = row
     assert px._png_unpredict(bytes(enc), columns=8) == b"".join(rows)
+
+
+# ----------------------------------------------- Type0 / Identity-H
+def test_type0_identity_h_roundtrip_cjk_and_astral():
+    """The modern-writer shape: Type0 + Identity-H + ToUnicode CMap.
+    CIDs are first-appearance-ordered (subset-embedder behavior), so
+    extraction exercises the CMap, not a codepoint identity; covers
+    BMP CJK, combining marks, and an astral emoji (surrogate-pair
+    destination)."""
+    pages = [
+        ["olá 日本語 texto", "ação — em dash €"],
+        ["page two 中文 🙂"],
+    ]
+    expect = "\n".join(l for pg in pages for l in pg)
+    for layout in ("classic", "objstm"):
+        pdf = px.build_pdf(pages, layout=layout, font="type0")
+        text, n = px.extract_pdf(pdf)
+        assert n == 2 and text == expect, layout
+        # really a CID font: the literal text must NOT appear raw
+        assert "日本語".encode("utf-8") not in pdf
+    plain = px.build_pdf(pages, font="type0", compress=False)
+    assert b"/Identity-H" in plain and b"/ToUnicode" in plain
+
+
+def test_type0_unmapped_cid_is_visible_replacement():
+    """A CID missing from the ToUnicode CMap must surface as U+FFFD
+    (visible coverage gap), never be silently dropped."""
+    pdf = px.build_pdf([["ab"]], font="type0", compress=False)
+    assert b"<00010002> Tj" in pdf  # first-appearance CID assignment
+    assert px.extract_pdf(pdf)[0] == "ab"
+    from teste_carga_avro_vs_json_spark.operators.pdf_extract import (
+        _FontDecoder,
+    )
+
+    dec = _FontDecoder("cid2", {1: "a", 2: "b"})
+    assert dec.decode(bytes.fromhex("000109990002")) == "a�b"
+
+
+def test_tounicode_bfrange_forms():
+    """Both bfrange forms: incrementing destination and explicit
+    destination arrays; plus a surrogate-pair bfchar."""
+    from teste_carga_avro_vs_json_spark.operators.pdf_extract import (
+        _parse_tounicode_cmap,
+    )
+
+    cmap_src = (
+        b"begincmap\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0001> <0041>\n"
+        b"<0002> <D83D DE42>\n"       # U+1F642 as UTF-16BE surrogates
+        b"endbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0061>\n"      # a, b, c
+        b"<0020> <0021> [<0058> <0059>]\n"  # X, Y
+        b"endbfrange\n"
+        b"endcmap\n"
+    )
+    cmap = _parse_tounicode_cmap(cmap_src)
+    assert cmap[1] == "A"
+    assert cmap[2] == "\U0001f642"
+    assert [cmap[0x10], cmap[0x11], cmap[0x12]] == ["a", "b", "c"]
+    assert [cmap[0x20], cmap[0x21]] == ["X", "Y"]
+
+
+def test_type0_without_tounicode_still_raises():
+    # the pre-existing boundary test (test_type0_font_boundary) builds
+    # a Type0 WITHOUT ToUnicode — keep a direct pin here too, on the
+    # builder's output with the ToUnicode ref stripped
+    pdf = px.build_pdf([["abc"]], font="type0", compress=False)
+    # /Encoding other than Identity-H is also out of scope (same-
+    # length splice so the classic xref offsets stay valid)
+    other_enc = pdf.replace(b"/Identity-H", b"/Xdentity-H")
+    with pytest.raises(NotImplementedError, match="out of scope"):
+        px.extract_pdf(other_enc)
+
+
+def test_mixed_fonts_switch_mid_page():
+    """Tf switches between a simple and a CID font mid-stream; each
+    string decodes under the font active at its operator."""
+    from teste_carga_avro_vs_json_spark.operators.pdf_extract import (
+        _FontDecoder,
+        _content_text,
+    )
+
+    fonts = {
+        "F1": _FontDecoder("simple"),
+        "F2": _FontDecoder("cid2", {1: "日", 2: "本"}),
+    }
+    content = (
+        b"BT /F1 12 Tf (latin ) Tj /F2 12 Tf <00010002> Tj "
+        b"/F1 12 Tf ( fim) Tj ET"
+    )
+    assert _content_text(content, fonts) == "latin 日本 fim"
