@@ -2,10 +2,13 @@
 over build_pdf (compressed + raw streams, multi-page, escapes),
 hand-crafted bitstreams for the operators the builder doesn't emit
 (TJ kerning, quote operators, hex strings, ASCIIHexDecode, /Prev
-incremental updates), documented boundaries (encrypted, XRef streams,
-Type0 fonts, LZW), and the Spark surfaces (extract_text_pdf +
-synth_pdf) including the error-column contract on a malformed doc.
-Fuzz coverage lives in test_fuzz_decoders.py ("pdf" row)."""
+incremental updates), the PDF 1.5 layouts (xref streams with PNG
+predictors, object streams), LZW (spec golden + JVM-interop pin in
+test_imageio_interop), Type0/Identity-H + ToUnicode text (CJK,
+astral), documented boundaries (encrypted, DCT, CMap-less Type0),
+and the Spark surfaces (extract_text_pdf + synth_pdf) including the
+error-column contract on a malformed doc. Fuzz coverage lives in
+test_fuzz_decoders.py ("pdf" + "pdf15" rows)."""
 
 from __future__ import annotations
 
