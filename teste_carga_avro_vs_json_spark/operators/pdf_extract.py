@@ -1063,6 +1063,8 @@ def extract_text_pdf(frame: DataFrame, pdf_col: str = "pdf") -> DataFrame:
             rows = []
             for raw in batch:
                 try:
+                    if raw is None:
+                        raise PdfFormatError("null document")
                     text, n_pages = extract_pdf(bytes(raw))
                     rows.append(
                         {"text": text, "n_pages": n_pages, "error": None}

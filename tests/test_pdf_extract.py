@@ -534,3 +534,13 @@ def test_mixed_fonts_switch_mid_page():
         b"/F1 12 Tf ( fim) Tj ET"
     )
     assert _content_text(content, fonts) == "latin 日本 fim"
+
+
+def test_spark_null_pdf_lands_in_error_column(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(px.build_pdf([["ok"]]))), (2, None)],
+        "doc_id long, pdf binary",
+    )
+    rows = {r.doc_id: r for r in px.extract_text_pdf(df).collect()}
+    assert rows[1].text == "ok"
+    assert rows[2].text is None and rows[2].error == "PdfFormatError"
