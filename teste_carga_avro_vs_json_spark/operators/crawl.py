@@ -446,3 +446,62 @@ def sitemap_urls(sitemaps: DataFrame, xml_col: str = "xml") -> DataFrame:
         "host string, loc string, lastmod string, priority string,"
         " is_index boolean",
     )
+
+
+def domain_cap(
+    urls: DataFrame,
+    max_per_domain: int = 3,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style per-domain document cap (Penedo et al. 2023
+    cap over-represented hosts so one mega-domain cannot dominate the
+    mixture; Gopher/Dolma apply the same host-level budget). Output:
+    (doc_id, host, host_rank, kept) for EVERY input doc — an auditable
+    gate (no silent drops: the caller filters on ``kept`` and can
+    count/report the losers), deterministic via rank = row_number over
+    the host ordered by doc_id (crawl-order proxy; the total order
+    makes the oracle hash stable).
+
+    Plan: host from the CANONICAL url (case/port mess never splits a
+    domain), then ONE keyed window (row_number over host) — a single
+    keyed shuffle, the retired q_topk_per_group shape. Scale note: a
+    mega-host serializes its own partition's sort; at 100 TB pre-thin
+    with a per-partition partial cap (keep max_per_domain per task
+    first — a valid upper-bound filter since ranks only grow when
+    partitions merge) before the global window."""
+    from pyspark.sql.window import Window
+
+    with_host = urls.select(
+        F.col(id_col),
+        F.regexp_extract(
+            canon_url(F.col(url_col)), r"^[a-z]+://([^/:]+)", 1
+        ).alias("host"),
+    )
+    w = Window.partitionBy("host").orderBy(id_col)
+    return with_host.select(
+        id_col,
+        "host",
+        F.row_number().over(w).alias("host_rank"),
+    ).withColumn("kept", F.col("host_rank") <= F.lit(max_per_domain))
+
+
+def domain_cap_sql(
+    max_per_domain: int = 3, table: str = "documents"
+) -> str:
+    """Full DuckDB oracle: synth + canonicalize + per-domain rank."""
+    canon = canon_url_sql("url")
+    return f"""
+    WITH urls AS ({synth_urls_sql(table)}),
+    hosts AS (
+      SELECT doc_id,
+             regexp_extract({canon}, '^[a-z]+://([^/:]+)', 1) AS host
+      FROM urls
+    )
+    SELECT doc_id, host,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                AS INTEGER) AS host_rank,
+           (row_number() OVER (PARTITION BY host ORDER BY doc_id))
+             <= {max_per_domain} AS kept
+    FROM hosts
+    """

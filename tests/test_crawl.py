@@ -269,3 +269,31 @@ def test_sitemap_parse_and_fanout(spark):
         "e": ["https://e/a", "https://e/b"],
         "f": ["https://e/sitemap1.xml"],
     }
+
+
+def test_domain_cap_gate_and_determinism(spark, sf_dir):
+    """Per-domain cap: ranks are 1..n_docs(host) with no gaps, kept
+    iff rank <= cap, and the frame is repartition-invariant (total
+    order by doc_id inside each host)."""
+    from teste_carga_avro_vs_json_spark.operators import crawl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = crawl.synth_urls(docs)
+    out = crawl.domain_cap(urls, max_per_domain=2).cache()
+    rows = out.collect()
+    assert len(rows) == docs.count()  # auditable: every doc present
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, members in by_host.items():
+        ranks = sorted(m.host_rank for m in members)
+        assert ranks == list(range(1, len(members) + 1)), host
+        for m in members:
+            assert m.kept == (m.host_rank <= 2)
+        # deterministic rank order: by doc_id
+        ordered = sorted(members, key=lambda m: m.doc_id)
+        assert [m.host_rank for m in ordered] == ranks
+    # repartition-invariance
+    again = crawl.domain_cap(urls.repartition(13), max_per_domain=2)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+    out.unpersist()

@@ -326,6 +326,20 @@ def _domain_profile_sql() -> str:
     return crawl.domain_profile_sql()
 
 
+def _q_domain_cap(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import crawl
+
+    return crawl.domain_cap(
+        crawl.synth_urls(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _domain_cap_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import crawl
+
+    return crawl.domain_cap_sql()
+
+
 def _q_fim_transform(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -423,6 +437,7 @@ def retired_queries() -> dict:
         "q_bm25_topk": _q_bm25_topk,
         "q_url_dedup": _q_url_dedup,
         "q_domain_profile": _q_domain_profile,
+        "q_domain_cap": _q_domain_cap,
         "q_fim_transform": _q_fim_transform,
     }
 
@@ -461,6 +476,7 @@ def retired_oracle_sql() -> dict:
         "q_bm25_topk": _bm25_topk_sql(),
         "q_url_dedup": _url_dedup_sql(),
         "q_domain_profile": _domain_profile_sql(),
+        "q_domain_cap": _domain_cap_sql(),
         "q_fim_transform": _fim_transform_sql(),
     }
 
