@@ -109,6 +109,48 @@ def main() -> None:
         out["broker_bytes"] = sum(
             len(b) for log in broker._logs.values() for _, b in log.batches
         )
+
+    # ---- authenticated lane (r9): the SAME consume through a
+    # SASL-PLAIN-requiring broker — auth is a per-connection handshake
+    # (one round trip per TopicPartition task socket), so throughput
+    # must be ~the plaintext lane, which this lane evidences.
+    with StubBroker(
+        num_partitions=parts, sasl_plain={"soak-key": "soak-secret"}
+    ) as broker:
+        bootstrap = f"{broker.addr[0]}:{broker.addr[1]}"
+        sasl_opts = {
+            "security_protocol": "SASL_PLAINTEXT",
+            "sasl_username": "soak-key",
+            "sasl_password": "soak-secret",
+        }
+        n_auth = max(n_msgs // 5, 2000)
+        wire_auth = io_kafka.to_wire_frame(
+            generator.mensagens(spark, n_auth, tamanho_kb=1),
+            to_avro(F.struct("id", "timestamp", "sequencia", "dados", "versao")),
+            num_particoes=parts,
+        ).repartition(parts, "partition")
+        writer = wire_auth.write.format("kafka_wire").option(
+            "bootstrap", bootstrap
+        ).option("topic", "soak_auth").mode("append")
+        for k, v in sasl_opts.items():
+            writer = writer.option(k, v)
+        t0 = time.perf_counter()
+        writer.save()
+        dt = time.perf_counter() - t0
+        out["sasl_produce_sec"] = round(dt, 2)
+        out["sasl_produce_msgs_per_sec"] = round(n_auth / dt, 1)
+        reader = spark.read.format("kafka_wire").option(
+            "bootstrap", bootstrap
+        ).option("topic", "soak_auth")
+        for k, v in sasl_opts.items():
+            reader = reader.option(k, v)
+        t0 = time.perf_counter()
+        n_read = reader.load().count()
+        dt = time.perf_counter() - t0
+        out["sasl_consume_sec"] = round(dt, 2)
+        out["sasl_rows_consumed"] = n_read
+        out["sasl_n_msgs"] = n_auth
+        out["sasl_exact"] = n_read == n_auth
     try:
         out["loadavg_1m"] = round(os.getloadavg()[0], 1)
     except OSError:
