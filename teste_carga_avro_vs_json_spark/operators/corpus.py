@@ -1256,3 +1256,85 @@ def fim_transform_sql(
                 WHEN spm THEN 'spm' ELSE 'psm' END AS mode
     FROM parts
     """
+
+
+# ----------------------------------------------------- RAG chunking
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 1200,
+    overlap_chars: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval-side document chunking: fixed character windows with
+    overlap (the CharacterTextSplitter convention RAG indexes are
+    built on — training-side packing lives in :func:`pack_sequences`/
+    :func:`pack_windows`, which are tokenizer-aware). Deterministic
+    and SQL-expressible by design: window ``i`` is
+    ``substring(text, i*stride + 1, chunk_chars)`` with
+    ``stride = chunk_chars - overlap_chars``, so consecutive chunks
+    share exactly ``overlap_chars`` characters and the union of
+    chunks covers every character. Output: (doc_id, chunk_idx,
+    n_chunks, chunk_text) — one row per chunk, empty docs emit one
+    empty chunk (auditable: every input doc appears).
+
+    Scale: one shuffle-free projection + posexplode — the generated
+    windows are bounded by doc length, and the chunk text is produced
+    FROM the staged row (no array payload carried through any join).
+    Sentence/semantic boundary snapping is deliberately out of scope
+    here (it needs a tokenizer/model and breaks the exact oracle);
+    compose with :func:`pack_windows` for token-aware splits."""
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be < chunk_chars")
+    stride = chunk_chars - overlap_chars
+    # exact integer ceil — no doubles anywhere near the oracle hash
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(
+            f"(length({text_col}) - {overlap_chars} + {stride - 1}) "
+            f"div {stride}"
+        ).cast("int"),
+    )
+    staged = docs.select(
+        "doc_id", F.col(text_col).alias("_t"), n_chunks.alias("n_chunks")
+    )
+    exploded = staged.select(
+        "doc_id",
+        "_t",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "n_chunks",
+        F.expr(
+            f"substring(_t, chunk_idx * {stride} + 1, {chunk_chars})"
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_chars: int = 1200,
+    overlap_chars: int = 200,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle twin (same stride arithmetic, same 1-based
+    substr; both engines count CHARACTERS, not bytes)."""
+    stride = chunk_chars - overlap_chars
+    return f"""
+    WITH staged AS (
+      SELECT doc_id, text AS _t,
+             GREATEST(1, CAST(
+               (length(text) - {overlap_chars} + {stride} - 1)
+                 // {stride} AS INTEGER)) AS n_chunks
+      FROM {table}
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           n_chunks,
+           substr(_t, CAST(i * {stride} + 1 AS BIGINT), {chunk_chars})
+             AS chunk_text
+    FROM staged, UNNEST(range(n_chunks)) AS u(i)
+    """

@@ -1775,3 +1775,38 @@ def test_fim_transform_reconstruction_and_modes(spark, sf_dir):
     got = {d: (r["fim_text"], r["fim_applied"], r["mode"])
            for d, r in rows.items()}
     assert got == want
+
+
+def test_chunk_documents_coverage_and_overlap(spark, sf_dir):
+    """RAG chunker contract: chunk 0 starts at char 1, consecutive
+    chunks overlap by exactly overlap_chars, stripping the overlap and
+    concatenating reconstructs the document EXACTLY, and every doc
+    (even empty/short ones) emits >= 1 chunk."""
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(80)
+    chunk, overlap = 300, 60
+    stride = chunk - overlap
+    out = corpus.chunk_documents(docs, chunk, overlap)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        src = texts[doc_id]
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert all(c.n_chunks == len(chunks) for c in chunks)
+        # overlap property between consecutive chunks
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.chunk_text[stride:] == b.chunk_text[: overlap], doc_id
+        # reconstruction: chunk 0 whole + stride-suffixes of the rest
+        rebuilt = chunks[0].chunk_text + "".join(
+            c.chunk_text[overlap:] for c in chunks[1:]
+        )
+        assert rebuilt == src, doc_id
+        # sizes bounded
+        assert all(len(c.chunk_text) <= chunk for c in chunks)

@@ -340,6 +340,20 @@ def _domain_cap_sql() -> str:
     return crawl.domain_cap_sql()
 
 
+def _q_chunk_documents(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    return corpus.chunk_documents(
+        load_table(spark, sf_dir, "documents"), 300, 60
+    )
+
+
+def _chunk_documents_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    return corpus.chunk_documents_sql(300, 60)
+
+
 def _q_fim_transform(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -438,6 +452,7 @@ def retired_queries() -> dict:
         "q_url_dedup": _q_url_dedup,
         "q_domain_profile": _q_domain_profile,
         "q_domain_cap": _q_domain_cap,
+        "q_chunk_documents": _q_chunk_documents,
         "q_fim_transform": _q_fim_transform,
     }
 
@@ -477,6 +492,7 @@ def retired_oracle_sql() -> dict:
         "q_url_dedup": _url_dedup_sql(),
         "q_domain_profile": _domain_profile_sql(),
         "q_domain_cap": _domain_cap_sql(),
+        "q_chunk_documents": _chunk_documents_sql(),
         "q_fim_transform": _fim_transform_sql(),
     }
 
