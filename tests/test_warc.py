@@ -205,3 +205,52 @@ def test_header_injection_sanitized():
     assert r.target_uri == "https://e/xWARC-Type: injectedpath"
     assert r.headers.get("X-Meta") == "abc"
     assert r.payload == body
+
+
+def test_warc_pdf_chain(spark, sf_dir, tmp_path):
+    """The CommonCrawl PDF path: synth PDFs → WARC shards with
+    application/pdf payloads → read_warc_pdfs → extract_text_pdf ==
+    the fixture 8-word-line structure, plus content-type filtering
+    proven on a mixed shard (HTML records excluded scan-locally)."""
+    from teste_carga_avro_vs_json_spark.operators import (
+        html_extract as hx,
+        pdf_extract as px,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(60)
+    pdfs = px.synth_pdf(docs).select(
+        "doc_id",
+        F.concat(F.lit("https://e/pdf/"), F.col("doc_id")).alias("url"),
+        F.col("pdf").alias("html"),  # write_warc's payload column
+    )
+    out = str(tmp_path / "warc_pdf")
+    W.write_warc(pdfs, out, num_files=4, content_type="application/pdf")
+    # add an HTML shard into the same directory (mixed corpus)
+    html_pages = hx.synth_html(docs.limit(10)).select(
+        "doc_id",
+        F.concat(F.lit("https://e/html/"), F.col("doc_id")).alias("url"),
+        "html",
+    )
+    W.write_warc(html_pages, str(tmp_path / "warc_pdf" / "html_sub"), num_files=1)
+    import shutil
+
+    for f in (tmp_path / "warc_pdf" / "html_sub").glob("*.warc.gz"):
+        shutil.move(str(f), str(tmp_path / "warc_pdf" / ("html-" + f.name)))
+
+    got = px.extract_text_pdf(W.read_warc_pdfs(spark, out))
+    rows = {r.doc_id: r for r in got.collect()}
+    assert len(rows) == 60  # html records filtered scan-locally
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, r in rows.items():
+        assert r.error is None
+        words = (src[doc_id] or "").split()
+        expect = "\n".join(
+            " ".join(words[i : i + 8])
+            for i in range(0, max(len(words), 1), 8)
+        ).strip()
+        assert r.text == expect
+    # and the text twin still reads only the HTML records
+    html_read = W.read_warc_payloads(spark, out, "text/html")
+    assert html_read.count() == 10
