@@ -490,3 +490,38 @@ def test_scram_mechanism_rejected_when_only_plain_enabled():
                 sasl_mechanism="SCRAM-SHA-256",
                 sasl_username="alice", sasl_password="x",
             )
+
+
+def test_format_kafka_wire_datasource_over_scram(spark):
+    """format(\"kafka_wire\") with sasl_mechanism=SCRAM-SHA-256 — the
+    option path must run the multi-round exchange, not PLAIN."""
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire_source import (
+        register,
+    )
+
+    register(spark)
+    with StubBroker(
+        num_partitions=1, sasl_scram={"alice": "segredo"}
+    ) as b:
+        host, port = b.addr
+        c = WireKafkaClient(
+            host, port,
+            security_protocol="SASL_PLAINTEXT",
+            sasl_mechanism="SCRAM-SHA-256",
+            sasl_username="alice", sasl_password="segredo",
+        )
+        try:
+            c.produce("carga", 0, [(b"k", b"scram-payload")])
+        finally:
+            c.close()
+        df = (
+            spark.read.format("kafka_wire")
+            .option("bootstrap", f"{host}:{port}")
+            .option("topic", "carga")
+            .option("security_protocol", "SASL_PLAINTEXT")
+            .option("sasl_mechanism", "SCRAM-SHA-256")
+            .option("sasl_username", "alice")
+            .option("sasl_password", "segredo")
+            .load()
+        )
+        assert [bytes(r.value) for r in df.collect()] == [b"scram-payload"]
