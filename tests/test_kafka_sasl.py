@@ -525,3 +525,29 @@ def test_format_kafka_wire_datasource_over_scram(spark):
             .load()
         )
         assert [bytes(r.value) for r in df.collect()] == [b"scram-payload"]
+
+
+def test_scram_over_tls_e2e(tmp_path):
+    """SCRAM-SHA-256 over TLS — the strongest listener combination;
+    composition of the two r9 mechanisms on one socket."""
+    server_ctx, client_ctx = _tls_contexts(tmp_path)
+    with StubBroker(
+        num_partitions=1,
+        sasl_scram={"alice": "segredo"},
+        ssl_context=server_ctx,
+    ) as b:
+        host, port = b.addr
+        client = WireKafkaClient(
+            host, port,
+            security_protocol="SASL_SSL",
+            sasl_mechanism="SCRAM-SHA-256",
+            sasl_username="alice",
+            sasl_password="segredo",
+            ssl_context=client_ctx,
+            server_hostname="localhost",
+        )
+        try:
+            assert client._sock.version() is not None
+            _produce_consume_loop(client)
+        finally:
+            client.close()

@@ -181,3 +181,39 @@ def test_incremental_build_processes_only_the_delta(spark, sf_dir, tmp_path):
     assert mt.snapshot_versions(clean) == [
         r1["clean_version"], r2["clean_version"]
     ]
+
+
+@pytest.mark.slow
+def test_incremental_build_survives_vacuum(spark, sf_dir, tmp_path):
+    """Housekeeping composition: vacuuming old clean versions (and raw
+    versions) must not break the incremental state — the high-water
+    mark rides the LATEST manifest, which vacuum always retains."""
+    from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+    from teste_carga_avro_vs_json_spark.pipelines import (
+        build_corpus_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    raw = str(tmp_path / "raw")
+    clean = str(tmp_path / "clean")
+    mt.snapshot_commit(docs.limit(20), raw)
+    build_corpus_incremental(spark, raw, clean, line_filter=False,
+                             keep_frac=1.0)
+    mt.snapshot_commit(docs.where("doc_id >= 100").limit(15), raw)
+    build_corpus_incremental(spark, raw, clean, line_filter=False,
+                             keep_frac=1.0)
+    n_before = mt.snapshot_read(spark, clean).count()
+
+    mt.snapshot_vacuum(clean, keep_last=1)
+    mt.snapshot_vacuum(raw, keep_last=1)
+    assert mt.snapshot_read(spark, clean).count() == n_before
+    # still up to date after vacuum (state intact in the latest manifest)
+    r = build_corpus_incremental(spark, raw, clean)
+    assert r["status"] == "up_to_date"
+    # and a NEW raw commit still processes only its delta
+    mt.snapshot_commit(docs.where("doc_id >= 300").limit(10), raw)
+    r2 = build_corpus_incremental(spark, raw, clean, line_filter=False,
+                                  keep_frac=1.0)
+    assert r2["status"] == "appended" and r2["n_delta_docs"] == 10
