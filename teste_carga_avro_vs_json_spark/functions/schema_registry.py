@@ -239,48 +239,57 @@ Opener = Callable[[str, str, bytes | None], tuple[int, bytes]]
 
 
 def _default_opener(method: str, url: str, body: bytes | None) -> tuple[int, bytes]:
+    return _open_http(method, url, body, headers=None, tls=None)
+
+
+def _open_http(
+    method: str,
+    url: str,
+    body: bytes | None,
+    headers: dict | None,
+    tls: "object | None",
+) -> tuple[int, bytes]:
     req = urllib.request.Request(
         url,
         data=body,
         method=method,
-        headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+        headers={
+            "Content-Type": "application/vnd.schemaregistry.v1+json",
+            **(headers or {}),
+        },
     )
-    try:  # pragma: no cover - needs server
-        with urllib.request.urlopen(req) as resp:
+    kwargs = {"context": tls} if tls is not None else {}
+    try:
+        with urllib.request.urlopen(req, **kwargs) as resp:
             return resp.status, resp.read()
-    except urllib.error.HTTPError as e:  # pragma: no cover - needs server
+    except urllib.error.HTTPError as e:
         # 4xx/5xx arrive as HTTPError, not a response object — normalize
         # to (status, body) so the class's RuntimeError contract holds
         # for the real opener exactly as it does for injected ones
         return e.code, e.read()
 
 
-def _basic_auth_opener(auth: tuple[str, str]) -> Opener:
+def _basic_auth_opener(
+    auth: tuple[str, str] | None, tls: "object | None" = None
+) -> Opener:
     """Default opener + ``Authorization: Basic`` on every request —
     the USER_INFO credentials source the reference configures
     (ConfiguracaoKafka.java:153-156: ``basic.auth.credentials.source=
-    USER_INFO``, ``basic.auth.user.info=key:secret``)."""
-    import base64
+    USER_INFO``, ``basic.auth.user.info=key:secret``) — plus an
+    optional ``ssl.SSLContext`` for https registries (the reference's
+    SR URL is https; pass a CA-loaded context for self-signed test
+    servers)."""
+    headers = None
+    if auth is not None:
+        import base64
 
-    token = base64.b64encode(
-        f"{auth[0]}:{auth[1]}".encode("utf-8")
-    ).decode("ascii")
+        token = base64.b64encode(
+            f"{auth[0]}:{auth[1]}".encode("utf-8")
+        ).decode("ascii")
+        headers = {"Authorization": f"Basic {token}"}
 
     def opener(method: str, url: str, body: bytes | None):
-        req = urllib.request.Request(
-            url,
-            data=body,
-            method=method,
-            headers={
-                "Content-Type": "application/vnd.schemaregistry.v1+json",
-                "Authorization": f"Basic {token}",
-            },
-        )
-        try:
-            with urllib.request.urlopen(req) as resp:
-                return resp.status, resp.read()
-        except urllib.error.HTTPError as e:
-            return e.code, e.read()
+        return _open_http(method, url, body, headers, tls)
 
     return opener
 
@@ -307,10 +316,14 @@ class HttpSchemaRegistry:
         base_url: str,
         opener: Opener | None = None,
         auth: tuple[str, str] | None = None,
+        tls_context: "object | None" = None,
     ) -> None:
         self._base = base_url.rstrip("/")
         if opener is None:
-            opener = _basic_auth_opener(auth) if auth else _default_opener
+            if auth is not None or tls_context is not None:
+                opener = _basic_auth_opener(auth, tls_context)
+            else:
+                opener = _default_opener
         self._open = opener
 
     def register(self, subject: str, schema: str) -> int:
@@ -412,6 +425,7 @@ class SchemaRegistryServer:
         self,
         auth: tuple[str, str] | None = None,
         host: str = "127.0.0.1",
+        ssl_context: "object | None" = None,
     ) -> None:
         import base64
         import http.server
@@ -591,8 +605,17 @@ class SchemaRegistryServer:
         import http.server as _hs
 
         self._server = _hs.ThreadingHTTPServer((host, 0), Handler)
+        scheme = "http"
+        if ssl_context is not None:
+            # https listener: wrap the SERVER socket once — accepted
+            # connections inherit TLS (the reference's SR is https,
+            # ConfiguracaoKafka.java:152)
+            self._server.socket = ssl_context.wrap_socket(
+                self._server.socket, server_side=True
+            )
+            scheme = "https"
         self.url = (
-            f"http://{self._server.server_address[0]}"
+            f"{scheme}://{self._server.server_address[0]}"
             f":{self._server.server_address[1]}"
         )
 

@@ -653,3 +653,42 @@ def test_sr_server_compat_409_and_config_over_the_wire():
             urllib.request.urlopen(req)
         assert ei.value.code == 422
         assert json.loads(ei.value.read())["error_code"] == 42201
+
+
+def test_sr_server_over_https_with_auth(tmp_path):
+    """The reference's actual SR shape: https + USER_INFO basic auth
+    (ConfiguracaoKafka.java:152-156) — TLS-wrapped stdlib server, CA-
+    pinned client context, register/get round trip over the wire;
+    an un-pinned client (default trust store) must fail the handshake."""
+    import ssl
+    import urllib.error
+
+    pytest.importorskip("cryptography")
+    from tests.test_kafka_sasl import _tls_contexts
+
+    server_ctx, client_ctx = _tls_contexts(tmp_path)
+    from teste_carga_avro_vs_json_spark.functions.schema_registry import (
+        HttpSchemaRegistry,
+        SchemaRegistryServer,
+        canonical_schema,
+    )
+
+    with SchemaRegistryServer(
+        auth=("srk", "srs"), ssl_context=server_ctx
+    ) as srv:
+        assert srv.url.startswith("https://")
+        client = HttpSchemaRegistry(
+            srv.url, auth=("srk", "srs"), tls_context=client_ctx
+        )
+        sid = client.register("t-value", SCHEMA)
+        assert client.get_by_id(sid) == canonical_schema(SCHEMA)
+        # wrong password over TLS: still 401
+        bad = HttpSchemaRegistry(
+            srv.url, auth=("srk", "wrong"), tls_context=client_ctx
+        )
+        with pytest.raises(RuntimeError, match="HTTP 401"):
+            bad.get_by_id(sid)
+        # a client without the CA pinned must refuse the connection
+        untrusting = HttpSchemaRegistry(srv.url, auth=("srk", "srs"))
+        with pytest.raises((ssl.SSLError, OSError, urllib.error.URLError)):
+            untrusting.get_by_id(sid)
