@@ -254,3 +254,34 @@ def test_warc_pdf_chain(spark, sf_dir, tmp_path):
     # and the text twin still reads only the HTML records
     html_read = W.read_warc_payloads(spark, out, "text/html")
     assert html_read.count() == 10
+
+
+def test_read_warc_payloads_generic_crawl_without_doc_ids(spark, tmp_path):
+    """Generic (non-our-sink) crawl data: records lack the
+    WARC-X-Spark-Doc-Id extension header, so doc_id is NULL and
+    consumers key on target_uri — the real CommonCrawl shape."""
+    from teste_carga_avro_vs_json_spark.operators import pdf_extract as px
+
+    pdf_bytes = px.build_pdf([["generic crawl pdf"]])
+    recs = b""
+    for i, (url, ctype, body) in enumerate(
+        [
+            ("https://x/a.pdf", "application/pdf", pdf_bytes),
+            ("https://x/b.html", "text/html", b"<p>ola</p>"),
+        ]
+    ):
+        http = W.build_http_response(body, content_type=ctype)
+        recs += W.build_record(
+            "response", http, target_uri=url,
+            content_type="application/http; msgtype=response",
+        )
+    out = tmp_path / "generic"
+    out.mkdir()
+    (out / "shard.warc").write_bytes(recs)
+
+    pdfs = W.read_warc_pdfs(spark, str(out)).collect()
+    assert len(pdfs) == 1
+    assert pdfs[0].doc_id is None
+    assert pdfs[0].url == "https://x/a.pdf"
+    text, _ = px.extract_pdf(bytes(pdfs[0].pdf))
+    assert text == "generic crawl pdf"
