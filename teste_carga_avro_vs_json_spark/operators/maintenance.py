@@ -389,7 +389,23 @@ def snapshot_read(
     manifest = _read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, f["path"]) for f in manifest["files"]]
     if not paths:
-        return spark.read.parquet(os.path.join(table_dir, "data"))  # pragma: no cover
+        # An empty-manifest version (e.g. a zero-survivor incremental
+        # append after an overwrite-to-empty) must return ZERO rows.
+        # Never fall back to scanning data/ — with attempt-unique
+        # c-* dirs it can hold parquet from failed or concurrent
+        # commit attempts that are not part of this version. Borrow
+        # the schema from any other version's files; a table that has
+        # never had a file has no knowable schema.
+        for v in reversed(snapshot_versions(table_dir)):
+            other = _read_manifest(table_dir, v)["files"]
+            if other:
+                return spark.read.parquet(
+                    os.path.join(table_dir, other[0]["path"])
+                ).limit(0)
+        raise ValueError(
+            f"version {version} of {table_dir!r} has no files and no "
+            "other version defines a schema"
+        )
     return spark.read.parquet(*paths)
 
 

@@ -483,12 +483,20 @@ class ScramClient:
     the default draws fresh randomness per exchange as the RFC
     requires."""
 
+    #: RFC 7677 norm and the floor production SCRAM clients enforce. A
+    #: spoofed broker advertising a tiny i= would otherwise harvest a
+    #: proof derived from a nearly-unstretched PBKDF2 hash (offline
+    #: cracking downgrade) that the later server-signature check can't
+    #: undo — so reject before computing the proof.
+    MIN_ITERATIONS = 4096
+
     def __init__(
         self,
         username: str,
         password: str,
         algo: str = "sha256",
         nonce: str | None = None,
+        min_iterations: int = MIN_ITERATIONS,
     ):
         if nonce is None:
             import base64
@@ -499,6 +507,7 @@ class ScramClient:
         self._password = password
         self._algo = algo
         self._nonce = nonce
+        self._min_iterations = min_iterations
         self._first_bare = f"n={_scram_saslname(username)},r={nonce}"
         self.server_signature: bytes | None = None
 
@@ -518,8 +527,11 @@ class ScramClient:
             raise SaslAuthenticationError("server nonce does not extend ours")
         salt = base64.b64decode(attrs["s"])
         iterations = int(attrs["i"])
-        if iterations < 1:
-            raise SaslAuthenticationError("non-positive SCRAM iterations")
+        if iterations < self._min_iterations:
+            raise SaslAuthenticationError(
+                f"SCRAM iteration count {iterations} below the "
+                f"{self._min_iterations} floor (downgrade attempt?)"
+            )
         salted = _scram_hi(
             self._password.encode("utf-8"), salt, iterations, self._algo
         )
@@ -1432,7 +1444,12 @@ class StubBroker:
             r.string()  # member_id
             r.i64()  # retention_time
             n_topics = r.i32()
-            results = []
+            # One response block per TOPIC with its partition array —
+            # the real broker encoding; one block per (topic,
+            # partition) pair would leave trailing blocks the client
+            # never parses, so later per-partition error codes would
+            # be silently unchecked.
+            by_topic: dict[str, list[int]] = {}
             for _ in range(n_topics):
                 topic = r.string()
                 for _p in range(r.i32()):
@@ -1444,10 +1461,12 @@ class StubBroker:
                             off,
                             meta,
                         )
-                    results.append((topic, partition))
-            w.i32(n_topics)
-            for topic, partition in results:
-                w.string(topic).i32(1).i32(partition).i16(0)
+                    by_topic.setdefault(topic, []).append(partition)
+            w.i32(len(by_topic))
+            for topic, partitions in by_topic.items():
+                w.string(topic).i32(len(partitions))
+                for partition in partitions:
+                    w.i32(partition).i16(0)
         elif api_key == _API_OFFSET_FETCH:
             group = r.string()
             n_topics = r.i32()

@@ -140,3 +140,30 @@ def test_format_kafka_wire_group_option(spark):
             .load()
         )
         assert [bytes(r.value) for r in df.collect()] == [b"v1"]
+
+
+def test_offset_commit_multi_partition_one_topic_response_parsed():
+    """A commit of MULTIPLE partitions under ONE topic must produce a
+    response the client fully parses (one block per topic with a
+    partition array, the real broker encoding) — a per-(topic,
+    partition) block layout would leave trailing bytes the client
+    never checks, silently dropping per-partition error codes."""
+    with StubBroker(num_partitions=4) as b:
+        c = WireKafkaClient(*b.addr)
+        try:
+            c.offset_commit(
+                "g1",
+                {("carga", 0): 1, ("carga", 1): 2, ("carga", 2): 3,
+                 ("carga", 3): 4},
+            )
+            assert c.offset_fetch("g1", "carga", [0, 1, 2, 3]) == {
+                0: 1, 1: 2, 2: 3, 3: 4,
+            }
+            # a second call on the SAME connection proves no trailing
+            # bytes were left unread by the first response parse
+            c.offset_commit("g1", {("carga", 1): 9, ("carga", 3): 11})
+            assert c.offset_fetch("g1", "carga", [0, 1, 2, 3]) == {
+                0: 1, 1: 9, 2: 3, 3: 11,
+            }
+        finally:
+            c.close()

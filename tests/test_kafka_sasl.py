@@ -551,3 +551,27 @@ def test_scram_over_tls_e2e(tmp_path):
             _produce_consume_loop(client)
         finally:
             client.close()
+
+
+def test_scram_iteration_downgrade_rejected():
+    """A spoofed broker advertising a tiny iteration count must be
+    rejected BEFORE a proof is computed — a proof over a nearly
+    unstretched PBKDF2 hash is an offline-cracking gift the mutual
+    server-signature check cannot take back."""
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import ScramClient
+
+    c = ScramClient("user", "pencil", "sha256",
+                    nonce="rOprNGfwEbeRWgbNEkqO")
+    c.first()
+    with pytest.raises(SaslAuthenticationError, match="below the 4096"):
+        c.final(
+            b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+            b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=1"
+        )
+    # an explicit opt-down still works (test rigs, legacy brokers)
+    c2 = ScramClient("user", "pencil", "sha256",
+                     nonce="rOprNGfwEbeRWgbNEkqO", min_iterations=1)
+    assert c2.final(
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=1"
+    ).startswith(b"c=biws,")

@@ -363,3 +363,50 @@ def test_snapshot_commit_retries_on_stale_version_read(
     assert v == 3
     assert calls["n"] >= 2  # the EEXIST retry re-read the log
     assert mt.snapshot_read(spark, tdir, 3).count() == 5 + 6 + 7
+
+
+def test_snapshot_read_empty_version_returns_zero_rows(spark, sf_dir, tmp_path):
+    """An empty-manifest version must return ZERO rows with the
+    table's schema — never fall back to scanning data/, which with
+    attempt-unique c-* dirs can hold parquet from other versions or
+    failed commit attempts that are not part of this version."""
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    import json
+    import os
+
+    def _force_empty_manifest(table_dir, version):
+        # synthesize the zero-survivor shape: a committed version
+        # whose file list is literally empty (a 0-row write still
+        # emits a part file, so go through the manifest directly)
+        path = mt._manifest_path(table_dir, version)
+        with open(path) as f:
+            m = json.load(f)
+        m["files"], m["n_files"], m["n_bytes"] = [], 0, 0
+        with open(path, "w") as f:
+            json.dump(m, f)
+
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.limit(20), tdir)                     # v1: 20 rows
+    v2 = mt.snapshot_commit(docs.limit(0), tdir, mode="overwrite")  # v2: empty
+    _force_empty_manifest(tdir, v2)
+    # plant an orphan in data/ — a failed/concurrent attempt's output
+    # that must NOT leak into the empty version
+    orphan = os.path.join(tdir, "data")
+    docs.limit(5).write.mode("append").parquet(
+        os.path.join(orphan, "c-orphan")
+    )
+    empty = mt.snapshot_read(spark, tdir, v2)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "text"]
+    assert mt.snapshot_read(spark, tdir, 1).count() == 20  # v1 untouched
+
+    # a table whose ONLY version is empty has no knowable schema
+    t2 = str(tmp_path / "t2")
+    v = mt.snapshot_commit(docs.limit(0), t2)
+    _force_empty_manifest(t2, v)
+    with pytest.raises(ValueError, match="no files"):
+        mt.snapshot_read(spark, t2, 1)
