@@ -116,7 +116,9 @@ def _await_quiet_window(
         waited += sleep
 
 
-def main() -> None:
+def main() -> bool:
+    """One full bench capture. Returns True when the run-window
+    contention check tripped (the caller may retry once)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     gate = _await_quiet_window(
@@ -588,6 +590,16 @@ def main() -> None:
     if (out.get("steal_pct") or 0) > 1.0:
         gate["contended_fallback"] = True
         gate["reason"] = f"run-window steal {out['steal_pct']}%"
+    # ... and run-window LOADAVG (r9's official run passed the gate at
+    # loadavg 5.8 then finished at 11.7, inflating transport +43.7% vs
+    # four quiet runs at the floor — steal alone missed it because the
+    # contention was CPU competition, not hypervisor theft)
+    if (out.get("loadavg_1m") or 0) > 8.0:
+        gate["contended_fallback"] = True
+        reason = f"run-window loadavg {out['loadavg_1m']}"
+        gate["reason"] = (
+            f"{gate['reason']}; {reason}" if gate.get("reason") else reason
+        )
     if deltas:
         out["delta_pct_vs_baseline"] = deltas
     print(json.dumps(out))
@@ -610,7 +622,19 @@ def main() -> None:
         "gate_waited_sec": gate["waited_sec"],
     }), flush=True)
     spark.stop()
+    return bool(gate["contended_fallback"])
 
 
 if __name__ == "__main__":
-    main()
+    # A tripped run-window (contention that ARRIVED mid-run, past the
+    # pre-run gate) gets ONE retry: both captures' JSON lines are
+    # emitted, so any tail capture holds the retry — which re-waits
+    # for a quiet window at its own gate. SPARK_GRAFT_BENCH_RETRY=0
+    # opts out (A/B rigs that manage their own windows).
+    tripped = main()
+    if tripped and os.environ.get("SPARK_GRAFT_BENCH_RETRY", "1") != "0":
+        print(
+            json.dumps({"bench_retry": "run window contended; retrying once"}),
+            flush=True,
+        )
+        main()
