@@ -25,6 +25,7 @@ import pyspark.sql.functions as F
 from teste_carga_avro_vs_json_spark.operators import (
     analytics,
     corpus,
+    crawl,
     decontam,
     dedup,
     metrics,
@@ -1049,6 +1050,26 @@ def _frame_sample_sql() -> str:
     """
 
 
+# ------------------------------------------------------------ crawl/RAG
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain document budget: canonical-host
+    rank windows, deterministic keep order (operators/crawl.py:451).
+    Promoted into the driver window r10 (VERDICT r9 order #3) from the
+    check_retired local-oracle set."""
+    return crawl.domain_cap(
+        crawl.synth_urls(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: fixed char windows + overlap as a zero-shuffle
+    row-local explode (operators/corpus.py:1262). Promoted into the
+    driver window r10 alongside q_domain_cap."""
+    return corpus.chunk_documents(
+        load_table(spark, sf_dir, "documents"), 300, 60
+    )
+
+
 # -------------------------------------------------------------- registry
 # HARD CAP: 50 entries. The driver's correctness harness checks exactly
 # the first 50 entries of this dict (CORRECTNESS_r02/r03 evidence) —
@@ -1062,10 +1083,14 @@ def queries() -> dict[str, QueryFn]:
         "q_size_estimate": q_size_estimate,
         "q_json_roundtrip": q_json_roundtrip,
         "q_avro_roundtrip": q_avro_roundtrip,
-        "q_file_avro_roundtrip": q_file_avro_roundtrip,
+        # r10: q_file_avro_roundtrip retired into q_file_avro_ocf_roundtrip
+        # and q_stream_json_e2e into q_stream_metrics_agg (both fully
+        # covered by check_retired.py + pytest pins); slots given to
+        # q_domain_cap + q_chunk_documents (VERDICT r9 order #3).
         "q_file_avro_ocf_roundtrip": q_file_avro_ocf_roundtrip,
         "q_stream_metrics_agg": q_stream_metrics_agg,
-        "q_stream_json_e2e": q_stream_json_e2e,
+        "q_domain_cap": q_domain_cap,
+        "q_chunk_documents": q_chunk_documents,
         "q_stream_dedup": q_stream_dedup,
         "q_stream_stream_join": q_stream_stream_join,
         "q_stream_sequence_audit": q_stream_sequence_audit,
@@ -1119,11 +1144,11 @@ def oracle_sql() -> dict[str, str]:
         # lossless round trips == the original generation
         "q_json_roundtrip": flat,
         "q_avro_roundtrip": flat,
-        "q_file_avro_roundtrip": flat,
         "q_file_avro_ocf_roundtrip": flat,
         # stream == batch: identical agg, identical oracle
         "q_stream_metrics_agg": metrics.metricas_agg_sql(_EVENTOS_SQL),
-        "q_stream_json_e2e": _stream_json_e2e_sql(),
+        "q_domain_cap": crawl.domain_cap_sql(),
+        "q_chunk_documents": corpus.chunk_documents_sql(300, 60),
         "q_stream_dedup": _stream_dedup_sql(),
         "q_stream_stream_join": _stream_stream_join_sql(),
         "q_stream_sequence_audit": _stream_sequence_audit_sql(),

@@ -30,7 +30,12 @@ Retired inventory (r3 registry minus r4's 50-entry window; COVERAGE.md):
   q_ngram_jaccard;
 - q_embedding_neardup (r7-late) — slot given to q_semantic_dedup, its
   cluster-bounded successor (the brute all-pairs form stays the pytest
-  ground truth for the single-cluster equivalence pin).
+  ground truth for the single-cluster equivalence pin);
+- q_file_avro_roundtrip (r10) — slot given to q_domain_cap (promoted
+  from this tool's extra section into the driver window); the OCF twin
+  q_file_avro_ocf_roundtrip remains the registry's avro file surface;
+- q_stream_json_e2e (r10) — slot given to q_chunk_documents (same
+  promotion); stream==batch stays in-window via q_stream_metrics_agg.
 
 Beyond retirements, this tool also hash-checks EXTRA oracle-capable
 surfaces that never held a registry slot (the 50-entry window is a
@@ -145,6 +150,18 @@ def _q_file_json_roundtrip(spark, sf_dir):
 
 def _q_file_parquet_roundtrip(spark, sf_dir):
     return registry._file_roundtrip(spark, "parquet")
+
+
+def _q_file_avro_roundtrip(spark, sf_dir):
+    # r10-retired: slot given to q_domain_cap; the OCF twin stays the
+    # registry representative of the avro file surface
+    return registry.q_file_avro_roundtrip(spark, sf_dir)
+
+
+def _q_stream_json_e2e(spark, sf_dir):
+    # r10-retired: slot given to q_chunk_documents; stream==batch for
+    # the metrics agg stays in-window via q_stream_metrics_agg
+    return registry.q_stream_json_e2e(spark, sf_dir)
 
 
 def _media_resize_sql() -> str:
@@ -326,34 +343,6 @@ def _domain_profile_sql() -> str:
     return crawl.domain_profile_sql()
 
 
-def _q_domain_cap(spark, sf_dir):
-    from teste_carga_avro_vs_json_spark.operators import crawl
-
-    return crawl.domain_cap(
-        crawl.synth_urls(load_table(spark, sf_dir, "documents"))
-    )
-
-
-def _domain_cap_sql() -> str:
-    from teste_carga_avro_vs_json_spark.operators import crawl
-
-    return crawl.domain_cap_sql()
-
-
-def _q_chunk_documents(spark, sf_dir):
-    from teste_carga_avro_vs_json_spark.operators import corpus
-
-    return corpus.chunk_documents(
-        load_table(spark, sf_dir, "documents"), 300, 60
-    )
-
-
-def _chunk_documents_sql() -> str:
-    from teste_carga_avro_vs_json_spark.operators import corpus
-
-    return corpus.chunk_documents_sql(300, 60)
-
-
 def _q_fim_transform(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -451,9 +440,11 @@ def retired_queries() -> dict:
         "q_bm25_topk": _q_bm25_topk,
         "q_url_dedup": _q_url_dedup,
         "q_domain_profile": _q_domain_profile,
-        "q_domain_cap": _q_domain_cap,
-        "q_chunk_documents": _q_chunk_documents,
         "q_fim_transform": _q_fim_transform,
+        # r10 retirements (slots given to q_domain_cap +
+        # q_chunk_documents, which moved INTO the driver window)
+        "q_file_avro_roundtrip": _q_file_avro_roundtrip,
+        "q_stream_json_e2e": _q_stream_json_e2e,
     }
 
 
@@ -491,9 +482,9 @@ def retired_oracle_sql() -> dict:
         "q_bm25_topk": _bm25_topk_sql(),
         "q_url_dedup": _url_dedup_sql(),
         "q_domain_profile": _domain_profile_sql(),
-        "q_domain_cap": _domain_cap_sql(),
-        "q_chunk_documents": _chunk_documents_sql(),
         "q_fim_transform": _fim_transform_sql(),
+        "q_file_avro_roundtrip": flat,
+        "q_stream_json_e2e": registry._stream_json_e2e_sql(),
     }
 
 
