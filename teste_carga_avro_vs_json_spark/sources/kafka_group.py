@@ -1,0 +1,187 @@
+"""High-level consumer-group membership loop over the wire client.
+
+This is the repo counterpart of the reference's consume model: N
+``KafkaConsumer`` threads ``subscribe()``d to ONE group, each handed a
+disjoint partition slice by the broker coordinator, with a
+``ConsumerRebalanceListener`` that re-seeks whenever partitions are
+(re)assigned (``ConsumidorAvro.java:61-68`` — the listener's
+``onPartitionsAssigned`` seeks; group wiring
+``ConfiguracaoKafka.java:169``). The Java client split is preserved:
+
+- every member sends JoinGroup; the coordinator elects a LEADER;
+- the leader computes the assignment CLIENT-SIDE (here:
+  :func:`kafka_wire.range_assign`, the RangeAssignor default) and
+  ships it via SyncGroup; followers receive theirs from the same call;
+- heartbeats carry the rebalance signal: ``REBALANCE_IN_PROGRESS``
+  means "rejoin now" — exactly what the Java heartbeat thread turns
+  into the listener callback;
+- on every (re)assignment the member RE-SEEKS to the group's
+  COMMITTED offsets (the r9 offset store), so a partition moving
+  between members resumes exactly where the previous owner committed —
+  at-least-once across rebalances, exactly-once when commits precede
+  handoff.
+
+Scale note: this is the driver-side control surface (group membership
+is a per-member, per-session negotiation); the executor hot path for
+bulk reads remains the partition-parallel ``kafka_wire_source``. A
+production deployment would run ONE membership per streaming query to
+coordinate with non-Spark consumers, never one per task.
+"""
+
+from __future__ import annotations
+
+from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+    RebalanceInProgressError,
+    UnknownMemberIdError,
+    WireKafkaClient,
+    range_assign,
+)
+
+
+class GroupConsumer:
+    """One group member. Usage::
+
+        c = GroupConsumer(WireKafkaClient(*addr), "g1", ["topic"])
+        c.join()                      # blocks through one rebalance
+        records = c.poll()            # heartbeat + fetch assignment
+        c.commit()                    # fence-checked offset commit
+        c.close()                     # LeaveGroup (immediate rebalance
+                                      # for survivors)
+
+    ``poll`` returns ``(topic, partition, offset, key, value)`` tuples
+    and transparently REJOINS (with re-seek to committed offsets) when
+    the coordinator signals a rebalance; ``rebalances`` counts them so
+    callers can observe reassignment, like the reference's listener
+    logging (ConsumidorAvro.java:163-180)."""
+
+    def __init__(
+        self,
+        client: WireKafkaClient,
+        group: str,
+        topics: list[str],
+        session_timeout_ms: int = 10_000,
+        rebalance_timeout_ms: int = 10_000,
+    ):
+        self._client = client
+        self.group = group
+        self.topics = list(topics)
+        self._session_ms = session_timeout_ms
+        self._rebalance_ms = rebalance_timeout_ms
+        self.member_id = ""
+        self.generation = -1
+        self.assignment: dict[str, list[int]] = {}
+        self.positions: dict[tuple[str, int], int] = {}
+        self.rebalances = 0
+        self._closed = False
+
+    # ------------------------------------------------------ membership
+    def join(self) -> dict[str, list[int]]:
+        """One full join+sync round; on success the member holds its
+        assignment and has re-seeked every assigned partition to the
+        group's committed offset (earliest when none — the
+        ``auto.offset.reset=earliest`` default)."""
+        while True:
+            try:
+                res = self._client.join_group(
+                    self.group,
+                    self.topics,
+                    member_id=self.member_id,
+                    session_timeout_ms=self._session_ms,
+                    rebalance_timeout_ms=self._rebalance_ms,
+                )
+            except UnknownMemberIdError:
+                self.member_id = ""  # evicted: rejoin as a new member
+                continue
+            self.member_id = res["member_id"]
+            self.generation = res["generation"]
+            assignments = None
+            if res["leader"] == self.member_id:
+                # leader: compute the range assignment client-side
+                # over every member's subscription metadata
+                member_topics = {m: ts for m, ts in res["members"]}
+                all_topics = sorted(
+                    {t for ts in member_topics.values() for t in ts}
+                )
+                partitions = {
+                    t: self._client.partitions_for(t) for t in all_topics
+                }
+                assignments = range_assign(member_topics, partitions)
+            try:
+                self.assignment = self._client.sync_group(
+                    self.group, self.generation, self.member_id,
+                    assignments,
+                )
+            except RebalanceInProgressError:
+                continue  # another member moved the group: rejoin
+            break
+        self._seek_to_committed()
+        return self.assignment
+
+    def _seek_to_committed(self) -> None:
+        """The listener's onPartitionsAssigned: position every owned
+        partition at the group's committed offset, falling back to
+        earliest — a moved partition resumes exactly where its previous
+        owner committed."""
+        self.positions = {}
+        for topic, parts in self.assignment.items():
+            committed = self._client.offset_fetch(self.group, topic, parts)
+            for p in parts:
+                if p in committed:
+                    pos = committed[p]
+                else:
+                    pos = self._client.list_offset(topic, p, -2)  # earliest
+                self.positions[(topic, p)] = pos
+
+    # ------------------------------------------------------ consumption
+    def poll(
+        self, max_bytes: int = 1 << 20
+    ) -> list[tuple[str, int, int, bytes | None, bytes | None]]:
+        """Heartbeat, then one fetch round over the assignment. A
+        rebalance signal triggers a transparent rejoin (+ re-seek);
+        the poll then reads from the NEW assignment — the Java
+        ``poll()`` contract."""
+        try:
+            self._client.heartbeat_group(
+                self.group, self.generation, self.member_id
+            )
+        except RebalanceInProgressError:
+            self.rebalances += 1
+            self.join()
+        except UnknownMemberIdError:
+            self.rebalances += 1
+            self.member_id = ""
+            self.join()
+        out: list[tuple[str, int, int, bytes | None, bytes | None]] = []
+        for (topic, partition), pos in sorted(self.positions.items()):
+            _hw, recs = self._client.fetch(topic, partition, pos, max_bytes)
+            for off, key, value in recs:
+                out.append((topic, partition, off, key, value))
+            if recs:
+                self.positions[(topic, partition)] = recs[-1][0] + 1
+        return out
+
+    def commit(self) -> None:
+        """Commit current positions WITH membership credentials — the
+        coordinator fences commits from stale generations or evicted
+        members (raises the typed group errors)."""
+        if self.positions:
+            self._client.offset_commit(
+                self.group,
+                dict(self.positions),
+                generation_id=self.generation,
+                member_id=self.member_id,
+            )
+
+    def close(self) -> None:
+        """LeaveGroup: survivors rebalance immediately instead of
+        waiting out this member's session timeout."""
+        if not self._closed and self.member_id:
+            self._closed = True
+            self._client.leave_group(self.group, self.member_id)
+
+    def __enter__(self) -> "GroupConsumer":
+        self.join()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

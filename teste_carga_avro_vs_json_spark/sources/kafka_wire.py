@@ -35,6 +35,7 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 
 try:  # pickle-by-value: executors don't need the repo on PYTHONPATH
     import sys as _sys
@@ -431,6 +432,9 @@ _API_PRODUCE, _API_FETCH, _API_LIST_OFFSETS = 0, 1, 2
 _API_METADATA, _API_VERSIONS = 3, 18
 _API_SASL_HANDSHAKE = 17
 _API_OFFSET_COMMIT, _API_OFFSET_FETCH, _API_FIND_COORDINATOR = 8, 9, 10
+_API_JOIN_GROUP, _API_HEARTBEAT, _API_LEAVE_GROUP, _API_SYNC_GROUP = (
+    11, 12, 13, 14,
+)
 _API_INIT_PRODUCER_ID = 22
 _API_SASL_AUTHENTICATE = 36
 EARLIEST, LATEST = -2, -1
@@ -656,8 +660,14 @@ class _ScramServerExchange:
 # the protocol error codes this stack produces/interprets
 ERR_CORRUPT_MESSAGE = 2
 ERR_OUT_OF_ORDER_SEQUENCE = 45
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
 _ERR_NAMES = {
     2: "CORRUPT_MESSAGE",
+    22: "ILLEGAL_GENERATION",
+    25: "UNKNOWN_MEMBER_ID",
+    27: "REBALANCE_IN_PROGRESS",
     33: "UNSUPPORTED_SASL_MECHANISM",
     34: "ILLEGAL_SASL_STATE",
     45: "OUT_OF_ORDER_SEQUENCE_NUMBER",
@@ -669,13 +679,144 @@ def _err_name(code: int) -> str:
     return _ERR_NAMES.get(code, f"error {code}")
 
 
+# -------------------------------------------------- group membership
+# JoinGroup/SyncGroup/Heartbeat/LeaveGroup — the broker-coordinated
+# consumer-group protocol the reference's consume model relies on: 18
+# KafkaConsumer threads subscribe()d to ONE group, each handed a
+# disjoint partition slice by the coordinator and re-seeked by a
+# ConsumerRebalanceListener on reassignment
+# (ConsumidorAvro.java:61-68; group.id wiring ConfiguracaoKafka.java:169).
+# Wire formats follow the published Kafka protocol guide (JoinGroup v1,
+# SyncGroup/Heartbeat/LeaveGroup v0) and the ConsumerProtocol v0
+# subscription/assignment schemas used by every Java assignor.
+
+
+class GroupCoordinatorError(ValueError):
+    """A coordinator answered a group API with a retriable/fencing
+    error code. Subclasses map the three codes the membership loop
+    must react to."""
+
+    code: int = -1
+
+    def __init__(self, ctx: str):
+        super().__init__(f"{ctx}: {_err_name(self.code)}")
+
+
+class IllegalGenerationError(GroupCoordinatorError):
+    """Generation fencing (err 22): the request carried a generation
+    that is no longer current — a rebalance completed behind the
+    member's back; rejoin before retrying."""
+
+    code = ERR_ILLEGAL_GENERATION
+
+
+class UnknownMemberIdError(GroupCoordinatorError):
+    """Err 25: the member was evicted (session expiry / missed
+    rebalance); rejoin with an EMPTY member id."""
+
+    code = ERR_UNKNOWN_MEMBER_ID
+
+
+class RebalanceInProgressError(GroupCoordinatorError):
+    """Err 27: the group entered PreparingRebalance — the member must
+    rejoin (this is the signal the Java client surfaces to its
+    ConsumerRebalanceListener)."""
+
+    code = ERR_REBALANCE_IN_PROGRESS
+
+
+_GROUP_ERRS = {
+    ERR_ILLEGAL_GENERATION: IllegalGenerationError,
+    ERR_UNKNOWN_MEMBER_ID: UnknownMemberIdError,
+    ERR_REBALANCE_IN_PROGRESS: RebalanceInProgressError,
+}
+
+
+def _raise_group_err(code: int, ctx: str) -> None:
+    if code:
+        raise _GROUP_ERRS.get(code, lambda c: ValueError(
+            f"{ctx}: {_err_name(code)}"
+        ))(ctx)
+
+
+def encode_consumer_metadata(topics: list[str], user_data: bytes = b"") -> bytes:
+    """ConsumerProtocol Subscription v0: version, [topics], user_data."""
+    w = _W().i16(0).i32(len(topics))
+    for t in topics:
+        w.string(t)
+    w.bytes_(user_data)
+    return bytes(w.b)
+
+
+def decode_consumer_metadata(raw: bytes) -> list[str]:
+    r = _R(raw)
+    r.i16()  # version
+    return [r.string() for _ in range(r.i32())]
+
+
+def encode_member_assignment(
+    assignment: dict[str, list[int]], user_data: bytes = b""
+) -> bytes:
+    """ConsumerProtocol Assignment v0: version, [(topic, [parts])],
+    user_data. Topics sorted for deterministic bytes."""
+    w = _W().i16(0).i32(len(assignment))
+    for topic in sorted(assignment):
+        parts = assignment[topic]
+        w.string(topic).i32(len(parts))
+        for p in sorted(parts):
+            w.i32(p)
+    w.bytes_(user_data)
+    return bytes(w.b)
+
+
+def decode_member_assignment(raw: bytes) -> dict[str, list[int]]:
+    if not raw:
+        return {}
+    r = _R(raw)
+    r.i16()  # version
+    out: dict[str, list[int]] = {}
+    for _ in range(r.i32()):
+        topic = r.string()
+        out[topic] = [r.i32() for _ in range(r.i32())]
+    return out
+
+
+def range_assign(
+    member_topics: dict[str, list[str]],
+    partitions_by_topic: dict[str, list[int]],
+) -> dict[str, dict[str, list[int]]]:
+    """The RangeAssignor: per topic, subscribed members in sorted
+    member-id order each take a contiguous slice of the sorted
+    partition list — ceil-sized slices for the first n%k members.
+    Deterministic given the same membership, like the Java default."""
+    out: dict[str, dict[str, list[int]]] = {m: {} for m in member_topics}
+    for topic in sorted(partitions_by_topic):
+        members = sorted(
+            m for m, ts in member_topics.items() if topic in ts
+        )
+        if not members:
+            continue
+        parts = sorted(partitions_by_topic[topic])
+        base, extra = divmod(len(parts), len(members))
+        start = 0
+        for i, m in enumerate(members):
+            n = base + (1 if i < extra else 0)
+            if n:
+                out[m][topic] = parts[start:start + n]
+            start += n
+    return out
+
+
 class WireKafkaClient:
     """Blocking wire-protocol client (one persistent socket, locked).
 
     Speaks: ApiVersions v0, Metadata v1, Produce v3 (acks=-1),
-    Fetch v4, ListOffsets v1, SaslHandshake v1 + SaslAuthenticate v0
-    (PLAIN and SCRAM-SHA-256/512) — the minimal set the reference's authenticated
-    produce/consume loop needs (ConsumidorAvro.java:57-125;
+    Fetch v4, ListOffsets v1, OffsetCommit v2 / OffsetFetch v1 /
+    FindCoordinator v0 (broker-stored offsets), JoinGroup v1 /
+    SyncGroup / Heartbeat / LeaveGroup v0 (broker-coordinated group
+    membership — r10), SaslHandshake v1 + SaslAuthenticate v0
+    (PLAIN and SCRAM-SHA-256/512) — the set the reference's authenticated
+    grouped produce/consume loop needs (ConsumidorAvro.java:57-125;
     ConfiguracaoKafka.java:134-138 runs security.protocol=SASL_SSL
     with sasl.mechanism=PLAIN against Confluent Cloud).
 
@@ -1002,18 +1143,24 @@ class WireKafkaClient:
         group: str,
         offsets: dict[tuple[str, int], int],
         metadata: str = "",
+        generation_id: int = -1,
+        member_id: str = "",
     ) -> None:
         """OffsetCommit v2 (broker-stored offsets, retention -1 =
         broker default). ``offsets`` maps (topic, partition) → offset
-        to commit (the NEXT offset to read, Kafka convention)."""
+        to commit (the NEXT offset to read, Kafka convention).
+        ``generation_id``/``member_id`` default to the standalone
+        (-1, "") simple-consumer shape; group members pass their
+        membership so the coordinator can FENCE commits from evicted
+        members or stale generations (raises the typed group errors)."""
         by_topic: dict[str, list[tuple[int, int]]] = {}
         for (topic, partition), off in sorted(offsets.items()):
             by_topic.setdefault(topic, []).append((partition, off))
         w = (
             _W()
             .string(group)
-            .i32(-1)       # generation_id (no group membership)
-            .string("")    # member_id
+            .i32(generation_id)
+            .string(member_id)
             .i64(-1)       # retention_time
             .i32(len(by_topic))
         )
@@ -1026,9 +1173,7 @@ class WireKafkaClient:
             r.string()
             for _p in range(r.i32()):
                 r.i32()
-                err = r.i16()
-                if err:
-                    raise ValueError(f"offset_commit: {_err_name(err)}")
+                _raise_group_err(r.i16(), "offset_commit")
 
     def offset_fetch(
         self, group: str, topic: str, partitions: list[int]
@@ -1053,6 +1198,94 @@ class WireKafkaClient:
                 if off >= 0:
                     out[partition] = off
         return out
+
+    # ---------------------------------------------- group membership
+    def join_group(
+        self,
+        group: str,
+        topics: list[str],
+        member_id: str = "",
+        session_timeout_ms: int = 10_000,
+        rebalance_timeout_ms: int = 10_000,
+        protocol: str = "range",
+    ) -> dict:
+        """JoinGroup v1. Blocks (server-side) until the coordinator
+        completes the rebalance — all known members rejoined or the
+        rebalance timeout expired (stragglers evicted). Returns
+        ``{generation, member_id, leader, protocol, members}`` where
+        ``members`` is ``[(member_id, subscribed_topics)]`` — populated
+        only for the LEADER, which must compute the assignment and
+        deliver it via :meth:`sync_group` (the Java client split)."""
+        body = (
+            _W()
+            .string(group)
+            .i32(session_timeout_ms)
+            .i32(rebalance_timeout_ms)
+            .string(member_id)
+            .string("consumer")
+            .i32(1)
+            .string(protocol)
+            .bytes_(encode_consumer_metadata(topics))
+        )
+        r = self._call(_API_JOIN_GROUP, 1, bytes(body.b))
+        _raise_group_err(r.i16(), "join_group")
+        generation = r.i32()
+        proto = r.string()
+        leader = r.string()
+        me = r.string()
+        members = []
+        for _ in range(r.i32()):
+            mid = r.string()
+            meta = r.bytes_() or b""
+            members.append((mid, decode_consumer_metadata(meta)))
+        return {
+            "generation": generation,
+            "protocol": proto,
+            "leader": leader,
+            "member_id": me,
+            "members": members,
+        }
+
+    def sync_group(
+        self,
+        group: str,
+        generation: int,
+        member_id: str,
+        assignments: dict[str, dict[str, list[int]]] | None = None,
+    ) -> dict[str, list[int]]:
+        """SyncGroup v0: the leader passes ``assignments``
+        (member_id -> {topic: [partitions]}); followers pass None.
+        Blocks until the leader's assignment lands, then returns THIS
+        member's ``{topic: [partitions]}``."""
+        body = _W().string(group).i32(generation).string(member_id)
+        if assignments:
+            body.i32(len(assignments))
+            for mid in sorted(assignments):
+                body.string(mid).bytes_(
+                    encode_member_assignment(assignments[mid])
+                )
+        else:
+            body.i32(0)
+        r = self._call(_API_SYNC_GROUP, 0, bytes(body.b))
+        _raise_group_err(r.i16(), "sync_group")
+        return decode_member_assignment(r.bytes_() or b"")
+
+    def heartbeat_group(
+        self, group: str, generation: int, member_id: str
+    ) -> None:
+        """Heartbeat v0 — raises :class:`RebalanceInProgressError`
+        when the member must rejoin (the liveness + rebalance-signal
+        channel of the Java client's background heartbeat thread)."""
+        body = _W().string(group).i32(generation).string(member_id)
+        r = self._call(_API_HEARTBEAT, 0, bytes(body.b))
+        _raise_group_err(r.i16(), "heartbeat")
+
+    def leave_group(self, group: str, member_id: str) -> None:
+        """LeaveGroup v0 — a clean shutdown triggers an IMMEDIATE
+        rebalance for the survivors instead of a session-timeout wait."""
+        body = _W().string(group).string(member_id)
+        r = self._call(_API_LEAVE_GROUP, 0, bytes(body.b))
+        _raise_group_err(r.i16(), "leave_group")
 
     def fetch(
         self,
@@ -1188,6 +1421,42 @@ class _ConnState:
         self.scram = None
 
 
+class _GroupMeta:
+    """Coordinator state for ONE consumer group (the GroupMetadata
+    state machine of the real GroupCoordinator):
+
+    Empty -> PreparingRebalance -> CompletingRebalance -> Stable
+
+    Every join lands the group in PreparingRebalance; the join call
+    BLOCKS (per-connection handler thread) on ``cond`` until all known
+    members have rejoined or ``deadline`` passes (stragglers evicted).
+    ``initial`` marks the KIP-134 empty-group delay: the first joiner
+    waits out the full window so concurrently-starting members land in
+    one generation instead of causing join storms."""
+
+    __slots__ = (
+        "generation", "state", "members", "joined", "assignments",
+        "leader", "protocol", "next_member", "deadline", "initial",
+        "session", "cond",
+    )
+
+    def __init__(self):
+        self.generation = 0
+        self.state = "Empty"
+        # member_id -> {protocol_name: metadata} from its latest join
+        self.members: dict[str, dict[str, bytes]] = {}
+        self.joined: set[str] = set()
+        self.assignments: dict[str, bytes] = {}
+        self.leader: str | None = None
+        self.protocol: str | None = None
+        self.next_member = 1
+        self.deadline = 0.0
+        self.initial = False
+        # member_id -> (session_timeout_sec, last_contact_monotonic)
+        self.session: dict[str, tuple[float, float]] = {}
+        self.cond = threading.Condition()
+
+
 class StubBroker:
     """Loopback broker for protocol-level end-to-end tests.
 
@@ -1206,6 +1475,7 @@ class StubBroker:
         sasl_plain: dict[str, str] | None = None,
         sasl_scram: dict[str, str] | None = None,
         ssl_context: "ssl.SSLContext | None" = None,
+        initial_rebalance_delay_ms: int = 200,
     ):
         """``strict_sequences`` (default, real-broker semantics) enforces
         per-(producer, partition) sequence contiguity per KIP-98: a new
@@ -1239,6 +1509,9 @@ class StubBroker:
         # broker-stored consumer-group offsets (the __consumer_offsets
         # equivalent): (group, topic, partition) -> (offset, metadata)
         self._group_offsets: dict[tuple[str, str, int], tuple[int, str]] = {}
+        # coordinator state per group (membership/rebalance)
+        self._groups: dict[str, _GroupMeta] = {}
+        self.initial_rebalance_delay = initial_rebalance_delay_ms / 1000.0
         self._lock = threading.Lock()
         self._next_pid = 1000
         broker = self
@@ -1348,6 +1621,226 @@ class StubBroker:
             self._log(topic, 0)  # auto-create
             return sorted(p for t, p in self._logs if t == topic)
 
+    # -- group coordinator
+    def _group(self, group: str) -> _GroupMeta:
+        with self._lock:
+            if group not in self._groups:
+                self._groups[group] = _GroupMeta()
+            return self._groups[group]
+
+    @staticmethod
+    def _expire_members(g: _GroupMeta, now: float) -> None:
+        """Session expiry (cond held): members silent past their
+        session timeout are evicted; survivors get a rebalance. Only
+        a Stable group expires lazily — during a rebalance, the
+        rebalance deadline itself evicts stragglers."""
+        if g.state != "Stable":
+            return
+        dead = [
+            m for m, (timeout, last) in g.session.items()
+            if now - last > timeout
+        ]
+        if not dead:
+            return
+        for m in dead:
+            g.members.pop(m, None)
+            g.session.pop(m, None)
+        if g.members:
+            g.state = "PreparingRebalance"
+            g.joined = set()
+            g.deadline = now + 5.0
+        else:
+            g.state = "Empty"
+        g.cond.notify_all()
+
+    @staticmethod
+    def _complete_join(g: _GroupMeta) -> None:
+        """cond held: seal the generation — pick the protocol every
+        member supports (first joiner's preference order), keep the
+        old leader if it rejoined else the lexicographically first
+        member (deterministic), move to CompletingRebalance."""
+        if not g.joined:  # everyone left/evicted while rebalancing
+            g.members = {}
+            g.session = {}
+            g.leader = None
+            g.state = "Empty"
+            g.cond.notify_all()
+            return
+        g.members = {m: g.members[m] for m in g.joined}
+        g.session = {m: s for m, s in g.session.items() if m in g.joined}
+        ordered = sorted(g.joined)
+        common = None
+        for name in g.members[ordered[0]]:
+            if all(name in protos for protos in g.members.values()):
+                common = name
+                break
+        g.protocol = common or "range"
+        g.leader = g.leader if g.leader in g.joined else ordered[0]
+        g.generation += 1
+        g.assignments = {}
+        g.state = "CompletingRebalance"
+        g.initial = False
+        g.cond.notify_all()
+
+    def _handle_join_group(
+        self,
+        group: str,
+        member_id: str,
+        session_ms: int,
+        rebalance_ms: int,
+        protocols: dict[str, bytes],
+    ) -> tuple:
+        """Returns (err,) or (0, generation, protocol, leader,
+        member_id, members_for_leader)."""
+        g = self._group(group)
+        with g.cond:
+            now = time.monotonic()
+            self._expire_members(g, now)
+            if member_id and member_id not in g.members:
+                # stale id from an evicted member: real coordinator
+                # answers UNKNOWN_MEMBER_ID, client rejoins with ""
+                return (ERR_UNKNOWN_MEMBER_ID,)
+            if not member_id:
+                member_id = f"member-{g.next_member}"
+                g.next_member += 1
+            if g.state == "Empty":
+                # KIP-134 initial delay: hold the first generation
+                # open briefly so concurrently-starting members land
+                # together instead of causing a join storm
+                g.state = "PreparingRebalance"
+                g.joined = set()
+                g.initial = True
+                g.deadline = now + self.initial_rebalance_delay
+            elif g.state != "PreparingRebalance":
+                g.state = "PreparingRebalance"
+                g.joined = set()
+                g.initial = False
+                g.deadline = now + rebalance_ms / 1000.0
+            g.members[member_id] = dict(protocols)
+            g.joined.add(member_id)
+            g.session[member_id] = (session_ms / 1000.0, now)
+            g.cond.notify_all()
+            while g.state == "PreparingRebalance":
+                if not g.initial and g.joined >= set(g.members):
+                    self._complete_join(g)
+                    break
+                remaining = g.deadline - time.monotonic()
+                if remaining <= 0:
+                    g.joined &= set(g.members)
+                    self._complete_join(g)
+                    break
+                g.cond.wait(remaining)
+            if member_id not in g.members:
+                # a racing deadline evicted us while we slept
+                return (ERR_UNKNOWN_MEMBER_ID,)
+            members = []
+            if member_id == g.leader:
+                members = [
+                    (m, protos.get(g.protocol, b""))
+                    for m, protos in sorted(g.members.items())
+                ]
+            return (0, g.generation, g.protocol, g.leader, member_id,
+                    members)
+
+    def _handle_sync_group(
+        self,
+        group: str,
+        generation: int,
+        member_id: str,
+        assignments: dict[str, bytes],
+    ) -> tuple[int, bytes]:
+        g = self._group(group)
+        with g.cond:
+            if member_id not in g.members:
+                return ERR_UNKNOWN_MEMBER_ID, b""
+            if generation != g.generation:
+                return ERR_ILLEGAL_GENERATION, b""
+            if g.state == "PreparingRebalance":
+                return ERR_REBALANCE_IN_PROGRESS, b""
+            if member_id == g.leader and assignments:
+                g.assignments = dict(assignments)
+                g.state = "Stable"
+                g.cond.notify_all()
+            deadline = time.monotonic() + 10.0
+            while (
+                g.state == "CompletingRebalance"
+                and generation == g.generation
+            ):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return ERR_REBALANCE_IN_PROGRESS, b""
+                g.cond.wait(remaining)
+            if g.state != "Stable" or generation != g.generation:
+                return ERR_REBALANCE_IN_PROGRESS, b""
+            now = time.monotonic()
+            timeout, _last = g.session[member_id]
+            g.session[member_id] = (timeout, now)
+            return 0, g.assignments.get(member_id, b"")
+
+    def _handle_heartbeat(
+        self, group: str, generation: int, member_id: str
+    ) -> int:
+        g = self._group(group)
+        with g.cond:
+            now = time.monotonic()
+            self._expire_members(g, now)
+            if member_id not in g.members:
+                return ERR_UNKNOWN_MEMBER_ID
+            if generation != g.generation:
+                return ERR_ILLEGAL_GENERATION
+            timeout, _last = g.session[member_id]
+            g.session[member_id] = (timeout, now)
+            if g.state != "Stable":
+                return ERR_REBALANCE_IN_PROGRESS
+            return 0
+
+    def _handle_leave_group(self, group: str, member_id: str) -> int:
+        g = self._group(group)
+        with g.cond:
+            if member_id not in g.members:
+                return ERR_UNKNOWN_MEMBER_ID
+            g.members.pop(member_id)
+            g.session.pop(member_id, None)
+            g.joined.discard(member_id)
+            if g.members:
+                # survivors must rejoin — their next heartbeat sees
+                # REBALANCE_IN_PROGRESS (the listener signal). If a
+                # rebalance is ALREADY in flight, keep its joined set
+                # (members waiting in JoinGroup must not be wiped).
+                if g.state != "PreparingRebalance":
+                    g.state = "PreparingRebalance"
+                    g.joined = set()
+                    g.deadline = time.monotonic() + 5.0
+                g.initial = False
+            else:
+                g.state = "Empty"
+                g.leader = None
+            g.cond.notify_all()
+            return 0
+
+    def _check_commit_fencing(
+        self, group: str, generation: int, member_id: str
+    ) -> int:
+        """OffsetCommit fencing: while a group uses MEMBERSHIP, only
+        the current generation's members may commit (an evicted member
+        must not clobber its successor's offsets — the exactly-once
+        guard). Groups used purely as offset namespaces (generation
+        -1, no members — the r9 simple-consumer path) stay open."""
+        with self._lock:
+            g = self._groups.get(group)
+        if g is None:
+            return 0
+        with g.cond:
+            if not g.members:
+                return 0
+            if member_id not in g.members:
+                return ERR_UNKNOWN_MEMBER_ID
+            if generation != g.generation:
+                return ERR_ILLEGAL_GENERATION
+            if g.state != "Stable":
+                return ERR_REBALANCE_IN_PROGRESS
+            return 0
+
     def _dispatch(self, raw: bytes, conn: _ConnState | None = None) -> bytes:
         if conn is None:  # direct-call tests without a socket
             conn = _ConnState(authenticated=not self._sasl_required())
@@ -1364,7 +1857,7 @@ class StubBroker:
             # before authentication completes
             raise _CloseConnection()
         if api_key == _API_VERSIONS:
-            w.i16(0).i32(11)
+            w.i16(0).i32(15)
             for k, lo, hi in (
                 (_API_PRODUCE, 0, 3),
                 (_API_FETCH, 0, 4),
@@ -1373,6 +1866,10 @@ class StubBroker:
                 (_API_OFFSET_COMMIT, 0, 2),
                 (_API_OFFSET_FETCH, 0, 1),
                 (_API_FIND_COORDINATOR, 0, 0),
+                (_API_JOIN_GROUP, 0, 1),
+                (_API_HEARTBEAT, 0, 0),
+                (_API_LEAVE_GROUP, 0, 0),
+                (_API_SYNC_GROUP, 0, 0),
                 (_API_SASL_HANDSHAKE, 0, 1),
                 (_API_VERSIONS, 0, 0),
                 (_API_INIT_PRODUCER_ID, 0, 0),
@@ -1440,9 +1937,12 @@ class StubBroker:
             w.i16(0).i32(0).string(host).i32(port)
         elif api_key == _API_OFFSET_COMMIT:
             group = r.string()
-            r.i32()  # generation_id
-            r.string()  # member_id
+            generation_id = r.i32()
+            commit_member = r.string() or ""
             r.i64()  # retention_time
+            fence_err = self._check_commit_fencing(
+                group, generation_id, commit_member
+            )
             n_topics = r.i32()
             # One response block per TOPIC with its partition array —
             # the real broker encoding; one block per (topic,
@@ -1456,17 +1956,60 @@ class StubBroker:
                     partition = r.i32()
                     off = r.i64()
                     meta = r.string() or ""
-                    with self._lock:
-                        self._group_offsets[(group, topic, partition)] = (
-                            off,
-                            meta,
-                        )
+                    if not fence_err:
+                        with self._lock:
+                            self._group_offsets[
+                                (group, topic, partition)
+                            ] = (off, meta)
                     by_topic.setdefault(topic, []).append(partition)
             w.i32(len(by_topic))
             for topic, partitions in by_topic.items():
                 w.string(topic).i32(len(partitions))
                 for partition in partitions:
-                    w.i32(partition).i16(0)
+                    w.i32(partition).i16(fence_err)
+        elif api_key == _API_JOIN_GROUP:
+            group = r.string()
+            session_ms = r.i32()
+            rebalance_ms = r.i32() if api_version >= 1 else session_ms
+            member_id = r.string() or ""
+            r.string()  # protocol_type
+            protocols: dict[str, bytes] = {}
+            for _ in range(r.i32()):
+                name = r.string()
+                protocols[name] = r.bytes_() or b""
+            res = self._handle_join_group(
+                group, member_id, session_ms, rebalance_ms, protocols
+            )
+            if res[0]:
+                w.i16(res[0]).i32(-1).string("").string("").string("")
+                w.i32(0)
+            else:
+                _err, gen, proto, leader, mid, members = res
+                w.i16(0).i32(gen).string(proto).string(leader).string(mid)
+                w.i32(len(members))
+                for m, meta in members:
+                    w.string(m).bytes_(meta)
+        elif api_key == _API_SYNC_GROUP:
+            group = r.string()
+            generation_id = r.i32()
+            member_id = r.string() or ""
+            assignments: dict[str, bytes] = {}
+            for _ in range(r.i32()):
+                m = r.string()
+                assignments[m] = r.bytes_() or b""
+            err, assignment = self._handle_sync_group(
+                group, generation_id, member_id, assignments
+            )
+            w.i16(err).bytes_(assignment)
+        elif api_key == _API_HEARTBEAT:
+            group = r.string()
+            generation_id = r.i32()
+            member_id = r.string() or ""
+            w.i16(self._handle_heartbeat(group, generation_id, member_id))
+        elif api_key == _API_LEAVE_GROUP:
+            group = r.string()
+            member_id = r.string() or ""
+            w.i16(self._handle_leave_group(group, member_id))
         elif api_key == _API_OFFSET_FETCH:
             group = r.string()
             n_topics = r.i32()

@@ -2,8 +2,9 @@
 OffsetFetch v1 / FindCoordinator v0 against the StubBroker, and the
 resume semantics they give bounded batch reads — commit the frontier
 after materializing, next read starts exactly there. The rebalance
-protocol (JoinGroup/SyncGroup) is deliberately out of scope: Spark
-sources assign partitions statically (documented in io_kafka)."""
+protocol (JoinGroup/SyncGroup/Heartbeat/LeaveGroup) landed in r10 —
+see test_kafka_rebalance.py; Spark sources still assign partitions
+statically (documented in io_kafka)."""
 
 from __future__ import annotations
 
