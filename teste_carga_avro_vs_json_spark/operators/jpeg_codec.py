@@ -22,11 +22,16 @@ JPEG is LOSSY, so the pins are layered rather than bit-exact
 Encoder: baseline sequential, grayscale or YCbCr 4:4:4 / 4:2:0,
 standard Annex K quantization tables scaled by libjpeg's quality
 curve, standard Annex K huffman tables (spec-legal and what cameras
-emit), optional restart markers. Decoder: full baseline sequential —
-any sampling factors (1-2 each axis), 1-4 components, DRI/RSTn,
-multiple DQT/DHT segments, byte stuffing — progressive (SOF2) raises
-``NotImplementedError`` (documented boundary, as re-encode pipelines
-transcode to baseline anyway).
+emit), optional restart markers; plus a spectral-selection PROGRESSIVE
+twin (:func:`encode_jpeg_progressive`) whose quantized coefficients
+are bit-identical to the baseline encoder's — the exact-pin builder.
+Decoder: full baseline sequential — any sampling factors, 1-4
+components, DRI/RSTn, multiple DQT/DHT segments, byte stuffing — AND
+full progressive (SOF2, r10): spectral selection + successive
+approximation per T.81 §G (DC/AC first + refinement scans, EOBRUN),
+pinned against javax.imageio's MODE_DEFAULT ten-scan IJG script both
+directions (test_imageio_interop.py). Lossless/hierarchical/
+arithmetic SOFs raise ``NotImplementedError`` (documented boundary).
 
 Scale shape: same as every codec here — decode runs executor-side in
 ``mapInPandas`` batches, payload bytes never shuffle; clusters with
@@ -320,37 +325,55 @@ def _encode_block(
     ac_codes,
     pred: int,
 ) -> int:
-    coefs = dct2d([s - 128.0 for s in samples])
-    q = [
-        int(round(coefs[ZIGZAG[k]] / qt[ZIGZAG[k]]))
-        for k in range(64)
-    ]
+    q = _quantize_block(samples, qt)
     # DC
     diff = q[0] - pred
     size, bits = _magnitude(diff)
     code, length = dc_codes[size]
     w.write(code, length)
     w.write(bits, size)
-    # AC run-length
-    run = 0
-    for k in range(1, 64):
-        v = q[k]
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, length = ac_codes[0xF0]  # ZRL
-            w.write(code, length)
-            run -= 16
-        size, bits = _magnitude(v)
-        code, length = ac_codes[(run << 4) | size]
-        w.write(code, length)
-        w.write(bits, size)
-        run = 0
-    if run:
-        code, length = ac_codes[0x00]  # EOB
-        w.write(code, length)
+    # AC run-length (shared with the progressive per-band coder —
+    # with ss=1, se=63 the two are the same T.81 procedure)
+    _encode_ac_band(w, q, 1, 63, ac_codes)
     return q[0]
+
+
+def _rgb_to_ycbcr(rgb: bytes, n: int) -> tuple[list[int], list[int], list[int]]:
+    Y = [0] * n
+    Cb = [0] * n
+    Cr = [0] * n
+    for i in range(n):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        Y[i] = min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b)))
+        Cb[i] = min(255, max(0, round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)))
+        Cr[i] = min(255, max(0, round(0.5 * r - 0.418688 * g - 0.081312 * b + 128)))
+    return Y, Cb, Cr
+
+
+def _plane_block(plane, pw, ph, bx, by) -> list[int]:
+    out = []
+    for y in range(8):
+        sy = min(by * 8 + y, ph - 1)
+        for x in range(8):
+            sx = min(bx * 8 + x, pw - 1)
+            out.append(plane[sy * pw + sx])
+    return out
+
+
+def _subsample_plane(plane, width, height) -> tuple[list[int], int, int]:
+    pw, ph = (width + 1) // 2, (height + 1) // 2
+    out = [0] * (pw * ph)
+    for y in range(ph):
+        for x in range(pw):
+            acc = cnt = 0
+            for dy in range(2):
+                for dx in range(2):
+                    sy, sx = 2 * y + dy, 2 * x + dx
+                    if sy < height and sx < width:
+                        acc += plane[sy * width + sx]
+                        cnt += 1
+            out[y * pw + x] = (acc + cnt // 2) // cnt
+    return out, pw, ph
 
 
 def encode_jpeg(
@@ -369,40 +392,11 @@ def encode_jpeg(
     qt0 = _quality_scale(QT_LUMA, quality)
     qt1 = _quality_scale(QT_CHROMA, quality)
 
-    # color convert
-    n = width * height
-    Y = [0] * n
-    Cb = [0] * n
-    Cr = [0] * n
-    for i in range(n):
-        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
-        Y[i] = min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b)))
-        Cb[i] = min(255, max(0, round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)))
-        Cr[i] = min(255, max(0, round(0.5 * r - 0.418688 * g - 0.081312 * b + 128)))
-
-    def plane_block(plane, pw, ph, bx, by):
-        out = []
-        for y in range(8):
-            sy = min(by * 8 + y, ph - 1)
-            for x in range(8):
-                sx = min(bx * 8 + x, pw - 1)
-                out.append(plane[sy * pw + sx])
-        return out
+    Y, Cb, Cr = _rgb_to_ycbcr(rgb, width * height)
+    plane_block = _plane_block
 
     def subsampled(plane):
-        pw, ph = (width + 1) // 2, (height + 1) // 2
-        out = [0] * (pw * ph)
-        for y in range(ph):
-            for x in range(pw):
-                acc = cnt = 0
-                for dy in range(2):
-                    for dx in range(2):
-                        sy, sx = 2 * y + dy, 2 * x + dx
-                        if sy < height and sx < width:
-                            acc += plane[sy * width + sx]
-                            cnt += 1
-                out[y * pw + x] = (acc + cnt // 2) // cnt
-        return out, pw, ph
+        return _subsample_plane(plane, width, height)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 JFIF: version 1.1, no density units, 1x1 density, no thumb
@@ -510,14 +504,180 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _quantize_block(samples: list[int], qt: list[int]) -> list[int]:
+    """8x8 samples → quantized coefficients in ZIGZAG order — the
+    exact arithmetic of :func:`_encode_block`, split out so the
+    progressive encoder emits the SAME coefficients (the bit-identical
+    decode pin in test_jpeg.py rests on this)."""
+    coefs = dct2d([s - 128.0 for s in samples])
+    return [int(round(coefs[ZIGZAG[k]] / qt[ZIGZAG[k]])) for k in range(64)]
+
+
+def _encode_ac_band(w: _JBitWriter, q: list[int], ss: int, se: int,
+                    ac_codes) -> None:
+    """Run-length code one spectral band (T.81 §G.1.2.2 with Al=0:
+    the EOB code carries EOBRUN=1, so baseline-style per-block EOB is
+    spec-legal — no cross-block EOB runs emitted)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = q[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB (EOBRUN = 1)
+        w.write(code, length)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 90,
+    grayscale: bool = False,
+    subsample: bool = False,
+) -> bytes:
+    """Spectral-selection progressive JFIF (SOF2, T.81 §G, Ah=Al=0):
+    one interleaved DC scan, then one full-band AC scan per component
+    — the simplest spec-legal progression. The quantized coefficients
+    are IDENTICAL to :func:`encode_jpeg`'s for the same inputs, so
+    ``decode_jpeg(progressive twin) == decode_jpeg(baseline)`` exactly
+    — the build-twin pin pattern (build_pdf layouts, synth_bmp). The
+    successive-approximation decode paths are pinned separately
+    against javax.imageio's MODE_DEFAULT progression
+    (test_imageio_interop.py)."""
+    if len(rgb) != width * height * 3:
+        raise JpegFormatError("rgb buffer size mismatch")
+    qt0 = _quality_scale(QT_LUMA, quality)
+    qt1 = _quality_scale(QT_CHROMA, quality)
+    Y, Cb, Cr = _rgb_to_ycbcr(rgb, width * height)
+
+    # per-component geometry + quantized blocks over the PADDED grid
+    # (interleaved DC codes every MCU block; AC scans only the used
+    # bw x bh grid — padding blocks keep zero AC, never sampled)
+    if grayscale:
+        specs = [(1, 1, 1, Y, width, height, qt0, 0)]
+    elif subsample:
+        cbp, cw, chh = _subsample_plane(Cb, width, height)
+        crp, _, _ = _subsample_plane(Cr, width, height)
+        specs = [
+            (1, 2, 2, Y, width, height, qt0, 0),
+            (2, 1, 1, cbp, cw, chh, qt1, 1),
+            (3, 1, 1, crp, cw, chh, qt1, 1),
+        ]
+    else:
+        specs = [
+            (1, 1, 1, Y, width, height, qt0, 0),
+            (2, 1, 1, Cb, width, height, qt1, 1),
+            (3, 1, 1, Cr, width, height, qt1, 1),
+        ]
+    hmax = max(s[1] for s in specs)
+    vmax = max(s[2] for s in specs)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for cid, h, v, plane, pw, ph, qt, tsel in specs:
+        bw_full, bh_full = mcus_x * h, mcus_y * v
+        bw, bh = (pw + 7) // 8, (ph + 7) // 8
+        qblocks = [
+            _quantize_block(_plane_block(plane, pw, ph, bx, by), qt)
+            for by in range(bh_full)
+            for bx in range(bw_full)
+        ]
+        comps.append({
+            "id": cid, "h": h, "v": v, "tsel": tsel,
+            "bw_full": bw_full, "bw": bw, "bh": bh, "q": qblocks,
+        })
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        qt0[ZIGZAG[k]] for k in range(64)
+    )
+    if not grayscale:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + bytes(
+            qt1[ZIGZAG[k]] for k in range(64)
+        )
+    ncomp = len(comps)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height,
+                                     width, ncomp)
+    for c in comps:
+        out += bytes((c["id"], (c["h"] << 4) | c["v"], c["tsel"]))
+    for cls, tid, (bits, vals) in (
+        (0, 0, HT_DC_LUMA), (1, 0, HT_AC_LUMA),
+        (0, 1, HT_DC_CHROMA), (1, 1, HT_AC_CHROMA),
+    ):
+        if grayscale and tid == 1:
+            continue
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 19 + len(vals)
+        ) + bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+    dc_codes = {0: _build_codes(*HT_DC_LUMA), 1: _build_codes(*HT_DC_CHROMA)}
+    ac_codes = {0: _build_codes(*HT_AC_LUMA), 1: _build_codes(*HT_AC_CHROMA)}
+
+    # scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for c in comps:
+        out += bytes((c["id"], c["tsel"] << 4))
+    out += bytes((0, 0, 0))
+    w = _JBitWriter()
+    preds = {c["id"]: 0 for c in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        q0 = c["q"][
+                            (my * c["v"] + by) * c["bw_full"]
+                            + (mx * c["h"] + bx)
+                        ][0]
+                        diff = q0 - preds[c["id"]]
+                        preds[c["id"]] = q0
+                        size, bits = _magnitude(diff)
+                        code, length = dc_codes[c["tsel"]][size]
+                        w.write(code, length)
+                        w.write(bits, size)
+    w.flush()
+    out += w.buf
+
+    # scans 2..N: per-component full AC band, Ss=1 Se=63, Ah=Al=0
+    for c in comps:
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes((c["id"], c["tsel"]))
+        out += bytes((1, 63, 0))
+        w = _JBitWriter()
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                _encode_ac_band(
+                    w, c["q"][by * c["bw_full"] + bx], 1, 63,
+                    ac_codes[c["tsel"]],
+                )
+        w.flush()
+        out += w.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------- decoder
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
-    """Baseline JFIF → (width, height, packed RGB floats 0..255,
-    row-major). Progressive raises NotImplementedError; malformed
-    input of ANY shape raises :class:`JpegFormatError` — a corrupt
-    payload must never kill a scan stage with a bare IndexError."""
+    """Baseline (SOF0/1) or progressive (SOF2) JFIF → (width, height,
+    packed RGB floats 0..255, row-major). Lossless/hierarchical/
+    arithmetic SOFs raise NotImplementedError; malformed input of ANY
+    shape raises :class:`JpegFormatError` — a corrupt payload must
+    never kill a scan stage with a bare IndexError."""
     try:
         return _decode_jpeg_impl(payload)
     except (JpegFormatError, NotImplementedError):
@@ -536,12 +696,19 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[float]]:
     comps: list[dict] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    scans_done = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise JpegFormatError("expected marker")
         marker = payload[pos + 1]
         pos += 2
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos -= 1
+            continue
         if marker == 0xD9:  # EOI
+            if progressive and scans_done:
+                return _finish_progressive(width, height, comps, qts)
             raise JpegFormatError("EOI before scan data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
@@ -574,7 +741,8 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[float]]:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 huff[(cls, tid)] = _build_decode_map(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             # 64M-px cap: a corrupt/hostile header must not OOM an
             # executor before any entropy data is read
@@ -589,10 +757,11 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[float]]:
                 comps.append(
                     {"id": cid, "h": fac >> 4, "v": fac & 0x0F, "tq": tq}
                 )
-        elif marker == 0xC2:
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive JPEG (SOF2) not supported by the stdlib "
-                "decoder; transcode to baseline or install Pillow"
+                "lossless/hierarchical/arithmetic JPEG (SOF"
+                f"{marker - 0xC0}) not supported by the stdlib decoder"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -603,10 +772,20 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, list[float]]:
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_sel[cid] = (tabs >> 4, tabs & 0x0F)
             pos += seg_len
-            return _decode_scan(
-                payload, pos, width, height, comps, scan_sel, qts, huff,
+            if not progressive:
+                return _decode_scan(
+                    payload, pos, width, height, comps, scan_sel, qts,
+                    huff, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            approx = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, pos, width, height, comps, scan_sel,
+                ss, se, approx >> 4, approx & 0x0F, huff,
                 restart_interval,
             )
+            scans_done += 1
+            continue
         pos += seg_len
     raise JpegFormatError("no SOS marker")
 
@@ -660,6 +839,249 @@ def _decode_scan(
                             (mx * c["h"] + bx) * 8,
                             (my * c["v"] + by) * 8,
                         )
+    return _assemble_rgb(width, height, comps, hmax, vmax)
+
+
+# ------------------------------------------------- progressive decode
+# T.81 §G.2: coefficients accumulate across scans in per-block zigzag
+# buffers; spectral selection partitions the 64 coefficients into
+# bands, successive approximation delivers them bit-plane by bit-plane
+# (first scan Ah=0 codes magnitude >> Al, refinements append one bit).
+# Control flow mirrors the published decoder structure (libjpeg's
+# jdphuff.c is the de-facto reference realization of Annex G) —
+# re-derived here on the spec, pinned against javax.imageio's
+# independent implementation in test_imageio_interop.py.
+
+
+def _setup_progressive(comps, width, height) -> None:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise JpegFormatError("invalid sampling factors")
+        c["mcus_x"], c["mcus_y"] = mcus_x, mcus_y
+        c["bw_full"] = mcus_x * c["h"]
+        c["bh_full"] = mcus_y * c["v"]
+        xs = (width * c["h"] + hmax - 1) // hmax
+        ys = (height * c["v"] + vmax - 1) // vmax
+        c["bw"] = (xs + 7) // 8
+        c["bh"] = (ys + 7) // 8
+        # per-block coefficient accumulators, ZIGZAG order
+        c["coefs"] = [
+            [0] * 64 for _ in range(c["bw_full"] * c["bh_full"])
+        ]
+
+
+def _skip_to_marker(payload: bytes, pos: int) -> int:
+    """Advance past a scan's entropy data to the next true marker
+    (stuffed FF00, RSTn, and FF fill bytes are part of the scan)."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt != 0x00 and nxt != 0xFF and not (0xD0 <= nxt <= 0xD7):
+                return pos
+            pos += 2 if nxt != 0xFF else 1
+        else:
+            pos += 1
+    raise JpegFormatError("unterminated scan")
+
+
+def _decode_progressive_scan(
+    payload, pos, width, height, comps, scan_sel, ss, se, ah, al,
+    huff, restart_interval,
+) -> int:
+    """Decode one progressive scan into the components' coefficient
+    buffers; returns the payload position of the next marker."""
+    if not comps or not width:
+        raise JpegFormatError("SOS before SOF")
+    if "coefs" not in comps[0]:
+        _setup_progressive(comps, width, height)
+    if se > 63 or ss > se:
+        raise JpegFormatError("invalid spectral band")
+    if (ss == 0) != (se == 0):
+        raise JpegFormatError("DC scan must be exactly Ss=Se=0")
+    if al > 13 or (ah and ah != al + 1):
+        raise JpegFormatError("invalid successive approximation")
+    scan_comps = [c for c in comps if c["id"] in scan_sel]
+    if len(scan_comps) != len(scan_sel):
+        raise JpegFormatError("scan references unknown component")
+    for c in scan_comps:
+        c["pred"] = 0
+    state = {"eobrun": 0}
+    r = _JBitReader(payload, pos)
+
+    def restart_reset():
+        r.align_restart()
+        for c in scan_comps:
+            c["pred"] = 0
+        state["eobrun"] = 0
+
+    def dc_tab_for(c):
+        tab = huff.get((0, scan_sel[c["id"]][0]))
+        if tab is None and ah == 0:
+            raise JpegFormatError("missing huffman table")
+        return tab
+
+    if len(scan_comps) > 1:
+        # interleaved MCU walk — spec-legal only for DC scans
+        if ss != 0:
+            raise JpegFormatError("interleaved AC scan")
+        mcus_x = scan_comps[0]["mcus_x"]
+        mcus_y = scan_comps[0]["mcus_y"]
+        tabs = {c["id"]: dc_tab_for(c) for c in scan_comps}
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    restart_reset()
+                unit += 1
+                for c in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["coefs"][
+                                (my * c["v"] + by) * c["bw_full"]
+                                + (mx * c["h"] + bx)
+                            ]
+                            _dc_coef(r, blk, c, tabs[c["id"]], ah, al)
+    else:
+        c = scan_comps[0]
+        if ss == 0:
+            tab = dc_tab_for(c)
+        else:
+            tab = huff.get((1, scan_sel[c["id"]][1]))
+            if tab is None:
+                raise JpegFormatError("missing huffman table")
+        unit = 0
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    restart_reset()
+                unit += 1
+                blk = c["coefs"][by * c["bw_full"] + bx]
+                if ss == 0:
+                    _dc_coef(r, blk, c, tab, ah, al)
+                elif ah == 0:
+                    _ac_first(r, blk, tab, ss, se, al, state)
+                else:
+                    _ac_refine(r, blk, tab, ss, se, al, state)
+    return _skip_to_marker(payload, r.pos)
+
+
+def _dc_coef(r, blk, comp, dc_tab, ah, al) -> None:
+    if ah == 0:  # first DC scan: magnitude >> al via DIFF coding
+        size = _decode_huff(r, dc_tab)
+        diff = _extend(r.read(size), size)
+        comp["pred"] += diff
+        blk[0] = comp["pred"] << al
+    else:  # refinement: one raw bit appends to the magnitude
+        if r.read_bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first(r, blk, ac_tab, ss, se, al, state) -> None:
+    """First AC scan of a band (Ah=0): baseline run-length plus the
+    EOBRUN extension — an EOB code with run r covers (1<<r)+bits
+    blocks, this one included."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(r, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size:
+            k += run
+            if k > se:
+                raise JpegFormatError("AC index overrun")
+            blk[k] = _extend(r.read(size), size) << al
+            k += 1
+        else:
+            if run != 15:
+                state["eobrun"] = (1 << run) - 1
+                if run:
+                    state["eobrun"] += r.read(run)
+                break
+            k += 16  # ZRL
+    return
+
+
+def _ac_refine(r, blk, ac_tab, ss, se, al, state) -> None:
+    """AC refinement (Ah=Al+1): already-nonzero coefficients receive
+    one correction bit each as the scan passes them; runs position
+    NEWLY nonzero coefficients (always ±1<<al) counting only
+    zero-history slots."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huff(r, ac_tab)
+            run, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size:
+                if size != 1:
+                    raise JpegFormatError("invalid AC refinement size")
+                val = p1 if r.read_bit() else m1
+            elif run != 15:
+                state["eobrun"] = 1 << run
+                if run:
+                    state["eobrun"] += r.read(run)
+                break  # rest of the band joins the EOB pass below
+            # advance: refine nonzero coefficients, count down `run`
+            # zero-history slots (ZRL refines through 16 of them)
+            while k <= se:
+                if blk[k] != 0:
+                    if r.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise JpegFormatError("AC refinement overrun")
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:  # EOB pass still refines nonzero coefficients
+            if blk[k] != 0:
+                if r.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _finish_progressive(width, height, comps, qts):
+    """All scans read: dequantize + IDCT every used block and hand the
+    planes to the shared baseline assembly."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        qt = qts.get(c["tq"])
+        if qt is None:
+            raise JpegFormatError("missing quantization table")
+        pw, ph = c["bw_full"] * 8, c["bh_full"] * 8
+        c["pw"], c["ph"] = pw, ph
+        plane = [0.0] * (pw * ph)
+        c["plane"] = plane
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                zz = c["coefs"][by * c["bw_full"] + bx]
+                coefs = [0.0] * 64
+                for k in range(64):
+                    coefs[ZIGZAG[k]] = zz[k] * qt[ZIGZAG[k]]
+                px = idct2d(coefs)
+                x0, y0 = bx * 8, by * 8
+                for y in range(8):
+                    base = (y0 + y) * pw + x0
+                    row = y * 8
+                    for x in range(8):
+                        plane[base + x] = px[row + x] + 128.0
     return _assemble_rgb(width, height, comps, hmax, vmax)
 
 

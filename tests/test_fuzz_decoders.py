@@ -49,6 +49,10 @@ _DECODERS = {
     "flac": (fc.decode_flac, (fc.FlacFormatError,)),
     "aiff": (mm.decode_aiff_stdlib, (NotImplementedError,)),
     "jpeg": (jc.decode_jpeg, (jc.JpegFormatError, NotImplementedError)),
+    # r10: the progressive (SOF2) decode paths join on arrival —
+    # mutations hit the scan-script validation, EOBRUN arithmetic and
+    # refinement bit logic
+    "jpeg_prog": (jc.decode_jpeg, (jc.JpegFormatError, NotImplementedError)),
     # the Kafka-wire / compression fallback path for untrusted bytes —
     # the r8 ADVICE flagged it missing from this table
     "zstd": (
@@ -91,6 +95,7 @@ def _valid_payloads() -> dict[str, bytes]:
         "flac": fc.encode_flac(samples, block_size=256),
         "aiff": mm.encode_aiff_stdlib(samples, rate=16000),
         "jpeg": jc.encode_jpeg(24, 16, rgb, quality=90),
+        "jpeg_prog": jc.encode_jpeg_progressive(24, 16, rgb, quality=90),
         "zstd": Z.compress(b"zstd fuzz payload " * 40),
         "pdf": px.build_pdf(
             [["linha um dois tres", "quatro cinco"], ["pagina dois"]]

@@ -123,6 +123,117 @@ def test_our_jpeg_all_variants_parse_in_imageio(spark):
         assert (jw, jh) == (17, 9), kwargs
 
 
+def _imageio_encode_progressive_jpeg(spark, w, h, rgb: bytes) -> bytes:
+    """Foreign PROGRESSIVE encoder: MODE_DEFAULT emits the ten-scan
+    IJG standard script (DC first Al=1, banded AC first Al=1/2, AC
+    refine Ah=2->1 and Ah=1->0, DC refine) — every §G decode path."""
+    jvm = _jvm(spark)
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    arr = spark.sparkContext._gateway.new_array(jvm.int, w * h)
+    for i in range(w * h):
+        v = (
+            (0xFF << 24)
+            | (rgb[3 * i] << 16)
+            | (rgb[3 * i + 1] << 8)
+            | rgb[3 * i + 2]
+        )
+        arr[i] = v - (1 << 32) if v >= (1 << 31) else v
+    img.setRGB(0, 0, w, h, arr, 0, w)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "jpeg"
+    ).next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(
+        jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT
+    )
+    bos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(
+        None, jvm.javax.imageio.IIOImage(img, None, None), param
+    )
+    ios.flush()
+    writer.dispose()
+    return bytes(bos.toByteArray())
+
+
+def _scan_script(blob: bytes):
+    """Parse the SOS headers → [(ns, Ss, Se, Ah, Al)] (test-side
+    marker walk, independent of the decoder under test)."""
+    import struct as _struct
+
+    out, pos = [], 2
+    while pos < len(blob) - 1:
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        m = blob[pos + 1]
+        if m == 0xDA:
+            seglen = _struct.unpack(">H", blob[pos + 2:pos + 4])[0]
+            seg = blob[pos + 4:pos + 2 + seglen]
+            ns = seg[0]
+            a = seg[3 + 2 * ns]
+            out.append((ns, seg[1 + 2 * ns], seg[2 + 2 * ns],
+                        a >> 4, a & 15))
+            pos += 2 + seglen
+            while pos + 1 < len(blob) and not (
+                blob[pos] == 0xFF
+                and blob[pos + 1] not in (0x00, 0xFF)
+                and not (0xD0 <= blob[pos + 1] <= 0xD7)
+            ):
+                pos += 1
+            continue
+        pos += 2
+    return out
+
+
+def test_foreign_progressive_jpeg_decodes_in_our_decoder(spark):
+    """r10: javax.imageio's MODE_DEFAULT progression — successive
+    approximation, banded spectral selection, EOBRUN — must decode in
+    the stdlib decoder within the established decoder variance."""
+    for w, h in ((24, 16), (17, 9), (32, 24)):
+        rgb = _smooth(w, h)
+        blob = _imageio_encode_progressive_jpeg(spark, w, h, rgb)
+        assert b"\xff\xc2" in blob  # really progressive
+        script = _scan_script(blob)
+        assert len(script) >= 4
+        # the pin is only honest if refinement scans are present
+        assert any(ah > 0 for (_n, _s, _e, ah, _a) in script)
+        assert any(al > 0 and ah == 0 for (_n, _s, _e, ah, al) in script)
+        gw, gh, ours = jc.decode_jpeg(blob)
+        assert (gw, gh) == (w, h)
+        jw, jh, jpx = _imageio_decode(spark, blob)
+        assert (jw, jh) == (w, h)
+        for i, (r, g, b) in enumerate(jpx):
+            assert abs(r - ours[3 * i]) <= 6
+            assert abs(g - ours[3 * i + 1]) <= 6
+            assert abs(b - ours[3 * i + 2]) <= 6
+
+
+def test_our_progressive_jpeg_parses_in_imageio(spark):
+    """Other direction: the spectral-selection twin's bitstream must
+    be legal to a foreign decoder, pixels within decoder variance."""
+    for kwargs in ({}, {"subsample": True}, {"grayscale": True}):
+        w, h = 20, 13
+        rgb = _smooth(w, h)
+        blob = jc.encode_jpeg_progressive(w, h, rgb, quality=95, **kwargs)
+        jw, jh, jpx = _imageio_decode(spark, blob)
+        assert (jw, jh) == (w, h), kwargs
+        if kwargs.get("grayscale"):
+            # ImageIO renders 1-component JFIF through its own color
+            # management (same 70+ delta on our BASELINE grayscale) —
+            # parse legality is the pin here, as in
+            # test_our_jpeg_all_variants_parse_in_imageio
+            continue
+        _, _, ours = jc.decode_jpeg(blob)
+        for i, (r, g, b) in enumerate(jpx):
+            assert abs(r - ours[3 * i]) <= 6, kwargs
+            assert abs(g - ours[3 * i + 1]) <= 6, kwargs
+            assert abs(b - ours[3 * i + 2]) <= 6, kwargs
+
+
 # ----------------------------------------------------------------- GIF
 
 

@@ -150,12 +150,57 @@ def test_deterministic_bytes():
 # ---------------------------------------------------------- error paths
 
 
-def test_progressive_is_documented_boundary():
+def test_progressive_twin_decodes_bit_identical_to_baseline():
+    """r10: the spectral-selection progressive twin emits the SAME
+    quantized coefficients as the baseline encoder, so decode of the
+    two streams must agree EXACTLY — float-for-float — across
+    grayscale, 4:4:4, 4:2:0 and odd geometries."""
+    for kwargs, (w, h) in [
+        ({}, (16, 16)),
+        ({}, (17, 9)),
+        ({"grayscale": True}, (17, 9)),
+        ({"subsample": True}, (20, 13)),
+        ({"quality": 50}, (8, 8)),
+        ({"subsample": True, "quality": 35}, (33, 17)),
+    ]:
+        rgb = _noise_rgb(f"pt{kwargs}{w}", w, h)
+        base = jc.encode_jpeg(w, h, rgb, **kwargs)
+        prog = jc.encode_jpeg_progressive(w, h, rgb, **kwargs)
+        assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+        assert jc.decode_jpeg(prog) == jc.decode_jpeg(base), (kwargs, w, h)
+
+
+def test_progressive_deterministic_bytes():
+    rgb = _noise_rgb("pd", 16, 16)
+    assert jc.encode_jpeg_progressive(16, 16, rgb) == \
+        jc.encode_jpeg_progressive(16, 16, rgb)
+
+
+def test_progressive_malformed_scans_raise():
+    rgb = _noise_rgb("pm", 16, 16)
+    prog = bytearray(jc.encode_jpeg_progressive(16, 16, rgb))
+    # a baseline-style full-band interleaved scan under SOF2 is
+    # spec-illegal (DC scan must be Ss=Se=0) and must raise cleanly
+    base = bytearray(jc.encode_jpeg(16, 16, rgb))
+    i = base.index(b"\xff\xc0")
+    base[i + 1] = 0xC2
+    with pytest.raises(jc.JpegFormatError):
+        jc.decode_jpeg(bytes(base))
+    # truncation mid-scan raises, never returns garbage
+    with pytest.raises(jc.JpegFormatError):
+        jc.decode_jpeg(bytes(prog[: len(prog) * 2 // 3]))
+    # missing EOI (no final marker) raises
+    with pytest.raises(jc.JpegFormatError):
+        jc.decode_jpeg(bytes(prog[:-2]))
+
+
+def test_other_sof_families_still_documented_boundaries():
     blob = bytearray(jc.encode_jpeg(8, 8, _noise_rgb("p", 8, 8)))
     i = blob.index(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # SOF0 → SOF2
-    with pytest.raises(NotImplementedError):
-        jc.decode_jpeg(bytes(blob))
+    for sof in (0xC3, 0xC7, 0xCA, 0xCF):  # lossless/hier/arith
+        blob[i + 1] = sof
+        with pytest.raises(NotImplementedError):
+            jc.decode_jpeg(bytes(blob))
 
 
 def test_corruption_raises():
