@@ -431,6 +431,146 @@ def snapshot_compact(
     }
 
 
+def snapshot_merge(
+    delta: DataFrame,
+    table_dir: str,
+    keys: list[str],
+    ts: int = SNAP_EPOCH,
+    extra: dict | None = None,
+) -> dict:
+    """Keyed UPSERT as a copy-on-write commit (r10, VERDICT order #4)
+    — the Delta/Iceberg MERGE pattern on plain parquet: rows in
+    ``delta`` REPLACE existing rows with the same key, new keys
+    append. Only files that actually CONTAIN a matched key are
+    rewritten; every untouched file is carried into the new manifest
+    by reference — the re-crawl-replaces-stale-doc economics a 100 TB
+    corpus needs (rewriting the whole table per merge would be an
+    O(corpus) job; this is O(affected files + delta)).
+
+    Concurrency: computed against the LATEST version at entry and
+    published with the same create-exclusive manifest link as
+    :func:`snapshot_commit` — but a lost race raises
+    :class:`SnapshotConflictError` IMMEDIATELY instead of silently
+    retrying, because the affected-file set was computed against a
+    parent that no longer is the head (blind retry could resurrect
+    rows the winner replaced). The caller re-invokes to retry — the
+    standard optimistic MERGE loop.
+
+    Returns ``{version, files_rewritten, files_kept, files_new,
+    rows_replaced, rows_inserted}`` so callers can verify the
+    copy-on-write bound (manifest-diff evidence)."""
+    import json
+    import tempfile
+    from urllib.parse import unquote, urlparse
+
+    if not keys:
+        raise ValueError("merge requires at least one key column")
+    spark = delta.sparkSession
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {table_dir}")
+    parent = versions[-1]
+    manifest = _read_manifest(table_dir, parent)
+    if not manifest["files"]:
+        raise ValueError("cannot merge into an empty version")
+    by_abspath = {
+        os.path.normpath(os.path.join(table_dir, f["path"])): f
+        for f in manifest["files"]
+    }
+
+    delta_keys = delta.select(*keys).distinct()
+    if delta_keys.count() != delta.count():
+        raise ValueError("delta contains duplicate merge keys")
+
+    current = spark.read.parquet(*by_abspath).withColumn(
+        "_merge_file", F.input_file_name()
+    )
+    # broadcast the (small) delta key set: the affected-file probe and
+    # the anti join below must not shuffle the full table
+    affected_uris = [
+        r["_merge_file"]
+        for r in current.join(
+            F.broadcast(delta_keys), on=keys, how="left_semi"
+        ).select("_merge_file").distinct().collect()
+    ]
+    affected = sorted(
+        os.path.normpath(unquote(urlparse(u).path)) for u in affected_uris
+    )
+    unknown = [p for p in affected if p not in by_abspath]
+    if unknown:  # pragma: no cover - defensive
+        raise ValueError(f"scan returned files outside the manifest: {unknown}")
+
+    cols = spark.read.parquet(*by_abspath).columns
+    if affected:
+        survivors = spark.read.parquet(*affected).join(
+            F.broadcast(delta_keys), on=keys, how="left_anti"
+        ).select(*cols)
+        n_affected_rows = spark.read.parquet(*affected).count()
+        rows_replaced = n_affected_rows - survivors.count()
+        rewritten = survivors.unionByName(delta.select(*cols))
+    else:
+        rows_replaced = 0
+        rewritten = delta.select(*cols)
+    rows_inserted = delta.count() - rows_replaced
+
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    data_dir = tempfile.mkdtemp(
+        prefix="c-", dir=os.path.join(table_dir, "data")
+    )
+    rewritten.write.mode("overwrite").parquet(data_dir)
+    new_files = []
+    for uri in spark.read.parquet(data_dir).inputFiles():
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        new_files.append({
+            "path": os.path.relpath(path, table_dir),
+            "bytes": os.path.getsize(path),
+        })
+    new_files.sort(key=lambda f: f["path"])
+    kept = [
+        f for p, f in sorted(by_abspath.items()) if p not in set(affected)
+    ]
+    files = kept + new_files
+    version = parent + 1
+    out_manifest = {
+        "version": version,
+        "op": "merge",
+        "ts": ts,
+        "n_files": len(files),
+        "n_bytes": sum(f["bytes"] for f in files),
+        "files": files,
+        "extra": {
+            **(extra or {}),
+            "merge_keys": list(keys),
+            "files_rewritten": len(affected),
+            "rows_replaced": rows_replaced,
+        },
+    }
+    os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        suffix=".tmp", dir=os.path.join(table_dir, _SNAP_DIR)
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(out_manifest, f, indent=1)
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"merge computed against v{parent} but v{version} was "
+            "committed concurrently — re-run the merge against the "
+            "new head"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return {
+        "version": version,
+        "files_rewritten": len(affected),
+        "files_kept": len(kept),
+        "files_new": len(new_files),
+        "rows_replaced": rows_replaced,
+        "rows_inserted": rows_inserted,
+    }
+
+
 def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
     """Retire old versions: drop all but the last ``keep_last``
     manifests, then delete data files no RETAINED manifest references.

@@ -272,6 +272,7 @@ def build_corpus_incremental(
     line_filter: bool = True,
     measure: bool = True,
     bloom_fpp: float = 0.01,
+    mode: str = "append",
 ) -> dict:
     """Incremental corpus maintenance over snapshot tables — the
     mechanism a CONTINUOUSLY-crawled 100 TB corpus actually needs:
@@ -301,10 +302,20 @@ def build_corpus_incremental(
       new high-water mark; concurrent writers are safe (CAS publish)
       and a crashed run re-processes its delta idempotently next time
       (the commit IS the state update — exactly-once effect).
+    - **update mode** (r10, VERDICT order #4): ``mode="update"``
+      commits via :func:`maintenance.snapshot_merge` keyed on
+      ``doc_id`` — a RE-CRAWLED doc whose text changed passes the
+      Bloom gate (new text) and then REPLACES its stale row
+      copy-on-write, instead of accumulating both versions; unchanged
+      re-crawls still drop at the gate. A lost merge race raises
+      ``SnapshotConflictError``; re-running the builder retries
+      idempotently (the high-water mark only advances on commit).
 
     Returns a report dict: status, raw/clean versions, per-stage
-    ledger, delta + bloom-drop counts.
+    ledger, delta + bloom-drop counts (+ merge stats in update mode).
     """
+    if mode not in ("append", "update"):
+        raise ValueError("mode must be append|update")
     from teste_carga_avro_vs_json_spark.operators import (
         maintenance as mt,
     )
@@ -382,13 +393,24 @@ def build_corpus_incremental(
         line_filter=line_filter,
     )
 
-    # ---- one CAS-published append carrying the new high-water mark
-    version = mt.snapshot_commit(
-        cleaned,
-        clean_table,
-        mode="append",
-        extra={"raw_version": raw_latest},
-    )
-    report["clean_version"] = version
+    # ---- one CAS-published commit carrying the new high-water mark
+    if mode == "update" and clean_versions:
+        res = mt.snapshot_merge(
+            cleaned,
+            clean_table,
+            keys=["doc_id"],
+            extra={"raw_version": raw_latest},
+        )
+        report["status"] = "merged"
+        report["clean_version"] = res["version"]
+        report["merge"] = res
+    else:
+        version = mt.snapshot_commit(
+            cleaned,
+            clean_table,
+            mode="append",
+            extra={"raw_version": raw_latest},
+        )
+        report["clean_version"] = version
     report["ledger"] = led.stats
     return report

@@ -410,3 +410,129 @@ def test_snapshot_read_empty_version_returns_zero_rows(spark, sf_dir, tmp_path):
     _force_empty_manifest(t2, v)
     with pytest.raises(ValueError, match="no files"):
         mt.snapshot_read(spark, t2, 1)
+
+
+def test_snapshot_merge_rewrites_only_affected_files(spark, sf_dir, tmp_path):
+    """r10 copy-on-write MERGE: an upsert keyed on doc_id rewrites
+    ONLY the files containing matched keys (manifest-diff evidence),
+    carries every other file by reference, inserts new keys, and time
+    travel still shows the pre-merge version exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(200)
+    tdir = str(tmp_path / "table")
+    # 4 disjoint doc_id-range files so "affected" is a real subset
+    v1 = mt.snapshot_commit(docs.repartitionByRange(4, "doc_id"), tdir)
+    m1 = mt._read_manifest(tdir, v1)
+    assert m1["n_files"] == 4
+    lo = [r.doc_id for r in docs.orderBy("doc_id").limit(3).collect()]
+    hi_id = docs.agg(F.max("doc_id")).first()[0] + 10_000
+
+    delta = spark.createDataFrame(
+        [(int(i), f"recrawl-{i}") for i in lo]
+        + [(int(hi_id), "brand-new-doc")],
+        "doc_id long, text string",
+    )
+    res = mt.snapshot_merge(delta, tdir, keys=["doc_id"])
+    # only the one lowest-range file contained the 3 matched keys
+    assert res["files_rewritten"] == 1
+    assert res["files_kept"] == 3
+    assert res["rows_replaced"] == 3
+    assert res["rows_inserted"] == 1
+    m2 = mt._read_manifest(tdir, res["version"])
+    kept_paths = {f["path"] for f in m1["files"]} & {
+        f["path"] for f in m2["files"]
+    }
+    assert len(kept_paths) == 3  # manifest diff: 3 carried by reference
+
+    latest = mt.snapshot_read(spark, tdir)
+    assert latest.count() == 201
+    got = {
+        r.doc_id: r.text
+        for r in latest.where(F.col("doc_id").isin([*lo, hi_id])).collect()
+    }
+    assert got == {**{i: f"recrawl-{i}" for i in lo}, hi_id: "brand-new-doc"}
+    # time travel: v1 still has the ORIGINAL texts
+    old = mt.snapshot_read(spark, tdir, v1)
+    assert old.count() == 200
+    assert old.where(F.col("text").startswith("recrawl-")).count() == 0
+
+    # merging only NEW keys appends without rewriting anything
+    res2 = mt.snapshot_merge(
+        spark.createDataFrame(
+            [(int(hi_id) + 1, "another-new")], "doc_id long, text string"
+        ),
+        tdir,
+        keys=["doc_id"],
+    )
+    assert res2["files_rewritten"] == 0 and res2["rows_inserted"] == 1
+    assert mt.snapshot_read(spark, tdir).count() == 202
+
+    # duplicate keys in the delta are a caller bug, not silent dupes
+    import pytest
+
+    dupes = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        mt.snapshot_merge(dupes, tdir, keys=["doc_id"])
+
+
+def test_snapshot_merge_concurrent_one_wins_one_retries(
+    spark, sf_dir, tmp_path
+):
+    """Two mergers computed against the same head: exactly one
+    publishes, the loser raises SnapshotConflictError (NOT a silent
+    retry — its affected set is stale) and succeeds on re-run."""
+    import threading
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(100)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.repartitionByRange(4, "doc_id"), tdir)
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+
+    deltas = {
+        "a": spark.createDataFrame(
+            [(int(ids[0]), "merge-a")], "doc_id long, text string"
+        ),
+        "b": spark.createDataFrame(
+            [(int(ids[-1]), "merge-b")], "doc_id long, text string"
+        ),
+    }
+    results: dict = {}
+    barrier = threading.Barrier(2)
+
+    def run(name):
+        barrier.wait()
+        try:
+            results[name] = mt.snapshot_merge(
+                deltas[name], tdir, keys=["doc_id"]
+            )
+        except mt.SnapshotConflictError as e:
+            results[name] = e
+
+    ts = [threading.Thread(target=run, args=(n,)) for n in deltas]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    outcomes = sorted(
+        type(results[n]).__name__ == "SnapshotConflictError" for n in deltas
+    )
+    assert outcomes == [False, True], results  # exactly one lost
+    loser = next(
+        n for n in deltas
+        if isinstance(results[n], mt.SnapshotConflictError)
+    )
+    retry = mt.snapshot_merge(deltas[loser], tdir, keys=["doc_id"])
+    assert retry["rows_replaced"] == 1
+    latest = mt.snapshot_read(spark, tdir)
+    texts = {
+        r.text for r in latest.where(
+            F.col("doc_id").isin([int(ids[0]), int(ids[-1])])
+        ).collect()
+    }
+    assert texts == {"merge-a", "merge-b"}  # both merges landed
+    assert latest.count() == 100

@@ -217,3 +217,77 @@ def test_incremental_build_survives_vacuum(spark, sf_dir, tmp_path):
     r2 = build_corpus_incremental(spark, raw, clean, line_filter=False,
                                   keep_frac=1.0)
     assert r2["status"] == "appended" and r2["n_delta_docs"] == 10
+
+
+def test_incremental_update_mode_replaces_recrawled_docs(
+    spark, sf_dir, tmp_path
+):
+    """r10 update mode: a re-crawled doc whose text CHANGED passes the
+    Bloom gate and REPLACES its stale row via snapshot_merge (one row
+    per doc_id, new text wins); unchanged re-crawls still drop at the
+    gate; genuinely new docs insert. Time travel keeps the pre-merge
+    corpus readable."""
+    from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+    from teste_carga_avro_vs_json_spark.pipelines import (
+        build_corpus_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    raw = str(tmp_path / "raw")
+    clean = str(tmp_path / "clean")
+
+    batch1 = docs.where("doc_id % 2 = 0").limit(40)
+    mt.snapshot_commit(batch1, raw)
+    r1 = build_corpus_incremental(
+        spark, raw, clean, line_filter=False, keep_frac=1.0, mode="update"
+    )
+    # first run: nothing to merge into yet — plain append
+    assert r1["status"] == "appended"
+    v1_docs = {
+        r.doc_id: r.text for r in mt.snapshot_read(spark, clean).collect()
+    }
+    assert len(v1_docs) > 0
+
+    # batch 2: 5 re-crawls with CHANGED text, 5 unchanged re-crawls,
+    # and fresh odd docs
+    survived = sorted(v1_docs)[:10]
+    changed = spark.createDataFrame(
+        [(int(i), f"updated corpus text for {i} with several words")
+         for i in survived[:5]],
+        "doc_id long, text string",
+    )
+    unchanged = batch1.where(F.col("doc_id").isin(survived[5:10]))
+    fresh = docs.where("doc_id % 2 = 1").limit(20)
+    mt.snapshot_commit(
+        changed.unionByName(unchanged).unionByName(fresh), raw,
+        mode="append",
+    )
+
+    r2 = build_corpus_incremental(
+        spark, raw, clean, line_filter=False, keep_frac=1.0, mode="update"
+    )
+    assert r2["status"] == "merged"
+    assert r2["merge"]["rows_replaced"] == 5  # the changed re-crawls
+    assert r2["n_bloom_dropped"] >= 5         # the unchanged ones
+
+    latest = {
+        r.doc_id: r.text for r in mt.snapshot_read(spark, clean).collect()
+    }
+    for i in survived[:5]:
+        assert latest[i].startswith("updated corpus text")  # replaced
+        assert latest[i] != v1_docs[i]
+    for i in survived[5:10]:
+        assert latest[i] == v1_docs[i]                      # untouched
+    # one row per doc_id — the merge contract
+    df = mt.snapshot_read(spark, clean)
+    assert df.count() == df.select("doc_id").distinct().count()
+    # time travel: the pre-merge corpus still reads exactly
+    old = {
+        r.doc_id: r.text
+        for r in mt.snapshot_read(
+            spark, clean, r1["clean_version"]
+        ).collect()
+    }
+    assert old == v1_docs
