@@ -35,8 +35,18 @@ exact round-trip pins over :func:`build_pdf`):
   all CJK; ``Tf`` switches the active font decoder mid-stream, and
   unmapped CIDs surface as U+FFFD (visible, never silently dropped).
 
-Documented boundaries (the progressive-JPEG convention — raise,
-never guess): encrypted files (/Encrypt), DCT/JBIG2 filters and the
+RC4-encrypted files (r10): the standard security handler at
+revisions 2/3 (/V 1/2) decrypts — key derivation per ISO 32000-1
+§7.6.3 Algorithms 1-6, /U-authenticated BEFORE any object is touched
+(wrong password raises :class:`PdfPasswordError`, a PdfFormatError,
+so the Spark error column absorbs it); the empty user password — the
+common crawl case — is the default. The RC4 primitive is
+cross-implementation pinned against the JVM's ARCFOUR cipher, and
+``build_pdf(encrypt=...)`` is the exact-round-trip builder twin.
+
+Documented boundaries (raise, never guess): AES encryption (/V 4+ —
+no stdlib cipher, nothing in-container to verify against),
+non-Standard security handlers, DCT/JBIG2 filters and the
 TIFF predictor (2),
 and Type0 fonts WITHOUT a ToUnicode CMap or with a non-Identity
 encoding (their strings are CID sequences whose meaning lives in an
@@ -69,6 +79,10 @@ import pyspark.sql.functions as F
 
 class PdfFormatError(ValueError):
     """Malformed or out-of-subset PDF input."""
+
+
+class PdfPasswordError(PdfFormatError):
+    """Encrypted document whose user password did not authenticate."""
 
 
 #: inflate bomb cap — applied per stream, BEFORE allocation
@@ -293,10 +307,112 @@ class _Lexer:
 _OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
+# -------------------------------------------- standard security handler
+# RC4 encryption, ISO 32000-1 §7.6.2-7.6.4 Algorithms 1-6: the classic
+# /Filter /Standard handler at revisions 2 (40-bit, /V 1) and 3
+# (<=128-bit, /V 2) — the common crawl case for /Encrypt files, most of
+# which carry an EMPTY user password (encryption only gates editing).
+# AES (/V 4+, /R 4+) stays a documented boundary: no stdlib cipher
+# (the WebP honesty rule — nothing in-container to verify against).
+
+#: Algorithm 2 step a: the 32-byte password pad (ISO 32000-1 Table 3.2)
+_PDF_PAD = bytes.fromhex(
+    "28bf4e5e4e758a4164004e56fffa0108"
+    "2e2e00b6d0683e802f0ca9fe6453697a"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (the cipher the standard handler names ARC4)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    password: bytes, o_entry: bytes, p: int, id0: bytes, r: int,
+    length_bits: int,
+) -> bytes:
+    """Algorithm 2: the file encryption key. Note the ASYMMETRY with
+    Algorithm 3: here the 50 extra R3 rounds hash only the first
+    key-length bytes of the previous digest."""
+    import hashlib
+
+    key_len = 5 if r == 2 else length_bits // 8
+    h = hashlib.md5()
+    h.update((password + _PDF_PAD)[:32])
+    h.update(o_entry[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    digest = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:key_len]).digest()
+    return digest[:key_len]
+
+
+def _std_owner_entry(
+    owner_pw: bytes, user_pw: bytes, r: int, length_bits: int
+) -> bytes:
+    """Algorithm 3: the /O entry (RC4 of the padded USER password under
+    a key derived from the owner password; R3 re-hashes the FULL digest
+    50 times and applies 19 key-XOR-i RC4 rounds)."""
+    import hashlib
+
+    key_len = 5 if r == 2 else length_bits // 8
+    digest = hashlib.md5((owner_pw + _PDF_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    key = digest[:key_len]
+    o = _rc4(key, (user_pw + _PDF_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _std_user_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithms 4 (R2) / 5 (R3): the /U entry. R3 stores a 16-byte
+    value + 16 bytes of padding; only the first 16 compare."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(file_key, _PDF_PAD)
+    u = _rc4(file_key, hashlib.md5(_PDF_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16
+
+
+def _std_object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: per-object key — MD5(file key + 3 LE bytes of the
+    object number + 2 LE bytes of the generation), truncated to
+    min(key_len + 5, 16)."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
 class _Document:
     """Parsed PDF: xref offsets, trailer, lazy object cache."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: str = ""):
         if not data.startswith(b"%PDF-"):
             raise PdfFormatError("missing %PDF- header")
         self.data = data
@@ -306,11 +422,72 @@ class _Document:
         self._objstm_cache: dict[int, tuple[bytes, list[tuple[int, int]], int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, tuple[object, bytes | None]] = {}
+        #: file encryption key once the standard handler authenticates
+        self._enc_key: bytes | None = None
         self._parse_xref_chain()
         if "Encrypt" in self.trailer:
+            self._setup_encryption(password)
+
+    def _setup_encryption(self, password: str) -> None:
+        """RC4 standard security handler (R2/R3): derive the file key
+        from the user password and AUTHENTICATE it against /U before
+        touching any object — wrong passwords must fail loudly, never
+        decrypt to garbage text. AES (/V >= 4) and R >= 4 raise (no
+        stdlib cipher to verify against — documented boundary)."""
+        enc = self.resolve(self.trailer.get("Encrypt"))
+        if not isinstance(enc, dict):
+            raise PdfFormatError("/Encrypt is not a dictionary")
+        if str(self.resolve(enc.get("Filter", ""))) != "Standard":
             raise NotImplementedError(
-                "encrypted PDFs are out of scope (documented boundary)"
+                "non-Standard security handlers are out of scope"
             )
+        v = int(self.resolve(enc.get("V", 0)) or 0)
+        r = int(self.resolve(enc.get("R", 0)) or 0)
+        if v not in (1, 2) or r not in (2, 3):
+            raise NotImplementedError(
+                f"/Encrypt V={v} R={r} is out of scope (RC4 R2/R3 only; "
+                "AES has no stdlib cipher — documented boundary)"
+            )
+        length = int(self.resolve(enc.get("Length", 40)) or 40)
+        if r == 2:
+            length = 40
+        if length % 8 or not 40 <= length <= 128:
+            raise PdfFormatError(f"bad /Encrypt /Length {length}")
+        o_entry = self.resolve(enc.get("O"))
+        u_entry = self.resolve(enc.get("U"))
+        if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
+            raise PdfFormatError("/Encrypt missing /O or /U strings")
+        p = int(self.resolve(enc.get("P", -1)))
+        ids = self.resolve(self.trailer.get("ID")) or []
+        id0 = ids[0] if isinstance(ids, list) and ids else b""
+        if not isinstance(id0, bytes):
+            id0 = b""
+        key = _std_file_key(
+            password.encode("latin-1"), o_entry, p, id0, r, length
+        )
+        expect = _std_user_entry(key, id0, r)
+        got, want = u_entry[:16], expect[:16]
+        if r == 2:
+            got, want = u_entry[:32], expect[:32]
+        if got != want:
+            raise PdfPasswordError(
+                "user password did not authenticate against /U"
+            )
+        self._enc_key = key
+
+    def _decrypt_value(self, value, key: bytes):
+        """Strings inside a directly-stored object are RC4-encrypted
+        with the object key (streams and strings share Algorithm 1);
+        names/numbers/refs are not."""
+        if isinstance(value, bytes):
+            return _rc4(key, value)
+        if isinstance(value, list):
+            return [self._decrypt_value(v, key) for v in value]
+        if isinstance(value, dict):
+            return {
+                k: self._decrypt_value(v, key) for k, v in value.items()
+            }
+        return value
 
     # -- xref
     def _parse_xref_chain(self) -> None:
@@ -452,7 +629,20 @@ class _Document:
             if lx.p + length > len(self.data):
                 raise PdfFormatError("stream overruns file")
             stream = self.data[lx.p : lx.p + length]
-        return int(m.group(1)), value, stream
+        num, gen = int(m.group(1)), int(m.group(2))
+        if self._enc_key is not None and not (
+            isinstance(value, dict) and str(value.get("Type", "")) == "XRef"
+        ):
+            # Algorithm 1: strings and stream bytes of directly-stored
+            # objects are RC4-encrypted under the per-object key (the
+            # XRef stream is exempt by spec; ObjStm MEMBERS are covered
+            # by their container's encryption, handled in
+            # _load_from_objstm by NOT re-decrypting)
+            okey = _std_object_key(self._enc_key, num, gen)
+            value = self._decrypt_value(value, okey)
+            if stream is not None:
+                stream = _rc4(okey, stream)
+        return num, value, stream
 
     def _parse_xref_stream_at(self, off: int) -> dict:
         """One PDF 1.5 cross-reference stream section (ISO 32000
@@ -1005,11 +1195,15 @@ def _content_text(
 
 
 # ------------------------------------------------------- public API
-def extract_pdf(data: bytes) -> tuple[str, int]:
+def extract_pdf(data: bytes, password: str = "") -> tuple[str, int]:
     """Pure-Python core: (text, n_pages). Raises PdfFormatError /
-    NotImplementedError only (fuzz-table contract)."""
+    NotImplementedError only (fuzz-table contract). ``password`` is
+    the RC4 standard-security-handler user password — the default
+    empty string IS the common crawl case (files encrypted only to
+    gate editing authenticate with an empty user password); a wrong
+    password raises :class:`PdfPasswordError`."""
     try:
-        doc = _Document(data)
+        doc = _Document(data, password=password)
         pages = _walk_pages(doc)
         page_texts = []
         for page in pages:
@@ -1097,6 +1291,7 @@ def build_pdf(
     compress: bool = True,
     layout: str = "classic",
     font: str = "type1",
+    encrypt: dict | None = None,
 ) -> bytes:
     """Deterministic minimal PDF: one shared Helvetica font, one
     content stream per page holding each line as ``(line) Tj T*``
@@ -1114,11 +1309,21 @@ def build_pdf(
     - ``objstm`` — additionally packs every non-stream object
       (catalog, page tree, pages, font) into a /Type /ObjStm
       container referenced by type-2 entries.
+
+    ``encrypt`` (classic layout only) emits an RC4 standard-security-
+    handler file (the builder twin for the r10 decrypt path):
+    ``{"revision": 2|3, "user_password": "", "owner_password": "dono",
+    "length": 40|128}`` — every stream RC4-encrypted under its
+    Algorithm-1 object key, deterministic /ID, /P -1. Extraction with
+    the right password must round-trip EXACTLY like the plaintext
+    twin.
     """
     if layout not in ("classic", "xref_stream", "objstm"):
         raise ValueError(f"unknown layout {layout!r}")
     if font not in ("type1", "type0"):
         raise ValueError(f"unknown font {font!r}")
+    if encrypt is not None and layout != "classic":
+        raise ValueError("encrypt is only supported for the classic layout")
     objects: dict[int, bytes] = {}
     n_pages = len(pages)
     # layout: 1 catalog, 2 pages, 3 font, then (page, contents) pairs
@@ -1209,6 +1414,52 @@ def build_pdf(
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     if layout == "classic":
+        trailer_extra = b""
+        if encrypt is not None:
+            import hashlib
+
+            r = int(encrypt.get("revision", 3))
+            if r not in (2, 3):
+                raise ValueError("encrypt revision must be 2 or 3")
+            length = int(
+                encrypt.get("length", 40 if r == 2 else 128)
+            )
+            user_pw = str(encrypt.get("user_password", "")).encode(
+                "latin-1"
+            )
+            owner_pw = str(
+                encrypt.get("owner_password", "dono")
+            ).encode("latin-1") or user_pw
+            # deterministic /ID (never wall-clock/random): digest of
+            # the page content — both array members identical
+            id0 = hashlib.md5(
+                b"spark-graft-pdf-id:" + repr(pages).encode()
+            ).digest()
+            p_flags = -1
+            o_entry = _std_owner_entry(owner_pw, user_pw, r, length)
+            file_key = _std_file_key(
+                user_pw, o_entry, p_flags, id0, r, length
+            )
+            u_entry = _std_user_entry(file_key, id0, r)
+            # encrypt every stream under its Algorithm-1 object key
+            # (encryption is the OUTERMOST layer: RC4 of the
+            # filter-encoded bytes)
+            for num in streams:
+                streams[num] = _rc4(
+                    _std_object_key(file_key, num, 0), streams[num]
+                )
+            enc_num = max(objects) + 1
+            v = 1 if r == 2 else 2
+            length_part = f" /Length {length}" if r == 3 else ""
+            objects[enc_num] = (
+                f"<< /Filter /Standard /V {v} /R {r}{length_part} "
+                f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> "
+                f"/P {p_flags} >>".encode()
+            )
+            trailer_extra = (
+                f" /Encrypt {enc_num} 0 R "
+                f"/ID [<{id0.hex()}> <{id0.hex()}>]".encode()
+            )
         offsets: dict[int, int] = {}
         for num in sorted(objects):
             offsets[num] = len(out)
@@ -1223,9 +1474,10 @@ def build_pdf(
         for num in range(1, n_obj):
             out += f"{offsets[num]:010d} 00000 n \n".encode()
         out += (
-            f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n"
-        ).encode()
+            f"trailer\n<< /Size {n_obj} /Root 1 0 R".encode()
+            + trailer_extra
+            + f" >>\nstartxref\n{xref_at}\n%%EOF\n".encode()
+        )
         return bytes(out)
 
     # ---- PDF 1.5 layouts

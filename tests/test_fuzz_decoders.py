@@ -68,6 +68,13 @@ _DECODERS = {
         px.extract_pdf,
         (px.PdfFormatError, NotImplementedError),
     ),
+    # r10: RC4-encrypted PDFs join on arrival — mutations hit the
+    # /Encrypt dict validation, key derivation and /U authentication
+    # (PdfPasswordError IS a PdfFormatError)
+    "pdf_rc4": (
+        px.extract_pdf,
+        (px.PdfFormatError, NotImplementedError),
+    ),
 }
 
 
@@ -105,6 +112,10 @@ def _valid_payloads() -> dict[str, bytes]:
         "pdf15": px.build_pdf(
             [["linha um dois tres", "quatro cinco"], ["pagina dois"]],
             layout="objstm",
+        ),
+        "pdf_rc4": px.build_pdf(
+            [["linha um dois tres", "quatro cinco"], ["pagina dois"]],
+            encrypt={"revision": 3, "user_password": ""},
         ),
     }
 

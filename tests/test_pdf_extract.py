@@ -120,12 +120,23 @@ def test_incremental_update_prev_chain_newest_wins():
 
 
 def test_boundaries_raise_not_implemented():
-    # encrypted
+    # AES-encrypted (/V 4) — RC4 R2/R3 decrypts since r10, AES stays a
+    # documented boundary (no stdlib cipher to verify against)
     enc = _wrap_content(b"BT (x) Tj ET").replace(
-        b"/Size 5 /Root 1 0 R", b"/Size 5 /Root 1 0 R /Encrypt 9 0 R"
+        b"/Size 5 /Root 1 0 R",
+        b"/Size 5 /Root 1 0 R /Encrypt << /Filter /Standard /V 4 /R 4 "
+        b"/O <00> /U <00> /P -1 >>",
     )
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(NotImplementedError, match="AES"):
         px.extract_pdf(enc)
+    # non-Standard handlers stay out of scope
+    enc2 = _wrap_content(b"BT (x) Tj ET").replace(
+        b"/Size 5 /Root 1 0 R",
+        b"/Size 5 /Root 1 0 R /Encrypt << /Filter /Outro /V 1 /R 2 "
+        b"/O <00> /U <00> >>",
+    )
+    with pytest.raises(NotImplementedError, match="non-Standard"):
+        px.extract_pdf(enc2)
     # unsupported filter
     dct = _wrap_content(b"xxxx", filters=b" /Filter /DCTDecode")
     with pytest.raises(NotImplementedError, match="DCTDecode"):
@@ -544,3 +555,109 @@ def test_spark_null_pdf_lands_in_error_column(spark):
     rows = {r.doc_id: r for r in px.extract_text_pdf(df).collect()}
     assert rows[1].text == "ok"
     assert rows[2].text is None and rows[2].error == "PdfFormatError"
+
+
+# ------------------------------------------------ RC4 encryption (r10)
+
+
+def test_encrypted_roundtrip_matches_plaintext_twin():
+    """The build_pdf encrypt twin: extraction of the RC4-encrypted
+    file must equal the PLAINTEXT twin exactly — across both handler
+    revisions, both compression modes, both font models."""
+    pages = [
+        ["linha um dois tres", "quatro (cinco) seis"],
+        ["pagina dois com mais texto"],
+    ]
+    for r in (2, 3):
+        for compress in (True, False):
+            for font in ("type1", "type0"):
+                enc = px.build_pdf(
+                    pages, compress=compress, font=font,
+                    encrypt={"revision": r, "user_password": ""},
+                )
+                assert b"/Encrypt" in enc
+                # the encrypted bytes must NOT contain the plaintext
+                want = px.extract_pdf(
+                    px.build_pdf(pages, compress=compress, font=font)
+                )
+                assert px.extract_pdf(enc) == want, (r, compress, font)
+    # deterministic bytes (the /ID is content-derived, never random)
+    a = px.build_pdf(pages, encrypt={"revision": 3})
+    assert a == px.build_pdf(pages, encrypt={"revision": 3})
+
+
+def test_encrypted_ciphertext_hides_plaintext():
+    """Honesty check on the twin: with compress=False the plaintext
+    lines are directly visible in an UNencrypted file and absent from
+    the encrypted one."""
+    pages = [["texto confidencial visivel"]]
+    plain = px.build_pdf(pages, compress=False)
+    enc = px.build_pdf(
+        pages, compress=False, encrypt={"revision": 3}
+    )
+    assert b"texto confidencial visivel" in plain
+    assert b"texto confidencial visivel" not in enc
+
+
+def test_encrypted_wrong_password_raises():
+    pages = [["dados protegidos"]]
+    enc = px.build_pdf(
+        pages, encrypt={"revision": 3, "user_password": "segredo"}
+    )
+    want = px.extract_pdf(px.build_pdf(pages))
+    assert px.extract_pdf(enc, password="segredo") == want
+    with pytest.raises(px.PdfPasswordError):
+        px.extract_pdf(enc)  # the empty default must NOT authenticate
+    with pytest.raises(px.PdfPasswordError):
+        px.extract_pdf(enc, password="errada")
+    # PdfPasswordError IS a PdfFormatError: the Spark error-column
+    # contract (no-silent-caps) catches it without a new except arm
+    assert issubclass(px.PdfPasswordError, px.PdfFormatError)
+
+
+def test_encrypted_40bit_r2_key_shape():
+    """R2 forces the 40-bit key path (5-byte file key, object keys
+    capped at 10 bytes) — a distinct arithmetic branch from R3/128."""
+    pages = [["quarenta bits"]]
+    enc = px.build_pdf(
+        pages, encrypt={"revision": 2, "user_password": "pw40"}
+    )
+    assert px.extract_pdf(enc, password="pw40") == px.extract_pdf(
+        px.build_pdf(pages)
+    )
+    with pytest.raises(px.PdfPasswordError):
+        px.extract_pdf(enc, password="")
+
+
+def test_encrypted_spark_error_column(spark):
+    """extract_text_pdf (empty-password path): empty-user-password
+    files extract transparently; password-protected ones land in the
+    error column, never crash the stage."""
+    rows = [
+        (1, px.build_pdf([["doc aberto"]],
+                         encrypt={"revision": 3, "user_password": ""})),
+        (2, px.build_pdf([["doc fechado"]],
+                         encrypt={"revision": 3, "user_password": "x"})),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary")
+    out = {r.doc_id: r for r in px.extract_text_pdf(df).collect()}
+    assert out[1].text == "doc aberto" and out[1].error is None
+    assert out[2].text is None
+    assert out[2].error == "PdfPasswordError"
+
+
+def test_rc4_matches_jvm_arcfour(spark):
+    """Cross-implementation cipher pin: our stdlib RC4 must produce
+    byte-identical keystreams to the JVM's independent ARCFOUR cipher
+    (SunJCE) across key lengths 5..16 — the avro-jar/imageio interop
+    trick applied to the PDF security handler's primitive."""
+    import hashlib
+
+    jvm = spark.sparkContext._jvm
+    for i in range(6):
+        key = hashlib.md5(f"k{i}".encode()).digest()[: 5 + i * 2]
+        data = hashlib.md5(f"d{i}".encode()).digest() * (i + 7)
+        c = jvm.javax.crypto.Cipher.getInstance("ARCFOUR")
+        sk = jvm.javax.crypto.spec.SecretKeySpec(bytearray(key), "ARCFOUR")
+        c.init(jvm.javax.crypto.Cipher.ENCRYPT_MODE, sk)
+        assert bytes(c.doFinal(bytearray(data))) == px._rc4(key, data)
