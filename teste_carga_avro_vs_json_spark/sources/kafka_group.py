@@ -61,12 +61,20 @@ class GroupConsumer:
         topics: list[str],
         session_timeout_ms: int = 10_000,
         rebalance_timeout_ms: int = 10_000,
+        tail_n: int | None = None,
     ):
+        """``tail_n`` switches the on-assignment seek from committed
+        offsets to the reference's ``posicionarNoFimMenosN``
+        (ConsumidorAvro.java:163-180): each assigned partition seeks
+        to ``max(earliest, latest - ceil(tail_n / n_partitions))`` —
+        the tail-N warm-read shape the reference's listener applies
+        on every (re)assignment."""
         self._client = client
         self.group = group
         self.topics = list(topics)
         self._session_ms = session_timeout_ms
         self._rebalance_ms = rebalance_timeout_ms
+        self.tail_n = tail_n
         self.member_id = ""
         self.generation = -1
         self.assignment: dict[str, list[int]] = {}
@@ -121,9 +129,20 @@ class GroupConsumer:
         """The listener's onPartitionsAssigned: position every owned
         partition at the group's committed offset, falling back to
         earliest — a moved partition resumes exactly where its previous
-        owner committed."""
+        owner committed. With ``tail_n`` set, apply the reference's
+        end-minus-N seek instead (ConsumidorAvro.java:163-180:
+        ``porParticao = ceil(totalAlvo / n_parts)``, start =
+        ``max(begin, end - porParticao)``)."""
         self.positions = {}
         for topic, parts in self.assignment.items():
+            if self.tail_n is not None:
+                n_parts = max(1, len(parts))
+                per_part = max(1, -(-self.tail_n // n_parts))  # ceil
+                for p in parts:
+                    begin = self._client.list_offset(topic, p, -2)
+                    end = self._client.list_offset(topic, p, -1)
+                    self.positions[(topic, p)] = max(begin, end - per_part)
+                continue
             committed = self._client.offset_fetch(self.group, topic, parts)
             for p in parts:
                 if p in committed:

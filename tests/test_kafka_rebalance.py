@@ -295,3 +295,30 @@ def test_group_apis_require_auth_when_sasl_enabled():
             assert res["generation"] == 1
         finally:
             authed.close()
+
+
+def test_tail_n_seek_on_assignment_matches_reference_shape():
+    """The reference's posicionarNoFimMenosN applied by the membership
+    loop (ConsumidorAvro.java:163-180): on assignment each partition
+    seeks to max(begin, end - ceil(tail_n / n_parts)) — the warm
+    tail-read every consumer thread performs on (re)assignment."""
+    with StubBroker(num_partitions=2, initial_rebalance_delay_ms=50) as b:
+        _produce_all(b.addr, 2, 10)  # 10 records on each partition
+        cl = WireKafkaClient(*b.addr)
+        c = GroupConsumer(cl, "g1", ["carga"], tail_n=6)
+        try:
+            c.join()  # alone: both partitions, ceil(6/2)=3 per part
+            assert c.positions == {("carga", 0): 7, ("carga", 1): 7}
+            got = c.poll()
+            assert len(got) == 6  # exactly the tail-3 of each partition
+            assert all(off >= 7 for (_t, _p, off, _k, _v) in got)
+            # tail larger than the log clamps to earliest
+            c2 = GroupConsumer(
+                WireKafkaClient(*b.addr), "g2", ["carga"], tail_n=1000
+            )
+            c2.join()
+            assert c2.positions == {("carga", 0): 0, ("carga", 1): 0}
+            c2.close()
+        finally:
+            c.close()
+            cl.close()
