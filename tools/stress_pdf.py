@@ -86,12 +86,22 @@ def main() -> None:
                 pages = [
                     lines[i : i + 40] for i in range(0, len(lines), 40)
                 ] or [[""]]
+                # r10: every 5th classic doc is RC4-encrypted with the
+                # empty user password (the common crawl case) — the
+                # decrypt path carries real volume, same exact pin
+                encrypt = (
+                    {"revision": 3 if doc_id % 2 else 2,
+                     "user_password": ""}
+                    if doc_id % 3 == 0 and doc_id % 5 == 0
+                    else None
+                )
                 built.append(
                     px.build_pdf(
                         pages,
                         compress=bool(doc_id % 2),
                         layout=layouts[doc_id % 3],
                         font="type0" if doc_id % 4 == 0 else "type1",
+                        encrypt=encrypt,
                     )
                 )
             yield pd.Series(built)
