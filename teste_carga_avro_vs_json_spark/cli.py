@@ -123,9 +123,34 @@ def run_app(app: str, path: str, cfg: EngineConfig, spark=None) -> dict:
             # the reference consumer positions at end-N before reading
             # (posicionarNoFimMenosN, ConsumidorAvro.java:163-180): only
             # the LAST total_mensagens records count toward the report
-            raw = io_kafka.read_kafka_wire_batch(
-                spark, cfg.bootstrap_servers, topic, target_total=total
-            )
+            if cfg.consumo_em_grupo:
+                # r10: the reference's ACTUAL threading model — N
+                # GroupConsumer threads in ONE broker-coordinated
+                # group (grupo-carga-*-1, ConsumidorAvro.java:29,
+                # 57-68), each tail-seeking on (re)assignment
+                from teste_carga_avro_vs_json_spark.sources.kafka_group import (
+                    grouped_tail_read,
+                )
+
+                rows = grouped_tail_read(
+                    cfg.bootstrap_servers,
+                    topic,
+                    group=(
+                        "grupo-carga-json-1" if is_json
+                        else "grupo-carga-avro-1"
+                    ),
+                    n_threads=cfg.threads,
+                    target_total=total,
+                    security=cfg.kafka_security(),
+                )
+                raw = spark.createDataFrame(
+                    [(p, off, k, v) for (p, off, k, v) in rows],
+                    "partition int, offset long, key binary, value binary",
+                )
+            else:
+                raw = io_kafka.read_kafka_wire_batch(
+                    spark, cfg.bootstrap_servers, topic, target_total=total
+                )
             if cfg.bench_mode == "TRANSPORTE":
                 src = raw.select(
                     F.col("offset").alias("sequencia"),

@@ -50,6 +50,12 @@ class EngineConfig:
     tamanho_mensagem_kb: int = 2048          # :53
     num_particoes: int = 18                  # :71
     consumer_threads: int | None = None      # :85-96 (None -> particoes)
+    #: r10: route the consumer apps through the broker-coordinated
+    #: group (N GroupConsumer threads in ONE group, the reference's
+    #: actual model — ConsumidorAvro.java:57-68) instead of static
+    #: partition assignment. Off by default: the static path is the
+    #: Spark-idiomatic executor-parallel read.
+    consumo_em_grupo: bool = False
     bench_mode: str = "E2E_PARSE"            # :100
     compression_type: str = "lz4"            # :112-118
     warmup_mensagens: int = 0                # :120-124
@@ -134,6 +140,10 @@ class EngineConfig:
             num_particoes=_env_int("NUM_PARTICOES", 18),
             consumer_threads=(
                 _env_int("CONSUMER_THREADS", 0) or None
+            ),
+            consumo_em_grupo=(
+                os.environ.get("CONSUMO_EM_GRUPO", "").strip().lower()
+                in ("1", "true", "sim")
             ),
             # obterBenchMode() does trim().toUpperCase(); obterCompressionType()
             # does trim().toLowerCase() (ConfiguracaoKafka.java:98-118).

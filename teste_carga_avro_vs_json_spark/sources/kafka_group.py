@@ -204,3 +204,83 @@ class GroupConsumer:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def grouped_tail_read(
+    bootstrap: str,
+    topic: str,
+    group: str,
+    n_threads: int,
+    target_total: int,
+    security: dict | None = None,
+    max_idle_polls: int = 50,
+) -> list[tuple[int, int, bytes | None, bytes | None]]:
+    """The reference's consume model verbatim
+    (ConsumidorAvro.java:45-125): ``n_threads`` GroupConsumer threads
+    in ONE group, each re-seeking end-minus-N on (re)assignment
+    (``posicionarNoFimMenosN``), jointly draining the topic tail until
+    ``target_total`` records are in hand or every owned partition hit
+    its high watermark. Returns ``(partition, offset, key, value)``
+    rows, deduplicated on (partition, offset) — the group gives
+    at-least-once across rebalances, the dedup makes the BOUNDED read
+    exactly-once, matching the report semantics.
+
+    Driver-side control path by design: the executor bulk path remains
+    the partition-parallel ``kafka_wire_source``; this exists for
+    reference parity (18 in-process threads, one group) and for
+    coexisting with non-Spark consumers in a shared group."""
+    import threading
+
+    security = security or {}
+    seen: dict[tuple[int, int], tuple] = {}
+    lock = threading.Lock()
+    errors: list[BaseException] = []
+
+    def worker() -> None:
+        client = WireKafkaClient.connect(bootstrap, **security)
+        consumer = GroupConsumer(
+            client, group, [topic], tail_n=target_total
+        )
+        try:
+            consumer.join()
+            idle = 0
+            while idle <= max_idle_polls:
+                with lock:
+                    if len(seen) >= target_total:
+                        break
+                recs = consumer.poll()
+                if recs:
+                    idle = 0
+                    with lock:
+                        for t, p, off, k, v in recs:
+                            seen[(p, off)] = (p, off, k, v)
+                    continue
+                # drained? every owned partition at its high watermark
+                ends = {
+                    (t, p): client.list_offset(t, p, -1)
+                    for (t, p) in consumer.positions
+                }
+                if consumer.positions and all(
+                    consumer.positions[tp] >= ends[tp]
+                    for tp in consumer.positions
+                ):
+                    break
+                idle += 1
+        except BaseException as e:  # surfaced to the caller below
+            with lock:
+                errors.append(e)
+        finally:
+            consumer.close()
+            client.close()
+
+    threads = [
+        threading.Thread(target=worker, name=f"{group}-{i}")
+        for i in range(max(1, n_threads))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return sorted(seen.values())[:target_total]

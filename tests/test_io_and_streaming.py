@@ -708,3 +708,31 @@ def test_stream_stream_join_state_eviction(spark, tmp_path):
     assert peak_state <= 2 * 2 * n_per_bucket, (
         f"state never evicted: peak {peak_state} of {total_in} input rows"
     )
+
+
+def test_cli_consumer_grouped_mode_matches_static(spark):
+    """r10: consumo_em_grupo routes the consumer app through the
+    broker-coordinated group (N GroupConsumer threads in ONE group,
+    the reference's 18-thread model, ConsumidorAvro.java:57-68) — the
+    report must MATCH the static-assignment path exactly, and the
+    group's offsets land broker-side under the reference's group id."""
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import StubBroker
+
+    with StubBroker(num_partitions=4, initial_rebalance_delay_ms=300) as b:
+        bootstrap = f"{b.addr[0]}:{b.addr[1]}"
+        cfg = EngineConfig(
+            total_mensagens=24, tamanho_mensagem_kb=1, num_particoes=4,
+            warmup_mensagens=4, bootstrap_servers=bootstrap,
+        )
+        run_app("PRODUTOR_AVRO", "", cfg, spark)
+        static = run_app("CONSUMIDOR_AVRO", "", cfg, spark)
+
+        cfg_g = EngineConfig(
+            total_mensagens=24, tamanho_mensagem_kb=1, num_particoes=4,
+            warmup_mensagens=4, bootstrap_servers=bootstrap,
+            consumo_em_grupo=True, consumer_threads=2,
+        )
+        grouped = run_app("CONSUMIDOR_AVRO", "", cfg_g, spark)
+        assert grouped["total_mensagens"] == static["total_mensagens"] == 20
+        assert grouped["taxa_sucesso_porcentagem"] == "100.00"
+        assert grouped["total_bytes"] == static["total_bytes"]
