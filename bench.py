@@ -74,16 +74,27 @@ def _steal_pct_window(seconds: float = 2.0) -> float | None:
 
 
 def _await_quiet_window(
-    max_wait_sec: float, load_cap: float = 8.0, steal_cap: float = 1.0
+    max_wait_sec: float, load_cap: float = 3.0, steal_cap: float = 1.0
 ) -> dict:
     """Contention gate (r8 VERDICT order #2): BENCH_r08.json was
     captured in a steal-2.83%/loadavg-17.7 window that inflated every
     lane 10-44% while nine committed raw runs disproved the regression.
     Rather than publish artifacts the raw runs have to defend, wait
-    (bounded) for loadavg_1m <= ~8 and steal <= ~1% before timing, and
+    (bounded) for loadavg_1m <= ~3 and steal <= ~1% before timing, and
     stamp the chosen window in the JSON. If the host never quiets down
     within the budget, run anyway but mark ``contended_fallback: true``
-    so the verdict can discount the numbers without side evidence."""
+    so the verdict can discount the numbers without side evidence.
+
+    The PRE-run loadavg is the one loadavg reading that measures pure
+    FOREIGN load (we haven't started yet). r10 tightened the cap from
+    8.0 to 3.0 on the r9 evidence: the official r9 capture released at
+    loadavg 5.8 — six foreign runnable threads — and its transport
+    lane came out +43.7% vs four quiet runs; this box idles below 1.
+    END-of-run loadavg, by contrast, cannot discriminate at all: the
+    bench's own local[32] stage load pushes it to 10-20 on QUIET runs
+    (r9_run4 9.8 .. r9_run5 20.2, vs contended r9_run1 17.9) — so it
+    is recorded as telemetry but deliberately NOT folded into the
+    contended flag; run-window steal (hypervisor theft) is."""
     waited = 0.0
     samples = []
     while True:
@@ -590,16 +601,12 @@ def main() -> bool:
     if (out.get("steal_pct") or 0) > 1.0:
         gate["contended_fallback"] = True
         gate["reason"] = f"run-window steal {out['steal_pct']}%"
-    # ... and run-window LOADAVG (r9's official run passed the gate at
-    # loadavg 5.8 then finished at 11.7, inflating transport +43.7% vs
-    # four quiet runs at the floor — steal alone missed it because the
-    # contention was CPU competition, not hypervisor theft)
-    if (out.get("loadavg_1m") or 0) > 8.0:
-        gate["contended_fallback"] = True
-        reason = f"run-window loadavg {out['loadavg_1m']}"
-        gate["reason"] = (
-            f"{gate['reason']}; {reason}" if gate.get("reason") else reason
-        )
+    # End-of-run loadavg is recorded above but NOT folded: the bench's
+    # own local[32] load pushes it to 10-20 on QUIET runs (r9_run5
+    # ended at 20.2), so it cannot separate self-load from foreign
+    # competition. The r9 failure mode (gate released at foreign
+    # loadavg 5.8 → transport +43.7%) is closed at the PRE-run gate
+    # instead, where loadavg is purely foreign — cap tightened to 3.0.
     if deltas:
         out["delta_pct_vs_baseline"] = deltas
     print(json.dumps(out))
