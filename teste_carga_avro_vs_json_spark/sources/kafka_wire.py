@@ -661,11 +661,13 @@ class _ScramServerExchange:
 ERR_CORRUPT_MESSAGE = 2
 ERR_OUT_OF_ORDER_SEQUENCE = 45
 ERR_ILLEGAL_GENERATION = 22
+ERR_INCONSISTENT_GROUP_PROTOCOL = 23
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
 _ERR_NAMES = {
     2: "CORRUPT_MESSAGE",
     22: "ILLEGAL_GENERATION",
+    23: "INCONSISTENT_GROUP_PROTOCOL",
     25: "UNKNOWN_MEMBER_ID",
     27: "REBALANCE_IN_PROGRESS",
     33: "UNSUPPORTED_SASL_MECHANISM",
@@ -1674,7 +1676,11 @@ class StubBroker:
             if all(name in protos for protos in g.members.values()):
                 common = name
                 break
-        g.protocol = common or "range"
+        # no protocol every member supports: the generation completes
+        # with protocol None and every waiter is answered
+        # INCONSISTENT_GROUP_PROTOCOL (err 23), like the real
+        # coordinator's candidates-intersection check
+        g.protocol = common
         g.leader = g.leader if g.leader in g.joined else ordered[0]
         g.generation += 1
         g.assignments = {}
@@ -1703,6 +1709,19 @@ class StubBroker:
             if not member_id:
                 member_id = f"member-{g.next_member}"
                 g.next_member += 1
+            others = {
+                m: protos for m, protos in g.members.items()
+                if m != member_id
+            }
+            if others:
+                # entry check (real-coordinator behavior): a joiner
+                # sharing NO protocol with the current members is
+                # rejected here, without disturbing the group
+                candidates = set(protocols)
+                for protos in others.values():
+                    candidates &= set(protos)
+                if not candidates:
+                    return (ERR_INCONSISTENT_GROUP_PROTOCOL,)
             if g.state == "Empty":
                 # KIP-134 initial delay: hold the first generation
                 # open briefly so concurrently-starting members land
@@ -1733,6 +1752,8 @@ class StubBroker:
             if member_id not in g.members:
                 # a racing deadline evicted us while we slept
                 return (ERR_UNKNOWN_MEMBER_ID,)
+            if g.protocol is None:
+                return (ERR_INCONSISTENT_GROUP_PROTOCOL,)
             members = []
             if member_id == g.leader:
                 members = [

@@ -322,3 +322,23 @@ def test_tail_n_seek_on_assignment_matches_reference_shape():
         finally:
             c.close()
             cl.close()
+
+
+def test_inconsistent_protocol_rejected_at_join():
+    """A joiner sharing no assignor with the group is rejected with
+    INCONSISTENT_GROUP_PROTOCOL (err 23) at entry — without disturbing
+    the stable group."""
+    with StubBroker(num_partitions=2, initial_rebalance_delay_ms=50) as b:
+        c1 = WireKafkaClient(*b.addr)
+        c2 = WireKafkaClient(*b.addr)
+        try:
+            r1 = c1.join_group("g1", ["carga"], protocol="range")
+            m1 = r1["member_id"]
+            c1.sync_group("g1", 1, m1, {m1: {"carga": [0, 1]}})
+            with pytest.raises(ValueError, match="INCONSISTENT_GROUP_PROTOCOL"):
+                c2.join_group("g1", ["carga"], protocol="sticky")
+            # the stable member is untouched: same generation, no 27
+            c1.heartbeat_group("g1", 1, m1)
+        finally:
+            c1.close()
+            c2.close()
