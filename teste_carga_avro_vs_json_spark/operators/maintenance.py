@@ -431,6 +431,39 @@ def snapshot_compact(
     }
 
 
+def snapshot_cluster_by(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    n_files: int | None = None,
+    target_mb: float = 256.0,
+    ts: int = SNAP_EPOCH,
+) -> dict:
+    """Range-cluster the LATEST snapshot version on ``col`` as a new
+    ``overwrite`` commit (content preserved exactly — OPTIMIZE with a
+    sort order). This is what keeps :func:`snapshot_merge` cheap over
+    time: merges rewrite whole files containing matched keys, so a
+    key-clustered layout bounds a K-key upsert to ~K files, while an
+    unclustered one degrades toward rewriting everything. Run it the
+    way Delta runs OPTIMIZE ZORDER — periodically, after merge churn.
+    Readers pinned to older versions keep their files (reclaim with
+    :func:`snapshot_vacuum`)."""
+    latest = snapshot_read(spark, table_dir)
+    manifest = _read_manifest(table_dir, snapshot_versions(table_dir)[-1])
+    if n_files is None:
+        n_files = plan_output_files(manifest["n_bytes"], target_mb)
+    clustered = latest.repartitionByRange(
+        n_files, F.col(col)
+    ).sortWithinPartitions(col)
+    version = snapshot_commit(clustered, table_dir, mode="overwrite", ts=ts)
+    return {
+        "version": version,
+        "planned_files": n_files,
+        "output_files": _read_manifest(table_dir, version)["n_files"],
+        "input_files": manifest["n_files"],
+    }
+
+
 def snapshot_merge(
     delta: DataFrame,
     table_dir: str,

@@ -536,3 +536,45 @@ def test_snapshot_merge_concurrent_one_wins_one_retries(
     }
     assert texts == {"merge-a", "merge-b"}  # both merges landed
     assert latest.count() == 100
+
+
+def test_snapshot_cluster_by_bounds_merge_rewrites(spark, sf_dir, tmp_path):
+    """snapshot_cluster_by is the maintenance op that keeps merges
+    cheap: after clustering on doc_id, per-file footer ranges are
+    disjoint and a 2-key upsert rewrites exactly the files holding
+    those keys; the scattered pre-cluster layout would rewrite most of
+    the table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(400)
+    tdir = str(tmp_path / "table")
+    # scattered initial layout: 6 files, doc_ids interleaved
+    mt.snapshot_commit(docs.repartition(6, F.col("text")), tdir)
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    delta = spark.createDataFrame(
+        [(int(ids[0]), "u0"), (int(ids[1]), "u1")],
+        "doc_id long, text string",
+    )
+    scattered = mt.snapshot_merge(delta, tdir, keys=["doc_id"])
+    assert scattered["files_rewritten"] >= 2  # interleaved: spread out
+
+    res = mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=4)
+    assert res["output_files"] == 4
+    latest = mt.snapshot_read(spark, tdir)
+    assert latest.count() == 400  # content preserved exactly
+    # adjacent keys now live in ONE file: the same-shape merge
+    # rewrites exactly one
+    delta2 = spark.createDataFrame(
+        [(int(ids[2]), "u2"), (int(ids[3]), "u3")],
+        "doc_id long, text string",
+    )
+    clustered = mt.snapshot_merge(delta2, tdir, keys=["doc_id"])
+    assert clustered["files_rewritten"] == 1
+    assert clustered["files_kept"] == 3
+    got = {
+        r.doc_id: r.text
+        for r in mt.snapshot_read(spark, tdir)
+        .where(F.col("doc_id").isin([int(i) for i in ids[:4]]))
+        .collect()
+    }
+    assert got == {ids[0]: "u0", ids[1]: "u1", ids[2]: "u2", ids[3]: "u3"}
