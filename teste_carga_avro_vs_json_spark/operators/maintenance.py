@@ -373,12 +373,25 @@ def snapshot_commit(
 
 
 def snapshot_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a pinned version (latest when None) — time travel. The
     reader takes the manifest's EXPLICIT file list, never a directory
     listing, so later commits/compactions/vacuums of other versions
-    cannot change what this query sees."""
+    cannot change what this query sees.
+
+    ``merge_schema=True`` reads with the UNION schema across the
+    version's files (parquet ``mergeSchema``) — the lakehouse
+    schema-evolution read: appends that ADDED columns surface them,
+    older rows null-fill. Off by default (single-schema tables skip
+    the per-file footer sampling, and column order stays exactly the
+    first file's — what the oracle pins rely on). Note
+    :func:`snapshot_merge` reads the table with the FIRST file's
+    schema; run :func:`snapshot_compact`/:func:`snapshot_cluster_by`
+    after an evolving append before merging on an evolved column."""
     versions = snapshot_versions(table_dir)
     if not versions:
         raise ValueError(f"no committed snapshots under {table_dir}")
@@ -406,7 +419,10 @@ def snapshot_read(
             f"version {version} of {table_dir!r} has no files and no "
             "other version defines a schema"
         )
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def snapshot_compact(

@@ -578,3 +578,31 @@ def test_snapshot_cluster_by_bounds_merge_rewrites(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == {ids[0]: "u0", ids[1]: "u1", ids[2]: "u2", ids[3]: "u3"}
+
+
+def test_snapshot_schema_evolution_read(spark, sf_dir, tmp_path):
+    """Appends may ADD columns; merge_schema=True reads the union
+    schema with old rows null-filled, the default read keeps the
+    original column set, and time travel is unaffected."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(50)
+    tdir = str(tmp_path / "table")
+    v1 = mt.snapshot_commit(docs, tdir)
+    evolved = docs.limit(10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.lit("pt").alias("lang"),
+    )
+    mt.snapshot_commit(evolved, tdir, mode="append")
+
+    wide = mt.snapshot_read(spark, tdir, merge_schema=True)
+    assert set(wide.columns) == {"doc_id", "text", "lang"}
+    assert wide.count() == 60
+    assert wide.where(F.col("lang").isNull()).count() == 50  # null-fill
+    assert wide.where(F.col("lang") == "pt").count() == 10
+    # default read: original column order/width (oracle-pin behavior)
+    assert mt.snapshot_read(spark, tdir).columns[:2] == ["doc_id", "text"]
+    # time travel: v1 never sees the new column even merged
+    old = mt.snapshot_read(spark, tdir, v1, merge_schema=True)
+    assert set(old.columns) == {"doc_id", "text"}
