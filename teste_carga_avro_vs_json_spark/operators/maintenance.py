@@ -508,8 +508,6 @@ def snapshot_merge(
     Returns ``{version, files_rewritten, files_kept, files_new,
     rows_replaced, rows_inserted}`` so callers can verify the
     copy-on-write bound (manifest-diff evidence)."""
-    import json
-    import tempfile
     from urllib.parse import unquote, urlparse
 
     if not keys:
@@ -562,11 +560,39 @@ def snapshot_merge(
         rewritten = delta.select(*cols)
     rows_inserted = delta.count() - rows_replaced
 
+    new_files = _write_new_files(spark, table_dir, rewritten)
+    kept = [
+        f for p, f in sorted(by_abspath.items()) if p not in set(affected)
+    ]
+    version = _publish_cow_manifest(
+        table_dir, parent, kept + new_files, "merge", ts,
+        {
+            **(extra or {}),
+            "merge_keys": list(keys),
+            "files_rewritten": len(affected),
+            "rows_replaced": rows_replaced,
+        },
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(affected),
+        "files_kept": len(kept),
+        "files_new": len(new_files),
+        "rows_replaced": rows_replaced,
+        "rows_inserted": rows_inserted,
+    }
+
+
+def _write_new_files(spark, table_dir: str, df: DataFrame) -> list[dict]:
+    """Write ``df`` into an attempt-unique ``data/c-*`` dir (the
+    multi-writer rule) and return its manifest file entries."""
+    import tempfile
+
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     data_dir = tempfile.mkdtemp(
         prefix="c-", dir=os.path.join(table_dir, "data")
     )
-    rewritten.write.mode("overwrite").parquet(data_dir)
+    df.write.mode("overwrite").parquet(data_dir)
     new_files = []
     for uri in spark.read.parquet(data_dir).inputFiles():
         path = uri[len("file:"):] if uri.startswith("file:") else uri
@@ -575,24 +601,29 @@ def snapshot_merge(
             "bytes": os.path.getsize(path),
         })
     new_files.sort(key=lambda f: f["path"])
-    kept = [
-        f for p, f in sorted(by_abspath.items()) if p not in set(affected)
-    ]
-    files = kept + new_files
+    return new_files
+
+
+def _publish_cow_manifest(
+    table_dir: str, parent: int, files: list[dict], op: str, ts: int,
+    extra: dict,
+) -> int:
+    """Create-exclusive publish of a copy-on-write commit computed
+    against ``parent``. A lost race raises SnapshotConflictError
+    IMMEDIATELY (no silent retry — the caller's affected-file set is
+    stale against the new head and must be recomputed)."""
+    import json
+    import tempfile
+
     version = parent + 1
     out_manifest = {
         "version": version,
-        "op": "merge",
+        "op": op,
         "ts": ts,
         "n_files": len(files),
         "n_bytes": sum(f["bytes"] for f in files),
         "files": files,
-        "extra": {
-            **(extra or {}),
-            "merge_keys": list(keys),
-            "files_rewritten": len(affected),
-            "rows_replaced": rows_replaced,
-        },
+        "extra": extra,
     }
     os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
     fd, tmp = tempfile.mkstemp(
@@ -604,19 +635,95 @@ def snapshot_merge(
         os.link(tmp, _manifest_path(table_dir, version))
     except FileExistsError:
         raise SnapshotConflictError(
-            f"merge computed against v{parent} but v{version} was "
-            "committed concurrently — re-run the merge against the "
+            f"{op} computed against v{parent} but v{version} was "
+            f"committed concurrently — re-run the {op} against the "
             "new head"
         ) from None
     finally:
         os.unlink(tmp)
+    return version
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    ts: int = SNAP_EPOCH,
+    extra: dict | None = None,
+) -> dict:
+    """Copy-on-write DELETE WHERE — the right-to-erasure operation a
+    production corpus must support: rows matching ``condition`` (a SQL
+    boolean expression over the table's columns) are removed by
+    rewriting ONLY the files that contain a match; untouched files
+    carry by reference. Same optimistic concurrency as
+    :func:`snapshot_merge` (lost race raises, caller re-runs). NOTE:
+    older versions still CONTAIN the rows (time travel is the point of
+    snapshots) — a compliance erasure completes with
+    :func:`snapshot_vacuum` to retire pre-delete versions.
+
+    Returns ``{version, files_rewritten, files_kept, files_new,
+    rows_deleted}``; a condition matching nothing publishes NO new
+    version (returns the parent with zeros)."""
+    from urllib.parse import unquote, urlparse
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {table_dir}")
+    parent = versions[-1]
+    manifest = _read_manifest(table_dir, parent)
+    if not manifest["files"]:
+        return {
+            "version": parent, "files_rewritten": 0, "files_kept": 0,
+            "files_new": 0, "rows_deleted": 0,
+        }
+    by_abspath = {
+        os.path.normpath(os.path.join(table_dir, f["path"])): f
+        for f in manifest["files"]
+    }
+    cond = F.expr(condition)
+    current = spark.read.parquet(*by_abspath).withColumn(
+        "_del_file", F.input_file_name()
+    )
+    affected_uris = [
+        r["_del_file"]
+        for r in current.where(cond)
+        .select("_del_file").distinct().collect()
+    ]
+    affected = sorted(
+        os.path.normpath(unquote(urlparse(u).path)) for u in affected_uris
+    )
+    if not affected:
+        return {
+            "version": parent, "files_rewritten": 0,
+            "files_kept": len(by_abspath), "files_new": 0,
+            "rows_deleted": 0,
+        }
+    cols = spark.read.parquet(*by_abspath).columns
+    survivors = spark.read.parquet(*affected).where(~cond).select(*cols)
+    n_affected_rows = spark.read.parquet(*affected).count()
+    n_survivors = survivors.count()
+    rows_deleted = n_affected_rows - n_survivors
+    new_files = (
+        _write_new_files(spark, table_dir, survivors) if n_survivors else []
+    )
+    kept = [
+        f for p, f in sorted(by_abspath.items()) if p not in set(affected)
+    ]
+    version = _publish_cow_manifest(
+        table_dir, parent, kept + new_files, "delete", ts,
+        {
+            **(extra or {}),
+            "delete_condition": condition,
+            "files_rewritten": len(affected),
+            "rows_deleted": rows_deleted,
+        },
+    )
     return {
         "version": version,
         "files_rewritten": len(affected),
         "files_kept": len(kept),
         "files_new": len(new_files),
-        "rows_replaced": rows_replaced,
-        "rows_inserted": rows_inserted,
+        "rows_deleted": rows_deleted,
     }
 
 

@@ -606,3 +606,52 @@ def test_snapshot_schema_evolution_read(spark, sf_dir, tmp_path):
     # time travel: v1 never sees the new column even merged
     old = mt.snapshot_read(spark, tdir, v1, merge_schema=True)
     assert set(old.columns) == {"doc_id", "text"}
+
+
+def test_snapshot_delete_where_copy_on_write(spark, sf_dir, tmp_path):
+    """Copy-on-write DELETE: only files containing matches rewrite;
+    time travel keeps pre-delete versions (the documented erasure
+    caveat), and snapshot_vacuum completes the erasure by retiring
+    them; a no-match condition publishes nothing."""
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(200)
+    tdir = str(tmp_path / "table")
+    v1 = mt.snapshot_commit(docs.repartitionByRange(4, "doc_id"), tdir)
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    low3 = [int(i) for i in ids[:3]]
+
+    res = mt.snapshot_delete(
+        spark, tdir, f"doc_id in ({','.join(map(str, low3))})"
+    )
+    assert res["rows_deleted"] == 3
+    assert res["files_rewritten"] == 1  # clustered: all 3 in one file
+    assert res["files_kept"] == 3
+    latest = mt.snapshot_read(spark, tdir)
+    assert latest.count() == 197
+    assert latest.where(F.col("doc_id").isin(low3)).count() == 0
+    # time travel: erased rows still in v1 (the point of snapshots)
+    assert mt.snapshot_read(spark, tdir, v1).count() == 200
+    # ... until vacuum retires pre-delete versions (compliance step)
+    mt.snapshot_vacuum(tdir, keep_last=1)
+    assert mt.snapshot_versions(tdir) == [res["version"]]
+    with pytest.raises(ValueError):
+        mt.snapshot_read(spark, tdir, v1)
+    assert mt.snapshot_read(spark, tdir).count() == 197
+
+    # no-match delete: nothing published, same head
+    res2 = mt.snapshot_delete(spark, tdir, "doc_id = -42")
+    assert res2["version"] == res["version"]
+    assert res2["rows_deleted"] == 0
+    assert mt.snapshot_versions(tdir)[-1] == res["version"]
+
+    # deleting EVERY row of a file drops the file without a rewrite
+    hi = int(ids[-1])
+    res3 = mt.snapshot_delete(spark, tdir, f"doc_id <= {hi}")
+    assert res3["rows_deleted"] == 197
+    assert res3["files_new"] == 0  # nothing survived: pure file drop
+    empty = mt.snapshot_read(spark, tdir)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "text"]  # schema preserved
