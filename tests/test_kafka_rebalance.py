@@ -342,3 +342,61 @@ def test_inconsistent_protocol_rejected_at_join():
         finally:
             c1.close()
             c2.close()
+
+
+# -------------------------------------------------------- property-based
+def test_range_assign_invariants_property():
+    """Hypothesis sweep of the assignor invariants: per topic the
+    slices are DISJOINT, their union is every partition, sizes differ
+    by at most one across subscribed members, and the assignment is a
+    pure function of its inputs (determinism)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n_members=st.integers(1, 8),
+        topics=st.dictionaries(
+            st.sampled_from(["t1", "t2", "t3"]),
+            st.integers(1, 17),
+            min_size=1,
+            max_size=3,
+        ),
+        subs=st.data(),
+    )
+    def check(n_members, topics, subs):
+        member_topics = {
+            f"m{i}": subs.draw(
+                st.lists(
+                    st.sampled_from(sorted(topics)),
+                    min_size=0,
+                    max_size=len(topics),
+                    unique=True,
+                ),
+                label=f"subs-m{i}",
+            )
+            for i in range(n_members)
+        }
+        parts = {t: list(range(n)) for t, n in topics.items()}
+        out = range_assign(member_topics, parts)
+        assert out == range_assign(member_topics, parts)  # deterministic
+        for topic, n in topics.items():
+            slices = {
+                m: out[m].get(topic, []) for m in member_topics
+            }
+            subscribed = [
+                m for m, ts in member_topics.items() if topic in ts
+            ]
+            for m, sl in slices.items():
+                if m not in subscribed:
+                    assert sl == []
+            claimed = [p for m in subscribed for p in slices[m]]
+            assert len(set(claimed)) == len(claimed)  # disjoint
+            if subscribed:
+                assert sorted(claimed) == list(range(n))  # complete
+                sizes = [len(slices[m]) for m in subscribed]
+                assert max(sizes) - min(sizes) <= 1  # balanced
+            else:
+                assert claimed == []  # nobody subscribed: unassigned
+
+    check()
