@@ -35,19 +35,25 @@ exact round-trip pins over :func:`build_pdf`):
   all CJK; ``Tf`` switches the active font decoder mid-stream, and
   unmapped CIDs surface as U+FFFD (visible, never silently dropped).
 
-RC4-encrypted files (r10): the standard security handler at
-revisions 2/3 (/V 1/2) decrypts — key derivation per ISO 32000-1
-§7.6.3 Algorithms 1-6, /U-authenticated BEFORE any object is touched
-(wrong password raises :class:`PdfPasswordError`, a PdfFormatError,
-so the Spark error column absorbs it); the empty user password — the
-common crawl case — is the default. The RC4 primitive is
-cross-implementation pinned against the JVM's ARCFOUR cipher, and
-``build_pdf(encrypt=...)`` is the exact-round-trip builder twin.
+Encrypted files: the FULL standard security handler — RC4 at
+revisions 2/3 (/V 1/2, r10), AES-128 at revision 4 (/V 4 crypt
+filters: /AESV2, plus /V2-RC4 and /Identity per-class routing via
+/StmF //StrF), and AES-256 at revisions 5/6 (/V 5 /AESV3, including
+the ISO 32000-2 Algorithm 2.B hardened hash for R6). Key derivation
+per ISO 32000 §7.6 Algorithms 1-6 / 2.A-2.B, /U-authenticated BEFORE
+any object is touched (wrong password raises
+:class:`PdfPasswordError`, a PdfFormatError, so the Spark error
+column absorbs it); the empty user password — the common crawl case
+— is the default; for V5 the /Perms blob is additionally validated
+against the recovered file key. The RC4 primitive is
+cross-implementation pinned against the JVM's ARCFOUR cipher, AES
+comes from ``functions/aes_stdlib.py`` (FIPS-197 vectors +
+javax.crypto pins, both directions), and ``build_pdf(encrypt=...)``
+is the exact-round-trip builder twin for every revision.
 
-Documented boundaries (raise, never guess): AES encryption (/V 4+ —
-no stdlib cipher, nothing in-container to verify against),
-non-Standard security handlers, DCT/JBIG2 filters and the
-TIFF predictor (2),
+Documented boundaries (raise, never guess): non-Standard security
+handlers, public-key (/Recipients) encryption,
+DCT/JBIG2 filters and the TIFF predictor (2),
 and Type0 fonts WITHOUT a ToUnicode CMap or with a non-Identity
 encoding (their strings are CID sequences whose meaning lives in an
 embedded CMap we cannot reconstruct; extracting them as bytes would
@@ -308,12 +314,22 @@ _OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
 # -------------------------------------------- standard security handler
-# RC4 encryption, ISO 32000-1 §7.6.2-7.6.4 Algorithms 1-6: the classic
-# /Filter /Standard handler at revisions 2 (40-bit, /V 1) and 3
-# (<=128-bit, /V 2) — the common crawl case for /Encrypt files, most of
-# which carry an EMPTY user password (encryption only gates editing).
-# AES (/V 4+, /R 4+) stays a documented boundary: no stdlib cipher
-# (the WebP honesty rule — nothing in-container to verify against).
+# ISO 32000 §7.6 /Filter /Standard, ALL revisions:
+#   R2/R3 (/V 1/2)  — RC4, Algorithms 1-6 (the classic layout);
+#   R4    (/V 4)    — crypt filters: /AESV2 (AES-128-CBC, per-object
+#                     key salted with b"sAlT"), /V2 (RC4 in crypt-
+#                     filter clothing) or /Identity, routed per class
+#                     via /StmF //StrF;
+#   R5/R6 (/V 5)    — AES-256-CBC with the FILE key directly (no
+#                     per-object derivation); R6 authenticates via the
+#                     ISO 32000-2 Algorithm 2.B hardened hash, R5 (the
+#                     deprecated Adobe ExtensionLevel 3 form) via
+#                     plain SHA-256.
+# Most crawl /Encrypt files carry an EMPTY user password (encryption
+# only gates editing) — that is the default. AES comes from
+# functions/aes_stdlib.py (FIPS-197 + javax.crypto pinned).
+
+from ..functions import aes_stdlib as _aes
 
 #: Algorithm 2 step a: the 32-byte password pad (ISO 32000-1 Table 3.2)
 _PDF_PAD = bytes.fromhex(
@@ -341,11 +357,13 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 def _std_file_key(
     password: bytes, o_entry: bytes, p: int, id0: bytes, r: int,
-    length_bits: int,
+    length_bits: int, metadata_extra: bytes = b"",
 ) -> bytes:
     """Algorithm 2: the file encryption key. Note the ASYMMETRY with
-    Algorithm 3: here the 50 extra R3 rounds hash only the first
-    key-length bytes of the previous digest."""
+    Algorithm 3: here the 50 extra R>=3 rounds hash only the first
+    key-length bytes of the previous digest. ``metadata_extra`` is the
+    R>=4 /EncryptMetadata-false marker (four 0xFF bytes appended
+    after the ID)."""
     import hashlib
 
     key_len = 5 if r == 2 else length_bits // 8
@@ -354,6 +372,7 @@ def _std_file_key(
     h.update(o_entry[:32])
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0)
+    h.update(metadata_extra)
     digest = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -409,6 +428,63 @@ def _std_object_key(file_key: bytes, num: int, gen: int) -> bytes:
     return h[: min(len(file_key) + 5, 16)]
 
 
+def _std_object_key_aes(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1 for /AESV2: the per-object key additionally salts
+    the MD5 with the four bytes b"sAlT" (ISO 32000-1 §7.6.2 step b)."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+        + b"sAlT"
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the R6 hardened password
+    hash: iterated SHA-256/384/512 selected by the previous AES-CBC
+    output, at least 64 rounds, data-dependent termination. This is a
+    deliberate slow-KDF (~2-8 KB CBC per round x >=64 rounds), so an
+    R6 document open costs ~0.5 s per derivation — inherent to the
+    format, paid once per document, never per object; the lru_cache
+    collapses repeat opens of same-password corpora (and builder+
+    extractor twins) to one derivation per (password, salt)."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    n = 0
+    while True:
+        n += 1
+        k1 = (password + k + udata) * 64
+        e = _aes.cbc_encrypt(k[:16], k[16:32], k1)
+        # first 16 bytes of E as a big-endian integer, mod 3
+        mod = int.from_bytes(e[:16], "big") % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](
+            e
+        ).digest()
+        if n >= 64 and e[-1] <= n - 32:
+            break
+    return k[:32]
+
+
+def _aes_unpad(pt: bytes) -> bytes:
+    """RFC 2898-style block padding (ISO 32000-1 §7.6.2: 1-16 bytes,
+    each equal to the pad length). Invalid padding is a format error,
+    never a silent truncation."""
+    if not pt:
+        raise PdfFormatError("empty AES plaintext")
+    n = pt[-1]
+    if not 1 <= n <= 16 or pt[-n:] != bytes([n]) * n:
+        raise PdfFormatError("bad AES padding")
+    return pt[:-n]
+
+
 class _Document:
     """Parsed PDF: xref offsets, trailer, lazy object cache."""
 
@@ -424,16 +500,19 @@ class _Document:
         self._cache: dict[int, tuple[object, bytes | None]] = {}
         #: file encryption key once the standard handler authenticates
         self._enc_key: bytes | None = None
+        #: per-class crypt-filter methods, each one of
+        #: "rc4" | "aesv2" | "aesv3" | "identity"
+        self._cfm_stm: str = "rc4"
+        self._cfm_str: str = "rc4"
         self._parse_xref_chain()
         if "Encrypt" in self.trailer:
             self._setup_encryption(password)
 
     def _setup_encryption(self, password: str) -> None:
-        """RC4 standard security handler (R2/R3): derive the file key
-        from the user password and AUTHENTICATE it against /U before
-        touching any object — wrong passwords must fail loudly, never
-        decrypt to garbage text. AES (/V >= 4) and R >= 4 raise (no
-        stdlib cipher to verify against — documented boundary)."""
+        """Standard security handler, all revisions: derive the file
+        key from the user password and AUTHENTICATE it against /U
+        before touching any object — wrong passwords must fail
+        loudly, never decrypt to garbage text."""
         enc = self.resolve(self.trailer.get("Encrypt"))
         if not isinstance(enc, dict):
             raise PdfFormatError("/Encrypt is not a dictionary")
@@ -443,16 +522,6 @@ class _Document:
             )
         v = int(self.resolve(enc.get("V", 0)) or 0)
         r = int(self.resolve(enc.get("R", 0)) or 0)
-        if v not in (1, 2) or r not in (2, 3):
-            raise NotImplementedError(
-                f"/Encrypt V={v} R={r} is out of scope (RC4 R2/R3 only; "
-                "AES has no stdlib cipher — documented boundary)"
-            )
-        length = int(self.resolve(enc.get("Length", 40)) or 40)
-        if r == 2:
-            length = 40
-        if length % 8 or not 40 <= length <= 128:
-            raise PdfFormatError(f"bad /Encrypt /Length {length}")
         o_entry = self.resolve(enc.get("O"))
         u_entry = self.resolve(enc.get("U"))
         if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
@@ -462,6 +531,29 @@ class _Document:
         id0 = ids[0] if isinstance(ids, list) and ids else b""
         if not isinstance(id0, bytes):
             id0 = b""
+        if v in (1, 2) and r in (2, 3):
+            self._setup_rc4_classic(enc, o_entry, u_entry, p, id0, r,
+                                    password)
+        elif v == 4 and r == 4:
+            self._setup_v4(enc, o_entry, u_entry, p, id0, password)
+        elif v == 5 and r in (5, 6):
+            self._setup_v5(enc, u_entry, r, password)
+        else:
+            raise NotImplementedError(
+                f"/Encrypt V={v} R={r} is out of scope (Standard handler "
+                "R2-R6 supported; public-key handlers are a boundary)"
+            )
+
+    def _setup_rc4_classic(
+        self, enc: dict, o_entry: bytes, u_entry: bytes, p: int,
+        id0: bytes, r: int, password: str,
+    ) -> None:
+        """R2/R3: the whole file under one RC4 Algorithm-1 scheme."""
+        length = int(self.resolve(enc.get("Length", 40)) or 40)
+        if r == 2:
+            length = 40
+        if length % 8 or not 40 <= length <= 128:
+            raise PdfFormatError(f"bad /Encrypt /Length {length}")
         key = _std_file_key(
             password.encode("latin-1"), o_entry, p, id0, r, length
         )
@@ -474,18 +566,142 @@ class _Document:
                 "user password did not authenticate against /U"
             )
         self._enc_key = key
+        self._cfm_stm = self._cfm_str = "rc4"
 
-    def _decrypt_value(self, value, key: bytes):
-        """Strings inside a directly-stored object are RC4-encrypted
-        with the object key (streams and strings share Algorithm 1);
-        names/numbers/refs are not."""
+    def _parse_crypt_filters(
+        self, enc: dict, allowed: tuple[str, ...]
+    ) -> tuple[str, str]:
+        """/CF + /StmF //StrF routing (ISO 32000-1 §7.6.5): resolve
+        each class's named crypt filter to its /CFM method. The
+        default filter name is Identity (pass-through)."""
+        cf = self.resolve(enc.get("CF")) or {}
+        if not isinstance(cf, dict):
+            raise PdfFormatError("/CF is not a dictionary")
+        cfm_map = {"V2": "rc4", "AESV2": "aesv2", "AESV3": "aesv3",
+                   "None": "identity"}
+
+        def method_of(name: str) -> str:
+            if name == "Identity":
+                return "identity"
+            f = self.resolve(cf.get(name))
+            if not isinstance(f, dict):
+                raise PdfFormatError(
+                    f"crypt filter {name!r} is not defined in /CF"
+                )
+            m = str(self.resolve(f.get("CFM", "None")))
+            got = cfm_map.get(m)
+            if got is None or got not in allowed:
+                raise NotImplementedError(
+                    f"crypt filter method {m!r} is out of scope here"
+                )
+            return got
+
+        stmf = str(self.resolve(enc.get("StmF", "Identity")) or "Identity")
+        strf = str(self.resolve(enc.get("StrF", "Identity")) or "Identity")
+        return method_of(stmf), method_of(strf)
+
+    def _setup_v4(
+        self, enc: dict, o_entry: bytes, u_entry: bytes, p: int,
+        id0: bytes, password: str,
+    ) -> None:
+        """R4 (/V 4): same MD5/RC4 key derivation as R3 plus crypt
+        filters — /AESV2 is the common real-world case."""
+        length = int(self.resolve(enc.get("Length", 128)) or 128)
+        if length % 8 or not 40 <= length <= 128:
+            raise PdfFormatError(f"bad /Encrypt /Length {length}")
+        self._cfm_stm, self._cfm_str = self._parse_crypt_filters(
+            enc, allowed=("rc4", "aesv2", "identity")
+        )
+        encrypt_metadata = self.resolve(enc.get("EncryptMetadata"))
+        extra = b"\xff\xff\xff\xff" if encrypt_metadata is False else b""
+        key = _std_file_key(
+            password.encode("latin-1"), o_entry, p, id0, 4, length,
+            metadata_extra=extra,
+        )
+        if u_entry[:16] != _std_user_entry(key, id0, 4)[:16]:
+            raise PdfPasswordError(
+                "user password did not authenticate against /U"
+            )
+        self._enc_key = key
+
+    def _setup_v5(
+        self, enc: dict, u_entry: bytes, r: int, password: str
+    ) -> None:
+        """R5/R6 (/V 5, AES-256): /U = hash(32) + validation salt(8) +
+        key salt(8); the file key is the AES-256-CBC(iv=0) decryption
+        of /UE under a hash of (password + key salt). R6 uses the
+        Algorithm 2.B hardened hash, R5 plain SHA-256. The /Perms blob
+        is validated against the recovered key (its "adb" signature +
+        /P echo), catching a corrupted /UE that a wrong-password check
+        alone would miss."""
+        import hashlib
+
+        if len(u_entry) < 48:
+            raise PdfFormatError("/U must be 48 bytes for /V 5")
+        ue = self.resolve(enc.get("UE"))
+        if not isinstance(ue, bytes) or len(ue) != 32:
+            raise PdfFormatError("/UE must be a 32-byte string for /V 5")
+        self._cfm_stm, self._cfm_str = self._parse_crypt_filters(
+            enc, allowed=("aesv3", "identity")
+        )
+        pwd = password.encode("utf-8")[:127]
+        vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+        if r == 5:
+            h = hashlib.sha256(pwd + vsalt).digest()
+        else:
+            h = _hash_2b(pwd, vsalt)
+        if h != u_entry[:32]:
+            raise PdfPasswordError(
+                "user password did not authenticate against /U"
+            )
+        ik = (
+            hashlib.sha256(pwd + ksalt).digest()
+            if r == 5
+            else _hash_2b(pwd, ksalt)
+        )
+        file_key = _aes.cbc_decrypt(ik, bytes(16), ue)
+        perms = self.resolve(enc.get("Perms"))
+        if isinstance(perms, bytes) and len(perms) == 16:
+            blob = _aes.ecb_decrypt(file_key, perms)
+            if blob[9:12] != b"adb":
+                raise PdfFormatError(
+                    "/Perms failed to validate against the file key"
+                )
+        self._enc_key = file_key
+
+    def _decrypt_payload(
+        self, data: bytes, num: int, gen: int, cfm: str
+    ) -> bytes:
+        """One string or stream through the object's crypt filter.
+        AES payloads are IV(16) + CBC ciphertext + RFC 2898 padding;
+        /AESV2 derives a per-object key (Algorithm 1 + "sAlT"),
+        /AESV3 uses the file key directly."""
+        if cfm == "identity" or self._enc_key is None:
+            return data
+        if cfm == "rc4":
+            return _rc4(_std_object_key(self._enc_key, num, gen), data)
+        if cfm == "aesv2":
+            key = _std_object_key_aes(self._enc_key, num, gen)
+        else:  # aesv3
+            key = self._enc_key
+        if data == b"":
+            return b""
+        if len(data) < 32 or len(data) % 16:
+            raise PdfFormatError("bad AES payload length")
+        return _aes_unpad(_aes.cbc_decrypt(key, data[:16], data[16:]))
+
+    def _decrypt_value(self, value, num: int, gen: int):
+        """Strings inside a directly-stored object go through the
+        STRING crypt filter (/StrF); names/numbers/refs are not
+        encrypted."""
         if isinstance(value, bytes):
-            return _rc4(key, value)
+            return self._decrypt_payload(value, num, gen, self._cfm_str)
         if isinstance(value, list):
-            return [self._decrypt_value(v, key) for v in value]
+            return [self._decrypt_value(v, num, gen) for v in value]
         if isinstance(value, dict):
             return {
-                k: self._decrypt_value(v, key) for k, v in value.items()
+                k: self._decrypt_value(v, num, gen)
+                for k, v in value.items()
             }
         return value
 
@@ -633,15 +849,16 @@ class _Document:
         if self._enc_key is not None and not (
             isinstance(value, dict) and str(value.get("Type", "")) == "XRef"
         ):
-            # Algorithm 1: strings and stream bytes of directly-stored
-            # objects are RC4-encrypted under the per-object key (the
-            # XRef stream is exempt by spec; ObjStm MEMBERS are covered
-            # by their container's encryption, handled in
+            # strings and stream bytes of directly-stored objects are
+            # encrypted under their class's crypt filter (the XRef
+            # stream is exempt by spec; ObjStm MEMBERS are covered by
+            # their container's encryption, handled in
             # _load_from_objstm by NOT re-decrypting)
-            okey = _std_object_key(self._enc_key, num, gen)
-            value = self._decrypt_value(value, okey)
+            value = self._decrypt_value(value, num, gen)
             if stream is not None:
-                stream = _rc4(okey, stream)
+                stream = self._decrypt_payload(
+                    stream, num, gen, self._cfm_stm
+                )
         return num, value, stream
 
     def _parse_xref_stream_at(self, off: int) -> dict:
@@ -1198,10 +1415,11 @@ def _content_text(
 def extract_pdf(data: bytes, password: str = "") -> tuple[str, int]:
     """Pure-Python core: (text, n_pages). Raises PdfFormatError /
     NotImplementedError only (fuzz-table contract). ``password`` is
-    the RC4 standard-security-handler user password — the default
-    empty string IS the common crawl case (files encrypted only to
-    gate editing authenticate with an empty user password); a wrong
-    password raises :class:`PdfPasswordError`."""
+    the standard-security-handler user password (RC4 R2/R3, AES-128
+    R4, AES-256 R5/R6) — the default empty string IS the common crawl
+    case (files encrypted only to gate editing authenticate with an
+    empty user password); a wrong password raises
+    :class:`PdfPasswordError`."""
     try:
         doc = _Document(data, password=password)
         pages = _walk_pages(doc)
@@ -1310,11 +1528,17 @@ def build_pdf(
       (catalog, page tree, pages, font) into a /Type /ObjStm
       container referenced by type-2 entries.
 
-    ``encrypt`` (classic layout only) emits an RC4 standard-security-
-    handler file (the builder twin for the r10 decrypt path):
-    ``{"revision": 2|3, "user_password": "", "owner_password": "dono",
-    "length": 40|128}`` — every stream RC4-encrypted under its
-    Algorithm-1 object key, deterministic /ID, /P -1. Extraction with
+    ``encrypt`` (classic layout only) emits a standard-security-
+    handler file (the builder twin for the decrypt paths):
+    ``{"revision": 2|3|4|5|6, "user_password": "",
+    "owner_password": "dono", "length": 40|128}`` — revisions 2/3 are
+    RC4 under Algorithm-1 object keys, revision 4 is /V 4 with an
+    /AESV2 StdCF crypt filter (AES-128-CBC, "sAlT"ed object keys),
+    revisions 5/6 are /V 5 /AESV3 (AES-256 under the file key; R6
+    derives /U //O via the Algorithm 2.B hardened hash, R5 via plain
+    SHA-256) with /UE //OE //Perms emitted. Everything is
+    deterministic (IVs, salts and the file key are digests of the
+    page content — never random), /ID fixed, /P -1. Extraction with
     the right password must round-trip EXACTLY like the plaintext
     twin.
     """
@@ -1419,43 +1643,141 @@ def build_pdf(
             import hashlib
 
             r = int(encrypt.get("revision", 3))
-            if r not in (2, 3):
-                raise ValueError("encrypt revision must be 2 or 3")
-            length = int(
-                encrypt.get("length", 40 if r == 2 else 128)
-            )
+            if r not in (2, 3, 4, 5, 6):
+                raise ValueError("encrypt revision must be 2..6")
+            enc_codec = "latin-1" if r <= 4 else "utf-8"
             user_pw = str(encrypt.get("user_password", "")).encode(
-                "latin-1"
+                enc_codec
             )
             owner_pw = str(
                 encrypt.get("owner_password", "dono")
-            ).encode("latin-1") or user_pw
+            ).encode(enc_codec) or user_pw
             # deterministic /ID (never wall-clock/random): digest of
             # the page content — both array members identical
             id0 = hashlib.md5(
                 b"spark-graft-pdf-id:" + repr(pages).encode()
             ).digest()
             p_flags = -1
-            o_entry = _std_owner_entry(owner_pw, user_pw, r, length)
-            file_key = _std_file_key(
-                user_pw, o_entry, p_flags, id0, r, length
-            )
-            u_entry = _std_user_entry(file_key, id0, r)
-            # encrypt every stream under its Algorithm-1 object key
-            # (encryption is the OUTERMOST layer: RC4 of the
-            # filter-encoded bytes)
-            for num in streams:
-                streams[num] = _rc4(
-                    _std_object_key(file_key, num, 0), streams[num]
-                )
             enc_num = max(objects) + 1
-            v = 1 if r == 2 else 2
-            length_part = f" /Length {length}" if r == 3 else ""
-            objects[enc_num] = (
-                f"<< /Filter /Standard /V {v} /R {r}{length_part} "
-                f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> "
-                f"/P {p_flags} >>".encode()
-            )
+
+            def aes_wrap(key: bytes, num: int, payload: bytes) -> bytes:
+                # IV + CBC + RFC 2898 padding; the IV is DETERMINISTIC
+                # (digest of object number + payload — decryption
+                # treats it as opaque data, randomness buys nothing in
+                # a builder twin and would break byte-stable goldens)
+                pad = 16 - len(payload) % 16
+                iv = hashlib.md5(
+                    b"spark-graft-aes-iv:%d:" % num
+                    + hashlib.md5(payload).digest()
+                ).digest()
+                return iv + _aes.cbc_encrypt(
+                    key, iv, payload + bytes([pad]) * pad
+                )
+
+            def fix_stream_lengths() -> None:
+                # AES grows streams (IV + padding) AFTER their dicts
+                # were written — patch each /Length to the ciphertext
+                # size (RC4 is length-preserving and skips this)
+                for num in streams:
+                    objects[num] = re.sub(
+                        rb"/Length \d+",
+                        b"/Length %d" % len(streams[num]),
+                        objects[num],
+                        count=1,
+                    )
+
+            if r <= 4:
+                length = int(
+                    encrypt.get("length", 40 if r == 2 else 128)
+                )
+                o_entry = _std_owner_entry(owner_pw, user_pw, r, length)
+                file_key = _std_file_key(
+                    user_pw, o_entry, p_flags, id0, r, length
+                )
+                u_entry = _std_user_entry(file_key, id0, r)
+                # encrypt every stream under its Algorithm-1 object
+                # key (encryption is the OUTERMOST layer, applied to
+                # the filter-encoded bytes)
+                if r == 4:
+                    for num in streams:
+                        streams[num] = aes_wrap(
+                            _std_object_key_aes(file_key, num, 0),
+                            num,
+                            streams[num],
+                        )
+                    fix_stream_lengths()
+                    objects[enc_num] = (
+                        f"<< /Filter /Standard /V 4 /R 4 /Length {length} "
+                        f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                        f"/StmF /StdCF /StrF /StdCF "
+                        f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> "
+                        f"/P {p_flags} >>".encode()
+                    )
+                else:
+                    for num in streams:
+                        streams[num] = _rc4(
+                            _std_object_key(file_key, num, 0),
+                            streams[num],
+                        )
+                    v = 1 if r == 2 else 2
+                    length_part = f" /Length {length}" if r == 3 else ""
+                    objects[enc_num] = (
+                        f"<< /Filter /Standard /V {v} /R {r}{length_part} "
+                        f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> "
+                        f"/P {p_flags} >>".encode()
+                    )
+            else:
+                # V5 (AES-256): deterministic 32-byte file key + salts
+                file_key = hashlib.sha256(
+                    b"spark-graft-filekey:" + repr(pages).encode()
+                ).digest()
+                seed = hashlib.md5(
+                    b"spark-graft-salts:" + repr(pages).encode()
+                ).digest()
+                vsalt, ksalt = seed[:8], seed[8:16]
+                oseed = hashlib.md5(
+                    b"spark-graft-osalts:" + repr(pages).encode()
+                ).digest()
+                ovsalt, oksalt = oseed[:8], oseed[8:16]
+                if r == 5:
+                    uh = hashlib.sha256(user_pw + vsalt).digest()
+                    ik = hashlib.sha256(user_pw + ksalt).digest()
+                else:
+                    uh = _hash_2b(user_pw, vsalt)
+                    ik = _hash_2b(user_pw, ksalt)
+                u_entry = uh + vsalt + ksalt
+                ue = _aes.cbc_encrypt(ik, bytes(16), file_key)
+                if r == 5:
+                    oh = hashlib.sha256(
+                        owner_pw + ovsalt + u_entry
+                    ).digest()
+                    oik = hashlib.sha256(
+                        owner_pw + oksalt + u_entry
+                    ).digest()
+                else:
+                    oh = _hash_2b(owner_pw, ovsalt, u_entry)
+                    oik = _hash_2b(owner_pw, oksalt, u_entry)
+                o_entry = oh + ovsalt + oksalt
+                oe = _aes.cbc_encrypt(oik, bytes(16), file_key)
+                perms = _aes.ecb_encrypt(
+                    file_key,
+                    (p_flags & 0xFFFFFFFF).to_bytes(4, "little")
+                    + b"\xff\xff\xff\xff"
+                    + b"T"      # EncryptMetadata true
+                    + b"adb"    # the spec's signature bytes
+                    + b"sprk",  # 4 filler bytes (spec: arbitrary)
+                )
+                for num in streams:
+                    streams[num] = aes_wrap(file_key, num, streams[num])
+                fix_stream_lengths()
+                objects[enc_num] = (
+                    f"<< /Filter /Standard /V 5 /R {r} /Length 256 "
+                    f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                    f"/StmF /StdCF /StrF /StdCF "
+                    f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> "
+                    f"/OE <{oe.hex()}> /UE <{ue.hex()}> "
+                    f"/Perms <{perms.hex()}> /P {p_flags} >>".encode()
+                )
             trailer_extra = (
                 f" /Encrypt {enc_num} 0 R "
                 f"/ID [<{id0.hex()}> <{id0.hex()}>]".encode()

@@ -75,6 +75,21 @@ _DECODERS = {
         px.extract_pdf,
         (px.PdfFormatError, NotImplementedError),
     ),
+    # r10-late: AES-encrypted PDFs — mutations hit the /CF crypt-filter
+    # routing, AES payload length/padding validation and the V5
+    # /U //UE //Perms checks. Revisions 4 (AESV2) and 5 (AESV3,
+    # SHA-256) fuzz cheaply; R6 is excluded on purpose: every mutated
+    # salt would pay the ~0.5 s Algorithm 2.B hardened hash, and the
+    # R6 codepath differs from R5 ONLY in that hash (covered by its
+    # own pins in test_pdf_extract.py).
+    "pdf_aesv2": (
+        px.extract_pdf,
+        (px.PdfFormatError, NotImplementedError),
+    ),
+    "pdf_aesv3": (
+        px.extract_pdf,
+        (px.PdfFormatError, NotImplementedError),
+    ),
 }
 
 
@@ -116,6 +131,14 @@ def _valid_payloads() -> dict[str, bytes]:
         "pdf_rc4": px.build_pdf(
             [["linha um dois tres", "quatro cinco"], ["pagina dois"]],
             encrypt={"revision": 3, "user_password": ""},
+        ),
+        "pdf_aesv2": px.build_pdf(
+            [["linha um dois tres", "quatro cinco"], ["pagina dois"]],
+            encrypt={"revision": 4, "user_password": ""},
+        ),
+        "pdf_aesv3": px.build_pdf(
+            [["linha um dois tres", "quatro cinco"], ["pagina dois"]],
+            encrypt={"revision": 5, "user_password": ""},
         ),
     }
 

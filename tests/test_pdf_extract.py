@@ -12,6 +12,7 @@ test_fuzz_decoders.py ("pdf" + "pdf15" rows)."""
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import pyspark.sql.functions as F
@@ -120,15 +121,24 @@ def test_incremental_update_prev_chain_newest_wins():
 
 
 def test_boundaries_raise_not_implemented():
-    # AES-encrypted (/V 4) — RC4 R2/R3 decrypts since r10, AES stays a
-    # documented boundary (no stdlib cipher to verify against)
+    # an out-of-range Standard revision (public-key handlers use
+    # /Filter /Adobe.PubSec, but a hypothetical R7 must also refuse)
     enc = _wrap_content(b"BT (x) Tj ET").replace(
         b"/Size 5 /Root 1 0 R",
-        b"/Size 5 /Root 1 0 R /Encrypt << /Filter /Standard /V 4 /R 4 "
+        b"/Size 5 /Root 1 0 R /Encrypt << /Filter /Standard /V 6 /R 7 "
         b"/O <00> /U <00> /P -1 >>",
     )
-    with pytest.raises(NotImplementedError, match="AES"):
+    with pytest.raises(NotImplementedError, match="out of scope"):
         px.extract_pdf(enc)
+    # an unknown crypt-filter method under /V 4
+    enc_cfm = _wrap_content(b"BT (x) Tj ET").replace(
+        b"/Size 5 /Root 1 0 R",
+        b"/Size 5 /Root 1 0 R /Encrypt << /Filter /Standard /V 4 /R 4 "
+        b"/CF << /StdCF << /CFM /AESV9 >> >> /StmF /StdCF "
+        b"/O <00> /U <00> /P -1 >>",
+    )
+    with pytest.raises(NotImplementedError, match="crypt filter method"):
+        px.extract_pdf(enc_cfm)
     # non-Standard handlers stay out of scope
     enc2 = _wrap_content(b"BT (x) Tj ET").replace(
         b"/Size 5 /Root 1 0 R",
@@ -661,3 +671,159 @@ def test_rc4_matches_jvm_arcfour(spark):
         sk = jvm.javax.crypto.spec.SecretKeySpec(bytearray(key), "ARCFOUR")
         c.init(jvm.javax.crypto.Cipher.ENCRYPT_MODE, sk)
         assert bytes(c.doFinal(bytearray(data))) == px._rc4(key, data)
+
+
+# ------------------------------------------------ AES encryption (r10)
+def _jvm_aes(spark, mode: str, transform: str, key: bytes,
+             data: bytes, iv: bytes | None = None) -> bytes:
+    jvm = spark.sparkContext._jvm
+    c = jvm.javax.crypto.Cipher.getInstance(transform)
+    sk = jvm.javax.crypto.spec.SecretKeySpec(bytearray(key), "AES")
+    m = (jvm.javax.crypto.Cipher.ENCRYPT_MODE if mode == "enc"
+         else jvm.javax.crypto.Cipher.DECRYPT_MODE)
+    if iv is None:
+        c.init(m, sk)
+    else:
+        c.init(m, sk, jvm.javax.crypto.spec.IvParameterSpec(bytearray(iv)))
+    return bytes(c.doFinal(bytearray(data)))
+
+
+def test_aes_matches_jvm(spark):
+    """Cross-implementation pin for functions/aes_stdlib: ECB and CBC,
+    all three key sizes, BOTH directions against SunJCE — the ARCFOUR
+    trick applied to the AES crypt filters."""
+    import hashlib
+
+    from teste_carga_avro_vs_json_spark.functions import aes_stdlib as aes
+
+    for klen in (16, 24, 32):
+        key = hashlib.sha256(b"jk%d" % klen).digest()[:klen]
+        iv = hashlib.md5(b"jiv%d" % klen).digest()
+        data = hashlib.sha256(b"jd%d" % klen).digest() * 5
+        assert aes.ecb_encrypt(key, data) == _jvm_aes(
+            spark, "enc", "AES/ECB/NoPadding", key, data
+        )
+        jvm_ct = _jvm_aes(spark, "enc", "AES/CBC/NoPadding", key, data, iv)
+        assert aes.cbc_encrypt(key, iv, data) == jvm_ct
+        assert aes.cbc_decrypt(key, iv, jvm_ct) == data
+        assert _jvm_aes(
+            spark, "dec", "AES/CBC/NoPadding", key, jvm_ct, iv
+        ) == data
+
+
+def test_aes_stream_payload_decrypts_in_jvm(spark):
+    """Layout pin: an /AESV2-encrypted stream (IV prefix + CBC + RFC
+    2898 padding) must decrypt under SunJCE's AES/CBC/PKCS5Padding —
+    a FOREIGN implementation of both the cipher AND the padding."""
+    pages = [["segredo um", "segredo dois"]]
+    data = px.build_pdf(
+        pages, compress=False, encrypt={"revision": 4}
+    )
+    doc = px._Document(data)
+    # object 5 is the first content stream; re-read its RAW bytes
+    # (undecrypted) straight from the file
+    m = re.search(rb"5 0 obj\n<< /Length (\d+) >>\nstream\n", data)
+    assert m is not None
+    raw = data[m.end() : m.end() + int(m.group(1))]
+    okey = px._std_object_key_aes(doc._enc_key, 5, 0)
+    jvm_pt = _jvm_aes(
+        spark, "dec", "AES/CBC/PKCS5Padding", okey, raw[16:], raw[:16]
+    )
+    assert b"segredo um" in jvm_pt
+    # and our own decrypt agrees byte-for-byte
+    assert doc._decrypt_payload(raw, 5, 0, "aesv2") == jvm_pt
+
+
+def test_encrypted_aes_roundtrip_matches_plaintext_twin():
+    """Revisions 4 (AES-128 /AESV2), 5 and 6 (AES-256 /AESV3): the
+    encrypted twins must extract EXACTLY like the plaintext build —
+    including multi-page, compressed and uncompressed, and the Type0
+    font path (its ToUnicode CMap stream is encrypted too)."""
+    pages = [["ola mundo", "linha dois"], ["pagina dois"]]
+    plain, n_pages = px.extract_pdf(px.build_pdf(pages))
+    for r in (4, 5, 6):
+        for compress in (True, False):
+            data = px.build_pdf(
+                pages, compress=compress, encrypt={"revision": r}
+            )
+            text, n = px.extract_pdf(data)
+            assert (text, n) == (plain, n_pages), (r, compress)
+        # deterministic bytes (twice-built identical)
+        assert px.build_pdf(pages, encrypt={"revision": r}) == px.build_pdf(
+            pages, encrypt={"revision": r}
+        )
+    # type0 + encryption compose (CJK text through an encrypted CMap)
+    cjk = [["你好世界"]]
+    want = px.extract_pdf(px.build_pdf(cjk, font="type0"))[0]
+    got = px.extract_pdf(
+        px.build_pdf(cjk, font="type0", encrypt={"revision": 4})
+    )[0]
+    assert got == want
+
+
+def test_encrypted_aes_wrong_password_raises():
+    pages = [["conteudo"]]
+    for r in (4, 5, 6):
+        data = px.build_pdf(
+            pages, encrypt={"revision": r, "user_password": "segredo"}
+        )
+        with pytest.raises(px.PdfPasswordError):
+            px.extract_pdf(data)
+        with pytest.raises(px.PdfPasswordError):
+            px.extract_pdf(data, password="errada")
+        assert px.extract_pdf(data, password="segredo")[0] == "conteudo"
+
+
+def test_encrypted_aes_ciphertext_hides_plaintext():
+    pages = [["texto visivel aqui"]]
+    ref = px.build_pdf(pages, compress=False)
+    assert b"texto visivel aqui" in ref
+    for r in (4, 6):
+        enc = px.build_pdf(pages, compress=False, encrypt={"revision": r})
+        assert b"texto visivel aqui" not in enc
+
+
+def test_v5_perms_tamper_raises():
+    """A corrupted /Perms blob must fail validation against the
+    recovered file key (catches a /UE..//Perms mismatch that a
+    password check alone would not)."""
+    data = px.build_pdf([["x"]], encrypt={"revision": 5})
+    m = re.search(rb"/Perms <([0-9a-f]{32})>", data)
+    assert m is not None
+    flipped = bytearray.fromhex(m.group(1).decode())
+    flipped[0] ^= 0xFF
+    bad = data.replace(m.group(1), flipped.hex().encode())
+    with pytest.raises(px.PdfFormatError, match="/Perms"):
+        px.extract_pdf(bad)
+
+
+def test_aes_payload_corruption_raises_format_error():
+    """Truncated or misaligned AES stream payloads are format errors,
+    never silent truncation (decoder-hardening rule)."""
+    doc = px._Document(px.build_pdf([["x"]], encrypt={"revision": 4}))
+    with pytest.raises(px.PdfFormatError, match="length"):
+        doc._decrypt_payload(b"short", 5, 0, "aesv2")
+    with pytest.raises(px.PdfFormatError, match="length"):
+        doc._decrypt_payload(bytes(40), 5, 0, "aesv2")  # not %16
+    # valid length, garbage padding
+    with pytest.raises(px.PdfFormatError, match="padding"):
+        doc._decrypt_payload(bytes(48), 5, 0, "aesv2")
+    # empty payload passes through (writers encrypt empty strings as empty)
+    assert doc._decrypt_payload(b"", 5, 0, "aesv2") == b""
+
+
+def test_hash_2b_termination_and_shape():
+    """Algorithm 2.B structural pins: 32-byte output, deterministic,
+    password/salt sensitivity, and the >=64-round data-dependent
+    termination (different salts take different round counts yet all
+    terminate)."""
+    outs = set()
+    for i in range(4):
+        salt = bytes([i]) * 8
+        h = px._hash_2b(b"pw", salt)
+        assert len(h) == 32
+        assert h == px._hash_2b(b"pw", salt)
+        outs.add(h)
+    assert len(outs) == 4
+    assert px._hash_2b(b"pw", bytes(8)) != px._hash_2b(b"pw2", bytes(8))
+    assert px._hash_2b(b"pw", bytes(8), b"u") != px._hash_2b(b"pw", bytes(8))

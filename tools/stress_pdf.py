@@ -86,15 +86,20 @@ def main() -> None:
                 pages = [
                     lines[i : i + 40] for i in range(0, len(lines), 40)
                 ] or [[""]]
-                # r10: every 5th classic doc is RC4-encrypted with the
+                # r10: 1/15 of classic docs are encrypted with the
                 # empty user password (the common crawl case) — the
-                # decrypt path carries real volume, same exact pin
-                encrypt = (
-                    {"revision": 3 if doc_id % 2 else 2,
-                     "user_password": ""}
-                    if doc_id % 3 == 0 and doc_id % 5 == 0
-                    else None
-                )
+                # decrypt paths carry real volume, same exact pin.
+                # Revisions cycle RC4 R2/R3 + AES R4/R5; R6 rides a
+                # thin slice (its Algorithm 2.B hardened hash is a
+                # deliberate ~0.5 s/derivation KDF — representative
+                # volume, not dominant volume)
+                if doc_id % 3 == 0 and doc_id % 5 == 0:
+                    rev = 6 if doc_id % 750 == 0 else (
+                        (2, 3, 4, 5)[(doc_id // 15) % 4]
+                    )
+                    encrypt = {"revision": rev, "user_password": ""}
+                else:
+                    encrypt = None
                 built.append(
                     px.build_pdf(
                         pages,
