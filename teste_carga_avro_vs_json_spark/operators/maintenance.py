@@ -313,24 +313,10 @@ def snapshot_commit(
 
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append|overwrite")
-    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     # data dir is unique per ATTEMPT, never keyed by version: two
-    # racing writers must not write into the same parquet directory
-    data_dir = tempfile.mkdtemp(
-        prefix="c-", dir=os.path.join(table_dir, "data")
-    )
-    df.write.mode("overwrite").parquet(data_dir)
-    spark = df.sparkSession
-    new_files = []
-    for uri in spark.read.parquet(data_dir).inputFiles():
-        path = uri[len("file:"):] if uri.startswith("file:") else uri
-        new_files.append(
-            {
-                "path": os.path.relpath(path, table_dir),
-                "bytes": os.path.getsize(path),
-            }
-        )
-    new_files.sort(key=lambda f: f["path"])
+    # racing writers must not write into the same parquet directory.
+    # Entries carry per-file footer min/max stats (data skipping).
+    new_files = _write_new_files(df.sparkSession, table_dir, df)
     os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
     for _attempt in range(max_retries):
         versions = snapshot_versions(table_dir)
@@ -372,11 +358,73 @@ def snapshot_commit(
     )
 
 
+def _prune_keep(entry: dict, prune: dict) -> bool:
+    """True when the file COULD contain a matching row. Never wrong in
+    the skip direction: missing stats, unknown columns or incomparable
+    types all keep the file; a skip requires recorded bounds that
+    provably miss the predicate range."""
+    stats = entry.get("stats") or {}
+    for col, cond in prune.items():
+        if col not in stats:
+            continue
+        mn, mx = stats[col]
+        lo, hi = (
+            cond if isinstance(cond, (tuple, list)) else (cond, cond)
+        )
+        try:
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        except TypeError:
+            continue  # predicate/stats type mismatch — keep the file
+    return True
+
+
+def _prune_condition(prune: dict):
+    """The row-level twin of ``prune`` — ALWAYS applied on top of the
+    file skip, so results are exact whatever the stats quality."""
+    cond = F.lit(True)
+    for col, c in prune.items():
+        lo, hi = c if isinstance(c, (tuple, list)) else (c, c)
+        if lo is not None and hi is not None:
+            cond = cond & F.col(col).between(F.lit(lo), F.lit(hi))
+        elif lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        elif hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    return cond
+
+
+def snapshot_prune_report(
+    table_dir: str, prune: dict, version: int | None = None
+) -> dict:
+    """Audit companion for ``snapshot_read(prune=...)`` (no-silent-
+    caps rule): how many files/bytes/rows the manifest stats skip for
+    this predicate, without touching any data file."""
+    versions = snapshot_versions(table_dir)
+    if version is None:
+        version = versions[-1]
+    files = _read_manifest(table_dir, version)["files"]
+    kept = [f for f in files if _prune_keep(f, prune)]
+    return {
+        "version": version,
+        "n_files": len(files),
+        "n_kept": len(kept),
+        "n_skipped": len(files) - len(kept),
+        "bytes_total": sum(f["bytes"] for f in files),
+        "bytes_kept": sum(f["bytes"] for f in kept),
+        "rows_total": sum(f.get("rows", 0) for f in files),
+        "rows_kept": sum(f.get("rows", 0) for f in kept),
+    }
+
+
 def snapshot_read(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     merge_schema: bool = False,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Read a pinned version (latest when None) — time travel. The
     reader takes the manifest's EXPLICIT file list, never a directory
@@ -391,7 +439,19 @@ def snapshot_read(
     first file's — what the oracle pins rely on). Note
     :func:`snapshot_merge` reads the table with the FIRST file's
     schema; run :func:`snapshot_compact`/:func:`snapshot_cluster_by`
-    after an evolving append before merging on an evolved column."""
+    after an evolving append before merging on an evolved column.
+
+    ``prune`` is manifest-level DATA SKIPPING — ``{col: value}`` for
+    equality or ``{col: (lo, hi)}`` for an inclusive range (None =
+    open end), conjoined across columns. Files whose recorded footer
+    min/max provably miss the range are dropped from the scan BEFORE
+    Spark ever lists them — on a 100 TB key-clustered table (see
+    :func:`snapshot_cluster_by`) a point lookup plans ~1 file instead
+    of all of them, and the pruning cost is manifest-only (no footer
+    I/O, no file listing). The same predicate is ALSO applied as a
+    row filter, so the result is exactly the filtered frame no matter
+    how partial the stats are; files without usable stats are always
+    kept. :func:`snapshot_prune_report` shows the skip counts."""
     versions = snapshot_versions(table_dir)
     if not versions:
         raise ValueError(f"no committed snapshots under {table_dir}")
@@ -400,7 +460,21 @@ def snapshot_read(
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
     manifest = _read_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, f["path"]) for f in manifest["files"]]
+    files = manifest["files"]
+    if prune:
+        pruned = [f for f in files if _prune_keep(f, prune)]
+        if not pruned and files:
+            # every file skipped: schema-correct empty frame from the
+            # version's own first file (limit(0) reads footer only)
+            return (
+                spark.read.parquet(
+                    os.path.join(table_dir, files[0]["path"])
+                )
+                .limit(0)
+                .where(_prune_condition(prune))
+            )
+        files = pruned
+    paths = [os.path.join(table_dir, f["path"]) for f in files]
     if not paths:
         # An empty-manifest version (e.g. a zero-survivor incremental
         # append after an overwrite-to-empty) must return ZERO rows.
@@ -422,7 +496,10 @@ def snapshot_read(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*paths)
+    df = reader.parquet(*paths)
+    if prune:
+        df = df.where(_prune_condition(prune))
+    return df
 
 
 def snapshot_compact(
@@ -583,9 +660,83 @@ def snapshot_merge(
     }
 
 
+#: string min/max beyond this length are omitted from manifest stats —
+#: a TRUNCATED max compares wrongly (could skip a matching file), and
+#: unbounded strings would bloat the manifest; omission is always safe
+#: (stats-less columns are never pruned on)
+_STATS_MAX_STR = 64
+
+
+def _file_stats(path: str) -> tuple[dict | None, int | None]:
+    """Per-file column min/max from the parquet FOOTER only (no data
+    scan — the Iceberg/Delta stats-collection shape, paid once per
+    file at commit time). Returns ``(stats, n_rows)`` where stats maps
+    column path -> [min, max] for columns whose bounds are usable in
+    EVERY row group: bool/int/float/str, no NaN, strings capped at
+    ``_STATS_MAX_STR``. Anything else (binary, timestamps, missing
+    row-group stats) drops the column — readers treat a missing column
+    as unboundable and keep the file, so omission can never cause a
+    wrong skip."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None, None
+    ok: dict[str, list] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name in bad:
+                continue
+            st = col.statistics
+            has = st is not None and st.has_min_max
+            mn = st.min if has else None
+            mx = st.max if has else None
+            usable = (
+                isinstance(mn, (bool, int, float, str))
+                and isinstance(mx, (bool, int, float, str))
+                and not (isinstance(mn, float) and mn != mn)
+                and not (isinstance(mx, float) and mx != mx)
+                and not (
+                    isinstance(mn, str)
+                    and (
+                        len(mn) > _STATS_MAX_STR
+                        or len(mx) > _STATS_MAX_STR
+                    )
+                )
+            )
+            if not usable:
+                bad.add(name)
+                ok.pop(name, None)
+                continue
+            if name in ok:
+                ok[name] = [min(ok[name][0], mn), max(ok[name][1], mx)]
+            else:
+                ok[name] = [mn, mx]
+    return (ok or None), md.num_rows
+
+
+def _file_entry(table_dir: str, path: str) -> dict:
+    entry = {
+        "path": os.path.relpath(path, table_dir),
+        "bytes": os.path.getsize(path),
+    }
+    stats, n_rows = _file_stats(path)
+    if n_rows is not None:
+        entry["rows"] = n_rows
+    if stats:
+        entry["stats"] = stats
+    return entry
+
+
 def _write_new_files(spark, table_dir: str, df: DataFrame) -> list[dict]:
     """Write ``df`` into an attempt-unique ``data/c-*`` dir (the
-    multi-writer rule) and return its manifest file entries."""
+    multi-writer rule) and return its manifest file entries —
+    including per-file footer min/max stats for data skipping."""
     import tempfile
 
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
@@ -596,10 +747,7 @@ def _write_new_files(spark, table_dir: str, df: DataFrame) -> list[dict]:
     new_files = []
     for uri in spark.read.parquet(data_dir).inputFiles():
         path = uri[len("file:"):] if uri.startswith("file:") else uri
-        new_files.append({
-            "path": os.path.relpath(path, table_dir),
-            "bytes": os.path.getsize(path),
-        })
+        new_files.append(_file_entry(table_dir, path))
     new_files.sort(key=lambda f: f["path"])
     return new_files
 

@@ -655,3 +655,148 @@ def test_snapshot_delete_where_copy_on_write(spark, sf_dir, tmp_path):
     empty = mt.snapshot_read(spark, tdir)
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "text"]  # schema preserved
+
+
+# ---------------------------------------- manifest stats + data skipping
+def test_snapshot_commit_records_footer_stats(spark, sf_dir, tmp_path):
+    """Every committed file entry carries rows + usable min/max from
+    the parquet footer (no data scan), and the recorded bounds match
+    the data exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.repartition(4), tdir)
+    manifest = mt._read_manifest(tdir, 1)
+    assert len(manifest["files"]) == 4
+    lo = hi = None
+    total_rows = 0
+    for f in manifest["files"]:
+        total_rows += f["rows"]
+        st = f["stats"]
+        assert "doc_id" in st and "lang" in st
+        mn, mx = st["doc_id"]
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    agg = docs.agg(
+        F.min("doc_id"), F.max("doc_id"), F.count("*")
+    ).collect()[0]
+    assert (lo, hi, total_rows) == (agg[0], agg[1], agg[2])
+
+
+def test_snapshot_prune_on_clustered_table(spark, sf_dir, tmp_path):
+    """The headline composition: cluster_by gives disjoint per-file
+    doc_id ranges, so a narrow prune plans ~1 file — and the result
+    equals the unpruned filter EXACTLY."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs, tdir)
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=8)
+    lo, hi = 100, 140
+    report = mt.snapshot_prune_report(tdir, {"doc_id": (lo, hi)})
+    assert report["n_files"] == 8
+    assert report["n_kept"] <= 2          # disjoint ranges: 1-2 files
+    assert report["n_skipped"] >= 6
+    got = mt.snapshot_read(spark, tdir, prune={"doc_id": (lo, hi)})
+    want = mt.snapshot_read(spark, tdir).where(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+    )
+    assert _same_multiset(got, want)
+    # the Spark plan really scans fewer files: inputFiles reflects the
+    # pruned list
+    assert len(got.inputFiles()) == report["n_kept"]
+
+
+def test_snapshot_prune_equality_and_open_ranges(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs, tdir)
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=6)
+    full = mt.snapshot_read(spark, tdir)
+    # equality
+    got = mt.snapshot_read(spark, tdir, prune={"doc_id": 42})
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in full.where("doc_id = 42").collect()
+    ]
+    assert len(got.inputFiles()) == 1
+    # one-sided ranges
+    hi_only = mt.snapshot_read(spark, tdir, prune={"doc_id": (None, 10)})
+    assert hi_only.count() == full.where("doc_id <= 10").count()
+    lo_only = mt.snapshot_read(spark, tdir, prune={"doc_id": (10, None)})
+    assert lo_only.count() == full.where("doc_id >= 10").count()
+    # prune-to-empty: schema-correct zero-row frame
+    empty = mt.snapshot_read(spark, tdir, prune={"doc_id": (10**9, None)})
+    assert empty.count() == 0
+    assert empty.columns == full.columns
+
+
+def test_snapshot_prune_never_skips_without_stats(spark, sf_dir, tmp_path):
+    """Entries with stats stripped (old-format manifests, exotic
+    types) are ALWAYS kept — pruning degrades to a plain filtered
+    read, never to a wrong answer."""
+    import json
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.repartition(4), tdir)
+    mpath = mt._manifest_path(tdir, 1)
+    manifest = json.load(open(mpath))
+    for f in manifest["files"]:
+        f.pop("stats", None)
+        f.pop("rows", None)
+    json.dump(manifest, open(mpath, "w"))
+    report = mt.snapshot_prune_report(tdir, {"doc_id": (0, 5)})
+    assert report["n_skipped"] == 0
+    got = mt.snapshot_read(spark, tdir, prune={"doc_id": (0, 5)})
+    assert got.count() == docs.where("doc_id between 0 and 5").count()
+    # type-mismatched predicate vs int stats: keep, row filter decides
+    assert mt._prune_keep(
+        {"stats": {"doc_id": [0, 9]}}, {"doc_id": ("a", "b")}
+    )
+
+
+def test_snapshot_stats_skip_long_strings_and_survive_append(
+    spark, sf_dir, tmp_path
+):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 50"), tdir)
+    v1_files = mt._read_manifest(tdir, 1)["files"]
+    for f in v1_files:
+        # fixture text exceeds the 64-char stats cap -> no text bounds;
+        # short lang codes keep theirs
+        assert "text" not in f.get("stats", {})
+        assert "lang" in f["stats"]
+    # an append carries v1 entries (with stats) by reference
+    mt.snapshot_commit(docs.filter("doc_id >= 50"), tdir, mode="append")
+    v2_files = mt._read_manifest(tdir, 2)["files"]
+    assert v1_files == v2_files[: len(v1_files)]
+    # string-range prune on lang is exact
+    got = mt.snapshot_read(spark, tdir, prune={"lang": "pt"})
+    assert got.count() == docs.where("lang = 'pt'").count()
+
+
+def test_snapshot_merge_rewrites_carry_fresh_stats(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs, tdir)
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=4)
+    delta = docs.where("doc_id between 0 and 3").withColumn(
+        "text", F.lit("recrawled")
+    )
+    res = mt.snapshot_merge(delta, tdir, keys=["doc_id"])
+    files = mt._read_manifest(tdir, res["version"])["files"]
+    assert all("stats" in f and "rows" in f for f in files)
+    # pruned point-read sees the merged row
+    got = mt.snapshot_read(spark, tdir, prune={"doc_id": 2}).collect()
+    assert [r.text for r in got] == ["recrawled"]
