@@ -875,6 +875,61 @@ def snapshot_delete(
     }
 
 
+def snapshot_diff(
+    table_dir: str, from_version: int, to_version: int | None = None
+) -> dict:
+    """File-level delta between two committed versions (``from_version
+    = 0`` means the empty table). The manifest file lists are the
+    entire truth, so this touches NO data files — the primitive behind
+    incremental consumption: an append-only history's ``files_added``
+    contain exactly the rows added, with per-file ``rows`` counts
+    already recorded. ``append_only`` is True when every INTERMEDIATE
+    commit still present in the log is an append; copy-on-write ops
+    (merge/delete/overwrite/compact) rewrite surviving rows into new
+    files, so their file diff over-counts row changes — consumers must
+    decide replay vs skip (see ``format("snapshot")``'s
+    ``on_rewrite``)."""
+    versions = snapshot_versions(table_dir)
+    if to_version is None:
+        if not versions:
+            raise ValueError(f"no committed snapshots under {table_dir}")
+        to_version = versions[-1]
+    if from_version != 0 and from_version not in versions:
+        raise ValueError(f"version {from_version} not in {versions}")
+    if to_version not in versions:
+        raise ValueError(f"version {to_version} not in {versions}")
+    base = (
+        {}
+        if from_version == 0
+        else {
+            f["path"]: f
+            for f in _read_manifest(table_dir, from_version)["files"]
+        }
+    )
+    head = {
+        f["path"]: f
+        for f in _read_manifest(table_dir, to_version)["files"]
+    }
+    added = [f for p, f in sorted(head.items()) if p not in base]
+    removed = [f for p, f in sorted(base.items()) if p not in head]
+    ops = [
+        _read_manifest(table_dir, v)["op"]
+        for v in versions
+        if from_version < v <= to_version
+    ]
+    return {
+        "from_version": from_version,
+        "to_version": to_version,
+        "ops": ops,
+        "files_added": added,
+        "files_removed": removed,
+        "append_only": all(op == "append" for op in ops)
+        and not removed,
+        "rows_added": sum(f.get("rows", 0) for f in added),
+        "bytes_added": sum(f["bytes"] for f in added),
+    }
+
+
 def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
     """Retire old versions: drop all but the last ``keep_last``
     manifests, then delete data files no RETAINED manifest references.

@@ -1,0 +1,215 @@
+"""format("snapshot") — streaming consumption of snapshot tables +
+snapshot_diff. Pinned by stream==batch equality (the documented
+convention for streaming surfaces: no SQL oracle, DuckDB has no
+streaming)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+from teste_carga_avro_vs_json_spark.sources import snapshot_source as ss
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+
+
+def _drain(spark, tdir, name, checkpoint, **options):
+    ss.register(spark)
+    reader = spark.readStream.format("snapshot")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(tdir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def _same(a, b):
+    return (
+        a.exceptAll(b).count() == 0
+        and b.exceptAll(a).count() == 0
+        and a.count() == b.count()
+    )
+
+
+def test_stream_equals_batch_over_appends(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id % 3 = 0"), tdir)
+    mt.snapshot_commit(docs.filter("doc_id % 3 = 1"), tdir, mode="append")
+    out = _drain(spark, tdir, "snap_s1", str(tmp_path / "cp1"))
+    assert _same(out, mt.snapshot_read(spark, tdir))
+    assert out.columns == ["doc_id", "lang", "text"]
+
+
+def test_stream_resumes_exactly_once_across_restarts(
+    spark, sf_dir, tmp_path
+):
+    """New commits between runs of the SAME checkpointed query arrive
+    exactly once — the incremental-consumer contract."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    cp = str(tmp_path / "cp2")
+    sink = str(tmp_path / "sink2")
+    ss.register(spark)
+
+    def run_once():
+        # file sink: the one that actually supports checkpoint recovery
+        q = (
+            spark.readStream.format("snapshot")
+            .load(tdir)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    run_once()
+    assert (
+        spark.read.parquet(sink).count()
+        == docs.filter("doc_id < 100").count()
+    )
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 100 and doc_id < 150"), tdir, mode="append"
+    )
+    # restart with the same checkpoint: only the NEW commit arrives,
+    # and nothing is duplicated
+    run_once()
+    out = spark.read.parquet(sink)
+    assert _same(out, docs.filter("doc_id < 150"))
+
+
+def test_starting_version_latest_sees_only_new_commits(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 200"), tdir)
+    # nothing new yet -> empty batch
+    out = _drain(
+        spark, tdir, "snap_s3a", str(tmp_path / "cp3a"),
+        starting_version="latest",
+    )
+    assert out.count() == 0
+    # integer starting_version = consumed through N
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 200 and doc_id < 260"), tdir, mode="append"
+    )
+    out2 = _drain(
+        spark, tdir, "snap_s3b", str(tmp_path / "cp3b"),
+        starting_version="1",
+    )
+    assert out2.count() == docs.filter(
+        "doc_id >= 200 and doc_id < 260"
+    ).count()
+
+
+def test_rewrite_commit_fails_by_default_and_skips_on_option(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 50"), tdir)
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=2)  # rewrite
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 50 and doc_id < 80"), tdir, mode="append"
+    )
+    with pytest.raises(Exception, match="copy-on-write|rewrite"):
+        _drain(spark, tdir, "snap_s4a", str(tmp_path / "cp4a"))
+    out = _drain(
+        spark, tdir, "snap_s4b", str(tmp_path / "cp4b"),
+        on_rewrite="skip",
+    )
+    # v1 rows + v3 rows; the v2 rewrite contributes nothing
+    want = docs.filter("doc_id < 80")
+    assert _same(out, want)
+
+
+def test_max_versions_per_batch_paces_batches(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    for i in range(3):
+        mt.snapshot_commit(
+            docs.filter(f"doc_id % 3 = {i}"), tdir, mode="append"
+        )
+    reader = ss.SnapshotStreamReader(
+        {"path": tdir, "max_versions_per_batch": "1"}
+    )
+    off0 = reader.initialOffset()
+    rows1, off1 = reader.read(off0)
+    assert off1 == {"version": 1}
+    assert len(list(rows1)) == docs.filter("doc_id % 3 = 0").count()
+    rows2, off2 = reader.read(off1)
+    assert off2 == {"version": 2}
+    # replay of a committed range is byte-stable (immutable manifests)
+    a = sorted(reader.readBetweenOffsets(off0, off1))
+    b = sorted(reader.readBetweenOffsets(off0, off1))
+    assert a == b
+    # drained head returns the same offset
+    _, off3 = reader.read({"version": 3})
+    assert off3 == {"version": 3}
+
+
+def test_vacuumed_parent_raises(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    for i in range(4):
+        mt.snapshot_commit(
+            docs.filter(f"doc_id % 4 = {i}"), tdir, mode="append"
+        )
+    mt.snapshot_vacuum(tdir, keep_last=2)  # retires v1, v2
+    reader = ss.SnapshotStreamReader({"path": tdir})
+    with pytest.raises(Exception, match="vacuum"):
+        reader.read({"version": 2})
+
+
+def test_schema_evolution_projection(spark, sf_dir, tmp_path):
+    """Files appended with EXTRA columns stream with them dropped;
+    the pinned schema rules (documented merge-schema caveat)."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 20"), tdir)
+    evolved = docs.filter("doc_id >= 20 and doc_id < 30").withColumn(
+        "extra", F.lit(7)
+    )
+    mt.snapshot_commit(evolved, tdir, mode="append")
+    out = _drain(spark, tdir, "snap_s6", str(tmp_path / "cp6"))
+    assert out.columns == ["doc_id", "lang", "text"]
+    assert out.count() == docs.filter("doc_id < 30").count()
+
+
+# ---------------------------------------------------------- snapshot_diff
+def test_snapshot_diff_appends_and_rewrites(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 100 and doc_id < 150"), tdir, mode="append"
+    )
+    d = mt.snapshot_diff(tdir, 1, 2)
+    assert d["append_only"] and d["ops"] == ["append"]
+    assert not d["files_removed"]
+    assert d["rows_added"] == docs.filter(
+        "doc_id >= 100 and doc_id < 150"
+    ).count()
+    # from the empty table
+    d0 = mt.snapshot_diff(tdir, 0)
+    assert d0["rows_added"] == docs.filter("doc_id < 150").count()
+    # a rewrite breaks append_only and removes files
+    mt.snapshot_compact(spark, tdir)
+    d2 = mt.snapshot_diff(tdir, 2, 3)
+    assert not d2["append_only"] and d2["files_removed"]
+    with pytest.raises(ValueError, match="not in"):
+        mt.snapshot_diff(tdir, 99)
