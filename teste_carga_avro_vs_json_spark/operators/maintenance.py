@@ -199,6 +199,20 @@ def zorder_by(
     df = spark.read.parquet(src_dir)
     if n_files is None:
         n_files = plan_output_files(_dataset_bytes(spark, src_dir), target_mb)
+    (
+        _zorder_frame(df, cols, n_files, bits)
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+    out_files = len(spark.read.parquet(dst_dir).inputFiles())
+    return {"planned_files": n_files, "output_files": out_files}
+
+
+def _zorder_frame(
+    df: DataFrame, cols: list[str], n_files: int, bits: int
+) -> DataFrame:
+    """The Z-order rewrite as a frame transform (shared by
+    :func:`zorder_by` and :func:`snapshot_zorder_by`)."""
     n_buckets = 1 << bits
     bucket_exprs = []
     for c in cols:
@@ -219,16 +233,12 @@ def zorder_by(
         )
         bucket_exprs.append(F.coalesce(bucket, F.lit(0)))
     z = _zvalue_col(bucket_exprs, bits)
-    (
+    return (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
-        .parquet(dst_dir)
     )
-    out_files = len(spark.read.parquet(dst_dir).inputFiles())
-    return {"planned_files": n_files, "output_files": out_files}
 
 
 # ----------------------------------------------------------- snapshots
@@ -549,6 +559,43 @@ def snapshot_cluster_by(
         n_files, F.col(col)
     ).sortWithinPartitions(col)
     version = snapshot_commit(clustered, table_dir, mode="overwrite", ts=ts)
+    return {
+        "version": version,
+        "planned_files": n_files,
+        "output_files": _read_manifest(table_dir, version)["n_files"],
+        "input_files": manifest["n_files"],
+    }
+
+
+def snapshot_zorder_by(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str],
+    n_files: int | None = None,
+    target_mb: float = 256.0,
+    bits: int = 6,
+    ts: int = SNAP_EPOCH,
+) -> dict:
+    """Z-order the LATEST snapshot version on ``cols`` as a new
+    ``overwrite`` commit — OPTIMIZE ZORDER over the manifest log.
+    Where :func:`snapshot_cluster_by` gives perfect pruning on ONE
+    key, the Morton layout makes every rewritten file cover a small
+    hyper-rectangle, so the commit-time manifest stats let
+    ``snapshot_read(prune=...)`` skip files on EVERY listed column at
+    once — the multi-dimensional point/range lookup a 100 TB corpus
+    needs for (e.g.) (domain, fetch-date) slices. Content preserved
+    exactly; readers pinned to older versions keep their files
+    (reclaim with :func:`snapshot_vacuum`)."""
+    latest = snapshot_read(spark, table_dir)
+    manifest = _read_manifest(table_dir, snapshot_versions(table_dir)[-1])
+    if n_files is None:
+        n_files = plan_output_files(manifest["n_bytes"], target_mb)
+    version = snapshot_commit(
+        _zorder_frame(latest, cols, n_files, bits),
+        table_dir,
+        mode="overwrite",
+        ts=ts,
+    )
     return {
         "version": version,
         "planned_files": n_files,

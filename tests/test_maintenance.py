@@ -800,3 +800,36 @@ def test_snapshot_merge_rewrites_carry_fresh_stats(spark, sf_dir, tmp_path):
     # pruned point-read sees the merged row
     got = mt.snapshot_read(spark, tdir, prune={"doc_id": 2}).collect()
     assert [r.text for r in got] == ["recrawled"]
+
+
+def test_snapshot_zorder_prunes_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER over the manifest log: after snapshot_zorder_by
+    on (x, y), manifest-stats pruning skips files on EACH column alone
+    and more on both together — with exact results throughout."""
+    grid = (
+        spark.range(100)
+        .selectExpr("id as x")
+        .crossJoin(spark.range(100).selectExpr("id as y"))
+        .selectExpr("x", "y", "x * 100 + y as payload")
+    )
+    tdir = str(tmp_path / "ztable")
+    mt.snapshot_commit(grid.repartition(8), tdir)
+    res = mt.snapshot_zorder_by(spark, tdir, ["x", "y"], n_files=16)
+    assert res["output_files"] == 16
+    rx = mt.snapshot_prune_report(tdir, {"x": (10, 19)})
+    ry = mt.snapshot_prune_report(tdir, {"y": (10, 19)})
+    rxy = mt.snapshot_prune_report(tdir, {"x": (10, 19), "y": (10, 19)})
+    # each single-column slice skips at least half the files; the
+    # 2-d cell keeps no more than either marginal
+    assert rx["n_kept"] <= 8 and ry["n_kept"] <= 8
+    assert rxy["n_kept"] <= min(rx["n_kept"], ry["n_kept"])
+    got = mt.snapshot_read(
+        spark, tdir, prune={"x": (10, 19), "y": (10, 19)}
+    )
+    want = mt.snapshot_read(spark, tdir).where(
+        "x between 10 and 19 and y between 10 and 19"
+    )
+    assert _same_multiset(got, want)
+    assert got.count() == 100
+    # time travel intact: v1 (pre-zorder) still reads the full grid
+    assert mt.snapshot_read(spark, tdir, 1).count() == 10000
