@@ -213,3 +213,68 @@ def test_snapshot_diff_appends_and_rewrites(spark, sf_dir, tmp_path):
     assert not d2["append_only"] and d2["files_removed"]
     with pytest.raises(ValueError, match="not in"):
         mt.snapshot_diff(tdir, 99)
+
+
+def test_snapshot_stream_to_kafka_wire_sink_e2e(spark, sf_dir, tmp_path):
+    """Composition pin across the r10 surfaces: a snapshot table
+    streams through format('snapshot') into the format('kafka_wire')
+    stream sink (StubBroker socket), and the broker's content — read
+    back over the wire — equals the table exactly. A second commit +
+    restart relays ONLY the delta (exactly-once through both halves)."""
+    from teste_carga_avro_vs_json_spark.sources import (
+        kafka_wire_source,
+    )
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+        StubBroker,
+    )
+
+    ss.register(spark)
+    kafka_wire_source.register(spark)
+    docs = _docs(spark, sf_dir).filter("doc_id < 60")
+    tdir = str(tmp_path / "table")
+    cp = str(tmp_path / "cp_relay")
+    mt.snapshot_commit(docs.filter("doc_id < 40"), tdir)
+
+    with StubBroker(num_partitions=2) as broker:
+        bootstrap = f"{broker.addr[0]}:{broker.addr[1]}"
+
+        def relay_once():
+            q = (
+                spark.readStream.format("snapshot")
+                .load(tdir)
+                .selectExpr(
+                    "cast(cast(doc_id as string) as binary) as key",
+                    "cast(text as binary) as value",
+                    "cast(doc_id % 2 as int) as partition",
+                )
+                .writeStream.format("kafka_wire")
+                .option("bootstrap", bootstrap)
+                .option("topic", "corpus")
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        def broker_rows():
+            return (
+                spark.read.format("kafka_wire")
+                .option("bootstrap", bootstrap)
+                .option("topic", "corpus")
+                .load()
+                .selectExpr(
+                    "cast(cast(key as string) as long) as doc_id",
+                    "cast(value as string) as text",
+                )
+            )
+
+        relay_once()
+        assert _same(
+            broker_rows(), docs.filter("doc_id < 40").select("doc_id", "text")
+        )
+        # append a delta; restart relays only the new rows
+        mt.snapshot_commit(
+            docs.filter("doc_id >= 40"), tdir, mode="append"
+        )
+        relay_once()
+        assert _same(broker_rows(), docs.select("doc_id", "text"))
