@@ -93,3 +93,39 @@ def test_key_schedule_shape():
         enc, dec = aes.expand_key(bytes(klen))
         assert len(enc) == len(dec) == 4 * (nr + 1)
         assert all(0 <= w <= 0xFFFFFFFF for w in enc + dec)
+
+
+def test_cbc_decrypt_np_bit_identical_to_scalar(monkeypatch):
+    """The numpy batch path (auto-dispatch >= CBC_NP_THRESHOLD) must
+    equal the scalar loop byte-for-byte across sizes straddling the
+    threshold and all key sizes — the avro_vec dispatch rule: a fast
+    path exists only as a pinned twin."""
+    for klen in (16, 24, 32):
+        key = hashlib.sha256(b"npk%d" % klen).digest()[:klen]
+        iv = hashlib.md5(b"npiv").digest()
+        for n_blocks in (1, 2, 255, 256, 257, 1024):
+            seed = hashlib.sha512(b"%d:%d" % (klen, n_blocks)).digest()
+            data = (seed * (n_blocks * 16 // 64 + 1))[: n_blocks * 16]
+            ct = aes.cbc_encrypt(key, iv, data)
+            monkeypatch.setattr(aes, "CBC_NP_THRESHOLD", 1 << 60)
+            scalar = aes.cbc_decrypt(key, iv, ct)
+            monkeypatch.setattr(aes, "CBC_NP_THRESHOLD", 0)
+            vec = aes.cbc_decrypt(key, iv, ct)
+            assert scalar == vec == data
+    # direct call rejects misaligned input like the scalar path
+    with pytest.raises(ValueError, match="multiple"):
+        aes._cbc_decrypt_np(bytes(16), bytes(16), bytes(17))
+
+
+def test_cbc_decrypt_np_called_on_large_payloads(monkeypatch):
+    calls = []
+    real = aes._cbc_decrypt_np
+    monkeypatch.setattr(
+        aes, "_cbc_decrypt_np",
+        lambda *a: calls.append(1) or real(*a),
+    )
+    key, iv = bytes(16), bytes(16)
+    aes.cbc_decrypt(key, iv, bytes(aes.CBC_NP_THRESHOLD))
+    assert calls == [1]
+    aes.cbc_decrypt(key, iv, bytes(16))  # small stays scalar
+    assert calls == [1]

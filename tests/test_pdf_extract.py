@@ -709,6 +709,11 @@ def test_aes_matches_jvm(spark):
         assert _jvm_aes(
             spark, "dec", "AES/CBC/NoPadding", key, jvm_ct, iv
         ) == data
+        # a payload above CBC_NP_THRESHOLD pins the numpy batch path
+        # against SunJCE too (the small payloads above pin the scalar)
+        big = data * (aes.CBC_NP_THRESHOLD // len(data) + 1)
+        jvm_big = _jvm_aes(spark, "enc", "AES/CBC/NoPadding", key, big, iv)
+        assert aes.cbc_decrypt(key, iv, jvm_big) == big
 
 
 def test_aes_stream_payload_decrypts_in_jvm(spark):
