@@ -1434,3 +1434,188 @@ def decode_aiff_stdlib(payload: bytes) -> tuple[int, int, int, list[int]]:
         raise
     except (IndexError, struct.error, OverflowError) as e:
         raise NotImplementedError(f"malformed AIFF payload: {e}") from e
+
+
+# --------------------------------------------------------- AVI / MJPEG
+# The real-world video-container step up from the concatenated-BMP
+# frame-stream stand-in: AVI is a RIFF form (the WAV walk, different
+# fourccs) and Motion-JPEG frames are plain baseline JPEGs — both ends
+# already exist as pinned stdlib codecs, so the container logic is the
+# only new surface. MJPEG-in-AVI remains the interchange shape
+# webcams, DVRs and OpenCV's default writer emit; inter-frame codecs
+# (H.264 etc.) stay the documented PyAV boundary
+# (`decode_video_frames`).
+
+_MAX_AVI_FRAMES = 10_000
+
+
+def encode_avi_mjpeg(
+    width: int,
+    height: int,
+    frames_rgb: list[bytes],
+    fps: int = 10,
+    quality: int = 90,
+) -> bytes:
+    """Deterministic AVI/MJPEG writer: RIFF('AVI ') with the standard
+    hdrl (avih + one 'vids'/'MJPG' stream) + movi ('00dc' chunks, each
+    a baseline JPEG from our pinned encoder) + idx1. The builder twin
+    for :func:`decode_avi_mjpeg` — frame payloads are byte-identical
+    to ``jpeg_codec.encode_jpeg`` output, so the decode chain pins
+    reduce to the JPEG codec's."""
+    import struct
+
+    from .jpeg_codec import encode_jpeg
+
+    if not frames_rgb:
+        raise ValueError("at least one frame required")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    jpegs = [
+        encode_jpeg(width, height, f, quality=quality) for f in frames_rgb
+    ]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    n = len(jpegs)
+    max_frame = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_frame * fps,   # dwMaxBytesPerSec
+        0,                 # dwPaddingGranularity
+        0x10,              # dwFlags: AVIF_HASINDEX
+        n,                 # dwTotalFrames
+        0,                 # dwInitialFrames
+        1,                 # dwStreams
+        max_frame,         # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,        # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4h",
+        b"vids",
+        b"MJPG",
+        0, 0, 0,           # flags, priority, language
+        0,                 # initial frames
+        1,                 # scale
+        fps,               # rate (rate/scale = fps)
+        0,                 # start
+        n,                 # length (frames)
+        max_frame,         # suggested buffer
+        0,                 # quality (driver-defined)
+        -1,                # sample size (-1: varying)
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    strl = chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(j))
+        movi_body += chunk(b"00dc", j)
+    movi = chunk(b"LIST", bytes(movi_body))
+    idx1 = chunk(b"idx1", bytes(idx))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """AVI/MJPEG → ``(width, height, [rgb frame bytes])``. Strict RIFF
+    walk (every chunk length bounds-checked and advancing — the
+    infinite-loop rule), dimensions capped BEFORE any frame decode,
+    '00dc'/'00db' payloads decoded by the pinned baseline-JPEG codec.
+    Streams that aren't MJPEG ('vids' with another handler, audio-only
+    files) and per-frame dimension mismatches raise — never guess."""
+    import struct
+
+    from .jpeg_codec import JpegFormatError, decode_jpeg
+
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise NotImplementedError("not an AVI payload")
+        riff_len = struct.unpack_from("<I", payload, 4)[0]
+        end = min(len(payload), 8 + riff_len)
+
+        def walk(lo: int, hi: int):
+            off = lo
+            while off + 8 <= hi:
+                tag = payload[off : off + 4]
+                ln = struct.unpack_from("<I", payload, off + 4)[0]
+                body_lo = off + 8
+                body_hi = body_lo + ln
+                if ln < 0 or body_hi > hi:
+                    raise NotImplementedError("AVI chunk overruns file")
+                yield tag, body_lo, body_hi
+                nxt = body_hi + (ln & 1)
+                if nxt <= off:  # must advance
+                    raise NotImplementedError("non-advancing AVI chunk")
+                off = nxt
+
+        width = height = None
+        handler = None
+        frames: list[bytes] = []
+        for tag, lo, hi in walk(12, end):
+            if tag != b"LIST" or hi - lo < 4:
+                continue
+            kind = payload[lo : lo + 4]
+            if kind == b"hdrl":
+                for t2, lo2, hi2 in walk(lo + 4, hi):
+                    if t2 == b"avih" and hi2 - lo2 >= 40:
+                        width, height = struct.unpack_from(
+                            "<II", payload, lo2 + 32
+                        )
+                    elif t2 == b"LIST" and payload[lo2 : lo2 + 4] == b"strl":
+                        for t3, lo3, hi3 in walk(lo2 + 4, hi2):
+                            if t3 == b"strh" and hi3 - lo3 >= 8:
+                                fcc = payload[lo3 : lo3 + 4]
+                                if fcc == b"vids" and handler is None:
+                                    handler = payload[lo3 + 4 : lo3 + 8]
+            elif kind == b"movi":
+                if width is None or height is None:
+                    raise NotImplementedError("movi before avih")
+                if not 0 < width * height <= _MAX_PIXELS:
+                    raise NotImplementedError(
+                        "AVI dimensions exceed the decode cap"
+                    )
+                if handler not in (b"MJPG", b"mjpg"):
+                    raise NotImplementedError(
+                        f"AVI video handler {handler!r} is out of scope "
+                        "(MJPG only; inter-frame codecs need PyAV)"
+                    )
+                for t2, lo2, hi2 in walk(lo + 4, hi):
+                    if t2 in (b"00dc", b"00db"):
+                        if len(frames) >= _MAX_AVI_FRAMES:
+                            raise NotImplementedError(
+                                "AVI exceeds the frame-count cap"
+                            )
+                        try:
+                            w, h, rgb = decode_jpeg(
+                                payload[lo2:hi2]
+                            )
+                        except JpegFormatError as e:
+                            raise NotImplementedError(
+                                f"bad MJPEG frame: {e}"
+                            ) from e
+                        if (w, h) != (width, height):
+                            raise NotImplementedError(
+                                "frame dimensions disagree with avih"
+                            )
+                        frames.append(rgb)
+        if width is None or not frames:
+            raise NotImplementedError("no MJPEG frames found")
+        return width, height, frames
+    except NotImplementedError:
+        raise
+    except (IndexError, struct.error, OverflowError) as e:
+        raise NotImplementedError(f"malformed AVI payload: {e}") from e

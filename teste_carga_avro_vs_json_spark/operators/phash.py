@@ -176,6 +176,16 @@ def _gif_frame_lums(payload: bytes) -> list[tuple[int, int, list[list[int]]]]:
     return [_rgb_lum_rows(w, h, fr) for fr in frames]
 
 
+def _avi_frame_lums(payload: bytes) -> list[tuple[int, int, list[list[int]]]]:
+    """AVI/MJPEG → one (w, h, lum rows) per frame. MJPEG is lossy, so
+    an AVI re-encode of a BMP-stream video hashes CLOSE per frame —
+    exactly the shape video_neardup's Hamming join exists for."""
+    from .multimodal import decode_avi_mjpeg
+
+    w, h, frames = decode_avi_mjpeg(payload)
+    return [_rgb_lum_rows(w, h, fr) for fr in frames]
+
+
 def _jpeg_lum_rows(payload: bytes) -> tuple[int, int, list[list[int]]]:
     """Baseline JPEG → BT.601 luminance rows via the stdlib decoder.
     JPEG is lossy, so a JPEG and a BMP of the same source pixels hash
@@ -595,10 +605,13 @@ def video_frame_hashes(media: DataFrame) -> DataFrame:
             rows = []
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(b)
-                # container autodetect by magic: animated GIF is a
-                # real interchange format; "BM" = the concatenated-BMP
-                # frame-stream stand-in for extracted video.
-                if raw[:4] == b"GIF8":
+                # container autodetect by magic: AVI/MJPEG and
+                # animated GIF are real interchange formats; "BM" =
+                # the concatenated-BMP frame-stream stand-in for
+                # extracted video.
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    lums = _avi_frame_lums(raw)
+                elif raw[:4] == b"GIF8":
                     lums = _gif_frame_lums(raw)
                 else:
                     lums = [

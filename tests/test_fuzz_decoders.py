@@ -90,6 +90,13 @@ _DECODERS = {
         px.extract_pdf,
         (px.PdfFormatError, NotImplementedError),
     ),
+    # r10-late: AVI/MJPEG container — mutations hit the RIFF walk
+    # (chunk bounds/advance), avih dims, handler gate and the wrapped
+    # JPEG frame decode
+    "avi": (
+        mm.decode_avi_mjpeg,
+        (NotImplementedError,),
+    ),
 }
 
 
@@ -135,6 +142,11 @@ def _valid_payloads() -> dict[str, bytes]:
         "pdf_aesv2": px.build_pdf(
             [["linha um dois tres", "quatro cinco"], ["pagina dois"]],
             encrypt={"revision": 4, "user_password": ""},
+        ),
+        "avi": mm.encode_avi_mjpeg(
+            16, 12,
+            [bytes(((x + f * 31) % 256) for x in range(16 * 12 * 3))
+             for f in range(2)],
         ),
         "pdf_aesv3": px.build_pdf(
             [["linha um dois tres", "quatro cinco"], ["pagina dois"]],

@@ -318,3 +318,104 @@ def test_video_neardup_equals_bruteforce_with_planted_reupload(
         assert got[(r["doc_id"], r["doc_id"] + 100000)] >= 4
     corpus.unpersist()
     media.unpersist()
+
+
+# ----------------------------------------------------------- AVI/MJPEG
+def _grad_frames(w, h, n, shift=0):
+    return [
+        bytes(
+            ((x * 7 + y * 13 + f * 29 + shift) % 256)
+            for y in range(h)
+            for x in range(w)
+            for _ in range(3)
+        )
+        for f in range(n)
+    ]
+
+
+def test_avi_mjpeg_roundtrip_is_the_jpeg_chain():
+    """decode(encode_avi_mjpeg(frames)) must equal the pinned JPEG
+    codec chain frame-for-frame (the container adds nothing lossy),
+    and the bytes are deterministic."""
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+    from teste_carga_avro_vs_json_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 24, 16
+    frames = _grad_frames(w, h, 3)
+    avi = mm.encode_avi_mjpeg(w, h, frames, fps=5)
+    assert avi == mm.encode_avi_mjpeg(w, h, frames, fps=5)
+    dw, dh, out = mm.decode_avi_mjpeg(avi)
+    assert (dw, dh, len(out)) == (w, h, 3)
+    for f, o in zip(frames, out):
+        assert o == decode_jpeg(encode_jpeg(w, h, f, quality=90))[2]
+
+
+def test_avi_boundaries_raise():
+    import struct
+
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+
+    w, h = 16, 16
+    avi = mm.encode_avi_mjpeg(w, h, _grad_frames(w, h, 2))
+    # non-MJPG handler
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="handler"):
+        mm.decode_avi_mjpeg(avi.replace(b"vids" + b"MJPG", b"vids" + b"H264"))
+    # truncation mid-movi
+    with pytest.raises(NotImplementedError):
+        mm.decode_avi_mjpeg(avi[: len(avi) // 2])
+    # not an AVI
+    with pytest.raises(NotImplementedError, match="not an AVI"):
+        mm.decode_avi_mjpeg(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    # dimension cap before decode
+    bloated = avi.replace(
+        struct.pack("<II", w, h) + b"\x00" * 16,
+        struct.pack("<II", 1 << 15, 1 << 15) + b"\x00" * 16,
+        1,
+    )
+    with pytest.raises(NotImplementedError, match="cap|disagree"):
+        mm.decode_avi_mjpeg(bloated)
+
+
+def test_video_neardup_detects_avi_reencode_of_bmp_video(spark, sf_dir):
+    """The actual use case: the SAME clip stored as a BMP frame
+    stream and as an AVI/MJPEG re-encode must surface as a near-dup
+    pair — MJPEG loss keeps per-frame dHashes within the Hamming
+    budget, not equal."""
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir, 6)
+    media = ph.synth_bmp_video(docs, n_frames=4).persist()
+    rows = media.limit(3).collect()
+    planted = []
+    for r in rows:
+        frames = ph.split_bmp_stream(bytes(r["payload"]))
+        rgbs = []
+        w = h = None
+        for fb in frames:
+            # gray RGB from the luminance rows: BT.601 of (l,l,l) is
+            # exactly l, so the dHash grid matches the BMP original
+            # up to MJPEG loss — the property under test
+            w, h, lum = ph._bmp_lum_rows(fb)
+            rgbs.append(
+                bytes(b for row in lum for v in row for b in (v, v, v))
+            )
+        avi = mm.encode_avi_mjpeg(w, h, rgbs, quality=95)
+        planted.append((r["doc_id"] + 100000, avi, "avi"))
+    corpus = media.unionByName(
+        spark.createDataFrame(
+            planted, "doc_id long, payload binary, format string"
+        )
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ph.video_neardup(
+            corpus, max_hamming=6, min_shared_frames=2, max_band_df=None
+        ).collect()
+    }
+    for r in rows:
+        assert (r["doc_id"], r["doc_id"] + 100000) in pairs
