@@ -31,16 +31,18 @@ only commits after stream start; or an integer N = "already consumed
 through N"), ``on_rewrite`` (above), ``max_versions_per_batch``
 (flow control; default all available).
 
-Scale notes: this is a SimpleDataSourceStreamReader — rows of a
-micro-batch flow through the driver, which is the right cost class
-for CONTINUOUS TAIL CONSUMPTION (per-commit deltas: thousands of
-docs, not the corpus). Bootstrapping a 100 TB table through it would
-be wrong — do the base load with ``snapshot_read`` (manifest-pinned,
-fully parallel, prunable) and stream with ``starting_version`` set to
-that base version. The schema is pinned at stream start from the
-table's first data file; files later appended with EXTRA columns have
-them dropped, files missing pinned columns null-fill (the
-merge-schema caveat of ``snapshot_read`` applies to streams too).
+Scale notes: the full ``DataSourceStreamReader`` contract — the
+driver plans a micro-batch from MANIFESTS ONLY (one InputPartition
+per added file) and each Spark task reads its parquet file
+executor-side, so batch parallelism is the file count, the driver
+never touches row data, and a large backfill is just a wide batch.
+(Bootstrapping a 100 TB base is still better done with
+``snapshot_read`` — prunable, no per-batch planning — then stream
+with ``starting_version`` set to that base version.) The schema is
+pinned at stream start from the table's first data file; files later
+appended with EXTRA columns have them dropped, files missing pinned
+columns null-fill (the merge-schema caveat of ``snapshot_read``
+applies to streams too).
 
 A vacuumed parent manifest (``snapshot_vacuum`` retiring versions the
 stream has not consumed yet) raises — the missing history cannot be
@@ -57,7 +59,8 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
-    SimpleDataSourceStreamReader,
+    DataSourceStreamReader,
+    InputPartition,
 )
 
 try:  # pickle-by-value: executors don't need the repo on PYTHONPATH
@@ -92,9 +95,20 @@ def _table_schema_arrow(table_dir: str):
     )
 
 
-class SnapshotStreamReader(SimpleDataSourceStreamReader):
+class _FilePartition(InputPartition):
+    """One added data file of the micro-batch's version range — read
+    executor-side."""
+
+    def __init__(self, table_dir: str, rel_path: str, fields: list[str]):
+        self.table_dir = table_dir
+        self.rel_path = rel_path
+        self.fields = fields
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
     """Version-stepped micro-batches; the offset is ``{"version": N}``
-    = "consumed through commit N"."""
+    = "consumed through commit N". The driver plans from manifests
+    only; rows are read in the tasks."""
 
     def __init__(self, options):
         self.table_dir = options.get("path") or options.get("table_dir")
@@ -106,24 +120,43 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
         self.max_versions = int(options.get("max_versions_per_batch", 0))
         self.starting = str(options.get("starting_version", "earliest"))
         self._fields = [f.name for f in _table_schema_arrow(self.table_dir)]
+        #: pacing cursor: the last offset this reader handed to Spark
+        #: (latestOffset must not leap past max_versions_per_batch)
+        self._cur: int | None = None
 
     # -- offsets
     def initialOffset(self) -> dict:
         mt = _mt()
         if self.starting == "earliest":
-            return {"version": 0}
+            off = 0
+        elif self.starting == "latest":
+            versions = mt.snapshot_versions(self.table_dir)
+            off = versions[-1] if versions else 0
+        else:
+            off = int(self.starting)
+        self._cur = off
+        return {"version": off}
+
+    def latestOffset(self) -> dict:
+        mt = _mt()
         versions = mt.snapshot_versions(self.table_dir)
-        if self.starting == "latest":
-            return {"version": versions[-1] if versions else 0}
-        return {"version": int(self.starting)}
+        head = versions[-1] if versions else 0
+        if self._cur is None:
+            self._cur = int(self.initialOffset()["version"])
+        end = head
+        if self.max_versions > 0:
+            end = min(head, self._cur + self.max_versions)
+        end = max(end, self._cur)
+        self._cur = end
+        return {"version": end}
 
-    # -- row materialization
-    def _rows_for_step(self, version: int):
-        """Rows added by commit ``version`` relative to its direct
-        parent — projected onto the pinned schema (extra columns
-        dropped, missing columns null-filled)."""
-        import pyarrow.parquet as pq
+    def commit(self, end: dict) -> None:
+        # offsets live in Spark's checkpoint; nothing to finalize here
+        pass
 
+    def _added_paths(self, version: int) -> list[str]:
+        """Relative paths added by commit ``version`` vs its direct
+        parent, applying the rewrite policy. Manifest-only."""
         mt = _mt()
         versions = mt.snapshot_versions(self.table_dir)
         manifest = mt._read_manifest(self.table_dir, version)
@@ -152,49 +185,41 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
             if version - 1 > 0
             else set()
         )
-        rows = []
-        for entry in manifest["files"]:
-            if entry["path"] in parent_paths:
-                continue
-            tbl = pq.read_table(
-                os.path.join(self.table_dir, entry["path"])
-            )
-            cols = {}
-            for name in self._fields:
-                if name in tbl.column_names:
-                    cols[name] = tbl.column(name).to_pylist()
-                else:
-                    cols[name] = [None] * len(tbl)
-            rows.extend(
-                tuple(cols[n][i] for n in self._fields)
-                for i in range(len(tbl))
-            )
-        return rows
+        return [
+            f["path"]
+            for f in manifest["files"]
+            if f["path"] not in parent_paths
+        ]
 
-    def _step_range(self, start_v: int, end_v: int):
-        rows = []
-        for v in range(start_v + 1, end_v + 1):
-            rows.extend(self._rows_for_step(v))
-        return rows
+    def partitions(self, start: dict, end: dict):
+        paths = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            paths.extend(self._added_paths(v))
+        # deterministic plan: replay of a committed range (restart
+        # recovery) re-derives the identical partition list from the
+        # immutable manifests
+        return [
+            _FilePartition(self.table_dir, p, self._fields)
+            for p in paths
+        ]
 
-    # -- SimpleDataSourceStreamReader contract
-    def read(self, start: dict):
-        mt = _mt()
-        start_v = int(start["version"])
-        versions = mt.snapshot_versions(self.table_dir)
-        head = versions[-1] if versions else 0
-        if head <= start_v:
-            return iter([]), {"version": start_v}
-        end_v = head
-        if self.max_versions > 0:
-            end_v = min(head, start_v + self.max_versions)
-        return iter(self._step_range(start_v, end_v)), {"version": end_v}
+    def read(self, partition: _FilePartition):
+        """Executor-side: one parquet file, projected onto the pinned
+        schema (extra columns dropped, missing columns null-filled)."""
+        import pyarrow.parquet as pq
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        # committed-range replay: manifests are immutable, so the same
-        # version range yields the same rows (exactly-once on restart)
+        tbl = pq.read_table(
+            os.path.join(partition.table_dir, partition.rel_path)
+        )
+        cols = {}
+        for name in partition.fields:
+            if name in tbl.column_names:
+                cols[name] = tbl.column(name).to_pylist()
+            else:
+                cols[name] = [None] * len(tbl)
         return iter(
-            self._step_range(int(start["version"]), int(end["version"]))
+            tuple(cols[n][i] for n in partition.fields)
+            for i in range(len(tbl))
         )
 
 
@@ -225,7 +250,7 @@ class SnapshotDataSource(DataSource):
             "STREAMING surface"
         )
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return SnapshotStreamReader(self.options)
 
 

@@ -147,19 +147,30 @@ def test_max_versions_per_batch_paces_batches(spark, sf_dir, tmp_path):
     reader = ss.SnapshotStreamReader(
         {"path": tdir, "max_versions_per_batch": "1"}
     )
+
+    def batch_rows(start, end):
+        rows = []
+        for part in reader.partitions(start, end):
+            rows.extend(reader.read(part))
+        return rows
+
     off0 = reader.initialOffset()
-    rows1, off1 = reader.read(off0)
-    assert off1 == {"version": 1}
-    assert len(list(rows1)) == docs.filter("doc_id % 3 = 0").count()
-    rows2, off2 = reader.read(off1)
+    off1 = reader.latestOffset()
+    assert off1 == {"version": 1}  # paced: one version per trigger
+    assert len(batch_rows(off0, off1)) == docs.filter(
+        "doc_id % 3 = 0"
+    ).count()
+    off2 = reader.latestOffset()
     assert off2 == {"version": 2}
-    # replay of a committed range is byte-stable (immutable manifests)
-    a = sorted(reader.readBetweenOffsets(off0, off1))
-    b = sorted(reader.readBetweenOffsets(off0, off1))
+    # replay of a committed range is byte-stable (immutable manifests:
+    # restart recovery re-plans the identical partitions)
+    a = sorted(batch_rows(off0, off1))
+    b = sorted(batch_rows(off0, off1))
     assert a == b
-    # drained head returns the same offset
-    _, off3 = reader.read({"version": 3})
-    assert off3 == {"version": 3}
+    # drained head stays put
+    reader.latestOffset()
+    assert reader.latestOffset() == {"version": 3}
+    assert batch_rows({"version": 3}, {"version": 3}) == []
 
 
 def test_vacuumed_parent_raises(spark, sf_dir, tmp_path):
@@ -172,7 +183,7 @@ def test_vacuumed_parent_raises(spark, sf_dir, tmp_path):
     mt.snapshot_vacuum(tdir, keep_last=2)  # retires v1, v2
     reader = ss.SnapshotStreamReader({"path": tdir})
     with pytest.raises(Exception, match="vacuum"):
-        reader.read({"version": 2})
+        reader.partitions({"version": 2}, {"version": 4})
 
 
 def test_schema_evolution_projection(spark, sf_dir, tmp_path):
