@@ -49,6 +49,7 @@ _SLOW_MODULES = {
     "test_kafka_groups",
     "test_kafka_rebalance",
     "test_snapshot_source",
+    "test_archive",
 }
 
 

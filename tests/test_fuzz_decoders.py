@@ -20,6 +20,7 @@ from teste_carga_avro_vs_json_spark.operators import jpeg_codec as jc
 from teste_carga_avro_vs_json_spark.operators import multimodal as mm
 from teste_carga_avro_vs_json_spark.operators import pdf_extract as px
 from teste_carga_avro_vs_json_spark.operators import phash as ph
+from teste_carga_avro_vs_json_spark.sources import archive as ar
 from teste_carga_avro_vs_json_spark.sources import warc as W
 from teste_carga_avro_vs_json_spark.sources import zstd_stdlib as Z
 
@@ -97,6 +98,18 @@ _DECODERS = {
         mm.decode_avi_mjpeg,
         (NotImplementedError,),
     ),
+    # r10-late: archive walkers — container errors raise, member-level
+    # corruption lands as error ROWS (the iterator contract), so the
+    # fuzz net checks only that no raw zipfile/tarfile/struct errors
+    # escape the walk
+    "zip": (
+        lambda b: list(ar.iter_zip_members(b)),
+        (ar.ArchiveFormatError,),
+    ),
+    "tar": (
+        lambda b: list(ar.iter_tar_members(b)),
+        (ar.ArchiveFormatError,),
+    ),
 }
 
 
@@ -143,6 +156,8 @@ def _valid_payloads() -> dict[str, bytes]:
             [["linha um dois tres", "quatro cinco"], ["pagina dois"]],
             encrypt={"revision": 4, "user_password": ""},
         ),
+        "zip": ar.build_zip([("a.txt", b"conteudo um"), ("b/c.bin", bytes(range(64)))]),
+        "tar": ar.build_tar([("a.txt", b"conteudo um"), ("b/c.bin", bytes(range(64)))], gz=True),
         "avi": mm.encode_avi_mjpeg(
             16, 12,
             [bytes(((x + f * 31) % 256) for x in range(16 * 12 * 3))
