@@ -425,6 +425,87 @@ def pii_scrub_sql(table: str = "documents") -> str:
     """
 
 
+def pseudonymize(
+    docs: DataFrame, key: str = "spark-graft-pseudo"
+) -> DataFrame:
+    """Keyed pseudonymization — the OTHER half of the PII story:
+    :func:`pii_scrub` destroys identifiers, this derives a STABLE
+    per-value token (first 16 hex chars of SHA-256(key || ':' ||
+    literal)) so the same email maps to the same token corpus-wide —
+    records stay joinable/countable across runs and datasets
+    (GDPR-style pseudonymisation with consistent pseudonyms), while a
+    key rotation re-tokenizes everything. Output is the TOKEN MAP —
+    one row per distinct (doc_id, kind, literal): ``(doc_id, kind,
+    token, n_occurrences)`` — the literal itself never leaves the
+    aggregation.
+
+    Plan shape: one scan; the three regex extracts are staged as ONE
+    concatenated struct array behind a projection, ``explode_outer`` +
+    an ABOVE-the-Generate null filter (the r7 pushdown rule: a plain
+    explode makes Catalyst infer ``size(regex-array) > 0`` into the
+    scan — an expensive-filter node), then one hash aggregation.
+    Everything JVM-side: sha2 is a codegen expression, no UDF.
+    """
+    t = F.col("text")
+
+    def matches(kind: str, pat: str):
+        return F.transform(
+            F.regexp_extract_all(t, F.lit(pat), F.lit(0)),
+            lambda x: F.struct(
+                F.lit(kind).alias("kind"), x.alias("lit")
+            ),
+        )
+
+    arr = F.concat(
+        matches("email", _PII_EMAIL),
+        matches("ip", _PII_IP),
+        matches("phone", _PII_PHONE),
+    )
+    staged = docs.select("doc_id", arr.alias("pii"))
+    exploded = staged.select(
+        "doc_id", F.explode_outer("pii").alias("m")
+    ).where(F.col("m").isNotNull())
+    return (
+        exploded.groupBy("doc_id", "m.kind", "m.lit")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .select(
+            "doc_id",
+            "kind",
+            F.substring(
+                F.sha2(F.concat(F.lit(key + ":"), F.col("lit")), 256),
+                1,
+                16,
+            ).alias("token"),
+            "n_occurrences",
+        )
+    )
+
+
+def pseudonymize_sql(
+    table: str = "documents", key: str = "spark-graft-pseudo"
+) -> str:
+    return f"""
+        WITH m AS (
+            SELECT doc_id, 'email' AS kind,
+                   unnest(regexp_extract_all(text, '{_PII_EMAIL}')) AS lit
+            FROM {table}
+            UNION ALL
+            SELECT doc_id, 'ip',
+                   unnest(regexp_extract_all(text, '{_PII_IP}'))
+            FROM {table}
+            UNION ALL
+            SELECT doc_id, 'phone',
+                   unnest(regexp_extract_all(text, '{_PII_PHONE}'))
+            FROM {table}
+        )
+        SELECT doc_id, kind,
+               substr(sha256('{key}:' || lit), 1, 16) AS token,
+               COUNT(*)::BIGINT AS n_occurrences
+        FROM m
+        GROUP BY doc_id, kind, lit
+    """
+
+
 # ------------------------------------------------------------- winnowing
 def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the

@@ -1810,3 +1810,40 @@ def test_chunk_documents_coverage_and_overlap(spark, sf_dir):
         assert rebuilt == src, doc_id
         # sizes bounded
         assert all(len(c.chunk_text) <= chunk for c in chunks)
+
+
+def test_pseudonymize_consistent_tokens(spark):
+    """The pseudonymisation contract: the SAME literal maps to the
+    SAME token across documents (joinability), different literals to
+    different tokens, a key rotation re-tokenizes everything, and the
+    literal itself never appears in the output."""
+    from teste_carga_avro_vs_json_spark.operators import text as T
+
+    rows = [
+        (1, "mail a@x.com and again a@x.com plus 10.0.0.1"),
+        (2, "other doc a@x.com tel +55-1234"),
+        (3, "different b@y.org 10.0.0.1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.pseudonymize(docs).collect()
+    by = {(r.doc_id, r.kind): r for r in out}
+    # same email in docs 1 and 2 -> same token; doc 1 counted twice
+    assert by[(1, "email")].token == by[(2, "email")].token
+    assert by[(1, "email")].n_occurrences == 2
+    assert by[(2, "email")].n_occurrences == 1
+    # different email -> different token
+    assert by[(3, "email")].token != by[(1, "email")].token
+    # shared IP joins across docs
+    assert by[(1, "ip")].token == by[(3, "ip")].token
+    # tokens are 16 lowercase hex chars, never the literal
+    for r in out:
+        assert len(r.token) == 16 and all(
+            c in "0123456789abcdef" for c in r.token
+        )
+        assert "a@x.com" not in r.token
+    # key rotation changes every token
+    rot = {
+        (r.doc_id, r.kind): r.token
+        for r in T.pseudonymize(docs, key="outra-chave").collect()
+    }
+    assert all(rot[k] != by[k].token for k in rot)

@@ -355,6 +355,48 @@ def _fim_transform_sql() -> str:
     return corpus.fim_transform_sql()
 
 
+def _q_pseudonymize(spark, sf_dir):
+    """Keyed PII tokenization over the q_pii_scrub injection fixture —
+    the email is injected TWICE so n_occurrences > 1 is exercised."""
+    import pyspark.sql.functions as F
+
+    from teste_carga_avro_vs_json_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+            F.lit(" tel +55-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" cc user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ).alias("text"),
+    )
+    return text.pseudonymize(docs)
+
+
+def _pseudonymize_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import text
+
+    fixture = """(
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR
+                    || '@example.com ip 10.0.' || (doc_id % 256)::VARCHAR
+                    || '.' || (doc_id % 100)::VARCHAR
+                    || ' tel +55-' || lpad(doc_id::VARCHAR, 4, '0')
+                    || ' cc user' || doc_id::VARCHAR || '@example.com' AS text
+        FROM documents
+    )"""
+    return text.pseudonymize_sql(fixture)
+
+
 def _q_c4_line_filter(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -441,6 +483,7 @@ def retired_queries() -> dict:
         "q_url_dedup": _q_url_dedup,
         "q_domain_profile": _q_domain_profile,
         "q_fim_transform": _q_fim_transform,
+        "q_pseudonymize": _q_pseudonymize,
         # r10 retirements (slots given to q_domain_cap +
         # q_chunk_documents, which moved INTO the driver window)
         "q_file_avro_roundtrip": _q_file_avro_roundtrip,
@@ -483,6 +526,7 @@ def retired_oracle_sql() -> dict:
         "q_url_dedup": _url_dedup_sql(),
         "q_domain_profile": _domain_profile_sql(),
         "q_fim_transform": _fim_transform_sql(),
+        "q_pseudonymize": _pseudonymize_sql(),
         "q_file_avro_roundtrip": flat,
         "q_stream_json_e2e": registry._stream_json_e2e_sql(),
     }
