@@ -1619,3 +1619,279 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise
     except (IndexError, struct.error, OverflowError) as e:
         raise NotImplementedError(f"malformed AVI payload: {e}") from e
+
+
+# ------------------------------------------------------ MP4 / ISO BMFF
+# Metadata PROBE, not a decoder: crawl pipelines index video by
+# container facts (duration, track kinds, codec fourcc, dimensions)
+# long before anything decodes frames — "keep 720p+, drop > 10 min" is
+# a metadata filter. The box walk is pure stdlib struct; H.264/H.265/
+# AAC payload decode stays the documented PyAV boundary.
+
+_MP4_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta",
+}
+_MAX_MP4_BOXES = 10_000
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """ISO BMFF (MP4/MOV/M4A) container facts:
+
+    ``{brand, duration_s, timescale, tracks: [{handler, codec, width,
+    height, n_samples, duration_s}]}``
+
+    Strict advancing walk (every box length bounds-checked, 64-bit
+    largesize supported, box count capped), mvhd/tkhd/mdhd versions 0
+    and 1, dimensions from tkhd 16.16 fixed-point, codec fourcc from
+    the first stsd entry, sample count from stsz/stz2. Non-BMFF bytes
+    raise ``NotImplementedError`` (fuzz-table row "mp4")."""
+    import struct
+
+    try:
+        if len(payload) < 16 or payload[4:8] != b"ftyp":
+            raise NotImplementedError("not an ISO BMFF payload")
+        n_seen = 0
+
+        def walk(lo: int, hi: int):
+            nonlocal n_seen
+            off = lo
+            while off + 8 <= hi:
+                n_seen += 1
+                if n_seen > _MAX_MP4_BOXES:
+                    raise NotImplementedError("box-count cap exceeded")
+                size = struct.unpack_from(">I", payload, off)[0]
+                tag = payload[off + 4 : off + 8]
+                body = off + 8
+                if size == 1:
+                    if body + 8 > hi:
+                        raise NotImplementedError("truncated largesize")
+                    size = struct.unpack_from(">Q", payload, body)[0]
+                    body += 8
+                elif size == 0:  # "to end of file"
+                    size = hi - off
+                end = off + size
+                if size < 8 or end > hi:
+                    raise NotImplementedError("box overruns file")
+                yield tag, body, end
+                off = end  # size >= 8 guarantees advance
+
+        brand = payload[8:12].decode("latin-1")
+        out = {
+            "brand": brand,
+            "duration_s": None,
+            "timescale": None,
+            "tracks": [],
+        }
+
+        def full_box(body: int):
+            version = payload[body]
+            return version, body + 4
+
+        def parse_mvhd(body, end):
+            v, p = full_box(body)
+            if v == 1:
+                ts, dur = struct.unpack_from(">IQ", payload, p + 16)
+            else:
+                ts, dur = struct.unpack_from(">II", payload, p + 8)
+            if ts:
+                out["timescale"] = ts
+                out["duration_s"] = round(dur / ts, 3)
+
+        def parse_trak(body, end):
+            track = {
+                "handler": None, "codec": None, "width": None,
+                "height": None, "n_samples": None, "duration_s": None,
+            }
+            for tag, b2, e2 in walk(body, end):
+                if tag == b"tkhd":
+                    v, p = full_box(b2)
+                    # width/height: the LAST 8 bytes, 16.16 fixed
+                    w, h = struct.unpack_from(">II", payload, e2 - 8)
+                    track["width"] = w >> 16
+                    track["height"] = h >> 16
+                elif tag == b"mdia":
+                    for t3, b3, e3 in walk(b2, e2):
+                        if t3 == b"mdhd":
+                            v, p = full_box(b3)
+                            if v == 1:
+                                ts, dur = struct.unpack_from(
+                                    ">IQ", payload, p + 16
+                                )
+                            else:
+                                ts, dur = struct.unpack_from(
+                                    ">II", payload, p + 8
+                                )
+                            if ts:
+                                track["duration_s"] = round(dur / ts, 3)
+                        elif t3 == b"hdlr":
+                            track["handler"] = payload[
+                                b3 + 8 : b3 + 12
+                            ].decode("latin-1")
+                        elif t3 == b"minf":
+                            for t4, b4, e4 in walk(b3, e3):
+                                if t4 == b"stbl":
+                                    parse_stbl(b4, e4, track)
+            out["tracks"].append(track)
+
+        def parse_stbl(body, end, track):
+            import struct as _s
+
+            for tag, b2, e2 in walk(body, end):
+                if tag == b"stsd":
+                    n = _s.unpack_from(">I", payload, b2 + 4)[0]
+                    if n >= 1 and e2 - b2 >= 16:
+                        track["codec"] = payload[b2 + 12 : b2 + 16].decode(
+                            "latin-1"
+                        )
+                elif tag in (b"stsz", b"stz2"):
+                    track["n_samples"] = _s.unpack_from(
+                        ">I", payload, e2 - 4
+                    )[0]
+
+        for tag, body, end in walk(0, len(payload)):
+            if tag == b"moov":
+                for t2, b2, e2 in walk(body, end):
+                    if t2 == b"mvhd":
+                        parse_mvhd(b2, e2)
+                    elif t2 == b"trak":
+                        parse_trak(b2, e2)
+        if not out["tracks"] and out["duration_s"] is None:
+            raise NotImplementedError("no moov metadata found")
+        return out
+    except NotImplementedError:
+        raise
+    except (IndexError, struct.error, OverflowError, UnicodeDecodeError) as e:
+        raise NotImplementedError(f"malformed BMFF payload: {e}") from e
+
+
+def build_mp4_skeleton(
+    tracks: list[dict],
+    duration_s: float = 10.0,
+    timescale: int = 1000,
+    brand: str = "isom",
+) -> bytes:
+    """Deterministic minimal ISO BMFF skeleton (builder twin of
+    :func:`probe_mp4`): ftyp + moov(mvhd + one trak per entry) + an
+    empty mdat. Each track dict: ``{handler: "vide"|"soun", codec:
+    4cc, width, height, n_samples, duration_s}``. No sample data —
+    the PROBE surface is the product; epoch timestamps fixed at 0."""
+    import struct
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    def full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+        return box(tag, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+    dur = int(round(duration_s * timescale))
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)      # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", len(tracks) + 1),
+    )
+    traks = b""
+    for i, t in enumerate(tracks):
+        tdur = int(round(float(t.get("duration_s", duration_s)) * timescale))
+        tkhd = full(
+            b"tkhd", 0, 7,
+            struct.pack(">IIII", 0, 0, i + 1, 0)
+            + struct.pack(">I", tdur)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", int(t.get("width", 0)) << 16,
+                          int(t.get("height", 0)) << 16),
+        )
+        mdhd = full(
+            b"mdhd", 0, 0,
+            struct.pack(">IIII", 0, 0, timescale, tdur)
+            + struct.pack(">HH", 0x55C4, 0),  # und language
+        )
+        handler = str(t.get("handler", "vide")).encode("latin-1")[:4]
+        hdlr = full(
+            b"hdlr", 0, 0,
+            b"\x00" * 4 + handler + b"\x00" * 12 + b"synth\x00",
+        )
+        codec = str(t.get("codec", "mp4v")).encode("latin-1")[:4]
+        sample_entry = struct.pack(">I", 16) + codec + b"\x00" * 8
+        stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+        n_samples = int(t.get("n_samples", 0))
+        stsz = full(
+            b"stsz", 0, 0, struct.pack(">II", 0, n_samples)
+        )
+        stbl = box(b"stbl", stsd + stsz)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        traks += box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", brand.encode("latin-1")[:4] + struct.pack(">I", 0)
+               + b"isom")
+    return ftyp + moov + box(b"mdat", b"")
+
+
+def probe_video_mp4(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, payload) → container facts per video — the metadata
+    filter stage ("keep 720p+, drop > 10 min") that runs long before
+    any frame decodes. One Arrow-batched shuffle-free projection with
+    the standard error column (malformed containers are rows, never
+    failed stages)."""
+
+    @F.pandas_udf(
+        "struct<brand: string, duration_s: double, n_tracks: int, "
+        "video_codec: string, width: int, height: int, error: string>"
+    )
+    def probe(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for raw in batch:
+                try:
+                    if raw is None:
+                        raise NotImplementedError("null payload")
+                    info = probe_mp4(bytes(raw))
+                    vid = next(
+                        (
+                            t
+                            for t in info["tracks"]
+                            if t["handler"] == "vide"
+                        ),
+                        None,
+                    )
+                    rows.append(
+                        {
+                            "brand": info["brand"],
+                            "duration_s": info["duration_s"],
+                            "n_tracks": len(info["tracks"]),
+                            "video_codec": vid["codec"] if vid else None,
+                            "width": vid["width"] if vid else None,
+                            "height": vid["height"] if vid else None,
+                            "error": None,
+                        }
+                    )
+                except NotImplementedError as e:
+                    rows.append(
+                        {
+                            "brand": None,
+                            "duration_s": None,
+                            "n_tracks": 0,
+                            "video_codec": None,
+                            "width": None,
+                            "height": None,
+                            "error": type(e).__name__,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select(
+        "doc_id", probe(F.col(payload_col)).alias("p")
+    ).select(
+        "doc_id", "p.brand", "p.duration_s", "p.n_tracks",
+        "p.video_codec", "p.width", "p.height", "p.error",
+    )

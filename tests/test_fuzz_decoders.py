@@ -98,6 +98,13 @@ _DECODERS = {
         mm.decode_avi_mjpeg,
         (NotImplementedError,),
     ),
+    # r10-late: MP4/ISO-BMFF metadata probe — mutations hit the box
+    # walk (size/largesize bounds, advance guarantee) and the
+    # mvhd/tkhd/mdhd/stsd field parses
+    "mp4": (
+        mm.probe_mp4,
+        (NotImplementedError,),
+    ),
     # r10-late: archive walkers — container errors raise, member-level
     # corruption lands as error ROWS (the iterator contract), so the
     # fuzz net checks only that no raw zipfile/tarfile/struct errors
@@ -158,6 +165,11 @@ def _valid_payloads() -> dict[str, bytes]:
         ),
         "zip": ar.build_zip([("a.txt", b"conteudo um"), ("b/c.bin", bytes(range(64)))]),
         "tar": ar.build_tar([("a.txt", b"conteudo um"), ("b/c.bin", bytes(range(64)))], gz=True),
+        "mp4": mm.build_mp4_skeleton(
+            [{"handler": "vide", "codec": "avc1", "width": 640,
+              "height": 360, "n_samples": 48, "duration_s": 2.0}],
+            duration_s=2.0,
+        ),
         "avi": mm.encode_avi_mjpeg(
             16, 12,
             [bytes(((x + f * 31) % 256) for x in range(16 * 12 * 3))
