@@ -2070,18 +2070,24 @@ class StubBroker:
             r.i16()  # acks
             r.i32()  # timeout
             n_topics = r.i32()
-            results = []
+            # Group results one block per TOPIC (real-broker encoding):
+            # a per-(topic, partition) block would leave trailing blocks
+            # a spec-conforming client never parses when one topic
+            # carries several partitions in the same request.
+            results: dict[str, list[tuple[int, int, int]]] = {}
             for _ in range(n_topics):
                 topic = r.string()
                 for _p in range(r.i32()):
                     partition = r.i32()
                     record_set = r.bytes_() or b""
-                    results.append(
-                        (topic, partition, *self._append(topic, partition, record_set))
+                    results.setdefault(topic, []).append(
+                        (partition, *self._append(topic, partition, record_set))
                     )
-            w.i32(n_topics)
-            for topic, partition, err, base in results:
-                w.string(topic).i32(1).i32(partition).i16(err).i64(base).i64(-1)
+            w.i32(len(results))
+            for topic, parts in results.items():
+                w.string(topic).i32(len(parts))
+                for partition, err, base in parts:
+                    w.i32(partition).i16(err).i64(base).i64(-1)
             w.i32(0)  # throttle_time
         elif api_key == _API_LIST_OFFSETS:
             r.i32()  # replica_id

@@ -144,6 +144,53 @@ def test_broker_produce_fetch_list_offsets():
             c.close()
 
 
+def test_broker_multi_partition_produce_response_grouped_per_topic():
+    """A produce request carrying SEVERAL partitions under ONE topic (the
+    real Java client's batching shape) must get a response with exactly
+    one topic block grouping all partition results — one block per
+    (topic, partition) pair leaves trailing bytes a spec-conforming
+    client never parses, silently hiding per-partition error codes."""
+    with StubBroker(num_partitions=3) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            good = encode_record_batch([(b"k", b"v")])
+            bad = bytearray(encode_record_batch([(b"z", b"9")]))
+            bad[-1] ^= 0xFF  # CRC-broken -> per-partition error code 2
+            body = (
+                kafka_wire._W()
+                .string(None)
+                .i16(-1)
+                .i32(1000)
+                .i32(1)  # ONE topic...
+                .string("carga")
+                .i32(3)  # ...THREE partitions in the same request
+                .i32(0)
+                .bytes_(good)
+                .i32(1)
+                .bytes_(good)
+                .i32(2)
+                .bytes_(bytes(bad))
+            )
+            r = c._call(kafka_wire._API_PRODUCE, 3, bytes(body.b))
+            assert r.i32() == 1  # one topic block, not three
+            assert r.string() == "carga"
+            assert r.i32() == 3  # all partitions grouped under it
+            results = {}
+            for _ in range(3):
+                partition = r.i32()
+                err, base = r.i16(), r.i64()
+                r.i64()  # log_append_time
+                results[partition] = (err, base)
+            r.i32()  # throttle_time
+            assert not r.remaining()  # response fully consumed
+            assert results[0] == (0, 0) and results[1] == (0, 0)
+            assert results[2][0] == 2  # CORRUPT_MESSAGE surfaced, not hidden
+            assert c.list_offset("carga", 0, LATEST) == 1
+            assert c.list_offset("carga", 2, LATEST) == 0  # bad batch dropped
+        finally:
+            c.close()
+
+
 def test_concurrent_producers_offsets_contiguous():
     """Broker thread-safety: N threads producing batches to the SAME
     partition concurrently must yield contiguous offsets with no loss
