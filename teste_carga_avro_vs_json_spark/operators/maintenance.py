@@ -310,6 +310,7 @@ def snapshot_commit(
     ts: int = SNAP_EPOCH,
     max_retries: int = 8,
     extra: dict | None = None,
+    bloom_cols=None,
 ) -> int:
     """Commit ``df`` as the next version. ``append`` unions the new
     files with the parent version's file list; ``overwrite`` replaces
@@ -317,16 +318,32 @@ def snapshot_commit(
     publishing the manifest via create-exclusive link is the atomic
     commit point, and losing the version race re-reads the new parent
     and retries (optimistic concurrency — see the module comment).
-    Returns the committed version number."""
+    Returns the committed version number.
+
+    ``bloom_cols`` names columns to Bloom-index per file in the
+    manifest (equality data skipping on scattered high-cardinality
+    keys, where min/max spans everything — see
+    :func:`snapshot_read`). The default ``None`` INHERITS the parent
+    version's bloom columns, so one bloom-indexed commit keeps the
+    table indexed through appends, compactions and merges; pass
+    ``()`` to stop indexing new files."""
     import json
     import tempfile
 
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append|overwrite")
+    if bloom_cols is None:
+        prior = snapshot_versions(table_dir)
+        if prior:
+            bloom_cols = _manifest_bloom_cols(
+                _read_manifest(table_dir, prior[-1])
+            )
     # data dir is unique per ATTEMPT, never keyed by version: two
     # racing writers must not write into the same parquet directory.
     # Entries carry per-file footer min/max stats (data skipping).
-    new_files = _write_new_files(df.sparkSession, table_dir, df)
+    new_files = _write_new_files(
+        df.sparkSession, table_dir, df, bloom_cols=bloom_cols
+    )
     os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
     for _attempt in range(max_retries):
         versions = snapshot_versions(table_dir)
@@ -368,26 +385,33 @@ def snapshot_commit(
     )
 
 
-def _prune_keep(entry: dict, prune: dict) -> bool:
+def _prune_keep(entry: dict, prune: dict, use_bloom: bool = True) -> bool:
     """True when the file COULD contain a matching row. Never wrong in
     the skip direction: missing stats, unknown columns or incomparable
     types all keep the file; a skip requires recorded bounds that
-    provably miss the predicate range."""
+    provably miss the predicate range — or, for an EQUALITY predicate
+    on a bloom-indexed column, a per-file Bloom filter that provably
+    does not contain the value (Bloom filters have zero false
+    negatives, so a bloom miss is as safe as a min/max miss)."""
     stats = entry.get("stats") or {}
+    blooms = (entry.get("bloom") or {}) if use_bloom else {}
     for col, cond in prune.items():
-        if col not in stats:
-            continue
-        mn, mx = stats[col]
         lo, hi = (
             cond if isinstance(cond, (tuple, list)) else (cond, cond)
         )
-        try:
-            if lo is not None and mx < lo:
+        if col in stats:
+            mn, mx = stats[col]
+            try:
+                if lo is not None and mx < lo:
+                    return False
+                if hi is not None and mn > hi:
+                    return False
+            except TypeError:
+                pass  # predicate/stats type mismatch — min/max unusable
+        if col in blooms and lo is not None and lo == hi:
+            key = _bloom_key(lo)
+            if key is not None and not _bloom_contains(blooms[col], key):
                 return False
-            if hi is not None and mn > hi:
-                return False
-        except TypeError:
-            continue  # predicate/stats type mismatch — keep the file
     return True
 
 
@@ -417,11 +441,17 @@ def snapshot_prune_report(
         version = versions[-1]
     files = _read_manifest(table_dir, version)["files"]
     kept = [f for f in files if _prune_keep(f, prune)]
+    # breakdown: files min/max alone would keep but the bloom skipped
+    n_minmax_kept = sum(
+        1 for f in files if _prune_keep(f, prune, use_bloom=False)
+    )
     return {
         "version": version,
         "n_files": len(files),
         "n_kept": len(kept),
         "n_skipped": len(files) - len(kept),
+        "n_skipped_minmax": len(files) - n_minmax_kept,
+        "n_skipped_bloom": n_minmax_kept - len(kept),
         "bytes_total": sum(f["bytes"] for f in files),
         "bytes_kept": sum(f["bytes"] for f in kept),
         "rows_total": sum(f.get("rows", 0) for f in files),
@@ -461,7 +491,16 @@ def snapshot_read(
     I/O, no file listing). The same predicate is ALSO applied as a
     row filter, so the result is exactly the filtered frame no matter
     how partial the stats are; files without usable stats are always
-    kept. :func:`snapshot_prune_report` shows the skip counts."""
+    kept. :func:`snapshot_prune_report` shows the skip counts.
+
+    On a table committed with ``bloom_cols`` (see
+    :func:`snapshot_commit`), EQUALITY predicates additionally probe
+    each file's manifest Bloom filter — the skip path for scattered
+    high-cardinality keys, where every file's min/max spans the whole
+    key range and range stats prune nothing (the Iceberg
+    bloom/puffin case). Bloom misses have zero false negatives, so
+    the skip is as exact as a min/max miss; range predicates never
+    consult blooms."""
     versions = snapshot_versions(table_dir)
     if not versions:
         raise ValueError(f"no committed snapshots under {table_dir}")
@@ -684,7 +723,10 @@ def snapshot_merge(
         rewritten = delta.select(*cols)
     rows_inserted = delta.count() - rows_replaced
 
-    new_files = _write_new_files(spark, table_dir, rewritten)
+    new_files = _write_new_files(
+        spark, table_dir, rewritten,
+        bloom_cols=_manifest_bloom_cols(manifest),
+    )
     kept = [
         f for p, f in sorted(by_abspath.items()) if p not in set(affected)
     ]
@@ -712,6 +754,101 @@ def snapshot_merge(
 #: unbounded strings would bloat the manifest; omission is always safe
 #: (stats-less columns are never pruned on)
 _STATS_MAX_STR = 64
+
+#: per-file manifest Bloom filters (equality data skipping): target
+#: false-positive rate, and a hard cap on the bitmap so manifests stay
+#: small — a file whose distinct-key count would need a bigger bitmap
+#: gets NO bloom (omission is always safe: bloom-less columns fall back
+#: to min/max-only pruning). 2^18 bits = 32 KiB ≈ 27k distinct keys at
+#: 1% fpp — far above a well-sized clustered file's key count.
+_BLOOM_FPP = 0.01
+_BLOOM_MAX_BITS = 1 << 18
+
+
+def _bloom_key(v) -> str | None:
+    """Canonical string a value hashes as in a manifest bloom — shared
+    by the commit-time build and the read-time probe so membership is
+    exact. Only bool/int/str are indexed; anything else (floats, whose
+    equality is fragile; binary; dates) returns None and is neither
+    inserted nor pruned on."""
+    if v is None:
+        return None
+    if isinstance(v, bool):  # before int: bool IS an int in Python
+        return "b:1" if v else "b:0"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, str):
+        return "s:" + v
+    return None
+
+
+def _bloom_contains(spec: dict, key: str) -> bool:
+    import base64
+
+    from .dedup import BloomFilter
+
+    return BloomFilter(
+        spec["m"], spec["k"], base64.b64decode(spec["b64"])
+    ).contains(key)
+
+
+def _file_blooms(path: str, cols) -> dict:
+    """Per-file Bloom filters over the DISTINCT values of each named
+    column, for manifest-level equality skipping. Built once per file
+    at commit time from one column read (the Iceberg puffin-file /
+    parquet-bloom shape — at 1000-executor scale this rides inside the
+    writer task; here it is a per-file column scan, still O(file) and
+    paid exactly once). Columns missing from the file, with no
+    indexable values, or needing a bitmap over ``_BLOOM_MAX_BITS``
+    are omitted — omission can never cause a wrong skip."""
+    import base64
+
+    from .dedup import BloomFilter, _bloom_h
+
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        present = [c for c in cols if c in pf.schema_arrow.names]
+        if not present:
+            return {}
+        table = pf.read(columns=present)
+    except Exception:
+        return {}
+    out: dict[str, dict] = {}
+    for col in present:
+        keys = set()
+        for v in table.column(col).to_pylist():
+            k = _bloom_key(v)
+            if k is not None:
+                keys.add(k)
+        if not keys:
+            continue
+        m_bits, k_hashes = BloomFilter.params(len(keys), _BLOOM_FPP)
+        if m_bits > _BLOOM_MAX_BITS:
+            continue  # file too high-cardinality — bloom omitted
+        bits = bytearray(m_bits // 8)
+        for key in keys:
+            h1, h2 = _bloom_h(key)
+            for i in range(k_hashes):
+                pos = (h1 + i * h2) % m_bits
+                bits[pos >> 3] |= 1 << (pos & 7)
+        out[col] = {
+            "m": m_bits,
+            "k": k_hashes,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    return out
+
+
+def _manifest_bloom_cols(manifest: dict) -> tuple[str, ...]:
+    """The table's bloom-indexed columns = union across file entries
+    (how appends/compactions/merges INHERIT the bloom config without a
+    separate table-properties file)."""
+    cols: set[str] = set()
+    for f in manifest.get("files", []):
+        cols.update((f.get("bloom") or {}).keys())
+    return tuple(sorted(cols))
 
 
 def _file_stats(path: str) -> tuple[dict | None, int | None]:
@@ -767,7 +904,7 @@ def _file_stats(path: str) -> tuple[dict | None, int | None]:
     return (ok or None), md.num_rows
 
 
-def _file_entry(table_dir: str, path: str) -> dict:
+def _file_entry(table_dir: str, path: str, bloom_cols=None) -> dict:
     entry = {
         "path": os.path.relpath(path, table_dir),
         "bytes": os.path.getsize(path),
@@ -777,13 +914,20 @@ def _file_entry(table_dir: str, path: str) -> dict:
         entry["rows"] = n_rows
     if stats:
         entry["stats"] = stats
+    if bloom_cols:
+        blooms = _file_blooms(path, bloom_cols)
+        if blooms:
+            entry["bloom"] = blooms
     return entry
 
 
-def _write_new_files(spark, table_dir: str, df: DataFrame) -> list[dict]:
+def _write_new_files(
+    spark, table_dir: str, df: DataFrame, bloom_cols=None
+) -> list[dict]:
     """Write ``df`` into an attempt-unique ``data/c-*`` dir (the
     multi-writer rule) and return its manifest file entries —
-    including per-file footer min/max stats for data skipping."""
+    including per-file footer min/max stats and (for ``bloom_cols``)
+    per-file Bloom filters for data skipping."""
     import tempfile
 
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
@@ -794,7 +938,7 @@ def _write_new_files(spark, table_dir: str, df: DataFrame) -> list[dict]:
     new_files = []
     for uri in spark.read.parquet(data_dir).inputFiles():
         path = uri[len("file:"):] if uri.startswith("file:") else uri
-        new_files.append(_file_entry(table_dir, path))
+        new_files.append(_file_entry(table_dir, path, bloom_cols))
     new_files.sort(key=lambda f: f["path"])
     return new_files
 
@@ -899,7 +1043,12 @@ def snapshot_delete(
     n_survivors = survivors.count()
     rows_deleted = n_affected_rows - n_survivors
     new_files = (
-        _write_new_files(spark, table_dir, survivors) if n_survivors else []
+        _write_new_files(
+            spark, table_dir, survivors,
+            bloom_cols=_manifest_bloom_cols(manifest),
+        )
+        if n_survivors
+        else []
     )
     kept = [
         f for p, f in sorted(by_abspath.items()) if p not in set(affected)

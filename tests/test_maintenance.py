@@ -833,3 +833,159 @@ def test_snapshot_zorder_prunes_both_columns(spark, tmp_path):
     assert got.count() == 100
     # time travel intact: v1 (pre-zorder) still reads the full grid
     assert mt.snapshot_read(spark, tdir, 1).count() == 10000
+
+
+# ---------------------------------------------------------------- blooms
+
+
+def _scattered(spark, sf_dir):
+    """documents with a string key, ROUND-ROBIN partitioned so every
+    file's min/max key range spans (nearly) the whole key space —
+    the shape where range stats prune nothing and only a per-file
+    membership structure can skip."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.format_string("k%04d", F.col("doc_id")).alias("key"),
+            "doc_id",
+            "text",
+        )
+        .repartition(8)
+    )
+
+
+def test_snapshot_bloom_prunes_scattered_point_lookup(
+    spark, sf_dir, tmp_path
+):
+    """On a scattered high-cardinality key min/max skips 0 files; the
+    manifest bloom skips all files not containing the key — and the
+    pruned read equals the plain filtered read exactly."""
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(_scattered(spark, sf_dir), tdir, bloom_cols=["key"])
+    report = mt.snapshot_prune_report(tdir, {"key": "k0042"})
+    assert report["n_files"] == 8
+    assert report["n_skipped_minmax"] == 0  # ranges span everything
+    assert report["n_skipped_bloom"] >= 6   # blooms do the skipping
+    assert report["n_kept"] <= 2
+    got = mt.snapshot_read(spark, tdir, prune={"key": "k0042"})
+    assert len(got.inputFiles()) == report["n_kept"]
+    full = mt.snapshot_read(spark, tdir)
+    assert _same_multiset(got, full.where("key = 'k0042'"))
+    # a key that exists nowhere prunes to the empty frame
+    miss = mt.snapshot_read(spark, tdir, prune={"key": "k9999"})
+    assert miss.count() == 0 and miss.columns == full.columns
+
+
+def test_snapshot_bloom_zero_false_negatives_exhaustive(
+    spark, sf_dir, tmp_path
+):
+    """For EVERY key in EVERY file, _prune_keep must keep that file —
+    the bloom zero-false-negative property, checked at the manifest
+    level against the actual parquet contents (int AND string cols)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(
+        _scattered(spark, sf_dir), tdir, bloom_cols=["key", "doc_id"]
+    )
+    manifest = mt._read_manifest(tdir, 1)
+    checked = 0
+    for entry in manifest["files"]:
+        assert set(entry["bloom"]) == {"key", "doc_id"}
+        table = pq.read_table(
+            _os.path.join(tdir, entry["path"]), columns=["key", "doc_id"]
+        )
+        for key, did in zip(
+            table.column("key").to_pylist(), table.column("doc_id").to_pylist()
+        ):
+            assert mt._prune_keep(entry, {"key": key})
+            assert mt._prune_keep(entry, {"doc_id": did})
+            checked += 1
+    assert checked == 500
+
+
+def test_snapshot_bloom_ranges_never_consult_bloom(spark, sf_dir, tmp_path):
+    """Range predicates can't use membership structures: on the
+    scattered layout a range prune skips nothing (min/max spans all),
+    n_skipped_bloom stays 0, and results are exact."""
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(_scattered(spark, sf_dir), tdir, bloom_cols=["key"])
+    report = mt.snapshot_prune_report(tdir, {"key": ("k0010", "k0020")})
+    assert report["n_skipped_bloom"] == 0
+    got = mt.snapshot_read(
+        spark, tdir, prune={"key": ("k0010", "k0020")}
+    )
+    full = mt.snapshot_read(spark, tdir)
+    assert _same_multiset(
+        got, full.where("key between 'k0010' and 'k0020'")
+    )
+
+
+def test_snapshot_bloom_inherited_by_append_merge_and_optout(
+    spark, sf_dir, tmp_path
+):
+    """One bloom-indexed commit keeps the table indexed: appends with
+    the default bloom_cols inherit the parent's columns, merge
+    rewrites re-index, and an explicit () stops indexing new files."""
+    docs = _scattered(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.where("doc_id < 400"), tdir, bloom_cols=["key"])
+    # append WITHOUT naming bloom_cols -> inherits ["key"]
+    mt.snapshot_commit(
+        docs.where("doc_id >= 400").repartition(2), tdir, mode="append"
+    )
+    m2 = mt._read_manifest(tdir, 2)
+    assert all("key" in (f.get("bloom") or {}) for f in m2["files"])
+    # a point lookup on the appended slice prunes across BOTH commits:
+    # min/max retires the first commit's files (all keys < k0400),
+    # the bloom splits the two appended round-robin files
+    report = mt.snapshot_prune_report(tdir, {"key": "k0450"})
+    assert report["n_kept"] == 1
+    assert report["n_skipped_minmax"] >= 8
+    assert report["n_skipped_bloom"] >= 1
+    got = mt.snapshot_read(spark, tdir, prune={"key": "k0450"})
+    assert got.count() == 1
+    # merge rewrites carry blooms on the new files too
+    delta = docs.where("doc_id = 450").withColumn(
+        "text", F.lit("recrawled")
+    )
+    mt.snapshot_merge(delta, tdir, keys=["key"])
+    m3 = mt._read_manifest(tdir, 3)
+    assert all("key" in (f.get("bloom") or {}) for f in m3["files"])
+    got = mt.snapshot_read(spark, tdir, prune={"key": "k0450"})
+    assert [r["text"] for r in got.collect()] == ["recrawled"]
+    # explicit opt-out: new files unindexed
+    mt.snapshot_commit(
+        docs.limit(5), tdir, mode="append", bloom_cols=()
+    )
+    m4 = mt._read_manifest(tdir, 4)
+    assert any("bloom" not in f for f in m4["files"])
+
+
+def test_snapshot_bloom_cap_and_unindexable_types(spark, tmp_path):
+    """A file whose distinct-key count needs a bitmap over the cap
+    gets NO bloom (omission safe); float columns are never indexed and
+    float equality predicates never wrongly skip."""
+    big = spark.range(30000).select(
+        F.format_string("v%07d", F.col("id")).alias("v"),
+        (F.col("id") * 0.5).alias("x"),
+    ).coalesce(1)
+    tdir = str(tmp_path / "big")
+    mt.snapshot_commit(big, tdir, bloom_cols=["v", "x"])
+    entry = mt._read_manifest(tdir, 1)["files"][0]
+    # 30k distinct needs m > _BLOOM_MAX_BITS at 1% fpp -> omitted
+    assert "v" not in (entry.get("bloom") or {})
+    assert "x" not in (entry.get("bloom") or {})
+    got = mt.snapshot_read(spark, tdir, prune={"x": 7.5})
+    assert got.count() == 1  # row filter still exact, no wrong skip
+    # small table: bloom present, floats still unindexed
+    small = spark.range(100).select(
+        F.format_string("v%03d", F.col("id")).alias("v"),
+        (F.col("id") * 0.5).alias("x"),
+    ).coalesce(1)
+    tdir2 = str(tmp_path / "small")
+    mt.snapshot_commit(small, tdir2, bloom_cols=["v", "x"])
+    entry2 = mt._read_manifest(tdir2, 1)["files"][0]
+    assert "v" in entry2["bloom"] and "x" not in entry2["bloom"]

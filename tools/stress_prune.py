@@ -113,11 +113,53 @@ def main() -> None:
         out["range_full_sec"] = round(time.perf_counter() - t0, 2)
         exact = exact and n_pruned == n_full
         out["range_rows"] = n_pruned
+
+        # bloom lane: a SCATTERED string key (url-hash shape) — every
+        # file's min/max spans the key space, so range stats prune 0;
+        # the manifest blooms must carry point lookups alone
+        bdir = os.path.join(work, "bloom_table")
+        scattered = (
+            mt.snapshot_read(spark, tdir)
+            .select(
+                F.md5(F.col("doc_id").cast("string")).alias("key"),
+                "doc_id",
+                "lang",
+            )
+            .repartition(64)
+        )
+        t0 = time.perf_counter()
+        mt.snapshot_commit(scattered, bdir, bloom_cols=["key"])
+        out["bloom_commit_sec"] = round(time.perf_counter() - t0, 2)
+        bloom_exact = True
+        bloom_kept_max = 0
+        bloom_minmax_skips = 0
+        t0 = time.perf_counter()
+        for pid in point_ids:
+            key = mt.snapshot_read(spark, bdir).where(
+                F.col("doc_id") == pid
+            ).select("key").collect()[0][0]
+            rep = mt.snapshot_prune_report(bdir, {"key": key})
+            bloom_kept_max = max(bloom_kept_max, rep["n_kept"])
+            bloom_minmax_skips += rep["n_skipped_minmax"]
+            got = mt.snapshot_read(spark, bdir, prune={"key": key})
+            rows = got.collect()
+            bloom_exact = bloom_exact and (
+                sorted(r["doc_id"] for r in rows)
+                == [pid]
+            )
+        out["bloom_point_total_sec"] = round(time.perf_counter() - t0, 2)
+        out["bloom_files_total"] = rep["n_files"]
+        out["bloom_point_max_files_kept"] = bloom_kept_max
+        out["bloom_minmax_skips"] = bloom_minmax_skips  # expect 0
+        out["bloom_exact"] = bloom_exact
+
         out["prune_exact"] = exact
         out["ok"] = (
             exact
+            and bloom_exact
             and max_planned <= 2
             and report["n_kept"] <= max(2, report["n_files"] // 16)
+            and bloom_kept_max <= max(3, rep["n_files"] // 16)
         )
         try:
             out["loadavg_1m"] = round(os.getloadavg()[0], 1)
