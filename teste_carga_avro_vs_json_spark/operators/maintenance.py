@@ -349,10 +349,15 @@ def snapshot_commit(
         versions = snapshot_versions(table_dir)
         version = (versions[-1] + 1) if versions else 1
         files = new_files
+        dv = None
         if mode == "append" and versions:
-            files = (
-                _read_manifest(table_dir, versions[-1])["files"] + new_files
-            )
+            parent_manifest = _read_manifest(table_dir, versions[-1])
+            files = parent_manifest["files"] + new_files
+            # appends carry the parent's delete vectors: the carried
+            # files still have deleted positions. Overwrites drop them
+            # (the new file set starts clean — how snapshot_compact
+            # folds DVs away).
+            dv = parent_manifest.get("dv")
         manifest = {
             "version": version,
             "op": mode,
@@ -361,6 +366,8 @@ def snapshot_commit(
             "n_bytes": sum(f["bytes"] for f in files),
             "files": files,
         }
+        if dv and dv.get("files"):
+            manifest["dv"] = dv
         if extra:
             # application metadata rides the commit (e.g. the
             # incremental builder's high-water raw version); readers
@@ -545,7 +552,7 @@ def snapshot_read(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*paths)
+    df = _apply_dv(spark, table_dir, manifest, reader.parquet(*paths))
     if prune:
         df = df.where(_prune_condition(prune))
     return df
@@ -692,8 +699,13 @@ def snapshot_merge(
     if delta_keys.count() != delta.count():
         raise ValueError("delta contains duplicate merge keys")
 
-    current = spark.read.parquet(*by_abspath).withColumn(
-        "_merge_file", F.input_file_name()
+    current = _apply_dv(
+        spark,
+        table_dir,
+        manifest,
+        spark.read.parquet(*by_abspath).withColumn(
+            "_merge_file", F.input_file_name()
+        ),
     )
     # broadcast the (small) delta key set: the affected-file probe and
     # the anti join below must not shuffle the full table
@@ -712,10 +724,13 @@ def snapshot_merge(
 
     cols = spark.read.parquet(*by_abspath).columns
     if affected:
-        survivors = spark.read.parquet(*affected).join(
+        affected_live = _apply_dv(
+            spark, table_dir, manifest, spark.read.parquet(*affected)
+        )
+        survivors = affected_live.join(
             F.broadcast(delta_keys), on=keys, how="left_anti"
         ).select(*cols)
-        n_affected_rows = spark.read.parquet(*affected).count()
+        n_affected_rows = affected_live.count()
         rows_replaced = n_affected_rows - survivors.count()
         rewritten = survivors.unionByName(delta.select(*cols))
     else:
@@ -738,6 +753,7 @@ def snapshot_merge(
             "files_rewritten": len(affected),
             "rows_replaced": rows_replaced,
         },
+        dv=manifest.get("dv"),  # kept files may still carry deletions
     )
     return {
         "version": version,
@@ -838,6 +854,80 @@ def _file_blooms(path: str, cols) -> dict:
             "k": k_hashes,
             "b64": base64.b64encode(bytes(bits)).decode("ascii"),
         }
+    return out
+
+
+def _rel_file_expr(table_dir: str):
+    """``_metadata.file_path`` → manifest-relative path (the delete-
+    vector join key). Spark reports local files as ``file:`` +
+    abspath; manifests store paths relative to ``table_dir``, so DVs
+    survive a table-directory move as long as reads go through
+    ``snapshot_read`` (which rebuilds the prefix from the table_dir
+    the caller passes)."""
+    prefix = "file:" + os.path.abspath(table_dir) + os.sep
+    return F.col("_metadata.file_path").substr(
+        F.lit(len(prefix) + 1), F.lit(1 << 30)
+    )
+
+
+def _apply_dv(
+    spark: SparkSession, table_dir: str, manifest: dict, df: DataFrame
+) -> DataFrame:
+    """Apply a version's positional delete vectors to a scan of its
+    data files: anti-join on (relative file path, row position within
+    the file) — the Iceberg v2 merge-on-read shape. ``df`` must still
+    be a file-scan-level frame (``_metadata`` is resolvable only at
+    the source). The DV frame is broadcast: its size is bounded by
+    rows deleted since the last compaction, and
+    :func:`snapshot_compact` folds DVs away — the maintenance loop
+    that keeps the read-side join small at 100 TB."""
+    dv = manifest.get("dv")
+    if not dv or not dv.get("files"):
+        return df
+    cols = df.columns
+    dvf = spark.read.parquet(
+        *[os.path.join(table_dir, f["path"]) for f in dv["files"]]
+    ).select(
+        F.col("path").alias("_dv_path"), F.col("pos").alias("_dv_pos")
+    )
+    keyed = df.withColumn("_row_path", _rel_file_expr(table_dir)).withColumn(
+        "_row_pos", F.col("_metadata.row_index")
+    )
+    out = keyed.join(
+        F.broadcast(dvf),
+        (keyed["_row_path"] == dvf["_dv_path"])
+        & (keyed["_row_pos"] == dvf["_dv_pos"]),
+        "left_anti",
+    )
+    return out.select(*cols)
+
+
+def _write_delete_vectors(
+    spark: SparkSession, table_dir: str, dv_frame: DataFrame
+) -> list[dict]:
+    """Write a positional-delete frame ``(path string, pos long)``
+    under an attempt-unique ``deletes/d-*/`` dir (the multi-writer
+    rule) and return its manifest entries. One output file: a DV
+    commit holds only the positions ONE delete matched — if a delete
+    is large enough for that to matter, copy-on-write (which amortizes
+    the rewrite) is the right mode anyway."""
+    import tempfile
+
+    os.makedirs(os.path.join(table_dir, "deletes"), exist_ok=True)
+    dv_dir = tempfile.mkdtemp(
+        prefix="d-", dir=os.path.join(table_dir, "deletes")
+    )
+    dv_frame.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+    out = []
+    for uri in spark.read.parquet(dv_dir).inputFiles():
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        out.append(
+            {
+                "path": os.path.relpath(path, table_dir),
+                "bytes": os.path.getsize(path),
+            }
+        )
+    out.sort(key=lambda f: f["path"])
     return out
 
 
@@ -945,7 +1035,7 @@ def _write_new_files(
 
 def _publish_cow_manifest(
     table_dir: str, parent: int, files: list[dict], op: str, ts: int,
-    extra: dict,
+    extra: dict, dv: dict | None = None,
 ) -> int:
     """Create-exclusive publish of a copy-on-write commit computed
     against ``parent``. A lost race raises SnapshotConflictError
@@ -964,6 +1054,8 @@ def _publish_cow_manifest(
         "files": files,
         "extra": extra,
     }
+    if dv and dv.get("files"):
+        out_manifest["dv"] = dv
     os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
     fd, tmp = tempfile.mkstemp(
         suffix=".tmp", dir=os.path.join(table_dir, _SNAP_DIR)
@@ -989,22 +1081,42 @@ def snapshot_delete(
     condition: str,
     ts: int = SNAP_EPOCH,
     extra: dict | None = None,
+    mode: str = "cow",
 ) -> dict:
-    """Copy-on-write DELETE WHERE — the right-to-erasure operation a
-    production corpus must support: rows matching ``condition`` (a SQL
-    boolean expression over the table's columns) are removed by
-    rewriting ONLY the files that contain a match; untouched files
-    carry by reference. Same optimistic concurrency as
-    :func:`snapshot_merge` (lost race raises, caller re-runs). NOTE:
-    older versions still CONTAIN the rows (time travel is the point of
-    snapshots) — a compliance erasure completes with
-    :func:`snapshot_vacuum` to retire pre-delete versions.
+    """DELETE WHERE over the manifest log — the right-to-erasure
+    operation a production corpus must support. Two physical modes:
+
+    - ``cow`` (default, copy-on-write): rows matching ``condition``
+      (a SQL boolean expression over the table's columns) are removed
+      by rewriting ONLY the files that contain a match; untouched
+      files carry by reference. Right for large deletes (the rewrite
+      amortizes) and for keeping the read path join-free.
+    - ``mor`` (merge-on-read, the Iceberg v2 positional-delete shape):
+      NO data file is rewritten — the commit records (file, row
+      position) delete vectors, and ``snapshot_read`` anti-joins them
+      at scan time. Right for small/frequent deletes on a 100 TB
+      table, where rewriting a whole file per matched row would be
+      O(file) write I/O for O(1) rows. The read-side cost grows with
+      accumulated DVs; :func:`snapshot_compact` (or any overwrite
+      commit) folds them away — run it when DV row counts approach a
+      few percent of the table.
+
+    Same optimistic concurrency as :func:`snapshot_merge` (lost race
+    raises, caller re-runs). NOTE: older versions still CONTAIN the
+    rows (time travel is the point of snapshots) — a compliance
+    erasure completes with :func:`snapshot_vacuum` to retire
+    pre-delete versions; for ``mor`` the matched row DATA also remains
+    in the current version's files until a compaction rewrites them,
+    so a strict erasure is cow-delete (or mor-delete + compact) +
+    vacuum.
 
     Returns ``{version, files_rewritten, files_kept, files_new,
     rows_deleted}``; a condition matching nothing publishes NO new
     version (returns the parent with zeros)."""
     from urllib.parse import unquote, urlparse
 
+    if mode not in ("cow", "mor"):
+        raise ValueError("mode must be cow|mor")
     versions = snapshot_versions(table_dir)
     if not versions:
         raise ValueError(f"no committed snapshots under {table_dir}")
@@ -1020,8 +1132,63 @@ def snapshot_delete(
         for f in manifest["files"]
     }
     cond = F.expr(condition)
-    current = spark.read.parquet(*by_abspath).withColumn(
-        "_del_file", F.input_file_name()
+
+    if mode == "mor":
+        # positions matching the condition, minus positions an earlier
+        # DV already deleted (stacked mor deletes must not double-count)
+        matched = (
+            spark.read.parquet(*by_abspath)
+            .withColumn("_dv_path", _rel_file_expr(table_dir))
+            .withColumn("_dv_pos", F.col("_metadata.row_index"))
+            .where(cond)
+            .select(
+                F.col("_dv_path").alias("path"),
+                F.col("_dv_pos").alias("pos"),
+            )
+        )
+        prior = manifest.get("dv") or {}
+        if prior.get("files"):
+            prior_dv = spark.read.parquet(
+                *[os.path.join(table_dir, f["path"]) for f in prior["files"]]
+            ).select("path", "pos")
+            matched = matched.join(
+                F.broadcast(prior_dv), on=["path", "pos"], how="left_anti"
+            )
+        rows_deleted = matched.count()
+        if not rows_deleted:
+            return {
+                "version": parent, "files_rewritten": 0,
+                "files_kept": len(by_abspath), "files_new": 0,
+                "rows_deleted": 0,
+            }
+        dv_files = _write_delete_vectors(spark, table_dir, matched)
+        version = _publish_cow_manifest(
+            table_dir, parent, manifest["files"], "delete-mor", ts,
+            {
+                **(extra or {}),
+                "delete_condition": condition,
+                "rows_deleted": rows_deleted,
+            },
+            dv={
+                "files": list(prior.get("files") or []) + dv_files,
+                "n_rows": int(prior.get("n_rows") or 0) + rows_deleted,
+            },
+        )
+        return {
+            "version": version,
+            "files_rewritten": 0,
+            "files_kept": len(by_abspath),
+            "files_new": 0,
+            "rows_deleted": rows_deleted,
+        }
+
+    current = _apply_dv(
+        spark,
+        table_dir,
+        manifest,
+        spark.read.parquet(*by_abspath).withColumn(
+            "_del_file", F.input_file_name()
+        ),
     )
     affected_uris = [
         r["_del_file"]
@@ -1038,8 +1205,11 @@ def snapshot_delete(
             "rows_deleted": 0,
         }
     cols = spark.read.parquet(*by_abspath).columns
-    survivors = spark.read.parquet(*affected).where(~cond).select(*cols)
-    n_affected_rows = spark.read.parquet(*affected).count()
+    affected_live = _apply_dv(
+        spark, table_dir, manifest, spark.read.parquet(*affected)
+    )
+    survivors = affected_live.where(~cond).select(*cols)
+    n_affected_rows = affected_live.count()
     n_survivors = survivors.count()
     rows_deleted = n_affected_rows - n_survivors
     new_files = (
@@ -1061,6 +1231,10 @@ def snapshot_delete(
             "files_rewritten": len(affected),
             "rows_deleted": rows_deleted,
         },
+        # kept files may still carry deleted positions; rewritten
+        # files got their DVs folded in, and stale DV rows pointing at
+        # replaced paths match nothing (compaction retires them)
+        dv=manifest.get("dv"),
     )
     return {
         "version": version,
@@ -1123,7 +1297,18 @@ def snapshot_diff(
         and not removed,
         "rows_added": sum(f.get("rows", 0) for f in added),
         "bytes_added": sum(f["bytes"] for f in added),
+        # merge-on-read deletions accumulated across the range (0 when
+        # neither endpoint carries DVs); negative after a compaction
+        # folded DVs away
+        "dv_rows_delta": _dv_rows(table_dir, to_version)
+        - (0 if from_version == 0 else _dv_rows(table_dir, from_version)),
     }
+
+
+def _dv_rows(table_dir: str, version: int) -> int:
+    return (
+        _read_manifest(table_dir, version).get("dv") or {}
+    ).get("n_rows", 0)
 
 
 def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
@@ -1136,17 +1321,20 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
     retained = versions[-keep_last:] if keep_last > 0 else []
     live: set[str] = set()
     for v in retained:
-        for f in _read_manifest(table_dir, v)["files"]:
+        manifest = _read_manifest(table_dir, v)
+        for f in manifest["files"]:
+            live.add(os.path.normpath(os.path.join(table_dir, f["path"])))
+        for f in (manifest.get("dv") or {}).get("files", []):
             live.add(os.path.normpath(os.path.join(table_dir, f["path"])))
     removed = []
     for v in versions:
         if v not in retained:
             os.remove(_manifest_path(table_dir, v))
-    data_root = os.path.join(table_dir, "data")
-    for dirpath, _dirs, names in os.walk(data_root):
-        for name in names:
-            path = os.path.normpath(os.path.join(dirpath, name))
-            if name.endswith(".parquet") and path not in live:
-                os.remove(path)
-                removed.append(path)
+    for sub in ("data", "deletes"):
+        for dirpath, _dirs, names in os.walk(os.path.join(table_dir, sub)):
+            for name in names:
+                path = os.path.normpath(os.path.join(dirpath, name))
+                if name.endswith(".parquet") and path not in live:
+                    os.remove(path)
+                    removed.append(path)
     return sorted(removed)

@@ -989,3 +989,158 @@ def test_snapshot_bloom_cap_and_unindexable_types(spark, tmp_path):
     mt.snapshot_commit(small, tdir2, bloom_cols=["v", "x"])
     entry2 = mt._read_manifest(tdir2, 1)["files"][0]
     assert "v" in entry2["bloom"] and "x" not in entry2["bloom"]
+
+
+# ------------------------------------------------------- merge-on-read
+
+
+def _docs(spark, sf_dir, n_parts=6):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .repartition(n_parts)
+    )
+
+
+def test_snapshot_delete_mor_rewrites_nothing(spark, sf_dir, tmp_path):
+    """Merge-on-read delete: the commit records positional delete
+    vectors — the data file list (and the bytes on disk) is UNCHANGED,
+    reads exclude the rows exactly, and time travel still sees them."""
+    import os as _os
+
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(_docs(spark, sf_dir), tdir)
+    m1 = mt._read_manifest(tdir, 1)
+    mtimes = {
+        f["path"]: _os.path.getmtime(_os.path.join(tdir, f["path"]))
+        for f in m1["files"]
+    }
+    want_deleted = (
+        mt.snapshot_read(spark, tdir).where("doc_id % 7 = 0").count()
+    )
+    res = mt.snapshot_delete(
+        spark, tdir, "doc_id % 7 = 0", mode="mor"
+    )
+    assert res["files_rewritten"] == 0 and res["files_new"] == 0
+    assert res["rows_deleted"] == want_deleted
+    m2 = mt._read_manifest(tdir, 2)
+    assert [f["path"] for f in m2["files"]] == [
+        f["path"] for f in m1["files"]
+    ]
+    assert m2["op"] == "delete-mor"
+    assert m2["dv"]["n_rows"] == want_deleted
+    for f in m2["files"]:  # bytes untouched
+        assert (
+            _os.path.getmtime(_os.path.join(tdir, f["path"]))
+            == mtimes[f["path"]]
+        )
+    latest = mt.snapshot_read(spark, tdir)
+    assert latest.where("doc_id % 7 = 0").count() == 0
+    assert latest.count() == 500 - want_deleted
+    # and the non-deleted rows are exactly the original ones
+    assert _same_multiset(
+        latest,
+        mt.snapshot_read(spark, tdir, 1).where("doc_id % 7 != 0"),
+    )
+    # time travel: v1 still has everything
+    assert mt.snapshot_read(spark, tdir, 1).count() == 500
+
+
+def test_snapshot_delete_mor_stacks_without_double_count(
+    spark, sf_dir, tmp_path
+):
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(_docs(spark, sf_dir), tdir)
+    r1 = mt.snapshot_delete(spark, tdir, "doc_id < 100", mode="mor")
+    r2 = mt.snapshot_delete(spark, tdir, "doc_id < 150", mode="mor")
+    assert r1["rows_deleted"] == 100 and r2["rows_deleted"] == 50
+    assert mt._read_manifest(tdir, 3)["dv"]["n_rows"] == 150
+    # re-deleting already-deleted rows publishes NO new version
+    r3 = mt.snapshot_delete(spark, tdir, "doc_id < 150", mode="mor")
+    assert r3["rows_deleted"] == 0
+    assert mt.snapshot_versions(tdir)[-1] == 3
+    assert mt.snapshot_read(spark, tdir).count() == 350
+    # intermediate version: only the first delete applied
+    assert mt.snapshot_read(spark, tdir, 2).count() == 400
+
+
+def test_snapshot_mor_composes_with_prune_append_and_merge(
+    spark, sf_dir, tmp_path
+):
+    """DVs apply under pruned reads, survive appends (carried), and
+    snapshot_merge neither resurrects deleted rows nor counts them as
+    replaced."""
+    tdir = str(tmp_path / "table")
+    docs = _docs(spark, sf_dir)
+    mt.snapshot_commit(docs.where("doc_id < 400"), tdir)
+    mt.snapshot_delete(spark, tdir, "doc_id = 42", mode="mor")
+    # pruned read: exact, deleted row absent
+    got = mt.snapshot_read(spark, tdir, prune={"doc_id": (40, 45)})
+    assert sorted(r["doc_id"] for r in got.collect()) == [40, 41, 43, 44, 45]
+    # append carries the DV
+    mt.snapshot_commit(docs.where("doc_id >= 400"), tdir, mode="append")
+    assert mt._read_manifest(tdir, 3)["dv"]["n_rows"] == 1
+    full = mt.snapshot_read(spark, tdir)
+    assert full.count() == 499
+    assert full.where("doc_id = 42").count() == 0
+    # merge a delta touching a LIVE key: the deleted row must not be
+    # resurrected by the rewrite of its file, and rows_replaced counts
+    # only live rows
+    delta = docs.where("doc_id = 43").withColumn("text", F.lit("re"))
+    res = mt.snapshot_merge(delta, tdir, keys=["doc_id"])
+    assert res["rows_replaced"] == 1 and res["rows_inserted"] == 0
+    after = mt.snapshot_read(spark, tdir)
+    assert after.count() == 499
+    assert after.where("doc_id = 42").count() == 0
+    assert [r["text"] for r in after.where("doc_id = 43").collect()] == ["re"]
+    # merge a delta REINSERTING the deleted key: counts as an insert
+    back = docs.where("doc_id = 42").withColumn("text", F.lit("back"))
+    res2 = mt.snapshot_merge(back, tdir, keys=["doc_id"])
+    assert res2["rows_inserted"] == 1
+    assert mt.snapshot_read(spark, tdir).where("doc_id = 42").count() == 1
+
+
+def test_snapshot_mor_compact_folds_dv_and_vacuum_retires(
+    spark, sf_dir, tmp_path
+):
+    """Compaction rewrites from the DV-applied read: the new version
+    has NO dv and the same rows; vacuum keeps DV files referenced by
+    retained manifests and removes them once retired."""
+    import glob as _glob
+    import os as _os
+
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(_docs(spark, sf_dir), tdir)
+    mt.snapshot_delete(spark, tdir, "doc_id % 5 = 0", mode="mor")
+    want = mt.snapshot_read(spark, tdir)
+    n_live = want.count()
+    mt.snapshot_compact(spark, tdir, target_mb=64)
+    m3 = mt._read_manifest(tdir, 3)
+    assert "dv" not in m3
+    got = mt.snapshot_read(spark, tdir)
+    assert got.count() == n_live
+    assert got.where("doc_id % 5 = 0").count() == 0
+    # vacuum keeping v2+v3: v2 still references the DV file -> kept
+    mt.snapshot_vacuum(tdir, keep_last=2)
+    assert _glob.glob(_os.path.join(tdir, "deletes", "*", "*.parquet"))
+    # vacuum to just v3: DV file now unreferenced -> removed
+    removed = mt.snapshot_vacuum(tdir, keep_last=1)
+    assert any(_os.sep + "deletes" + _os.sep in p for p in removed)
+    assert not _glob.glob(_os.path.join(tdir, "deletes", "*", "*.parquet"))
+    assert mt.snapshot_read(spark, tdir).count() == n_live
+
+
+def test_snapshot_cow_delete_on_dv_table_no_resurrection(
+    spark, sf_dir, tmp_path
+):
+    """A copy-on-write delete over a table carrying DVs must compute
+    survivors from the LIVE rows: rewritten files may not resurrect
+    mor-deleted rows, and rows_deleted counts only live matches."""
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(_docs(spark, sf_dir, n_parts=3), tdir)
+    mt.snapshot_delete(spark, tdir, "doc_id = 10", mode="mor")
+    res = mt.snapshot_delete(spark, tdir, "doc_id < 20", mode="cow")
+    assert res["rows_deleted"] == 19  # 0..19 minus the already-dead 10
+    after = mt.snapshot_read(spark, tdir)
+    assert after.count() == 480
+    assert after.where("doc_id < 20").count() == 0

@@ -137,6 +137,28 @@ def test_rewrite_commit_fails_by_default_and_skips_on_option(
     assert _same(out, want)
 
 
+def test_mor_delete_commit_is_a_change_commit(spark, sf_dir, tmp_path):
+    """A merge-on-read delete adds no files but CHANGES rows — the
+    stream must treat it exactly like a rewrite: fail by default,
+    contribute nothing under on_rewrite='skip' (Delta's
+    skipChangeCommits semantics; the deletions are not replayed)."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 50"), tdir)
+    mt.snapshot_delete(spark, tdir, "doc_id = 7", mode="mor")
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 50 and doc_id < 80"), tdir, mode="append"
+    )
+    with pytest.raises(Exception, match="copy-on-write|rewrite"):
+        _drain(spark, tdir, "snap_mor_a", str(tmp_path / "cpma"))
+    out = _drain(
+        spark, tdir, "snap_mor_b", str(tmp_path / "cpmb"),
+        on_rewrite="skip",
+    )
+    # appended rows stream; the delete-mor commit contributes nothing
+    assert _same(out, docs.filter("doc_id < 80"))
+
+
 def test_max_versions_per_batch_paces_batches(spark, sf_dir, tmp_path):
     docs = _docs(spark, sf_dir)
     tdir = str(tmp_path / "table")
