@@ -1895,3 +1895,582 @@ def probe_video_mp4(
         "doc_id", "p.brand", "p.duration_s", "p.n_tracks",
         "p.video_codec", "p.width", "p.height", "p.error",
     )
+
+
+# --------------------------------------------------------- ogg / mp3 probes
+
+#: page/frame-count caps: a probe must terminate on hostile input long
+#: before it allocates anything proportional to a forged length field
+_MAX_OGG_PAGES = 100_000
+_MAX_MP3_FRAMES = 1_000_000
+_MAX_TAGS = 64
+_MAX_TAG_BYTES = 4096
+
+_OGG_CRC_TABLE: list[int] | None = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC (RFC 3533 §6): generator 0x04c11db7, DIRECT
+    (non-reflected) algorithm, initial value 0, no final XOR — NOT the
+    zlib/IEEE reflected CRC-32. Table-driven; the table is derived
+    from the bitwise spec definition and cross-checked against it in
+    tests (no Ogg implementation exists in this container to interop
+    against — the FLAC convention)."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        table = []
+        for byte in range(256):
+            r = byte << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1)
+                r &= 0xFFFFFFFF
+            table.append(r)
+        _OGG_CRC_TABLE = table
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ b
+        ]
+    return crc
+
+
+def _parse_vorbis_comments(body: bytes) -> tuple[str | None, dict]:
+    """Vorbis-comment block (shared by Vorbis and OpusTags): vendor
+    string + KEY=value pairs, every length bounds-checked, counts and
+    sizes capped (caps surface as fewer tags, never wrong ones)."""
+    import struct
+
+    if len(body) < 4:
+        return None, {}
+    vlen = struct.unpack_from("<I", body, 0)[0]
+    p = 4
+    if vlen > len(body) - p:
+        return None, {}
+    vendor = body[p : p + vlen].decode("utf-8", "replace")
+    p += vlen
+    if p + 4 > len(body):
+        return vendor, {}
+    n = struct.unpack_from("<I", body, p)[0]
+    p += 4
+    tags: dict[str, str] = {}
+    for _ in range(min(n, _MAX_TAGS)):
+        if p + 4 > len(body):
+            break
+        ln = struct.unpack_from("<I", body, p)[0]
+        p += 4
+        if ln > len(body) - p or ln > _MAX_TAG_BYTES:
+            break
+        item = body[p : p + ln].decode("utf-8", "replace")
+        p += ln
+        if "=" in item:
+            k, _, v = item.partition("=")
+            tags[k.upper()] = v
+    return vendor, tags
+
+
+def probe_ogg(payload: bytes) -> dict:
+    """Ogg container facts (RFC 3533 page walk + the Vorbis I /
+    OpusHead / FLAC-mapping identification headers):
+
+    ``{container, codec, channels, sample_rate, duration_s, vendor,
+    tags, n_pages, n_streams}``
+
+    Every page CRC is VERIFIED (the RFC 3533 direct-CRC variant);
+    packets are reassembled across lacing segments and page
+    boundaries for the first two packets per logical stream (ID +
+    comment headers), and duration derives from the last finished
+    granule position per the codec's granule semantics (Vorbis: PCM
+    samples at the declared rate; Opus: 48 kHz ticks minus pre-skip).
+    PCM decode of these codecs stays the import-gated boundary — this
+    is the metadata stage a crawl filter needs ("keep stereo ≥ 16 kHz
+    under 10 min") long before any decoder runs. Non-Ogg or corrupt
+    bytes raise ``NotImplementedError`` (fuzz-table row "ogg")."""
+    import struct
+
+    try:
+        if payload[:4] != b"OggS":
+            raise NotImplementedError("not an Ogg payload")
+        off = 0
+        n_pages = 0
+        streams: dict[int, dict] = {}
+        while off < len(payload):
+            if payload[off : off + 4] != b"OggS":
+                raise NotImplementedError("page sync lost")
+            n_pages += 1
+            if n_pages > _MAX_OGG_PAGES:
+                raise NotImplementedError("page-count cap exceeded")
+            if off + 27 > len(payload):
+                raise NotImplementedError("truncated page header")
+            if payload[off + 4] != 0:
+                raise NotImplementedError("unknown Ogg version")
+            granule = struct.unpack_from("<q", payload, off + 6)[0]
+            serial = struct.unpack_from("<I", payload, off + 14)[0]
+            crc_rec = struct.unpack_from("<I", payload, off + 22)[0]
+            n_seg = payload[off + 26]
+            seg_lo = off + 27
+            seg_hi = seg_lo + n_seg
+            if seg_hi > len(payload):
+                raise NotImplementedError("truncated segment table")
+            lacing = payload[seg_lo:seg_hi]
+            body_len = sum(lacing)
+            end = seg_hi + body_len
+            if end > len(payload):
+                raise NotImplementedError("page overruns file")
+            page = bytearray(payload[off:end])
+            page[22:26] = b"\x00\x00\x00\x00"
+            if _ogg_crc(bytes(page)) != crc_rec:
+                raise NotImplementedError("page CRC mismatch")
+            st = streams.setdefault(
+                serial,
+                {"packets": [], "buf": b"", "granule": None},
+            )
+            # reassemble packets (first two per stream are enough:
+            # ID header + comment header)
+            p = seg_hi
+            for lace in lacing:
+                if len(st["packets"]) < 2:
+                    st["buf"] += payload[p : p + lace]
+                    if lace < 255:  # packet ends here
+                        st["packets"].append(st["buf"])
+                        st["buf"] = b""
+                p += lace
+            if granule != -1 and n_seg and lacing[-1] < 255:
+                st["granule"] = granule
+            off = end  # header is >= 27 bytes: guaranteed advance
+        out = {
+            "container": "ogg",
+            "codec": None,
+            "channels": None,
+            "sample_rate": None,
+            "duration_s": None,
+            "vendor": None,
+            "tags": {},
+            "n_pages": n_pages,
+            "n_streams": len(streams),
+        }
+        for st in streams.values():  # first AUDIO stream wins
+            if not st["packets"]:
+                continue
+            ident = st["packets"][0]
+            comment = st["packets"][1] if len(st["packets"]) > 1 else b""
+            if ident[:7] == b"\x01vorbis" and len(ident) >= 30:
+                out["codec"] = "vorbis"
+                out["channels"] = ident[11]
+                rate = struct.unpack_from("<I", ident, 12)[0]
+                out["sample_rate"] = rate
+                if st["granule"] and rate:
+                    out["duration_s"] = round(st["granule"] / rate, 3)
+                if comment[:7] == b"\x03vorbis":
+                    out["vendor"], out["tags"] = _parse_vorbis_comments(
+                        comment[7:]
+                    )
+            elif ident[:8] == b"OpusHead" and len(ident) >= 19:
+                out["codec"] = "opus"
+                out["channels"] = ident[9]
+                preskip = struct.unpack_from("<H", ident, 10)[0]
+                # input_sample_rate is informational; Opus granules
+                # tick at 48 kHz by definition (RFC 7845 §4)
+                out["sample_rate"] = struct.unpack_from("<I", ident, 12)[0]
+                if st["granule"]:
+                    out["duration_s"] = round(
+                        max(st["granule"] - preskip, 0) / 48000.0, 3
+                    )
+                if comment[:8] == b"OpusTags":
+                    out["vendor"], out["tags"] = _parse_vorbis_comments(
+                        comment[8:]
+                    )
+            elif ident[:5] == b"\x7fFLAC":
+                out["codec"] = "flac"
+                # RFC 9639-in-Ogg: ident = 0x7F FLAC maj min n(2) then a
+                # verbatim fLaC + STREAMINFO block
+                si = ident.find(b"fLaC")
+                if si >= 0 and len(ident) >= si + 8 + 18:
+                    info = ident[si + 8 :]
+                    out["sample_rate"] = (
+                        (info[10] << 12) | (info[11] << 4) | (info[12] >> 4)
+                    )
+                    out["channels"] = ((info[12] >> 1) & 0x7) + 1
+                    if st["granule"] and out["sample_rate"]:
+                        out["duration_s"] = round(
+                            st["granule"] / out["sample_rate"], 3
+                        )
+            elif ident[:7] == b"\x80theora":
+                out["codec"] = "theora"
+                continue  # keep looking for an audio stream
+            else:
+                continue
+            break
+        return out
+    except (IndexError, struct.error) as e:  # pragma: no cover
+        raise NotImplementedError(f"malformed Ogg: {e}") from e
+
+
+def _ogg_page(
+    serial: int,
+    seq: int,
+    granule: int,
+    packets: list[bytes],
+    header_type: int,
+) -> bytes:
+    """One well-formed Ogg page (builder side of the probe pin)."""
+    import struct
+
+    lacing = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        q, r = divmod(len(pkt), 255)
+        lacing += b"\xff" * q + bytes([r])
+        body += pkt
+    head = bytearray(b"OggS\x00")
+    head.append(header_type)
+    head += struct.pack("<q", granule)
+    head += struct.pack("<I", serial)
+    head += struct.pack("<I", seq)
+    head += b"\x00\x00\x00\x00"  # crc placeholder
+    head.append(len(lacing))
+    page = bytes(head) + bytes(lacing) + bytes(body)
+    crc = _ogg_crc(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def build_ogg(
+    codec: str = "opus",
+    channels: int = 2,
+    sample_rate: int = 48000,
+    duration_s: float = 2.5,
+    tags: dict | None = None,
+    serial: int = 0x01020304,
+) -> bytes:
+    """Deterministic minimal Ogg stream (ID header page + comment page
+    + one audio page whose granule encodes ``duration_s``) — the
+    builder twin :func:`probe_ogg` round-trips against. The audio
+    packet bytes are opaque (we never decode them — honest boundary);
+    everything the PROBE reads is real: page framing, lacing, CRCs,
+    identification and comment headers, granule arithmetic."""
+    import struct
+
+    tags = tags or {}
+    vendor = b"teste-carga-spark"
+    items = [f"{k}={v}".encode() for k, v in sorted(tags.items())]
+    vc = struct.pack("<I", len(vendor)) + vendor
+    vc += struct.pack("<I", len(items))
+    for item in items:
+        vc += struct.pack("<I", len(item)) + item
+    if codec == "opus":
+        preskip = 312
+        ident = (
+            b"OpusHead\x01"
+            + bytes([channels])
+            + struct.pack("<H", preskip)
+            + struct.pack("<I", sample_rate)
+            + b"\x00\x00\x00"
+        )
+        comment = b"OpusTags" + vc
+        granule = int(round(duration_s * 48000)) + preskip
+    elif codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<I", 0)
+            + bytes([channels])
+            + struct.pack("<I", sample_rate)
+            + struct.pack("<iii", 0, 128000, 0)
+            + bytes([0xB8])  # blocksizes 256/2048
+            + b"\x01"
+        )
+        comment = b"\x03vorbis" + vc + b"\x01"
+        granule = int(round(duration_s * sample_rate))
+    else:
+        raise ValueError("codec must be opus|vorbis")
+    fake_audio = bytes(range(256)) * 3  # spans lacing segments (255s)
+    return (
+        _ogg_page(serial, 0, 0, [ident], 0x02)  # BOS
+        + _ogg_page(serial, 1, 0, [comment], 0x00)
+        + _ogg_page(serial, 2, granule, [fake_audio], 0x04)  # EOS
+    )
+
+
+# MPEG audio frame tables (ISO/IEC 11172-3 / 13818-3), Layer III only —
+# the "mp3" case; Layers I/II raise (documented boundary)
+_MP3_BITRATE_V1L3 = [
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_BITRATE_V2L3 = [
+    None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+]
+_MP3_RATES = {
+    3: [44100, 48000, 32000],   # MPEG1
+    2: [22050, 24000, 16000],   # MPEG2
+    0: [11025, 12000, 8000],    # MPEG2.5
+}
+
+
+def _id3v2_tags(payload: bytes) -> tuple[int, dict]:
+    """(bytes consumed, text tags) from a leading ID3v2.3/2.4 block.
+    Text frames only (Txxx), the common TIT2/TPE1/TALB metadata; sizes
+    are syncsafe in the header (always) and in v2.4 frames."""
+    import struct
+
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0, {}
+    major = payload[3]
+    flags = payload[5]
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise NotImplementedError("ID3 size byte not syncsafe")
+        size = (size << 7) | b
+    end = 10 + size
+    if end > len(payload):
+        raise NotImplementedError("ID3 block overruns file")
+    p = 10
+    if flags & 0x40 and p + 4 <= end:  # extended header
+        ext = struct.unpack_from(">I", payload, p)[0]
+        if major == 4:  # syncsafe in v2.4
+            ext = 0
+            for b in payload[p : p + 4]:
+                ext = (ext << 7) | (b & 0x7F)
+        else:
+            ext += 4
+        p += max(ext, 4)
+    tags: dict[str, str] = {}
+    encodings = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+    while p + 10 <= end and len(tags) < _MAX_TAGS:
+        fid = payload[p : p + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        fsize = struct.unpack_from(">I", payload, p + 4)[0]
+        if major == 4:
+            fsize = 0
+            for b in payload[p + 4 : p + 8]:
+                if b & 0x80:
+                    raise NotImplementedError("v2.4 frame size not syncsafe")
+                fsize = (fsize << 7) | b
+        p += 10
+        if fsize > end - p:
+            raise NotImplementedError("ID3 frame overruns block")
+        if (
+            fid[:1] == b"T"
+            and fsize >= 1
+            and fsize <= _MAX_TAG_BYTES
+            and all(65 <= c <= 90 or 48 <= c <= 57 for c in fid)
+        ):
+            enc = encodings.get(payload[p], "latin-1")
+            text = (
+                payload[p + 1 : p + fsize]
+                .decode(enc, "replace")
+                .rstrip("\x00")
+            )
+            tags[fid.decode("ascii")] = text
+        p += fsize
+    return end, tags
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """MPEG audio (MP3) facts from the frame-header walk + ID3v2 text
+    tags:
+
+    ``{container, version, layer, bitrate_kbps, sample_rate, channels,
+    n_frames, duration_s, vbr, tags}``
+
+    Every frame header is validated (sync, version/layer/bitrate/rate
+    indices) and the walk advances by the table-derived frame length —
+    a forged length can't loop or allocate. Duration = frames ×
+    samples-per-frame / rate, which is exact for the CBR streams the
+    builder emits and the standard estimate elsewhere; a Xing/Info
+    header marks ``vbr``. Layers I/II and free-format bitrate raise
+    (documented boundary, like progressive-JPEG before r10). PCM
+    decode stays import-gated."""
+    try:
+        consumed, tags = _id3v2_tags(payload)
+        p = consumed
+        # optional ID3v1 trailer: ignore its 128 bytes for the walk
+        hi = len(payload)
+        if hi - p >= 128 and payload[hi - 128 : hi - 125] == b"TAG":
+            hi -= 128
+        if p + 4 > hi or payload[p] != 0xFF or (payload[p + 1] & 0xE0) != 0xE0:
+            raise NotImplementedError("no MPEG frame sync")
+        first = None
+        n_frames = 0
+        vbr = False
+        while p + 4 <= hi:
+            if payload[p] != 0xFF or (payload[p + 1] & 0xE0) != 0xE0:
+                raise NotImplementedError(
+                    f"frame sync lost at byte {p}"
+                )
+            ver_bits = (payload[p + 1] >> 3) & 0x3
+            layer_bits = (payload[p + 1] >> 1) & 0x3
+            if ver_bits == 1:
+                raise NotImplementedError("reserved MPEG version")
+            if layer_bits != 1:  # 1 = Layer III
+                raise NotImplementedError("only Layer III implemented")
+            br_idx = (payload[p + 2] >> 4) & 0xF
+            sr_idx = (payload[p + 2] >> 2) & 0x3
+            if br_idx in (0, 15) or sr_idx == 3:
+                raise NotImplementedError(
+                    "free-format/reserved bitrate or rate"
+                )
+            mpeg1 = ver_bits == 3
+            bitrate = (
+                _MP3_BITRATE_V1L3 if mpeg1 else _MP3_BITRATE_V2L3
+            )[br_idx]
+            rate = _MP3_RATES[ver_bits][sr_idx]
+            padding = (payload[p + 2] >> 1) & 0x1
+            mode = (payload[p + 3] >> 6) & 0x3
+            frame_len = (144 if mpeg1 else 72) * bitrate * 1000 // rate
+            frame_len += padding
+            if frame_len < 4:
+                raise NotImplementedError("degenerate frame length")
+            if p + frame_len > hi:
+                raise NotImplementedError("truncated final frame")
+            if first is None:
+                first = {
+                    "version": "1" if mpeg1 else ("2" if ver_bits == 2 else "2.5"),
+                    "bitrate_kbps": bitrate,
+                    "sample_rate": rate,
+                    "channels": 1 if mode == 3 else 2,
+                    "spf": 1152 if mpeg1 else 576,
+                }
+                side = (
+                    (36 if mode != 3 else 21)
+                    if mpeg1
+                    else (21 if mode != 3 else 13)
+                )
+                marker = payload[p + side : p + side + 4]
+                vbr = marker in (b"Xing", b"Info") and marker == b"Xing"
+            n_frames += 1
+            if n_frames > _MAX_MP3_FRAMES:
+                raise NotImplementedError("frame-count cap exceeded")
+            p += frame_len
+        return {
+            "container": "mp3",
+            "version": first["version"],
+            "layer": 3,
+            "bitrate_kbps": first["bitrate_kbps"],
+            "sample_rate": first["sample_rate"],
+            "channels": first["channels"],
+            "n_frames": n_frames,
+            "duration_s": round(
+                n_frames * first["spf"] / first["sample_rate"], 3
+            ),
+            "vbr": vbr,
+            "tags": tags,
+        }
+    except (IndexError, KeyError, TypeError) as e:
+        raise NotImplementedError(f"malformed MP3: {e}") from e
+
+
+def build_mp3(
+    n_frames: int = 38,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    tags: dict | None = None,
+) -> bytes:
+    """Deterministic CBR MPEG1 Layer III stream with an ID3v2.3 tag
+    block — the builder twin :func:`probe_mp3` round-trips against.
+    Frame payloads are zeros (never decoded); the headers, lengths and
+    tag encoding are real."""
+    import struct
+
+    br_idx = _MP3_BITRATE_V1L3.index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    mode = 3 if channels == 1 else 0
+    frames = bytearray()
+    for _ in range(n_frames):
+        h = bytes(
+            [
+                0xFF,
+                0xFB,  # MPEG1, Layer III, no CRC
+                (br_idx << 4) | (sr_idx << 2),
+                mode << 6,
+            ]
+        )
+        frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+        frames += h + b"\x00" * (frame_len - 4)
+    body = bytearray()
+    for fid, text in sorted((tags or {}).items()):
+        # encoding 1 = UTF-16 with BOM (the only non-latin1 encoding
+        # ID3v2.3 defines; 3=UTF-8 exists only in v2.4)
+        data = b"\x01" + text.encode("utf-16")
+        body += fid.encode("ascii") + struct.pack(">I", len(data))
+        body += b"\x00\x00" + data
+    size = len(body)
+    ss = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    )
+    id3 = b"ID3\x03\x00\x00" + ss + bytes(body) if body else b""
+    return id3 + bytes(frames)
+
+
+def probe_audio_stream(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, payload) → compressed-audio container facts, magic-
+    dispatched (OggS → :func:`probe_ogg`, ID3/frame-sync →
+    :func:`probe_mp3`) — the audio twin of :func:`probe_video_mp4`:
+    one Arrow-batched shuffle-free projection with the standard error
+    column, filtering crawls by channels/rate/duration/tags long
+    before any PCM decoder is needed."""
+
+    @F.pandas_udf(
+        "struct<container: string, codec: string, channels: int, "
+        "sample_rate: int, duration_s: double, title: string, "
+        "artist: string, error: string>"
+    )
+    def probe(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for raw in batch:
+                try:
+                    if raw is None:
+                        raise NotImplementedError("null payload")
+                    blob = bytes(raw)
+                    if blob[:4] == b"OggS":
+                        info = probe_ogg(blob)
+                        rows.append(
+                            {
+                                "container": "ogg",
+                                "codec": info["codec"],
+                                "channels": info["channels"],
+                                "sample_rate": info["sample_rate"],
+                                "duration_s": info["duration_s"],
+                                "title": info["tags"].get("TITLE"),
+                                "artist": info["tags"].get("ARTIST"),
+                                "error": None,
+                            }
+                        )
+                    else:
+                        info = probe_mp3(blob)
+                        rows.append(
+                            {
+                                "container": "mp3",
+                                "codec": "mp3",
+                                "channels": info["channels"],
+                                "sample_rate": info["sample_rate"],
+                                "duration_s": info["duration_s"],
+                                "title": info["tags"].get("TIT2"),
+                                "artist": info["tags"].get("TPE1"),
+                                "error": None,
+                            }
+                        )
+                except NotImplementedError as e:
+                    rows.append(
+                        {
+                            "container": None,
+                            "codec": None,
+                            "channels": None,
+                            "sample_rate": None,
+                            "duration_s": None,
+                            "title": None,
+                            "artist": None,
+                            "error": str(e)[:120] or type(e).__name__,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select(
+        "doc_id", probe(F.col(payload_col)).alias("p")
+    ).select(
+        "doc_id", "p.container", "p.codec", "p.channels",
+        "p.sample_rate", "p.duration_s", "p.title", "p.artist", "p.error",
+    )

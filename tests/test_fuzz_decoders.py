@@ -117,6 +117,17 @@ _DECODERS = {
         lambda b: list(ar.iter_tar_members(b)),
         (ar.ArchiveFormatError,),
     ),
+    # r10-late: ogg/mp3 metadata probes — mutations hit the page walk
+    # (lacing bounds, CRC verification, packet reassembly) and the
+    # MPEG frame-header table lookups / ID3 syncsafe size checks
+    "ogg": (
+        mm.probe_ogg,
+        (NotImplementedError,),
+    ),
+    "mp3": (
+        mm.probe_mp3,
+        (NotImplementedError,),
+    ),
 }
 
 
@@ -179,6 +190,10 @@ def _valid_payloads() -> dict[str, bytes]:
             [["linha um dois tres", "quatro cinco"], ["pagina dois"]],
             encrypt={"revision": 5, "user_password": ""},
         ),
+        "ogg": mm.build_ogg(
+            codec="opus", duration_s=1.5, tags={"TITLE": "fuzz"}
+        ),
+        "mp3": mm.build_mp3(n_frames=6, tags={"TIT2": "fuzz"}),
     }
 
 

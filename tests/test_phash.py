@@ -473,3 +473,117 @@ def test_mp4_probe_spark_frame(spark):
     assert out[1].duration_s == 4.0 and out[1].error is None
     assert out[2].error == "NotImplementedError"
     assert out[3].error == "NotImplementedError"
+
+
+# ------------------------------------------------------ ogg / mp3 probes
+
+
+def test_ogg_opus_probe_roundtrips_builder():
+    blob = mm.build_ogg(
+        codec="opus", channels=2, sample_rate=48000, duration_s=2.5,
+        tags={"TITLE": "faixa um", "ARTIST": "ensaio"},
+    )
+    info = mm.probe_ogg(blob)
+    assert info["container"] == "ogg" and info["codec"] == "opus"
+    assert info["channels"] == 2 and info["sample_rate"] == 48000
+    assert info["duration_s"] == 2.5  # granule minus pre-skip at 48 kHz
+    assert info["tags"] == {"TITLE": "faixa um", "ARTIST": "ensaio"}
+    assert info["vendor"] == "teste-carga-spark"
+    assert info["n_streams"] == 1 and info["n_pages"] == 3
+
+
+def test_ogg_vorbis_probe_roundtrips_builder():
+    blob = mm.build_ogg(
+        codec="vorbis", channels=1, sample_rate=22050, duration_s=0.8,
+        tags={"TITLE": "mono"},
+    )
+    info = mm.probe_ogg(blob)
+    assert info["codec"] == "vorbis"
+    assert info["channels"] == 1 and info["sample_rate"] == 22050
+    assert abs(info["duration_s"] - 0.8) < 1e-3
+    assert info["tags"]["TITLE"] == "mono"
+
+
+def test_ogg_probe_verifies_page_crc_and_bounds():
+    import pytest
+
+    blob = bytearray(mm.build_ogg(codec="opus"))
+    # flip one payload byte on the last page: CRC must catch it
+    blob[-1] ^= 0x01
+    with pytest.raises(NotImplementedError, match="CRC"):
+        mm.probe_ogg(bytes(blob))
+    good = mm.build_ogg(codec="opus")
+    with pytest.raises(NotImplementedError):
+        mm.probe_ogg(good[: len(good) - 7])  # truncated page
+    with pytest.raises(NotImplementedError):
+        mm.probe_ogg(b"OggX" + good[4:])
+    # the ogg CRC is the RFC 3533 direct variant, not zlib's: table
+    # must equal the bitwise spec definition for every byte
+    def crc_bitwise(data: bytes) -> int:
+        r = 0
+        for b in data:
+            r ^= b << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000 else r << 1)
+                r &= 0xFFFFFFFF
+        return r
+
+    for probe in (b"", b"\x00", b"OggS", bytes(range(256))):
+        assert mm._ogg_crc(probe) == crc_bitwise(probe)
+
+
+def test_mp3_probe_roundtrips_builder():
+    blob = mm.build_mp3(
+        n_frames=38, bitrate_kbps=128, sample_rate=44100, channels=2,
+        tags={"TIT2": "título", "TPE1": "artista"},
+    )
+    info = mm.probe_mp3(blob)
+    assert info["version"] == "1" and info["layer"] == 3
+    assert info["bitrate_kbps"] == 128 and info["sample_rate"] == 44100
+    assert info["channels"] == 2 and info["n_frames"] == 38
+    assert info["duration_s"] == round(38 * 1152 / 44100, 3)
+    assert info["vbr"] is False
+    assert info["tags"] == {"TIT2": "título", "TPE1": "artista"}
+    # ID3v1 trailer is tolerated (not part of the frame walk)
+    info2 = mm.probe_mp3(blob + b"TAG" + b"\x00" * 125)
+    assert info2["n_frames"] == 38
+    # mono at another rate
+    mono = mm.build_mp3(n_frames=10, sample_rate=32000, channels=1)
+    got = mm.probe_mp3(mono)
+    assert got["channels"] == 1 and got["sample_rate"] == 32000
+    assert got["duration_s"] == round(10 * 1152 / 32000, 3)
+
+
+def test_mp3_probe_boundaries_raise():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        mm.probe_mp3(b"\xff\xfd\x90\x00" + b"\x00" * 400)  # Layer II
+    with pytest.raises(NotImplementedError, match="free-format"):
+        mm.probe_mp3(b"\xff\xfb\x00\x00" + b"\x00" * 400)
+    with pytest.raises(NotImplementedError, match="sync"):
+        mm.probe_mp3(b"ID3\x03\x00\x00\x00\x00\x00\x00not audio")
+    blob = mm.build_mp3(n_frames=3)
+    with pytest.raises(NotImplementedError, match="truncated"):
+        mm.probe_mp3(blob[:-10])
+
+
+def test_probe_audio_stream_spark_frame(spark):
+    rows = [
+        (1, mm.build_ogg(codec="opus", duration_s=3.0,
+                         tags={"TITLE": "um", "ARTIST": "a"})),
+        (2, mm.build_mp3(n_frames=38, tags={"TIT2": "dois", "TPE1": "b"})),
+        (3, b"definitely not audio bytes"),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in mm.probe_audio_stream(media).collect()
+    }
+    assert got[1]["container"] == "ogg" and got[1]["codec"] == "opus"
+    assert got[1]["duration_s"] == 3.0 and got[1]["title"] == "um"
+    assert got[2]["container"] == "mp3" and got[2]["artist"] == "b"
+    assert got[2]["duration_s"] == round(38 * 1152 / 44100, 3)
+    assert got[3]["error"] and got[3]["container"] is None
+    assert got[4]["error"]
