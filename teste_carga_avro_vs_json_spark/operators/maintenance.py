@@ -1311,6 +1311,55 @@ def _dv_rows(table_dir: str, version: int) -> int:
     ).get("n_rows", 0)
 
 
+def snapshot_history(table_dir: str) -> list[dict]:
+    """Per-version audit log from the manifests alone (the Delta
+    DESCRIBE HISTORY shape): version, op, ts, file/byte/row counts,
+    accumulated merge-on-read deletions, and the commit's application
+    ``extra`` metadata. Touches NO data files."""
+    out = []
+    for v in snapshot_versions(table_dir):
+        m = _read_manifest(table_dir, v)
+        out.append(
+            {
+                "version": v,
+                "op": m["op"],
+                "ts": m["ts"],
+                "n_files": m["n_files"],
+                "n_bytes": m["n_bytes"],
+                "n_rows": sum(f.get("rows", 0) for f in m["files"]),
+                "dv_rows": (m.get("dv") or {}).get("n_rows", 0),
+                "extra": m.get("extra") or {},
+            }
+        )
+    return out
+
+
+def snapshot_restore(
+    table_dir: str, version: int, ts: int = SNAP_EPOCH
+) -> int:
+    """RESTORE: make an older version the new head by publishing its
+    file list (and delete vectors) as a NEW commit — history moves
+    only forward, so the bad versions stay inspectable and a
+    concurrent writer races the same create-exclusive publish as every
+    other commit (lost race raises; re-run after reviewing the new
+    head). Manifest-only: no data file is read, written or moved —
+    the O(1)-data rollback a 100 TB table needs. The restored version
+    must still exist (not vacuumed)."""
+    versions = snapshot_versions(table_dir)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    src = _read_manifest(table_dir, version)
+    return _publish_cow_manifest(
+        table_dir,
+        versions[-1],
+        src["files"],
+        "restore",
+        ts,
+        {"restored_version": version},
+        dv=src.get("dv"),
+    )
+
+
 def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
     """Retire old versions: drop all but the last ``keep_last``
     manifests, then delete data files no RETAINED manifest references.

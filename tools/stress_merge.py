@@ -145,10 +145,46 @@ def main() -> None:
         )
     )
 
+    # merge-on-read lane: deleting the same scattered keys must write
+    # ~nothing (one DV file, zero data rewrites) where cow would have
+    # rewritten min(K, files) whole files; the read-side anti-join
+    # overhead is measured against the pre-delete scan, and compaction
+    # folds the DVs away exactly
+    rows_before_mor = mt.snapshot_read(spark, table).count()
+    del_ids = scattered_ids[: min(len(scattered_ids), 200)]
+    cond = "doc_id in (%s)" % ",".join(str(i) for i in del_ids)
+    t0 = time.perf_counter()
+    res3 = mt.snapshot_delete(spark, table, cond, mode="mor")
+    out["mor_delete_sec"] = round(time.perf_counter() - t0, 2)
+    out["mor_files_rewritten"] = res3["files_rewritten"]
+    out["mor_rows_deleted"] = res3["rows_deleted"]
+    head = mt._read_manifest(table, mt.snapshot_versions(table)[-1])
+    out["mor_dv_bytes"] = sum(f["bytes"] for f in head["dv"]["files"])
+    t0 = time.perf_counter()
+    rows_after_mor = mt.snapshot_read(spark, table).count()
+    out["mor_read_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    mt.snapshot_read(
+        spark, table, mt.snapshot_versions(table)[-2]  # pre-delete head
+    ).count()
+    out["clean_read_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    mt.snapshot_compact(spark, table)
+    out["mor_compact_sec"] = round(time.perf_counter() - t0, 2)
+    folded = mt._read_manifest(table, mt.snapshot_versions(table)[-1])
+    out["mor_exact"] = (
+        res3["files_rewritten"] == 0
+        and res3["rows_deleted"] == len(del_ids)
+        and rows_after_mor == rows_before_mor - len(del_ids)
+        and "dv" not in folded
+        and mt.snapshot_read(spark, table).count() == rows_after_mor
+    )
+
     out["exact"] = (
         out["rows_after"] == n_rows
         and out["keys_updated"] == res["rows_replaced"] == k_keys
         and bool(out["old_version_untouched"])
+        and bool(out["mor_exact"])
     )
     try:
         out["loadavg_1m"] = round(os.getloadavg()[0], 1)
