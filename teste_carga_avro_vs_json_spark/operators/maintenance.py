@@ -344,6 +344,28 @@ def snapshot_commit(
     new_files = _write_new_files(
         df.sparkSession, table_dir, df, bloom_cols=bloom_cols
     )
+    return _publish_files(
+        table_dir, new_files, mode, ts, extra, max_retries
+    )
+
+
+def _publish_files(
+    table_dir: str,
+    new_files: list[dict],
+    mode: str,
+    ts: int,
+    extra: dict | None,
+    max_retries: int = 8,
+) -> int:
+    """The manifest-publish retry loop shared by :func:`snapshot_commit`
+    and the ``format("snapshot")`` writer: compute the next version
+    against the current head, publish via create-exclusive link, and
+    on a lost race re-read the winner and retry (append recomputes the
+    union; the new data files are attempt-unique so a retry never
+    collides on disk)."""
+    import json
+    import tempfile
+
     os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
     for _attempt in range(max_retries):
         versions = snapshot_versions(table_dir)

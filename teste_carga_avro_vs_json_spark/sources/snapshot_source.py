@@ -48,6 +48,16 @@ A vacuumed parent manifest (``snapshot_vacuum`` retiring versions the
 stream has not consumed yet) raises — the missing history cannot be
 reconstructed, matching Delta's "version no longer available".
 
+The format is also a WRITE surface (r10-late #2): ``df.write.format
+("snapshot").mode("append"|"overwrite")`` commits a version through
+the real two-phase protocol (executors write attempt-unique parquet,
+the driver's ``commit`` publishes the manifest, ``abort`` cleans up),
+and ``df.writeStream.format("snapshot")`` is an EXACTLY-ONCE
+streaming sink — epochs stamp ``(stream_writer_id, stream_batch_id)``
+into the manifest extra and a replayed epoch is detected and folded
+to a no-op, so snapshot→snapshot pipes resume checkpoints cleanly
+(unlike the memory sink).
+
 No SQL oracle: DuckDB has no streaming; pinned by stream==batch
 equality in tests/test_snapshot_source.py (the documented convention
 for streaming twins).
@@ -57,10 +67,15 @@ from __future__ import annotations
 
 import os
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 try:  # pickle-by-value: executors don't need the repo on PYTHONPATH
@@ -223,6 +238,199 @@ class SnapshotStreamReader(DataSourceStreamReader):
         )
 
 
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    """Per-task commit message: the parquet file this task wrote (None
+    for empty tasks) and its row count."""
+
+    path: str | None
+    rows: int
+
+
+class _SnapshotWriterBase:
+    """Shared executor/driver halves of the batch and streaming
+    ``format("snapshot")`` SINKS — the real two-phase commit protocol
+    on the manifest log: executors write attempt-unique parquet files
+    and return their paths as commit messages; ONLY the driver's
+    ``commit`` turns them into a table version (create-exclusive
+    manifest publish via ``maintenance._publish_files``, racing other
+    writers safely), and ``abort`` removes the files so a failed job
+    leaves nothing a reader can see. Task retries/zombies at worst
+    strand unreferenced files in the attempt dir — exactly the orphan
+    class ``snapshot_vacuum`` already retires.
+
+    Same single-node caveat as ``write_avro_ocf`` (SCALE.md): tasks
+    write to a path that must be shared storage on a real cluster."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        import tempfile
+
+        self.table_dir = options.get("path") or options.get("table_dir")
+        if not self.table_dir:
+            raise ValueError("format('snapshot') writer requires a path")
+        self.overwrite = bool(overwrite)
+        self.ts = int(options.get("ts", _mt().SNAP_EPOCH))
+        os.makedirs(os.path.join(self.table_dir, "data"), exist_ok=True)
+        # one attempt-unique dir per WRITE JOB, decided driver-side
+        self.data_dir = tempfile.mkdtemp(
+            prefix="c-", dir=os.path.join(self.table_dir, "data")
+        )
+
+    # executor side -----------------------------------------------------
+    def write(self, iterator):
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()  # None when driven outside a task
+        attempt = (
+            f"{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
+            if ctx is not None
+            else os.urandom(8).hex()
+        )
+        path = os.path.join(self.data_dir, f"part-{attempt}.parquet")
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _WroteFile(path=None, rows=0)  # empty task
+        writer.close()
+        return _WroteFile(path=path, rows=rows)
+
+    # driver side -------------------------------------------------------
+    def _entries(self, messages) -> list[dict]:
+        mt = _mt()
+        bloom_cols: tuple = ()
+        versions = mt.snapshot_versions(self.table_dir)
+        if versions:
+            bloom_cols = mt._manifest_bloom_cols(
+                mt._read_manifest(self.table_dir, versions[-1])
+            )
+        entries = [
+            mt._file_entry(self.table_dir, m.path, bloom_cols)
+            for m in messages
+            if m is not None and m.path
+        ]
+        entries.sort(key=lambda f: f["path"])
+        return entries
+
+    def _check_append_schema(self, entries: list[dict]) -> None:
+        """Appending files whose COLUMN SET differs from the table's
+        corrupts plain reads (first-file schema) — refuse loudly; an
+        intentional evolution goes through snapshot_commit +
+        merge_schema reads."""
+        import pyarrow.parquet as pq
+
+        if self.overwrite or not entries:
+            return
+        mt = _mt()
+        try:
+            table_cols = set(_table_schema_arrow(self.table_dir).names)
+        except ValueError:
+            return  # empty table: first write defines the schema
+        new_cols = set(
+            pq.ParquetFile(
+                os.path.join(self.table_dir, entries[0]["path"])
+            ).schema_arrow.names
+        )
+        if new_cols != table_cols:
+            self._cleanup(entries=entries)
+            raise ValueError(
+                f"appended schema {sorted(new_cols)} != table schema "
+                f"{sorted(table_cols)} — overwrite, or use "
+                "snapshot_commit and read with merge_schema=True"
+            )
+
+    def _cleanup(self, messages=None, entries=None) -> None:
+        import shutil
+
+        paths = []
+        if messages is not None:
+            paths = [m.path for m in messages if m is not None and m.path]
+        if entries is not None:
+            paths = [
+                os.path.join(self.table_dir, f["path"]) for f in entries
+            ]
+        for p in paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        try:  # remove the attempt dir when nothing survived in it
+            if not os.listdir(self.data_dir):
+                shutil.rmtree(self.data_dir, ignore_errors=True)
+        except OSError:
+            pass
+
+
+class SnapshotBatchWriter(_SnapshotWriterBase, DataSourceArrowWriter):
+    """``df.write.format("snapshot").mode("append"|"overwrite")`` —
+    a batch sink that commits a snapshot version."""
+
+    def commit(self, messages):
+        entries = self._entries(messages)
+        self._check_append_schema(entries)
+        _mt()._publish_files(
+            self.table_dir,
+            entries,
+            "overwrite" if self.overwrite else "append",
+            self.ts,
+            None,
+        )
+
+    def abort(self, messages):
+        self._cleanup(messages=messages)
+
+
+class SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("snapshot")`` — an EXACTLY-ONCE
+    streaming sink: each micro-batch publishes one ``append`` version
+    stamped with ``(stream_writer_id, stream_batch_id)`` in the
+    manifest extra, and a replayed epoch (failure after the commit
+    point but before the checkpoint acknowledges) is detected from the
+    manifest log and becomes a no-op that removes its re-written files
+    — the idempotent-sink half of Structured Streaming's contract,
+    carried by the same immutable manifests the source reads. One
+    streaming writer per ``writer_id`` (option, default "stream");
+    concurrent DISTINCT writers interleave safely through the
+    create-exclusive publish."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        super().__init__(options, overwrite)
+        self.writer_id = str(options.get("writer_id", "stream"))
+
+    def _already_committed(self, batch_id: int) -> bool:
+        mt = _mt()
+        for v in reversed(mt.snapshot_versions(self.table_dir)):
+            extra = mt._read_manifest(self.table_dir, v).get("extra") or {}
+            if extra.get("stream_writer_id") == self.writer_id:
+                return int(extra.get("stream_batch_id", -1)) >= batch_id
+        return False
+
+    def commit(self, messages, batchId: int) -> None:
+        entries = self._entries(messages)
+        if self._already_committed(batchId):
+            self._cleanup(entries=entries)  # replayed epoch: no-op
+            return
+        self._check_append_schema(entries)
+        _mt()._publish_files(
+            self.table_dir,
+            entries,
+            "append",
+            self.ts,
+            {
+                "stream_writer_id": self.writer_id,
+                "stream_batch_id": int(batchId),
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(messages=messages)
+
+
 class SnapshotDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -247,11 +455,17 @@ class SnapshotDataSource(DataSource):
             "batch reads of snapshot tables go through "
             "maintenance.snapshot_read (manifest-pinned native parquet "
             "scan with data skipping) — format('snapshot') is the "
-            "STREAMING surface"
+            "streaming read + batch/streaming WRITE surface"
         )
 
     def streamReader(self, schema):
         return SnapshotStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return SnapshotBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return SnapshotStreamWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

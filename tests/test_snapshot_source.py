@@ -311,3 +311,169 @@ def test_snapshot_stream_to_kafka_wire_sink_e2e(spark, sf_dir, tmp_path):
         )
         relay_once()
         assert _same(broker_rows(), docs.select("doc_id", "text"))
+
+
+# -------------------------------------------------------------- writers
+
+
+def test_batch_writer_append_overwrite_and_schema_guard(
+    spark, sf_dir, tmp_path
+):
+    """df.write.format('snapshot'): append unions versions, overwrite
+    replaces, stats/bloom config inherits, and appending a different
+    COLUMN SET is refused loudly (first-file-schema reads would
+    corrupt silently)."""
+    ss.register(spark)
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    docs.filter("doc_id < 200").repartition(3).write.format(
+        "snapshot"
+    ).mode("append").save(tdir)
+    assert mt.snapshot_versions(tdir) == [1]
+    assert _same(mt.snapshot_read(spark, tdir), docs.filter("doc_id < 200"))
+    # entries carry footer stats like snapshot_commit's
+    assert all(
+        "stats" in f and f.get("rows")
+        for f in mt._read_manifest(tdir, 1)["files"]
+    )
+    docs.filter("doc_id >= 200").write.format("snapshot").mode(
+        "append"
+    ).save(tdir)
+    assert _same(mt.snapshot_read(spark, tdir), docs)
+    docs.filter("doc_id = 7").write.format("snapshot").mode(
+        "overwrite"
+    ).save(tdir)
+    assert mt.snapshot_read(spark, tdir).count() == 1
+    assert mt.snapshot_read(spark, tdir, 2).count() == docs.count()
+    # schema guard: appending different columns raises, table unharmed
+    with pytest.raises(Exception, match="table schema"):
+        docs.selectExpr("doc_id", "text as renamed").write.format(
+            "snapshot"
+        ).mode("append").save(tdir)
+    assert mt.snapshot_versions(tdir) == [1, 2, 3]
+    assert mt.snapshot_read(spark, tdir).count() == 1
+
+
+def test_batch_writer_commit_races_via_publish_loop(
+    spark, sf_dir, tmp_path
+):
+    """Two writers committing CONCURRENTLY both land: the create-
+    exclusive publish serializes them into consecutive append versions
+    with no lost rows (the multi-writer rule through the writer API —
+    raced at the commit-protocol level; Spark's Python-datasource
+    LOOKUP itself is not thread-safe for concurrent .save() calls,
+    which is a driver-API artifact, not a commit-safety one)."""
+    import threading
+
+    import pyarrow as pa
+
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    pdf = docs.toPandas()
+    halves = [
+        pa.RecordBatch.from_pandas(pdf.iloc[:250]),
+        pa.RecordBatch.from_pandas(pdf.iloc[250:]),
+    ]
+    writers = [
+        ss.SnapshotBatchWriter({"path": tdir}, overwrite=False)
+        for _ in halves
+    ]
+    msgs = [w.write(iter([b])) for w, b in zip(writers, halves)]
+    errs = []
+
+    def commit(i):
+        try:
+            writers[i].commit([msgs[i]])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=commit, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert mt.snapshot_versions(tdir) == [1, 2]
+    assert _same(mt.snapshot_read(spark, tdir), docs)
+
+
+def test_stream_writer_sink_exactly_once_and_resume(
+    spark, sf_dir, tmp_path
+):
+    """The full snapshot→snapshot pipe: readStream format('snapshot')
+    → writeStream format('snapshot'). Each epoch is one stamped append
+    version; RESTARTING the same checkpointed query after new source
+    commits delivers only the delta (our sink, unlike memory, resumes
+    checkpoints)."""
+    ss.register(spark)
+    docs = _docs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cp = str(tmp_path / "cp")
+    mt.snapshot_commit(docs.filter("doc_id < 150"), src)
+
+    def pipe():
+        q = (
+            spark.readStream.format("snapshot")
+            .load(src)
+            .writeStream.format("snapshot")
+            .option("path", dst)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    pipe()
+    assert _same(mt.snapshot_read(spark, dst), docs.filter("doc_id < 150"))
+    extra = mt._read_manifest(dst, mt.snapshot_versions(dst)[-1])["extra"]
+    assert extra["stream_writer_id"] == "stream"
+    assert extra["stream_batch_id"] == 0
+    # two more source commits, then resume: exactly the delta arrives
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 150 and doc_id < 300"), src, mode="append"
+    )
+    mt.snapshot_commit(docs.filter("doc_id >= 300"), src, mode="append")
+    pipe()
+    assert _same(mt.snapshot_read(spark, dst), docs)
+    # and a replay-free third run commits nothing new
+    versions_before = mt.snapshot_versions(dst)
+    pipe()
+    assert mt.snapshot_versions(dst) == versions_before
+
+
+def test_stream_writer_replayed_epoch_is_noop(spark, sf_dir, tmp_path):
+    """Simulated epoch replay (failure after commit, before the
+    checkpoint acked): committing the SAME batchId again must publish
+    no version and remove the re-written files."""
+    import glob
+    import os as _os
+
+    ss.register(spark)
+    docs = _docs(spark, sf_dir).limit(20).toPandas()
+    import pyarrow as pa
+
+    tdir = str(tmp_path / "table")
+    batch = pa.RecordBatch.from_pandas(docs)
+
+    w = ss.SnapshotStreamWriter({"path": tdir}, overwrite=False)
+    msg = w.write(iter([batch]))  # driver-side call works fine locally
+    w.commit([msg], 0)
+    assert mt.snapshot_versions(tdir) == [1]
+    w2 = ss.SnapshotStreamWriter({"path": tdir}, overwrite=False)
+    msg2 = w2.write(iter([batch]))
+    w2.commit([msg2], 0)  # replay of epoch 0
+    assert mt.snapshot_versions(tdir) == [1]  # no new version
+    assert not _os.path.exists(msg2.path)  # replayed files removed
+    live = {
+        f["path"] for f in mt._read_manifest(tdir, 1)["files"]
+    }
+    on_disk = {
+        _os.path.relpath(p, tdir)
+        for p in glob.glob(_os.path.join(tdir, "data", "*", "*.parquet"))
+    }
+    assert on_disk == live
+    # the NEXT epoch commits normally
+    w3 = ss.SnapshotStreamWriter({"path": tdir}, overwrite=False)
+    w3.commit([w3.write(iter([batch]))], 1)
+    assert mt.snapshot_versions(tdir) == [1, 2]
