@@ -435,6 +435,7 @@ _API_OFFSET_COMMIT, _API_OFFSET_FETCH, _API_FIND_COORDINATOR = 8, 9, 10
 _API_JOIN_GROUP, _API_HEARTBEAT, _API_LEAVE_GROUP, _API_SYNC_GROUP = (
     11, 12, 13, 14,
 )
+_API_DESCRIBE_GROUPS, _API_LIST_GROUPS = 15, 16
 _API_INIT_PRODUCER_ID = 22
 _API_SASL_AUTHENTICATE = 36
 EARLIEST, LATEST = -2, -1
@@ -1289,6 +1290,54 @@ class WireKafkaClient:
         r = self._call(_API_LEAVE_GROUP, 0, bytes(body.b))
         _raise_group_err(r.i16(), "leave_group")
 
+    def list_groups(self) -> list[tuple[str, str]]:
+        """ListGroups v0 — ``[(group_id, protocol_type)]``, the
+        `kafka-consumer-groups --list` surface an operator points at
+        the reference's group (``ConfiguracaoKafka.java:85-96``)."""
+        r = self._call(_API_LIST_GROUPS, 0, b"")
+        err = r.i16()
+        if err:
+            raise ValueError(f"list_groups error {err} ({_err_name(err)})")
+        return [
+            (r.string() or "", r.string() or "") for _ in range(r.i32())
+        ]
+
+    def describe_group(self, group: str) -> dict:
+        """DescribeGroups v0 — state machine + membership + each
+        member's subscription metadata and current assignment (the
+        `kafka-consumer-groups --describe` surface): ``{group, state,
+        protocol_type, protocol, members: [{member_id, client_id,
+        client_host, metadata, assignment}]}``. An unknown group
+        answers state ``Dead`` with no members, like the real
+        coordinator."""
+        body = _W().i32(1).string(group)
+        r = self._call(_API_DESCRIBE_GROUPS, 0, bytes(body.b))
+        n = r.i32()
+        assert n == 1, n
+        err = r.i16()
+        if err:
+            raise ValueError(
+                f"describe_group error {err} ({_err_name(err)})"
+            )
+        out = {
+            "group": r.string() or "",
+            "state": r.string() or "",
+            "protocol_type": r.string() or "",
+            "protocol": r.string() or "",
+            "members": [],
+        }
+        for _ in range(r.i32()):
+            out["members"].append(
+                {
+                    "member_id": r.string() or "",
+                    "client_id": r.string() or "",
+                    "client_host": r.string() or "",
+                    "metadata": r.bytes_() or b"",
+                    "assignment": r.bytes_() or b"",
+                }
+            )
+        return out
+
     def fetch(
         self,
         topic: str,
@@ -1878,7 +1927,7 @@ class StubBroker:
             # before authentication completes
             raise _CloseConnection()
         if api_key == _API_VERSIONS:
-            w.i16(0).i32(15)
+            w.i16(0).i32(17)
             for k, lo, hi in (
                 (_API_PRODUCE, 0, 3),
                 (_API_FETCH, 0, 4),
@@ -1891,6 +1940,8 @@ class StubBroker:
                 (_API_HEARTBEAT, 0, 0),
                 (_API_LEAVE_GROUP, 0, 0),
                 (_API_SYNC_GROUP, 0, 0),
+                (_API_DESCRIBE_GROUPS, 0, 0),
+                (_API_LIST_GROUPS, 0, 0),
                 (_API_SASL_HANDSHAKE, 0, 1),
                 (_API_VERSIONS, 0, 0),
                 (_API_INIT_PRODUCER_ID, 0, 0),
@@ -2046,6 +2097,41 @@ class StubBroker:
                             (group, topic, partition), (-1, "")
                         )
                     w.i32(partition).i64(off).string(meta).i16(0)
+        elif api_key == _API_LIST_GROUPS:
+            with self._lock:
+                groups = sorted(self._groups)
+            w.i16(0).i32(len(groups))
+            for g in groups:
+                w.string(g).string("consumer")
+        elif api_key == _API_DESCRIBE_GROUPS:
+            names = [r.string() or "" for _ in range(r.i32())]
+            w.i32(len(names))
+            for name in names:
+                with self._lock:
+                    g = self._groups.get(name)
+                    if g is None:
+                        # the real coordinator's answer for an unknown
+                        # group: no error, state Dead, no members
+                        w.i16(0).string(name).string("Dead")
+                        w.string("consumer").string("").i32(0)
+                        continue
+                    state = g.state
+                    protocol = g.protocol or ""
+                    members = [
+                        (
+                            m,
+                            g.members.get(m, {}),
+                            g.assignments.get(m, b""),
+                        )
+                        for m in sorted(g.members)
+                    ]
+                w.i16(0).string(name).string(state)
+                w.string("consumer").string(protocol)
+                w.i32(len(members))
+                for member_id, metas, assignment in members:
+                    w.string(member_id).string("").string("")
+                    w.bytes_(metas.get(protocol) or b"")
+                    w.bytes_(assignment if state == "Stable" else b"")
         elif api_key == _API_INIT_PRODUCER_ID:
             r.string()  # transactional_id (None: idempotence only)
             r.i32()  # transaction_timeout_ms

@@ -400,3 +400,56 @@ def test_range_assign_invariants_property():
                 assert claimed == []  # nobody subscribed: unassigned
 
     check()
+
+
+def test_list_and_describe_groups_admin_surface():
+    """kafka-consumer-groups --list/--describe over the wire: a stable
+    two-member group reports its state machine, protocol, members and
+    per-member assignments; an unknown group answers state Dead with
+    no members; after all members leave, the group is Empty but still
+    listed (offsets outlive membership)."""
+    with StubBroker(num_partitions=4, initial_rebalance_delay_ms=300) as b:
+        _produce_all(b.addr, 4, 2)
+        admin = WireKafkaClient(*b.addr)
+        cl1, cl2 = WireKafkaClient(*b.addr), WireKafkaClient(*b.addr)
+        c1 = GroupConsumer(cl1, "g1", ["carga"])
+        c2 = GroupConsumer(cl2, "g1", ["carga"])
+        try:
+            assert admin.describe_group("nope")["state"] == "Dead"
+            t1 = threading.Thread(target=c1.join)
+            t2 = threading.Thread(target=c2.join)
+            t1.start(), t2.start()
+            t1.join(timeout=10), t2.join(timeout=10)
+
+            assert admin.list_groups() == [("g1", "consumer")]
+            desc = admin.describe_group("g1")
+            assert desc["state"] == "Stable"
+            assert desc["protocol_type"] == "consumer"
+            assert desc["protocol"] == "range"
+            assert len(desc["members"]) == 2
+            member_ids = {m["member_id"] for m in desc["members"]}
+            assert member_ids == {c1.member_id, c2.member_id}
+            # every member's ASSIGNMENT bytes decode to its live slice
+            from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+                decode_member_assignment,
+            )
+
+            by_id = {m["member_id"]: m for m in desc["members"]}
+            for c in (c1, c2):
+                got = decode_member_assignment(
+                    by_id[c.member_id]["assignment"]
+                )
+                assert got == {
+                    t: sorted(ps) for t, ps in c.assignment.items()
+                }
+                assert by_id[c.member_id]["metadata"]  # subscription rides
+
+            c1.close()
+            c2.close()
+            desc2 = admin.describe_group("g1")
+            assert desc2["state"] == "Empty"
+            assert desc2["members"] == []
+            assert admin.list_groups() == [("g1", "consumer")]
+        finally:
+            for cl in (admin, cl1, cl2):
+                cl.close()
