@@ -182,6 +182,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "an existing version (starting_version)"
             )
         if manifest["op"] != "append":
+            if (manifest.get("extra") or {}).get("reorg"):
+                # compact/cluster_by/zorder_by preserve content exactly
+                # (Delta's dataChange=false): no rows changed, nothing
+                # to emit, regardless of on_rewrite
+                return []
             if self.on_rewrite == "fail":
                 raise ValueError(
                     f"commit v{version} is op={manifest['op']!r} (copy-on-"

@@ -1193,3 +1193,228 @@ def test_snapshot_history_and_restore(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="not in"):
         mt.snapshot_restore(tdir, 99)
+
+
+# ------------------------------------------------- change data feed
+
+
+def _cdf_cols(changes):
+    return [
+        c
+        for c in changes.columns
+        if c not in (mt.CHANGE_TYPE_COL, mt.COMMIT_VERSION_COL)
+    ]
+
+
+def _replay(base, changes):
+    """Apply a change feed to a copy of the starting version — the
+    downstream-sync contract snapshot_changes promises: remove
+    preimages/deletes, add inserts/postimages, commit by commit."""
+    cols = _cdf_cols(changes)
+    cur = base.select(*cols)
+    versions = [
+        r[0]
+        for r in changes.select(mt.COMMIT_VERSION_COL)
+        .distinct()
+        .sort(mt.COMMIT_VERSION_COL)
+        .collect()
+    ]
+    for v in versions:
+        cv = changes.where(F.col(mt.COMMIT_VERSION_COL) == v)
+        remove = cv.where(
+            F.col(mt.CHANGE_TYPE_COL).isin("delete", "update_preimage")
+        ).select(*cols)
+        add = cv.where(
+            F.col(mt.CHANGE_TYPE_COL).isin("insert", "update_postimage")
+        ).select(*cols)
+        cur = cur.exceptAll(remove).unionByName(add)
+    return cur
+
+
+def test_changes_appends_are_inserts(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    a = docs.filter("doc_id < 100")
+    b = docs.filter("doc_id >= 100 and doc_id < 160")
+    mt.snapshot_commit(a, tdir)
+    mt.snapshot_commit(b, tdir, mode="append")
+    ch = mt.snapshot_changes(spark, tdir, 0)
+    assert set(ch.columns) == set(
+        docs.columns + [mt.CHANGE_TYPE_COL, mt.COMMIT_VERSION_COL]
+    )
+    types = {r[0] for r in ch.select(mt.CHANGE_TYPE_COL).distinct().collect()}
+    assert types == {"insert"}
+    assert _same_multiset(
+        ch.where(F.col(mt.COMMIT_VERSION_COL) == 1).select(*docs.columns),
+        a,
+    )
+    assert _same_multiset(
+        ch.where(F.col(mt.COMMIT_VERSION_COL) == 2).select(*docs.columns),
+        b,
+    )
+    # the half-open range convention: (1, 2] sees only the second commit
+    ch2 = mt.snapshot_changes(spark, tdir, 1)
+    assert _same_multiset(ch2.select(*docs.columns), b)
+
+
+def test_changes_merge_records_update_pre_and_post_images(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    base = docs.filter("doc_id < 200")
+    mt.snapshot_commit(base, tdir)
+    updates = base.filter("doc_id < 30").withColumn(
+        "text", F.concat(F.lit("v2:"), F.col("text"))
+    )
+    inserts = docs.filter(
+        "doc_id >= 200 and doc_id < 220"
+    )
+    res = mt.snapshot_merge(
+        updates.unionByName(inserts), tdir, keys=["doc_id"]
+    )
+    assert res["rows_replaced"] == 30 and res["rows_inserted"] == 20
+    ch = mt.snapshot_changes(spark, tdir, 1)
+    pre = ch.where(F.col(mt.CHANGE_TYPE_COL) == "update_preimage")
+    post = ch.where(F.col(mt.CHANGE_TYPE_COL) == "update_postimage")
+    ins = ch.where(F.col(mt.CHANGE_TYPE_COL) == "insert")
+    assert _same_multiset(
+        pre.select(*docs.columns), base.filter("doc_id < 30")
+    )
+    assert _same_multiset(post.select(*docs.columns), updates)
+    assert _same_multiset(ins.select(*docs.columns), inserts)
+    # replaying the feed onto v1 reproduces v2 exactly
+    got = _replay(mt.snapshot_read(spark, tdir, 1), ch)
+    assert _same_multiset(got, mt.snapshot_read(spark, tdir, 2))
+    # manifest records the change files + row count
+    m2 = mt._read_manifest(tdir, 2)
+    assert m2["cdf"]["n_rows"] == 2 * 30 + 20
+    assert mt.snapshot_history(tdir)[-1]["cdf_rows"] == 80
+
+
+def test_changes_delete_cow_equals_mor(spark, sf_dir, tmp_path):
+    """The same DELETE WHERE produces the SAME change rows whether
+    executed copy-on-write (commit-time change files) or merge-on-read
+    (derived from the delete vectors at read time)."""
+    docs = _docs(spark, sf_dir)
+    t_cow = str(tmp_path / "cow")
+    t_mor = str(tmp_path / "mor")
+    mt.snapshot_commit(docs, t_cow)
+    mt.snapshot_commit(docs, t_mor)
+    cond = "doc_id % 9 = 3"
+    mt.snapshot_delete(spark, t_cow, cond, mode="cow")
+    mt.snapshot_delete(spark, t_mor, cond, mode="mor")
+    ch_cow = mt.snapshot_changes(spark, t_cow, 1)
+    ch_mor = mt.snapshot_changes(spark, t_mor, 1)
+    want = docs.where(cond)
+    for ch in (ch_cow, ch_mor):
+        types = {
+            r[0]
+            for r in ch.select(mt.CHANGE_TYPE_COL).distinct().collect()
+        }
+        assert types == {"delete"}
+        assert _same_multiset(ch.select(*docs.columns), want)
+    assert _same_multiset(
+        ch_cow.select(*docs.columns), ch_mor.select(*docs.columns)
+    )
+
+
+def test_changes_reorg_and_policies(spark, sf_dir, tmp_path):
+    import pytest
+
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=2)  # v2 reorg
+    mt.snapshot_compact(spark, tdir)  # v3 reorg
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 100 and doc_id < 130"), tdir, mode="append"
+    )  # v4
+    ch = mt.snapshot_changes(spark, tdir, 1)
+    # reorg commits emit nothing; the append streams through
+    assert {
+        r[0] for r in ch.select(mt.COMMIT_VERSION_COL).distinct().collect()
+    } == {4}
+    assert _same_multiset(
+        ch.select(*docs.columns),
+        docs.filter("doc_id >= 100 and doc_id < 130"),
+    )
+    # a SEMANTIC overwrite is unrecoverable: fail raises, skip moves on
+    mt.snapshot_commit(docs.filter("doc_id < 10"), tdir, mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        mt.snapshot_changes(spark, tdir, 4)
+    assert (
+        mt.snapshot_changes(spark, tdir, 4, on_rewrite="skip").count() == 0
+    )
+    # a merge written with cdf=False is equally unrecoverable
+    mt.snapshot_merge(
+        docs.filter("doc_id < 5").withColumn("text", F.lit("x")),
+        tdir,
+        keys=["doc_id"],
+        cdf=False,
+    )
+    with pytest.raises(ValueError, match="cdf=False"):
+        mt.snapshot_changes(spark, tdir, 5)
+    assert (
+        mt.snapshot_changes(spark, tdir, 5, on_rewrite="skip").count() == 0
+    )
+
+
+def test_changes_full_history_replay(spark, sf_dir, tmp_path):
+    """End-to-end pin: replaying the ENTIRE feed from the empty table
+    through appends, a merge, a mor delete and a cow delete (with
+    reorg commits interleaved) reconstructs the latest version
+    exactly."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 150"), tdir)
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 150 and doc_id < 250"), tdir, mode="append"
+    )
+    mt.snapshot_merge(
+        docs.filter("doc_id < 40").withColumn(
+            "text", F.concat(F.lit("re:"), F.col("text"))
+        ).unionByName(docs.filter("doc_id >= 250 and doc_id < 270")),
+        tdir,
+        keys=["doc_id"],
+    )
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=3)
+    mt.snapshot_delete(spark, tdir, "doc_id % 11 = 5", mode="mor")
+    mt.snapshot_delete(spark, tdir, "doc_id % 13 = 2", mode="cow")
+    ch = mt.snapshot_changes(spark, tdir, 0)
+    latest = mt.snapshot_read(spark, tdir)
+    empty = latest.limit(0)
+    assert _same_multiset(_replay(empty, ch), latest)
+
+
+def test_changes_vacuum_interaction(spark, sf_dir, tmp_path):
+    import os as _os
+
+    import pytest
+
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    mt.snapshot_merge(
+        docs.filter("doc_id < 20").withColumn("text", F.lit("m")),
+        tdir,
+        keys=["doc_id"],
+    )
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 100 and doc_id < 120"), tdir, mode="append"
+    )
+    # keep the last two manifests: v2 (merge, with cdf) + v3
+    mt.snapshot_vacuum(tdir, keep_last=2)
+    # v2's change files survived (its manifest is retained)...
+    m2 = mt._read_manifest(tdir, 2)
+    for f in m2["cdf"]["files"]:
+        assert _os.path.exists(_os.path.join(tdir, f["path"]))
+    # ...and the feed over the retained range still works; v1 is gone
+    assert mt.snapshot_changes(spark, tdir, 2).count() == 20
+    with pytest.raises(ValueError, match="vacuum"):
+        mt.snapshot_changes(spark, tdir, 0)
+    # vacuum everything down to the head: the merge cdf files become
+    # orphans and are removed
+    mt.snapshot_commit(docs.limit(3), tdir, mode="append")
+    removed = mt.snapshot_vacuum(tdir, keep_last=1)
+    assert any(_os.sep + "changes" + _os.sep in p for p in removed)

@@ -122,7 +122,10 @@ def test_rewrite_commit_fails_by_default_and_skips_on_option(
     docs = _docs(spark, sf_dir)
     tdir = str(tmp_path / "table")
     mt.snapshot_commit(docs.filter("doc_id < 50"), tdir)
-    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=2)  # rewrite
+    # a SEMANTIC overwrite (content replaced, not a reorg commit)
+    mt.snapshot_commit(
+        docs.filter("doc_id < 50"), tdir, mode="overwrite"
+    )
     mt.snapshot_commit(
         docs.filter("doc_id >= 50 and doc_id < 80"), tdir, mode="append"
     )
@@ -135,6 +138,22 @@ def test_rewrite_commit_fails_by_default_and_skips_on_option(
     # v1 rows + v3 rows; the v2 rewrite contributes nothing
     want = docs.filter("doc_id < 80")
     assert _same(out, want)
+
+
+def test_reorg_commits_are_stream_transparent(spark, sf_dir, tmp_path):
+    """compact/cluster_by/zorder_by preserve content exactly and stamp
+    extra.reorg (Delta's dataChange=false) — the stream passes over
+    them WITHOUT on_rewrite='skip', emitting nothing for them."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 50"), tdir)
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=2)
+    mt.snapshot_compact(spark, tdir)
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 50 and doc_id < 80"), tdir, mode="append"
+    )
+    out = _drain(spark, tdir, "snap_s4c", str(tmp_path / "cp4c"))
+    assert _same(out, docs.filter("doc_id < 80"))
 
 
 def test_mor_delete_commit_is_a_change_commit(spark, sf_dir, tmp_path):
