@@ -120,6 +120,35 @@ class _FilePartition(InputPartition):
         self.fields = fields
 
 
+class _ChangePartition(InputPartition):
+    """One change source of a CDF micro-batch (``read_changes``) —
+    read executor-side. ``kind``:
+
+    - ``insert_file``: a data file an append added (rows → insert);
+    - ``cdf_file``: a commit-time change file (rows carry their own
+      ``_change_type``);
+    - ``mor_delete``: a data file some of whose positions a
+      merge-on-read delete removed — ``positions`` is that commit's
+      DV slice for this file (bounded by the deleted rows; mor is the
+      small-delete mode)."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        kind: str,
+        rel_path: str,
+        fields: list[str],
+        version: int,
+        positions: tuple = (),
+    ):
+        self.table_dir = table_dir
+        self.kind = kind
+        self.rel_path = rel_path
+        self.fields = fields
+        self.version = version
+        self.positions = positions
+
+
 class SnapshotStreamReader(DataSourceStreamReader):
     """Version-stepped micro-batches; the offset is ``{"version": N}``
     = "consumed through commit N". The driver plans from manifests
@@ -134,6 +163,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
             raise ValueError("on_rewrite must be fail|skip")
         self.max_versions = int(options.get("max_versions_per_batch", 0))
         self.starting = str(options.get("starting_version", "earliest"))
+        self.read_changes = str(
+            options.get("read_changes", "false")
+        ).lower() in ("true", "1")
         self._fields = [f.name for f in _table_schema_arrow(self.table_dir)]
         #: pacing cursor: the last offset this reader handed to Spark
         #: (latestOffset must not leap past max_versions_per_batch)
@@ -211,32 +243,159 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if f["path"] not in parent_paths
         ]
 
+    def _change_plan(self, version: int) -> list:
+        """CDF partitions for one commit — the streaming twin of
+        ``maintenance.snapshot_changes``' per-commit classification.
+        Planning is manifest-only except the mor case, which reads the
+        commit's (small) delete-vector files to slice positions per
+        data file."""
+        mt = _mt()
+        versions = mt.snapshot_versions(self.table_dir)
+        manifest = mt._read_manifest(self.table_dir, version)
+        op = manifest["op"]
+        extra = manifest.get("extra") or {}
+        if version - 1 > 0 and version - 1 not in versions:
+            raise ValueError(
+                f"cannot stream changes for commit v{version}: its "
+                f"parent manifest v{version - 1} was vacuumed — "
+                "restart the stream from an existing version"
+            )
+
+        def part(kind, rel_path, positions=()):
+            return _ChangePartition(
+                self.table_dir, kind, rel_path, self._fields, version,
+                positions,
+            )
+
+        if op == "append":
+            parent_paths = (
+                {
+                    f["path"]
+                    for f in mt._read_manifest(
+                        self.table_dir, version - 1
+                    )["files"]
+                }
+                if version - 1 > 0
+                else set()
+            )
+            return [
+                part("insert_file", f["path"])
+                for f in manifest["files"]
+                if f["path"] not in parent_paths
+            ]
+        if op in ("merge", "delete"):
+            cdfm = manifest.get("cdf") or {}
+            if cdfm.get("files"):
+                return [
+                    part("cdf_file", f["path"]) for f in cdfm["files"]
+                ]
+            if self.on_rewrite == "skip":
+                return []
+            raise ValueError(
+                f"commit v{version} is op={op!r} but recorded no "
+                "change files (written with cdf=False). Set "
+                "on_rewrite='skip' to move past it."
+            )
+        if op == "delete-mor":
+            import pyarrow.parquet as pq
+
+            prior = {
+                f["path"]
+                for f in (
+                    mt._read_manifest(self.table_dir, version - 1).get(
+                        "dv"
+                    )
+                    or {}
+                ).get("files", [])
+            }
+            by_path: dict[str, list[int]] = {}
+            for f in (manifest.get("dv") or {}).get("files", []):
+                if f["path"] in prior:
+                    continue
+                tbl = pq.read_table(
+                    os.path.join(self.table_dir, f["path"]),
+                    columns=["path", "pos"],
+                )
+                for p, pos in zip(
+                    tbl.column("path").to_pylist(),
+                    tbl.column("pos").to_pylist(),
+                ):
+                    by_path.setdefault(p, []).append(int(pos))
+            return [
+                part("mor_delete", p, tuple(sorted(poss)))
+                for p, poss in sorted(by_path.items())
+            ]
+        if op == "overwrite" and extra.get("reorg"):
+            return []  # content-preserving reorganization
+        if self.on_rewrite == "skip":
+            return []
+        raise ValueError(
+            f"commit v{version} is op={op!r}: its row delta is not "
+            "recorded. Set on_rewrite='skip' to move past it, or "
+            "restart from a newer starting_version."
+        )
+
     def partitions(self, start: dict, end: dict):
-        paths = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            paths.extend(self._added_paths(v))
+        lo, hi = int(start["version"]) + 1, int(end["version"]) + 1
         # deterministic plan: replay of a committed range (restart
         # recovery) re-derives the identical partition list from the
         # immutable manifests
+        if self.read_changes:
+            parts = []
+            for v in range(lo, hi):
+                parts.extend(self._change_plan(v))
+            return parts
+        paths = []
+        for v in range(lo, hi):
+            paths.extend(self._added_paths(v))
         return [
             _FilePartition(self.table_dir, p, self._fields)
             for p in paths
         ]
 
-    def read(self, partition: _FilePartition):
-        """Executor-side: one parquet file, projected onto the pinned
-        schema (extra columns dropped, missing columns null-filled)."""
+    @staticmethod
+    def _project(tbl, fields: list[str]) -> dict:
+        """Columns of a pyarrow table projected onto the pinned schema
+        (extra columns dropped, missing columns null-filled)."""
+        cols = {}
+        for name in fields:
+            if name in tbl.column_names:
+                cols[name] = tbl.column(name).to_pylist()
+            else:
+                cols[name] = [None] * len(tbl)
+        return cols
+
+    def read(self, partition):
+        """Executor-side: one parquet file (plain mode), or one change
+        source (CDF mode — appends emit insert rows, change files
+        carry their own ``_change_type``, mor partitions take their DV
+        positions from the file; ``_metadata.row_index`` == pyarrow
+        row order within a file, which is what the DVs recorded)."""
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(
             os.path.join(partition.table_dir, partition.rel_path)
         )
-        cols = {}
-        for name in partition.fields:
-            if name in tbl.column_names:
-                cols[name] = tbl.column(name).to_pylist()
+        if isinstance(partition, _ChangePartition):
+            if partition.kind == "mor_delete":
+                tbl = tbl.take(list(partition.positions))
+            cols = self._project(tbl, partition.fields)
+            if partition.kind == "cdf_file":
+                ctypes = tbl.column("_change_type").to_pylist()
             else:
-                cols[name] = [None] * len(tbl)
+                ctype = (
+                    "insert"
+                    if partition.kind == "insert_file"
+                    else "delete"
+                )
+                ctypes = [ctype] * len(tbl)
+            ver = int(partition.version)
+            return iter(
+                tuple(cols[n][i] for n in partition.fields)
+                + (ctypes[i], ver)
+                for i in range(len(tbl))
+            )
+        cols = self._project(tbl, partition.fields)
         return iter(
             tuple(cols[n][i] for n in partition.fields)
             for i in range(len(tbl))
@@ -453,7 +612,17 @@ class SnapshotDataSource(DataSource):
         )
         if not table_dir:
             raise ValueError("format('snapshot') requires a path")
-        return from_arrow_schema(_table_schema_arrow(table_dir))
+        schema = _table_schema_arrow(table_dir)
+        if str(self.options.get("read_changes", "false")).lower() in (
+            "true",
+            "1",
+        ):
+            import pyarrow as pa
+
+            schema = schema.append(
+                pa.field("_change_type", pa.string())
+            ).append(pa.field("_commit_version", pa.int64()))
+        return from_arrow_schema(schema)
 
     def reader(self, schema):
         raise NotImplementedError(

@@ -496,3 +496,67 @@ def test_stream_writer_replayed_epoch_is_noop(spark, sf_dir, tmp_path):
     w3 = ss.SnapshotStreamWriter({"path": tdir}, overwrite=False)
     w3.commit([w3.write(iter([batch]))], 1)
     assert mt.snapshot_versions(tdir) == [1, 2]
+
+
+def test_read_changes_stream_equals_batch_cdf(spark, sf_dir, tmp_path):
+    """option('read_changes') — the readChangeFeed twin: the streamed
+    change rows over a mixed history (appends, merge, reorg, mor
+    delete) equal maintenance.snapshot_changes(0) exactly, and merge /
+    mor-delete commits STREAM in CDF mode (no on_rewrite needed —
+    their row deltas are recorded)."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 150"), tdir)
+    mt.snapshot_merge(
+        docs.filter("doc_id < 30").withColumn(
+            "text", F.concat(F.lit("re:"), F.col("text"))
+        ).unionByName(docs.filter("doc_id >= 150 and doc_id < 160")),
+        tdir,
+        keys=["doc_id"],
+    )
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=2)
+    mt.snapshot_delete(spark, tdir, "doc_id % 10 = 4", mode="mor")
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 160 and doc_id < 180"), tdir, mode="append"
+    )
+    out = _drain(
+        spark, tdir, "snap_cdf1", str(tmp_path / "cpc1"),
+        read_changes="true",
+    )
+    want = mt.snapshot_changes(spark, tdir, 0)
+    assert set(out.columns) == set(want.columns)
+    order = sorted(out.columns)
+    assert _same(out.select(*order), want.select(*order))
+    # every change class actually occurred in this history
+    assert {
+        r[0] for r in out.select("_change_type").distinct().collect()
+    } == {"insert", "delete", "update_preimage", "update_postimage"}
+
+
+def test_read_changes_policy_on_unrecoverable_commits(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 50"), tdir)
+    # a SEMANTIC overwrite has no recorded row delta even for CDF
+    mt.snapshot_commit(
+        docs.filter("doc_id < 20"), tdir, mode="overwrite"
+    )
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 50 and doc_id < 70"), tdir, mode="append"
+    )
+    with pytest.raises(Exception, match="row delta|rewrite"):
+        _drain(
+            spark, tdir, "snap_cdf2a", str(tmp_path / "cpc2a"),
+            read_changes="true",
+        )
+    out = _drain(
+        spark, tdir, "snap_cdf2b", str(tmp_path / "cpc2b"),
+        read_changes="true", on_rewrite="skip",
+    )
+    # v1 + v3 inserts stream; the overwrite contributes nothing
+    assert {
+        r[0] for r in out.select("_commit_version").distinct().collect()
+    } == {1, 3}
+    assert out.where("_change_type != 'insert'").count() == 0
