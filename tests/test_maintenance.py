@@ -1418,3 +1418,141 @@ def test_changes_vacuum_interaction(spark, sf_dir, tmp_path):
     mt.snapshot_commit(docs.limit(3), tdir, mode="append")
     removed = mt.snapshot_vacuum(tdir, keep_last=1)
     assert any(_os.sep + "changes" + _os.sep in p for p in removed)
+
+
+# ---------------------------------------- merge deletes + replication
+
+
+def test_merge_with_delete_keys(spark, sf_dir, tmp_path):
+    """WHEN MATCHED THEN DELETE: upserts and keyed deletes land in ONE
+    merge commit, with the delete preimages in the change feed."""
+    import pytest
+
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 200"), tdir)
+    ups = docs.filter("doc_id < 10").withColumn(
+        "text", F.lit("fresh")
+    ).unionByName(docs.filter("doc_id >= 200 and doc_id < 205"))
+    dels = docs.filter("doc_id >= 190 and doc_id < 200").select("doc_id")
+    res = mt.snapshot_merge(ups, tdir, keys=["doc_id"], delete_keys=dels)
+    assert res["rows_replaced"] == 10
+    assert res["rows_inserted"] == 5
+    assert res["rows_deleted"] == 10
+    got = mt.snapshot_read(spark, tdir)
+    assert got.count() == 200 + 5 - 10
+    assert got.where("doc_id >= 190 and doc_id < 200").count() == 0
+    assert got.where("text = 'fresh'").count() == 10
+    ch = mt.snapshot_changes(spark, tdir, 1)
+    assert _same_multiset(
+        ch.where(F.col(mt.CHANGE_TYPE_COL) == "delete").select(
+            *docs.columns
+        ),
+        docs.filter("doc_id >= 190 and doc_id < 200"),
+    )
+    # replaying the feed still reconstructs the head exactly
+    assert _same_multiset(
+        _replay(mt.snapshot_read(spark, tdir, 1), ch), got
+    )
+    # a key both upserted and deleted is ambiguous
+    with pytest.raises(ValueError, match="overlap"):
+        mt.snapshot_merge(
+            ups, tdir, keys=["doc_id"],
+            delete_keys=ups.select("doc_id").limit(1),
+        )
+
+
+def test_replicate_bootstrap_increment_and_noop(spark, sf_dir, tmp_path):
+    """CDC apply loop: bootstrap sync == source; incremental sync
+    lands net changes only; an already-synced head is a no-op; a
+    reorg-only tail applies nothing."""
+    import pytest
+
+    docs = _docs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    mt.snapshot_commit(docs.filter("doc_id < 150"), src)
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 150 and doc_id < 250"), src, mode="append"
+    )
+    r1 = mt.snapshot_replicate(spark, src, dst, keys=["doc_id"])
+    assert r1["applied"] and r1["from_version"] == 0
+    assert r1["rows_upserted"] == 250 and r1["rows_deleted"] == 0
+    assert _same_multiset(
+        mt.snapshot_read(spark, dst), mt.snapshot_read(spark, src)
+    )
+
+    # source evolves: update, insert, mor delete, then a reorg
+    mt.snapshot_merge(
+        docs.filter("doc_id < 25").withColumn(
+            "text", F.concat(F.lit("v2:"), F.col("text"))
+        ).unionByName(docs.filter("doc_id >= 250 and doc_id < 260")),
+        src,
+        keys=["doc_id"],
+    )
+    mt.snapshot_delete(spark, src, "doc_id % 17 = 3", mode="mor")
+    mt.snapshot_cluster_by(spark, src, "doc_id", n_files=2)
+    r2 = mt.snapshot_replicate(spark, src, dst, keys=["doc_id"])
+    assert r2["applied"] and r2["from_version"] == r1["to_version"]
+    assert _same_multiset(
+        mt.snapshot_read(spark, dst), mt.snapshot_read(spark, src)
+    )
+    # the increment was a keyed merge, not a table rewrite: the dst
+    # table has exactly one more version and recorded the high water
+    hw = mt._read_manifest(dst, mt.snapshot_versions(dst)[-1])["extra"]
+    assert hw["replicate_src_version"] == r2["to_version"]
+
+    # already synced -> no-op
+    r3 = mt.snapshot_replicate(spark, src, dst, keys=["doc_id"])
+    assert not r3["applied"] and r3["version"] is None
+
+    # reorg-only tail: nothing to apply, content still equal
+    mt.snapshot_compact(spark, src)
+    r4 = mt.snapshot_replicate(spark, src, dst, keys=["doc_id"])
+    assert not r4["applied"]
+    assert _same_multiset(
+        mt.snapshot_read(spark, dst), mt.snapshot_read(spark, src)
+    )
+
+    # a destination is bound to ONE source feed
+    other = str(tmp_path / "other")
+    mt.snapshot_commit(docs.limit(5), other)
+    with pytest.raises(ValueError, match="one source feed"):
+        mt.snapshot_replicate(spark, other, dst, keys=["doc_id"])
+
+
+def test_replicate_net_collapses_intermediate_states(
+    spark, sf_dir, tmp_path
+):
+    """A key updated twice then deleted lands as ONE delete; a key
+    deleted then re-inserted lands as its final row — the net-outcome
+    reduction, so a chatty source does not thrash the destination."""
+    docs = _docs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    mt.snapshot_commit(docs.filter("doc_id < 50"), src)
+    mt.snapshot_replicate(spark, src, dst, keys=["doc_id"])
+
+    mt.snapshot_merge(
+        docs.filter("doc_id = 7").withColumn("text", F.lit("a")),
+        src, keys=["doc_id"],
+    )
+    mt.snapshot_merge(
+        docs.filter("doc_id = 7").withColumn("text", F.lit("b")),
+        src, keys=["doc_id"],
+    )
+    mt.snapshot_delete(spark, src, "doc_id = 7", mode="cow")
+    mt.snapshot_delete(spark, src, "doc_id = 9", mode="cow")
+    mt.snapshot_commit(
+        docs.filter("doc_id = 9").withColumn("text", F.lit("back")),
+        src, mode="append",
+    )
+    r = mt.snapshot_replicate(spark, src, dst, keys=["doc_id"])
+    assert r["rows_deleted"] == 1  # doc 7 once, not three events
+    assert r["rows_upserted"] == 1  # doc 9's final row only
+    got = mt.snapshot_read(spark, dst)
+    assert got.where("doc_id = 7").count() == 0
+    assert [r2["text"] for r2 in got.where("doc_id = 9").collect()] == [
+        "back"
+    ]
+    assert _same_multiset(got, mt.snapshot_read(spark, src))
