@@ -53,7 +53,9 @@ is the exact-round-trip builder twin for every revision.
 
 Documented boundaries (raise, never guess): non-Standard security
 handlers, public-key (/Recipients) encryption,
-DCT/JBIG2 filters and the TIFF predictor (2),
+DCT/JBIG2 filters and sub-byte/16-bit samples under the TIFF
+predictor (8-bit predictor-2 rows ARE decoded — pinned against the
+JDK TIFF reader),
 and Type0 fonts WITHOUT a ToUnicode CMap or with a non-Identity
 encoding (their strings are CID sequences whose meaning lives in an
 embedded CMap we cannot reconstruct; extracting them as bytes would
@@ -1045,18 +1047,56 @@ class _Document:
         predictor = int(self.resolve(parms.get("Predictor", 1)) or 1)
         if predictor == 1:
             return data
+        columns = int(self.resolve(parms.get("Columns", 1)) or 1)
+        colors = int(self.resolve(parms.get("Colors", 1)) or 1)
+        bpc = int(self.resolve(parms.get("BitsPerComponent", 8)) or 8)
         if predictor == 2:
-            raise NotImplementedError(
-                "TIFF predictor 2 is out of scope (documented boundary)"
-            )
+            return _tiff_unpredict(data, columns, colors, bpc)
         if predictor < 10 or predictor > 15:
             raise PdfFormatError(f"unknown /Predictor {predictor}")
-        return _png_unpredict(
-            data,
-            int(self.resolve(parms.get("Columns", 1)) or 1),
-            int(self.resolve(parms.get("Colors", 1)) or 1),
-            int(self.resolve(parms.get("BitsPerComponent", 8)) or 8),
+        return _png_unpredict(data, columns, colors, bpc)
+
+
+def _tiff_unpredict(
+    data: bytes, columns: int, colors: int = 1, bpc: int = 8
+) -> bytes:
+    """TIFF predictor 2 (ISO 32000 7.4.4.4 → TIFF 6.0 §14, horizontal
+    differencing): each sample stores the delta from the previous
+    sample of the SAME color component in the row; rows are exactly
+    ``columns * colors`` samples with NO per-row filter byte (the
+    difference from the PNG scheme). 8-bit samples only — the shape
+    PDFs actually use; sub-byte and 16-bit samples remain a documented
+    boundary. Convention pinned against the JDK TIFF reader
+    (tests/test_imageio_interop.py: javax.imageio decodes an
+    LZW+predictor-2 TIFF built with this forward transform)."""
+    if bpc != 8:
+        raise NotImplementedError(
+            "TIFF predictor 2 with BitsPerComponent != 8 is out of "
+            "scope (documented boundary)"
         )
+    rowlen = columns * colors
+    if rowlen <= 0:
+        raise PdfFormatError("bad predictor Columns")
+    if len(data) % rowlen:
+        raise PdfFormatError("predicted stream not a whole row count")
+    out = bytearray(data)
+    for start in range(0, len(out), rowlen):
+        for i in range(start + colors, start + rowlen):
+            out[i] = (out[i] + out[i - colors]) & 0xFF
+    return bytes(out)
+
+
+def _tiff_predict(
+    data: bytes, columns: int, colors: int = 1
+) -> bytes:
+    """Forward horizontal differencing (the builder/test twin of
+    :func:`_tiff_unpredict`)."""
+    rowlen = columns * colors
+    out = bytearray(data)
+    for start in range(0, len(data), rowlen):
+        for i in range(start + rowlen - 1, start + colors - 1, -1):
+            out[i] = (data[i] - data[i - colors]) & 0xFF
+    return bytes(out)
 
 
 def _png_unpredict(

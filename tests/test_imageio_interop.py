@@ -493,3 +493,54 @@ def test_pdf_lzw_decoder_against_jvm_tiff_lzw(spark):
     for so, sc in zip(offsets, counts):
         decoded += px._lzw_decode(tiff[so : so + sc])
     assert bytes(decoded) == pix
+
+
+def test_pdf_tiff_predictor2_against_jvm_tiff_reader(spark):
+    """Foreign pin for operators/pdf_extract._tiff_predict/_unpredict
+    (ISO 32000 /Predictor 2 = TIFF 6.0 horizontal differencing): a
+    classic TIFF whose strip is zlib(_tiff_predict(rows)) with
+    Compression=8 (Adobe Deflate) and Predictor=2 must decode to the
+    ORIGINAL pixels in javax.imageio — the JVM's independent predictor
+    implementation inverts our forward transform, so the convention
+    (per-component delta, no per-row filter byte) cannot be
+    self-consistently wrong."""
+    import struct
+    import zlib
+
+    from teste_carga_avro_vs_json_spark.operators import pdf_extract as px
+
+    w, h = 64, 48
+    pix = bytes(((x * 31 + y * 7) ^ (y >> 2)) & 0xFF for y in range(h)
+                for x in range(w))
+    strip = zlib.compress(px._tiff_predict(pix, columns=w, colors=1))
+
+    # classic little-endian TIFF: header + one IFD + strip data
+    entries = []  # (tag, type, count, value)
+    data_at = 8 + 2 + 12 * 8 + 4  # header + count + 8 entries + next-IFD
+    entries.append((256, 3, 1, w))          # ImageWidth
+    entries.append((257, 3, 1, h))          # ImageLength
+    entries.append((258, 3, 1, 8))          # BitsPerSample
+    entries.append((259, 3, 1, 8))          # Compression: Adobe Deflate
+    entries.append((262, 3, 1, 1))          # Photometric: BlackIsZero
+    entries.append((273, 4, 1, data_at))    # StripOffsets
+    entries.append((279, 4, 1, len(strip))) # StripByteCounts
+    entries.append((317, 3, 1, 2))          # Predictor: horizontal
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    assert len(out) == data_at
+    out += strip
+
+    jvm = _jvm(spark)
+    stream = jvm.java.io.ByteArrayInputStream(bytearray(bytes(out)))
+    img = jvm.javax.imageio.ImageIO.read(stream)
+    assert img is not None, "JDK TIFF reader rejected the file"
+    assert img.getWidth() == w and img.getHeight() == h
+    # raw raster samples, NOT getRGB — getRGB pushes gray through a
+    # linear->sRGB color transform and would mask predictor bugs
+    arr = spark.sparkContext._gateway.new_array(jvm.int, w * h)
+    img.getRaster().getPixels(0, 0, w, h, arr)
+    got = bytes(arr[i] & 0xFF for i in range(w * h))
+    assert got == pix

@@ -832,3 +832,53 @@ def test_hash_2b_termination_and_shape():
     assert len(outs) == 4
     assert px._hash_2b(b"pw", bytes(8)) != px._hash_2b(b"pw2", bytes(8))
     assert px._hash_2b(b"pw", bytes(8), b"u") != px._hash_2b(b"pw", bytes(8))
+
+
+# ------------------------------------------- TIFF predictor 2 (r10)
+def test_tiff_predictor2_flate_and_lzw_content_streams():
+    """ISO 32000 7.4.4.4: /Predictor 2 is horizontal differencing with
+    NO per-row filter byte — both Flate and LZW content streams must
+    invert it; convention additionally JVM-pinned in
+    test_imageio_interop.py (javax.imageio reads an LZW+predictor-2
+    TIFF built with the same forward transform)."""
+    import zlib
+
+    content = b"BT /F1 12 Tf 72 720 Td (predicted text ok) Tj ET"
+    cols = 16
+    padded = content + b" " * (-len(content) % cols)
+    pred = px._tiff_predict(padded, cols)
+    assert pred != padded  # the transform actually did something
+    parms = (
+        b" /DecodeParms << /Predictor 2 /Columns " +
+        str(cols).encode() + b" >>"
+    )
+    pdf_flate = _wrap_content(
+        zlib.compress(pred), filters=b" /Filter /FlateDecode" + parms
+    )
+    assert px.extract_pdf(pdf_flate)[0] == "predicted text ok"
+    pdf_lzw = _wrap_content(
+        _lzw_encode(pred), filters=b" /Filter /LZWDecode" + parms
+    )
+    assert px.extract_pdf(pdf_lzw)[0] == "predicted text ok"
+
+
+def test_tiff_predictor2_inverse_and_boundaries():
+    import pytest
+
+    # forward/inverse are exact inverses, multi-component rows too
+    data = bytes((i * 37 + (i >> 3) * 11) & 0xFF for i in range(240))
+    for columns, colors in ((16, 1), (20, 3), (240, 1), (1, 4)):
+        if 240 % (columns * colors):
+            continue
+        fwd = px._tiff_predict(data, columns, colors)
+        assert px._tiff_unpredict(fwd, columns, colors) == data
+    # per-component differencing: component streams are independent
+    row = bytes([10, 100, 200, 13, 105, 190])  # 2 px, 3 components
+    fwd = px._tiff_predict(row, 2, 3)
+    assert fwd == bytes([10, 100, 200, 3, 5, (190 - 200) & 0xFF])
+    # ragged data is a format error, never a silent partial row
+    with pytest.raises(px.PdfFormatError):
+        px._tiff_unpredict(b"12345", 4, 1)
+    # sub-byte / 16-bit samples stay a loud boundary
+    with pytest.raises(NotImplementedError):
+        px._tiff_unpredict(bytes(8), 4, 1, bpc=16)
