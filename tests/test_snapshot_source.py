@@ -560,3 +560,47 @@ def test_read_changes_policy_on_unrecoverable_commits(
         r[0] for r in out.select("_commit_version").distinct().collect()
     } == {1, 3}
     assert out.where("_change_type != 'insert'").count() == 0
+
+
+def test_read_changes_resumes_exactly_once_across_restarts(
+    spark, sf_dir, tmp_path
+):
+    """CDF stream + checkpoint: changes committed between runs of the
+    same query arrive exactly once (parquet sink, the checkpoint-
+    recovering one) — the incremental CDC-consumer contract."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    cp = str(tmp_path / "cpcdf")
+    sink = str(tmp_path / "sinkcdf")
+    ss.register(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("snapshot")
+            .option("read_changes", "true")
+            .load(tdir)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    run_once()
+    out1 = spark.read.parquet(sink)
+    assert out1.count() == 100
+    # churn between runs: an update-merge and a mor delete
+    mt.snapshot_merge(
+        docs.filter("doc_id < 5").withColumn("text", F.lit("v2")),
+        tdir, keys=["doc_id"],
+    )
+    mt.snapshot_delete(spark, tdir, "doc_id = 42", mode="mor")
+    run_once()
+    out2 = spark.read.parquet(sink)
+    want = mt.snapshot_changes(spark, tdir, 0)
+    order = sorted(want.columns)
+    assert _same(out2.select(*order), want.select(*order))
+    # nothing duplicated: exactly 100 inserts + 5+5 updates + 1 delete
+    assert out2.count() == 100 + 10 + 1
