@@ -1011,3 +1011,178 @@ def normalize_text_sql(table: str = "documents") -> str:
         SELECT doc_id, clean_text, clean_text <> _orig AS changed
         FROM n
     """
+
+
+# ----------------------------------------------------- Gopher rules
+#: Gopher's required stop words (Rae et al. 2021 §A1.1) — a doc must
+#: contain at least two DISTINCT members to pass the stop-word rule
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """The Gopher rule-based quality gate (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as ONE zero-shuffle projection — the
+    remaining half of the published filter set next to the repetition
+    filters (:func:`repetition_profile` covers §A1.1's duplicate/
+    n-gram block; this covers the document-shape block):
+
+    - word count in ``[min_words, max_words]``;
+    - mean word length in [3, 10] characters;
+    - symbol-to-word ratio (``#`` or ``...``) <= 0.1;
+    - <= 10% of lines start with a bullet, <= 30% end with an
+      ellipsis;
+    - >= 80% of words contain an alphabetic character;
+    - >= 2 distinct required stop words present.
+
+    Every metric is an exact integer and every rule an integer
+    comparison (``10*n_bullet <= n_lines`` instead of a double ratio),
+    so the full frame is DuckDB-oracle-stable. Emits the per-doc
+    metrics, one boolean per rule (auditability — WHICH rule killed a
+    doc), and the conjunction ``keep``. Token/line arrays are staged
+    behind a projection once (HOF-lambda rule, SCALE.md)."""
+    staged = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        tokens(text_col).alias("_toks"),
+        F.filter(
+            F.split(F.col(text_col), r"\n"), lambda l: l != F.lit("")
+        ).alias("_lines"),
+    )
+    stop_hits = None
+    for w in _GOPHER_STOPS:
+        hit = F.array_contains(
+            F.transform(F.col("_toks"), F.lower), w
+        ).cast("long")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    metrics = staged.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_words"),
+        F.aggregate(
+            "_toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("sum_word_len"),
+        F.size(
+            F.filter(F.col("_toks"), lambda t: t.rlike("[A-Za-z]"))
+        ).cast("long").alias("n_alpha_words"),
+        stop_hits.alias("n_stop_hits"),
+        (
+            F.length("_t") - F.length(F.replace("_t", F.lit("#")))
+        ).cast("long").alias("n_hash"),
+        (
+            (F.length("_t") - F.length(F.replace("_t", F.lit("..."))))
+            / F.lit(3)
+        ).cast("long").alias("n_ellipsis"),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size(
+            F.filter(F.col("_lines"), lambda l: l.rlike("^[-•]"))
+        ).cast("long").alias("n_bullet_lines"),
+        F.size(
+            F.filter(
+                F.col("_lines"), lambda l: l.rlike("(\\.\\.\\.|…)$")
+            )
+        ).cast("long").alias("n_ellipsis_lines"),
+    )
+    rules = metrics.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias(
+            "r_word_count"
+        ),
+        (
+            (F.col("sum_word_len") >= 3 * F.col("n_words"))
+            & (F.col("sum_word_len") <= 10 * F.col("n_words"))
+            & (F.col("n_words") > 0)
+        ).alias("r_mean_word_len"),
+        (
+            10 * (F.col("n_hash") + F.col("n_ellipsis"))
+            <= F.col("n_words")
+        ).alias("r_symbol_ratio"),
+        (10 * F.col("n_bullet_lines") <= F.col("n_lines")).alias(
+            "r_bullet_lines"
+        ),
+        (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines")).alias(
+            "r_ellipsis_lines"
+        ),
+        (10 * F.col("n_alpha_words") >= 8 * F.col("n_words")).alias(
+            "r_alpha_words"
+        ),
+        (F.col("n_stop_hits") >= 2).alias("r_stop_words"),
+    )
+    return rules.select(
+        "*",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_symbol_ratio")
+            & F.col("r_bullet_lines")
+            & F.col("r_ellipsis_lines")
+            & F.col("r_alpha_words")
+            & F.col("r_stop_words")
+        ).alias("keep"),
+    )
+
+
+def gopher_rules_sql(
+    table: str = "documents",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> str:
+    """DuckDB twin of :func:`gopher_rules` (integer-only rules)."""
+    stops = " + ".join(
+        "CASE WHEN list_contains(list_transform(toks, t -> lower(t)), "
+        f"'{w}') THEN 1 ELSE 0 END"
+        for w in _GOPHER_STOPS
+    )
+    return f"""
+        WITH staged AS (
+            SELECT doc_id, text AS _t,
+                   {tokens_sql("text")} AS toks,
+                   list_filter(string_split(text, chr(10)),
+                               l -> l <> '') AS lines
+            FROM {table}
+        ), metrics AS (
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_words,
+                   coalesce(list_sum(list_transform(
+                       toks, t -> length(t))), 0)::BIGINT AS sum_word_len,
+                   len(list_filter(toks,
+                       t -> regexp_matches(t, '[A-Za-z]')))::BIGINT
+                       AS n_alpha_words,
+                   ({stops})::BIGINT AS n_stop_hits,
+                   (length(_t) - length(replace(_t, '#', '')))::BIGINT
+                       AS n_hash,
+                   ((length(_t) - length(replace(_t, '...', ''))) // 3
+                       )::BIGINT AS n_ellipsis,
+                   len(lines)::BIGINT AS n_lines,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '^[-•]')))::BIGINT
+                       AS n_bullet_lines,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::BIGINT
+                       AS n_ellipsis_lines
+            FROM staged
+        ), rules AS (
+            SELECT *,
+                   n_words BETWEEN {min_words} AND {max_words}
+                       AS r_word_count,
+                   sum_word_len >= 3 * n_words
+                       AND sum_word_len <= 10 * n_words
+                       AND n_words > 0 AS r_mean_word_len,
+                   10 * (n_hash + n_ellipsis) <= n_words
+                       AS r_symbol_ratio,
+                   10 * n_bullet_lines <= n_lines AS r_bullet_lines,
+                   10 * n_ellipsis_lines <= 3 * n_lines
+                       AS r_ellipsis_lines,
+                   10 * n_alpha_words >= 8 * n_words AS r_alpha_words,
+                   n_stop_hits >= 2 AS r_stop_words
+            FROM metrics
+        )
+        SELECT *,
+               r_word_count AND r_mean_word_len AND r_symbol_ratio
+               AND r_bullet_lines AND r_ellipsis_lines
+               AND r_alpha_words AND r_stop_words AS keep
+        FROM rules
+    """

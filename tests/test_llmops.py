@@ -1847,3 +1847,65 @@ def test_pseudonymize_consistent_tokens(spark):
         for r in T.pseudonymize(docs, key="outra-chave").collect()
     }
     assert all(rot[k] != by[k].token for k in rot)
+
+
+# ------------------------------------------------- Gopher rule gate
+def test_gopher_rules_each_rule_has_a_dedicated_violator(spark):
+    """One constructed doc per rule, each violating EXACTLY that rule
+    (Rae et al. 2021 §A1.1); a clean doc passes all seven."""
+    from teste_carga_avro_vs_json_spark.operators import text as T
+
+    base_words = (
+        "the quick brown fox jumps over lazy dogs and that have "
+        "with many other plain words of normal length here today "
+        "more filler words keep the counter healthy and honest ok "
+        "final stretch of ordinary text that reads like prose yes"
+    )  # 40 words, all alphabetic, plenty of stop words
+    docs = [
+        (0, base_words),                                   # clean
+        (1, "the doc here is way too short of words"),     # word count
+        (2, " ".join(["of", "the"] + ["a"] * 38)),         # mean len < 3
+        (3, base_words + " " + "#" * 1 + " #### # # ##"),  # symbols
+        (4, base_words + "\n- b1\n- b2\n- b3"),            # bullets
+        (5, base_words + "\nend one...\nend two..."),      # ellipses
+        (6, " ".join(["the"] + ["4242"] * 39) + " of"),    # alpha share
+        (7, " ".join(["plain"] * 40)),                     # stop words
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in T.gopher_rules(df, min_words=30).collect()
+    }
+    assert got[0]["keep"] is True
+    flags = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_stop_words",
+    ]
+    expected_broken = {
+        1: "r_word_count", 2: "r_mean_word_len", 3: "r_symbol_ratio",
+        4: "r_bullet_lines", 5: "r_ellipsis_lines", 6: "r_alpha_words",
+        7: "r_stop_words",
+    }
+    for doc_id, broken in expected_broken.items():
+        row = got[doc_id]
+        assert row["keep"] is False
+        assert row[broken] is False, (doc_id, broken)
+        for other in flags:
+            if other != broken:
+                assert row[other] is True, (doc_id, other, row)
+    # metric spot checks: exact integers, not ratios
+    assert got[0]["n_words"] == 41 and got[0]["n_stop_hits"] >= 2
+    assert got[4]["n_bullet_lines"] == 3 and got[4]["n_lines"] == 4
+    assert got[3]["n_hash"] == 9
+
+
+def test_gopher_rules_plan_is_shuffle_free(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark import plans
+    from teste_carga_avro_vs_json_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = T.gopher_rules(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plans.expensive_filter_nodes(df) == []

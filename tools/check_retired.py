@@ -61,7 +61,12 @@ driver cap, not a correctness cap):
   LAG-based islands merge;
 - q_url_dedup — URL canonicalization + URL-level dedup
   (operators/crawl.py): the synth/canon/dedup chain rebuilt in
-  DuckDB SQL with RE2-syntax regex twins.
+  DuckDB SQL with RE2-syntax regex twins;
+- q_gopher_rules — the Gopher document-shape gate (Rae et al. 2021
+  §A1.1: word count / mean word length / symbol ratio / bullet +
+  ellipsis lines / alphabetic share / required stop words) as
+  integer-only rules over a structure-injected fixture
+  (text.gopher_rules).
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -397,6 +402,53 @@ def _pseudonymize_sql() -> str:
     return text.pseudonymize_sql(fixture)
 
 
+#: gopher_rules fixture: the sf documents are single-line word soup,
+#: so inject deterministic STRUCTURE (bullet lines, ellipsis endings,
+#: symbol runs, extra stop words) keyed on doc_id — every rule then
+#: varies across the corpus instead of being vacuously true
+def _q_gopher_rules(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n- bullet item "),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                F.lit("\nwith that and have of closing words"),
+            ).otherwise(F.lit("\nplain closing words here")),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.lit("\nthis line trails off..."),
+            ).otherwise(F.lit("\nfinal line stays put")),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+                F.lit("\n## ### #"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.gopher_rules(docs, min_words=40)
+
+
+def _gopher_rules_sql() -> str:
+    fixture = """(
+        SELECT doc_id,
+               text || chr(10) || '- bullet item ' || (doc_id % 5)::VARCHAR
+                    || chr(10) || CASE WHEN doc_id % 2 = 0
+                        THEN 'with that and have of closing words'
+                        ELSE 'plain closing words here' END
+                    || chr(10) || CASE WHEN doc_id % 3 = 0
+                        THEN 'this line trails off...'
+                        ELSE 'final line stays put' END
+                    || CASE WHEN doc_id % 7 = 0
+                        THEN chr(10) || '## ### #' ELSE '' END AS text
+        FROM documents
+    )"""
+    return text.gopher_rules_sql(fixture, min_words=40)
+
+
 def _q_c4_line_filter(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -484,6 +536,7 @@ def retired_queries() -> dict:
         "q_domain_profile": _q_domain_profile,
         "q_fim_transform": _q_fim_transform,
         "q_pseudonymize": _q_pseudonymize,
+        "q_gopher_rules": _q_gopher_rules,
         # r10 retirements (slots given to q_domain_cap +
         # q_chunk_documents, which moved INTO the driver window)
         "q_file_avro_roundtrip": _q_file_avro_roundtrip,
@@ -527,6 +580,7 @@ def retired_oracle_sql() -> dict:
         "q_domain_profile": _domain_profile_sql(),
         "q_fim_transform": _fim_transform_sql(),
         "q_pseudonymize": _pseudonymize_sql(),
+        "q_gopher_rules": _gopher_rules_sql(),
         "q_file_avro_roundtrip": flat,
         "q_stream_json_e2e": registry._stream_json_e2e_sql(),
     }
