@@ -16,6 +16,10 @@ _STAGES = [
 ]
 
 
+def _same_multiset(a, b):
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def _docs(spark, sf_dir, n=300):
     return (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -291,3 +295,70 @@ def test_incremental_update_mode_replaces_recrawled_docs(
         ).collect()
     }
     assert old == v1_docs
+
+
+def test_incremental_corpus_replicates_into_downstream_index(
+    spark, sf_dir, tmp_path
+):
+    """Composition pin across the r10 surfaces: the incremental
+    builder's clean-corpus table feeds a downstream 'index' replica
+    through snapshot_replicate — each crawl batch lands as one bounded
+    CDC sync, the replica stays multiset-equal to the corpus, and an
+    in-place re-crawl (update-mode merge) flows through as an UPDATE,
+    not a duplicate."""
+    from teste_carga_avro_vs_json_spark.operators import maintenance as mt
+    from teste_carga_avro_vs_json_spark.pipelines import (
+        build_corpus_incremental,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    raw = str(tmp_path / "raw")
+    clean = str(tmp_path / "clean")
+    index = str(tmp_path / "index")
+
+    mt.snapshot_commit(docs.where("doc_id % 2 = 0").limit(40), raw)
+    build_corpus_incremental(
+        spark, raw, clean, line_filter=False, keep_frac=1.0
+    )
+    r1 = mt.snapshot_replicate(spark, clean, index, keys=["doc_id"])
+    assert r1["applied"]
+    assert _same_multiset(
+        mt.snapshot_read(spark, index), mt.snapshot_read(spark, clean)
+    )
+
+    # batch 2 appends; sync carries only the delta
+    mt.snapshot_commit(
+        docs.where("doc_id % 2 = 1").limit(30), raw, mode="append"
+    )
+    build_corpus_incremental(
+        spark, raw, clean, line_filter=False, keep_frac=1.0
+    )
+    r2 = mt.snapshot_replicate(spark, clean, index, keys=["doc_id"])
+    assert r2["applied"] and r2["rows_deleted"] == 0
+    assert r2["rows_upserted"] < r1["rows_upserted"] + 30
+    assert _same_multiset(
+        mt.snapshot_read(spark, index), mt.snapshot_read(spark, clean)
+    )
+
+    # update-mode re-crawl: changed text merges in place upstream and
+    # arrives at the index as an update (row count unchanged)
+    changed = (
+        mt.snapshot_read(spark, clean).limit(5)
+        .select("doc_id")
+        .join(docs, on="doc_id")
+        .selectExpr("doc_id", "concat('re: ', text) as text")
+    )
+    mt.snapshot_commit(changed, raw, mode="append")
+    build_corpus_incremental(
+        spark, raw, clean, line_filter=False, keep_frac=1.0,
+        mode="update",
+    )
+    n_before = mt.snapshot_read(spark, index).count()
+    r3 = mt.snapshot_replicate(spark, clean, index, keys=["doc_id"])
+    assert r3["applied"] and r3["rows_deleted"] == 0
+    assert mt.snapshot_read(spark, index).count() == n_before
+    assert _same_multiset(
+        mt.snapshot_read(spark, index), mt.snapshot_read(spark, clean)
+    )
