@@ -84,27 +84,18 @@ def _query_terms(queries: list[tuple[int, str]]) -> list[tuple[int, str]]:
     return out
 
 
-def bm25_topk(
+def _bm25_agg(
     docs: DataFrame,
-    queries: list[tuple[int, str]] | None = None,
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    text_col: str = "text",
-) -> DataFrame:
-    """Top-``k`` documents per query by BM25 score.
-
-    Returns (q_id, doc_id, rnk, n_terms, score): rank within the query
-    (1-based, qsum-desc / doc_id-asc tie-break), the number of the
-    query's distinct terms the doc matched, and the BM25 score rounded
-    to 6 dp. Docs matching no query term never appear (score 0). Query
-    terms absent from the corpus contribute nothing (no df row — the
-    standard convention).
-
-    Two corpus scans total: one stats aggregation, one probe.
-    """
-    if queries is None:
-        queries = DEFAULT_QUERIES
+    queries: list[tuple[int, str]],
+    k1: float,
+    b: float,
+    text_col: str,
+) -> DataFrame | None:
+    """The shared BM25 scoring frame (q_id, doc_id, n_terms, qsum) —
+    quantized-integer per-(query, doc) sums; ``None`` for an empty
+    corpus. Two corpus scans total: one stats aggregation, one probe.
+    :func:`bm25_topk` ranks it; :func:`hard_negatives` excludes
+    positives first."""
     spark = docs.sparkSession
     staged = docs.select("doc_id", tokens(text_col).alias("toks"))
     row = staged.agg(
@@ -112,11 +103,8 @@ def bm25_topk(
         F.sum(F.size("toks").cast("long")).alias("sdl"),
     ).first()
     n_docs, sdl = int(row["n"] or 0), int(row["sdl"] or 0)
-    out_schema = (
-        "q_id long, doc_id long, rnk long, n_terms long, score double"
-    )
     if n_docs == 0:
-        return spark.createDataFrame([], out_schema)
+        return None
     # float(sdl) FIRST: the oracle computes sdl::DOUBLE / n, and for
     # sdl > 2^53 CPython's exact int/int rounding would diverge from
     # the convert-then-divide sequence — mirror DuckDB's op order.
@@ -171,13 +159,27 @@ def bm25_topk(
             .alias("c"),
         )
     )
-    agg = contrib.groupBy("q_id", "doc_id").agg(
+    return contrib.groupBy("q_id", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
         F.sum("c").alias("qsum"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("qsum"), F.asc("doc_id"))
+
+
+_BM25_OUT_SCHEMA = (
+    "q_id long, doc_id long, rnk long, n_terms long, score double"
+)
+def _bm25_rank_w():
+    # built lazily: Window construction needs an active SparkContext
+    return Window.partitionBy("q_id").orderBy(
+        F.desc("qsum"), F.asc("doc_id")
+    )
+
+
+def _bm25_rank(agg: DataFrame, k: int) -> DataFrame:
     return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        agg.withColumn(
+            "rnk", F.row_number().over(_bm25_rank_w()).cast("long")
+        )
         .filter(F.col("rnk") <= F.lit(k))
         .select(
             "q_id",
@@ -189,19 +191,86 @@ def bm25_topk(
     )
 
 
-def bm25_topk_sql(
+def bm25_topk(
+    docs: DataFrame,
     queries: list[tuple[int, str]] | None = None,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    table: str = "documents",
-) -> str:
-    """DuckDB twin of :func:`bm25_topk` — every double op mirrors the
-    Spark expression's association order term by term (constants are
-    pre-folded in Python and emitted via repr so both engines parse
-    the identical decimal literal)."""
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 score.
+
+    Returns (q_id, doc_id, rnk, n_terms, score): rank within the query
+    (1-based, qsum-desc / doc_id-asc tie-break), the number of the
+    query's distinct terms the doc matched, and the BM25 score rounded
+    to 6 dp. Docs matching no query term never appear (score 0). Query
+    terms absent from the corpus contribute nothing (no df row — the
+    standard convention).
+
+    Two corpus scans total: one stats aggregation, one probe.
+    """
     if queries is None:
         queries = DEFAULT_QUERIES
+    agg = _bm25_agg(docs, queries, k1, b, text_col)
+    if agg is None:
+        return docs.sparkSession.createDataFrame([], _BM25_OUT_SCHEMA)
+    return _bm25_rank(agg, k)
+
+
+def hard_negatives(
+    docs: DataFrame,
+    queries: list[tuple[int, str]] | None = None,
+    positives: list[tuple[int, int]] | None = None,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 hard-negative mining — the DPR/contrastive-training recipe
+    (Karpukhin et al. 2020 §4.2: the strongest-scoring NON-relevant
+    passages make the best training negatives): the top-``k`` scored
+    docs per query AFTER excluding that query's known positives, ranks
+    renumbered over the survivors.
+
+    ``positives`` is the relevance list as (q_id, doc_id) pairs; when
+    ``None`` the rank-1 BM25 hit per query is taken as the (weak)
+    positive — the standard self-supervised bootstrap when no
+    judgments exist. Same output shape as :func:`bm25_topk`; the same
+    quantized-integer scoring keeps the DuckDB twin hash-exact. One
+    extra broadcast anti-join over :func:`bm25_topk` — the positives
+    side is always tiny."""
+    if queries is None:
+        queries = DEFAULT_QUERIES
+    spark = docs.sparkSession
+    agg = _bm25_agg(docs, queries, k1, b, text_col)
+    if agg is None:
+        return spark.createDataFrame([], _BM25_OUT_SCHEMA)
+    if positives is None:
+        pos = (
+            agg.withColumn("rnk", F.row_number().over(_bm25_rank_w()))
+            .filter(F.col("rnk") == 1)
+            .select("q_id", "doc_id")
+        )
+    else:
+        pos = spark.createDataFrame(
+            positives, "q_id long, doc_id long"
+        )
+    neg = agg.join(F.broadcast(pos), ["q_id", "doc_id"], "left_anti")
+    return _bm25_rank(neg, k)
+
+
+def _bm25_agg_ctes(
+    queries: list[tuple[int, str]],
+    k1: float,
+    b: float,
+    table: str,
+) -> str:
+    """The shared CTE chain through ``agg`` (DuckDB twin of
+    :func:`_bm25_agg`) — every double op mirrors the Spark
+    expression's association order term by term (constants are
+    pre-folded in Python and emitted via repr so both engines parse
+    the identical decimal literal)."""
     qvals = ", ".join(
         f"({q_id}, '{term}')" for q_id, term in _query_terms(queries)
     )
@@ -251,12 +320,70 @@ def bm25_topk_sql(
             SELECT q_id, doc_id, COUNT(*)::BIGINT AS n_terms,
                    SUM(c)::BIGINT AS qsum
             FROM contrib GROUP BY q_id, doc_id
-        ),
+        )"""
+
+
+def bm25_topk_sql(
+    queries: list[tuple[int, str]] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk`."""
+    if queries is None:
+        queries = DEFAULT_QUERIES
+    return f"""
+        {_bm25_agg_ctes(queries, k1, b, table)},
         ranked AS (
             SELECT *, ROW_NUMBER() OVER (
                        PARTITION BY q_id ORDER BY qsum DESC, doc_id
                    )::BIGINT AS rnk
             FROM agg
+        )
+        SELECT q_id, doc_id, rnk, n_terms,
+               ROUND(qsum / 1000000000.0, 6) AS score
+        FROM ranked WHERE rnk <= {k}
+    """
+
+
+def hard_negatives_sql(
+    queries: list[tuple[int, str]] | None = None,
+    positives: list[tuple[int, int]] | None = None,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`hard_negatives` (anti-join the positives,
+    re-rank the survivors)."""
+    if queries is None:
+        queries = DEFAULT_QUERIES
+    if positives is None:
+        pos = """pos AS (
+            SELECT q_id, doc_id FROM (
+                SELECT q_id, doc_id, ROW_NUMBER() OVER (
+                           PARTITION BY q_id ORDER BY qsum DESC, doc_id
+                       ) AS r0
+                FROM agg
+            ) WHERE r0 = 1
+        )"""
+    else:
+        pvals = ", ".join(f"({q}, {d})" for q, d in positives)
+        pos = f"pos(q_id, doc_id) AS (VALUES {pvals})"
+    return f"""
+        {_bm25_agg_ctes(queries, k1, b, table)},
+        {pos},
+        neg AS (
+            SELECT agg.* FROM agg
+            ANTI JOIN pos
+            ON agg.q_id = pos.q_id AND agg.doc_id = pos.doc_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY qsum DESC, doc_id
+                   )::BIGINT AS rnk
+            FROM neg
         )
         SELECT q_id, doc_id, rnk, n_terms,
                ROUND(qsum / 1000000000.0, 6) AS score

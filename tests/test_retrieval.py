@@ -196,3 +196,60 @@ def test_bm25_model_freeze_contract(spark):
     assert rows[10].n_terms == 1 and rows[10].score > 0
     # doc 11 matches nothing scoreable
     assert 11 not in rows
+
+
+# -------------------------------------------- hard-negative mining
+def test_hard_negatives_excludes_positives_and_renumbers(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import retrieval as R
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = R.bm25_topk(docs, k=4).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.q_id, []).append(r)
+    # default: rank-1 per query is the weak positive; negatives are
+    # the old ranks 2..k+1 renumbered from 1
+    negs = R.hard_negatives(docs, k=3).collect()
+    nby_q = {}
+    for r in negs:
+        nby_q.setdefault(r.q_id, []).append(r)
+    for q_id, rows in nby_q.items():
+        old = by_q[q_id]
+        assert [r.doc_id for r in sorted(rows, key=lambda r: r.rnk)] == [
+            r.doc_id for r in sorted(old, key=lambda r: r.rnk)[1:4]
+        ]
+        assert sorted(r.rnk for r in rows) == [1, 2, 3]
+        # scores carried over unchanged from the underlying ranking
+        old_sorted = sorted(old, key=lambda r: r.rnk)[1:4]
+        assert {r.doc_id: r.score for r in rows} == {
+            r.doc_id: r.score for r in old_sorted
+        }
+    # explicit positives: none of them ever appear
+    pos = [(r.q_id, r.doc_id) for r in top if r.rnk <= 2]
+    negs2 = R.hard_negatives(docs, positives=pos, k=5).collect()
+    assert not ({(r.q_id, r.doc_id) for r in negs2} & set(pos))
+
+
+def test_hard_negatives_plan_and_oracle(spark, sf_dir):
+    import duckdb
+
+    from teste_carga_avro_vs_json_spark import plans
+    from teste_carga_avro_vs_json_spark.operators import retrieval as R
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = R.hard_negatives(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert plans.expensive_filter_nodes(df) == []
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    got = sorted(
+        tuple(r[c] for c in df.columns) for r in df.collect()
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(R.hard_negatives_sql()).fetchall()
+    )
+    assert got == want

@@ -66,7 +66,10 @@ driver cap, not a correctness cap):
   §A1.1: word count / mean word length / symbol ratio / bullet +
   ellipsis lines / alphabetic share / required stop words) as
   integer-only rules over a structure-injected fixture
-  (text.gopher_rules).
+  (text.gopher_rules);
+- q_hard_negatives — BM25 hard-negative mining (the DPR recipe:
+  top-k scored docs per query excluding the positives, ranks
+  renumbered; retrieval.hard_negatives).
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -449,6 +452,18 @@ def _gopher_rules_sql() -> str:
     return text.gopher_rules_sql(fixture, min_words=40)
 
 
+def _q_hard_negatives(spark, sf_dir):
+    from teste_carga_avro_vs_json_spark.operators import retrieval
+
+    return retrieval.hard_negatives(load_table(spark, sf_dir, "documents"))
+
+
+def _hard_negatives_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import retrieval
+
+    return retrieval.hard_negatives_sql()
+
+
 def _q_c4_line_filter(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -537,6 +552,7 @@ def retired_queries() -> dict:
         "q_fim_transform": _q_fim_transform,
         "q_pseudonymize": _q_pseudonymize,
         "q_gopher_rules": _q_gopher_rules,
+        "q_hard_negatives": _q_hard_negatives,
         # r10 retirements (slots given to q_domain_cap +
         # q_chunk_documents, which moved INTO the driver window)
         "q_file_avro_roundtrip": _q_file_avro_roundtrip,
@@ -581,6 +597,7 @@ def retired_oracle_sql() -> dict:
         "q_fim_transform": _fim_transform_sql(),
         "q_pseudonymize": _pseudonymize_sql(),
         "q_gopher_rules": _gopher_rules_sql(),
+        "q_hard_negatives": _hard_negatives_sql(),
         "q_file_avro_roundtrip": flat,
         "q_stream_json_e2e": registry._stream_json_e2e_sql(),
     }
