@@ -247,15 +247,26 @@ def hard_negatives(
     if agg is None:
         return spark.createDataFrame([], _BM25_OUT_SCHEMA)
     if positives is None:
-        pos = (
-            agg.withColumn("rnk", F.row_number().over(_bm25_rank_w()))
-            .filter(F.col("rnk") == 1)
-            .select("q_id", "doc_id")
+        # rank-1-as-weak-positive reduces to ONE ranking pass: the
+        # negatives are exactly ranks 2..k+1 shifted down — no second
+        # scoring of the corpus, no anti-join (plan audit: halves the
+        # exchange count vs the naive exclude-then-rerank form)
+        return (
+            agg.withColumn(
+                "rnk0", F.row_number().over(_bm25_rank_w()).cast("long")
+            )
+            .filter(
+                (F.col("rnk0") >= 2) & (F.col("rnk0") <= F.lit(k + 1))
+            )
+            .select(
+                "q_id",
+                "doc_id",
+                (F.col("rnk0") - 1).alias("rnk"),
+                "n_terms",
+                F.round(F.col("qsum") / F.lit(1e9), 6).alias("score"),
+            )
         )
-    else:
-        pos = spark.createDataFrame(
-            positives, "q_id long, doc_id long"
-        )
+    pos = spark.createDataFrame(positives, "q_id long, doc_id long")
     neg = agg.join(F.broadcast(pos), ["q_id", "doc_id"], "left_anti")
     return _bm25_rank(neg, k)
 
