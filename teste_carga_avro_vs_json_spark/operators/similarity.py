@@ -1200,3 +1200,130 @@ def semantic_decontaminate_sql(
                COALESCE(h.n_hits, 0) > 0 AS contaminated
         FROM train tr LEFT JOIN hits h USING (vec_id)
     """
+
+
+# ------------------------------------------------ cluster sampling
+def cluster_sample(
+    emb: DataFrame,
+    alpha: float = 0.5,
+    budget: int = 200,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Cluster-balanced diversity sampling — the selection step that
+    follows SemDeDup in the published pipeline (Abbas et al. 2023 use
+    cluster-uniform keep rates; DeepMind's data-recipe work applies
+    the same α-temperature flattening across TOPICS that mT5 applies
+    across languages): assign vectors to the deterministic k-means
+    clusters, then keep per-cluster quotas ∝ size^α — α < 1 upweights
+    small clusters, so the sample covers the embedding space instead
+    of mirroring its density.
+
+    Deterministic end to end, same discipline as
+    ``corpus.temperature_sample``: pow quantized to 1e-9 longs per
+    DISTINCT cluster size, exact integer quota arithmetic (``budget·w
+    DIV Σw`` capped at n), keep-order = portable hash
+    ``hex32('csample|' || vec_id)`` with vec_id tiebreak. Output:
+    (vec_id, cluster, grp_rank, grp_quota) for kept vectors — rank and
+    quota visible so the mixture is auditable.
+
+    Scale: the k-means assignment is the same broadcast-centroid
+    projection the other IVF/SemDeDup paths use (``assign_np`` twin
+    for the vectorized route), cluster sizes are a tiny aggregation,
+    the quota join broadcasts, and the rank is ONE cluster-keyed
+    window — the grouped-top-k shape; the same mega-group caveats and
+    remedies as temperature_sample apply."""
+    from teste_carga_avro_vs_json_spark.functions.portable import hex32
+
+    assigned = _semdedup_assigned(emb, n_centroids, iters).select(
+        "vec_id", "cluster"
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    weights = sizes.select(
+        "cluster",
+        "n",
+        F.floor(
+            F.pow(F.col("n").cast("double"), F.lit(alpha))
+            * F.lit(10**9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    quotas = weights.withColumn(
+        "tw", F.sum("w").over(Window.partitionBy(F.lit(1)))
+    ).select(
+        "cluster",
+        F.least(F.expr(f"({budget} * w) DIV tw"), F.col("n")).alias(
+            "grp_quota"
+        ),
+    )
+    ranked = assigned.join(F.broadcast(quotas), "cluster").withColumn(
+        "_hk",
+        hex32(F.concat(F.lit("csample|"), F.col("vec_id").cast("string"))),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_hk").asc(), F.col("vec_id").asc()
+    )
+    return (
+        ranked.withColumn("grp_rank", F.row_number().over(w))
+        .filter(F.col("grp_rank") <= F.col("grp_quota"))
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("grp_rank").cast("long").alias("grp_rank"),
+            F.col("grp_quota").cast("long").alias("grp_quota"),
+        )
+    )
+
+
+def cluster_sample_sql(
+    table: str = "embeddings",
+    alpha: float = 0.5,
+    budget: int = 200,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> str:
+    """DuckDB twin of :func:`cluster_sample` — the k-means replay via
+    the shared :func:`_kmeans_assign_ctes` chain, then the
+    temperature-quota arithmetic term for term."""
+    from teste_carga_avro_vs_json_spark.functions.portable import (
+        hex32_sql,
+    )
+
+    ctes, _ = _kmeans_assign_ctes(table, n_centroids, iters)
+    hk = hex32_sql("'csample|' || a.vec_id::VARCHAR")
+    return f"""
+        WITH {", ".join(ctes)},
+        sizes AS (
+            SELECT cluster, COUNT(*)::BIGINT AS n
+            FROM assign GROUP BY cluster
+        ),
+        weights AS (
+            SELECT cluster, n,
+                   FLOOR(POW(n::DOUBLE, {alpha}) * 1000000000 + 0.5)::BIGINT
+                       AS w
+            FROM sizes
+        ),
+        quotas AS (
+            SELECT cluster,
+                   LEAST(({budget} * w)
+                         // (SELECT SUM(w)::BIGINT FROM weights),
+                         n) AS grp_quota
+            FROM weights
+        ),
+        ranked AS (
+            SELECT a.vec_id, a.cluster, q.grp_quota,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.cluster
+                       ORDER BY {hk} ASC, a.vec_id ASC
+                   ) AS grp_rank
+            FROM assign a JOIN quotas q USING (cluster)
+        )
+        SELECT vec_id, cluster::BIGINT AS cluster,
+               grp_rank::BIGINT AS grp_rank,
+               grp_quota::BIGINT AS grp_quota
+        FROM ranked WHERE grp_rank <= grp_quota
+    """

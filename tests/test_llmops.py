@@ -1909,3 +1909,54 @@ def test_gopher_rules_plan_is_shuffle_free(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plans.expensive_filter_nodes(df) == []
+
+
+# ------------------------------------------- cluster-balanced sampling
+def test_cluster_sample_quota_contracts(spark, sf_dir):
+    """α-temperature quotas over k-means clusters: quota ≤ cluster
+    size, kept-per-cluster == quota (or the whole cluster), α=0 gives
+    uniform quotas, α<1 keeps a HIGHER fraction of smaller clusters
+    (the flattening property), and the output is repartition-
+    invariant."""
+    import pyspark.sql.functions as F
+
+    from teste_carga_avro_vs_json_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in S._semdedup_assigned(emb, 16, 2)
+        .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = S.cluster_sample(emb, alpha=0.5, budget=150).collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r.cluster, []).append(r)
+    for c, rows in by_c.items():
+        quota = rows[0].grp_quota
+        assert quota <= sizes[c]
+        assert len(rows) == min(quota, sizes[c])
+        assert sorted(r.grp_rank for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    # flattening: keep fraction never increases with cluster size
+    fracs = sorted(
+        (sizes[c], len(rows) / sizes[c]) for c, rows in by_c.items()
+    )
+    small_avg = sum(f for _, f in fracs[:4]) / 4
+    big_avg = sum(f for _, f in fracs[-4:]) / 4
+    assert small_avg >= big_avg
+
+    # α = 0: every cluster gets the same quota (budget DIV k, capped)
+    out0 = S.cluster_sample(emb, alpha=0.0, budget=32).collect()
+    quotas0 = {r.cluster: r.grp_quota for r in out0}
+    assert set(quotas0.values()) <= {min(32 // len(sizes), max(sizes.values())), *[
+        min(32 // len(sizes), sizes[c]) for c in quotas0
+    ]}
+
+    # deterministic under repartitioning
+    again = S.cluster_sample(emb.repartition(13), alpha=0.5, budget=150)
+    assert sorted(
+        (r.vec_id, r.cluster, r.grp_rank) for r in again.collect()
+    ) == sorted((r.vec_id, r.cluster, r.grp_rank) for r in out)

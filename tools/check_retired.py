@@ -69,7 +69,11 @@ driver cap, not a correctness cap):
   (text.gopher_rules);
 - q_hard_negatives — BM25 hard-negative mining (the DPR recipe:
   top-k scored docs per query excluding the positives, ranks
-  renumbered; retrieval.hard_negatives).
+  renumbered; retrieval.hard_negatives);
+- q_cluster_sample — cluster-balanced diversity sampling (α-temperature
+  quotas over the deterministic k-means clusters — the post-SemDeDup
+  selection step; similarity.cluster_sample, oracle via the shared
+  k-means CTE replay + the temperature-quota arithmetic).
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -464,6 +468,12 @@ def _hard_negatives_sql() -> str:
     return retrieval.hard_negatives_sql()
 
 
+def _q_cluster_sample(spark, sf_dir):
+    return similarity.cluster_sample(
+        load_table(spark, sf_dir, "embeddings"), budget=150
+    )
+
+
 def _q_c4_line_filter(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -553,6 +563,7 @@ def retired_queries() -> dict:
         "q_pseudonymize": _q_pseudonymize,
         "q_gopher_rules": _q_gopher_rules,
         "q_hard_negatives": _q_hard_negatives,
+        "q_cluster_sample": _q_cluster_sample,
         # r10 retirements (slots given to q_domain_cap +
         # q_chunk_documents, which moved INTO the driver window)
         "q_file_avro_roundtrip": _q_file_avro_roundtrip,
@@ -598,6 +609,7 @@ def retired_oracle_sql() -> dict:
         "q_pseudonymize": _pseudonymize_sql(),
         "q_gopher_rules": _gopher_rules_sql(),
         "q_hard_negatives": _hard_negatives_sql(),
+        "q_cluster_sample": similarity.cluster_sample_sql(budget=150),
         "q_file_avro_roundtrip": flat,
         "q_stream_json_e2e": registry._stream_json_e2e_sql(),
     }
