@@ -110,11 +110,14 @@ def decode_image(payload: bytes, fmt: str):
             return decode_png_stdlib(payload)
         if payload[:3] == b"\xff\xd8\xff":
             return decode_jpeg_stdlib(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return decode_tiff_stdlib(payload)
         raise NotImplementedError(
-            "decoding non-BMP/PNG/JPEG images requires PIL which is not "
-            "in this container; BMP, PNG and baseline-JPEG payloads "
-            "decode via the stdlib paths, or use extract_features(..., "
-            "fake=True) for the deterministic stand-in"
+            "decoding non-BMP/PNG/JPEG/TIFF images requires PIL which is "
+            "not in this container; BMP, PNG, baseline-JPEG and classic-"
+            "TIFF payloads decode via the stdlib paths, or use "
+            "extract_features(..., fake=True) for the deterministic "
+            "stand-in"
         )
     import io
 
@@ -2474,3 +2477,254 @@ def probe_audio_stream(
         "doc_id", "p.container", "p.codec", "p.channels",
         "p.sample_rate", "p.duration_s", "p.title", "p.artist", "p.error",
     )
+
+
+# ---------------------------------------------------------------- TIFF
+# Real classic-TIFF (6.0 baseline subset) on stdlib only — the scan/
+# fax/scientific-archive interchange format that web crawls still
+# carry. Decoder: II and MM byte orders, 8-bit samples, gray (1) and
+# RGB (3), strips via RowsPerStrip, Compression 1 (none) / 5 (the
+# TIFF-variant LZW already pinned for PDF streams against the JDK TIFF
+# writer) / 8 + 32946 (Deflate), Predictor 1/2 (the pdf_extract
+# horizontal-differencing implementation, JVM-pinned). Encoder: II,
+# 8-bit RGB, one strip, none/deflate + optional predictor 2,
+# deterministic bytes. Tiles, planar=2, palettes, sub-byte/16-bit
+# samples and the JPEG-in-TIFF compressions raise (documented
+# boundary). Interop-pinned BOTH directions against javax.imageio's
+# TIFF plugin (tests/test_imageio_interop.py — the avro-jar net).
+_TIFF_MAGIC_LE = b"II*\x00"
+_TIFF_MAGIC_BE = b"MM\x00*"
+
+
+def _tiff_decode_pixels(
+    payload: bytes,
+) -> tuple[int, int, int, bytearray]:
+    """Classic TIFF → ``(width, height, channels, pixels)`` with 8-bit
+    samples, channels 1 (gray) or 3 (RGB; RGBA alpha is dropped).
+    First IFD only (the multi-page walk is a probe concern, not a
+    pixel one). Every offset/length is bounds-checked and every strip
+    must advance — the decoder-hardening rule."""
+    import struct
+    import zlib
+
+    from teste_carga_avro_vs_json_spark.operators import pdf_extract as _px
+
+    if payload[:4] == _TIFF_MAGIC_LE:
+        e = "<"
+    elif payload[:4] == _TIFF_MAGIC_BE:
+        e = ">"
+    else:
+        raise NotImplementedError("not a classic TIFF payload")
+
+    def u16(off):
+        return struct.unpack_from(e + "H", payload, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(e + "I", payload, off)[0]
+
+    try:
+        ifd = u32(4)
+        n = u16(ifd)
+        if n == 0 or n > 512:
+            raise NotImplementedError("bad IFD entry count")
+        tags: dict[int, list[int]] = {}
+        for i in range(n):
+            off = ifd + 2 + 12 * i
+            tag, typ, cnt = u16(off), u16(off + 2), u32(off + 4)
+            size = {1: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue  # RATIONAL etc. — not needed for pixels
+            if cnt > 1 << 20:
+                raise NotImplementedError("tag count cap exceeded")
+            base = off + 8 if size * cnt <= 4 else u32(off + 8)
+            if base + size * cnt > len(payload):
+                raise NotImplementedError("tag values overrun file")
+            vals = []
+            for j in range(cnt):
+                p = base + size * j
+                vals.append(
+                    payload[p]
+                    if typ == 1
+                    else u16(p) if typ == 3 else u32(p)
+                )
+            tags[tag] = vals
+    except struct.error as exc:
+        raise NotImplementedError(
+            f"malformed TIFF payload: {exc}"
+        ) from exc
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise NotImplementedError(f"missing TIFF tag {tag}")
+            return default
+        return v[0]
+
+    width, height = one(256), one(257)
+    if not (0 < width and 0 < height and width * height <= _MAX_PIXELS):
+        raise NotImplementedError("TIFF dimensions out of bounds")
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if spp not in (1, 3, 4) or any(b != 8 for b in bits):
+        raise NotImplementedError(
+            "only 8-bit gray/RGB(A) TIFF is supported"
+        )
+    if one(284, 1) != 1:
+        raise NotImplementedError("planar TIFF is out of scope")
+    if one(262, 1) not in (1, 2):
+        # 0 = WhiteIsZero would decode inverted; 3 = palette
+        raise NotImplementedError("only BlackIsZero/RGB photometric")
+    if 320 in tags:
+        raise NotImplementedError("palette TIFF is out of scope")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF is out of scope")
+    comp = one(259, 1)
+    if comp not in (1, 5, 8, 32946):
+        raise NotImplementedError(f"TIFF compression {comp} unsupported")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise NotImplementedError("bad TIFF strip layout")
+    rows_per_strip = one(278, height)
+    if rows_per_strip <= 0:
+        raise NotImplementedError("bad RowsPerStrip")
+    rowlen = width * spp
+    out = bytearray()
+    row_budget = height
+    for so, sc in zip(offsets, counts):
+        if so + sc > len(payload) or sc <= 0:
+            raise NotImplementedError("strip overruns file")
+        raw = payload[so : so + sc]
+        if comp in (8, 32946):
+            try:
+                dec = zlib.decompressobj()
+                raw = dec.decompress(raw, _MAX_PIXELS * 4)
+                if dec.unconsumed_tail:
+                    raise NotImplementedError("strip inflate exceeds cap")
+            except zlib.error as exc:
+                raise NotImplementedError(
+                    f"bad deflate strip: {exc}"
+                ) from exc
+        elif comp == 5:
+            try:
+                raw = _px._lzw_decode(raw, early=1)
+            except _px.PdfFormatError as exc:
+                raise NotImplementedError(
+                    f"bad LZW strip: {exc}"
+                ) from exc
+        n_rows = min(rows_per_strip, row_budget)
+        if len(raw) < n_rows * rowlen:
+            raise NotImplementedError("strip shorter than its rows")
+        raw = raw[: n_rows * rowlen]
+        if predictor == 2:
+            try:
+                raw = _px._tiff_unpredict(raw, width, spp)
+            except _px.PdfFormatError as exc:
+                raise NotImplementedError(str(exc)) from exc
+        out += raw
+        row_budget -= n_rows
+        if row_budget <= 0:
+            break
+    if row_budget > 0:
+        raise NotImplementedError("strips cover fewer rows than ImageLength")
+    if spp == 4:  # drop alpha to the RGB contract
+        rgb = bytearray(width * height * 3)
+        for i in range(width * height):
+            rgb[3 * i : 3 * i + 3] = out[4 * i : 4 * i + 3]
+        return width, height, 3, rgb
+    return width, height, spp, out
+
+
+def decode_tiff_stdlib(payload: bytes) -> tuple[int, int, list[float]]:
+    """Same return contract as :func:`decode_bmp_stdlib` /
+    :func:`decode_png_stdlib`: ``(width, height, quadrant_features)``."""
+    width, height, ch, px = _tiff_decode_pixels(payload)
+    row = width * ch
+    half_w, half_h = (width + 1) // 2, (height + 1) // 2
+    sums = [0, 0, 0, 0]
+    counts = [0, 0, 0, 0]
+    for y in range(height):
+        line = px[y * row : (y + 1) * row]
+        for qx, (lo, hi) in enumerate(((0, half_w), (half_w, width))):
+            if lo >= hi:
+                continue
+            seg = line[lo * ch : hi * ch]
+            if ch == 1:
+                lum = 1000 * sum(seg)
+            else:
+                lum = (
+                    299 * sum(seg[0::ch])
+                    + 587 * sum(seg[1::ch])
+                    + 114 * sum(seg[2::ch])
+                )
+            q = (0 if y < half_h else 2) + qx
+            sums[q] += lum // 1000
+            counts[q] += hi - lo
+    feats = [(s / c / 255.0) if c else 0.0 for s, c in zip(sums, counts)]
+    return width, height, feats
+
+
+def encode_tiff_stdlib(
+    width: int,
+    height: int,
+    rgb: bytes,
+    compression: str = "deflate",
+    predictor: int = 2,
+) -> bytes:
+    """Deterministic classic-TIFF encoder (II, 8-bit RGB, one strip):
+    ``compression`` none|deflate, ``predictor`` 1|2 (horizontal
+    differencing before deflate — the libtiff default pairing; ignored
+    for ``none`` per the spec's LZW/deflate-only predictor scope).
+    Builder twin of the decoder; foreign-parse pinned in
+    tests/test_imageio_interop.py."""
+    import struct
+    import zlib
+
+    from teste_carga_avro_vs_json_spark.operators import pdf_extract as _px
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb must be width*height*3 bytes")
+    if compression not in ("none", "deflate"):
+        raise ValueError("compression must be none|deflate")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1|2")
+    data = bytes(rgb)
+    use_pred = predictor == 2 and compression == "deflate"
+    if use_pred:
+        data = _px._tiff_predict(data, width, 3)
+    if compression == "deflate":
+        data = zlib.compress(data, 6)
+    comp_val = 8 if compression == "deflate" else 1
+
+    entries = [
+        (256, 3, 1, width),
+        (257, 3, 1, height),
+        (259, 3, 1, comp_val),
+        (262, 3, 1, 2),  # Photometric: RGB
+        (277, 3, 1, 3),
+        (278, 3, 1, height),
+        (279, 4, 1, len(data)),
+    ]
+    if use_pred:
+        entries.append((317, 3, 1, 2))
+    # BitsPerSample needs 3 SHORTs = 6 bytes -> out-of-line values
+    n_entries = len(entries) + 2  # + BitsPerSample + StripOffsets
+    ifd_at = 8
+    bits_at = ifd_at + 2 + 12 * n_entries + 4
+    data_at = bits_at + 6
+    entries.append((258, 3, 3, bits_at))
+    entries.append((273, 4, 1, data_at))
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_at))
+    out += struct.pack("<H", n_entries)
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    out += struct.pack("<HHH", 8, 8, 8)
+    assert len(out) == data_at
+    out += data
+    return bytes(out)

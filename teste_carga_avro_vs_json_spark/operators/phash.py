@@ -211,6 +211,32 @@ def _jpeg_lum_rows(payload: bytes) -> tuple[int, int, list[list[int]]]:
     return width, height, rows
 
 
+def _tiff_lum_rows(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """TIFF → top-down luminance rows via the stdlib decoder
+    (gray / RGB, none/LZW/deflate, predictor 2)."""
+    from .multimodal import _tiff_decode_pixels
+
+    width, height, channels, px = _tiff_decode_pixels(payload)
+    rows = []
+    for y in range(height):
+        base = y * width * channels
+        if channels == 1:
+            rows.append([px[base + x] for x in range(width)])
+        else:
+            rows.append(
+                [
+                    (
+                        299 * px[base + x * channels]
+                        + 587 * px[base + x * channels + 1]
+                        + 114 * px[base + x * channels + 2]
+                    )
+                    // 1000
+                    for x in range(width)
+                ]
+            )
+    return width, height, rows
+
+
 def _payload_dhash(payload: bytes, fmt: str) -> int:
     if fmt == "bmp":
         return dhash64(*_bmp_lum_rows(payload))
@@ -220,6 +246,8 @@ def _payload_dhash(payload: bytes, fmt: str) -> int:
         return dhash64(*_gif_frame_lums(payload)[0])
     if fmt == "jpeg":
         return dhash64(*_jpeg_lum_rows(payload))
+    if fmt == "tiff":
+        return dhash64(*_tiff_lum_rows(payload))
     raise NotImplementedError(f"no stdlib decoder for format {fmt!r}")
 
 

@@ -105,6 +105,13 @@ _DECODERS = {
         mm.probe_mp4,
         (NotImplementedError,),
     ),
+    # r10-late #3: classic TIFF — mutations hit the IFD walk (entry
+    # bounds, tag-value overruns), strip layout/budget math, deflate/
+    # LZW strip caps and the predictor row arithmetic
+    "tiff": (
+        mm.decode_tiff_stdlib,
+        (NotImplementedError,),
+    ),
     # r10-late: archive walkers — container errors raise, member-level
     # corruption lands as error ROWS (the iterator contract), so the
     # fuzz net checks only that no raw zipfile/tarfile/struct errors
@@ -194,6 +201,10 @@ def _valid_payloads() -> dict[str, bytes]:
             codec="opus", duration_s=1.5, tags={"TITLE": "fuzz"}
         ),
         "mp3": mm.build_mp3(n_frames=6, tags={"TIT2": "fuzz"}),
+        "tiff": mm.encode_tiff_stdlib(
+            11, 7,
+            bytes(((i * 37) ^ (i >> 3)) & 0xFF for i in range(11 * 7 * 3)),
+        ),
     }
 
 

@@ -544,3 +544,79 @@ def test_pdf_tiff_predictor2_against_jvm_tiff_reader(spark):
     img.getRaster().getPixels(0, 0, w, h, arr)
     got = bytes(arr[i] & 0xFF for i in range(w * h))
     assert got == pix
+
+
+def _jdk_write_tiff(spark, w, h, pix, compression, gray=True):
+    """Write a TIFF through javax.imageio with the given compression
+    type ('LZW', 'ZLib', 'None'); pix is gray bytes or RGB triples."""
+    jvm = _jvm(spark)
+    B = jvm.java.awt.image.BufferedImage
+    img = B(w, h, B.TYPE_BYTE_GRAY if gray else B.TYPE_3BYTE_BGR)
+    n = w * h * (1 if gray else 3)
+    arr = spark.sparkContext._gateway.new_array(jvm.int, n)
+    for i, v in enumerate(pix):
+        arr[i] = v
+    img.getRaster().setPixels(0, 0, w, h, arr)
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("TIFF")
+    assert writers.hasNext()
+    writer = writers.next()
+    param = writer.getDefaultWriteParam()
+    if compression == "None":
+        # uncompressed = compression disabled (the writer's type list
+        # has no literal "None" entry)
+        param.setCompressionMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_DISABLED
+        )
+    else:
+        param.setCompressionMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+        )
+        param.setCompressionType(compression)
+    out = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    return bytes(out.toByteArray())
+
+
+@pytest.mark.parametrize("compression", ["None", "ZLib", "LZW"])
+@pytest.mark.parametrize("gray", [True, False])
+def test_tiff_decoder_reads_jvm_written_files(spark, compression, gray):
+    """Foreign-stream direction: javax.imageio's TIFF writer produces
+    None/Deflate/LZW strips (its own strip layout, RowsPerStrip
+    choices and LZW dialect) for gray AND RGB — our decoder must
+    reproduce the exact samples."""
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+
+    w, h = 57, 41  # non-multiples: exercises strip tail handling
+    n = w * h * (1 if gray else 3)
+    pix = bytes(((i * 29) ^ (i >> 4)) & 0xFF for i in range(n))
+    tif = _jdk_write_tiff(spark, w, h, pix, compression, gray=gray)
+    W, H, ch, got = mm._tiff_decode_pixels(tif)
+    assert (W, H, ch) == (w, h, 1 if gray else 3)
+    assert bytes(got) == pix
+
+
+@pytest.mark.parametrize("compression,predictor",
+                         [("none", 1), ("deflate", 1), ("deflate", 2)])
+def test_tiff_encoder_parses_in_jvm(spark, compression, predictor):
+    """Bitstream-legality direction: our encoder's bytes (incl. the
+    predictor-2 + deflate pairing) must decode in ImageIO to the
+    original RGB pixels."""
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+
+    jvm = _jvm(spark)
+    w, h = 23, 17
+    rgb = bytes(((i * 31 + 5) ^ (i >> 3)) & 0xFF for i in range(w * h * 3))
+    tif = mm.encode_tiff_stdlib(
+        w, h, rgb, compression=compression, predictor=predictor
+    )
+    stream = jvm.java.io.ByteArrayInputStream(bytearray(tif))
+    img = jvm.javax.imageio.ImageIO.read(stream)
+    assert img is not None, "JDK TIFF reader rejected our file"
+    assert img.getWidth() == w and img.getHeight() == h
+    arr = spark.sparkContext._gateway.new_array(jvm.int, w * h * 3)
+    img.getRaster().getPixels(0, 0, w, h, arr)
+    got = bytes(arr[i] & 0xFF for i in range(w * h * 3))
+    assert got == rgb

@@ -587,3 +587,68 @@ def test_probe_audio_stream_spark_frame(spark):
     assert got[2]["duration_s"] == round(38 * 1152 / 44100, 3)
     assert got[3]["error"] and got[3]["container"] is None
     assert got[4]["error"]
+
+
+# ---------------------------------------------------------------- TIFF
+def test_tiff_codec_endianness_strips_and_dhash_parity():
+    """Classic-TIFF subset: MM (big-endian) and multi-strip crafted
+    files decode exactly; image_dhash('tiff') equals the BMP hash of
+    the same pixels; boundary shapes raise loudly."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+    from teste_carga_avro_vs_json_spark.operators import phash as ph
+
+    w, h = 16, 12
+    rgb = bytes(((x * 29 + 3) ^ (x >> 4)) & 0xFF for x in range(w * h * 3))
+
+    # dhash parity with BMP on identical pixels
+    tif = mm.encode_tiff_stdlib(w, h, rgb)
+    bmp = mm.encode_bmp_stdlib(w, h, rgb)
+    assert ph._payload_dhash(tif, "tiff") == ph._payload_dhash(bmp, "bmp")
+
+    # hand-crafted BIG-ENDIAN, gray, TWO strips (rows 0..7 / 8..11)
+    gray = bytes(((x * 11) ^ (x >> 2)) & 0xFF for x in range(w * h))
+    s1, s2 = gray[: w * 8], gray[w * 8 :]
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+        (278, 3, 1, 8),
+    ]
+    n_e = len(entries) + 2
+    ifd_at = 8
+    arr_at = ifd_at + 2 + 12 * n_e + 4
+    d1_at = arr_at + 16
+    d2_at = d1_at + len(s1)
+    out = bytearray(struct.pack(">2sHI", b"MM", 42, ifd_at))
+    allents = entries + [(273, 4, 2, arr_at), (279, 4, 2, arr_at + 8)]
+    out += struct.pack(">H", n_e)
+    for tag, typ, cnt, val in sorted(allents):
+        if typ == 3 and cnt == 1:
+            # BE SHORT inline values occupy the FIRST two value bytes
+            out += struct.pack(">HHIHxx", tag, typ, cnt, val)
+        else:
+            out += struct.pack(">HHII", tag, typ, cnt, val)
+    out += struct.pack(">I", 0)
+    out += struct.pack(">II", d1_at, d2_at)
+    out += struct.pack(">II", len(s1), len(s2))
+    assert len(out) == d1_at
+    out += s1 + s2
+    W, H, ch, px = mm._tiff_decode_pixels(bytes(out))
+    assert (W, H, ch, bytes(px)) == (w, h, 1, gray)
+
+    # boundaries raise with the documented error
+    with pytest.raises(NotImplementedError, match="photometric"):
+        bad = bytes(out).replace(
+            struct.pack(">HHIHxx", 262, 3, 1, 1),
+            struct.pack(">HHIHxx", 262, 3, 1, 0),  # WhiteIsZero
+        )
+        mm._tiff_decode_pixels(bad)
+    with pytest.raises(NotImplementedError):
+        mm.decode_tiff_stdlib(b"II*\x00" + b"\x00" * 4)  # IFD at 0
+    with pytest.raises(NotImplementedError, match="strip"):
+        trunc = bytes(out)[: d1_at + 5]
+        mm._tiff_decode_pixels(trunc)
