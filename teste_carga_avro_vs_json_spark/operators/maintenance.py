@@ -1714,7 +1714,17 @@ def snapshot_replicate(
     destination racing another writer raises
     :class:`SnapshotConflictError` through the merge — re-run.
     Returns ``{from_version, to_version, version, rows_upserted,
-    rows_deleted, applied}``."""
+    rows_deleted, applied}``.
+
+    Vacuum caveat: the high-water mark lives in the newest RETAINED
+    destination manifest that carries one — ``snapshot_vacuum`` on the
+    destination with a ``keep_last`` smaller than the number of
+    commits since the last sync can drop it, after which the next
+    sync re-derives from 0. With keys that re-apply is IDEMPOTENT
+    (upserts replace, deletes re-delete) but needs source history
+    back to 0 — a vacuumed source range raises instead (never silent
+    double-apply). Keep the destination's vacuum horizon at least one
+    sync deep."""
     from pyspark.sql.window import Window
 
     src_id = os.path.abspath(src_dir)
