@@ -436,6 +436,7 @@ _API_JOIN_GROUP, _API_HEARTBEAT, _API_LEAVE_GROUP, _API_SYNC_GROUP = (
     11, 12, 13, 14,
 )
 _API_DESCRIBE_GROUPS, _API_LIST_GROUPS = 15, 16
+_API_DELETE_GROUPS = 42
 _API_INIT_PRODUCER_ID = 22
 _API_SASL_AUTHENTICATE = 36
 EARLIEST, LATEST = -2, -1
@@ -672,6 +673,8 @@ _ERR_NAMES = {
     25: "UNKNOWN_MEMBER_ID",
     27: "REBALANCE_IN_PROGRESS",
     33: "UNSUPPORTED_SASL_MECHANISM",
+    68: "NON_EMPTY_GROUP",
+    69: "GROUP_ID_NOT_FOUND",
     34: "ILLEGAL_SASL_STATE",
     45: "OUT_OF_ORDER_SEQUENCE_NUMBER",
     58: "SASL_AUTHENTICATION_FAILED",
@@ -1338,6 +1341,21 @@ class WireKafkaClient:
             )
         return out
 
+    def delete_groups(self, groups: list[str]) -> dict[str, int]:
+        """DeleteGroups v0 — the `kafka-consumer-groups --delete`
+        surface completing the group lifecycle: per-group error code
+        (0 = deleted with its stored offsets; 68 NON_EMPTY_GROUP for a
+        group that still has live members — leave first; 69
+        GROUP_ID_NOT_FOUND)."""
+        body = _W().i32(len(groups))
+        for g in groups:
+            body.string(g)
+        r = self._call(_API_DELETE_GROUPS, 0, bytes(body.b))
+        r.i32()  # throttle_time_ms
+        return {
+            (r.string() or ""): r.i16() for _ in range(r.i32())
+        }
+
     def fetch(
         self,
         topic: str,
@@ -1942,6 +1960,7 @@ class StubBroker:
                 (_API_SYNC_GROUP, 0, 0),
                 (_API_DESCRIBE_GROUPS, 0, 0),
                 (_API_LIST_GROUPS, 0, 0),
+                (_API_DELETE_GROUPS, 0, 0),
                 (_API_SASL_HANDSHAKE, 0, 1),
                 (_API_VERSIONS, 0, 0),
                 (_API_INIT_PRODUCER_ID, 0, 0),
@@ -2132,6 +2151,30 @@ class StubBroker:
                     w.string(member_id).string("").string("")
                     w.bytes_(metas.get(protocol) or b"")
                     w.bytes_(assignment if state == "Stable" else b"")
+        elif api_key == _API_DELETE_GROUPS:
+            names = [r.string() or "" for _ in range(r.i32())]
+            w.i32(0)  # throttle_time_ms
+            w.i32(len(names))
+            for name in names:
+                with self._lock:
+                    g = self._groups.get(name)
+                    has_offsets = any(
+                        k[0] == name for k in self._group_offsets
+                    )
+                    if g is not None and g.members:
+                        err = 68  # NON_EMPTY_GROUP: leave first
+                    elif g is None and not has_offsets:
+                        err = 69  # GROUP_ID_NOT_FOUND
+                    else:
+                        err = 0
+                        self._groups.pop(name, None)
+                        for k in [
+                            k
+                            for k in self._group_offsets
+                            if k[0] == name
+                        ]:
+                            del self._group_offsets[k]
+                w.string(name).i16(err)
         elif api_key == _API_INIT_PRODUCER_ID:
             r.string()  # transactional_id (None: idempotence only)
             r.i32()  # transaction_timeout_ms

@@ -168,3 +168,44 @@ def test_offset_commit_multi_partition_one_topic_response_parsed():
             }
         finally:
             c.close()
+
+
+def test_delete_groups_completes_the_lifecycle():
+    """DeleteGroups v0: a standalone-offsets group deletes (offsets
+    gone, absent from ListGroups), a group with LIVE members answers
+    NON_EMPTY_GROUP until its member leaves, unknown groups answer
+    GROUP_ID_NOT_FOUND."""
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+        StubBroker,
+        WireKafkaClient,
+    )
+
+    with StubBroker(num_partitions=2) as broker:
+        host, port = broker.addr
+        c = WireKafkaClient(host, port)
+        try:
+            # standalone offsets only (no membership)
+            c.offset_commit("solo", {("t", 0): 41})
+            assert c.offset_fetch("solo", "t", [0]) == {0: 41}
+            res = c.delete_groups(["solo", "ghost"])
+            assert res["solo"] == 0
+            assert res["ghost"] == 69  # GROUP_ID_NOT_FOUND
+            assert c.offset_fetch("solo", "t", [0]) == {}
+            assert "solo" not in [g for g, _ in c.list_groups()]
+
+            # live membership blocks deletion until LeaveGroup
+            from teste_carga_avro_vs_json_spark.sources.kafka_group import (
+                GroupConsumer,
+            )
+
+            gc_client = WireKafkaClient(host, port)
+            gc = GroupConsumer(gc_client, "viva", ["t"])
+            gc.join()
+            try:
+                assert c.delete_groups(["viva"])["viva"] == 68
+            finally:
+                gc.close()
+                gc_client.close()
+            assert c.delete_groups(["viva"])["viva"] == 0
+        finally:
+            c.close()
