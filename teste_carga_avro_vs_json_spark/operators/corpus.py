@@ -1338,3 +1338,135 @@ def chunk_documents_sql(
              AS chunk_text
     FROM staged, UNNEST(range(n_chunks)) AS u(i)
     """
+
+
+#: sentence segmentation for chunking: runs of non-terminators plus
+#: their trailing .!? group, or a bare terminator run — every character
+#: lands in exactly one match; valid in BOTH Java regex and RE2 (no
+#: lookaround), which is what keeps the oracle twin exact
+_SENT_RE = "[^.!?]+[.!?]*|[.!?]+"
+
+
+def chunk_sentences(
+    docs: DataFrame,
+    chunk_chars: int = 1200,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-aware RAG chunking — the boundary
+    :func:`chunk_documents` documents as out of scope, closed with a
+    DETERMINISTIC rule-based formulation (no tokenizer/model, so the
+    exact oracle survives): segment into sentences with a
+    RE2-compatible pattern, then assign sentence ``i`` to chunk
+    ``(Σ chars of sentences < i) DIV chunk_chars`` — a sentence never
+    splits across chunks, chunk boundaries come from an exact-integer
+    prefix sum (not a sequential greedy fold, which would not be
+    SQL-expressible), and chunk sizes hover around ``chunk_chars``
+    (overshoot bounded by one sentence). Chunk text is the
+    space-joined trimmed sentences — normalized whitespace, like the
+    RecursiveCharacterTextSplitter convention.
+
+    Output: (doc_id, chunk_idx, n_chunks, n_sentences, chunk_text);
+    docs with no sentences emit one empty chunk (every input doc
+    appears — the audit rule).
+
+    Scale: sentence arrays are staged behind a projection (HOF rule)
+    and exploded with ``posexplode_outer`` + a filter on the GENERATE
+    OUTPUT (the decontam idiom — r7 pushdown rule); the prefix sum is
+    one doc-keyed window whose Exchange the (doc, chunk) hash
+    aggregation and the per-doc n_chunks window both REUSE (doc_id is
+    a subset of both keys) — one shuffle total. The ordered rebuild is
+    the line_dedup idiom: ``array_sort(collect_list(struct(pos, …)))``."""
+    staged = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(_SENT_RE), 0
+        ).alias("_sents"),
+    )
+    exploded = staged.select(
+        "doc_id",
+        F.posexplode_outer("_sents").alias("pos", "_raw"),
+    ).select("doc_id", "pos", F.trim(F.col("_raw")).alias("sent"))
+    # keep nulls (the no-sentence marker row) and drop empty-after-trim
+    kept = exploded.filter(
+        F.col("sent").isNull() | (F.col("sent") != "")
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = kept.withColumn(
+        "_cum",
+        F.coalesce(
+            F.sum(F.length("sent").cast("long")).over(w_cum), F.lit(0)
+        ),
+    ).withColumn(
+        # exact integer DIV — no doubles anywhere near the oracle hash
+        "chunk_idx",
+        F.expr(f"CAST(_cum DIV {chunk_chars} AS INT)"),
+    )
+    agg = assigned.groupBy("doc_id", "chunk_idx").agg(
+        F.count("sent").cast("int").alias("n_sentences"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "sent"))
+                ),
+                lambda s: s["sent"],
+            ),
+        ).alias("chunk_text"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    return agg.select(
+        "doc_id",
+        "chunk_idx",
+        F.count(F.lit(1)).over(w_doc).cast("int").alias("n_chunks"),
+        "n_sentences",
+        "chunk_text",
+    )
+
+
+def chunk_sentences_sql(
+    chunk_chars: int = 1200, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`chunk_sentences` (same RE2 pattern, same
+    prefix-sum assignment; the no-sentence marker row is rebuilt with
+    a LEFT JOIN since UNNEST of an empty list emits nothing)."""
+    return f"""
+    WITH sents0 AS (
+      SELECT doc_id,
+             unnest(list_transform(
+                 regexp_extract_all(text, '{_SENT_RE}'),
+                 (x, i) -> {{'pos': i, 'raw': x}}), recursive := true)
+      FROM {table}
+    ),
+    kept AS (
+      SELECT doc_id, pos, trim(raw) AS sent
+      FROM sents0 WHERE trim(raw) <> ''
+    ),
+    assigned AS (
+      SELECT doc_id, pos, sent,
+             CAST(COALESCE(SUM(length(sent)) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // {chunk_chars} AS INTEGER) AS chunk_idx
+      FROM kept
+    ),
+    agg AS (
+      SELECT doc_id, chunk_idx,
+             COUNT(sent)::INTEGER AS n_sentences,
+             string_agg(sent, ' ' ORDER BY pos) AS chunk_text
+      FROM assigned GROUP BY doc_id, chunk_idx
+    ),
+    withn AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY doc_id)::INTEGER AS n_chunks
+      FROM agg
+    )
+    SELECT d.doc_id,
+           COALESCE(w.chunk_idx, 0) AS chunk_idx,
+           COALESCE(w.n_chunks, 1) AS n_chunks,
+           COALESCE(w.n_sentences, 0) AS n_sentences,
+           COALESCE(w.chunk_text, '') AS chunk_text
+    FROM {table} d LEFT JOIN withn w ON d.doc_id = w.doc_id
+    """

@@ -1960,3 +1960,55 @@ def test_cluster_sample_quota_contracts(spark, sf_dir):
     assert sorted(
         (r.vec_id, r.cluster, r.grp_rank) for r in again.collect()
     ) == sorted((r.vec_id, r.cluster, r.grp_rank) for r in out)
+
+
+# --------------------------------------------- sentence-aware chunking
+def test_chunk_sentences_contracts(spark):
+    """Sentences never split, chunks reconstruct the normalized doc
+    exactly, boundaries follow the prefix-sum rule, no-sentence docs
+    emit one empty chunk, and the output is repartition-invariant."""
+    import pyspark.sql.functions as F
+
+    from teste_carga_avro_vs_json_spark.operators import corpus as C
+
+    s1 = "First sentence here."
+    s2 = "Second one is a bit longer than the first!"
+    s3 = "Third?"
+    s4 = "Fourth closes the document."
+    docs = spark.createDataFrame(
+        [
+            (0, f"{s1} {s2} {s3} {s4}"),
+            (1, "no terminators at all just words"),
+            (2, ""),
+            (3, "..."),  # terminators only -> no non-empty sentence? 
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): r
+        for r in C.chunk_sentences(docs, chunk_chars=40).collect()
+    }
+    # doc 0: cum sums 0,20,63,69 -> chunks 0,0,1,1 at C=40
+    c00, c01 = out[(0, 0)], out[(0, 1)]
+    assert c00.chunk_text == f"{s1} {s2}" and c00.n_sentences == 2
+    assert c01.chunk_text == f"{s3} {s4}" and c01.n_sentences == 2
+    assert c00.n_chunks == 2
+    # reconstruction: joined chunks == normalized sentence join
+    joined = " ".join(
+        out[(0, i)].chunk_text for i in range(c00.n_chunks)
+    )
+    assert joined == f"{s1} {s2} {s3} {s4}"
+    # doc 1: one sentence, never split even though longer than C=40?
+    assert out[(1, 0)].n_sentences == 1
+    assert out[(1, 0)].chunk_text == "no terminators at all just words"
+    # empty doc and terminator-only doc: one auditable chunk each
+    assert out[(2, 0)].n_sentences == 0 and out[(2, 0)].chunk_text == ""
+    assert (3, 0) in out and out[(3, 0)].n_chunks == 1
+    # repartition-invariance
+    again = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in C.chunk_sentences(
+            docs.repartition(7), chunk_chars=40
+        ).collect()
+    }
+    assert again == {k: v.chunk_text for k, v in out.items()}

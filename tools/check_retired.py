@@ -73,7 +73,11 @@ driver cap, not a correctness cap):
 - q_cluster_sample — cluster-balanced diversity sampling (α-temperature
   quotas over the deterministic k-means clusters — the post-SemDeDup
   selection step; similarity.cluster_sample, oracle via the shared
-  k-means CTE replay + the temperature-quota arithmetic).
+  k-means CTE replay + the temperature-quota arithmetic);
+- q_chunk_sentences — sentence-aware RAG chunking (RE2-safe sentence
+  segmentation + exact-integer prefix-sum chunk assignment, sentences
+  never split; corpus.chunk_sentences over a terminator-injected
+  fixture).
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -474,6 +478,44 @@ def _q_cluster_sample(spark, sf_dir):
     )
 
 
+#: chunk_sentences fixture: the sf documents have no punctuation (one
+#: giant sentence — boundaries never exercised), so inject terminators
+#: deterministically on common vocabulary tokens in BOTH engines
+def _q_chunk_sentences(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.replace(
+                F.replace(
+                    F.col("text"),
+                    F.lit(" table"),
+                    F.lit(". table"),
+                ),
+                F.lit(" window"),
+                F.lit("! window"),
+            ),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return corpus.chunk_sentences(docs, chunk_chars=160)
+
+
+def _chunk_sentences_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import corpus
+
+    fixture = """(
+        SELECT doc_id,
+               replace(replace(text, ' table', '. table'),
+                       ' window', '! window') || '.' AS text
+        FROM documents
+    )"""
+    return corpus.chunk_sentences_sql(chunk_chars=160, table=fixture)
+
+
 def _q_c4_line_filter(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import corpus
 
@@ -564,6 +606,7 @@ def retired_queries() -> dict:
         "q_gopher_rules": _q_gopher_rules,
         "q_hard_negatives": _q_hard_negatives,
         "q_cluster_sample": _q_cluster_sample,
+        "q_chunk_sentences": _q_chunk_sentences,
         # r10 retirements (slots given to q_domain_cap +
         # q_chunk_documents, which moved INTO the driver window)
         "q_file_avro_roundtrip": _q_file_avro_roundtrip,
@@ -610,6 +653,7 @@ def retired_oracle_sql() -> dict:
         "q_gopher_rules": _gopher_rules_sql(),
         "q_hard_negatives": _hard_negatives_sql(),
         "q_cluster_sample": similarity.cluster_sample_sql(budget=150),
+        "q_chunk_sentences": _chunk_sentences_sql(),
         "q_file_avro_roundtrip": flat,
         "q_stream_json_e2e": registry._stream_json_e2e_sql(),
     }
