@@ -1280,9 +1280,10 @@ def chunk_documents(
     Scale: one shuffle-free projection + posexplode — the generated
     windows are bounded by doc length, and the chunk text is produced
     FROM the staged row (no array payload carried through any join).
-    Sentence/semantic boundary snapping is deliberately out of scope
-    here (it needs a tokenizer/model and breaks the exact oracle);
-    compose with :func:`pack_windows` for token-aware splits."""
+    Sentence-BOUNDARY chunking lives in :func:`chunk_sentences`
+    (rule-based, oracle-exact); semantic/model-based snapping stays
+    out of scope; compose with :func:`pack_windows` for token-aware
+    splits."""
     if overlap_chars >= chunk_chars:
         raise ValueError("overlap_chars must be < chunk_chars")
     stride = chunk_chars - overlap_chars
