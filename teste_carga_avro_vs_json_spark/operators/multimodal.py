@@ -2728,3 +2728,125 @@ def encode_tiff_stdlib(
     assert len(out) == data_at
     out += data
     return bytes(out)
+
+
+def probe_image(payload: bytes) -> dict:
+    """HEADER-ONLY image facts, magic-dispatched: ``{format, width,
+    height}`` for BMP / PNG / GIF / baseline+progressive JPEG /
+    classic TIFF — the dims come from the container header (PNG IHDR,
+    GIF logical screen descriptor, JPEG SOF segment, TIFF IFD tags,
+    BMP info header) with NO pixel decode, so a 100 TB crawl can
+    filter by resolution before paying any codec. Unknown magic or a
+    malformed header raises ``NotImplementedError`` (fuzz-table row
+    ``image_probe``)."""
+    import struct
+
+    try:
+        if payload[:2] == b"BM":
+            _, width, height_raw = struct.unpack_from(
+                "<Iii", payload, 14
+            )
+            return {
+                "format": "bmp",
+                "width": int(width),
+                "height": abs(int(height_raw)),
+            }
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            if payload[12:16] != b"IHDR":
+                raise NotImplementedError("PNG without leading IHDR")
+            w, h = struct.unpack_from(">II", payload, 16)
+            return {"format": "png", "width": int(w), "height": int(h)}
+        if payload[:4] == b"GIF8" and payload[4:6] in (b"7a", b"9a"):
+            w, h = struct.unpack_from("<HH", payload, 6)
+            return {"format": "gif", "width": int(w), "height": int(h)}
+        if payload[:3] == b"\xff\xd8\xff":
+            pos = 2
+            n_seen = 0
+            while pos + 4 <= len(payload):
+                n_seen += 1
+                if n_seen > 4096:
+                    raise NotImplementedError("JPEG marker cap exceeded")
+                if payload[pos] != 0xFF:
+                    raise NotImplementedError("bad JPEG marker stream")
+                marker = payload[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+                if seglen < 2:
+                    raise NotImplementedError("bad JPEG segment length")
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                    0xC4, 0xC8, 0xCC
+                ):  # any SOF flavor carries the frame dims
+                    h, w = struct.unpack_from(">HH", payload, pos + 5)
+                    return {
+                        "format": "jpeg",
+                        "width": int(w),
+                        "height": int(h),
+                    }
+                if marker == 0xDA:
+                    break  # SOS without SOF: malformed
+                pos += 2 + seglen
+            raise NotImplementedError("JPEG without a SOF header")
+        if payload[:4] in (_TIFF_MAGIC_LE, _TIFF_MAGIC_BE):
+            e = "<" if payload[:4] == _TIFF_MAGIC_LE else ">"
+            ifd = struct.unpack_from(e + "I", payload, 4)[0]
+            n = struct.unpack_from(e + "H", payload, ifd)[0]
+            if n == 0 or n > 512:
+                raise NotImplementedError("bad IFD entry count")
+            dims = {}
+            for i in range(n):
+                off = ifd + 2 + 12 * i
+                tag, typ = struct.unpack_from(e + "HH", payload, off)
+                if tag in (256, 257) and typ in (3, 4):
+                    dims[tag] = struct.unpack_from(
+                        e + ("H" if typ == 3 else "I"), payload, off + 8
+                    )[0]
+            if 256 not in dims or 257 not in dims:
+                raise NotImplementedError("TIFF missing dimension tags")
+            return {
+                "format": "tiff",
+                "width": int(dims[256]),
+                "height": int(dims[257]),
+            }
+    except (struct.error, IndexError) as exc:
+        raise NotImplementedError(
+            f"malformed image header: {exc}"
+        ) from exc
+    raise NotImplementedError("unrecognized image magic")
+
+
+def probe_image_stream(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, payload) → header-only image facts — the image twin of
+    :func:`probe_audio_stream`: one Arrow-batched shuffle-free
+    projection with the standard error column (malformed payloads are
+    rows, never failed stages)."""
+
+    @F.pandas_udf(
+        "struct<format: string, width: int, height: int, error: string>"
+    )
+    def probe(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for raw in batch:
+                try:
+                    if raw is None:
+                        raise NotImplementedError("null payload")
+                    info = probe_image(bytes(raw))
+                    rows.append({**info, "error": None})
+                except NotImplementedError as exc:
+                    rows.append(
+                        {
+                            "format": None,
+                            "width": None,
+                            "height": None,
+                            "error": str(exc),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select(
+        "doc_id", probe(payload_col).alias("probe")
+    ).select("doc_id", "probe.*")

@@ -112,6 +112,12 @@ _DECODERS = {
         mm.decode_tiff_stdlib,
         (NotImplementedError,),
     ),
+    # r10-late #3: header-only image probe — mutations hit the magic
+    # dispatch, the JPEG marker walk and the TIFF IFD dimension reads
+    "image_probe": (
+        mm.probe_image,
+        (NotImplementedError,),
+    ),
     # r10-late: archive walkers — container errors raise, member-level
     # corruption lands as error ROWS (the iterator contract), so the
     # fuzz net checks only that no raw zipfile/tarfile/struct errors
@@ -204,6 +210,10 @@ def _valid_payloads() -> dict[str, bytes]:
         "tiff": mm.encode_tiff_stdlib(
             11, 7,
             bytes(((i * 37) ^ (i >> 3)) & 0xFF for i in range(11 * 7 * 3)),
+        ),
+        "image_probe": mm.encode_png_stdlib(
+            9, 5,
+            bytes(((i * 53) ^ (i >> 2)) & 0xFF for i in range(9 * 5 * 3)),
         ),
     }
 

@@ -652,3 +652,41 @@ def test_tiff_codec_endianness_strips_and_dhash_parity():
     with pytest.raises(NotImplementedError, match="strip"):
         trunc = bytes(out)[: d1_at + 5]
         mm._tiff_decode_pixels(trunc)
+
+
+def test_probe_image_stream_header_only_facts(spark):
+    """probe_image_stream: dims for all five stdlib formats from
+    HEADERS only, malformed payloads land as error rows."""
+    from teste_carga_avro_vs_json_spark.operators import jpeg_codec as jc
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+
+    w, h = 21, 13
+    rgb = bytes(((i * 41) ^ (i >> 3)) & 0xFF for i in range(w * h * 3))
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    payloads = [
+        (0, mm.encode_bmp_stdlib(w, h, rgb)),
+        (1, mm.encode_png_stdlib(w, h, rgb)),
+        (2, mm.encode_tiff_stdlib(w, h, rgb)),
+        (3, jc.encode_jpeg(w, h, rgb)),
+        (4, mm.encode_gif_stdlib(
+            w, h, [bytes(i % 2 for i in range(w * h))], pal
+        )),
+        (5, b"\x00not an image"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r for r in mm.probe_image_stream(df).collect()
+    }
+    fmts = {0: "bmp", 1: "png", 2: "tiff", 3: "jpeg", 4: "gif"}
+    for i, fmt in fmts.items():
+        assert got[i].format == fmt and got[i].error is None
+        assert (got[i].width, got[i].height) == (w, h)
+    for i in (5, 6):
+        assert got[i].error is not None and got[i].format is None
+    # shuffle-free plan (the probe family rule)
+    plan = (
+        mm.probe_image_stream(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
