@@ -1945,8 +1945,7 @@ class StubBroker:
             # before authentication completes
             raise _CloseConnection()
         if api_key == _API_VERSIONS:
-            w.i16(0).i32(17)
-            for k, lo, hi in (
+            apis = (
                 (_API_PRODUCE, 0, 3),
                 (_API_FETCH, 0, 4),
                 (_API_LIST_OFFSETS, 0, 1),
@@ -1965,7 +1964,12 @@ class StubBroker:
                 (_API_VERSIONS, 0, 0),
                 (_API_INIT_PRODUCER_ID, 0, 0),
                 (_API_SASL_AUTHENTICATE, 0, 0),
-            ):
+            )
+            # count DERIVED from the list — a hardcoded count silently
+            # truncates the tail when an API joins (caught by the SASL
+            # gate test when DeleteGroups displaced SaslAuthenticate)
+            w.i16(0).i32(len(apis))
+            for k, lo, hi in apis:
                 w.i16(k).i16(lo).i16(hi)
         elif api_key == _API_SASL_HANDSHAKE:
             mech = r.string()
