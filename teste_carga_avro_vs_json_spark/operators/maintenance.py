@@ -1866,6 +1866,70 @@ def snapshot_restore(
     )
 
 
+def snapshot_maintain(
+    spark: SparkSession,
+    table_dir: str,
+    target_mb: float = 128.0,
+    max_dv_frac: float = 0.02,
+    file_slack: float = 2.0,
+    cluster_col: str | None = None,
+    ts: int = SNAP_EPOCH,
+) -> dict:
+    """The auto-OPTIMIZE policy loop a production table runs after
+    churn (what Delta's auto-compaction + DV-threshold maintenance
+    automate): inspect the HEAD manifest only and rewrite exactly when
+    a documented threshold trips —
+
+    - accumulated merge-on-read deletions exceed ``max_dv_frac`` of
+      live rows (the read-side anti-join has grown past its budget:
+      fold the DVs away), or
+    - the file count exceeds ``file_slack ×`` the byte-planned count
+      at ``target_mb`` (small-file churn from frequent appends/syncs:
+      compact).
+
+    The rewrite is :func:`snapshot_cluster_by` when ``cluster_col`` is
+    given (restoring the merge/skipping economics in the same pass —
+    the right default for keyed tables) else :func:`snapshot_compact`.
+    No threshold tripped = NO new version (decide from the manifest,
+    never scan data to decide). Returns the audit dict
+    ``{acted, reason, n_files, planned_files, dv_rows, live_rows,
+    version}`` — the no-silent-caps rule applied to maintenance."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {table_dir}")
+    head = versions[-1]
+    m = _read_manifest(table_dir, head)
+    n_files = m["n_files"]
+    planned = plan_output_files(m["n_bytes"], target_mb)
+    dv_rows = (m.get("dv") or {}).get("n_rows", 0)
+    total_rows = sum(f.get("rows", 0) for f in m["files"])
+    live_rows = max(total_rows - dv_rows, 1)
+    out = {
+        "acted": False,
+        "reason": None,
+        "n_files": n_files,
+        "planned_files": planned,
+        "dv_rows": dv_rows,
+        "live_rows": live_rows,
+        "version": head,
+    }
+    if dv_rows and dv_rows > max_dv_frac * live_rows:
+        out["reason"] = "dv_fraction"
+    elif n_files > file_slack * planned:
+        out["reason"] = "file_count"
+    else:
+        return out
+    if cluster_col is not None:
+        res = snapshot_cluster_by(
+            spark, table_dir, cluster_col, target_mb=target_mb, ts=ts
+        )
+    else:
+        res = snapshot_compact(spark, table_dir, target_mb=target_mb, ts=ts)
+    out["acted"] = True
+    out["version"] = res["version"]
+    return out
+
+
 def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
     """Retire old versions: drop all but the last ``keep_last``
     manifests, then delete data files no RETAINED manifest references.

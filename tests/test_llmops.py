@@ -2012,3 +2012,30 @@ def test_chunk_sentences_contracts(spark):
         ).collect()
     }
     assert again == {k: v.chunk_text for k, v in out.items()}
+
+
+def test_gopher_rules_applies_to_streams(spark, sf_dir, tmp_path):
+    """gopher_rules is a stateless projection, so it runs unchanged on
+    a readStream frame — stream == batch exactly (the streaming-twin
+    convention for every gate)."""
+    from teste_carga_avro_vs_json_spark.operators import text as T
+
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        T.gopher_rules(stream, min_words=40)
+        .writeStream.format("memory")
+        .queryName("gopher_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from gopher_stream")
+    want = T.gopher_rules(docs, min_words=40)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == want.count() > 0

@@ -1556,3 +1556,47 @@ def test_replicate_net_collapses_intermediate_states(
         "back"
     ]
     assert _same_multiset(got, mt.snapshot_read(spark, src))
+
+
+# ------------------------------------------------- auto-maintenance
+def test_snapshot_maintain_policy_thresholds(spark, sf_dir, tmp_path):
+    """snapshot_maintain: no-op inside budget (no new version), fires
+    on the DV fraction (folds them), fires on small-file churn
+    (compacts), and decides from the MANIFEST alone."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    # compact base layout: the fixture's 6 tiny files would already
+    # trip the file budget (planned=1 at this size) — which is the
+    # policy working, not the no-op case under test
+    mt.snapshot_commit(docs.coalesce(1), tdir)
+
+    r0 = mt.snapshot_maintain(spark, tdir)
+    assert not r0["acted"] and r0["reason"] is None
+    assert mt.snapshot_versions(tdir)[-1] == 1  # truly no new version
+
+    # mor-delete 10% of rows -> dv fraction trips (budget 2%)
+    mt.snapshot_delete(spark, tdir, "doc_id % 10 = 3", mode="mor")
+    r1 = mt.snapshot_maintain(spark, tdir)
+    assert r1["acted"] and r1["reason"] == "dv_fraction"
+    head = mt._read_manifest(tdir, mt.snapshot_versions(tdir)[-1])
+    assert "dv" not in head  # folded away
+    assert mt.snapshot_read(spark, tdir).where(
+        "doc_id % 10 = 3"
+    ).count() == 0
+
+    # fragment with many tiny appends -> file count trips
+    for i in range(6):
+        mt.snapshot_commit(
+            docs.limit(5).repartition(4), tdir, mode="append"
+        )
+    n_before = mt._read_manifest(
+        tdir, mt.snapshot_versions(tdir)[-1]
+    )["n_files"]
+    r2 = mt.snapshot_maintain(spark, tdir, cluster_col="doc_id")
+    assert r2["acted"] and r2["reason"] == "file_count"
+    assert r2["n_files"] == n_before
+    head2 = mt._read_manifest(tdir, mt.snapshot_versions(tdir)[-1])
+    assert head2["n_files"] < n_before
+    assert (head2.get("extra") or {}).get("reorg")  # stream-transparent
+    # immediately after: back inside budget
+    assert not mt.snapshot_maintain(spark, tdir)["acted"]
