@@ -1370,26 +1370,37 @@ def chunk_sentences(
     docs with no sentences emit one empty chunk (every input doc
     appears — the audit rule).
 
-    Scale: sentence arrays are staged behind a projection (HOF rule)
-    and exploded with ``posexplode_outer`` + a filter on the GENERATE
-    OUTPUT (the decontam idiom — r7 pushdown rule); the prefix sum is
+    Scale: sentence arrays are trimmed/empty-filtered row-locally
+    inside the staged projection (HOF rule; no post-explode Filter to
+    trip the r7 pushdown rule) and exploded with ``posexplode_outer``
+    so empty arrays keep their marker row; the prefix sum is
     one doc-keyed window whose Exchange the (doc, chunk) hash
     aggregation and the per-doc n_chunks window both REUSE (doc_id is
     a subset of both keys) — one shuffle total. The ordered rebuild is
     the line_dedup idiom: ``array_sort(collect_list(struct(pos, …)))``."""
+    # trim + drop-empty happen INSIDE the staged array (row-local HOFs,
+    # no captured outer exprs): a doc whose sentences ALL trim empty
+    # (e.g. whitespace-only text) stages an EMPTY array and flows
+    # through the posexplode_outer null-marker row like a no-sentence
+    # doc — matching the oracle twin's LEFT JOIN re-attach. Filtering
+    # post-explode instead silently dropped such docs (r11 fix).
     staged = docs.select(
         "doc_id",
-        F.regexp_extract_all(
-            F.col(text_col), F.lit(_SENT_RE), 0
+        F.filter(
+            F.transform(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(_SENT_RE), 0
+                ),
+                lambda s: F.trim(s),
+            ),
+            lambda s: s != "",
         ).alias("_sents"),
     )
-    exploded = staged.select(
+    # positions shift vs the raw match list, but only RELATIVE order is
+    # consumed (window orderBy + array_sort), which filtering preserves
+    kept = staged.select(
         "doc_id",
-        F.posexplode_outer("_sents").alias("pos", "_raw"),
-    ).select("doc_id", "pos", F.trim(F.col("_raw")).alias("sent"))
-    # keep nulls (the no-sentence marker row) and drop empty-after-trim
-    kept = exploded.filter(
-        F.col("sent").isNull() | (F.col("sent") != "")
+        F.posexplode_outer("_sents").alias("pos", "sent"),
     )
     w_cum = (
         Window.partitionBy("doc_id")

@@ -1764,14 +1764,19 @@ def snapshot_replicate(
         if c not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)
     ]
     # net outcome per key: preimages are never an outcome (always
-    # paired with their postimage), then the latest commit wins
+    # paired with their postimage), then the latest commit wins. The
+    # secondary keys make row_number deterministic when ONE source
+    # commit carries duplicate rows for a key (r11: xxhash64 over the
+    # full row is a sort key only, never an output value)
     net = changes.where(
         F.col(CHANGE_TYPE_COL) != "update_preimage"
     ).withColumn(
         "_rk",
         F.row_number().over(
             Window.partitionBy(*keys).orderBy(
-                F.col(COMMIT_VERSION_COL).desc()
+                F.col(COMMIT_VERSION_COL).desc(),
+                F.col(CHANGE_TYPE_COL).desc(),
+                F.xxhash64(*cols).desc(),
             )
         ),
     ).where(F.col("_rk") == 1)

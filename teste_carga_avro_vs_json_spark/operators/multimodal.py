@@ -2797,8 +2797,18 @@ def probe_image(payload: bytes) -> dict:
             dims = {}
             for i in range(n):
                 off = ifd + 2 + 12 * i
-                tag, typ = struct.unpack_from(e + "HH", payload, off)
+                tag, typ, cnt = struct.unpack_from(
+                    e + "HHI", payload, off
+                )
                 if tag in (256, 257) and typ in (3, 4):
+                    # TIFF 6.0 gives ImageWidth/ImageLength count 1;
+                    # count>1 would put the VALUE OFFSET at off+8, and
+                    # reading it as the dimension returns garbage —
+                    # raise instead (decoder-hardening rule, r11 fix)
+                    if cnt != 1:
+                        raise NotImplementedError(
+                            "TIFF dimension tag with count != 1"
+                        )
                     dims[tag] = struct.unpack_from(
                         e + ("H" if typ == 3 else "I"), payload, off + 8
                     )[0]

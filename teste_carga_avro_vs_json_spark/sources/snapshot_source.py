@@ -207,12 +207,6 @@ class SnapshotStreamReader(DataSourceStreamReader):
         mt = _mt()
         versions = mt.snapshot_versions(self.table_dir)
         manifest = mt._read_manifest(self.table_dir, version)
-        if version - 1 > 0 and version - 1 not in versions:
-            raise ValueError(
-                f"cannot stream commit v{version}: its parent manifest "
-                f"v{version - 1} was vacuumed — restart the stream from "
-                "an existing version (starting_version)"
-            )
         if manifest["op"] != "append":
             if (manifest.get("extra") or {}).get("reorg"):
                 # compact/cluster_by/zorder_by preserve content exactly
@@ -227,6 +221,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "or restart from a newer starting_version."
                 )
             return []
+        # only the append file-diff reads the parent manifest — reorg /
+        # skipped rewrites above never touch it (r11, matches _change_plan)
+        if version - 1 > 0 and version - 1 not in versions:
+            raise ValueError(
+                f"cannot stream commit v{version}: its parent manifest "
+                f"v{version - 1} was vacuumed — restart the stream from "
+                "an existing version (starting_version)"
+            )
         parent_paths = (
             {
                 f["path"]
@@ -254,12 +256,18 @@ class SnapshotStreamReader(DataSourceStreamReader):
         manifest = mt._read_manifest(self.table_dir, version)
         op = manifest["op"]
         extra = manifest.get("extra") or {}
-        if version - 1 > 0 and version - 1 not in versions:
-            raise ValueError(
-                f"cannot stream changes for commit v{version}: its "
-                f"parent manifest v{version - 1} was vacuumed — "
-                "restart the stream from an existing version"
-            )
+
+        def need_parent():
+            # only append (file diff) and delete-mor (DV diff) read the
+            # parent manifest; merge/cow-delete carry their own change
+            # files and reorg emits nothing — matching the batch
+            # classifier in maintenance.snapshot_changes (r11 fix)
+            if version - 1 > 0 and version - 1 not in versions:
+                raise ValueError(
+                    f"cannot stream changes for commit v{version}: its "
+                    f"parent manifest v{version - 1} was vacuumed — "
+                    "restart the stream from an existing version"
+                )
 
         def part(kind, rel_path, positions=()):
             return _ChangePartition(
@@ -268,6 +276,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             )
 
         if op == "append":
+            need_parent()
             parent_paths = (
                 {
                     f["path"]
@@ -299,6 +308,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if op == "delete-mor":
             import pyarrow.parquet as pq
 
+            need_parent()
             prior = {
                 f["path"]
                 for f in (

@@ -1980,7 +1980,10 @@ def test_chunk_sentences_contracts(spark):
             (0, f"{s1} {s2} {s3} {s4}"),
             (1, "no terminators at all just words"),
             (2, ""),
-            (3, "..."),  # terminators only -> no non-empty sentence? 
+            (3, "..."),  # terminators only -> no non-empty sentence?
+            # space-only: every sentence trims empty (trim strips ' '
+            # only in BOTH engines — a tab would survive as a sentence)
+            (4, "      "),
         ],
         "doc_id long, text string",
     )
@@ -2004,6 +2007,11 @@ def test_chunk_sentences_contracts(spark):
     # empty doc and terminator-only doc: one auditable chunk each
     assert out[(2, 0)].n_sentences == 0 and out[(2, 0)].chunk_text == ""
     assert (3, 0) in out and out[(3, 0)].n_chunks == 1
+    # space-only doc: sentences all trim empty, yet the doc still
+    # appears (r11 fix — previously vanished while the oracle's LEFT
+    # JOIN kept it)
+    assert out[(4, 0)].n_sentences == 0 and out[(4, 0)].chunk_text == ""
+    assert out[(4, 0)].n_chunks == 1
     # repartition-invariance
     again = {
         (r.doc_id, r.chunk_idx): r.chunk_text

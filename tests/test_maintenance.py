@@ -1558,6 +1558,39 @@ def test_replicate_net_collapses_intermediate_states(
     assert _same_multiset(got, mt.snapshot_read(spark, src))
 
 
+def test_replicate_duplicate_rows_in_one_commit_is_deterministic(
+    spark, sf_dir, tmp_path
+):
+    """One source append carrying duplicate rows for a key: the net
+    window's tie-break is pinned by value (r11: xxhash64 secondary
+    sort key), so the replicated row is the same across runs and
+    plans — row_number alone was nondeterministic."""
+    docs = _docs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    mt.snapshot_commit(docs.filter("doc_id < 10"), src)
+    dup = (
+        docs.filter("doc_id = 3").withColumn("text", F.lit("x"))
+        .unionByName(
+            docs.filter("doc_id = 3").withColumn("text", F.lit("y"))
+        )
+    )
+    mt.snapshot_commit(dup, src, mode="append")
+
+    def run(n):
+        dst = str(tmp_path / f"dst{n}")
+        mt.snapshot_replicate(spark, src, dst, keys=["doc_id"])
+        return sorted(
+            (r.doc_id, r.text)
+            for r in mt.snapshot_read(spark, dst)
+            .where("doc_id = 3").collect()
+        )
+
+    first = run(0)
+    assert len(first) == 1  # net outcome: one row per key
+    for n in (1, 2):
+        assert run(n) == first
+
+
 # ------------------------------------------------- auto-maintenance
 def test_snapshot_maintain_policy_thresholds(spark, sf_dir, tmp_path):
     """snapshot_maintain: no-op inside budget (no new version), fires

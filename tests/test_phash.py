@@ -690,3 +690,33 @@ def test_probe_image_stream_header_only_facts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_probe_image_tiff_rejects_multi_count_dims():
+    """A TIFF dims tag with count != 1 stores a value OFFSET at +8 —
+    reading it inline would return the offset as the dimension. The
+    probe must raise, never report wrong dims (r11, decoder-hardening
+    rule)."""
+    import struct
+
+    import pytest
+
+    from teste_carga_avro_vs_json_spark.operators import multimodal as mm
+
+    hdr = struct.pack("<2sHI", b"II", 42, 8)
+    ifd = struct.pack("<H", 2)
+    # ImageWidth count=2 (out-of-line), ImageLength count=1 inline
+    ifd += struct.pack("<HHII", 256, 3, 2, 64)
+    ifd += struct.pack("<HHIHxx", 257, 3, 1, 13)
+    ifd += struct.pack("<I", 0)
+    payload = hdr + ifd + b"\x00" * 64
+    with pytest.raises(NotImplementedError, match="count"):
+        mm.probe_image(payload)
+    # the well-formed twin still probes
+    ok = struct.pack("<2sHI", b"II", 42, 8) + struct.pack("<H", 2)
+    ok += struct.pack("<HHIHxx", 256, 3, 1, 21)
+    ok += struct.pack("<HHIHxx", 257, 3, 1, 13)
+    ok += struct.pack("<I", 0)
+    assert mm.probe_image(ok) == {
+        "format": "tiff", "width": 21, "height": 13,
+    }

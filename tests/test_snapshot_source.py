@@ -227,6 +227,43 @@ def test_vacuumed_parent_raises(spark, sf_dir, tmp_path):
         reader.partitions({"version": 2}, {"version": 4})
 
 
+def test_vacuumed_parent_only_gates_ops_that_need_it(
+    spark, sf_dir, tmp_path
+):
+    """Only append (file diff) and delete-mor (DV diff) read the
+    parent manifest — a CDF stream restarting on a merge or cow-delete
+    commit whose parent was vacuumed must still plan, matching the
+    batch classifier (r11 fix; previously every op raised)."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 60"), tdir)           # v1
+    mt.snapshot_merge(                                             # v2
+        docs.filter("doc_id < 10").withColumn("text", F.lit("m")),
+        tdir, keys=["doc_id"],
+    )
+    mt.snapshot_commit(                                            # v3
+        docs.filter("doc_id >= 60 and doc_id < 80"), tdir, mode="append"
+    )
+    mt.snapshot_vacuum(tdir, keep_last=2)  # retires v1 — v2's parent
+    reader = ss.SnapshotStreamReader(
+        {"path": tdir, "read_changes": "true"}
+    )
+    # v2 is a merge: its change files are self-contained — plans fine
+    parts = reader._change_plan(2)
+    assert parts and all(p.kind == "cdf_file" for p in parts)
+    # v3 is an append whose parent v2 EXISTS — plans fine
+    assert reader._change_plan(3)
+    # an append whose parent is vacuumed still raises
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 80 and doc_id < 90"), tdir, mode="append"
+    )                                                              # v4
+    mt.snapshot_vacuum(tdir, keep_last=2)  # retires v2 — v3's parent
+    with pytest.raises(Exception, match="vacuum"):
+        reader._change_plan(3)
+    with pytest.raises(Exception, match="vacuum"):
+        ss.SnapshotStreamReader({"path": tdir})._added_paths(3)
+
+
 def test_schema_evolution_projection(spark, sf_dir, tmp_path):
     """Files appended with EXTRA columns stream with them dropped;
     the pinned schema rules (documented merge-schema caveat)."""
