@@ -127,6 +127,55 @@ def _await_quiet_window(
         waited += sleep
 
 
+def _floor_tripwire(
+    deltas: dict[str, float], min_lanes: int = 3, pct: float = 40.0
+) -> tuple[int, str | None]:
+    """(n deviating lanes, reason) from per-lane %-over-floor deltas.
+    Thresholds from the committed r10 spread: quiet runs (steal
+    0.05-0.39%) show ZERO lanes >40% over BENCH_BASELINE floors (max
+    ~30%); every damaged run shows >=5. avro_e2e_arrow aliases
+    avro_e2e and would double-count."""
+    devs = sorted(
+        (d, n) for n, d in deltas.items()
+        if n != "avro_e2e_arrow" and d > pct
+    )
+    if len(devs) < min_lanes:
+        return len(devs), None
+    worst = ", ".join(
+        f"{n} +{d}%" for d, n in sorted(devs, reverse=True)[:5]
+    )
+    return len(devs), (
+        f"floor deviation: {len(devs)} lanes >{pct:g}% over "
+        f"frozen floors ({worst})"
+    )
+
+
+def _io_probe_ms(size_mb: int = 32) -> float | None:
+    """Wall time (ms) for a fixed tmpfile write + fsync + read-back —
+    a direct sample of the disk channel the steal stamp cannot see.
+    BENCH_r10 passed the 0.4% steal stamp while the two file-roundtrip
+    lanes sat at 2-2.7x their floors: the damage channel was disk I/O.
+    Run once before and once after the measured laps; the PAIR is
+    evidence (a quiet-disk run shows both probes near each other and
+    near historical values), not a gate by itself."""
+    import tempfile
+
+    try:
+        payload = b"\xa5" * (1 << 20)
+        t0 = time.perf_counter()
+        with tempfile.NamedTemporaryFile(dir="/tmp") as f:
+            for _ in range(size_mb):
+                f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+            f.seek(0)
+            while f.read(1 << 22):
+                pass
+        return round((time.perf_counter() - t0) * 1000.0, 1)
+    except OSError:
+        return None
+
+
 def main() -> bool:
     """One full bench capture. Returns True when the run-window
     contention check tripped (the caller may retry once)."""
@@ -135,6 +184,7 @@ def main() -> bool:
     gate = _await_quiet_window(
         float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
     )
+    io_probe_pre = _io_probe_ms()
     steal0, wall0 = _steal_ticks(), time.perf_counter()
 
     from pyspark.sql import SparkSession
@@ -606,6 +656,27 @@ def main() -> bool:
     if (out.get("steal_pct") or 0) > 0.4:
         gate["contended_fallback"] = True
         gate["reason"] = f"run-window steal {out['steal_pct']}%"
+    out["io_probe_ms"] = {"pre": io_probe_pre, "post": _io_probe_ms()}
+    # r11 (VERDICT order #1): floor-deviation tripwire. BENCH_r10
+    # passed the tightened steal stamp (0.03%) while file_avro sat at
+    # 2.7x its frozen floor — the damage channel was disk I/O, which
+    # no CPU stamp measures. The committed r10 spread separates the
+    # populations cleanly: the three quiet runs (steal 0.05-0.39%)
+    # have ZERO lanes >40% over their BENCH_BASELINE floors (max
+    # ~30%), while every damaged run has >=5. So: >=3 lanes more than
+    # 40% over floor => the window was dirty regardless of what the
+    # CPU stamps say => contended_fallback + the one-retry path. A
+    # genuine >=3-lane code regression also trips this — which is the
+    # right failure mode: the reason names the lanes, and a regression
+    # that big should stop the release either way.
+    n_dev, dev_reason = _floor_tripwire(deltas)
+    if dev_reason is not None:
+        gate["contended_fallback"] = True
+        extra = "" if gate.get("reason") is None else (
+            gate["reason"] + "; "
+        )
+        gate["reason"] = extra + dev_reason
+    out["floor_deviation_lanes"] = n_dev
     # End-of-run loadavg is recorded above but NOT folded: the bench's
     # own local[32] load pushes it to 10-20 on QUIET runs (r9_run5
     # ended at 20.2), so it cannot separate self-load from foreign
@@ -631,6 +702,9 @@ def main() -> bool:
         "steal_pct": out.get("steal_pct"),
         "loadavg_1m": out.get("loadavg_1m"),
         "contended_fallback": gate["contended_fallback"],
+        "contended_reason": gate.get("reason"),
+        "floor_deviation_lanes": out["floor_deviation_lanes"],
+        "io_probe_ms": out["io_probe_ms"],
         "gate_waited_sec": gate["waited_sec"],
     }), flush=True)
     spark.stop()
