@@ -493,6 +493,43 @@ def snapshot_prune_report(
     }
 
 
+def _version_schema_info(
+    table_dir: str, manifest: dict
+) -> tuple[bool, list[str]]:
+    """``(heterogeneous, union_cols)`` across one version's files —
+    the schema-evolution detector the copy-on-write ops consult so a
+    merge/delete/compact can never silently operate on the first
+    file's schema when the version's files diverge (r11, VERDICT
+    order #2). Manifest-only for r11+ commits (``cols`` is recorded
+    per file entry at commit time from the footer already being read
+    for stats); a legacy entry without it pays one driver-side footer
+    read. ``union_cols`` keeps first-file column order, then first
+    appearance — the same order parquet ``mergeSchema`` produces."""
+    union: list[str] = []
+    seen: set[str] = set()
+    shapes: set[tuple] = set()
+    for f in manifest["files"]:
+        cols = f.get("cols")
+        if cols is None:
+            try:
+                import pyarrow.parquet as pq
+
+                cols = [
+                    fld.name
+                    for fld in pq.ParquetFile(
+                        os.path.join(table_dir, f["path"])
+                    ).schema_arrow
+                ]
+            except Exception:
+                continue  # unreadable footer: no evidence either way
+        shapes.add(tuple(cols))
+        for c in cols:
+            if c not in seen:
+                seen.add(c)
+                union.append(c)
+    return len(shapes) > 1, union
+
+
 def snapshot_read(
     spark: SparkSession,
     table_dir: str,
@@ -510,10 +547,11 @@ def snapshot_read(
     schema-evolution read: appends that ADDED columns surface them,
     older rows null-fill. Off by default (single-schema tables skip
     the per-file footer sampling, and column order stays exactly the
-    first file's — what the oracle pins rely on). Note
-    :func:`snapshot_merge` reads the table with the FIRST file's
-    schema; run :func:`snapshot_compact`/:func:`snapshot_cluster_by`
-    after an evolving append before merging on an evolved column.
+    first file's — what the oracle pins rely on). The copy-on-write
+    ops (:func:`snapshot_merge`, :func:`snapshot_delete`,
+    :func:`snapshot_compact`) detect schema-evolved versions from the
+    manifest and switch to the union read themselves (r11), so a
+    merge can no longer silently drop an evolved column.
 
     ``prune`` is manifest-level DATA SKIPPING — ``{col: value}`` for
     equality or ``{col: (lo, hi)}`` for an inclusive range (None =
@@ -594,9 +632,16 @@ def snapshot_compact(
     """Rewrite the LATEST version's files at target size as a new
     ``overwrite`` commit (content preserved exactly — the OPTIMIZE
     operation). Readers pinned to older versions keep their files;
-    reclaim space afterwards with :func:`snapshot_vacuum`."""
-    latest = snapshot_read(spark, table_dir)
+    reclaim space afterwards with :func:`snapshot_vacuum`.
+
+    On a schema-evolved version (files with diverging columns) the
+    rewrite reads the UNION schema (r11) — compaction CONSOLIDATES an
+    evolution instead of silently collapsing it to the first file's
+    columns, which is what makes compact the documented evolution
+    fix-up step."""
     manifest = _read_manifest(table_dir, snapshot_versions(table_dir)[-1])
+    hetero, _ = _version_schema_info(table_dir, manifest)
+    latest = snapshot_read(spark, table_dir, merge_schema=hetero)
     n_files = plan_output_files(manifest["n_bytes"], target_mb)
     compacted = latest.coalesce(n_files)
     # reorg commits preserve content exactly — the marker is Delta's
@@ -628,9 +673,11 @@ def snapshot_cluster_by(
     unclustered one degrades toward rewriting everything. Run it the
     way Delta runs OPTIMIZE ZORDER — periodically, after merge churn.
     Readers pinned to older versions keep their files (reclaim with
-    :func:`snapshot_vacuum`)."""
-    latest = snapshot_read(spark, table_dir)
+    :func:`snapshot_vacuum`). Schema-evolved versions rewrite with the
+    UNION schema, like :func:`snapshot_compact`."""
     manifest = _read_manifest(table_dir, snapshot_versions(table_dir)[-1])
+    hetero, _ = _version_schema_info(table_dir, manifest)
+    latest = snapshot_read(spark, table_dir, merge_schema=hetero)
     if n_files is None:
         n_files = plan_output_files(manifest["n_bytes"], target_mb)
     clustered = latest.repartitionByRange(
@@ -666,9 +713,11 @@ def snapshot_zorder_by(
     once — the multi-dimensional point/range lookup a 100 TB corpus
     needs for (e.g.) (domain, fetch-date) slices. Content preserved
     exactly; readers pinned to older versions keep their files
-    (reclaim with :func:`snapshot_vacuum`)."""
-    latest = snapshot_read(spark, table_dir)
+    (reclaim with :func:`snapshot_vacuum`). Schema-evolved versions
+    rewrite with the UNION schema, like :func:`snapshot_compact`."""
     manifest = _read_manifest(table_dir, snapshot_versions(table_dir)[-1])
+    hetero, _ = _version_schema_info(table_dir, manifest)
+    latest = snapshot_read(spark, table_dir, merge_schema=hetero)
     if n_files is None:
         n_files = plan_output_files(manifest["n_bytes"], target_mb)
     version = snapshot_commit(
@@ -768,13 +817,41 @@ def snapshot_merge(
     else:
         all_keys = delta_keys
 
+    # schema-evolution guard (r11): when the parent's files diverge
+    # (an evolving append added columns), reading first-file schema
+    # would silently DROP the evolved columns from every rewritten
+    # row. Detect from the manifest and read the UNION schema instead
+    # (parquet mergeSchema, old rows null-filled) — the same table
+    # compact-then-merge would produce. Homogeneous tables keep the
+    # single-schema read (no footer sampling, oracle-pinned order).
+    hetero, _union_cols = _version_schema_info(table_dir, manifest)
+    reader = (
+        spark.read.option("mergeSchema", "true") if hetero else spark.read
+    )
+    base = reader.parquet(*by_abspath)
+    cols = base.columns
+    unknown_delta = [c for c in delta.columns if c not in cols]
+    if unknown_delta:
+        # select(*cols) below would drop them SILENTLY — refuse loudly
+        # (schema evolution through merge is not supported; append the
+        # new column first)
+        raise ValueError(
+            f"delta carries columns {unknown_delta} absent from the "
+            "table schema — commit them via an append first"
+        )
+    if hetero:
+        for c in cols:
+            if c not in delta.columns:
+                # Delta MERGE semantics for unspecified columns:
+                # null-fill with the table's type
+                delta = delta.withColumn(
+                    c, F.lit(None).cast(base.schema[c].dataType)
+                )
     current = _apply_dv(
         spark,
         table_dir,
         manifest,
-        spark.read.parquet(*by_abspath).withColumn(
-            "_merge_file", F.input_file_name()
-        ),
+        base.withColumn("_merge_file", F.input_file_name()),
     )
     # broadcast the (small) key set: the affected-file probe and the
     # anti join below must not shuffle the full table
@@ -791,12 +868,19 @@ def snapshot_merge(
     if unknown:  # pragma: no cover - defensive
         raise ValueError(f"scan returned files outside the manifest: {unknown}")
 
-    cols = spark.read.parquet(*by_abspath).columns
     pre_update = pre_delete = None
     rows_replaced = rows_deleted = 0
     if affected:
+        affected_frame = reader.parquet(*affected)
+        # the affected subset may not span the full union (e.g. every
+        # matched file predates the evolution) — null-fill up to cols
+        for c in cols:
+            if c not in affected_frame.columns:
+                affected_frame = affected_frame.withColumn(
+                    c, F.lit(None).cast(base.schema[c].dataType)
+                )
         affected_live = _apply_dv(
-            spark, table_dir, manifest, spark.read.parquet(*affected)
+            spark, table_dir, manifest, affected_frame
         )
         survivors = affected_live.join(
             F.broadcast(all_keys), on=keys, how="left_anti"
@@ -1085,7 +1169,9 @@ def _manifest_bloom_cols(manifest: dict) -> tuple[str, ...]:
     return tuple(sorted(cols))
 
 
-def _file_stats(path: str) -> tuple[dict | None, int | None]:
+def _file_stats(
+    path: str,
+) -> tuple[dict | None, int | None, list[str] | None]:
     """Per-file column min/max from the parquet FOOTER only (no data
     scan — the Iceberg/Delta stats-collection shape, paid once per
     file at commit time). Returns ``(stats, n_rows)`` where stats maps
@@ -1100,7 +1186,7 @@ def _file_stats(path: str) -> tuple[dict | None, int | None]:
 
         md = pq.ParquetFile(path).metadata
     except Exception:
-        return None, None
+        return None, None, None
     ok: dict[str, list] = {}
     bad: set[str] = set()
     for rg in range(md.num_row_groups):
@@ -1135,7 +1221,14 @@ def _file_stats(path: str) -> tuple[dict | None, int | None]:
                 ok[name] = [min(ok[name][0], mn), max(ok[name][1], mx)]
             else:
                 ok[name] = [mn, mx]
-    return (ok or None), md.num_rows
+    # TOP-LEVEL column names (arrow schema order) — recorded per file
+    # so schema-evolution checks stay manifest-only (r11); nested
+    # leaves in path_in_schema would mis-compare against frame columns
+    try:
+        cols = [f.name for f in pq.ParquetFile(path).schema_arrow]
+    except Exception:
+        cols = None
+    return (ok or None), md.num_rows, cols
 
 
 def _file_entry(table_dir: str, path: str, bloom_cols=None) -> dict:
@@ -1143,11 +1236,13 @@ def _file_entry(table_dir: str, path: str, bloom_cols=None) -> dict:
         "path": os.path.relpath(path, table_dir),
         "bytes": os.path.getsize(path),
     }
-    stats, n_rows = _file_stats(path)
+    stats, n_rows, cols = _file_stats(path)
     if n_rows is not None:
         entry["rows"] = n_rows
     if stats:
         entry["stats"] = stats
+    if cols:
+        entry["cols"] = cols
     if bloom_cols:
         blooms = _file_blooms(path, bloom_cols)
         if blooms:
@@ -1284,12 +1379,21 @@ def snapshot_delete(
         for f in manifest["files"]
     }
     cond = F.expr(condition)
+    # schema-evolution guard (r11, same rule as snapshot_merge): on a
+    # version whose files diverge, evaluate the condition against the
+    # UNION schema (old rows null-filled) — first-file schema would
+    # either drop evolved columns or make the match depend on which
+    # file Spark sampled
+    hetero, _union_cols = _version_schema_info(table_dir, manifest)
+    reader = (
+        spark.read.option("mergeSchema", "true") if hetero else spark.read
+    )
 
     if mode == "mor":
         # positions matching the condition, minus positions an earlier
         # DV already deleted (stacked mor deletes must not double-count)
         matched = (
-            spark.read.parquet(*by_abspath)
+            reader.parquet(*by_abspath)
             .withColumn("_dv_path", _rel_file_expr(table_dir))
             .withColumn("_dv_pos", F.col("_metadata.row_index"))
             .where(cond)
@@ -1334,13 +1438,12 @@ def snapshot_delete(
             "rows_deleted": rows_deleted,
         }
 
+    base = reader.parquet(*by_abspath)
     current = _apply_dv(
         spark,
         table_dir,
         manifest,
-        spark.read.parquet(*by_abspath).withColumn(
-            "_del_file", F.input_file_name()
-        ),
+        base.withColumn("_del_file", F.input_file_name()),
     )
     affected_uris = [
         r["_del_file"]
@@ -1356,9 +1459,15 @@ def snapshot_delete(
             "files_kept": len(by_abspath), "files_new": 0,
             "rows_deleted": 0,
         }
-    cols = spark.read.parquet(*by_abspath).columns
+    cols = base.columns
+    affected_frame = reader.parquet(*affected)
+    for c in cols:  # the affected subset may predate the evolution
+        if c not in affected_frame.columns:
+            affected_frame = affected_frame.withColumn(
+                c, F.lit(None).cast(base.schema[c].dataType)
+            )
     affected_live = _apply_dv(
-        spark, table_dir, manifest, spark.read.parquet(*affected)
+        spark, table_dir, manifest, affected_frame
     )
     survivors = affected_live.where(~cond).select(*cols)
     n_affected_rows = affected_live.count()

@@ -608,6 +608,113 @@ def test_snapshot_schema_evolution_read(spark, sf_dir, tmp_path):
     assert set(old.columns) == {"doc_id", "text"}
 
 
+def test_merge_on_evolved_table_keeps_union_schema(
+    spark, sf_dir, tmp_path
+):
+    """r11 (VERDICT order #2): a merge over files written before a
+    schema evolution must NOT silently operate on first-file schema.
+    Merge on the evolved-then-unmerged table == compact-then-merge,
+    and the evolved column survives with old rows null-filled."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(60)
+    delta = docs.limit(8).select(
+        "doc_id", F.lit("merged").alias("text"), F.lit("pt").alias("lang")
+    )
+
+    def build(tdir):
+        mt.snapshot_commit(docs, tdir)
+        evolved = docs.limit(10).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            F.lit("en").alias("lang"),
+        )
+        mt.snapshot_commit(evolved, tdir, mode="append")
+
+    t_direct = str(tmp_path / "direct")
+    build(t_direct)
+    mt.snapshot_merge(delta, t_direct, keys=["doc_id"])
+
+    t_compacted = str(tmp_path / "compacted")
+    build(t_compacted)
+    mt.snapshot_compact(spark, t_compacted)  # consolidates the union
+    mt.snapshot_merge(delta, t_compacted, keys=["doc_id"])
+
+    a = mt.snapshot_read(spark, t_direct, merge_schema=True)
+    b = mt.snapshot_read(spark, t_compacted, merge_schema=True)
+    assert set(a.columns) == {"doc_id", "text", "lang"}
+    order = sorted(a.columns)
+    assert _same_multiset(a.select(*order), b.select(*order))
+    # the evolved column's data survived the merge rewrite
+    assert a.where("lang = 'en'").count() == 10
+    assert a.where("lang = 'pt'").count() == 8
+    assert a.where("lang is null").count() == 60 - 8
+
+    # a delta carrying the OLD column set null-fills the evolved col
+    t2 = str(tmp_path / "olddelta")
+    build(t2)
+    mt.snapshot_merge(
+        docs.limit(3).select("doc_id", F.lit("old-shape").alias("text")),
+        t2, keys=["doc_id"],
+    )
+    got = mt.snapshot_read(spark, t2, merge_schema=True)
+    assert set(got.columns) == {"doc_id", "text", "lang"}
+    assert got.where("text = 'old-shape' and lang is null").count() == 3
+
+    # unknown delta columns refuse loudly (no accidental evolution)
+    import pytest
+
+    with pytest.raises(ValueError, match="absent from the table"):
+        mt.snapshot_merge(
+            delta.withColumn("mystery", F.lit(1)), t2, keys=["doc_id"]
+        )
+
+
+def test_delete_on_evolved_table_sees_union_schema(
+    spark, sf_dir, tmp_path
+):
+    """cow DELETE WHERE on an evolved column: matches only rows that
+    HAVE the column (old rows null-filled, null condition = no match);
+    the rewrite keeps the union schema."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(40)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs, tdir)
+    evolved = docs.limit(10).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, "drop-me")
+        .otherwise("keep").alias("tag"),
+    )
+    n_drop = evolved.where("tag = 'drop-me'").count()
+    assert 0 < n_drop < 10  # both classes present
+    mt.snapshot_commit(evolved, tdir, mode="append")
+    r = mt.snapshot_delete(spark, tdir, "tag = 'drop-me'", mode="cow")
+    assert r["rows_deleted"] == n_drop
+    got = mt.snapshot_read(spark, tdir, merge_schema=True)
+    assert got.count() == 50 - n_drop
+    # survivors of the rewritten evolved file keep their column; the
+    # old rows (null tag) were never touched
+    assert got.where("tag = 'keep'").count() == 10 - n_drop
+    assert got.where("tag = 'drop-me'").count() == 0
+    assert got.where("tag is null").count() == 40
+    # mor mode on the same shape
+    tdir2 = str(tmp_path / "table2")
+    mt.snapshot_commit(docs, tdir2)
+    mt.snapshot_commit(
+        docs.limit(5).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            "text",
+            F.lit("x").alias("tag"),
+        ),
+        tdir2, mode="append",
+    )
+    r2 = mt.snapshot_delete(spark, tdir2, "tag = 'x'", mode="mor")
+    assert r2["rows_deleted"] == 5
+    assert mt.snapshot_read(spark, tdir2, merge_schema=True).count() == 40
+
+
 def test_snapshot_delete_where_copy_on_write(spark, sf_dir, tmp_path):
     """Copy-on-write DELETE: only files containing matches rewrite;
     time travel keeps pre-delete versions (the documented erasure
