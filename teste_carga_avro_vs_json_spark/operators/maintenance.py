@@ -316,6 +316,7 @@ def snapshot_commit(
     max_retries: int = 8,
     extra: dict | None = None,
     bloom_cols=None,
+    parent_version: int | None = None,
 ) -> int:
     """Commit ``df`` as the next version. ``append`` unions the new
     files with the parent version's file list; ``overwrite`` replaces
@@ -331,7 +332,15 @@ def snapshot_commit(
     :func:`snapshot_read`). The default ``None`` INHERITS the parent
     version's bloom columns, so one bloom-indexed commit keeps the
     table indexed through appends, compactions and merges; pass
-    ``()`` to stop indexing new files."""
+    ``()`` to stop indexing new files.
+
+    ``parent_version`` (reorg overwrites only — compact/cluster/
+    zorder pass it) names the version the rewrite was computed FROM:
+    commits that landed after it are folded in when they are pure
+    appends (their files ride along unreorganized) and raise
+    :class:`SnapshotConflictError` otherwise — without it, a reorg
+    losing a race to an append would silently drop the appended rows
+    (r11, VERDICT order #3)."""
     import json
     import tempfile
 
@@ -350,7 +359,8 @@ def snapshot_commit(
         df.sparkSession, table_dir, df, bloom_cols=bloom_cols
     )
     return _publish_files(
-        table_dir, new_files, mode, ts, extra, max_retries
+        table_dir, new_files, mode, ts, extra, max_retries,
+        parent_version=parent_version,
     )
 
 
@@ -361,6 +371,7 @@ def _publish_files(
     ts: int,
     extra: dict | None,
     max_retries: int = 8,
+    parent_version: int | None = None,
 ) -> int:
     """The manifest-publish retry loop shared by :func:`snapshot_commit`
     and the ``format("snapshot")`` writer: compute the next version
@@ -385,6 +396,27 @@ def _publish_files(
             # (the new file set starts clean — how snapshot_compact
             # folds DVs away).
             dv = parent_manifest.get("dv")
+        elif (
+            mode == "overwrite"
+            and parent_version is not None
+            and versions
+            and versions[-1] != parent_version
+        ):
+            # a reorg overwrite computed from parent_version, but the
+            # head moved: fold compatible appends in (their files ride
+            # along unreorganized, with no dv — the rewrite folded the
+            # parent's DVs and appends carry none of their own) or
+            # raise. Checked on EVERY attempt — even the first may see
+            # a head that moved between the caller's read and here,
+            # and the blind overwrite used to drop those rows.
+            _head, added = _rebase_onto_appends(
+                table_dir,
+                parent_version,
+                "reorg",
+                _read_manifest(table_dir, parent_version).get("dv"),
+                None,
+            )
+            files = new_files + added
         manifest = {
             "version": version,
             "op": mode,
@@ -639,16 +671,18 @@ def snapshot_compact(
     evolution instead of silently collapsing it to the first file's
     columns, which is what makes compact the documented evolution
     fix-up step."""
-    manifest = _read_manifest(table_dir, snapshot_versions(table_dir)[-1])
+    head = snapshot_versions(table_dir)[-1]
+    manifest = _read_manifest(table_dir, head)
     hetero, _ = _version_schema_info(table_dir, manifest)
-    latest = snapshot_read(spark, table_dir, merge_schema=hetero)
+    latest = snapshot_read(spark, table_dir, version=head,
+                           merge_schema=hetero)
     n_files = plan_output_files(manifest["n_bytes"], target_mb)
     compacted = latest.coalesce(n_files)
     # reorg commits preserve content exactly — the marker is Delta's
     # dataChange=false: change readers and streams emit NOTHING for them
     version = snapshot_commit(
         compacted, table_dir, mode="overwrite", ts=ts,
-        extra={"reorg": True},
+        extra={"reorg": True}, parent_version=head,
     )
     return {
         "version": version,
@@ -675,9 +709,11 @@ def snapshot_cluster_by(
     Readers pinned to older versions keep their files (reclaim with
     :func:`snapshot_vacuum`). Schema-evolved versions rewrite with the
     UNION schema, like :func:`snapshot_compact`."""
-    manifest = _read_manifest(table_dir, snapshot_versions(table_dir)[-1])
+    head = snapshot_versions(table_dir)[-1]
+    manifest = _read_manifest(table_dir, head)
     hetero, _ = _version_schema_info(table_dir, manifest)
-    latest = snapshot_read(spark, table_dir, merge_schema=hetero)
+    latest = snapshot_read(spark, table_dir, version=head,
+                           merge_schema=hetero)
     if n_files is None:
         n_files = plan_output_files(manifest["n_bytes"], target_mb)
     clustered = latest.repartitionByRange(
@@ -686,6 +722,7 @@ def snapshot_cluster_by(
     version = snapshot_commit(
         clustered, table_dir, mode="overwrite", ts=ts,
         extra={"reorg": True},  # content-preserving (dataChange=false)
+        parent_version=head,
     )
     return {
         "version": version,
@@ -715,9 +752,11 @@ def snapshot_zorder_by(
     exactly; readers pinned to older versions keep their files
     (reclaim with :func:`snapshot_vacuum`). Schema-evolved versions
     rewrite with the UNION schema, like :func:`snapshot_compact`."""
-    manifest = _read_manifest(table_dir, snapshot_versions(table_dir)[-1])
+    head = snapshot_versions(table_dir)[-1]
+    manifest = _read_manifest(table_dir, head)
     hetero, _ = _version_schema_info(table_dir, manifest)
-    latest = snapshot_read(spark, table_dir, merge_schema=hetero)
+    latest = snapshot_read(spark, table_dir, version=head,
+                           merge_schema=hetero)
     if n_files is None:
         n_files = plan_output_files(manifest["n_bytes"], target_mb)
     version = snapshot_commit(
@@ -726,6 +765,7 @@ def snapshot_zorder_by(
         mode="overwrite",
         ts=ts,
         extra={"reorg": True},  # content-preserving (dataChange=false)
+        parent_version=head,
     )
     return {
         "version": version,
@@ -753,14 +793,18 @@ def snapshot_merge(
     corpus needs (rewriting the whole table per merge would be an
     O(corpus) job; this is O(affected files + delta)).
 
-    Concurrency: computed against the LATEST version at entry and
-    published with the same create-exclusive manifest link as
-    :func:`snapshot_commit` — but a lost race raises
-    :class:`SnapshotConflictError` IMMEDIATELY instead of silently
-    retrying, because the affected-file set was computed against a
-    parent that no longer is the head (blind retry could resurrect
-    rows the winner replaced). The caller re-invokes to retry — the
-    standard optimistic MERGE loop.
+    Concurrency (r11, the Delta conflict check): computed against the
+    LATEST version at entry and published with the same
+    create-exclusive manifest link as :func:`snapshot_commit`. A lost
+    race now REBASES internally when every winning commit is a pure
+    append whose added files carry NO key this merge touches (checked
+    by reading just those files) — the winner's rows ride along and
+    the merge commits against the new head with no caller retry.
+    Anything else — a winner that rewrote/removed files, changed
+    delete vectors, or appended an overlapping key — still raises
+    :class:`SnapshotConflictError`, because the affected-file set is
+    stale (blind retry could resurrect rows the winner replaced); the
+    caller re-invokes, the standard optimistic MERGE loop.
 
     ``cdf=True`` (default) additionally records the commit's ROW-LEVEL
     changes — update preimages/postimages and inserts — as change
@@ -948,6 +992,34 @@ def snapshot_merge(
     kept = [
         f for p, f in sorted(by_abspath.items()) if p not in set(affected)
     ]
+
+    def _winner_guard(added_entries):
+        # a concurrent append is rebase-compatible ONLY if none of its
+        # rows carry a key this merge upserts/deletes — otherwise the
+        # merge's outcome would have differed (Delta's concurrent-
+        # append check, evaluated over just the added files)
+        paths = [
+            os.path.join(table_dir, f["path"]) for f in added_entries
+        ]
+        try:
+            n = (
+                spark.read.parquet(*paths)
+                .join(F.broadcast(all_keys), on=keys, how="left_semi")
+                .limit(1)
+                .count()
+            )
+        except Exception as exc:
+            raise SnapshotConflictError(
+                f"cannot validate concurrently appended files against "
+                f"this merge's keys ({exc}) — re-run the merge against "
+                "the new head"
+            ) from exc
+        if n:
+            raise SnapshotConflictError(
+                "concurrent append added rows whose keys overlap this "
+                "merge — re-run the merge against the new head"
+            )
+
     version = _publish_cow_manifest(
         table_dir, parent, kept + new_files, "merge", ts,
         {
@@ -959,6 +1031,12 @@ def snapshot_merge(
         },
         dv=manifest.get("dv"),  # kept files may still carry deletions
         cdf=cdf_entry,
+        rebase={
+            "affected_paths": {by_abspath[p]["path"] for p in affected},
+            "new_entries": new_files,
+            "parent_dv": manifest.get("dv"),
+            "winner_guard": _winner_guard,
+        },
     )
     return {
         "version": version,
@@ -1272,48 +1350,163 @@ def _write_new_files(
     return new_files
 
 
+def _rebase_onto_appends(
+    table_dir: str,
+    parent: int,
+    op: str,
+    parent_dv: dict | None,
+    winner_guard,
+) -> tuple[int, list[dict]]:
+    """Delta-style conflict resolution after a lost CAS (r11, VERDICT
+    order #3): fold every commit that landed after ``parent`` into
+    this copy-on-write commit — PROVIDED each one is a pure append
+    that removed nothing, left the delete vectors untouched, and
+    passes the caller's row-level ``winner_guard`` over its added
+    files (a merge checks key overlap, a delete checks condition
+    matches — a guard failure means the concurrent rows would have
+    changed THIS commit's outcome, so it must be recomputed). Returns
+    ``(new_parent, added_entries)``; raises SnapshotConflictError for
+    any non-append winner (merge/delete/overwrite/restore rewrote or
+    removed files this commit may have read)."""
+    head = snapshot_versions(table_dir)[-1]
+    parent_paths = {
+        f["path"] for f in _read_manifest(table_dir, parent)["files"]
+    }
+    added: list[dict] = []
+    for v in range(parent + 1, head + 1):
+        w = _read_manifest(table_dir, v)
+        w_paths = {f["path"] for f in w["files"]}
+        if w["op"] != "append" or (parent_paths - w_paths):
+            raise SnapshotConflictError(
+                f"{op} computed against v{parent} but v{v} "
+                f"(op={w['op']!r}) rewrote or removed files — re-run "
+                f"the {op} against the new head"
+            )
+        if (w.get("dv") or None) != (parent_dv or None):
+            raise SnapshotConflictError(
+                f"{op} computed against v{parent} but v{v} changed "
+                f"the delete vectors — re-run the {op} against the "
+                "new head"
+            )
+        added.extend(
+            f for f in w["files"] if f["path"] not in parent_paths
+        )
+        parent_paths = w_paths
+    if added and winner_guard is not None:
+        winner_guard(added)  # raises SnapshotConflictError on overlap
+    return head, added
+
+
 def _publish_cow_manifest(
     table_dir: str, parent: int, files: list[dict], op: str, ts: int,
     extra: dict, dv: dict | None = None, cdf: dict | None = None,
+    rebase: dict | None = None, max_retries: int = 8,
 ) -> int:
     """Create-exclusive publish of a copy-on-write commit computed
-    against ``parent``. A lost race raises SnapshotConflictError
+    against ``parent``.
+
+    Without ``rebase``, a lost race raises SnapshotConflictError
     IMMEDIATELY (no silent retry — the caller's affected-file set is
-    stale against the new head and must be recomputed)."""
+    stale against the new head and must be recomputed).
+
+    With ``rebase`` (r11) the Delta conflict check runs instead:
+    ``rebase`` carries ``affected_paths`` (rel paths this commit
+    rewrote/removed from its parent), ``new_entries`` (the file
+    entries it wrote), and an optional ``winner_guard(added_entries)``
+    for row-level validation of concurrently appended files. When
+    every winning commit is a compatible append, the commit REBASES —
+    the winner's files ride along untouched, kept files are recomputed
+    against the new head — and retries internally; anything else
+    raises as before."""
     import json
     import tempfile
 
-    version = parent + 1
-    out_manifest = {
-        "version": version,
-        "op": op,
-        "ts": ts,
-        "n_files": len(files),
-        "n_bytes": sum(f["bytes"] for f in files),
-        "files": files,
-        "extra": extra,
-    }
-    if dv and dv.get("files"):
-        out_manifest["dv"] = dv
-    if cdf and cdf.get("files"):
-        out_manifest["cdf"] = cdf
-    os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(
-        suffix=".tmp", dir=os.path.join(table_dir, _SNAP_DIR)
+    for _attempt in range(max_retries):
+        version = parent + 1
+        out_manifest = {
+            "version": version,
+            "op": op,
+            "ts": ts,
+            "n_files": len(files),
+            "n_bytes": sum(f["bytes"] for f in files),
+            "files": files,
+            "extra": extra,
+        }
+        if dv and dv.get("files"):
+            out_manifest["dv"] = dv
+        if cdf and cdf.get("files"):
+            out_manifest["cdf"] = cdf
+        os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            suffix=".tmp", dir=os.path.join(table_dir, _SNAP_DIR)
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump(out_manifest, f, indent=1)
+        try:
+            os.link(tmp, _manifest_path(table_dir, version))
+            return version
+        except FileExistsError:
+            if rebase is None:
+                raise SnapshotConflictError(
+                    f"{op} computed against v{parent} but v{version} "
+                    f"was committed concurrently — re-run the {op} "
+                    "against the new head"
+                ) from None
+            new_parent, added = _rebase_onto_appends(
+                table_dir,
+                parent,
+                op,
+                rebase.get("parent_dv"),
+                rebase.get("winner_guard"),
+            )
+            affected = set(rebase["affected_paths"])
+            head_files = _read_manifest(table_dir, new_parent)["files"]
+            files = [
+                f for f in head_files if f["path"] not in affected
+            ] + list(rebase["new_entries"])
+            parent = new_parent
+        finally:
+            os.unlink(tmp)
+    raise SnapshotConflictError(
+        f"lost the {op} publish race {max_retries} times on "
+        f"{table_dir!r}"
     )
-    with os.fdopen(fd, "w") as f:
-        json.dump(out_manifest, f, indent=1)
-    try:
-        os.link(tmp, _manifest_path(table_dir, version))
-    except FileExistsError:
-        raise SnapshotConflictError(
-            f"{op} computed against v{parent} but v{version} was "
-            f"committed concurrently — re-run the {op} against the "
-            "new head"
-        ) from None
-    finally:
-        os.unlink(tmp)
-    return version
+
+
+def _delete_winner_guard(spark, table_dir: str, cond, condition: str):
+    """Row-level rebase check for DELETE racing an append: the
+    concurrently appended files must contain NO row matching the
+    delete condition (those rows were never scanned, so rebasing past
+    them would silently leave them alive). An unresolvable condition
+    over the added files (e.g. it names a column they lack, which
+    null-evaluation could MATCH for IS NULL shapes) conflicts
+    conservatively."""
+
+    def guard(added_entries):
+        paths = [
+            os.path.join(table_dir, f["path"]) for f in added_entries
+        ]
+        try:
+            n = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*paths)
+                .where(cond)
+                .limit(1)
+                .count()
+            )
+        except Exception as exc:
+            raise SnapshotConflictError(
+                f"cannot evaluate {condition!r} over concurrently "
+                f"appended files ({exc}) — re-run the delete against "
+                "the new head"
+            ) from exc
+        if n:
+            raise SnapshotConflictError(
+                "concurrent append added rows matching the delete "
+                "condition — re-run the delete against the new head"
+            )
+
+    return guard
 
 
 def snapshot_delete(
@@ -1429,6 +1622,16 @@ def snapshot_delete(
                 "files": list(prior.get("files") or []) + dv_files,
                 "n_rows": int(prior.get("n_rows") or 0) + rows_deleted,
             },
+            # mor rewrites nothing: a concurrent append rides along as
+            # long as its rows can't match the delete condition
+            rebase={
+                "affected_paths": set(),
+                "new_entries": [],
+                "parent_dv": manifest.get("dv"),
+                "winner_guard": _delete_winner_guard(
+                    spark, table_dir, cond, condition
+                ),
+            },
         )
         return {
             "version": version,
@@ -1508,6 +1711,14 @@ def snapshot_delete(
         # replaced paths match nothing (compaction retires them)
         dv=manifest.get("dv"),
         cdf=cdf_entry,
+        rebase={
+            "affected_paths": {by_abspath[p]["path"] for p in affected},
+            "new_entries": new_files,
+            "parent_dv": manifest.get("dv"),
+            "winner_guard": _delete_winner_guard(
+                spark, table_dir, cond, condition
+            ),
+        },
     )
     return {
         "version": version,

@@ -120,7 +120,12 @@ def q_file_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_file_avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True *.avro Object Container Files through the pure-Python OCF
-    layer (functions/avro_ocf.py) — write, read, flat projection."""
+    layer (functions/avro_ocf.py) — write, read, flat projection.
+
+    Registry-RETIRED r11 (slot given to q_gopher_rules): overlaps
+    q_avro_roundtrip (same codec, file vs inline) — the OCF file
+    surface stays oracle-checked via tools/check_retired.py and
+    pytest-pinned in test_io_and_streaming/test_avro_generic."""
     import tempfile
 
     msgs = generator.mensagens(spark, GEN_TOTAL, GEN_KB)
@@ -509,7 +514,11 @@ def q_report_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window metrics (1-minute buckets over the
     data clock) — the streaming twin in streaming/pipeline.py emits
-    identical rows (test_io_and_streaming)."""
+    identical rows (test_io_and_streaming).
+
+    Registry-RETIRED r11 (slot given to q_chunk_sentences): overlaps
+    q_stream_metrics_agg + q_metrics_agg (same aggregation family) —
+    stays oracle-checked via tools/check_retired.py."""
     return metrics.metricas_por_janela(
         _eventos_como_mensagens(spark, sf_dir), janela_ms=60_000
     )
@@ -518,6 +527,92 @@ def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------- text
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+#: gopher_rules fixture (promoted r11 from tools/check_retired.py):
+#: the sf documents are single-line word soup, so inject deterministic
+#: STRUCTURE (bullet lines, ellipsis endings, symbol runs, extra stop
+#: words) keyed on doc_id — every rule then varies across the corpus
+#: instead of being vacuously true
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-shape gate (Rae et al. 2021 §A1.1): word
+    count / mean word length / symbol ratio / bullet + ellipsis lines /
+    alphabetic share / required stop words as integer-only rules —
+    zero-shuffle projection (operators/text.py:gopher_rules)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n- bullet item "),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                F.lit("\nwith that and have of closing words"),
+            ).otherwise(F.lit("\nplain closing words here")),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.lit("\nthis line trails off..."),
+            ).otherwise(F.lit("\nfinal line stays put")),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+                F.lit("\n## ### #"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.gopher_rules(docs, min_words=40)
+
+
+def _gopher_rules_sql() -> str:
+    fixture = """(
+        SELECT doc_id,
+               text || chr(10) || '- bullet item ' || (doc_id % 5)::VARCHAR
+                    || chr(10) || CASE WHEN doc_id % 2 = 0
+                        THEN 'with that and have of closing words'
+                        ELSE 'plain closing words here' END
+                    || chr(10) || CASE WHEN doc_id % 3 = 0
+                        THEN 'this line trails off...'
+                        ELSE 'final line stays put' END
+                    || CASE WHEN doc_id % 7 = 0
+                        THEN chr(10) || '## ### #' ELSE '' END AS text
+        FROM documents
+    )"""
+    return text.gopher_rules_sql(fixture, min_words=40)
+
+
+#: chunk_sentences fixture (promoted r11): the sf documents have no
+#: punctuation (one giant sentence — boundaries never exercised), so
+#: inject terminators deterministically on common vocabulary tokens in
+#: BOTH engines
+def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aware RAG chunking (corpus.chunk_sentences): RE2-safe
+    segmentation + exact-integer prefix-sum chunk assignment, sentences
+    never split; ONE doc-keyed shuffle reused by window + agg."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.replace(
+                F.replace(
+                    F.col("text"),
+                    F.lit(" table"),
+                    F.lit(". table"),
+                ),
+                F.lit(" window"),
+                F.lit("! window"),
+            ),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return corpus.chunk_sentences(docs, chunk_chars=160)
+
+
+def _chunk_sentences_sql() -> str:
+    fixture = """(
+        SELECT doc_id,
+               replace(replace(text, ' table', '. table'),
+                       ' window', '! window') || '.' AS text
+        FROM documents
+    )"""
+    return corpus.chunk_sentences_sql(chunk_chars=160, table=fixture)
 
 
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1084,10 +1179,14 @@ def queries() -> dict[str, QueryFn]:
         "q_json_roundtrip": q_json_roundtrip,
         "q_avro_roundtrip": q_avro_roundtrip,
         # r10: q_file_avro_roundtrip retired into q_file_avro_ocf_roundtrip
-        # and q_stream_json_e2e into q_stream_metrics_agg (both fully
-        # covered by check_retired.py + pytest pins); slots given to
+        # and q_stream_json_e2e into q_stream_metrics_agg; slots given to
         # q_domain_cap + q_chunk_documents (VERDICT r9 order #3).
-        "q_file_avro_ocf_roundtrip": q_file_avro_ocf_roundtrip,
+        # r11: q_file_avro_ocf_roundtrip retired into q_avro_roundtrip
+        # (same codec, file vs inline) and q_windowed_metrics into
+        # q_stream_metrics_agg + q_metrics_agg; slots given to
+        # q_gopher_rules + q_chunk_sentences (VERDICT r10 order #4).
+        # All retirees stay oracle-checked via tools/check_retired.py.
+        "q_gopher_rules": q_gopher_rules,
         "q_stream_metrics_agg": q_stream_metrics_agg,
         "q_domain_cap": q_domain_cap,
         "q_chunk_documents": q_chunk_documents,
@@ -1101,7 +1200,7 @@ def queries() -> dict[str, QueryFn]:
         "q_metrics_agg": q_metrics_agg,
         "q_metrics_merge": q_metrics_merge,
         "q_report_format": q_report_format,
-        "q_windowed_metrics": q_windowed_metrics,
+        "q_chunk_sentences": q_chunk_sentences,
         "q_text_stats": q_text_stats,
         "q_doc_profile": q_doc_profile,
         "q_pii_scrub": q_pii_scrub,
@@ -1144,7 +1243,7 @@ def oracle_sql() -> dict[str, str]:
         # lossless round trips == the original generation
         "q_json_roundtrip": flat,
         "q_avro_roundtrip": flat,
-        "q_file_avro_ocf_roundtrip": flat,
+        "q_gopher_rules": _gopher_rules_sql(),
         # stream == batch: identical agg, identical oracle
         "q_stream_metrics_agg": metrics.metricas_agg_sql(_EVENTOS_SQL),
         "q_domain_cap": crawl.domain_cap_sql(),
@@ -1161,7 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         "q_report_format": metrics.relatorio_sql(
             metrics.metricas_agg_sql(_EVENTOS_SQL)
         ),
-        "q_windowed_metrics": metrics.metricas_por_janela_sql(_EVENTOS_SQL),
+        "q_chunk_sentences": _chunk_sentences_sql(),
         "q_text_stats": text.text_stats_sql(),
         "q_doc_profile": text.doc_profile_sql(),
         "q_pii_scrub": _pii_scrub_sql(),

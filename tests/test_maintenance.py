@@ -5,6 +5,7 @@ per-file min/max footer ranges on the cluster key (read back with
 pyarrow: the very statistics predicate pushdown consults)."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from teste_carga_avro_vs_json_spark.operators import maintenance as mt
 
@@ -1663,6 +1664,175 @@ def test_replicate_net_collapses_intermediate_states(
         "back"
     ]
     assert _same_multiset(got, mt.snapshot_read(spark, src))
+
+
+# ------------------------------- optimistic concurrency (r11, Delta
+# conflict check): the deterministic race — land a commit between the
+# cow op's computation and its publish by interposing on the publish
+# step itself (racing real threads is nondeterministic; this pins the
+# exact interleaving every time)
+def _land_between(monkeypatch, commit_fn):
+    real_pub = mt._publish_cow_manifest
+
+    def racing_pub(*args, **kw):
+        monkeypatch.setattr(mt, "_publish_cow_manifest", real_pub)
+        commit_fn()
+        return real_pub(*args, **kw)
+
+    monkeypatch.setattr(mt, "_publish_cow_manifest", racing_pub)
+
+
+def test_merge_rebases_past_disjoint_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Concurrent merge + append to DISJOINT keys both commit with no
+    caller retry: the merge folds the winner's files in and publishes
+    against the new head."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    # synthesize append keys OUTSIDE the table's range (the sf fixture
+    # has no high doc_ids — filtering for them yields an empty frame)
+    appended = docs.filter("doc_id < 20").withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    assert appended.count() == 20
+    _land_between(
+        monkeypatch,
+        lambda: mt.snapshot_commit(appended, tdir, mode="append"),
+    )
+    delta = docs.filter("doc_id < 5").withColumn("text", F.lit("m"))
+    r = mt.snapshot_merge(delta, tdir, keys=["doc_id"])
+    # the append published v2; the merge rebased onto it as v3
+    assert r["version"] == 3
+    got = mt.snapshot_read(spark, tdir)
+    assert got.count() == 120  # nothing lost on either side
+    assert got.where("text = 'm'").count() == 5
+    assert got.where("doc_id >= 1000").count() == 20
+
+
+def test_merge_conflicts_on_overlapping_append_and_merge(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    # winner appends a row whose key the merge upserts -> conflict
+    _land_between(
+        monkeypatch,
+        lambda: mt.snapshot_commit(
+            docs.filter("doc_id = 3"), tdir, mode="append"
+        ),
+    )
+    delta = docs.filter("doc_id < 5").withColumn("text", F.lit("m"))
+    with pytest.raises(mt.SnapshotConflictError, match="overlap"):
+        mt.snapshot_merge(delta, tdir, keys=["doc_id"])
+    # winner is itself a merge (rewrote files) -> conflict even with
+    # disjoint keys
+    tdir2 = str(tmp_path / "table2")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir2)
+    _land_between(
+        monkeypatch,
+        lambda: mt.snapshot_merge(
+            docs.filter("doc_id = 90").withColumn("text", F.lit("w")),
+            tdir2, keys=["doc_id"],
+        ),
+    )
+    with pytest.raises(mt.SnapshotConflictError, match="rewrote"):
+        mt.snapshot_merge(delta, tdir2, keys=["doc_id"])
+
+
+def test_delete_rebases_past_nonmatching_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """cow and mor DELETE rebase past appends whose rows cannot match
+    the condition; an append WITH matching rows conflicts (rebasing
+    would leave them alive)."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+
+    def shifted(lo, hi):
+        return docs.filter(f"doc_id >= {lo} and doc_id < {hi}").withColumn(
+            "doc_id", F.col("doc_id") + 1000
+        )
+
+    _land_between(
+        monkeypatch,
+        lambda: mt.snapshot_commit(shifted(0, 10), tdir, mode="append"),
+    )
+    r = mt.snapshot_delete(spark, tdir, "doc_id < 10", mode="cow")
+    assert r["version"] == 3 and r["rows_deleted"] == 10
+    got = mt.snapshot_read(spark, tdir)
+    assert got.count() == 100  # 100 - 10 deleted + 10 appended
+    assert got.where("doc_id >= 1000").count() == 10
+
+    # mor twin
+    _land_between(
+        monkeypatch,
+        lambda: mt.snapshot_commit(shifted(10, 15), tdir, mode="append"),
+    )
+    r2 = mt.snapshot_delete(spark, tdir, "doc_id < 20", mode="mor")
+    assert r2["rows_deleted"] == 10
+    assert mt.snapshot_read(spark, tdir).count() == 95
+
+    # matching append -> conflict
+    _land_between(
+        monkeypatch,
+        lambda: mt.snapshot_commit(shifted(15, 20), tdir, mode="append"),
+    )
+    with pytest.raises(mt.SnapshotConflictError, match="matching"):
+        mt.snapshot_delete(spark, tdir, "doc_id >= 1000", mode="cow")
+
+
+def test_reorg_folds_concurrent_append_instead_of_dropping_it(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A compact losing the race to an append FOLDS the appended files
+    in (they ride along unreorganized) — the blind overwrite used to
+    silently DROP those rows. snapshot_maintain inherits the fix."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 100").repartition(6), tdir)
+    appended = docs.filter("doc_id < 30").withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+
+    real_pub = mt._publish_files
+    state = {"done": False}
+
+    def racing_pub(*args, **kw):
+        if not state["done"]:
+            state["done"] = True
+            monkeypatch.setattr(mt, "_publish_files", real_pub)
+            mt.snapshot_commit(appended, tdir, mode="append")
+        return real_pub(*args, **kw)
+
+    monkeypatch.setattr(mt, "_publish_files", racing_pub)
+    mt.snapshot_compact(spark, tdir)
+    got = mt.snapshot_read(spark, tdir)
+    assert got.count() == 130  # the appended rows survived the reorg
+    assert got.where("doc_id >= 1000").count() == 30
+    # a reorg racing a MERGE still refuses (its rewrite is stale);
+    # compact publishes via _publish_files, so stage the merge
+    # through that window
+    state2 = {"done": False}
+
+    def racing_pub2(*args, **kw):
+        if not state2["done"]:
+            state2["done"] = True
+            monkeypatch.setattr(mt, "_publish_files", real_pub)
+            mt.snapshot_merge(
+                docs.filter("doc_id = 7").withColumn(
+                    "text", F.lit("w")
+                ),
+                tdir, keys=["doc_id"],
+            )
+        return real_pub(*args, **kw)
+
+    monkeypatch.setattr(mt, "_publish_files", racing_pub2)
+    with pytest.raises(mt.SnapshotConflictError, match="rewrote"):
+        mt.snapshot_compact(spark, tdir)
 
 
 def test_replicate_duplicate_rows_in_one_commit_is_deterministic(

@@ -481,3 +481,34 @@ def test_lsh_ann_dedup_carries_ids_only(spark, sf_dir):
         "expected exactly 2 vec_id exchanges (fused dedup+probe, corpus "
         "build side)"
     )
+
+
+def test_gopher_rules_is_shuffle_free(spark, sf_dir):
+    """r11 window promotion pin: the Gopher document-shape gate is a
+    zero-shuffle integer-rule projection — no Exchange, no Python, no
+    expensive expression leaked into a Filter."""
+    from teste_carga_avro_vs_json_spark import registry
+    from teste_carga_avro_vs_json_spark.plans import expensive_filter_nodes
+
+    out = registry.q_gopher_rules(spark, sf_dir)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert expensive_filter_nodes(out) == []
+
+
+def test_chunk_sentences_single_doc_shuffle(spark, sf_dir):
+    """r11 window promotion pin: the prefix-sum window, the (doc,
+    chunk) aggregation and the per-doc n_chunks window all REUSE one
+    doc_id-keyed Exchange (doc_id is a prefix of every key) — exactly
+    ONE shuffle, no Python, no expensive filter."""
+    import re
+
+    from teste_carga_avro_vs_json_spark import registry
+    from teste_carga_avro_vs_json_spark.plans import expensive_filter_nodes
+
+    out = registry.q_chunk_sentences(spark, sf_dir)
+    plan = _plan(out)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "EvalPython" not in plan
+    assert expensive_filter_nodes(out) == []

@@ -35,7 +35,12 @@ Retired inventory (r3 registry minus r4's 50-entry window; COVERAGE.md):
   from this tool's extra section into the driver window); the OCF twin
   q_file_avro_ocf_roundtrip remains the registry's avro file surface;
 - q_stream_json_e2e (r10) — slot given to q_chunk_documents (same
-  promotion); stream==batch stays in-window via q_stream_metrics_agg.
+  promotion); stream==batch stays in-window via q_stream_metrics_agg;
+- q_file_avro_ocf_roundtrip (r11) — slot given to q_gopher_rules
+  (promoted from this tool's extras); overlaps q_avro_roundtrip (same
+  codec, file vs inline);
+- q_windowed_metrics (r11) — slot given to q_chunk_sentences (same
+  promotion); overlaps q_stream_metrics_agg + q_metrics_agg.
 
 Beyond retirements, this tool also hash-checks EXTRA oracle-capable
 surfaces that never held a registry slot (the 50-entry window is a
@@ -62,22 +67,16 @@ driver cap, not a correctness cap):
 - q_url_dedup — URL canonicalization + URL-level dedup
   (operators/crawl.py): the synth/canon/dedup chain rebuilt in
   DuckDB SQL with RE2-syntax regex twins;
-- q_gopher_rules — the Gopher document-shape gate (Rae et al. 2021
-  §A1.1: word count / mean word length / symbol ratio / bullet +
-  ellipsis lines / alphabetic share / required stop words) as
-  integer-only rules over a structure-injected fixture
-  (text.gopher_rules);
 - q_hard_negatives — BM25 hard-negative mining (the DPR recipe:
   top-k scored docs per query excluding the positives, ranks
   renumbered; retrieval.hard_negatives);
 - q_cluster_sample — cluster-balanced diversity sampling (α-temperature
   quotas over the deterministic k-means clusters — the post-SemDeDup
   selection step; similarity.cluster_sample, oracle via the shared
-  k-means CTE replay + the temperature-quota arithmetic);
-- q_chunk_sentences — sentence-aware RAG chunking (RE2-safe sentence
-  segmentation + exact-integer prefix-sum chunk assignment, sentences
-  never split; corpus.chunk_sentences over a terminator-injected
-  fixture).
+  k-means CTE replay + the temperature-quota arithmetic).
+
+r11 promoted q_gopher_rules + q_chunk_sentences from this section
+into the driver window (registry.py carries their fixtures now).
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -178,6 +177,18 @@ def _q_stream_json_e2e(spark, sf_dir):
     # r10-retired: slot given to q_chunk_documents; stream==batch for
     # the metrics agg stays in-window via q_stream_metrics_agg
     return registry.q_stream_json_e2e(spark, sf_dir)
+
+
+def _q_file_avro_ocf_roundtrip(spark, sf_dir):
+    # r11-retired: slot given to q_gopher_rules; overlaps
+    # q_avro_roundtrip (same codec, file vs inline)
+    return registry.q_file_avro_ocf_roundtrip(spark, sf_dir)
+
+
+def _q_windowed_metrics(spark, sf_dir):
+    # r11-retired: slot given to q_chunk_sentences; overlaps
+    # q_stream_metrics_agg + q_metrics_agg
+    return registry.q_windowed_metrics(spark, sf_dir)
 
 
 def _media_resize_sql() -> str:
@@ -413,53 +424,6 @@ def _pseudonymize_sql() -> str:
     return text.pseudonymize_sql(fixture)
 
 
-#: gopher_rules fixture: the sf documents are single-line word soup,
-#: so inject deterministic STRUCTURE (bullet lines, ellipsis endings,
-#: symbol runs, extra stop words) keyed on doc_id — every rule then
-#: varies across the corpus instead of being vacuously true
-def _q_gopher_rules(spark, sf_dir):
-    import pyspark.sql.functions as F
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit("\n- bullet item "),
-            F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
-            F.when(
-                F.pmod(F.col("doc_id"), F.lit(2)) == 0,
-                F.lit("\nwith that and have of closing words"),
-            ).otherwise(F.lit("\nplain closing words here")),
-            F.when(
-                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
-                F.lit("\nthis line trails off..."),
-            ).otherwise(F.lit("\nfinal line stays put")),
-            F.when(
-                F.pmod(F.col("doc_id"), F.lit(7)) == 0,
-                F.lit("\n## ### #"),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    return text.gopher_rules(docs, min_words=40)
-
-
-def _gopher_rules_sql() -> str:
-    fixture = """(
-        SELECT doc_id,
-               text || chr(10) || '- bullet item ' || (doc_id % 5)::VARCHAR
-                    || chr(10) || CASE WHEN doc_id % 2 = 0
-                        THEN 'with that and have of closing words'
-                        ELSE 'plain closing words here' END
-                    || chr(10) || CASE WHEN doc_id % 3 = 0
-                        THEN 'this line trails off...'
-                        ELSE 'final line stays put' END
-                    || CASE WHEN doc_id % 7 = 0
-                        THEN chr(10) || '## ### #' ELSE '' END AS text
-        FROM documents
-    )"""
-    return text.gopher_rules_sql(fixture, min_words=40)
-
-
 def _q_hard_negatives(spark, sf_dir):
     from teste_carga_avro_vs_json_spark.operators import retrieval
 
@@ -476,44 +440,6 @@ def _q_cluster_sample(spark, sf_dir):
     return similarity.cluster_sample(
         load_table(spark, sf_dir, "embeddings"), budget=150
     )
-
-
-#: chunk_sentences fixture: the sf documents have no punctuation (one
-#: giant sentence — boundaries never exercised), so inject terminators
-#: deterministically on common vocabulary tokens in BOTH engines
-def _q_chunk_sentences(spark, sf_dir):
-    import pyspark.sql.functions as F
-
-    from teste_carga_avro_vs_json_spark.operators import corpus
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.replace(
-                F.replace(
-                    F.col("text"),
-                    F.lit(" table"),
-                    F.lit(". table"),
-                ),
-                F.lit(" window"),
-                F.lit("! window"),
-            ),
-            F.lit("."),
-        ).alias("text"),
-    )
-    return corpus.chunk_sentences(docs, chunk_chars=160)
-
-
-def _chunk_sentences_sql() -> str:
-    from teste_carga_avro_vs_json_spark.operators import corpus
-
-    fixture = """(
-        SELECT doc_id,
-               replace(replace(text, ' table', '. table'),
-                       ' window', '! window') || '.' AS text
-        FROM documents
-    )"""
-    return corpus.chunk_sentences_sql(chunk_chars=160, table=fixture)
 
 
 def _q_c4_line_filter(spark, sf_dir):
@@ -603,14 +529,18 @@ def retired_queries() -> dict:
         "q_domain_profile": _q_domain_profile,
         "q_fim_transform": _q_fim_transform,
         "q_pseudonymize": _q_pseudonymize,
-        "q_gopher_rules": _q_gopher_rules,
         "q_hard_negatives": _q_hard_negatives,
         "q_cluster_sample": _q_cluster_sample,
-        "q_chunk_sentences": _q_chunk_sentences,
+        # r11: q_gopher_rules + q_chunk_sentences PROMOTED into the
+        # driver window (registry.py carries their fixtures now)
         # r10 retirements (slots given to q_domain_cap +
         # q_chunk_documents, which moved INTO the driver window)
         "q_file_avro_roundtrip": _q_file_avro_roundtrip,
         "q_stream_json_e2e": _q_stream_json_e2e,
+        # r11 retirements (slots given to q_gopher_rules +
+        # q_chunk_sentences)
+        "q_file_avro_ocf_roundtrip": _q_file_avro_ocf_roundtrip,
+        "q_windowed_metrics": _q_windowed_metrics,
     }
 
 
@@ -650,12 +580,14 @@ def retired_oracle_sql() -> dict:
         "q_domain_profile": _domain_profile_sql(),
         "q_fim_transform": _fim_transform_sql(),
         "q_pseudonymize": _pseudonymize_sql(),
-        "q_gopher_rules": _gopher_rules_sql(),
         "q_hard_negatives": _hard_negatives_sql(),
         "q_cluster_sample": similarity.cluster_sample_sql(budget=150),
-        "q_chunk_sentences": _chunk_sentences_sql(),
         "q_file_avro_roundtrip": flat,
         "q_stream_json_e2e": registry._stream_json_e2e_sql(),
+        "q_file_avro_ocf_roundtrip": flat,
+        "q_windowed_metrics": registry.metrics.metricas_por_janela_sql(
+            registry._EVENTOS_SQL
+        ),
     }
 
 
