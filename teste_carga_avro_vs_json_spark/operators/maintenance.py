@@ -2045,8 +2045,6 @@ def snapshot_replicate(
     back to 0 — a vacuumed source range raises instead (never silent
     double-apply). Keep the destination's vacuum horizon at least one
     sync deep."""
-    from pyspark.sql.window import Window
-
     src_id = os.path.abspath(src_dir)
     src_versions = snapshot_versions(src_dir)
     if not src_versions:
@@ -2078,16 +2076,41 @@ def snapshot_replicate(
     changes = snapshot_changes(
         spark, src_dir, high_water, to_version, on_rewrite=on_rewrite
     )
+    upserts, deletes = _net_outcome(changes, keys)
+    n_up, n_del = upserts.count(), deletes.count()
+    if not n_up and not n_del:
+        return out  # reorg/skip-only range: high water stays put
+
+    hw_extra = {
+        "replicate_src": src_id,
+        "replicate_src_version": to_version,
+    }
+    version = _apply_net(
+        upserts, deletes if n_del else None, dst_dir, keys, ts, hw_extra
+    )
+    out.update(
+        version=version,
+        rows_upserted=n_up,
+        rows_deleted=n_del,
+        applied=True,
+    )
+    return out
+
+
+def _net_outcome(changes: DataFrame, keys: list[str]):
+    """Reduce a CDF slice to its NET outcome per key: preimages are
+    never an outcome (always paired with their postimage), then the
+    latest commit wins. The secondary keys make row_number
+    deterministic when ONE source commit carries duplicate rows for a
+    key (r11: xxhash64 over the full row is a sort key only, never an
+    output value). Returns ``(upserts, delete_keys)``."""
+    from pyspark.sql.window import Window
+
     cols = [
         c
         for c in changes.columns
         if c not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)
     ]
-    # net outcome per key: preimages are never an outcome (always
-    # paired with their postimage), then the latest commit wins. The
-    # secondary keys make row_number deterministic when ONE source
-    # commit carries duplicate rows for a key (r11: xxhash64 over the
-    # full row is a sort key only, never an output value)
     net = changes.where(
         F.col(CHANGE_TYPE_COL) != "update_preimage"
     ).withColumn(
@@ -2104,35 +2127,123 @@ def snapshot_replicate(
         F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
     ).select(*cols)
     deletes = net.where(F.col(CHANGE_TYPE_COL) == "delete").select(*keys)
-    n_up, n_del = upserts.count(), deletes.count()
-    if not n_up and not n_del:
-        return out  # reorg/skip-only range: high water stays put
+    return upserts, deletes
 
-    hw_extra = {
-        "replicate_src": src_id,
-        "replicate_src_version": to_version,
-    }
+
+def _apply_net(
+    upserts: DataFrame,
+    deletes: DataFrame | None,
+    dst_dir: str,
+    keys: list[str],
+    ts: int,
+    extra: dict,
+) -> int:
+    """Land one net change set as ONE destination commit: bootstrap
+    append on an empty destination (deletes of never-present keys are
+    no-ops), keyed merge with WHEN-MATCHED-DELETE otherwise."""
     if not snapshot_versions(dst_dir):
-        # bootstrap: deletes of never-present keys are no-ops
-        version = snapshot_commit(
-            upserts, dst_dir, mode="append", ts=ts, extra=hw_extra
+        return snapshot_commit(
+            upserts, dst_dir, mode="append", ts=ts, extra=extra
         )
-    else:
-        version = snapshot_merge(
+    return snapshot_merge(
+        upserts, dst_dir, keys, ts=ts, extra=extra, delete_keys=deletes
+    )["version"]
+
+
+def snapshot_replicate_stream(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    keys: list[str],
+    checkpoint: str,
+    ts: int = SNAP_EPOCH,
+    on_rewrite: str = "fail",
+    block: bool = True,
+    timeout_sec: float = 300.0,
+):
+    """Continuous CDC (r11, VERDICT order #5): the streaming twin of
+    :func:`snapshot_replicate`, composed from the existing pieces —
+    the ``format("snapshot")`` change-feed stream source
+    (``read_changes``) driving ``foreachBatch``, each micro-batch
+    reduced to its net outcome and landed as ONE destination merge.
+
+    Exactly-once across restarts by the ``SnapshotStreamWriter`` epoch
+    mechanism: every applied batch's destination commit carries
+    ``(replicate_stream, replicate_stream_batch)`` in its manifest
+    extra; when Structured Streaming replays a batch whose commit
+    already landed (crash between commit and checkpoint ack), the
+    apply detects the marker and folds to a no-op. Each commit also
+    records ``replicate_src_version`` (the batch's max source commit),
+    so batch-mode :func:`snapshot_replicate` can take over from where
+    the stream stopped and vice versa — one high-water protocol.
+
+    With ``block=True`` (default) runs an ``availableNow`` drain and
+    returns ``{batches_applied, version}``; with ``block=False``
+    returns the started StreamingQuery (continuous mode — the caller
+    owns its lifecycle). A destination racing another writer raises
+    through the merge and fails the stream; restarting replays the
+    batch (exactly-once holds — the failed attempt committed
+    nothing)."""
+    from teste_carga_avro_vs_json_spark.sources import snapshot_source as ss
+
+    ss.register(spark)
+    src_id = os.path.abspath(src_dir)
+    stream_id = f"cdc:{src_id}"
+    applied = {"n": 0, "version": None}
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        for v in reversed(snapshot_versions(dst_dir)):
+            ex = _read_manifest(dst_dir, v).get("extra") or {}
+            if ex.get("replicate_stream") == stream_id:
+                if int(ex.get("replicate_stream_batch", -1)) >= batch_id:
+                    return  # replayed epoch: already applied
+                break
+            if (
+                "replicate_src" in ex
+                and ex["replicate_src"] != src_id
+            ):
+                raise ValueError(
+                    f"{dst_dir!r} replicates {ex['replicate_src']!r}, "
+                    f"not {src_id!r} — one source feed per destination"
+                )
+        upserts, deletes = _net_outcome(batch_df, keys)
+        n_up, n_del = upserts.count(), deletes.count()
+        if not n_up and not n_del:
+            return  # reorg/skip-only batch
+        hw = batch_df.agg(
+            F.max(COMMIT_VERSION_COL).cast("long")
+        ).collect()[0][0]
+        version = _apply_net(
             upserts,
+            deletes if n_del else None,
             dst_dir,
             keys,
-            ts=ts,
-            extra=hw_extra,
-            delete_keys=deletes if n_del else None,
-        )["version"]
-    out.update(
-        version=version,
-        rows_upserted=n_up,
-        rows_deleted=n_del,
-        applied=True,
+            ts,
+            {
+                "replicate_src": src_id,
+                "replicate_src_version": int(hw),
+                "replicate_stream": stream_id,
+                "replicate_stream_batch": int(batch_id),
+            },
+        )
+        applied["n"] += 1
+        applied["version"] = version
+
+    reader = (
+        spark.readStream.format("snapshot")
+        .option("read_changes", "true")
+        .option("on_rewrite", on_rewrite)
     )
-    return out
+    writer = (
+        reader.load(src_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if not block:
+        return writer.start()
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(timeout_sec)
+    return {"batches_applied": applied["n"], "version": applied["version"]}
 
 
 def _dv_rows(table_dir: str, version: int) -> int:

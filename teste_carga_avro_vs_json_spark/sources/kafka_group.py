@@ -62,19 +62,29 @@ class GroupConsumer:
         session_timeout_ms: int = 10_000,
         rebalance_timeout_ms: int = 10_000,
         tail_n: int | None = None,
+        instance_id: str | None = None,
     ):
         """``tail_n`` switches the on-assignment seek from committed
         offsets to the reference's ``posicionarNoFimMenosN``
         (ConsumidorAvro.java:163-180): each assigned partition seeks
         to ``max(earliest, latest - ceil(tail_n / n_partitions))`` —
         the tail-N warm-read shape the reference's listener applies
-        on every (re)assignment."""
+        on every (re)assignment.
+
+        ``instance_id`` (KIP-345 ``group.instance.id``) makes this a
+        STATIC member: a drop-and-rejoin within the session timeout
+        re-acquires the previous assignment at the current generation
+        with NO rebalance (the restart-heavy operational pattern), and
+        ``close()`` skips LeaveGroup like the real static client — the
+        assignment is held for a possible restart until the session
+        expires."""
         self._client = client
         self.group = group
         self.topics = list(topics)
         self._session_ms = session_timeout_ms
         self._rebalance_ms = rebalance_timeout_ms
         self.tail_n = tail_n
+        self.instance_id = instance_id
         self.member_id = ""
         self.generation = -1
         self.assignment: dict[str, list[int]] = {}
@@ -96,6 +106,7 @@ class GroupConsumer:
                     member_id=self.member_id,
                     session_timeout_ms=self._session_ms,
                     rebalance_timeout_ms=self._rebalance_ms,
+                    instance_id=self.instance_id,
                 )
             except UnknownMemberIdError:
                 self.member_id = ""  # evicted: rejoin as a new member
@@ -193,10 +204,13 @@ class GroupConsumer:
 
     def close(self) -> None:
         """LeaveGroup: survivors rebalance immediately instead of
-        waiting out this member's session timeout."""
+        waiting out this member's session timeout. STATIC members
+        (KIP-345) skip it — their assignment is held for a restart
+        until the session expires, which is the point."""
         if not self._closed and self.member_id:
             self._closed = True
-            self._client.leave_group(self.group, self.member_id)
+            if self.instance_id is None:
+                self._client.leave_group(self.group, self.member_id)
 
     def __enter__(self) -> "GroupConsumer":
         self.join()

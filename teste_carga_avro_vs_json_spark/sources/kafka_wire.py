@@ -1214,26 +1214,37 @@ class WireKafkaClient:
         session_timeout_ms: int = 10_000,
         rebalance_timeout_ms: int = 10_000,
         protocol: str = "range",
+        instance_id: str | None = None,
     ) -> dict:
-        """JoinGroup v1. Blocks (server-side) until the coordinator
-        completes the rebalance — all known members rejoined or the
-        rebalance timeout expired (stragglers evicted). Returns
-        ``{generation, member_id, leader, protocol, members}`` where
-        ``members`` is ``[(member_id, subscribed_topics)]`` — populated
-        only for the LEADER, which must compute the assignment and
-        deliver it via :meth:`sync_group` (the Java client split)."""
+        """JoinGroup v1 — or v5 when ``instance_id`` is given (KIP-345
+        static membership: the request carries ``group.instance.id``
+        after member_id, and the response's member list carries each
+        member's instance id). Blocks (server-side) until the
+        coordinator completes the rebalance — all known members
+        rejoined or the rebalance timeout expired (stragglers
+        evicted). A STATIC member that dropped and rejoins within its
+        session timeout gets its previous assignment back at the
+        CURRENT generation with no rebalance. Returns ``{generation,
+        member_id, leader, protocol, members}`` where ``members`` is
+        ``[(member_id, subscribed_topics)]`` — populated only for the
+        LEADER, which must compute the assignment and deliver it via
+        :meth:`sync_group` (the Java client split)."""
+        version = 5 if instance_id is not None else 1
         body = (
             _W()
             .string(group)
             .i32(session_timeout_ms)
             .i32(rebalance_timeout_ms)
             .string(member_id)
-            .string("consumer")
-            .i32(1)
-            .string(protocol)
-            .bytes_(encode_consumer_metadata(topics))
         )
-        r = self._call(_API_JOIN_GROUP, 1, bytes(body.b))
+        if version >= 5:
+            body.string(instance_id)
+        body.string("consumer").i32(1).string(protocol).bytes_(
+            encode_consumer_metadata(topics)
+        )
+        r = self._call(_API_JOIN_GROUP, version, bytes(body.b))
+        if version >= 2:
+            r.i32()  # throttle_time_ms
         _raise_group_err(r.i16(), "join_group")
         generation = r.i32()
         proto = r.string()
@@ -1242,6 +1253,8 @@ class WireKafkaClient:
         members = []
         for _ in range(r.i32()):
             mid = r.string()
+            if version >= 5:
+                r.string()  # member's group_instance_id
             meta = r.bytes_() or b""
             members.append((mid, decode_consumer_metadata(meta)))
         return {
@@ -1506,7 +1519,7 @@ class _GroupMeta:
     __slots__ = (
         "generation", "state", "members", "joined", "assignments",
         "leader", "protocol", "next_member", "deadline", "initial",
-        "session", "cond",
+        "session", "cond", "static",
     )
 
     def __init__(self):
@@ -1523,6 +1536,13 @@ class _GroupMeta:
         self.initial = False
         # member_id -> (session_timeout_sec, last_contact_monotonic)
         self.session: dict[str, tuple[float, float]] = {}
+        # KIP-345 static membership: group.instance.id -> member_id.
+        # A static member that rejoins within its session timeout is
+        # handed its previous member id + assignment at the CURRENT
+        # generation — no rebalance (mapping entries pointing at
+        # evicted members are inert: the rejoin check requires the
+        # member to still be live).
+        self.static: dict[str, str] = {}
         self.cond = threading.Condition()
 
 
@@ -1714,6 +1734,10 @@ class StubBroker:
         for m in dead:
             g.members.pop(m, None)
             g.session.pop(m, None)
+        # an expired static incarnation loses its binding: the next
+        # rejoin with that instance id is a FULL join (KIP-345 — the
+        # no-rebalance path only covers restarts within the timeout)
+        g.static = {i: m for i, m in g.static.items() if m in g.members}
         if g.members:
             g.state = "PreparingRebalance"
             g.joined = set()
@@ -1762,6 +1786,7 @@ class StubBroker:
         session_ms: int,
         rebalance_ms: int,
         protocols: dict[str, bytes],
+        instance_id: str | None = None,
     ) -> tuple:
         """Returns (err,) or (0, generation, protocol, leader,
         member_id, members_for_leader)."""
@@ -1769,13 +1794,53 @@ class StubBroker:
         with g.cond:
             now = time.monotonic()
             self._expire_members(g, now)
+            if instance_id is not None and not member_id:
+                # KIP-345 static rejoin: a restart within the session
+                # timeout whose previous incarnation is still a LIVE
+                # member of a STABLE generation with the SAME
+                # subscription re-acquires that member id and its
+                # assignment at the current generation — no rebalance,
+                # no generation bump. (Simplification vs the real
+                # coordinator, which mints a fresh member id and
+                # transplants the assignment; the observable contract
+                # — same assignment, same generation — is identical.)
+                old = g.static.get(instance_id)
+                if (
+                    old is not None
+                    and old in g.members
+                    and g.state == "Stable"
+                    and g.members[old] == dict(protocols)
+                ):
+                    g.session[old] = (session_ms / 1000.0, now)
+                    members = []
+                    if old == g.leader:
+                        inst_of = {m: i for i, m in g.static.items()}
+                        members = [
+                            (m, inst_of.get(m), protos.get(g.protocol, b""))
+                            for m, protos in sorted(g.members.items())
+                        ]
+                    return (0, g.generation, g.protocol, g.leader,
+                            old, members)
             if member_id and member_id not in g.members:
                 # stale id from an evicted member: real coordinator
                 # answers UNKNOWN_MEMBER_ID, client rejoins with ""
                 return (ERR_UNKNOWN_MEMBER_ID,)
+            if not member_id and instance_id is not None:
+                old = g.static.get(instance_id)
+                if old is not None and old in g.members:
+                    # full-join path for a LIVE previous incarnation
+                    # (changed subscription, or mid-rebalance): take
+                    # over its member id — the KIP-345 replacement, so
+                    # the group never waits for the ghost to rejoin
+                    member_id = old
             if not member_id:
                 member_id = f"member-{g.next_member}"
                 g.next_member += 1
+            if instance_id is not None:
+                # bind the instance id to this member — an expired or
+                # first-time incarnation lands here and rebalances
+                # normally
+                g.static[instance_id] = member_id
             others = {
                 m: protos for m, protos in g.members.items()
                 if m != member_id
@@ -1823,8 +1888,9 @@ class StubBroker:
                 return (ERR_INCONSISTENT_GROUP_PROTOCOL,)
             members = []
             if member_id == g.leader:
+                inst_of = {m: i for i, m in g.static.items()}
                 members = [
-                    (m, protos.get(g.protocol, b""))
+                    (m, inst_of.get(m), protos.get(g.protocol, b""))
                     for m, protos in sorted(g.members.items())
                 ]
             return (0, g.generation, g.protocol, g.leader, member_id,
@@ -1890,6 +1956,9 @@ class StubBroker:
             g.members.pop(member_id)
             g.session.pop(member_id, None)
             g.joined.discard(member_id)
+            g.static = {
+                i: m for i, m in g.static.items() if m != member_id
+            }
             if g.members:
                 # survivors must rejoin — their next heartbeat sees
                 # REBALANCE_IN_PROGRESS (the listener signal). If a
@@ -1953,7 +2022,7 @@ class StubBroker:
                 (_API_OFFSET_COMMIT, 0, 2),
                 (_API_OFFSET_FETCH, 0, 1),
                 (_API_FIND_COORDINATOR, 0, 0),
-                (_API_JOIN_GROUP, 0, 1),
+                (_API_JOIN_GROUP, 0, 5),  # v5 = KIP-345 instance ids
                 (_API_HEARTBEAT, 0, 0),
                 (_API_LEAVE_GROUP, 0, 0),
                 (_API_SYNC_GROUP, 0, 0),
@@ -2067,14 +2136,19 @@ class StubBroker:
             session_ms = r.i32()
             rebalance_ms = r.i32() if api_version >= 1 else session_ms
             member_id = r.string() or ""
+            # v5 (KIP-345): nullable group.instance.id after member_id
+            instance_id = r.string() if api_version >= 5 else None
             r.string()  # protocol_type
             protocols: dict[str, bytes] = {}
             for _ in range(r.i32()):
                 name = r.string()
                 protocols[name] = r.bytes_() or b""
             res = self._handle_join_group(
-                group, member_id, session_ms, rebalance_ms, protocols
+                group, member_id, session_ms, rebalance_ms, protocols,
+                instance_id,
             )
+            if api_version >= 2:
+                w.i32(0)  # throttle_time_ms
             if res[0]:
                 w.i16(res[0]).i32(-1).string("").string("").string("")
                 w.i32(0)
@@ -2082,8 +2156,11 @@ class StubBroker:
                 _err, gen, proto, leader, mid, members = res
                 w.i16(0).i32(gen).string(proto).string(leader).string(mid)
                 w.i32(len(members))
-                for m, meta in members:
-                    w.string(m).bytes_(meta)
+                for m, inst, meta in members:
+                    w.string(m)
+                    if api_version >= 5:
+                        w.string(inst)  # nullable
+                    w.bytes_(meta)
         elif api_key == _API_SYNC_GROUP:
             group = r.string()
             generation_id = r.i32()

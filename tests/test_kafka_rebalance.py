@@ -453,3 +453,120 @@ def test_list_and_describe_groups_admin_surface():
         finally:
             for cl in (admin, cl1, cl2):
                 cl.close()
+
+
+# ------------------------------------------------- KIP-345 static membership
+def test_static_member_rejoins_without_rebalance():
+    """KIP-345 (r11): a static member (group.instance.id) that drops
+    and rejoins within its session timeout re-acquires its previous
+    assignment at the CURRENT generation — no rebalance, no generation
+    bump, and the other member's heartbeat never sees err 27. A
+    genuinely NEW member still triggers the full rebalance."""
+    with StubBroker(num_partitions=4, initial_rebalance_delay_ms=400) as b:
+        cl1, cl2 = WireKafkaClient(*b.addr), WireKafkaClient(*b.addr)
+        c1 = GroupConsumer(
+            cl1, "g1", ["carga"], instance_id="pod-0",
+            session_timeout_ms=8_000,
+        )
+        c2 = GroupConsumer(
+            cl2, "g1", ["carga"], instance_id="pod-1",
+            session_timeout_ms=8_000,
+        )
+        try:
+            t1 = threading.Thread(target=c1.join)
+            t2 = threading.Thread(target=c2.join)
+            t1.start(), t2.start()
+            t1.join(timeout=10), t2.join(timeout=10)
+            assert not t1.is_alive() and not t2.is_alive()
+            gen0 = c1.generation
+            assert gen0 == c2.generation
+            old_assignment = dict(c2.assignment)
+            assert len(old_assignment.get("carga", [])) == 2
+
+            # c2 "restarts": close() skips LeaveGroup for static
+            # members, a fresh consumer presents the same instance id
+            c2.close()
+            cl2.close()
+            cl2b = WireKafkaClient(*b.addr)
+            c2b = GroupConsumer(
+                cl2b, "g1", ["carga"], instance_id="pod-1",
+                session_timeout_ms=8_000,
+            )
+            c2b.join()  # returns immediately: no rebalance round
+            assert c2b.generation == gen0  # NO generation bump
+            assert c2b.assignment == old_assignment  # same partitions
+            # the survivor's heartbeat stays quiet (no err 27)
+            c1.poll()
+            assert c1.rebalances == 0
+
+            # both members still function: commits are fence-accepted
+            c2b.commit()
+
+            # a NEW instance id = a real join: full rebalance fires
+            cl3 = WireKafkaClient(*b.addr)
+            c3 = GroupConsumer(
+                cl3, "g1", ["carga"], instance_id="pod-2",
+                session_timeout_ms=8_000,
+            )
+            res: dict = {}
+            t3 = threading.Thread(target=lambda: res.update(a=c3.join()))
+            t3.start()
+
+            # joins BLOCK server-side until every member rejoined —
+            # drive the two survivors from their own threads (the
+            # documented concurrent-member rule; sequential polls
+            # would deadlock against each other's rejoin)
+            def pump(consumer):
+                deadline = time.monotonic() + 10.0
+                while consumer.rebalances == 0:
+                    consumer.poll()
+                    if time.monotonic() > deadline:
+                        return
+                    time.sleep(0.05)
+
+            p1 = threading.Thread(target=pump, args=(c1,))
+            p2 = threading.Thread(target=pump, args=(c2b,))
+            p1.start(), p2.start()
+            p1.join(timeout=15), p2.join(timeout=15)
+            t3.join(timeout=10)
+            assert not t3.is_alive()
+            assert c1.rebalances >= 1 and c2b.rebalances >= 1
+            assert c3.generation == c1.generation > gen0
+            owned = sorted(
+                c1.assignment.get("carga", [])
+                + c2b.assignment.get("carga", [])
+                + c3.assignment.get("carga", [])
+            )
+            assert owned == [0, 1, 2, 3]
+            c3.close()
+            cl3.close()
+            c2b.close()
+            cl2b.close()
+        finally:
+            c1.close()
+            cl1.close()
+
+
+def test_static_rejoin_after_subscription_change_rebalances():
+    """The no-rebalance path requires an UNCHANGED subscription: a
+    static rejoin with different topics goes through the full join
+    (real-coordinator behavior — the assignment may no longer fit)."""
+    with StubBroker(num_partitions=2, initial_rebalance_delay_ms=50) as b:
+        cl = WireKafkaClient(*b.addr)
+        try:
+            r = cl.join_group("g1", ["carga"], instance_id="pod-0")
+            cl.sync_group(
+                "g1", r["generation"], r["member_id"],
+                {r["member_id"]: {"carga": [0, 1]}},
+            )
+            gen0 = r["generation"]
+            # same instance id, different subscription -> new rebalance
+            r2 = cl.join_group(
+                "g1", ["carga", "extra"], instance_id="pod-0"
+            )
+            assert r2["generation"] == gen0 + 1
+            # identity was preserved (rebound, not duplicated)
+            assert r2["member_id"] == r["member_id"]
+            assert len(r2["members"]) == 1
+        finally:
+            cl.close()
