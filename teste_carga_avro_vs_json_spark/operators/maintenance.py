@@ -275,6 +275,11 @@ class SnapshotConflictError(RuntimeError):
     """Commit lost the version race ``max_retries`` times in a row."""
 
 
+class ConstraintViolationError(ValueError):
+    """Incoming rows (or, when ADDING a constraint, existing rows)
+    violate a table CHECK constraint — the commit publishes nothing."""
+
+
 _SNAP_DIR = "_snapshots"
 #: fixed default commit timestamp (determinism rule: never wall-clock)
 SNAP_EPOCH = 1704067200
@@ -352,6 +357,13 @@ def snapshot_commit(
             bloom_cols = _manifest_bloom_cols(
                 _read_manifest(table_dir, prior[-1])
             )
+    cons = snapshot_constraints(table_dir)
+    if cons and not (extra or {}).get("reorg"):
+        # CHECK constraints gate every commit's NEW rows — one filter
+        # pass over df, never the table (r11). Reorg commits preserve
+        # content exactly, so re-validating them would add an O(table)
+        # pass for rows that already passed.
+        _enforce_constraints(df, cons, "commit")
     # data dir is unique per ATTEMPT, never keyed by version: two
     # racing writers must not write into the same parquet directory.
     # Entries carry per-file footer min/max stats (data skipping).
@@ -372,6 +384,7 @@ def _publish_files(
     extra: dict | None,
     max_retries: int = 8,
     parent_version: int | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """The manifest-publish retry loop shared by :func:`snapshot_commit`
     and the ``format("snapshot")`` writer: compute the next version
@@ -417,6 +430,15 @@ def _publish_files(
                 None,
             )
             files = new_files + added
+        # CHECK constraints are table properties (Delta semantics):
+        # they ride EVERY commit — appends, semantic overwrites and
+        # reorgs alike — until explicitly dropped. ``constraints``
+        # overrides (the add/drop commits); None inherits the head's.
+        cons = constraints
+        if cons is None and versions:
+            cons = _read_manifest(table_dir, versions[-1]).get(
+                "constraints"
+            )
         manifest = {
             "version": version,
             "op": mode,
@@ -425,6 +447,8 @@ def _publish_files(
             "n_bytes": sum(f["bytes"] for f in files),
             "files": files,
         }
+        if cons:
+            manifest["constraints"] = dict(cons)
         if dv and dv.get("files"):
             manifest["dv"] = dv
         if extra:
@@ -523,6 +547,112 @@ def snapshot_prune_report(
         "rows_total": sum(f.get("rows", 0) for f in files),
         "rows_kept": sum(f.get("rows", 0) for f in kept),
     }
+
+
+# ------------------------------------------------- CHECK constraints
+def snapshot_constraints(table_dir: str) -> dict[str, str]:
+    """The table's CHECK constraints (``{name: sql_expr}``) from the
+    HEAD manifest — a table property that rides every commit (Delta
+    semantics) until :func:`snapshot_drop_constraint`."""
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        return {}
+    return dict(
+        _read_manifest(table_dir, versions[-1]).get("constraints") or {}
+    )
+
+
+def _constraint_violations(df: DataFrame, expr: str) -> DataFrame:
+    """Rows VIOLATING a CHECK constraint: the standard-SQL rule — a
+    row violates only when the expression evaluates to FALSE (UNKNOWN/
+    NULL passes, like every SQL engine's CHECK)."""
+    return df.where(
+        ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+    )
+
+
+def _enforce_constraints(
+    df: DataFrame, constraints: dict[str, str], what: str
+) -> None:
+    """Raise :class:`ConstraintViolationError` when any incoming row
+    violates a table constraint — one filter pass over the NEW rows
+    only (never the table), with a bounded sample in the message."""
+    for name, expr in sorted(constraints.items()):
+        sample = _constraint_violations(df, expr).limit(3).collect()
+        if sample:
+            rows = "; ".join(str(r.asDict()) for r in sample)
+            raise ConstraintViolationError(
+                f"{what} violates CHECK constraint {name!r} "
+                f"({expr}): {rows}"
+            )
+
+
+def snapshot_add_constraint(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    expr: str,
+    ts: int = SNAP_EPOCH,
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK (expr) over the manifest
+    log (r11): validates the CURRENT table once (one full scan — the
+    Delta semantics for adding a constraint to existing data; rows
+    where the expression is UNKNOWN pass, per standard SQL), then
+    publishes a zero-added-file append commit carrying the updated
+    constraint set. From that commit on, every
+    :func:`snapshot_commit`, :func:`snapshot_merge` delta and
+    ``format("snapshot")`` write validates its NEW rows — O(delta),
+    never O(table) — and refuses with
+    :class:`ConstraintViolationError` naming the constraint and a
+    bounded row sample. Stream readers see nothing (no files were
+    added). Constraints should be PORTABLE ANSI SQL boolean
+    expressions: the Arrow writer path evaluates them with DuckDB
+    executor-side (the repo's portable-SQL discipline)."""
+    if not name or not name.replace("_", "").isalnum():
+        raise ValueError(f"constraint name {name!r} must be [a-zA-Z0-9_]+")
+    F.expr(expr)  # parse check (raises on syntax errors)
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {table_dir}")
+    cons = snapshot_constraints(table_dir)
+    if name in cons:
+        raise ValueError(
+            f"constraint {name!r} already exists ({cons[name]!r}) — "
+            "drop it first to change the expression"
+        )
+    current = snapshot_read(spark, table_dir)
+    sample = _constraint_violations(current, expr).limit(3).collect()
+    if sample:
+        rows = "; ".join(str(r.asDict()) for r in sample)
+        raise ConstraintViolationError(
+            f"existing rows violate CHECK {name!r} ({expr}): {rows} — "
+            "clean the table (snapshot_delete) before adding it"
+        )
+    cons[name] = expr
+    return _publish_files(
+        table_dir, [], "append", ts,
+        {"constraint_added": name}, constraints=cons,
+    )
+
+
+def snapshot_drop_constraint(
+    table_dir: str, name: str, ts: int = SNAP_EPOCH
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT: manifest-only commit removing the
+    named constraint (unknown names raise)."""
+    cons = snapshot_constraints(table_dir)
+    if name not in cons:
+        raise ValueError(
+            f"no constraint {name!r} on {table_dir!r} "
+            f"(have: {sorted(cons)})"
+        )
+    del cons[name]
+    return _publish_files(
+        table_dir, [], "append", ts,
+        {"constraint_dropped": name},
+        # a now-empty dict must still OVERRIDE inheritance
+        constraints=cons if cons else {},
+    )
 
 
 def _version_schema_info(
@@ -891,6 +1021,11 @@ def snapshot_merge(
                 delta = delta.withColumn(
                     c, F.lit(None).cast(base.schema[c].dataType)
                 )
+    cons = manifest.get("constraints") or {}
+    if cons:
+        # CHECK constraints gate the delta's rows — survivors of the
+        # rewrite already passed when they were committed (r11)
+        _enforce_constraints(delta, cons, "merge delta")
     current = _apply_dv(
         spark,
         table_dir,
@@ -1421,6 +1556,7 @@ def _publish_cow_manifest(
     import json
     import tempfile
 
+    cons = _read_manifest(table_dir, parent).get("constraints")
     for _attempt in range(max_retries):
         version = parent + 1
         out_manifest = {
@@ -1432,6 +1568,8 @@ def _publish_cow_manifest(
             "files": files,
             "extra": extra,
         }
+        if cons:  # table property: rides every commit until dropped
+            out_manifest["constraints"] = dict(cons)
         if dv and dv.get("files"):
             out_manifest["dv"] = dv
         if cdf and cdf.get("files"):

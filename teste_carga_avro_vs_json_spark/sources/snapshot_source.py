@@ -449,6 +449,12 @@ class _SnapshotWriterBase:
         self.data_dir = tempfile.mkdtemp(
             prefix="c-", dir=os.path.join(self.table_dir, "data")
         )
+        # CHECK constraints snapshot taken driver-side at job setup
+        # and pickled to executors; write() enforces them per Arrow
+        # batch with DuckDB (constraints are portable ANSI SQL — the
+        # repo's oracle discipline), so a violating row fails ITS task
+        # before any manifest publish
+        self.constraints = _mt().snapshot_constraints(self.table_dir)
 
     # executor side -----------------------------------------------------
     def write(self, iterator):
@@ -464,7 +470,30 @@ class _SnapshotWriterBase:
         path = os.path.join(self.data_dir, f"part-{attempt}.parquet")
         writer = None
         rows = 0
+        duck = None
         for batch in iterator:
+            if self.constraints:
+                import pyarrow as pa
+
+                if duck is None:
+                    import duckdb
+
+                    duck = duckdb.connect()
+                tbl = pa.Table.from_batches([batch])
+                for name, expr in sorted(self.constraints.items()):
+                    # standard CHECK semantics: violation == expr
+                    # evaluates to FALSE (UNKNOWN passes)
+                    duck.register("_batch", tbl)
+                    n_bad = duck.execute(
+                        "SELECT count(*) FROM _batch "
+                        f"WHERE NOT coalesce(({expr}), true)"
+                    ).fetchone()[0]
+                    if n_bad:
+                        raise ValueError(
+                            f"write violates CHECK constraint "
+                            f"{name!r} ({expr}): {n_bad} row(s) in "
+                            "this batch"
+                        )
             if writer is None:
                 writer = pq.ParquetWriter(path, batch.schema)
             writer.write_batch(batch)

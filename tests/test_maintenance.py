@@ -1868,6 +1868,104 @@ def test_replicate_duplicate_rows_in_one_commit_is_deterministic(
         assert run(n) == first
 
 
+# ------------------------------------------------- CHECK constraints
+def test_check_constraints_gate_commits_and_merges(
+    spark, sf_dir, tmp_path
+):
+    """r11: ALTER TABLE ADD CONSTRAINT over the manifest log — adding
+    validates existing rows once; afterwards every commit/merge delta
+    is gated O(delta); UNKNOWN passes (standard SQL); constraints ride
+    reorg commits; drop re-opens the gate."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 50"), tdir)
+
+    v = mt.snapshot_add_constraint(
+        spark, tdir, "doc_id_nonneg", "doc_id >= 0"
+    )
+    assert mt.snapshot_constraints(tdir) == {
+        "doc_id_nonneg": "doc_id >= 0"
+    }
+    # the constraint commit added no files: content unchanged
+    assert mt.snapshot_read(spark, tdir).count() == 50
+
+    # commits of violating rows refuse and publish NOTHING
+    bad = docs.filter("doc_id < 3").withColumn(
+        "doc_id", -F.col("doc_id") - 1
+    )
+    with pytest.raises(mt.ConstraintViolationError, match="doc_id_nonneg"):
+        mt.snapshot_commit(bad, tdir, mode="append")
+    assert mt.snapshot_versions(tdir)[-1] == v
+    # valid rows pass
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 50 and doc_id < 60"), tdir, mode="append"
+    )
+
+    # merge deltas are gated too
+    with pytest.raises(mt.ConstraintViolationError, match="merge delta"):
+        mt.snapshot_merge(bad, tdir, keys=["doc_id"])
+    mt.snapshot_merge(
+        docs.filter("doc_id < 5").withColumn("text", F.lit("ok")),
+        tdir, keys=["doc_id"],
+    )
+
+    # UNKNOWN passes: a NULL in the checked column is not a violation
+    nullish = docs.filter("doc_id = 7").select(
+        F.lit(None).cast("long").alias("doc_id"), "lang", "text"
+    )
+    mt.snapshot_commit(nullish, tdir, mode="append")
+
+    # reorg commits carry the property and skip re-validation
+    mt.snapshot_compact(spark, tdir)
+    assert "doc_id_nonneg" in mt.snapshot_constraints(tdir)
+
+    # adding over existing violations refuses and publishes nothing
+    head = mt.snapshot_versions(tdir)[-1]
+    with pytest.raises(mt.ConstraintViolationError, match="existing rows"):
+        mt.snapshot_add_constraint(
+            spark, tdir, "lang_known", "lang = 'xx'"
+        )
+    assert mt.snapshot_versions(tdir)[-1] == head
+    # duplicate names refuse; unknown drops refuse
+    with pytest.raises(ValueError, match="already exists"):
+        mt.snapshot_add_constraint(spark, tdir, "doc_id_nonneg", "1=1")
+    with pytest.raises(ValueError, match="no constraint"):
+        mt.snapshot_drop_constraint(tdir, "nope")
+
+    # drop re-opens the gate
+    mt.snapshot_drop_constraint(tdir, "doc_id_nonneg")
+    assert mt.snapshot_constraints(tdir) == {}
+    mt.snapshot_commit(bad, tdir, mode="append")  # now allowed
+
+
+def test_check_constraints_enforced_by_arrow_writer(
+    spark, sf_dir, tmp_path
+):
+    """The format('snapshot') write surface enforces constraints
+    EXECUTOR-side per Arrow batch (DuckDB evaluation of the portable
+    SQL expr): a violating job fails before any manifest publish, a
+    clean job commits and inherits the property."""
+    from teste_carga_avro_vs_json_spark.sources import snapshot_source as ss
+
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 30"), tdir)
+    mt.snapshot_add_constraint(
+        spark, tdir, "text_nonempty", "length(text) > 0"
+    )
+    ss.register(spark)
+    head = mt.snapshot_versions(tdir)[-1]
+    bad = docs.filter("doc_id < 5").withColumn("text", F.lit(""))
+    with pytest.raises(Exception, match="text_nonempty"):
+        bad.write.format("snapshot").mode("append").save(tdir)
+    assert mt.snapshot_versions(tdir)[-1] == head  # nothing published
+    good = docs.filter("doc_id >= 30 and doc_id < 40")
+    good.write.format("snapshot").mode("append").save(tdir)
+    assert mt.snapshot_read(spark, tdir).count() == 40
+    # the writer's commit inherited the property
+    assert "text_nonempty" in mt.snapshot_constraints(tdir)
+
+
 # ------------------------------------------------- auto-maintenance
 def test_snapshot_maintain_policy_thresholds(spark, sf_dir, tmp_path):
     """snapshot_maintain: no-op inside budget (no new version), fires
