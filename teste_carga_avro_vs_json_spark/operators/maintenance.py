@@ -1171,6 +1171,11 @@ def snapshot_merge(
             "new_entries": new_files,
             "parent_dv": manifest.get("dv"),
             "winner_guard": _winner_guard,
+            # the delta's rows are NEW — a constraint ADDED between
+            # parent and head never saw them, so revalidate (r12)
+            "recheck_constraints": lambda c: _enforce_constraints(
+                delta, c, "merge delta (rebased past constraint change)"
+            ),
         },
     )
     return {
@@ -1491,6 +1496,7 @@ def _rebase_onto_appends(
     op: str,
     parent_dv: dict | None,
     winner_guard,
+    affected_paths: set | None = None,
 ) -> tuple[int, list[dict]]:
     """Delta-style conflict resolution after a lost CAS (r11, VERDICT
     order #3): fold every commit that landed after ``parent`` into
@@ -1499,10 +1505,21 @@ def _rebase_onto_appends(
     passes the caller's row-level ``winner_guard`` over its added
     files (a merge checks key overlap, a delete checks condition
     matches — a guard failure means the concurrent rows would have
-    changed THIS commit's outcome, so it must be recomputed). Returns
-    ``(new_parent, added_entries)``; raises SnapshotConflictError for
-    any non-append winner (merge/delete/overwrite/restore rewrote or
-    removed files this commit may have read)."""
+    changed THIS commit's outcome, so it must be recomputed).
+
+    r12 extension (VERDICT order #2): a winning copy-on-write
+    ``merge``/``delete`` whose rewritten+removed file set is DISJOINT
+    from this commit's ``affected_paths`` also rebases — the files
+    this commit recomputed are byte-identical at the new head, and
+    the winner's output files go through the same row-level
+    ``winner_guard`` (an updated/inserted row that matches this
+    commit's keys/condition would have changed its outcome →
+    conflict; survivor rows riding in those files cannot match, or
+    their source files would have been in BOTH affected sets).
+    Overlapping rewrites, reorg overwrites, restores, and anything
+    touching the delete vectors (``delete-mor`` winners change ``dv``)
+    still raise. Returns ``(new_parent, added_entries)``; raises
+    SnapshotConflictError otherwise."""
     head = snapshot_versions(table_dir)[-1]
     parent_paths = {
         f["path"] for f in _read_manifest(table_dir, parent)["files"]
@@ -1511,11 +1528,17 @@ def _rebase_onto_appends(
     for v in range(parent + 1, head + 1):
         w = _read_manifest(table_dir, v)
         w_paths = {f["path"] for f in w["files"]}
-        if w["op"] != "append" or (parent_paths - w_paths):
+        removed = parent_paths - w_paths
+        compatible = (w["op"] == "append" and not removed) or (
+            w["op"] in ("merge", "delete")
+            and affected_paths is not None
+            and not (removed & affected_paths)
+        )
+        if not compatible:
             raise SnapshotConflictError(
                 f"{op} computed against v{parent} but v{v} "
-                f"(op={w['op']!r}) rewrote or removed files — re-run "
-                f"the {op} against the new head"
+                f"(op={w['op']!r}) rewrote or removed files this "
+                f"{op} read — re-run the {op} against the new head"
             )
         if (w.get("dv") or None) != (parent_dv or None):
             raise SnapshotConflictError(
@@ -1590,18 +1613,44 @@ def _publish_cow_manifest(
                     f"was committed concurrently — re-run the {op} "
                     "against the new head"
                 ) from None
+            affected = set(rebase["affected_paths"])
             new_parent, added = _rebase_onto_appends(
                 table_dir,
                 parent,
                 op,
                 rebase.get("parent_dv"),
                 rebase.get("winner_guard"),
+                affected_paths=affected,
             )
-            affected = set(rebase["affected_paths"])
             head_files = _read_manifest(table_dir, new_parent)["files"]
             files = [
                 f for f in head_files if f["path"] not in affected
             ] + list(rebase["new_entries"])
+            # A winner may have been a zero-file ADD/DROP CONSTRAINT
+            # commit (a pure append that rebases structurally): adopt
+            # the head's constraint set — publishing the parent's
+            # stale set would silently drop/resurrect the constraint
+            # as a table property. A NEW constraint must also be
+            # enforced over rows this commit introduces: callers whose
+            # rows are not a subset of already-validated table rows
+            # (merge deltas) supply ``recheck_constraints`` to
+            # revalidate; a cow delete's survivors were validated by
+            # the ADD-constraint commit's own full-table scan, so it
+            # passes a no-op. Without a recheck hook, a changed set
+            # conflicts conservatively.
+            new_cons = _read_manifest(table_dir, new_parent).get(
+                "constraints"
+            )
+            if (new_cons or None) != (cons or None):
+                recheck = rebase.get("recheck_constraints")
+                if recheck is None:
+                    raise SnapshotConflictError(
+                        f"{op} raced a constraint change (parent "
+                        f"v{parent} vs head v{new_parent}) — re-run "
+                        f"the {op} against the new head"
+                    )
+                recheck(dict(new_cons or {}))
+                cons = new_cons
             parent = new_parent
         finally:
             os.unlink(tmp)
@@ -1769,6 +1818,10 @@ def snapshot_delete(
                 "winner_guard": _delete_winner_guard(
                     spark, table_dir, cond, condition
                 ),
+                # a mor delete writes only delete vectors — removing
+                # rows can never violate a CHECK; adopt the head's
+                # constraint set with no revalidation (r12)
+                "recheck_constraints": lambda c: None,
             },
         )
         return {
@@ -1856,6 +1909,11 @@ def snapshot_delete(
             "winner_guard": _delete_winner_guard(
                 spark, table_dir, cond, condition
             ),
+            # a cow delete's survivors are a SUBSET of rows the
+            # concurrent ADD-constraint commit validated with its own
+            # full-table scan (winners never touch this delete's
+            # affected files) — adopt with no revalidation (r12)
+            "recheck_constraints": lambda c: None,
         },
     )
     return {
@@ -2380,7 +2438,15 @@ def snapshot_replicate_stream(
     if not block:
         return writer.start()
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # the availableNow drain is STILL RUNNING: returning partial
+        # counts would look complete and leak the query — stop it and
+        # raise instead (ADVICE r11)
+        q.stop()
+        raise TimeoutError(
+            f"snapshot_replicate_stream drain exceeded {timeout_sec}s "
+            f"({applied['n']} batch(es) applied before the stop)"
+        )
     return {"batches_applied": applied["n"], "version": applied["version"]}
 
 

@@ -576,7 +576,11 @@ def _l2_sql(a: str, b: str) -> str:
 
 
 def _kmeans_assign_ctes(
-    table: str, n_centroids: int, iters: int
+    table: str,
+    n_centroids: int,
+    iters: int,
+    vec_expr: str = "embedding::DOUBLE[]",
+    prefix: str = "",
 ) -> tuple[list[str], str]:
     """The deterministic-k-means replay shared by every oracle that
     depends on :func:`ivf_centroids`' cluster assignment
@@ -587,25 +591,31 @@ def _kmeans_assign_ctes(
     join (fine at oracle scale; the Spark side instead evaluates
     broadcast centroid literals in a projection), the update replays
     the exact ``(Σ floor(x·1000+0.5) / n) / 1000`` sequence. Returns
-    (ctes, final_centroid_cte_name); the last CTE ``assign`` holds
-    (vec_id, vec, cluster)."""
+    (ctes, final_centroid_cte_name); the last CTE ``{prefix}assign``
+    holds (vec_id, vec, cluster).
+
+    ``vec_expr``/``prefix`` (r12) let :func:`ivf_pq_topk_sql` replay
+    one independent k-means per PQ SUBSPACE: the vector expression is
+    a list slice of the embedding and the prefix namespaces the CTE
+    chain (``s0v, s0c0, … s0assign``)."""
+    p = prefix
     # c0 mirrors the duplicate-robust init: first n_centroids DISTINCT
     # vectors (by min vec_id) within the oversampled lowest-id window.
     ctes = [
-        f"v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM {table})",
-        f"""c0 AS (
+        f"{p}v AS (SELECT vec_id, {vec_expr} AS vec FROM {table})",
+        f"""{p}c0 AS (
             SELECT (ROW_NUMBER() OVER (ORDER BY mid) - 1)::INT AS cluster,
                    vec AS cvec
             FROM (
                 SELECT vec, MIN(vec_id) AS mid FROM (
-                    SELECT vec_id, vec FROM v
+                    SELECT vec_id, vec FROM {p}v
                     ORDER BY vec_id LIMIT {INIT_OVERSAMPLE * n_centroids}
                 ) GROUP BY vec ORDER BY mid LIMIT {n_centroids}
             )
         )""",
     ]
     for i in range(iters):
-        ctes.append(f"""a{i + 1} AS (
+        ctes.append(f"""{p}a{i + 1} AS (
             SELECT vec_id, vec, cluster FROM (
                 SELECT v.vec_id, v.vec, c.cluster,
                        ROW_NUMBER() OVER (
@@ -613,10 +623,10 @@ def _kmeans_assign_ctes(
                            ORDER BY {_l2_sql("v.vec", "c.cvec")} ASC,
                                     c.cluster ASC
                        ) AS rn
-                FROM v CROSS JOIN c{i} c
+                FROM {p}v v CROSS JOIN {p}c{i} c
             ) WHERE rn = 1
         )""")
-        ctes.append(f"""c{i + 1} AS (
+        ctes.append(f"""{p}c{i + 1} AS (
             SELECT cluster, list(m ORDER BY dim) AS cvec FROM (
                 SELECT cluster, dim,
                        (SUM(sx)::DOUBLE / COUNT(*)::DOUBLE) / 1000.0 AS m
@@ -625,19 +635,19 @@ def _kmeans_assign_ctes(
                            unnest(list_transform(vec, (x, i) ->
                                {{'dim': i, 'sx': FLOOR(x * 1000 + 0.5)::BIGINT}}),
                                recursive := true)
-                    FROM a{i + 1}
+                    FROM {p}a{i + 1}
                 ) GROUP BY cluster, dim
             ) GROUP BY cluster
         )""")
-    cfin = f"c{iters}"
-    ctes.append(f"""assign AS (
+    cfin = f"{p}c{iters}"
+    ctes.append(f"""{p}assign AS (
         SELECT vec_id, vec, cluster FROM (
             SELECT v.vec_id, v.vec, c.cluster,
                    ROW_NUMBER() OVER (
                        PARTITION BY v.vec_id
                        ORDER BY {_l2_sql("v.vec", "c.cvec")} ASC, c.cluster ASC
                    ) AS rn
-            FROM v CROSS JOIN {cfin} c
+            FROM {p}v v CROSS JOIN {cfin} c
         ) WHERE rn = 1
     )""")
     return ctes, cfin
@@ -684,6 +694,267 @@ def ivf_topk_sql(
     return f"""
         WITH {body}
         SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+# ----------------------------------------------------------- IVF-PQ path
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    vectorized: bool = True,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks (Jégou, Douze, Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): the embedding
+    is split into ``m`` contiguous subspaces of d/m dims and each gets
+    an INDEPENDENT deterministic k-means with ``ksub`` codewords —
+    literally :func:`ivf_centroids` run on the sliced frame, so every
+    determinism property (lowest-id dedup'd init, quantized-exact
+    means) carries over and the DuckDB oracle replays each codebook
+    with the same shared CTE chain."""
+    dim = len(emb.select("embedding").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            "vec_id",
+            F.slice(
+                F.col("embedding").cast("array<double>"),
+                j * dsub + 1,
+                dsub,
+            ).alias("embedding"),
+        )
+        books.append(ivf_centroids(sub, ksub, iters, vectorized=vectorized))
+    return books
+
+
+def _cb_literal(cb: list[tuple[int, list[float]]], dsub: int) -> Column:
+    """Codeword lookup array LITERAL, positioned by centroid id (Lloyd
+    can drop an empty cluster, leaving gaps — gap slots get a dummy
+    codeword that no assignment ever references)."""
+    by_idx = {i: v for i, v in cb}
+    n = max(by_idx) + 1
+    return F.array(*[
+        F.array(*[F.lit(x) for x in by_idx.get(i, [0.0] * dsub)])
+        for i in range(n)
+    ])
+
+
+def pq_encode(
+    v: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    vec_col: str = "vec",
+    vectorized: bool = False,
+) -> DataFrame:
+    """Add ``codes`` (array<int>, one codeword id per subspace) — the
+    d/8-bytes-per-vector representation that rides the candidate join
+    instead of the raw d×8-byte vector. ``vectorized=True`` routes
+    each subspace argmin through :func:`assign_np` (bit-identical, the
+    scale path — the expression form is an interpreted HOF fold, the
+    known k-means assignment hazard); the default expression form
+    keeps registry plans Python-free."""
+    dsub = len(books[0][0][1])
+    sub_cols = []
+    for j, cb in enumerate(books):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        if vectorized:
+            v = v.withColumn(f"_sub{j}", sub)
+            v = assign_np(v, cb, vec_col=f"_sub{j}", out_col=f"_code{j}")
+            sub_cols.append(F.col(f"_code{j}"))
+        else:
+            sub_cols.append(_nearest(sub, cb))
+    out = v.withColumn("codes", F.array(*sub_cols))
+    return out.drop(*[c for j in range(len(books))
+                      for c in (f"_sub{j}", f"_code{j}")])
+
+
+def _adc_dist(
+    qvec: Column,
+    codes: Column,
+    books: list[list[tuple[int, list[float]]]],
+) -> Column:
+    """Asymmetric PQ distance, quantized-exact: per subspace, the
+    query sub-vector's squared L2 distance to the candidate's CODEWORD
+    (one fixed left-fold IEEE-754 sequence, same shape as
+    :func:`_nearest`), quantized to a 1e-9 long; the total is an exact
+    integer sum of m longs — partial order can never perturb it (the
+    repo's float-derived-metric discipline, operators/lm.py)."""
+    dsub = len(books[0][0][1])
+    total = None
+    for j, cb in enumerate(books):
+        qsub = F.slice(qvec, j * dsub + 1, dsub)
+        cw = F.element_at(_cb_literal(cb, dsub), codes[j] + F.lit(1))
+        d = F.aggregate(
+            F.zip_with(qsub, cw, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dq = F.floor(d * F.lit(1e9) + F.lit(0.5)).cast("long")
+        total = dq if total is None else total + dq
+    return total
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_modulus: int = 50,
+    iters: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    vectorized_encode: bool = False,
+) -> DataFrame:
+    """IVF-PQ ANN top-k (Jégou et al. 2011): coarse inverted lists
+    exactly like :func:`ivf_topk`, but candidates are scored from
+    their ``m``-byte PQ codes via asymmetric distance — the raw
+    vector NEVER rides the candidate join. At 100 TB that is the
+    memory/IO story: d=64 float32 vectors are 256 bytes; m=8 codes
+    are 8 bytes (d/8), a 32× smaller probe-side shuffle/cache
+    footprint, while the coarse quantizer bounds candidates to
+    O(rows × n_probe / n_centroids) per query. Results are ranked by
+    the quantized integer ADC distance (ascending), deterministic
+    ties by vec_id."""
+    cents = ivf_centroids(emb, n_centroids, iters)
+    books = pq_codebooks(emb, m=m, ksub=ksub, iters=iters)
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    ).withColumn(
+        # coalesce marks the join key non-nullable (see ivf_topk)
+        "cluster", F.coalesce(_nearest(F.col("vec"), cents), F.lit(-1))
+    )
+    # codes computed once per corpus row; the vec column is DROPPED
+    # before the join — only (vec_id, cluster, codes) shuffles
+    v = pq_encode(v, books, vectorized=vectorized_encode).select(
+        "vec_id", "cluster", "codes"
+    )
+    q_base = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qvec"),
+    ).filter(F.col("query_id") % query_modulus == 0)
+    probes = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"),
+                    F.array(*[F.lit(x) for x in cvec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(idx).alias("idx"),
+        )
+        for idx, cvec in cents
+    ]
+    q = q_base.withColumn(
+        "cluster",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(F.array(*probes)), 1, n_probe),
+                lambda s: s["idx"],
+            )
+        ),
+    )
+    cand = v.join(F.broadcast(q), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _adc_dist(F.col("qvec"), F.col("codes"), books).alias("adc_dist"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def ivf_pq_topk_sql(
+    table: str = "embeddings",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_modulus: int = 50,
+    iters: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk`: the coarse k-means replay
+    plus ONE independent prefixed k-means chain per subspace
+    (:func:`_kmeans_assign_ctes` with a sliced ``vec_expr``); the ADC
+    lookup is a join to each subspace's final-centroid CTE (positional
+    ``element_at`` on the Spark side ≡ equi-join on cluster id here),
+    quantized to the same exact integer sum."""
+    dsub = dim // m
+    ctes, cfin = _kmeans_assign_ctes(table, n_centroids, iters)
+    sub_fins = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        sub_ctes, sub_fin = _kmeans_assign_ctes(
+            table,
+            ksub,
+            iters,
+            vec_expr=f"(embedding::DOUBLE[])[{lo}:{hi}]",
+            prefix=f"s{j}",
+        )
+        ctes.extend(sub_ctes)
+        sub_fins.append(sub_fin)
+    ctes.append(f"""probes AS (
+        SELECT query_id, qvec, cluster FROM (
+            SELECT q.vec_id AS query_id, q.vec AS qvec, c.cluster,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_l2_sql("q.vec", "c.cvec")} ASC, c.cluster ASC
+                   ) AS rn
+            FROM v q CROSS JOIN {cfin} c
+            WHERE q.vec_id % {query_modulus} = 0
+        ) WHERE rn <= {n_probe}
+    )""")
+    joins = []
+    terms = []
+    for j, sub_fin in enumerate(sub_fins):
+        joins.append(
+            f"JOIN s{j}assign s{j}a ON s{j}a.vec_id = a.vec_id\n"
+            f"        JOIN {sub_fin} cw{j} ON cw{j}.cluster = s{j}a.cluster"
+        )
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        terms.append(
+            "FLOOR("
+            + _l2_sql(f"(p.qvec)[{lo}:{hi}]", f"cw{j}.cvec")
+            + " * 1000000000.0 + 0.5)::BIGINT"
+        )
+    join_sql = "\n        ".join(joins)
+    adc = "\n               + ".join(terms)
+    ctes.append(f"""scored AS (
+        SELECT DISTINCT p.query_id, a.vec_id,
+               ({adc}) AS adc_dist
+        FROM assign a
+        JOIN probes p USING (cluster)
+        {join_sql}
+        WHERE a.vec_id <> p.query_id
+    )""")
+    ctes.append("""ranked AS (
+        SELECT query_id, vec_id, adc_dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_dist ASC, vec_id ASC
+               )::INT AS rank
+        FROM scored
+    )""")
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT query_id, vec_id, adc_dist, rank FROM ranked
+        WHERE rank <= {k}
     """
 
 

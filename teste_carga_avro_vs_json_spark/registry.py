@@ -1145,6 +1145,38 @@ def _frame_sample_sql() -> str:
     """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style BM25 hard-negative mining (Karpukhin et al. 2020):
+    rank-1 as weak positive, next-k as hard negatives — ONE ranking
+    pass sharing ``_bm25_agg`` with the BM25 search op
+    (operators/retrieval.py:221). Promoted into the driver window r12
+    (VERDICT r11 order #3) from the check_retired local-oracle set."""
+    from teste_carga_avro_vs_json_spark.operators import retrieval
+
+    return retrieval.hard_negatives(load_table(spark, sf_dir, "documents"))
+
+
+def _hard_negatives_sql() -> str:
+    from teste_carga_avro_vs_json_spark.operators import retrieval
+
+    return retrieval.hard_negatives_sql()
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: α-temperature quotas over
+    the deterministic k-means clusters (the post-SemDeDup selection
+    stage; operators/similarity.py:1206). Promoted into the driver
+    window r12 alongside q_hard_negatives; the oracle replays k-means
+    via the shared ``_kmeans_assign_ctes`` CTE."""
+    return similarity.cluster_sample(
+        load_table(spark, sf_dir, "embeddings"), budget=150
+    )
+
+
+def _cluster_sample_sql() -> str:
+    return similarity.cluster_sample_sql(budget=150)
+
+
 # ------------------------------------------------------------ crawl/RAG
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style per-domain document budget: canonical-host
@@ -1205,7 +1237,13 @@ def queries() -> dict[str, QueryFn]:
         "q_doc_profile": q_doc_profile,
         "q_pii_scrub": q_pii_scrub,
         "q_corpus_mix": q_corpus_mix,
-        "q_corpus_report": q_corpus_report,
+        # r12: q_corpus_report retired (overlaps q_corpus_mix +
+        # q_quantile_profile coverage) and q_frame_sample retired
+        # (folds into q_media_pipeline — same multimodal byte
+        # arithmetic); slots given to q_hard_negatives +
+        # q_cluster_sample (VERDICT r11 order #3). Retirees stay
+        # oracle-checked via tools/check_retired.py.
+        "q_hard_negatives": q_hard_negatives,
         "q_asof_attribution": q_asof_attribution,
         "q_sessionize": q_sessionize,
         "q_interval_join": q_interval_join,
@@ -1231,7 +1269,7 @@ def queries() -> dict[str, QueryFn]:
         "q_quantile_profile": q_quantile_profile,
         "q_pack_sequences": q_pack_sequences,
         "q_media_pipeline": q_media_pipeline,
-        "q_frame_sample": q_frame_sample,
+        "q_cluster_sample": q_cluster_sample,
     }
 
 
@@ -1265,7 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_profile": text.doc_profile_sql(),
         "q_pii_scrub": _pii_scrub_sql(),
         "q_corpus_mix": _corpus_mix_sql(),
-        "q_corpus_report": corpus.corpus_report_sql(),
+        "q_hard_negatives": _hard_negatives_sql(),
         "q_asof_attribution": _asof_attribution_sql(),
         "q_sessionize": _sessionize_sql(),
         "q_interval_join": _interval_join_sql(),
@@ -1293,7 +1331,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quantile_profile": analytics.quantile_profile_sql(),
         "q_pack_sequences": corpus.pack_sequences_sql(seq_len=512),
         "q_media_pipeline": _media_pipeline_sql(),
-        "q_frame_sample": _frame_sample_sql(),
+        "q_cluster_sample": _cluster_sample_sql(),
     }
 
 

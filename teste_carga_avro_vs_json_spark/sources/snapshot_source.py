@@ -489,10 +489,21 @@ class _SnapshotWriterBase:
                         f"WHERE NOT coalesce(({expr}), true)"
                     ).fetchone()[0]
                     if n_bad:
-                        raise ValueError(
+                        # same error surface as every other
+                        # enforcement path: ConstraintViolationError
+                        # with a bounded row sample (ADVICE r11)
+                        from ..operators.maintenance import (
+                            ConstraintViolationError,
+                        )
+
+                        sample = duck.execute(
+                            "SELECT * FROM _batch WHERE NOT "
+                            f"coalesce(({expr}), true) LIMIT 3"
+                        ).fetchall()
+                        raise ConstraintViolationError(
                             f"write violates CHECK constraint "
                             f"{name!r} ({expr}): {n_bad} row(s) in "
-                            "this batch"
+                            f"this batch, e.g. {sample!r}"
                         )
             if writer is None:
                 writer = pq.ParquetWriter(path, batch.schema)

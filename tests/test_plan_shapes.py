@@ -512,3 +512,46 @@ def test_chunk_sentences_single_doc_shuffle(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "EvalPython" not in plan
     assert expensive_filter_nodes(out) == []
+
+
+def test_hard_negatives_plan_shape(spark, sf_dir):
+    """r12 window promotion pin: DPR hard-negative mining keeps the
+    BM25 scale contract — query terms BROADCAST into the exploded
+    token stream (never a shuffled or cartesian join), the per-query
+    ranking runs as a WindowGroupLimit (partial top-k before the
+    q_id exchange, not a full per-group sort), no Python, no
+    expensive filter."""
+    from teste_carga_avro_vs_json_spark import registry
+    from teste_carga_avro_vs_json_spark.plans import expensive_filter_nodes
+
+    out = registry.q_hard_negatives(spark, sf_dir)
+    plan = _plan(out)
+    aud = audit(out)
+    assert aud.cartesian == 0 and aud.bnl_joins == 0
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+    assert expensive_filter_nodes(out) == []
+
+
+def test_cluster_sample_plan_shape(spark, sf_dir):
+    """r12 window promotion pin: cluster-balanced sampling assigns
+    k-means clusters as a JVM expression projection (no Python in the
+    registry plan — the numpy twin is the scale path), joins the tiny
+    per-cluster quota frame via BROADCAST, and ranks within cluster
+    over at most TWO keyed exchanges (quota build + final window —
+    the corpus is never reshuffled twice)."""
+    import re
+
+    from teste_carga_avro_vs_json_spark import registry
+    from teste_carga_avro_vs_json_spark.plans import expensive_filter_nodes
+
+    out = registry.q_cluster_sample(spark, sf_dir)
+    plan = _plan(out)
+    aud = audit(out)
+    assert aud.cartesian == 0 and aud.bnl_joins == 0
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+    assert "EvalPython" not in plan
+    assert expensive_filter_nodes(out) == []

@@ -424,22 +424,17 @@ def _pseudonymize_sql() -> str:
     return text.pseudonymize_sql(fixture)
 
 
-def _q_hard_negatives(spark, sf_dir):
-    from teste_carga_avro_vs_json_spark.operators import retrieval
-
-    return retrieval.hard_negatives(load_table(spark, sf_dir, "documents"))
-
-
-def _hard_negatives_sql() -> str:
-    from teste_carga_avro_vs_json_spark.operators import retrieval
-
-    return retrieval.hard_negatives_sql()
+def _q_frame_sample(spark, sf_dir):
+    # r12-retired: slot given to q_hard_negatives; the frame-walk byte
+    # arithmetic overlaps q_media_pipeline and stays pytest-pinned in
+    # test_multimodal
+    return registry.q_frame_sample(spark, sf_dir)
 
 
-def _q_cluster_sample(spark, sf_dir):
-    return similarity.cluster_sample(
-        load_table(spark, sf_dir, "embeddings"), budget=150
-    )
+def _q_corpus_report(spark, sf_dir):
+    # r12-retired: slot given to q_cluster_sample; overlaps
+    # q_corpus_mix + q_quantile_profile coverage
+    return registry.q_corpus_report(spark, sf_dir)
 
 
 def _q_c4_line_filter(spark, sf_dir):
@@ -529,8 +524,8 @@ def retired_queries() -> dict:
         "q_domain_profile": _q_domain_profile,
         "q_fim_transform": _q_fim_transform,
         "q_pseudonymize": _q_pseudonymize,
-        "q_hard_negatives": _q_hard_negatives,
-        "q_cluster_sample": _q_cluster_sample,
+        # r12: q_hard_negatives + q_cluster_sample PROMOTED into the
+        # driver window (registry.py carries them now)
         # r11: q_gopher_rules + q_chunk_sentences PROMOTED into the
         # driver window (registry.py carries their fixtures now)
         # r10 retirements (slots given to q_domain_cap +
@@ -541,6 +536,10 @@ def retired_queries() -> dict:
         # q_chunk_sentences)
         "q_file_avro_ocf_roundtrip": _q_file_avro_ocf_roundtrip,
         "q_windowed_metrics": _q_windowed_metrics,
+        # r12 retirements (slots given to q_hard_negatives +
+        # q_cluster_sample)
+        "q_frame_sample": _q_frame_sample,
+        "q_corpus_report": _q_corpus_report,
     }
 
 
@@ -580,14 +579,15 @@ def retired_oracle_sql() -> dict:
         "q_domain_profile": _domain_profile_sql(),
         "q_fim_transform": _fim_transform_sql(),
         "q_pseudonymize": _pseudonymize_sql(),
-        "q_hard_negatives": _hard_negatives_sql(),
-        "q_cluster_sample": similarity.cluster_sample_sql(budget=150),
+
         "q_file_avro_roundtrip": flat,
         "q_stream_json_e2e": registry._stream_json_e2e_sql(),
         "q_file_avro_ocf_roundtrip": flat,
         "q_windowed_metrics": registry.metrics.metricas_por_janela_sql(
             registry._EVENTOS_SQL
         ),
+        "q_frame_sample": registry._frame_sample_sql(),
+        "q_corpus_report": registry.corpus.corpus_report_sql(),
     }
 
 
