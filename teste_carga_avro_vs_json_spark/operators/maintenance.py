@@ -913,6 +913,8 @@ def snapshot_merge(
     extra: dict | None = None,
     cdf: bool = True,
     delete_keys: DataFrame | None = None,
+    not_matched_by_source: str = "keep",
+    source_keys: DataFrame | None = None,
 ) -> dict:
     """Keyed UPSERT as a copy-on-write commit (r10, VERDICT order #4)
     — the Delta/Iceberg MERGE pattern on plain parquet: rows in
@@ -953,6 +955,19 @@ def snapshot_merge(
     one destination commit (see :func:`snapshot_replicate`). Keys in
     both ``delta`` and ``delete_keys`` are ambiguous and raise.
 
+    ``not_matched_by_source="delete"`` (r12, VERDICT r11 order #6) is
+    Delta's third clause — WHEN NOT MATCHED BY SOURCE THEN DELETE:
+    live table rows whose key is absent from the SOURCE die in the
+    same commit. The source reference set defaults to the keys this
+    merge carries (``delta`` ∪ ``delete_keys``); pass ``source_keys``
+    when the delta was pre-filtered to changed rows (the Delta
+    footgun: a filtered source would otherwise delete every unchanged
+    row) — :func:`snapshot_mirror` does exactly that to bootstrap-sync
+    a drifted replica with only the files that actually changed
+    rewritten. The absent-key set is computed with one keys-only
+    anti-join over the live scan; for a drifted replica it is small
+    and rides the same broadcast probe as explicit delete keys.
+
     Returns ``{version, files_rewritten, files_kept, files_new,
     rows_replaced, rows_inserted, rows_deleted}`` so callers can
     verify the copy-on-write bound (manifest-diff evidence)."""
@@ -990,6 +1005,31 @@ def snapshot_merge(
         all_keys = delta_keys.unionByName(dkeys)
     else:
         all_keys = delta_keys
+    if not_matched_by_source not in ("keep", "delete"):
+        raise ValueError(
+            f"not_matched_by_source={not_matched_by_source!r}: "
+            "'keep' (default) or 'delete'"
+        )
+    if source_keys is not None and not_matched_by_source != "delete":
+        raise ValueError(
+            "source_keys only applies with not_matched_by_source="
+            "'delete' (it is that clause's reference set)"
+        )
+    src_keys = (
+        source_keys.select(*keys).distinct()
+        if source_keys is not None
+        else all_keys
+    )
+    if source_keys is not None and (
+        all_keys.join(src_keys, on=keys, how="left_anti").count()
+    ):
+        # a delta/delete key outside source_keys would come back as
+        # "absent from source" — upserted AND deleted in one commit
+        raise ValueError(
+            "source_keys must cover every delta and delete_keys key "
+            "(the source reference set is the WHOLE source, not the "
+            "changed subset)"
+        )
 
     # schema-evolution guard (r11): when the parent's files diverge
     # (an evolving append added columns), reading first-file schema
@@ -1032,6 +1072,24 @@ def snapshot_merge(
         manifest,
         base.withColumn("_merge_file", F.input_file_name()),
     )
+    if not_matched_by_source == "delete":
+        # WHEN NOT MATCHED BY SOURCE THEN DELETE (r12): live keys
+        # absent from the source reference set become delete keys and
+        # ride the same machinery. One keys-only anti-join over the
+        # scan (no broadcast hint: the source key set is table-scale
+        # for a mirror — AQE picks; the RESULT is drift-sized)
+        absent = (
+            current.select(*keys)
+            .distinct()
+            .join(src_keys, on=keys, how="left_anti")
+            .persist()
+        )
+        if absent.count():
+            dkeys = (
+                absent if dkeys is None else dkeys.unionByName(absent)
+                .distinct()
+            )
+            all_keys = all_keys.unionByName(absent).distinct()
     # broadcast the (small) key set: the affected-file probe and the
     # anti join below must not shuffle the full table
     affected_uris = [
@@ -1178,6 +1236,8 @@ def snapshot_merge(
             ),
         },
     )
+    if not_matched_by_source == "delete":
+        absent.unpersist()
     return {
         "version": version,
         "files_rewritten": len(affected),
@@ -2194,6 +2254,64 @@ def snapshot_changes(
             base.withColumn(CHANGE_TYPE_COL, F.lit("insert")), 0
         ).limit(0)
     return reduce(lambda a, b: a.unionByName(b), pieces)
+
+
+def snapshot_mirror(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    keys: list[str],
+    ts: int = SNAP_EPOCH,
+    extra: dict | None = None,
+) -> dict:
+    """Bootstrap-sync a DRIFTED replica as one merge commit (r12,
+    VERDICT r11 order #6) — the full-mirror move
+    :func:`snapshot_replicate` cannot make when the destination's
+    history diverged from the change feed (manual edits, a restored
+    version, a feed gap past vacuum): make ``dst`` row-identical to
+    ``src`` WITHOUT a full overwrite.
+
+    changed = src_live ∖ dst_live (multiset except — rows missing or
+    differing in dst) becomes the upsert delta; the WHEN NOT MATCHED
+    BY SOURCE THEN DELETE clause (``source_keys`` = the FULL src key
+    set, so pre-filtering the delta to changed rows cannot nuke
+    unchanged dst rows) removes dst keys absent from src. Only files
+    actually containing a changed/absent key rewrite; identical
+    replicas commit nothing. CDF records the deletes, so downstream
+    feeds keep working. Cost: one full-row compare shuffle of both
+    tables (that IS bootstrap), then drift-bounded copy-on-write.
+
+    Requires a keyed src (one live row per key — the
+    :func:`snapshot_replicate` table model) and matching column sets."""
+    src_live = snapshot_read(spark, src_dir)
+    dst_live = snapshot_read(spark, dst_dir)
+    if set(src_live.columns) != set(dst_live.columns):
+        raise ValueError(
+            f"mirror requires matching columns: src {src_live.columns} "
+            f"vs dst {dst_live.columns}"
+        )
+    changed = src_live.exceptAll(dst_live.select(*src_live.columns))
+    if not changed.count():
+        # still honor pure-delete drift (extra dst keys, no changes)
+        absent = (
+            dst_live.select(*keys).distinct()
+            .join(src_live.select(*keys).distinct(), on=keys, how="left_anti")
+        )
+        if not absent.count():
+            head = snapshot_versions(dst_dir)[-1]
+            return {"version": head, "files_rewritten": 0,
+                    "files_kept": len(_read_manifest(dst_dir, head)["files"]),
+                    "files_new": 0, "rows_replaced": 0,
+                    "rows_inserted": 0, "rows_deleted": 0}
+    return snapshot_merge(
+        changed,
+        dst_dir,
+        keys,
+        ts=ts,
+        extra={**(extra or {}), "mirror_src": os.path.abspath(src_dir)},
+        not_matched_by_source="delete",
+        source_keys=src_live.select(*keys),
+    )
 
 
 def snapshot_replicate(

@@ -806,18 +806,27 @@ def ivf_pq_topk(
     iters: int = 2,
     m: int = 8,
     ksub: int = 16,
+    refine: int | None = 60,
     vectorized_encode: bool = False,
 ) -> DataFrame:
-    """IVF-PQ ANN top-k (Jégou et al. 2011): coarse inverted lists
-    exactly like :func:`ivf_topk`, but candidates are scored from
-    their ``m``-byte PQ codes via asymmetric distance — the raw
-    vector NEVER rides the candidate join. At 100 TB that is the
-    memory/IO story: d=64 float32 vectors are 256 bytes; m=8 codes
-    are 8 bytes (d/8), a 32× smaller probe-side shuffle/cache
-    footprint, while the coarse quantizer bounds candidates to
-    O(rows × n_probe / n_centroids) per query. Results are ranked by
-    the quantized integer ADC distance (ascending), deterministic
-    ties by vec_id."""
+    """IVF-PQ ANN top-k (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): coarse inverted lists exactly like
+    :func:`ivf_topk`, but candidates are scored from their ``m``-byte
+    PQ codes via asymmetric distance — the raw vector NEVER rides the
+    candidate join. At 100 TB that is the memory/IO story: d=64
+    float32 vectors are 256 bytes; m=8 codes are 8 bytes (d/8), a 32×
+    smaller probe-side shuffle/cache footprint, while the coarse
+    quantizer bounds candidates to O(rows × n_probe / n_centroids)
+    per query.
+
+    ``refine`` (IVFADC-R, ibid. §V): the ADC pass only SHORTLISTS —
+    the top ``refine`` code-scored ids per query are re-ranked by the
+    exact distance after fetching their full vectors with a broadcast
+    ids-first join (the shortlist is nq × refine rows, tiny — the
+    same ids-first/fetch-after-dedup rule the LSH/MinHash paths pin).
+    ``refine=None`` returns the raw ADC ranking (``dist`` is then the
+    quantized ADC value). Both stages rank by an exact integer
+    distance with deterministic vec_id ties."""
     cents = ivf_centroids(emb, n_centroids, iters)
     books = pq_codebooks(emb, m=m, ksub=ksub, iters=iters)
     v = emb.select(
@@ -867,13 +876,47 @@ def ivf_pq_topk(
         "vec_id",
         _adc_dist(F.col("qvec"), F.col("codes"), books).alias("adc_dist"),
     ).dropDuplicates(["query_id", "vec_id"])
-    w = Window.partitionBy("query_id").orderBy(
+    w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
+    if refine is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w_adc))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "vec_id",
+                F.col("adc_dist").alias("dist"), "rank",
+            )
+        )
+    shortlist = (
+        scored.withColumn("r0", F.row_number().over(w_adc))
+        .filter(F.col("r0") <= refine)
+        .select("query_id", "vec_id")
+    )
+    corpus_vec = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cvec2")
+    )
+    fetched = corpus_vec.join(F.broadcast(shortlist), "vec_id").join(
+        F.broadcast(q_base), "query_id"
+    )
+    exact = F.floor(
+        F.aggregate(
+            F.zip_with(
+                F.col("qvec"), F.col("cvec2"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        fetched.select("query_id", "vec_id", exact.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist", "rank")
+        .select("query_id", "vec_id", "dist", "rank")
     )
 
 
@@ -886,6 +929,7 @@ def ivf_pq_topk_sql(
     iters: int = 2,
     m: int = 8,
     ksub: int = 16,
+    refine: int | None = 60,
     dim: int = 64,
 ) -> str:
     """DuckDB twin of :func:`ivf_pq_topk`: the coarse k-means replay
@@ -942,18 +986,45 @@ def ivf_pq_topk_sql(
         {join_sql}
         WHERE a.vec_id <> p.query_id
     )""")
-    ctes.append("""ranked AS (
-        SELECT query_id, vec_id, adc_dist,
-               ROW_NUMBER() OVER (
-                   PARTITION BY query_id
-                   ORDER BY adc_dist ASC, vec_id ASC
-               )::INT AS rank
-        FROM scored
-    )""")
+    if refine is None:
+        ctes.append("""ranked AS (
+            SELECT query_id, vec_id, adc_dist AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_dist ASC, vec_id ASC
+                   )::INT AS rank
+            FROM scored
+        )""")
+    else:
+        ctes.append(f"""shortlist AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY adc_dist ASC, vec_id ASC
+                       ) AS r0
+                FROM scored
+            ) WHERE r0 <= {refine}
+        )""")
+        ctes.append(f"""ranked AS (
+            SELECT query_id, vec_id, dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist ASC, vec_id ASC
+                   )::INT AS rank
+            FROM (
+                SELECT s.query_id, s.vec_id,
+                       FLOOR({_l2_sql("q.vec", "cv.vec")}
+                             * 1000000000.0 + 0.5)::BIGINT AS dist
+                FROM shortlist s
+                JOIN v cv ON cv.vec_id = s.vec_id
+                JOIN v q ON q.vec_id = s.query_id
+            )
+        )""")
     body = ",\n        ".join(ctes)
     return f"""
         WITH {body}
-        SELECT query_id, vec_id, adc_dist, rank FROM ranked
+        SELECT query_id, vec_id, dist, rank FROM ranked
         WHERE rank <= {k}
     """
 

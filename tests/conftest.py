@@ -46,6 +46,7 @@ _SLOW_MODULES = {
     "test_maintenance",
     "test_warc",
     "test_bloom",
+    "test_ivfpq",
     "test_kafka_groups",
     "test_kafka_rebalance",
     "test_snapshot_source",

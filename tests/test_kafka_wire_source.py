@@ -215,7 +215,12 @@ def test_idempotent_produce_dedupes_retries():
             assert c.list_offset("t", 0, LATEST := -1) == 2  # no dup append
             # sequences advance by RECORD count: 7 + 2 records -> 9;
             # a batch at 8 is a gap -> OUT_OF_ORDER_SEQUENCE_NUMBER
-            with pytest.raises(ValueError, match="45"):
+            # (typed since r12: OutOfOrderSequenceError, a ValueError)
+            from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+                OutOfOrderSequenceError,
+            )
+
+            with pytest.raises(OutOfOrderSequenceError, match="sequence"):
                 c.produce("t", 0, recs, producer_id=pid,
                           producer_epoch=epoch, base_sequence=8)
             assert c.produce("t", 0, recs, producer_id=pid,
@@ -370,7 +375,7 @@ def test_replay_mode_rejected_by_strict_broker():
         orig_tc = pyspark.TaskContext
         pyspark.TaskContext = _FakeTC
         try:
-            with pytest.raises(ValueError, match="45"):
+            with pytest.raises(ValueError, match="sequence"):
                 w.write(iter(rows))
         finally:
             pyspark.TaskContext = orig_tc
@@ -549,3 +554,91 @@ def test_stream_restart_from_checkpoint_continues(spark, tmp_path):
     # each record exactly once, no re-read of the first ten
     assert sorted(r.offset for r in out) == list(range(16))
     assert {bytes(r.value).decode() for r in out} == {f"x{i}" for i in range(16)}
+
+
+def test_idempotent_producer_forced_retransmit_lands_exactly_once():
+    """r12 (VERDICT r11 order #5): the END-TO-END duplicate window.
+    The broker APPENDS a batch, then the connection dies before the
+    ack (the ambiguous failure acks=1 fire-and-forget cannot resolve —
+    the reference just counts it, ProdutorAvro.java:74-90).
+    IdempotentProducer reconnects and retransmits the SAME
+    (pid, epoch, sequence) bytes; the broker's producer-state cache
+    acks the ORIGINAL offset — the log holds each record exactly
+    once. A manual sequence regression raises the typed
+    non-retriable error."""
+    import pytest
+
+    from teste_carga_avro_vs_json_spark.sources import kafka_wire as kw
+
+    with StubBroker(num_partitions=1) as broker:
+        real_append = broker._append
+        state = {"drops": 1}
+
+        def flaky(topic, partition, record_set):
+            rc = real_append(topic, partition, record_set)
+            if state["drops"]:
+                state["drops"] -= 1
+                # append SUCCEEDED; kill the connection before the ack
+                raise kw._CloseConnection()
+            return rc
+
+        broker._append = flaky
+        with kw.IdempotentProducer(*broker.addr, retries=3) as prod:
+            base = prod.send("t", 0, [(b"k1", b"v1"), (None, b"v2")])
+            assert base == 0
+            assert prod.retransmits == 1  # exactly one retransmit
+            base2 = prod.send("t", 0, [(b"k3", b"v3")])
+            assert base2 == 2  # sequences advanced by record count
+            assert prod.retransmits == 1
+
+        c = kw.WireKafkaClient(*broker.addr)
+        try:
+            hw = c.list_offset("t", 0, -1)
+            assert hw == 3  # exactly once: 3 records, no dup batch
+            values = [
+                v for _, _k, v in c.fetch_until("t", 0, 0, hw)
+            ]
+            assert values == [b"v1", b"v2", b"v3"]
+            # sequence REGRESSION is non-retriable and typed: replay
+            # an old sequence from a fresh socket outside the 5-deep
+            # recent window shape (a gap forward also raises)
+            pid, epoch = prod.producer_id, prod.producer_epoch
+            with pytest.raises(kw.OutOfOrderSequenceError):
+                c.produce("t", 0, [(b"x", b"y")], producer_id=pid,
+                          producer_epoch=epoch, base_sequence=99)
+        finally:
+            c.close()
+
+
+def test_idempotent_producer_exhausts_retries_loudly():
+    """Every attempt dying (broker appends each time but never acks)
+    ends in ConnectionError after retries+1 attempts — never a silent
+    drop; the appended-but-unacked batch is still exactly ONE batch in
+    the log (all retransmits deduped)."""
+    import pytest
+
+    from teste_carga_avro_vs_json_spark.sources import kafka_wire as kw
+
+    with StubBroker(num_partitions=1) as broker:
+        real_append = broker._append
+
+        def always_drop(topic, partition, record_set):
+            real_append(topic, partition, record_set)
+            raise kw._CloseConnection()
+
+        broker._append = always_drop
+        prod = kw.IdempotentProducer(*broker.addr, retries=2)
+        try:
+            with pytest.raises(ConnectionError, match="3 attempts"):
+                prod.send("t", 0, [(b"k", b"v")])
+        finally:
+            try:
+                prod.close()
+            except Exception:
+                pass
+        broker._append = real_append
+        c = kw.WireKafkaClient(*broker.addr)
+        try:
+            assert c.list_offset("t", 0, -1) == 1  # one record, 3 sends
+        finally:
+            c.close()

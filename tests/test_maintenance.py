@@ -482,16 +482,19 @@ def test_snapshot_merge_rewrites_only_affected_files(spark, sf_dir, tmp_path):
 def test_snapshot_merge_concurrent_one_wins_one_retries(
     spark, sf_dir, tmp_path
 ):
-    """Two mergers computed against the same head: exactly one
-    publishes, the loser raises SnapshotConflictError (NOT a silent
-    retry — its affected set is stale) and succeeds on re-run."""
+    """Two mergers computed against the same head, REAL threads.
+
+    r12 update (disjoint-file cow rebase, VERDICT r11 order #2): when
+    the two merges touch keys in DIFFERENT files of a range-clustered
+    table, the loser of the publish race REBASES past the winner's
+    rewrite and BOTH commit with no caller retry. A same-file race
+    (single-file table) still surfaces SnapshotConflictError to
+    exactly one of them, and its plain re-run succeeds."""
     import threading
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     ).limit(100)
-    tdir = str(tmp_path / "table")
-    mt.snapshot_commit(docs.repartitionByRange(4, "doc_id"), tdir)
     ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
 
     deltas = {
@@ -502,33 +505,33 @@ def test_snapshot_merge_concurrent_one_wins_one_retries(
             [(int(ids[-1]), "merge-b")], "doc_id long, text string"
         ),
     }
-    results: dict = {}
-    barrier = threading.Barrier(2)
 
-    def run(name):
-        barrier.wait()
-        try:
-            results[name] = mt.snapshot_merge(
-                deltas[name], tdir, keys=["doc_id"]
-            )
-        except mt.SnapshotConflictError as e:
-            results[name] = e
+    def storm(tdir):
+        results: dict = {}
+        barrier = threading.Barrier(2)
 
-    ts = [threading.Thread(target=run, args=(n,)) for n in deltas]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join(timeout=120)
-    outcomes = sorted(
-        type(results[n]).__name__ == "SnapshotConflictError" for n in deltas
-    )
-    assert outcomes == [False, True], results  # exactly one lost
-    loser = next(
-        n for n in deltas
-        if isinstance(results[n], mt.SnapshotConflictError)
-    )
-    retry = mt.snapshot_merge(deltas[loser], tdir, keys=["doc_id"])
-    assert retry["rows_replaced"] == 1
+        def run(name):
+            barrier.wait()
+            try:
+                results[name] = mt.snapshot_merge(
+                    deltas[name], tdir, keys=["doc_id"]
+                )
+            except mt.SnapshotConflictError as e:
+                results[name] = e
+
+        ts = [threading.Thread(target=run, args=(n,)) for n in deltas]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        return results
+
+    # disjoint files (range-clustered): both commit, no caller retry
+    tdir = str(tmp_path / "clustered")
+    mt.snapshot_commit(docs.repartitionByRange(4, "doc_id"), tdir)
+    results = storm(tdir)
+    assert all(isinstance(results[n], dict) for n in deltas), results
+    assert sorted(results[n]["version"] for n in deltas) == [2, 3]
     latest = mt.snapshot_read(spark, tdir)
     texts = {
         r.text for r in latest.where(
@@ -537,6 +540,29 @@ def test_snapshot_merge_concurrent_one_wins_one_retries(
     }
     assert texts == {"merge-a", "merge-b"}  # both merges landed
     assert latest.count() == 100
+
+    # same file: exactly one loses, loudly; its re-run lands
+    tdir2 = str(tmp_path / "onefile")
+    mt.snapshot_commit(docs.coalesce(1), tdir2)
+    results2 = storm(tdir2)
+    outcomes = sorted(
+        isinstance(results2[n], mt.SnapshotConflictError) for n in deltas
+    )
+    assert outcomes == [False, True], results2
+    loser = next(
+        n for n in deltas
+        if isinstance(results2[n], mt.SnapshotConflictError)
+    )
+    retry = mt.snapshot_merge(deltas[loser], tdir2, keys=["doc_id"])
+    assert retry["rows_replaced"] == 1
+    latest2 = mt.snapshot_read(spark, tdir2)
+    texts2 = {
+        r.text for r in latest2.where(
+            F.col("doc_id").isin([int(ids[0]), int(ids[-1])])
+        ).collect()
+    }
+    assert texts2 == {"merge-a", "merge-b"}
+    assert latest2.count() == 100
 
 
 def test_snapshot_cluster_by_bounds_merge_rewrites(spark, sf_dir, tmp_path):
@@ -2193,3 +2219,80 @@ def test_snapshot_maintain_policy_thresholds(spark, sf_dir, tmp_path):
     assert (head2.get("extra") or {}).get("reorg")  # stream-transparent
     # immediately after: back inside budget
     assert not mt.snapshot_maintain(spark, tdir)["acted"]
+
+
+# -------------------------------- WHEN NOT MATCHED BY SOURCE (r12)
+def test_merge_when_not_matched_by_source_deletes(spark, sf_dir, tmp_path):
+    """Delta's third MERGE clause: live keys absent from the source
+    die in the same commit; CDF records them as deletes."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "t")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    delta = docs.filter("doc_id < 40").withColumn("text", F.lit("s"))
+    r = mt.snapshot_merge(
+        delta, tdir, keys=["doc_id"], not_matched_by_source="delete"
+    )
+    got = mt.snapshot_read(spark, tdir)
+    assert got.count() == 40
+    assert r["rows_deleted"] == 60 and r["rows_replaced"] == 40
+    assert got.where("text <> 's'").count() == 0
+    ch = mt.snapshot_changes(spark, tdir, r["version"] - 1, r["version"])
+    assert ch.where("_change_type = 'delete'").count() == 60
+    # bad args surface loudly
+    with pytest.raises(ValueError, match="keep.*or.*delete"):
+        mt.snapshot_merge(
+            delta, tdir, keys=["doc_id"], not_matched_by_source="nuke"
+        )
+    with pytest.raises(ValueError, match="source_keys only applies"):
+        mt.snapshot_merge(
+            delta, tdir, keys=["doc_id"],
+            source_keys=delta.select("doc_id"),
+        )
+    with pytest.raises(ValueError, match="source_keys must cover"):
+        mt.snapshot_merge(
+            delta, tdir, keys=["doc_id"],
+            not_matched_by_source="delete",
+            source_keys=delta.filter("doc_id < 10").select("doc_id"),
+        )
+
+
+def test_snapshot_mirror_syncs_drifted_replica(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 order #6 done-criterion): mirror-merge of a
+    source snapshot onto a drifted dst yields multiset equality with
+    only drift-touched files rewritten; CDF emits the deletes; an
+    already-identical replica commits NOTHING."""
+    docs = _docs(spark, sf_dir)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    base = docs.filter("doc_id < 100")
+    mt.snapshot_commit(base, src)
+    mt.snapshot_commit(base, dst)
+    mt.snapshot_cluster_by(spark, dst, "doc_id", n_files=10)
+    # drift: a modified row, a missing row, an alien extra key
+    mt.snapshot_merge(
+        docs.filter("doc_id = 7").withColumn("text", F.lit("drift")),
+        dst, keys=["doc_id"],
+    )
+    mt.snapshot_delete(spark, dst, "doc_id = 55", mode="cow")
+    mt.snapshot_commit(
+        docs.filter("doc_id = 1").withColumn(
+            "doc_id", F.lit(5000).cast("long")
+        ),
+        dst, mode="append",
+    )
+    n_files = len(
+        mt._read_manifest(dst, mt.snapshot_versions(dst)[-1])["files"]
+    )
+    r = mt.snapshot_mirror(spark, src, dst, keys=["doc_id"])
+    assert _same_multiset(
+        mt.snapshot_read(spark, dst), mt.snapshot_read(spark, src)
+    )
+    assert r["rows_deleted"] == 1  # the alien key only
+    assert 0 < r["files_rewritten"] < n_files  # drift-bounded rewrite
+    ch = mt.snapshot_changes(spark, dst, r["version"] - 1, r["version"])
+    assert ch.where(
+        "_change_type = 'delete' and doc_id = 5000"
+    ).count() == 1
+    # identical replicas: no new version, nothing rewritten
+    r2 = mt.snapshot_mirror(spark, src, dst, keys=["doc_id"])
+    assert r2["version"] == r["version"]
+    assert r2["files_rewritten"] == 0 and r2["rows_deleted"] == 0
