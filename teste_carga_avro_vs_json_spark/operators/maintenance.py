@@ -2688,12 +2688,26 @@ def snapshot_maintain(
     return out
 
 
-def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
+def snapshot_vacuum(
+    table_dir: str, keep_last: int = 2, grace_sec: float = 600.0
+) -> list[str]:
     """Retire old versions: drop all but the last ``keep_last``
     manifests, then delete data files no RETAINED manifest references.
     Returns the deleted paths (no silent destruction). The deletion
     order (manifests first) means a crashed vacuum can only strand
-    unreferenced files, never break a readable version."""
+    unreferenced files, never break a readable version.
+
+    ``grace_sec`` (r12): files YOUNGER than this are never deleted —
+    the Delta retention check. A concurrent writer materializes its
+    attempt-unique data files BEFORE the create-exclusive manifest
+    publish; without the grace window a racing vacuum would see them
+    as unreferenced, delete them, and the commit would then publish a
+    manifest pointing at nothing (silent table corruption on the next
+    read). Fresh orphans from FAILED attempts age past the window and
+    are reclaimed by the next vacuum. ``grace_sec=0`` restores the
+    immediate sweep (single-writer maintenance windows only)."""
+    import time as _time
+
     versions = snapshot_versions(table_dir)
     retained = versions[-keep_last:] if keep_last > 0 else []
     live: set[str] = set()
@@ -2709,11 +2723,18 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
     for v in versions:
         if v not in retained:
             os.remove(_manifest_path(table_dir, v))
+    cutoff = _time.time() - grace_sec
     for sub in ("data", "deletes", "changes"):
         for dirpath, _dirs, names in os.walk(os.path.join(table_dir, sub)):
             for name in names:
                 path = os.path.normpath(os.path.join(dirpath, name))
-                if name.endswith(".parquet") and path not in live:
-                    os.remove(path)
-                    removed.append(path)
+                if not name.endswith(".parquet") or path in live:
+                    continue
+                try:
+                    if os.path.getmtime(path) > cutoff:
+                        continue  # possibly an in-flight commit's file
+                except OSError:
+                    continue  # deleted concurrently: nothing to do
+                os.remove(path)
+                removed.append(path)
     return sorted(removed)

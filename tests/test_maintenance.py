@@ -249,7 +249,7 @@ def test_snapshot_compact_and_vacuum(spark, sf_dir, tmp_path):
     # pinned reader on v3 still works after compaction
     assert _sums(mt.snapshot_read(spark, tdir, 3)) == before
 
-    removed = mt.snapshot_vacuum(tdir, keep_last=1)
+    removed = mt.snapshot_vacuum(tdir, keep_last=1, grace_sec=0)
     assert mt.snapshot_versions(tdir) == [4]
     assert _sums(mt.snapshot_read(spark, tdir)) == before  # latest intact
     assert len(removed) >= 24  # every pre-compaction file reclaimed
@@ -769,7 +769,7 @@ def test_snapshot_delete_where_copy_on_write(spark, sf_dir, tmp_path):
     # time travel: erased rows still in v1 (the point of snapshots)
     assert mt.snapshot_read(spark, tdir, v1).count() == 200
     # ... until vacuum retires pre-delete versions (compliance step)
-    mt.snapshot_vacuum(tdir, keep_last=1)
+    mt.snapshot_vacuum(tdir, keep_last=1, grace_sec=0)
     assert mt.snapshot_versions(tdir) == [res["version"]]
     with pytest.raises(ValueError):
         mt.snapshot_read(spark, tdir, v1)
@@ -1255,10 +1255,10 @@ def test_snapshot_mor_compact_folds_dv_and_vacuum_retires(
     assert got.count() == n_live
     assert got.where("doc_id % 5 = 0").count() == 0
     # vacuum keeping v2+v3: v2 still references the DV file -> kept
-    mt.snapshot_vacuum(tdir, keep_last=2)
+    mt.snapshot_vacuum(tdir, keep_last=2, grace_sec=0)
     assert _glob.glob(_os.path.join(tdir, "deletes", "*", "*.parquet"))
     # vacuum to just v3: DV file now unreferenced -> removed
-    removed = mt.snapshot_vacuum(tdir, keep_last=1)
+    removed = mt.snapshot_vacuum(tdir, keep_last=1, grace_sec=0)
     assert any(_os.sep + "deletes" + _os.sep in p for p in removed)
     assert not _glob.glob(_os.path.join(tdir, "deletes", "*", "*.parquet"))
     assert mt.snapshot_read(spark, tdir).count() == n_live
@@ -1538,7 +1538,7 @@ def test_changes_vacuum_interaction(spark, sf_dir, tmp_path):
         docs.filter("doc_id >= 100 and doc_id < 120"), tdir, mode="append"
     )
     # keep the last two manifests: v2 (merge, with cdf) + v3
-    mt.snapshot_vacuum(tdir, keep_last=2)
+    mt.snapshot_vacuum(tdir, keep_last=2, grace_sec=0)
     # v2's change files survived (its manifest is retained)...
     m2 = mt._read_manifest(tdir, 2)
     for f in m2["cdf"]["files"]:
@@ -1550,7 +1550,7 @@ def test_changes_vacuum_interaction(spark, sf_dir, tmp_path):
     # vacuum everything down to the head: the merge cdf files become
     # orphans and are removed
     mt.snapshot_commit(docs.limit(3), tdir, mode="append")
-    removed = mt.snapshot_vacuum(tdir, keep_last=1)
+    removed = mt.snapshot_vacuum(tdir, keep_last=1, grace_sec=0)
     assert any(_os.sep + "changes" + _os.sep in p for p in removed)
 
 
@@ -2296,3 +2296,46 @@ def test_snapshot_mirror_syncs_drifted_replica(spark, sf_dir, tmp_path):
     r2 = mt.snapshot_mirror(spark, src, dst, keys=["doc_id"])
     assert r2["version"] == r["version"]
     assert r2["files_rewritten"] == 0 and r2["rows_deleted"] == 0
+
+
+# ------------------------------------------ vacuum retention (r12)
+def test_vacuum_grace_window_protects_inflight_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A vacuum racing a commit that has MATERIALIZED its data files
+    but not yet published its manifest must not delete them (the
+    Delta retention check): without the grace window the commit would
+    publish a manifest pointing at deleted files — silent corruption
+    on the next read. Aged orphans still get reclaimed."""
+    import os as _os
+
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "t")
+    mt.snapshot_commit(docs.filter("doc_id < 50"), tdir)
+    appended = docs.filter("doc_id >= 50 and doc_id < 60")
+    real_pub = mt._publish_files
+
+    def racing_pub(*args, **kw):
+        monkeypatch.setattr(mt, "_publish_files", real_pub)
+        # the appender's files exist; its manifest does not
+        mt.snapshot_vacuum(tdir, keep_last=2)
+        return real_pub(*args, **kw)
+
+    monkeypatch.setattr(mt, "_publish_files", racing_pub)
+    mt.snapshot_commit(appended, tdir, mode="append")
+    got = mt.snapshot_read(spark, tdir)
+    assert got.count() == 60  # the in-flight commit survived intact
+
+    # a stale orphan (failed attempt debris): the grace window keeps
+    # it while fresh, reclaims it once aged
+    orphan = _os.path.join(tdir, "data", "c-orphan", "part-0.parquet")
+    _os.makedirs(_os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"not a real parquet")
+    assert orphan not in mt.snapshot_vacuum(tdir, keep_last=2)
+    assert _os.path.exists(orphan)
+    _os.utime(orphan, (1, 1))  # age it past any grace window
+    assert _os.path.normpath(orphan) in mt.snapshot_vacuum(
+        tdir, keep_last=2
+    )
+    assert not _os.path.exists(orphan)

@@ -210,8 +210,8 @@ def test_incremental_build_survives_vacuum(spark, sf_dir, tmp_path):
                              keep_frac=1.0)
     n_before = mt.snapshot_read(spark, clean).count()
 
-    mt.snapshot_vacuum(clean, keep_last=1)
-    mt.snapshot_vacuum(raw, keep_last=1)
+    mt.snapshot_vacuum(clean, keep_last=1, grace_sec=0)
+    mt.snapshot_vacuum(raw, keep_last=1, grace_sec=0)
     assert mt.snapshot_read(spark, clean).count() == n_before
     # still up to date after vacuum (state intact in the latest manifest)
     r = build_corpus_incremental(spark, raw, clean)

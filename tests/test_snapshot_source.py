@@ -221,7 +221,7 @@ def test_vacuumed_parent_raises(spark, sf_dir, tmp_path):
         mt.snapshot_commit(
             docs.filter(f"doc_id % 4 = {i}"), tdir, mode="append"
         )
-    mt.snapshot_vacuum(tdir, keep_last=2)  # retires v1, v2
+    mt.snapshot_vacuum(tdir, keep_last=2, grace_sec=0)  # retires v1, v2
     reader = ss.SnapshotStreamReader({"path": tdir})
     with pytest.raises(Exception, match="vacuum"):
         reader.partitions({"version": 2}, {"version": 4})
@@ -244,7 +244,7 @@ def test_vacuumed_parent_only_gates_ops_that_need_it(
     mt.snapshot_commit(                                            # v3
         docs.filter("doc_id >= 60 and doc_id < 80"), tdir, mode="append"
     )
-    mt.snapshot_vacuum(tdir, keep_last=2)  # retires v1 — v2's parent
+    mt.snapshot_vacuum(tdir, keep_last=2, grace_sec=0)  # retires v1 — v2's parent
     reader = ss.SnapshotStreamReader(
         {"path": tdir, "read_changes": "true"}
     )
@@ -257,7 +257,7 @@ def test_vacuumed_parent_only_gates_ops_that_need_it(
     mt.snapshot_commit(
         docs.filter("doc_id >= 80 and doc_id < 90"), tdir, mode="append"
     )                                                              # v4
-    mt.snapshot_vacuum(tdir, keep_last=2)  # retires v2 — v3's parent
+    mt.snapshot_vacuum(tdir, keep_last=2, grace_sec=0)  # retires v2 — v3's parent
     with pytest.raises(Exception, match="vacuum"):
         reader._change_plan(3)
     with pytest.raises(Exception, match="vacuum"):
