@@ -574,13 +574,60 @@ def main() -> bool:
     # window; the global warm lap above still covers session-wide
     # state (JIT, codegen, the shared n_msgs scan).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    # Per-lane QUIET GATING (r12): nine consecutive capture attempts
+    # across r11/r12 were steal-damaged because hypervisor theft on
+    # this box flutters at MINUTE granularity — a 7-11 min global run
+    # never stays clean end to end, but each lane's timed block only
+    # needs seconds. Before each lane's reps, wait (bounded) for an
+    # instantaneously quiet window; stamp the steal measured ACROSS
+    # exactly that lane's reps, and re-run the lane once if its window
+    # was dirty, keeping the quieter attempt. The per-lane stamps are
+    # the honest contention measure for what actually touched each
+    # timing — the global run-window stamp stays in the artifact for
+    # continuity. SPARK_GRAFT_BENCH_LANE_GATE=0 disables (old shape).
+    lane_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LANE_GATE", "45"))
+
+    def _lane_quiet_wait(budget_sec: float) -> float:
+        waited = 0.0
+        while waited < budget_sec:
+            s = _steal_pct_window(1.0)
+            waited += 1.0
+            if s is None or s <= 0.4:
+                return waited
+            time.sleep(2.0)
+            waited += 2.0
+        return waited
+
     samples: dict[str, list[float]] = {name: [] for name in workloads}
+    lane_steal: dict[str, float] = {}
     for name, fn in workloads.items():
         fn()  # per-lane warm rep, untimed
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn()
-            samples[name].append(time.perf_counter() - t0)
+        best_laps: list[float] | None = None
+        best_pct = float("inf")
+        for _attempt in range(2 if lane_gate > 0 else 1):
+            if lane_gate > 0:
+                _lane_quiet_wait(lane_gate)
+            s_a, w_a = _steal_ticks(), time.perf_counter()
+            laps = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn()
+                laps.append(time.perf_counter() - t0)
+            s_b, w_b = _steal_ticks(), time.perf_counter()
+            if s_a >= 0 and s_b >= 0 and w_b > w_a:
+                pct = min(
+                    100.0,
+                    100.0 * (s_b - s_a)
+                    / ((w_b - w_a) * 100.0 * _effective_cpus()),
+                )
+            else:  # pragma: no cover - /proc/stat unavailable
+                pct = 0.0
+            if pct < best_pct:
+                best_pct, best_laps = pct, laps
+            if pct <= 0.4:
+                break  # clean window: no retry needed
+        samples[name] = best_laps or []
+        lane_steal[name] = round(best_pct, 2)
 
     timings = {name: round(min(xs), 3) for name, xs in samples.items()}
     # explicit per-codec keys (judge asked for both each round); Arrow
@@ -653,7 +700,23 @@ def main() -> bool:
     # run this session measured >= 0.53% (median lanes x1.2-1.5, the
     # Arrow avro lane up to x16) — the old 1.0% threshold caught NONE
     # of them. 0.4% separates the two populations with margin.
-    if (out.get("steal_pct") or 0) > 0.4:
+    #
+    # r12: with per-lane gating active, the honest contention measure
+    # is each lane's OWN window stamp — the global run-window steal
+    # includes gate waits and warm laps that never touched a timing
+    # (dodging bursts there is the instrument working, not dirt). A
+    # dirty LANE (still >0.4% after its retry) trips; a clean lane set
+    # doesn't, whatever the global stamp says. The floor-deviation
+    # tripwire below stays the independent backstop either way.
+    out["lane_steal_pct"] = lane_steal
+    dirty_lanes = sorted(n for n, p in lane_steal.items() if p > 0.4)
+    if dirty_lanes:
+        gate["contended_fallback"] = True
+        gate["reason"] = (
+            f"lane-window steal >0.4% on {len(dirty_lanes)} lane(s) "
+            f"after retry: {dirty_lanes[:5]}"
+        )
+    elif lane_gate <= 0 and (out.get("steal_pct") or 0) > 0.4:
         gate["contended_fallback"] = True
         gate["reason"] = f"run-window steal {out['steal_pct']}%"
     out["io_probe_ms"] = {"pre": io_probe_pre, "post": _io_probe_ms()}
@@ -699,6 +762,7 @@ def main() -> bool:
         "cpus": cpus,
         "estimator": "min",
         "compact": True,
+        "lane_steal_max": max(lane_steal.values()) if lane_steal else None,
         "steal_pct": out.get("steal_pct"),
         "loadavg_1m": out.get("loadavg_1m"),
         "contended_fallback": gate["contended_fallback"],

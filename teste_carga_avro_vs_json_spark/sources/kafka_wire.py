@@ -218,6 +218,8 @@ def encode_record_batch(
     producer_id: int = -1,
     producer_epoch: int = -1,
     base_sequence: int = -1,
+    transactional: bool = False,
+    control: bool = False,
 ) -> bytes:
     """Record batch, magic 2 (KIP-98 layout): header + varint-framed
     records, CRC32C over everything after the crc field. ``codec``:
@@ -255,6 +257,10 @@ def encode_record_batch(
             )
         attributes = compression.KAFKA_CODEC_IDS[codec]
         body = compression.compress(codec, bytes(body))
+    if transactional:
+        attributes |= 0x10  # bit 4: isTransactional (KIP-98)
+    if control:
+        attributes |= 0x20  # bit 5: isControlBatch (txn markers)
     after_crc = (
         _W()
         .i16(attributes)  # bits 0-2 = compression codec, CREATE_TIME
@@ -360,7 +366,11 @@ def decode_record_batches(
     Malformed input (hostile or truncated mid-field) raises a clean
     ``ValueError`` — never hangs, loops, or leaks struct errors."""
     try:
-        return _decode_record_batches(data, check_crc)
+        return [
+            rec
+            for _meta, recs in _decode_batches_meta(data, check_crc)
+            for rec in recs
+        ]
     except NotImplementedError:
         raise
     except ValueError:
@@ -369,7 +379,26 @@ def decode_record_batches(
         raise ValueError(f"malformed record batch: {e}") from e
 
 
-def _decode_record_batches(data: bytes, check_crc: bool):
+def decode_batches_meta(
+    data: bytes, check_crc: bool = True
+) -> list[tuple[dict, list[tuple[int, bytes | None, bytes | None]]]]:
+    """Batch-granular decode (r12, transactions): each element is
+    ``(meta, records)`` where meta carries ``base_offset``,
+    ``producer_id``, ``producer_epoch``, ``transactional`` (attributes
+    bit 4) and ``control`` (bit 5) — what a read_committed consumer
+    needs to skip markers and aborted ranges. Same hardening contract
+    as :func:`decode_record_batches`."""
+    try:
+        return _decode_batches_meta(data, check_crc)
+    except NotImplementedError:
+        raise
+    except ValueError:
+        raise
+    except Exception as e:  # struct.error, zlib.error, IndexError, EOF
+        raise ValueError(f"malformed record batch: {e}") from e
+
+
+def _decode_batches_meta(data: bytes, check_crc: bool):
     out = []
     pos = 0
     while pos + 12 <= len(data):
@@ -394,8 +423,8 @@ def _decode_record_batches(data: bytes, check_crc: bool):
         rr.i32()  # lastOffsetDelta
         rr.i64()
         rr.i64()
-        rr.i64()
-        rr.i16()
+        b_pid = rr.i64()
+        b_epoch = rr.i16()
         rr.i32()
         count = rr.i32()
         comp = attributes & 0x07
@@ -408,6 +437,7 @@ def _decode_record_batches(data: bytes, check_crc: bool):
                     f"unknown compression codec id {comp}"
                 )
             rr = _R(compression.decompress(name, rr.remaining()))
+        recs = []
         for _ in range(count):
             read_varint(rr.buf)  # record length
             rr.i8()  # attributes
@@ -422,7 +452,17 @@ def _decode_record_batches(data: bytes, check_crc: bool):
                 rr.buf.read(max(hk, 0))
                 hv = read_varint(rr.buf)
                 rr.buf.read(max(hv, 0))
-            out.append((base_offset + off_delta, key, value))
+            recs.append((base_offset + off_delta, key, value))
+        out.append((
+            {
+                "base_offset": base_offset,
+                "producer_id": b_pid,
+                "producer_epoch": b_epoch,
+                "transactional": bool(attributes & 0x10),
+                "control": bool(attributes & 0x20),
+            },
+            recs,
+        ))
         pos += 12 + batch_len
     return out
 
@@ -438,6 +478,7 @@ _API_JOIN_GROUP, _API_HEARTBEAT, _API_LEAVE_GROUP, _API_SYNC_GROUP = (
 _API_DESCRIBE_GROUPS, _API_LIST_GROUPS = 15, 16
 _API_DELETE_GROUPS = 42
 _API_INIT_PRODUCER_ID = 22
+_API_ADD_PARTITIONS_TO_TXN, _API_END_TXN = 24, 26
 _API_SASL_AUTHENTICATE = 36
 EARLIEST, LATEST = -2, -1
 
@@ -659,6 +700,18 @@ class _ScramServerExchange:
             True,
         )
 
+class ProducerFencedError(ValueError):
+    """KIP-98 zombie fencing: this producer's (id, epoch) was
+    superseded — a newer incarnation ran InitProducerId with the same
+    transactional.id, bumping the epoch. The fenced instance must
+    stop; its open transaction was aborted by the coordinator."""
+
+
+class InvalidTxnStateError(ValueError):
+    """A transactional operation out of order (EndTxn with no ongoing
+    transaction, transactional produce to an unregistered partition)."""
+
+
 class OutOfOrderSequenceError(ValueError):
     """KIP-98 idempotent produce: the broker's expected next sequence
     for this (producer, partition) does not match the batch's — a
@@ -669,6 +722,8 @@ class OutOfOrderSequenceError(ValueError):
 # the protocol error codes this stack produces/interprets
 ERR_CORRUPT_MESSAGE = 2
 ERR_OUT_OF_ORDER_SEQUENCE = 45
+ERR_INVALID_PRODUCER_EPOCH = 47
+ERR_INVALID_TXN_STATE = 48
 ERR_ILLEGAL_GENERATION = 22
 ERR_INCONSISTENT_GROUP_PROTOCOL = 23
 ERR_UNKNOWN_MEMBER_ID = 25
@@ -684,6 +739,8 @@ _ERR_NAMES = {
     69: "GROUP_ID_NOT_FOUND",
     34: "ILLEGAL_SASL_STATE",
     45: "OUT_OF_ORDER_SEQUENCE_NUMBER",
+    47: "INVALID_PRODUCER_EPOCH",
+    48: "INVALID_TXN_STATE",
     58: "SASL_AUTHENTICATION_FAILED",
 }
 
@@ -1052,16 +1109,93 @@ class WireKafkaClient:
     def partitions_for(self, topic: str) -> list[int]:
         return sorted(self.metadata(topic)["topics"][topic]["partitions"])
 
-    def init_producer_id(self) -> tuple[int, int]:
+    def init_producer_id(
+        self, transactional_id: str | None = None
+    ) -> tuple[int, int]:
         """InitProducerId v0 (KIP-98): broker-assigned (producer_id,
-        epoch) for idempotent produce."""
-        body = _W().string(None).i32(30000)
+        epoch) for idempotent produce. With a ``transactional_id`` the
+        pid is STABLE for that id and the epoch BUMPS on every call —
+        the zombie-fencing handshake (an older incarnation's produce
+        then fails with INVALID_PRODUCER_EPOCH, and any transaction it
+        left open is aborted by the coordinator)."""
+        body = _W().string(transactional_id).i32(30000)
         r = self._call(_API_INIT_PRODUCER_ID, 0, bytes(body.b))
         r.i32()  # throttle_time
         err = r.i16()
         if err:
             raise ValueError(f"init_producer_id error code {err}")
         return r.i64(), r.i16()
+
+    def add_partitions_to_txn(
+        self,
+        transactional_id: str,
+        producer_id: int,
+        producer_epoch: int,
+        topic: str,
+        partitions: list[int],
+    ) -> None:
+        """AddPartitionsToTxn v0: register partitions in the ongoing
+        transaction (the coordinator needs the set to place commit/
+        abort markers at EndTxn)."""
+        body = (
+            _W()
+            .string(transactional_id)
+            .i64(producer_id)
+            .i16(producer_epoch)
+            .i32(1)
+            .string(topic)
+            .i32(len(partitions))
+        )
+        for part in partitions:
+            body.i32(part)
+        r = self._call(_API_ADD_PARTITIONS_TO_TXN, 0, bytes(body.b))
+        r.i32()  # throttle_time
+        for _ in range(r.i32()):
+            r.string()
+            for _p in range(r.i32()):
+                r.i32()  # partition
+                err = r.i16()
+                if err == ERR_INVALID_PRODUCER_EPOCH:
+                    raise ProducerFencedError(
+                        f"producer epoch {producer_epoch} for "
+                        f"{transactional_id!r} was fenced"
+                    )
+                if err:
+                    raise ValueError(
+                        f"add_partitions_to_txn error {err} "
+                        f"({_err_name(err)})"
+                    )
+
+    def end_txn(
+        self,
+        transactional_id: str,
+        producer_id: int,
+        producer_epoch: int,
+        committed: bool,
+    ) -> None:
+        """EndTxn v0: commit or abort — the coordinator writes a
+        control marker batch into every registered partition."""
+        body = (
+            _W()
+            .string(transactional_id)
+            .i64(producer_id)
+            .i16(producer_epoch)
+            .i8(1 if committed else 0)
+        )
+        r = self._call(_API_END_TXN, 0, bytes(body.b))
+        r.i32()  # throttle_time
+        err = r.i16()
+        if err == ERR_INVALID_PRODUCER_EPOCH:
+            raise ProducerFencedError(
+                f"producer epoch {producer_epoch} for "
+                f"{transactional_id!r} was fenced"
+            )
+        if err == ERR_INVALID_TXN_STATE:
+            raise InvalidTxnStateError(
+                f"no ongoing transaction for {transactional_id!r}"
+            )
+        if err:
+            raise ValueError(f"end_txn error {err} ({_err_name(err)})")
 
     def produce(
         self,
@@ -1073,22 +1207,27 @@ class WireKafkaClient:
         producer_id: int = -1,
         producer_epoch: int = -1,
         base_sequence: int = -1,
+        transactional_id: str | None = None,
     ) -> int:
         """Produce one batch; returns the assigned base offset. With a
         ``producer_id`` + ``base_sequence`` the broker dedupes retries
         (idempotent produce, KIP-98): re-sending a batch the broker has
         already appended returns its ORIGINAL base offset instead of
-        appending twice."""
+        appending twice. With a ``transactional_id`` the batch carries
+        the transactional attribute bit and lands inside that id's
+        ongoing transaction (invisible to read_committed consumers
+        until EndTxn commits)."""
         batch = encode_record_batch(
             records,
             codec=codec,
             producer_id=producer_id,
             producer_epoch=producer_epoch,
             base_sequence=base_sequence,
+            transactional=transactional_id is not None,
         )
         body = (
             _W()
-            .string(None)  # transactional_id
+            .string(transactional_id)
             .i16(-1)  # acks=all
             .i32(timeout_ms)
             .i32(1)
@@ -1111,6 +1250,16 @@ class WireKafkaClient:
                 f"base_sequence={base_sequence} is not the broker's "
                 "expected next sequence (KIP-98 — the producer's "
                 "sequence state diverged; re-init the producer id)"
+            )
+        if err == ERR_INVALID_PRODUCER_EPOCH:
+            raise ProducerFencedError(
+                f"producer epoch {producer_epoch} on {topic}"
+                f"[{partition}] was fenced by a newer incarnation"
+            )
+        if err == ERR_INVALID_TXN_STATE:
+            raise InvalidTxnStateError(
+                f"transactional produce to {topic}[{partition}] outside "
+                "an ongoing transaction / unregistered partition"
             )
         if err:
             raise ValueError(f"produce error code {err} ({_err_name(err)})")
@@ -1390,18 +1539,28 @@ class WireKafkaClient:
         offset: int,
         max_bytes: int = 1 << 20,
         max_wait_ms: int = 100,
+        isolation: int = 0,
     ) -> tuple[int, list[tuple[int, bytes | None, bytes | None]]]:
         """One fetch round: returns (high_watermark, records at
         ``offset`` or later). A batch whose base is below ``offset``
         may still ride along (Kafka semantics) — records below the
-        requested offset are filtered client-side, as real clients do."""
+        requested offset are filtered client-side, as real clients do.
+        Control batches (transaction markers) are skipped in BOTH
+        isolation levels, like the real consumer.
+
+        ``isolation=1`` (read_committed, r12): the broker serves only
+        up to the last stable offset (no open-transaction data), and
+        the returned watermark IS the LSO — pagination then naturally
+        stalls at an open transaction. Records of ABORTED transactions
+        are dropped client-side using the response's aborted list +
+        the abort markers, the real client's algorithm."""
         body = (
             _W()
             .i32(-1)  # replica_id
             .i32(max_wait_ms)
             .i32(1)  # min_bytes
             .i32(max_bytes)
-            .i8(0)  # isolation_level
+            .i8(isolation)
             .i32(1)
             .string(topic)
             .i32(1)
@@ -1419,14 +1578,42 @@ class WireKafkaClient:
         if err:
             raise ValueError(f"fetch error code {err}")
         hw = r.i64()
-        r.i64()  # last_stable_offset
+        lso = r.i64()  # last_stable_offset
+        aborted: dict[int, list[int]] = {}
         n_aborted = r.i32()
         for _ in range(max(n_aborted, 0)):
-            r.i64()
-            r.i64()
+            a_pid, a_first = r.i64(), r.i64()
+            aborted.setdefault(a_pid, []).append(a_first)
+        for firsts in aborted.values():
+            firsts.sort()
         record_set = r.bytes_() or b""
-        recs = [t for t in decode_record_batches(record_set) if t[0] >= offset]
-        return hw, recs
+        recs: list[tuple[int, bytes | None, bytes | None]] = []
+        active_abort: set[int] = set()
+        pos = offset  # consumed position: markers advance it silently
+        for meta, batch_recs in decode_batches_meta(record_set):
+            if batch_recs:
+                pos = max(pos, batch_recs[-1][0] + 1)
+            pid = meta["producer_id"]
+            if (
+                isolation == 1
+                and meta["transactional"]
+                and pid in aborted
+                and aborted[pid]
+                and meta["base_offset"] >= aborted[pid][0]
+            ):
+                active_abort.add(pid)
+            if meta["control"]:
+                # marker ends the pid's current transaction
+                if pid in active_abort:
+                    active_abort.discard(pid)
+                    if aborted.get(pid):
+                        aborted[pid].pop(0)
+                continue
+            if pid in active_abort:
+                continue  # aborted transaction's data
+            recs.extend(t for t in batch_recs if t[0] >= offset)
+        self._last_fetch_pos = pos
+        return (lso if isolation == 1 else hw), recs
 
     def fetch_until(
         self,
@@ -1447,6 +1634,15 @@ class WireKafkaClient:
             _hw, recs = self.fetch(topic, partition, offset, max_bytes)
             recs = [t for t in recs if t[0] < end]
             if not recs:
+                # transaction markers occupy offsets but yield no
+                # records (r12): the consumed POSITION still advances
+                # past them, exactly like the real consumer — only a
+                # fetch that moved nothing counts toward the budget
+                next_pos = getattr(self, "_last_fetch_pos", offset)
+                if next_pos > offset:
+                    offset = next_pos
+                    empty = 0
+                    continue
                 empty += 1
                 if empty >= attempts:
                     raise RuntimeError(
@@ -1457,7 +1653,10 @@ class WireKafkaClient:
                 continue
             empty = 0
             yield from recs
-            offset = recs[-1][0] + 1
+            offset = max(
+                recs[-1][0] + 1,
+                getattr(self, "_last_fetch_pos", recs[-1][0] + 1),
+            )
 
     def consume_from(
         self, topic: str, starts: dict[int, int]
@@ -1572,6 +1771,117 @@ class IdempotentProducer:
         self.close()
 
 
+class TransactionalProducer:
+    """KIP-98 transactional producer (r12): atomic multi-partition
+    produce with zombie fencing — the full exactly-once produce story
+    on top of :class:`IdempotentProducer`'s sequence machinery.
+
+    - ``InitProducerId(transactional.id)`` at construction: the pid is
+      stable for the id, the EPOCH BUMPS — any older incarnation is
+      fenced (its next produce/EndTxn raises
+      :class:`ProducerFencedError`) and its open transaction is
+      aborted by the coordinator, exactly the real semantics;
+    - :meth:`send` lazily registers partitions (AddPartitionsToTxn)
+      and produces with the transactional attribute bit + idempotent
+      sequences;
+    - :meth:`commit_transaction` / :meth:`abort_transaction` run
+      EndTxn: the broker writes a CONTROL marker batch into every
+      registered partition; read_committed consumers
+      (``fetch(isolation=1)``) see a committed transaction atomically
+      and an aborted one not at all, while read_uncommitted sees
+      everything immediately.
+
+    Not thread-safe (one socket, one transaction stream)."""
+
+    def __init__(
+        self, host: str, port: int, transactional_id: str, **client_kwargs
+    ):
+        if not transactional_id:
+            raise ValueError("transactional_id required")
+        self._client = WireKafkaClient(host, port, **client_kwargs)
+        self.transactional_id = transactional_id
+        self.producer_id, self.producer_epoch = (
+            self._client.init_producer_id(transactional_id)
+        )
+        self._seq: dict[tuple[str, int], int] = {}
+        self._in_txn = False
+        self._txn_parts: set[tuple[str, int]] = set()
+
+    def begin_transaction(self) -> None:
+        if self._in_txn:
+            raise InvalidTxnStateError("transaction already in progress")
+        self._in_txn = True
+
+    def send(
+        self,
+        topic: str,
+        partition: int,
+        records: list[tuple[bytes | None, bytes | None]],
+        codec: str | None = None,
+    ) -> int:
+        if not self._in_txn:
+            raise InvalidTxnStateError(
+                "send outside a transaction — call begin_transaction()"
+            )
+        key = (topic, partition)
+        if key not in self._txn_parts:
+            self._client.add_partitions_to_txn(
+                self.transactional_id,
+                self.producer_id,
+                self.producer_epoch,
+                topic,
+                [partition],
+            )
+            self._txn_parts.add(key)
+        seq = self._seq.setdefault(key, 0)
+        base = self._client.produce(
+            topic,
+            partition,
+            records,
+            codec=codec,
+            producer_id=self.producer_id,
+            producer_epoch=self.producer_epoch,
+            base_sequence=seq,
+            transactional_id=self.transactional_id,
+        )
+        self._seq[key] = seq + len(records)
+        return base
+
+    def _end(self, committed: bool) -> None:
+        if not self._in_txn:
+            raise InvalidTxnStateError("no transaction in progress")
+        if self._txn_parts:
+            self._client.end_txn(
+                self.transactional_id,
+                self.producer_id,
+                self.producer_epoch,
+                committed,
+            )
+        self._in_txn = False
+        self._txn_parts = set()
+
+    def commit_transaction(self) -> None:
+        self._end(True)
+
+    def abort_transaction(self) -> None:
+        self._end(False)
+
+    def close(self) -> None:
+        if self._in_txn and self._txn_parts:
+            # real client behavior: an unfinished transaction aborts
+            try:
+                self._end(False)
+            except Exception:  # noqa: BLE001 - already fenced/broken
+                pass
+        self._client.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 # ------------------------------------------------------------- broker
 class _PartitionLog:
     """In-memory partition: list of (base_offset, batch_bytes).
@@ -1591,6 +1901,11 @@ class _PartitionLog:
         self.seen_seq: dict[tuple[int, int], int] = {}
         self.next_seq: dict[int, int] = {}
         self.recent: dict[int, dict[int, int]] = {}
+        #: ABORTED transaction ranges (producer_id, first_offset) —
+        #: served in read_committed fetch responses (KIP-98)
+        self.aborted: list[tuple[int, int]] = []
+        #: last producer epoch seen per pid — a bump resets sequences
+        self.last_epoch: dict[int, int] = {}
 
 
 class _CloseConnection(Exception):
@@ -1715,6 +2030,10 @@ class StubBroker:
         self.initial_rebalance_delay = initial_rebalance_delay_ms / 1000.0
         self._lock = threading.Lock()
         self._next_pid = 1000
+        # transaction coordinator state (KIP-98, r12): per
+        # transactional.id -> stable pid, current epoch, the ongoing
+        # transaction's partitions with their first data offsets
+        self._txns: dict[str, dict] = {}
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -2144,6 +2463,8 @@ class StubBroker:
                 (_API_SASL_HANDSHAKE, 0, 1),
                 (_API_VERSIONS, 0, 0),
                 (_API_INIT_PRODUCER_ID, 0, 0),
+                (_API_ADD_PARTITIONS_TO_TXN, 0, 0),
+                (_API_END_TXN, 0, 0),
                 (_API_SASL_AUTHENTICATE, 0, 0),
             )
             # count DERIVED from the list — a hardcoded count silently
@@ -2369,12 +2690,70 @@ class StubBroker:
                             del self._group_offsets[k]
                 w.string(name).i16(err)
         elif api_key == _API_INIT_PRODUCER_ID:
-            r.string()  # transactional_id (None: idempotence only)
+            tid = r.string()  # transactional_id (None: idempotence only)
             r.i32()  # transaction_timeout_ms
+            if tid is None:
+                with self._lock:
+                    pid = self._next_pid
+                    self._next_pid += 1
+                w.i32(0).i16(0).i64(pid).i16(0)
+            else:
+                # stable pid per transactional.id; epoch BUMPS every
+                # init — the zombie-fencing handshake. Any transaction
+                # the previous incarnation left open is ABORTED.
+                with self._lock:
+                    entry = self._txns.get(tid)
+                    if entry is None:
+                        entry = {
+                            "pid": self._next_pid, "epoch": 0,
+                            "open": False, "parts": {},
+                        }
+                        self._next_pid += 1
+                        self._txns[tid] = entry
+                    else:
+                        entry["epoch"] += 1
+                    pid, epoch = entry["pid"], entry["epoch"]
+                    leftover = dict(entry["parts"]) if entry["open"] else {}
+                    entry["open"] = False
+                    entry["parts"] = {}
+                self._write_txn_markers(pid, epoch, leftover, committed=False)
+                w.i32(0).i16(0).i64(pid).i16(epoch)
+        elif api_key == _API_ADD_PARTITIONS_TO_TXN:
+            tid = r.string() or ""
+            pid, epoch = r.i64(), r.i16()
+            req: list[tuple[str, list[int]]] = []
+            for _ in range(r.i32()):
+                topic = r.string()
+                req.append((topic, [r.i32() for _p in range(r.i32())]))
             with self._lock:
-                pid = self._next_pid
-                self._next_pid += 1
-            w.i32(0).i16(0).i64(pid).i16(0)  # throttle, err, pid, epoch
+                err = self._txn_check(tid, pid, epoch)
+                if not err:
+                    entry = self._txns[tid]
+                    entry["open"] = True
+                    for topic, parts in req:
+                        for part in parts:
+                            entry["parts"].setdefault((topic, part), None)
+            w.i32(0).i32(len(req))  # throttle, n_topics
+            for topic, parts in req:
+                w.string(topic).i32(len(parts))
+                for part in parts:
+                    w.i32(part).i16(err)
+        elif api_key == _API_END_TXN:
+            tid = r.string() or ""
+            pid, epoch = r.i64(), r.i16()
+            committed = bool(r.i8())
+            with self._lock:
+                err = self._txn_check(tid, pid, epoch)
+                if not err and not self._txns[tid]["open"]:
+                    err = ERR_INVALID_TXN_STATE
+                if not err:
+                    entry = self._txns[tid]
+                    parts = dict(entry["parts"])
+                    entry["open"] = False
+                    entry["parts"] = {}
+            if not err:
+                self._write_txn_markers(pid, epoch, parts, committed)
+            w.i32(0).i16(err)
         elif api_key == _API_METADATA:
             n = r.i32()
             topics = [r.string() for _ in range(max(n, 0))]
@@ -2388,7 +2767,7 @@ class StubBroker:
                 for p in parts:
                     w.i16(0).i32(p).i32(0).i32(1).i32(0).i32(1).i32(0)
         elif api_key == _API_PRODUCE:
-            r.string()  # transactional_id
+            tid = r.string()  # transactional_id
             r.i16()  # acks
             r.i32()  # timeout
             n_topics = r.i32()
@@ -2402,8 +2781,36 @@ class StubBroker:
                 for _p in range(r.i32()):
                     partition = r.i32()
                     record_set = r.bytes_() or b""
+                    if tid is not None:
+                        # transactional produce: fence stale epochs
+                        # and require a registered ongoing txn
+                        b_pid = struct.unpack(">q", record_set[43:51])[0]
+                        b_epoch = struct.unpack(
+                            ">h", record_set[51:53]
+                        )[0]
+                        with self._lock:
+                            err = self._txn_check(tid, b_pid, b_epoch)
+                            if not err:
+                                entry = self._txns[tid]
+                                if (
+                                    not entry["open"]
+                                    or (topic, partition)
+                                    not in entry["parts"]
+                                ):
+                                    err = ERR_INVALID_TXN_STATE
+                        if err:
+                            results.setdefault(topic, []).append(
+                                (partition, err, -1)
+                            )
+                            continue
+                    rc, base = self._append(topic, partition, record_set)
+                    if tid is not None and rc == 0:
+                        with self._lock:
+                            parts = self._txns[tid]["parts"]
+                            if parts.get((topic, partition)) is None:
+                                parts[(topic, partition)] = base
                     results.setdefault(topic, []).append(
-                        (partition, *self._append(topic, partition, record_set))
+                        (partition, rc, base)
                     )
             w.i32(len(results))
             for topic, parts in results.items():
@@ -2430,7 +2837,7 @@ class StubBroker:
             r.i32()  # max_wait
             r.i32()  # min_bytes
             max_bytes = r.i32()
-            r.i8()  # isolation
+            isolation = r.i8()
             n_topics = r.i32()
             w.i32(0).i32(n_topics)  # throttle_time
             for _ in range(n_topics):
@@ -2442,6 +2849,20 @@ class StubBroker:
                     with self._lock:
                         log = self._log(topic, partition)
                         hw = log.next_offset
+                        # LSO = first offset of any OPEN transaction on
+                        # this partition, else the high watermark;
+                        # read_committed is served only below it
+                        open_firsts = [
+                            first
+                            for t in self._txns.values()
+                            if t["open"]
+                            for (tt, pp), first in t["parts"].items()
+                            if tt == topic and pp == partition
+                            and first is not None
+                        ]
+                        lso = min(open_firsts) if open_firsts else hw
+                        fence = lso if isolation == 1 else hw
+                        aborted = list(log.aborted) if isolation == 1 else []
                         chunks, size = [], 0
                         for base, batch in log.batches:
                             # lastOffset = base + lastOffsetDelta
@@ -2450,17 +2871,64 @@ class StubBroker:
                             )[0]
                             if base + last_delta < offset:
                                 continue
+                            if base >= fence:
+                                break  # withheld: open-txn data
                             if size and size + len(batch) > min(
                                 max_bytes, pmax
                             ):
                                 break
                             chunks.append(batch)
                             size += len(batch)
-                    w.i32(partition).i16(0).i64(hw).i64(hw).i32(0)
+                    w.i32(partition).i16(0).i64(hw).i64(lso)
+                    w.i32(len(aborted))
+                    for a_pid, a_first in aborted:
+                        w.i64(a_pid).i64(a_first)
                     w.bytes_(b"".join(chunks))
         else:
             raise ValueError(f"stub broker: unsupported api_key {api_key}")
         return bytes(w.b)
+
+    def _txn_check(self, tid: str, pid: int, epoch: int) -> int:
+        """Zombie fencing (caller holds the lock): 0 when (pid, epoch)
+        is the transactional.id's CURRENT incarnation;
+        INVALID_PRODUCER_EPOCH for a stale epoch or wrong pid (the
+        fenced producer must stop)."""
+        entry = self._txns.get(tid)
+        if entry is None or entry["pid"] != pid or epoch < entry["epoch"]:
+            return ERR_INVALID_PRODUCER_EPOCH
+        if epoch > entry["epoch"]:  # pragma: no cover - defensive
+            return ERR_INVALID_PRODUCER_EPOCH
+        return 0
+
+    def _write_txn_markers(
+        self,
+        pid: int,
+        epoch: int,
+        parts: dict[tuple[str, int], int | None],
+        committed: bool,
+    ) -> None:
+        """EndTxn's effect: append a CONTROL marker batch (KIP-98
+        control record: key = int16 version 0 + int16 type, 0=abort
+        1=commit) to every partition the transaction touched; aborted
+        data ranges are remembered for read_committed fetches."""
+        for (topic, partition), first in sorted(parts.items()):
+            if first is None:
+                continue  # registered but never produced to
+            marker = encode_record_batch(
+                [(struct.pack(">hh", 0, 1 if committed else 0), b"")],
+                producer_id=pid,
+                producer_epoch=epoch,
+                transactional=True,
+                control=True,
+            )
+            rc, _base = self._append(topic, partition, marker)
+            if rc:  # pragma: no cover - defensive
+                raise RuntimeError(f"txn marker append failed: {rc}")
+            if not committed:
+                with self._lock:
+                    self._log(topic, partition).aborted.append(
+                        (pid, first)
+                    )
 
     def _append(
         self, topic: str, partition: int, record_set: bytes
@@ -2477,11 +2945,24 @@ class StubBroker:
         except ValueError:
             return ERR_CORRUPT_MESSAGE, -1
         # idempotent produce (KIP-98): producerId at batch bytes 43:51,
-        # baseSequence at 53:57 (both fixed header offsets in magic 2)
+        # producerEpoch at 51:53, baseSequence at 53:57 (fixed header
+        # offsets in magic 2)
         pid = struct.unpack(">q", record_set[43:51])[0]
+        epoch = struct.unpack(">h", record_set[51:53])[0]
         seq = struct.unpack(">i", record_set[53:57])[0]
         with self._lock:
             log = self._log(topic, partition)
+            if pid >= 0:
+                # producer-state epoch tracking (KIP-98): a bumped
+                # epoch RESETS the sequence state (sequences restart
+                # at 0 per epoch); an older epoch is a fenced zombie
+                prev_epoch = log.last_epoch.get(pid)
+                if prev_epoch is not None and epoch < prev_epoch:
+                    return ERR_INVALID_PRODUCER_EPOCH, -1
+                if prev_epoch is None or epoch > prev_epoch:
+                    log.last_epoch[pid] = epoch
+                    log.next_seq.pop(pid, None)
+                    log.recent.pop(pid, None)
             if pid >= 0 and seq >= 0:
                 if self.strict_sequences:
                     expected = log.next_seq.get(pid)

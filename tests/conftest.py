@@ -47,6 +47,7 @@ _SLOW_MODULES = {
     "test_warc",
     "test_bloom",
     "test_ivfpq",
+    "test_kafka_txn",
     "test_kafka_groups",
     "test_kafka_rebalance",
     "test_snapshot_source",

@@ -76,12 +76,16 @@ def probe() -> dict:
         "io_probe_ms": io_ms,
         "own_work": own,
     }
+    # r12 lane-gating update: bench.py now gates STEAL per lane
+    # internally (waits for a quiet second before each lane's reps),
+    # so the loop only needs to avoid firing into our own work or a
+    # disk-channel storm — a fluttering steal% no longer blocks fires.
     s["quiet"] = (
         not own
         and load <= LOAD_CAP
-        and (steal is None or steal <= STEAL_CAP)
         and (io_ms is None or io_ms <= IO_CAP_MS)
     )
+    s["steal_quiet"] = steal is None or steal <= STEAL_CAP
     return s
 
 
