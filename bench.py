@@ -150,6 +150,35 @@ def _floor_tripwire(
     )
 
 
+def _cpu_probe_ms() -> float | None:
+    """Wall time (ms) for a FIXED compute kernel — 8x 384x384 float64
+    GEMM (memory-bandwidth + FPU) plus a pure-Python arithmetic loop
+    (interpreter/frequency) — the channel neither the steal stamp nor
+    the io probe can see (r12): vCPU frequency scaling and
+    noisy-neighbor memory pressure inflate every lane's wall time
+    while /proc/stat steal reads 0. Run once before and once after the
+    measured laps; the PAIR plus the committed history is the
+    evidence. Deterministic inputs (no RNG state)."""
+    try:
+        import numpy as np
+
+        a = np.fromfunction(
+            lambda i, j: ((i * 31 + j * 17) % 101) / 101.0, (384, 384)
+        )
+        t0 = time.perf_counter()
+        acc = a
+        for _ in range(8):
+            acc = acc @ a
+            acc = acc / (abs(acc).max() + 1.0)
+        x = 0
+        for i in range(1_000_000):
+            x = (x + i * i) % 1_000_003
+        _sink = (float(acc[0, 0]), x)
+        return round((time.perf_counter() - t0) * 1000.0, 1)
+    except Exception:  # noqa: BLE001 - numpy absent/broken: no probe
+        return None
+
+
 def _io_probe_ms(size_mb: int = 32) -> float | None:
     """Wall time (ms) for a fixed tmpfile write + fsync + read-back —
     a direct sample of the disk channel the steal stamp cannot see.
@@ -185,6 +214,7 @@ def main() -> bool:
         float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "600"))
     )
     io_probe_pre = _io_probe_ms()
+    cpu_probe_pre = _cpu_probe_ms()
     steal0, wall0 = _steal_ticks(), time.perf_counter()
 
     from pyspark.sql import SparkSession
@@ -720,6 +750,7 @@ def main() -> bool:
         gate["contended_fallback"] = True
         gate["reason"] = f"run-window steal {out['steal_pct']}%"
     out["io_probe_ms"] = {"pre": io_probe_pre, "post": _io_probe_ms()}
+    out["cpu_probe_ms"] = {"pre": cpu_probe_pre, "post": _cpu_probe_ms()}
     # r11 (VERDICT order #1): floor-deviation tripwire. BENCH_r10
     # passed the tightened steal stamp (0.03%) while file_avro sat at
     # 2.7x its frozen floor — the damage channel was disk I/O, which
@@ -769,6 +800,7 @@ def main() -> bool:
         "contended_reason": gate.get("reason"),
         "floor_deviation_lanes": out["floor_deviation_lanes"],
         "io_probe_ms": out["io_probe_ms"],
+        "cpu_probe_ms": out["cpu_probe_ms"],
         "gate_waited_sec": gate["waited_sec"],
     }), flush=True)
     spark.stop()

@@ -68,12 +68,14 @@ def probe() -> dict:
     load = float(open("/proc/loadavg").read().split()[0])
     steal = bench._steal_pct_window(2.0)
     io_ms = bench._io_probe_ms()
+    cpu_ms = getattr(bench, "_cpu_probe_ms", lambda: None)()
     own = _own_work_running()
     s = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "loadavg_1m": load,
         "steal_pct": None if steal is None else round(steal, 3),
         "io_probe_ms": io_ms,
+        "cpu_probe_ms": cpu_ms,
         "own_work": own,
     }
     # r12 lane-gating update: bench.py now gates STEAL per lane
