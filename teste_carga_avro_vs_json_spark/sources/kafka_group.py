@@ -63,6 +63,7 @@ class GroupConsumer:
         rebalance_timeout_ms: int = 10_000,
         tail_n: int | None = None,
         instance_id: str | None = None,
+        isolation_level: str = "read_uncommitted",
     ):
         """``tail_n`` switches the on-assignment seek from committed
         offsets to the reference's ``posicionarNoFimMenosN``
@@ -70,6 +71,13 @@ class GroupConsumer:
         to ``max(earliest, latest - ceil(tail_n / n_partitions))`` —
         the tail-N warm-read shape the reference's listener applies
         on every (re)assignment.
+
+        ``isolation_level="read_committed"`` (r12, KIP-98) makes every
+        fetch pass isolation 1: the broker withholds open-transaction
+        data (the consumer pauses at the LSO, resuming on commit) and
+        aborted transactions are filtered client-side; transaction
+        markers are transparent and the consumed position advances
+        past them.
 
         ``instance_id`` (KIP-345 ``group.instance.id``) makes this a
         STATIC member: a drop-and-rejoin within the session timeout
@@ -85,6 +93,12 @@ class GroupConsumer:
         self._rebalance_ms = rebalance_timeout_ms
         self.tail_n = tail_n
         self.instance_id = instance_id
+        if isolation_level not in ("read_uncommitted", "read_committed"):
+            raise ValueError(
+                f"isolation_level {isolation_level!r}: read_uncommitted"
+                " or read_committed"
+            )
+        self.isolation_level = isolation_level
         self.member_id = ""
         self.generation = -1
         self.assignment: dict[str, list[int]] = {}
@@ -182,12 +196,21 @@ class GroupConsumer:
             self.member_id = ""
             self.join()
         out: list[tuple[str, int, int, bytes | None, bytes | None]] = []
+        iso = 1 if self.isolation_level == "read_committed" else 0
         for (topic, partition), pos in sorted(self.positions.items()):
-            _hw, recs = self._client.fetch(topic, partition, pos, max_bytes)
+            _hw, recs = self._client.fetch(
+                topic, partition, pos, max_bytes, isolation=iso
+            )
             for off, key, value in recs:
                 out.append((topic, partition, off, key, value))
-            if recs:
-                self.positions[(topic, partition)] = recs[-1][0] + 1
+            # markers occupy offsets but yield no records: advance the
+            # position past everything this fetch CONSUMED (r12)
+            next_pos = max(
+                recs[-1][0] + 1 if recs else pos,
+                getattr(self._client, "_last_fetch_pos", pos),
+            )
+            if next_pos > pos:
+                self.positions[(topic, partition)] = next_pos
         return out
 
     def commit(self) -> None:

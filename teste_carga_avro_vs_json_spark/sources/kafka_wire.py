@@ -1901,9 +1901,13 @@ class _PartitionLog:
         self.seen_seq: dict[tuple[int, int], int] = {}
         self.next_seq: dict[int, int] = {}
         self.recent: dict[int, dict[int, int]] = {}
-        #: ABORTED transaction ranges (producer_id, first_offset) —
-        #: served in read_committed fetch responses (KIP-98)
-        self.aborted: list[tuple[int, int]] = []
+        #: ABORTED transaction ranges (producer_id, first_offset,
+        #: marker_offset) — read_committed fetches are served the
+        #: (pid, first) pairs of ranges OVERLAPPING the request, i.e.
+        #: marker >= fetch offset (the real broker's aborted-txn
+        #: index; serving ALL ranges would re-activate aborts whose
+        #: marker is behind the fetch start and eat committed data)
+        self.aborted: list[tuple[int, int, int]] = []
         #: last producer epoch seen per pid — a bump resets sequences
         self.last_epoch: dict[int, int] = {}
 
@@ -2862,7 +2866,15 @@ class StubBroker:
                         ]
                         lso = min(open_firsts) if open_firsts else hw
                         fence = lso if isolation == 1 else hw
-                        aborted = list(log.aborted) if isolation == 1 else []
+                        aborted = (
+                            [
+                                (p, f)
+                                for p, f, m in log.aborted
+                                if m >= offset and f < fence
+                            ]
+                            if isolation == 1
+                            else []
+                        )
                         chunks, size = [], 0
                         for base, batch in log.batches:
                             # lastOffset = base + lastOffsetDelta
@@ -2921,13 +2933,13 @@ class StubBroker:
                 transactional=True,
                 control=True,
             )
-            rc, _base = self._append(topic, partition, marker)
+            rc, marker_base = self._append(topic, partition, marker)
             if rc:  # pragma: no cover - defensive
                 raise RuntimeError(f"txn marker append failed: {rc}")
             if not committed:
                 with self._lock:
                     self._log(topic, partition).aborted.append(
-                        (pid, first)
+                        (pid, first, marker_base)
                     )
 
     def _append(

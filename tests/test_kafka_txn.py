@@ -208,3 +208,75 @@ def test_plain_consumers_skip_markers_on_mixed_topics():
             assert offs == sorted(offs)
         finally:
             c.close()
+
+
+def test_group_consumer_read_committed():
+    """GroupConsumer(isolation_level='read_committed') sees committed
+    transactions atomically, never aborted data, pauses at the LSO
+    while a transaction is open, and its committed offsets advance
+    past markers (no stuck positions)."""
+    from teste_carga_avro_vs_json_spark.sources.kafka_group import (
+        GroupConsumer,
+    )
+
+    with StubBroker(
+        num_partitions=1, initial_rebalance_delay_ms=0
+    ) as broker:
+        tp = TransactionalProducer(*broker.addr, transactional_id="a")
+        tp.begin_transaction()
+        tp.send("t", 0, [(b"k", b"dead")])
+        tp.abort_transaction()
+        tp.begin_transaction()
+        tp.send("t", 0, [(b"k", b"c1"), (b"k", b"c2")])
+        tp.commit_transaction()
+        c = WireKafkaClient(*broker.addr)
+        gc = GroupConsumer(
+            c, "g1", ["t"], isolation_level="read_committed"
+        )
+        gc.join()
+        got = []
+        for _ in range(6):
+            got.extend(gc.poll())
+            if len(got) >= 2:
+                break
+        assert [v for *_rest, v in got] == [b"c1", b"c2"]
+        # open transaction: the consumer pauses at the LSO...
+        tp.begin_transaction()
+        tp.send("t", 0, [(b"k", b"open")])
+        assert gc.poll() == []
+        # ...and resumes when it commits
+        tp.commit_transaction()
+        got2 = []
+        for _ in range(6):
+            got2.extend(gc.poll())
+            if got2:
+                break
+        assert [v for *_rest, v in got2] == [b"open"]
+        # position advanced past the trailing marker: commit + a fresh
+        # member starts AFTER it (nothing replays)
+        gc.commit()
+        gc.close()
+        tp.close()
+        c2 = WireKafkaClient(*broker.addr)
+        gc2 = GroupConsumer(
+            c2, "g1", ["t"], isolation_level="read_committed"
+        )
+        gc2.join()
+        assert gc2.poll() == []
+        gc2.close()
+        c.close()
+        c2.close()
+
+
+def test_group_consumer_rejects_bad_isolation():
+    from teste_carga_avro_vs_json_spark.sources.kafka_group import (
+        GroupConsumer,
+    )
+
+    with StubBroker(num_partitions=1) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            with pytest.raises(ValueError, match="isolation_level"):
+                GroupConsumer(c, "g", ["t"], isolation_level="dirty")
+        finally:
+            c.close()
