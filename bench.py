@@ -616,6 +616,10 @@ def main() -> bool:
     # timing — the global run-window stamp stays in the artifact for
     # continuity. SPARK_GRAFT_BENCH_LANE_GATE=0 disables (old shape).
     lane_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LANE_GATE", "45"))
+    # extra attempts for a lane whose window stayed dirty (r12 run6:
+    # 18/26 lanes found a clean window on attempt 1, the rest need to
+    # OUTLAST a minutes-long burst — only dirty lanes pay for retries)
+    lane_retries = int(os.environ.get("SPARK_GRAFT_BENCH_LANE_RETRIES", "1"))
 
     def _lane_quiet_wait(budget_sec: float) -> float:
         waited = 0.0
@@ -634,7 +638,7 @@ def main() -> bool:
         fn()  # per-lane warm rep, untimed
         best_laps: list[float] | None = None
         best_pct = float("inf")
-        for _attempt in range(2 if lane_gate > 0 else 1):
+        for _attempt in range(1 + lane_retries if lane_gate > 0 else 1):
             if lane_gate > 0:
                 _lane_quiet_wait(lane_gate)
             s_a, w_a = _steal_ticks(), time.perf_counter()

@@ -109,6 +109,9 @@ def fire_bench() -> dict:
     env = dict(os.environ)
     # The loop is the retry mechanism; don't double-run inside bench.
     env["SPARK_GRAFT_BENCH_RETRY"] = "0"
+    # lane-gated instrument: let dirty lanes outlast minute-scale
+    # bursts (only they pay; clean lanes run once)
+    env.setdefault("SPARK_GRAFT_BENCH_LANE_RETRIES", "3")
     path = next_run_path()
     t0 = time.time()
     proc = subprocess.run(
