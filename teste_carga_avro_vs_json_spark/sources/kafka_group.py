@@ -243,6 +243,71 @@ class GroupConsumer:
         self.close()
 
 
+def consume_transform_produce(
+    consumer: GroupConsumer,
+    producer,
+    transform,
+    out_topic: str,
+    max_idle_polls: int = 10,
+) -> int:
+    """KIP-98 consume-transform-produce exactly-once loop (r13,
+    VERDICT r12 order #2): one TRANSACTION per non-empty poll batch —
+    produce the transformed records, stage the consumed positions with
+    :meth:`TransactionalProducer.send_offsets_to_transaction`, commit.
+    The group's committed offsets and the output batch become visible
+    ATOMICALLY; a crash between produce and commit leaves the offsets
+    at the previous committed position and the output invisible to
+    read_committed consumers, so the next incarnation (whose
+    InitProducerId fences the zombie and aborts its leftover txn)
+    replays the batch and the end-to-end effect is exactly-once — the
+    gap the reference's every-10k-records commit loop leaves open
+    (ConsumidorAvro.java:111-115: offsets commit independently of any
+    downstream effect).
+
+    ``transform(topic, partition, offset, key, value)`` returns a
+    ``(key, value)`` tuple, a list of them, or ``None`` to drop the
+    record; output keeps the input's partition. Drains until every
+    owned partition reaches its high watermark (or ``max_idle_polls``
+    empty polls); returns the number of input records processed."""
+    processed = 0
+    idle = 0
+    client = consumer._client  # same-module access, like grouped_tail_read
+    while idle <= max_idle_polls:
+        recs = consumer.poll()
+        if not recs:
+            ends = {
+                (t, p): client.list_offset(t, p, -1)
+                for (t, p) in consumer.positions
+            }
+            if consumer.positions and all(
+                consumer.positions[tp] >= ends[tp]
+                for tp in consumer.positions
+            ):
+                break
+            idle += 1
+            continue
+        idle = 0
+        producer.begin_transaction()
+        by_part: dict[int, list] = {}
+        for topic, partition, off, key, value in recs:
+            out = transform(topic, partition, off, key, value)
+            if out is None:
+                continue
+            by_part.setdefault(partition, []).extend(
+                out if isinstance(out, list) else [out]
+            )
+        for partition, out_recs in sorted(by_part.items()):
+            producer.send(out_topic, partition, out_recs)
+        # an all-dropped batch still commits its offsets: a legal
+        # consume-only transaction (AddOffsetsToTxn opens it)
+        producer.send_offsets_to_transaction(
+            dict(consumer.positions), consumer.group
+        )
+        producer.commit_transaction()
+        processed += len(recs)
+    return processed
+
+
 def grouped_tail_read(
     bootstrap: str,
     topic: str,

@@ -479,6 +479,7 @@ _API_DESCRIBE_GROUPS, _API_LIST_GROUPS = 15, 16
 _API_DELETE_GROUPS = 42
 _API_INIT_PRODUCER_ID = 22
 _API_ADD_PARTITIONS_TO_TXN, _API_END_TXN = 24, 26
+_API_ADD_OFFSETS_TO_TXN, _API_TXN_OFFSET_COMMIT = 25, 28
 _API_SASL_AUTHENTICATE = 36
 EARLIEST, LATEST = -2, -1
 
@@ -717,6 +718,16 @@ class OutOfOrderSequenceError(ValueError):
     for this (producer, partition) does not match the batch's — a
     non-retriable sequence regression/gap (re-sending the same bytes
     can never fix it; the producer must re-init its producer id)."""
+
+
+class ProducerFailedError(ValueError):
+    """The idempotent producer exhausted its retries with the append
+    outcome UNKNOWN (the broker may hold the batch at the current base
+    sequence): reusing the instance for NEW records would resend the
+    same (pid, epoch, seq) and the broker's dedup window would ack the
+    OLD batch's offset — silently dropping the new data. The instance
+    is poisoned; call :meth:`IdempotentProducer.reset` (new producer
+    id ⇒ fresh sequence space) or build a new producer."""
 
 
 # the protocol error codes this stack produces/interprets
@@ -1196,6 +1207,95 @@ class WireKafkaClient:
             )
         if err:
             raise ValueError(f"end_txn error {err} ({_err_name(err)})")
+
+    def add_offsets_to_txn(
+        self,
+        transactional_id: str,
+        producer_id: int,
+        producer_epoch: int,
+        group: str,
+    ) -> None:
+        """AddOffsetsToTxn v0 (KIP-98 part 2, r13): register a consumer
+        GROUP's offsets in the ongoing transaction — the coordinator
+        treats the group's offsets store like a registered partition,
+        so offsets staged via :meth:`txn_offset_commit` commit or die
+        atomically with the transaction's data."""
+        body = (
+            _W()
+            .string(transactional_id)
+            .i64(producer_id)
+            .i16(producer_epoch)
+            .string(group)
+        )
+        r = self._call(_API_ADD_OFFSETS_TO_TXN, 0, bytes(body.b))
+        r.i32()  # throttle_time
+        err = r.i16()
+        if err == ERR_INVALID_PRODUCER_EPOCH:
+            raise ProducerFencedError(
+                f"producer epoch {producer_epoch} for "
+                f"{transactional_id!r} was fenced"
+            )
+        if err:
+            raise ValueError(
+                f"add_offsets_to_txn error {err} ({_err_name(err)})"
+            )
+
+    def txn_offset_commit(
+        self,
+        transactional_id: str,
+        group: str,
+        producer_id: int,
+        producer_epoch: int,
+        offsets: dict[tuple[str, int], int],
+        metadata: str = "",
+    ) -> None:
+        """TxnOffsetCommit v0 (KIP-98 part 2, r13): stage consumer
+        offsets INSIDE the transaction. They are invisible to
+        OffsetFetch until EndTxn(commit) applies them atomically with
+        the data markers; an abort discards them. The group must have
+        been registered via :meth:`add_offsets_to_txn` first.
+
+        v0 carries no generation/member fields — consumer-group
+        generation fencing of transactional commits is KIP-447
+        (TxnOffsetCommit v3), a documented non-goal here; zombie
+        PRODUCERS are still fenced by the producer epoch."""
+        by_topic: dict[str, list[tuple[int, int]]] = {}
+        for (topic, partition), off in sorted(offsets.items()):
+            by_topic.setdefault(topic, []).append((partition, off))
+        w = (
+            _W()
+            .string(transactional_id)
+            .string(group)
+            .i64(producer_id)
+            .i16(producer_epoch)
+            .i32(len(by_topic))
+        )
+        for topic, parts in by_topic.items():
+            w.string(topic).i32(len(parts))
+            for partition, off in parts:
+                w.i32(partition).i64(off).string(metadata)
+        r = self._call(_API_TXN_OFFSET_COMMIT, 0, bytes(w.b))
+        r.i32()  # throttle_time
+        for _ in range(r.i32()):
+            r.string()
+            for _p in range(r.i32()):
+                r.i32()  # partition
+                err = r.i16()
+                if err == ERR_INVALID_PRODUCER_EPOCH:
+                    raise ProducerFencedError(
+                        f"producer epoch {producer_epoch} for "
+                        f"{transactional_id!r} was fenced"
+                    )
+                if err == ERR_INVALID_TXN_STATE:
+                    raise InvalidTxnStateError(
+                        f"group {group!r} not registered in "
+                        f"{transactional_id!r}'s transaction — "
+                        "add_offsets_to_txn first"
+                    )
+                if err:
+                    raise ValueError(
+                        f"txn_offset_commit error {err} ({_err_name(err)})"
+                    )
 
     def produce(
         self,
@@ -1715,6 +1815,24 @@ class IdempotentProducer:
         self.retries = retries
         self.retransmits = 0  # observability: how many dedup saves
         self._seq: dict[tuple[str, int], int] = {}
+        self._failed = False
+
+    def reset(self) -> None:
+        """Recover a poisoned producer: re-run InitProducerId (fresh
+        pid ⇒ fresh per-partition sequence space on the broker, so a
+        possibly-appended in-doubt batch can never dedup-swallow new
+        records; the caller owns re-checking/deduplicating the in-doubt
+        batch itself, e.g. by reading the tail)."""
+        try:
+            self._client.close()
+        except Exception:  # noqa: BLE001 - may already be broken
+            pass
+        self._client = self._mk()
+        self.producer_id, self.producer_epoch = (
+            self._client.init_producer_id()
+        )
+        self._seq = {}
+        self._failed = False
 
     def send(
         self,
@@ -1726,6 +1844,11 @@ class IdempotentProducer:
     ) -> int:
         if not records:
             raise ValueError("empty batch")
+        if self._failed:
+            raise ProducerFailedError(
+                "producer poisoned by an in-doubt batch — reset() or "
+                "build a new producer"
+            )
         key = (topic, partition)
         seq = self._seq.setdefault(key, 0)
         last_exc: Exception | None = None
@@ -1756,9 +1879,15 @@ class IdempotentProducer:
                 continue
             self._seq[key] = seq + len(records)
             return base
+        # the append outcome is UNKNOWN (every attempt died on the
+        # wire): poison the instance — a later send() of DIFFERENT
+        # records at this same base_sequence would be dedup-acked with
+        # the old batch's offset and silently dropped
+        self._failed = True
         raise ConnectionError(
             f"produce to {topic}[{partition}] failed after "
-            f"{self.retries + 1} attempts"
+            f"{self.retries + 1} attempts; producer poisoned "
+            "(in-doubt batch) — reset() before reuse"
         ) from last_exc
 
     def close(self) -> None:
@@ -1806,6 +1935,7 @@ class TransactionalProducer:
         self._seq: dict[tuple[str, int], int] = {}
         self._in_txn = False
         self._txn_parts: set[tuple[str, int]] = set()
+        self._txn_groups: set[str] = set()
 
     def begin_transaction(self) -> None:
         if self._in_txn:
@@ -1847,10 +1977,44 @@ class TransactionalProducer:
         self._seq[key] = seq + len(records)
         return base
 
+    def send_offsets_to_transaction(
+        self, offsets: dict[tuple[str, int], int], group: str
+    ) -> None:
+        """KIP-98 part 2 (r13): make the consumed POSITIONS part of the
+        transaction — the consume-transform-produce exactly-once loop.
+        ``offsets`` maps (topic, partition) → next offset to read (a
+        GroupConsumer's ``positions`` dict verbatim, the Kafka
+        convention). The offsets become visible to OffsetFetch
+        atomically at :meth:`commit_transaction`; an abort (including
+        a crash + the next incarnation's fencing re-init) discards
+        them, so the batch replays — and its transactional output is
+        invisible to read_committed consumers, keeping the end-to-end
+        effect exactly-once."""
+        if not self._in_txn:
+            raise InvalidTxnStateError(
+                "send_offsets outside a transaction — call "
+                "begin_transaction()"
+            )
+        if group not in self._txn_groups:
+            self._client.add_offsets_to_txn(
+                self.transactional_id,
+                self.producer_id,
+                self.producer_epoch,
+                group,
+            )
+            self._txn_groups.add(group)
+        self._client.txn_offset_commit(
+            self.transactional_id,
+            group,
+            self.producer_id,
+            self.producer_epoch,
+            dict(offsets),
+        )
+
     def _end(self, committed: bool) -> None:
         if not self._in_txn:
             raise InvalidTxnStateError("no transaction in progress")
-        if self._txn_parts:
+        if self._txn_parts or self._txn_groups:
             self._client.end_txn(
                 self.transactional_id,
                 self.producer_id,
@@ -1859,6 +2023,7 @@ class TransactionalProducer:
             )
         self._in_txn = False
         self._txn_parts = set()
+        self._txn_groups = set()
 
     def commit_transaction(self) -> None:
         self._end(True)
@@ -1867,7 +2032,7 @@ class TransactionalProducer:
         self._end(False)
 
     def close(self) -> None:
-        if self._in_txn and self._txn_parts:
+        if self._in_txn and (self._txn_parts or self._txn_groups):
             # real client behavior: an unfinished transaction aborts
             try:
                 self._end(False)
@@ -2468,7 +2633,9 @@ class StubBroker:
                 (_API_VERSIONS, 0, 0),
                 (_API_INIT_PRODUCER_ID, 0, 0),
                 (_API_ADD_PARTITIONS_TO_TXN, 0, 0),
+                (_API_ADD_OFFSETS_TO_TXN, 0, 0),
                 (_API_END_TXN, 0, 0),
+                (_API_TXN_OFFSET_COMMIT, 0, 0),
                 (_API_SASL_AUTHENTICATE, 0, 0),
             )
             # count DERIVED from the list — a hardcoded count silently
@@ -2711,6 +2878,7 @@ class StubBroker:
                         entry = {
                             "pid": self._next_pid, "epoch": 0,
                             "open": False, "parts": {},
+                            "groups": set(), "pending_offsets": {},
                         }
                         self._next_pid += 1
                         self._txns[tid] = entry
@@ -2718,9 +2886,19 @@ class StubBroker:
                         entry["epoch"] += 1
                     pid, epoch = entry["pid"], entry["epoch"]
                     leftover = dict(entry["parts"]) if entry["open"] else {}
+                # Markers + aborted index land BEFORE the open state
+                # clears (r13, ADVICE): while the txn still reads as
+                # open, a concurrent read_committed fetch keeps LSO at
+                # the txn's first offset and withholds the data —
+                # clearing first opened a window where LSO=hw with no
+                # aborted entry served aborted data as committed.
+                self._write_txn_markers(pid, epoch, leftover, committed=False)
+                with self._lock:
                     entry["open"] = False
                     entry["parts"] = {}
-                self._write_txn_markers(pid, epoch, leftover, committed=False)
+                    # the abandoned txn's staged offsets die with it
+                    entry["groups"] = set()
+                    entry["pending_offsets"] = {}
                 w.i32(0).i16(0).i64(pid).i16(epoch)
         elif api_key == _API_ADD_PARTITIONS_TO_TXN:
             tid = r.string() or ""
@@ -2742,6 +2920,55 @@ class StubBroker:
                 w.string(topic).i32(len(parts))
                 for part in parts:
                     w.i32(part).i16(err)
+        elif api_key == _API_ADD_OFFSETS_TO_TXN:
+            tid = r.string() or ""
+            pid, epoch = r.i64(), r.i16()
+            group = r.string() or ""
+            with self._lock:
+                err = self._txn_check(tid, pid, epoch)
+                if not err:
+                    # registering the group's offsets store opens the
+                    # txn exactly like a data partition would — a
+                    # consume-only transaction is legal
+                    entry = self._txns[tid]
+                    entry["open"] = True
+                    entry["groups"].add(group)
+            w.i32(0).i16(err)
+        elif api_key == _API_TXN_OFFSET_COMMIT:
+            tid = r.string() or ""
+            group = r.string() or ""
+            pid, epoch = r.i64(), r.i16()
+            n_topics = r.i32()
+            staged: list[tuple[str, int, int, str]] = []
+            by_topic: dict[str, list[int]] = {}
+            for _ in range(n_topics):
+                topic = r.string() or ""
+                for _p in range(r.i32()):
+                    partition = r.i32()
+                    off = r.i64()
+                    meta = r.string() or ""
+                    staged.append((topic, partition, off, meta))
+                    by_topic.setdefault(topic, []).append(partition)
+            with self._lock:
+                err = self._txn_check(tid, pid, epoch)
+                if not err:
+                    entry = self._txns[tid]
+                    if not entry["open"] or group not in entry["groups"]:
+                        # AddOffsetsToTxn must register the group first
+                        err = ERR_INVALID_TXN_STATE
+                if not err:
+                    # staged, NOT applied: OffsetFetch keeps answering
+                    # the pre-transaction offset until EndTxn commits
+                    for topic, partition, off, meta in staged:
+                        entry["pending_offsets"][
+                            (group, topic, partition)
+                        ] = (off, meta)
+            w.i32(0)  # throttle_time
+            w.i32(len(by_topic))
+            for topic, partitions in by_topic.items():
+                w.string(topic).i32(len(partitions))
+                for partition in partitions:
+                    w.i32(partition).i16(err)
         elif api_key == _API_END_TXN:
             tid = r.string() or ""
             pid, epoch = r.i64(), r.i16()
@@ -2753,10 +2980,23 @@ class StubBroker:
                 if not err:
                     entry = self._txns[tid]
                     parts = dict(entry["parts"])
+            if not err:
+                # markers + aborted index BEFORE clearing open state
+                # (r13, ADVICE): the still-open txn pins LSO at its
+                # first offset, so no read_committed fetch can observe
+                # the marker-less / index-less intermediate state
+                self._write_txn_markers(pid, epoch, parts, committed)
+                with self._lock:
+                    if committed:
+                        # KIP-98 part 2: staged offsets become visible
+                        # atomically with the commit markers; an abort
+                        # discards them with the data
+                        for key_off, val in entry["pending_offsets"].items():
+                            self._group_offsets[key_off] = val
                     entry["open"] = False
                     entry["parts"] = {}
-            if not err:
-                self._write_txn_markers(pid, epoch, parts, committed)
+                    entry["groups"] = set()
+                    entry["pending_offsets"] = {}
             w.i32(0).i16(err)
         elif api_key == _API_METADATA:
             n = r.i32()
@@ -2787,7 +3027,15 @@ class StubBroker:
                     record_set = r.bytes_() or b""
                     if tid is not None:
                         # transactional produce: fence stale epochs
-                        # and require a registered ongoing txn
+                        # and require a registered ongoing txn.
+                        # Hardened (r13, decoder rule): a short/garbled
+                        # record set answers ERR_CORRUPT_MESSAGE like
+                        # _append's validated path, never struct.error
+                        if len(record_set) < 57:
+                            results.setdefault(topic, []).append(
+                                (partition, ERR_CORRUPT_MESSAGE, -1)
+                            )
+                            continue
                         b_pid = struct.unpack(">q", record_set[43:51])[0]
                         b_epoch = struct.unpack(
                             ">h", record_set[51:53]

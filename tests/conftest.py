@@ -48,6 +48,7 @@ _SLOW_MODULES = {
     "test_bloom",
     "test_ivfpq",
     "test_kafka_txn",
+    "test_kafka_txn_offsets",
     "test_kafka_groups",
     "test_kafka_rebalance",
     "test_snapshot_source",
