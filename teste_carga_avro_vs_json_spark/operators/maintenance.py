@@ -422,7 +422,11 @@ def _publish_files(
             # raise. Checked on EVERY attempt — even the first may see
             # a head that moved between the caller's read and here,
             # and the blind overwrite used to drop those rows.
-            _head, added = _rebase_onto_appends(
+            # affected_paths=None: only pure appends fold in (a reorg
+            # rewrote every parent file, so any cow/mor winner overlaps
+            # by construction and conflicts in the op check; appends
+            # carry the parent's dv unchanged, so no dv carry either)
+            _head, added, _dv_carry = _rebase_onto_appends(
                 table_dir,
                 parent_version,
                 "reorg",
@@ -1550,6 +1554,42 @@ def _write_new_files(
     return new_files
 
 
+def _dv_delta_entries(
+    cur_dv: dict | None, new_dv: dict | None
+) -> list[dict]:
+    """Manifest-level DV diff: the delete-vector file entries ``new_dv``
+    ADDED over ``cur_dv``. Raises SnapshotConflictError if any current
+    entry disappeared — DV removal means a fold/rewrite (overwrite,
+    compact, restore), which never rebases."""
+    cur_paths = {f["path"] for f in (cur_dv or {}).get("files", [])}
+    new_files = (new_dv or {}).get("files", [])
+    new_paths = {f["path"] for f in new_files}
+    if cur_paths - new_paths:
+        raise SnapshotConflictError(
+            "concurrent commit removed/folded delete vectors — re-run "
+            "against the new head"
+        )
+    return [f for f in new_files if f["path"] not in cur_paths]
+
+
+def _dv_touched_data_paths(
+    table_dir: str, dv_entries: list[dict]
+) -> set:
+    """The DATA files (rel paths) a set of delete-vector files touch —
+    read driver-side via pyarrow (DV files are bounded aux artifacts:
+    rows deleted since the last compaction, the same bound that keeps
+    the read-side `_apply_dv` join broadcastable)."""
+    import pyarrow.parquet as pq
+
+    touched: set = set()
+    for f in dv_entries:
+        t = pq.read_table(
+            os.path.join(table_dir, f["path"]), columns=["path"]
+        )
+        touched.update(t.column("path").to_pylist())
+    return touched
+
+
 def _rebase_onto_appends(
     table_dir: str,
     parent: int,
@@ -1557,7 +1597,8 @@ def _rebase_onto_appends(
     parent_dv: dict | None,
     winner_guard,
     affected_paths: set | None = None,
-) -> tuple[int, list[dict]]:
+    dv_touched_paths: set | None = None,
+) -> tuple[int, list[dict], tuple[list[dict], int, dict | None]]:
     """Delta-style conflict resolution after a lost CAS (r11, VERDICT
     order #3): fold every commit that landed after ``parent`` into
     this copy-on-write commit — PROVIDED each one is a pure append
@@ -1576,21 +1617,34 @@ def _rebase_onto_appends(
     commit's keys/condition would have changed its outcome →
     conflict; survivor rows riding in those files cannot match, or
     their source files would have been in BOTH affected sets).
-    Overlapping rewrites, reorg overwrites, restores, and anything
-    touching the delete vectors (``delete-mor`` winners change ``dv``)
-    still raise. Returns ``(new_parent, added_entries)``; raises
+    r13 extension (VERDICT order #3): a winner whose DELETE-VECTOR
+    delta only ADDS vectors touching data files disjoint from this
+    commit's ``affected_paths`` (and from ``dv_touched_paths`` — the
+    data files this commit's OWN new DVs touch, so two mor deletes on
+    the same file conflict instead of double-counting) also rebases:
+    its DV entries are carried forward into the rebased commit, so the
+    winner's deletions on kept files survive. A deleted row that could
+    have changed this commit's outcome lives in a file BOTH commits
+    touched, which the disjointness check rejects. DV changes on
+    overlapping files, DV folds/removals, reorg overwrites, and
+    restores still raise. Returns ``(new_parent, added_entries,
+    (carried_dv_entries, carried_dv_rows, head_dv))``; raises
     SnapshotConflictError otherwise."""
     head = snapshot_versions(table_dir)[-1]
     parent_paths = {
         f["path"] for f in _read_manifest(table_dir, parent)["files"]
     }
     added: list[dict] = []
+    cur_dv = parent_dv
+    carried_dv: list[dict] = []
+    carried_rows = 0
+    blocked = set(affected_paths or ()) | set(dv_touched_paths or ())
     for v in range(parent + 1, head + 1):
         w = _read_manifest(table_dir, v)
         w_paths = {f["path"] for f in w["files"]}
         removed = parent_paths - w_paths
         compatible = (w["op"] == "append" and not removed) or (
-            w["op"] in ("merge", "delete")
+            w["op"] in ("merge", "delete", "delete-mor")
             and affected_paths is not None
             and not (removed & affected_paths)
         )
@@ -1600,19 +1654,30 @@ def _rebase_onto_appends(
                 f"(op={w['op']!r}) rewrote or removed files this "
                 f"{op} read — re-run the {op} against the new head"
             )
-        if (w.get("dv") or None) != (parent_dv or None):
-            raise SnapshotConflictError(
-                f"{op} computed against v{parent} but v{v} changed "
-                f"the delete vectors — re-run the {op} against the "
-                "new head"
+        w_dv = w.get("dv") or None
+        if w_dv != (cur_dv or None):
+            new_dv = _dv_delta_entries(cur_dv, w_dv)
+            touched = _dv_touched_data_paths(table_dir, new_dv)
+            overlap = touched & blocked
+            if overlap:
+                raise SnapshotConflictError(
+                    f"{op} computed against v{parent} but v{v} added "
+                    f"delete vectors on files this {op} touched "
+                    f"({sorted(overlap)[:3]}…) — re-run the {op} "
+                    "against the new head"
+                )
+            carried_dv.extend(new_dv)
+            carried_rows += int((w_dv or {}).get("n_rows") or 0) - int(
+                (cur_dv or {}).get("n_rows") or 0
             )
+            cur_dv = w_dv
         added.extend(
             f for f in w["files"] if f["path"] not in parent_paths
         )
         parent_paths = w_paths
     if added and winner_guard is not None:
         winner_guard(added)  # raises SnapshotConflictError on overlap
-    return head, added
+    return head, added, (carried_dv, carried_rows, cur_dv)
 
 
 def _publish_cow_manifest(
@@ -1640,6 +1705,7 @@ def _publish_cow_manifest(
     import tempfile
 
     cons = _read_manifest(table_dir, parent).get("constraints")
+    parent_dv = (rebase or {}).get("parent_dv")
     for _attempt in range(max_retries):
         version = parent + 1
         out_manifest = {
@@ -1674,14 +1740,29 @@ def _publish_cow_manifest(
                     "against the new head"
                 ) from None
             affected = set(rebase["affected_paths"])
-            new_parent, added = _rebase_onto_appends(
+            new_parent, added, dv_carry = _rebase_onto_appends(
                 table_dir,
                 parent,
                 op,
-                rebase.get("parent_dv"),
+                parent_dv,
                 rebase.get("winner_guard"),
                 affected_paths=affected,
+                dv_touched_paths=rebase.get("dv_touched_paths"),
             )
+            carried_dv, carried_rows, head_dv = dv_carry
+            if carried_dv:
+                # the winner's delete vectors ride forward (r13): its
+                # deletions on kept files must survive this commit
+                base_dv = dv or {"files": [], "n_rows": 0}
+                dv = {
+                    "files": list(base_dv.get("files") or [])
+                    + carried_dv,
+                    "n_rows": int(base_dv.get("n_rows") or 0)
+                    + carried_rows,
+                }
+            # later retry iterations must diff DVs against the head we
+            # just rebased onto, not the original parent
+            parent_dv = head_dv
             head_files = _read_manifest(table_dir, new_parent)["files"]
             files = [
                 f for f in head_files if f["path"] not in affected
@@ -1858,6 +1939,11 @@ def snapshot_delete(
                 "rows_deleted": 0,
             }
         dv_files = _write_delete_vectors(spark, table_dir, matched)
+        # data files OUR new vectors touch — a concurrent DV winner on
+        # any of them conflicts instead of double-counting (r13)
+        own_touched = {
+            r.path for r in matched.select("path").distinct().collect()
+        }
         version = _publish_cow_manifest(
             table_dir, parent, manifest["files"], "delete-mor", ts,
             {
@@ -1875,6 +1961,7 @@ def snapshot_delete(
                 "affected_paths": set(),
                 "new_entries": [],
                 "parent_dv": manifest.get("dv"),
+                "dv_touched_paths": own_touched,
                 "winner_guard": _delete_winner_guard(
                     spark, table_dir, cond, condition
                 ),

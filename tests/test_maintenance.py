@@ -2339,3 +2339,126 @@ def test_vacuum_grace_window_protects_inflight_commit(
         tdir, keep_last=2
     )
     assert not _os.path.exists(orphan)
+
+
+# ------------------------------------------------- r13 DV-aware rebase
+def test_merge_rebases_past_disjoint_mor_delete(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13 (VERDICT order #3): a winner mor-delete whose delete
+    vectors touch only files DISJOINT from this merge's affected set
+    rebases — the winner's DV entries ride forward in the rebased
+    manifest, so its deletions on kept files survive; rows exact,
+    CDF consistent."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=10)
+    _land_between(
+        monkeypatch,
+        lambda: mt.snapshot_delete(
+            spark, tdir, "doc_id >= 90", mode="mor"
+        ),
+    )
+    r = mt.snapshot_merge(
+        docs.filter("doc_id < 5").withColumn("text", F.lit("m")),
+        tdir, keys=["doc_id"],
+    )
+    # v2 = cluster_by, v3 = winner mor delete, v4 = rebased merge
+    assert r["version"] == 4
+    got = mt.snapshot_read(spark, tdir)
+    assert got.count() == 90  # winner's 10 DV deletions survived
+    assert got.where("text = 'm'").count() == 5
+    assert got.where("doc_id >= 90").count() == 0
+    # the rebased manifest CARRIES the winner's dv entries
+    m4 = mt._read_manifest(tdir, 4)
+    m3 = mt._read_manifest(tdir, 3)
+    assert m4["dv"]["files"] == m3["dv"]["files"]
+    assert m4["dv"]["n_rows"] == 10
+    # CDF across both commits: the winner's deletes + the merge's
+    # updates, each stamped with its own commit version
+    ch = mt.snapshot_changes(spark, tdir, 2)
+    dels = ch.where("_change_type = 'delete'")
+    assert dels.count() == 10
+    assert dels.select("_commit_version").distinct().collect()[0][0] == 3
+    posts = ch.where("_change_type = 'update_postimage'")
+    assert posts.where("text = 'm'").count() == 5
+
+
+def test_merge_conflicts_with_overlapping_mor_delete(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A winner mor-delete whose vectors touch a file this merge
+    rewrote still conflicts — the merge recomputed that file from
+    pre-delete rows, so rebasing would resurrect the deleted rows."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=10)
+    _land_between(
+        monkeypatch,
+        lambda: mt.snapshot_delete(
+            spark, tdir, "doc_id = 7", mode="mor"
+        ),
+    )
+    with pytest.raises(mt.SnapshotConflictError, match="delete vectors"):
+        mt.snapshot_merge(
+            docs.filter("doc_id < 5").withColumn("text", F.lit("m")),
+            tdir, keys=["doc_id"],
+        )
+
+
+def test_mor_delete_rebases_past_disjoint_mor_delete(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Two concurrent mor deletes touching DISJOINT files both commit
+    (neither rewrites anything; their DV sets union); two touching the
+    SAME file conflict conservatively instead of double-counting."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=10)
+    _land_between(
+        monkeypatch,
+        lambda: mt.snapshot_delete(
+            spark, tdir, "doc_id = 95", mode="mor"
+        ),
+    )
+    r = mt.snapshot_delete(spark, tdir, "doc_id = 3", mode="mor")
+    assert r["version"] == 4 and r["rows_deleted"] == 1
+    got = mt.snapshot_read(spark, tdir)
+    assert got.count() == 98
+    assert got.where("doc_id in (3, 95)").count() == 0
+    assert mt._read_manifest(tdir, 4)["dv"]["n_rows"] == 2
+
+    tdir2 = str(tmp_path / "table2")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir2)
+    mt.snapshot_cluster_by(spark, tdir2, "doc_id", n_files=10)
+    _land_between(
+        monkeypatch,
+        lambda: mt.snapshot_delete(
+            spark, tdir2, "doc_id = 95", mode="mor"
+        ),
+    )
+    with pytest.raises(mt.SnapshotConflictError, match="delete vectors"):
+        mt.snapshot_delete(spark, tdir2, "doc_id = 96", mode="mor")
+
+
+def test_cow_delete_rebases_past_disjoint_mor_delete(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 100"), tdir)
+    mt.snapshot_cluster_by(spark, tdir, "doc_id", n_files=10)
+    _land_between(
+        monkeypatch,
+        lambda: mt.snapshot_delete(
+            spark, tdir, "doc_id = 95", mode="mor"
+        ),
+    )
+    r = mt.snapshot_delete(spark, tdir, "doc_id < 10", mode="cow")
+    assert r["version"] == 4 and r["rows_deleted"] == 10
+    got = mt.snapshot_read(spark, tdir)
+    assert got.count() == 89
+    assert got.where("doc_id = 95").count() == 0
