@@ -2350,6 +2350,8 @@ def snapshot_mirror(
     keys: list[str],
     ts: int = SNAP_EPOCH,
     extra: dict | None = None,
+    maintain_cluster_col: str | None = None,
+    target_mb: float = 128.0,
 ) -> dict:
     """Bootstrap-sync a DRIFTED replica as one merge commit (r12,
     VERDICT r11 order #6) — the full-mirror move
@@ -2369,7 +2371,15 @@ def snapshot_mirror(
     tables (that IS bootstrap), then drift-bounded copy-on-write.
 
     Requires a keyed src (one live row per key — the
-    :func:`snapshot_replicate` table model) and matching column sets."""
+    :func:`snapshot_replicate` table model) and matching column sets.
+
+    ``maintain_cluster_col`` (r13, VERDICT order #6) makes
+    bootstrap→sync→cluster one call: after the sync commit the
+    :func:`snapshot_maintain` policy runs with the merge's rewrite
+    fraction fed in — a scatter-degraded sync (most files rewritten)
+    or tripped file/DV thresholds recluster on the spot, keeping later
+    merges at the bounded min(K, files) economics; a healthy sync adds
+    no version. The audit dict lands under ``result['maintain']``."""
     src_live = snapshot_read(spark, src_dir)
     dst_live = snapshot_read(spark, dst_dir)
     if set(src_live.columns) != set(dst_live.columns):
@@ -2390,7 +2400,7 @@ def snapshot_mirror(
                     "files_kept": len(_read_manifest(dst_dir, head)["files"]),
                     "files_new": 0, "rows_replaced": 0,
                     "rows_inserted": 0, "rows_deleted": 0}
-    return snapshot_merge(
+    res = snapshot_merge(
         changed,
         dst_dir,
         keys,
@@ -2398,6 +2408,40 @@ def snapshot_mirror(
         extra={**(extra or {}), "mirror_src": os.path.abspath(src_dir)},
         not_matched_by_source="delete",
         source_keys=src_live.select(*keys),
+    )
+    if maintain_cluster_col is not None:
+        res["maintain"] = _maintain_after_sync(
+            spark, dst_dir, maintain_cluster_col, target_mb, ts, res
+        )
+    return res
+
+
+def _maintain_after_sync(
+    spark: SparkSession,
+    dst_dir: str,
+    cluster_col: str,
+    target_mb: float,
+    ts: int,
+    merge_res: dict | None,
+) -> dict:
+    """Shared mirror/replicate post-sync hook: feed the sync's rewrite
+    fraction into the maintain policy. A bootstrap append (no merge
+    stats) counts as fraction 1.0 — the fresh replica is one
+    unclustered blob, exactly the state where the next merge degrades
+    to a full rewrite (the measured 1.0 fraction, CLAUDE.md r10)."""
+    if merge_res is None:
+        frac = 1.0
+    else:
+        rw = merge_res.get("files_rewritten", 0)
+        kept = merge_res.get("files_kept", 0)
+        frac = rw / max(1, rw + kept)
+    return snapshot_maintain(
+        spark,
+        dst_dir,
+        target_mb=target_mb,
+        cluster_col=cluster_col,
+        ts=ts,
+        last_rewrite_frac=frac,
     )
 
 
@@ -2408,6 +2452,8 @@ def snapshot_replicate(
     keys: list[str],
     ts: int = SNAP_EPOCH,
     on_rewrite: str = "fail",
+    maintain_cluster_col: str | None = None,
+    target_mb: float = 128.0,
 ) -> dict:
     """Keyed CDC apply: land everything that happened to ``src_dir``
     since the last sync as ONE commit on ``dst_dir`` — the
@@ -2445,7 +2491,15 @@ def snapshot_replicate(
     (upserts replace, deletes re-delete) but needs source history
     back to 0 — a vacuumed source range raises instead (never silent
     double-apply). Keep the destination's vacuum horizon at least one
-    sync deep."""
+    sync deep.
+
+    ``maintain_cluster_col`` (r13, VERDICT order #6): run the
+    :func:`snapshot_maintain` policy after each applied sync with the
+    merge's rewrite fraction fed in — a bootstrap append or a
+    scatter-degraded merge (the measured 1.0 rewrite fraction on
+    unclustered replicas) reclusters immediately, keeping subsequent
+    syncs at bounded rewrite economics; healthy syncs add no version.
+    Audit dict under ``result['maintain']``."""
     src_id = os.path.abspath(src_dir)
     src_versions = snapshot_versions(src_dir)
     if not src_versions:
@@ -2486,7 +2540,7 @@ def snapshot_replicate(
         "replicate_src": src_id,
         "replicate_src_version": to_version,
     }
-    version = _apply_net(
+    version, merge_res = _apply_net(
         upserts, deletes if n_del else None, dst_dir, keys, ts, hw_extra
     )
     out.update(
@@ -2495,6 +2549,10 @@ def snapshot_replicate(
         rows_deleted=n_del,
         applied=True,
     )
+    if maintain_cluster_col is not None:
+        out["maintain"] = _maintain_after_sync(
+            spark, dst_dir, maintain_cluster_col, target_mb, ts, merge_res
+        )
     return out
 
 
@@ -2538,17 +2596,20 @@ def _apply_net(
     keys: list[str],
     ts: int,
     extra: dict,
-) -> int:
+) -> tuple[int, dict | None]:
     """Land one net change set as ONE destination commit: bootstrap
     append on an empty destination (deletes of never-present keys are
-    no-ops), keyed merge with WHEN-MATCHED-DELETE otherwise."""
+    no-ops), keyed merge with WHEN-MATCHED-DELETE otherwise. Returns
+    ``(version, merge_stats)`` — stats None for the bootstrap append
+    (the maintain hook treats that as fully-scattered, r13)."""
     if not snapshot_versions(dst_dir):
         return snapshot_commit(
             upserts, dst_dir, mode="append", ts=ts, extra=extra
-        )
-    return snapshot_merge(
+        ), None
+    res = snapshot_merge(
         upserts, dst_dir, keys, ts=ts, extra=extra, delete_keys=deletes
-    )["version"]
+    )
+    return res["version"], res
 
 
 def snapshot_replicate_stream(
@@ -2614,7 +2675,7 @@ def snapshot_replicate_stream(
         hw = batch_df.agg(
             F.max(COMMIT_VERSION_COL).cast("long")
         ).collect()[0][0]
-        version = _apply_net(
+        version, _merge_res = _apply_net(
             upserts,
             deletes if n_del else None,
             dst_dir,
@@ -2719,6 +2780,8 @@ def snapshot_maintain(
     file_slack: float = 2.0,
     cluster_col: str | None = None,
     ts: int = SNAP_EPOCH,
+    last_rewrite_frac: float | None = None,
+    max_rewrite_frac: float = 0.5,
 ) -> dict:
     """The auto-OPTIMIZE policy loop a production table runs after
     churn (what Delta's auto-compaction + DV-threshold maintenance
@@ -2735,6 +2798,17 @@ def snapshot_maintain(
     The rewrite is :func:`snapshot_cluster_by` when ``cluster_col`` is
     given (restoring the merge/skipping economics in the same pass —
     the right default for keyed tables) else :func:`snapshot_compact`.
+    r13 (VERDICT order #6): ``last_rewrite_frac`` — the fraction of
+    files the CALLER's just-committed keyed merge rewrote — trips a
+    ``rewrite_fraction`` recluster (requires ``cluster_col``) when it
+    exceeds ``max_rewrite_frac``. Key scatter is invisible in the
+    manifest (file counts and DV rows look healthy while every merge
+    rewrites the whole table — the measured 1.0 fraction on
+    unclustered replicas, CLAUDE.md r10); the merge outcome itself is
+    the evidence, so the sync paths (:func:`snapshot_mirror` /
+    :func:`snapshot_replicate` with ``maintain_cluster_col``) feed it
+    back here.
+
     No threshold tripped = NO new version (decide from the manifest,
     never scan data to decide). Returns the audit dict
     ``{acted, reason, n_files, planned_files, dv_rows, live_rows,
@@ -2760,6 +2834,12 @@ def snapshot_maintain(
     }
     if dv_rows and dv_rows > max_dv_frac * live_rows:
         out["reason"] = "dv_fraction"
+    elif (
+        cluster_col is not None
+        and last_rewrite_frac is not None
+        and last_rewrite_frac > max_rewrite_frac
+    ):
+        out["reason"] = "rewrite_fraction"
     elif n_files > file_slack * planned:
         out["reason"] = "file_count"
     else:

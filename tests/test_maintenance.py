@@ -2462,3 +2462,88 @@ def test_cow_delete_rebases_past_disjoint_mor_delete(
     got = mt.snapshot_read(spark, tdir)
     assert got.count() == 89
     assert got.where("doc_id = 95").count() == 0
+
+
+# ------------------------------------------- r13 sync maintain policy
+def _rewritten_fraction(tdir, v):
+    prev = {f["path"] for f in mt._read_manifest(tdir, v - 1)["files"]}
+    cur = {f["path"] for f in mt._read_manifest(tdir, v)["files"]}
+    return len(prev - cur) / max(1, len(prev))
+
+
+def test_replicate_maintain_keeps_rewrite_fraction_bounded(
+    spark, sf_dir, tmp_path
+):
+    """r13 (VERDICT order #6): maintain_cluster_col makes
+    bootstrap→sync→cluster one call — the bootstrap append (one
+    unclustered blob) reclusters immediately via the rewrite-fraction
+    trigger, so the NEXT narrow sync rewrites a bounded fraction of
+    files; the unmaintained control replica rewrites everything."""
+    docs = _docs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    dst_a = str(tmp_path / "dst_a")
+    dst_b = str(tmp_path / "dst_b")
+    mt.snapshot_commit(docs.filter("doc_id < 300"), src)
+    ra = mt.snapshot_replicate(
+        spark, src, dst_a, keys=["doc_id"],
+        maintain_cluster_col="doc_id", target_mb=0.01,
+    )
+    assert ra["maintain"]["acted"]
+    assert ra["maintain"]["reason"] == "rewrite_fraction"
+    n_clustered = mt._read_manifest(
+        dst_a, mt.snapshot_versions(dst_a)[-1]
+    )["n_files"]
+    assert n_clustered > 2  # the recluster actually split the blob
+    mt.snapshot_replicate(spark, src, dst_b, keys=["doc_id"])
+
+    # narrow source update -> one-key sync
+    mt.snapshot_merge(
+        docs.filter("doc_id = 5").withColumn("text", F.lit("u")),
+        src, keys=["doc_id"],
+    )
+    ra2 = mt.snapshot_replicate(
+        spark, src, dst_a, keys=["doc_id"],
+        maintain_cluster_col="doc_id", target_mb=0.01,
+    )
+    rb2 = mt.snapshot_replicate(spark, src, dst_b, keys=["doc_id"])
+    frac_a = _rewritten_fraction(dst_a, ra2["version"])
+    frac_b = _rewritten_fraction(dst_b, rb2["version"])
+    assert frac_a < 0.5 < frac_b, (frac_a, frac_b)
+    # healthy sync: the policy inspected and did NOT recluster
+    assert ra2["maintain"]["acted"] is False
+    assert _same_multiset(
+        mt.snapshot_read(spark, dst_a), mt.snapshot_read(spark, src)
+    )
+
+
+def test_mirror_maintain_reclusters_after_heavy_drift(
+    spark, sf_dir, tmp_path
+):
+    docs = _docs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    mt.snapshot_commit(docs.filter("doc_id < 200"), src)
+    # drifted replica: every row's text diverged -> the mirror merge
+    # rewrites every dst file (scatter-degraded sync)
+    mt.snapshot_commit(
+        docs.filter("doc_id < 200").withColumn(
+            "text", F.concat(F.lit("drift:"), F.col("text"))
+        ),
+        dst,
+    )
+    r = mt.snapshot_mirror(
+        spark, src, dst, keys=["doc_id"],
+        maintain_cluster_col="doc_id", target_mb=0.01,
+    )
+    assert r["maintain"]["acted"]
+    assert r["maintain"]["reason"] == "rewrite_fraction"
+    assert _same_multiset(
+        mt.snapshot_read(spark, dst), mt.snapshot_read(spark, src)
+    )
+    # a subsequent no-drift mirror is a no-op with no maintain entry
+    r2 = mt.snapshot_mirror(
+        spark, src, dst, keys=["doc_id"],
+        maintain_cluster_col="doc_id", target_mb=0.01,
+    )
+    assert r2["rows_replaced" if "rows_replaced" in r2 else "files_new"] == 0
+    assert "maintain" not in r2
