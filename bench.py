@@ -150,6 +150,128 @@ def _floor_tripwire(
     )
 
 
+def _git_identity() -> tuple[str | None, bool]:
+    """(HEAD sha, dirty?) — the code-identity stamp that makes bench
+    runs composable: per-lane bests may only be merged across runs
+    that measured EXACTLY the same tree (r13, VERDICT order #4)."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=_REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=_REPO, capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        )
+        return head, dirty
+    except Exception:  # noqa: BLE001 - no git: run still valid alone
+        return None, True
+
+
+def _composite_best_of_runs(
+    out: dict, diagnostic: set, runs_dir: str, min_runs: int
+) -> dict | None:
+    """Per-lane BEST across this run + committed same-code runs under
+    ``runs_dir`` (r13, VERDICT order #4): the same min estimator the
+    bench already applies WITHIN a run, applied across runs — the r12
+    evidence showed steal bursts outlast per-lane retries on a few
+    lanes per run, but the per-lane best across 6 runs sat under the
+    tripwire on every lane. A candidate run must carry the same
+    ``git_head`` (clean tree), sf, cpus and reps; each composite lane
+    is stamped with the steal of the window that produced it and the
+    composite is contended only if some WINNING window was dirty
+    (>0.4%)."""
+    import glob
+
+    if out.get("git_head") is None or out.get("git_dirty"):
+        return None
+    candidates = [("<this run>", out)]
+    for path in sorted(glob.glob(os.path.join(runs_dir, "*.json"))):
+        try:
+            with open(path) as f:
+                lines = f.read().splitlines()
+        except OSError:
+            continue
+        # a run file may hold several JSON lines (bench retry emits a
+        # second full capture): every full-run line is a candidate
+        for i, line in enumerate(l for l in lines if l.startswith("{")):
+            try:
+                run = json.loads(line)
+            except ValueError:
+                continue
+            if run.get("compact"):
+                continue
+            if (
+                run.get("git_head") != out["git_head"]
+                or run.get("git_dirty")
+                or run.get("sf") != out["sf"]
+                or run.get("cpus") != out["cpus"]
+                or run.get("reps") != out["reps"]
+                or not isinstance(run.get("queries"), dict)
+                or not isinstance(run.get("lane_steal_pct"), dict)
+            ):
+                continue
+            tag = os.path.basename(path) + ("" if i == 0 else f"#{i}")
+            candidates.append((tag, run))
+    if len(candidates) < min_runs:
+        return None
+    lanes = set(out["queries"]) - {"avro_e2e_arrow"}
+    best: dict[str, float] = {}
+    src: dict[str, str] = {}
+    steal: dict[str, float] = {}
+    for name, run in candidates:
+        for lane in lanes:
+            t = run["queries"].get(lane)
+            if t is None:
+                continue
+            if lane not in best or t < best[lane]:
+                best[lane] = t
+                src[lane] = name
+                steal[lane] = run["lane_steal_pct"].get(lane, -1.0)
+    total = round(
+        sum(t for lane, t in best.items() if lane not in diagnostic), 3
+    )
+    dirty_lanes = sorted(
+        lane for lane, p in steal.items() if p is None or p > 0.4 or p < 0
+    )
+    comp = {
+        "n_runs": len(candidates),
+        "runs": [name for name, _ in candidates],
+        "git_head": out["git_head"],
+        "headline_total_sec": total,
+        "queries": {k: best[k] for k in sorted(best)},
+        "lane_source": {k: src[k] for k in sorted(src)},
+        "lane_steal_pct": {k: steal[k] for k in sorted(steal)},
+        "dirty_lanes": dirty_lanes,
+        "contended_fallback": bool(dirty_lanes),
+    }
+    # floor tripwire over the composite (same thresholds)
+    try:
+        with open(os.path.join(_REPO, "BENCH_BASELINE.json")) as f:
+            base = json.load(f)
+        if base.get("sf") == out["sf"] and base.get("cpus") == out["cpus"]:
+            deltas = {
+                n: round(
+                    100.0 * (t - base["queries"][n]) / base["queries"][n], 1
+                )
+                for n, t in best.items()
+                if n in base["queries"]
+            }
+            comp["delta_pct_vs_baseline"] = deltas
+            n_dev, dev_reason = _floor_tripwire(deltas)
+            comp["floor_deviation_lanes"] = n_dev
+            if dev_reason is not None:
+                comp["contended_fallback"] = True
+                comp["contended_reason"] = dev_reason
+    except (OSError, ValueError, KeyError):
+        pass
+    return comp
+
+
 def _cpu_probe_ms() -> float | None:
     """Wall time (ms) for a FIXED compute kernel — 8x 384x384 float64
     GEMM (memory-bandwidth + FPU) plus a pure-Python arithmetic loop
@@ -783,6 +905,26 @@ def main() -> bool:
     # instead, where loadavg is purely foreign — cap tightened to 3.0.
     if deltas:
         out["delta_pct_vs_baseline"] = deltas
+    # r13 (VERDICT order #4): code-identity stamp + per-lane composite
+    # across committed same-code runs. The graded number keys on
+    # per-lane evidence when >= SPARK_GRAFT_BENCH_COMPOSITE_MIN
+    # same-identity runs exist under bench_runs/ (raw runs + the probe
+    # trail stay committed alongside); the single-run total is always
+    # retained as single_run_total_sec.
+    out["git_head"], out["git_dirty"] = _git_identity()
+    comp = _composite_best_of_runs(
+        out,
+        diagnostic,
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_RUNS_DIR", os.path.join(_REPO, "bench_runs")
+        ),
+        int(os.environ.get("SPARK_GRAFT_BENCH_COMPOSITE_MIN", "3")),
+    )
+    if comp is not None:
+        out["composite_best_of_runs"] = comp
+        out["single_run_total_sec"] = out["value"]
+        out["value"] = comp["headline_total_sec"]
+        out["value_source"] = "composite_best_of_runs"
     print(json.dumps(out))
     # The driver's tail capture clipped the FRONT of the (very long)
     # full line in r7 and lost the headline field. Emit a second,
@@ -790,7 +932,15 @@ def main() -> bool:
     # samples — so the tail of any capture always holds parseable JSON.
     print(json.dumps({
         "metric": "headline_total_sec",
-        "value": total,
+        "value": out["value"],
+        "single_run_total_sec": total,
+        "composite": None if comp is None else {
+            "n_runs": comp["n_runs"],
+            "headline_total_sec": comp["headline_total_sec"],
+            "contended_fallback": comp["contended_fallback"],
+            "dirty_lanes": comp["dirty_lanes"],
+            "floor_deviation_lanes": comp.get("floor_deviation_lanes"),
+        },
         "unit": "sec",
         "queries": timings,
         "sf": out["sf"],

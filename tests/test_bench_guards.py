@@ -79,3 +79,73 @@ def test_tripwire_alias_lane_never_double_counts():
 def test_io_probe_returns_a_time():
     ms = bench._io_probe_ms(size_mb=4)
     assert ms is None or ms > 0
+
+
+def _mk_run(tmp, name, head, queries, lane_steal, sf=0.1, cpus=32,
+            reps=5, dirty=False, compact=False):
+    run = {
+        "metric": "headline_total_sec",
+        "queries": queries,
+        "lane_steal_pct": lane_steal,
+        "sf": sf,
+        "cpus": cpus,
+        "reps": reps,
+        "git_head": head,
+        "git_dirty": dirty,
+    }
+    if compact:
+        run["compact"] = True
+    with open(os.path.join(tmp, name), "w") as f:
+        f.write(json.dumps(run) + "\n")
+    return run
+
+
+def test_composite_takes_per_lane_best_of_same_code_runs(tmp_path):
+    """r13 (VERDICT order #4): the composite merges per-lane bests
+    across runs with the SAME git identity, stamps each lane with the
+    steal of its winning window, and is contended only when a WINNING
+    window was dirty."""
+    tmp = str(tmp_path)
+    _mk_run(tmp, "r1.json", "abc", {"a": 2.0, "b": 1.0}, {"a": 0.1, "b": 0.9})
+    _mk_run(tmp, "r2.json", "abc", {"a": 1.5, "b": 3.0}, {"a": 0.2, "b": 0.1})
+    # different code / dirty tree / compact lines never fold in
+    _mk_run(tmp, "other.json", "zzz", {"a": 0.1, "b": 0.1}, {"a": 0, "b": 0})
+    _mk_run(tmp, "dirty.json", "abc", {"a": 0.1, "b": 0.1},
+            {"a": 0, "b": 0}, dirty=True)
+    _mk_run(tmp, "compact.json", "abc", {"a": 0.1, "b": 0.1},
+            {"a": 0, "b": 0}, compact=True)
+    out = {
+        "git_head": "abc", "git_dirty": False, "sf": 0.1, "cpus": 32,
+        "reps": 5, "queries": {"a": 1.8, "b": 0.8},
+        "lane_steal_pct": {"a": 0.0, "b": 0.5},
+    }
+    comp = bench._composite_best_of_runs(out, set(), tmp, 3)
+    assert comp["n_runs"] == 3  # this run + r1 + r2
+    assert comp["queries"] == {"a": 1.5, "b": 0.8}
+    assert comp["lane_source"]["a"] == "r2.json"
+    assert comp["lane_source"]["b"] == "<this run>"
+    # b's winning window was dirty (0.5 > 0.4) -> composite contended
+    assert comp["dirty_lanes"] == ["b"]
+    assert comp["contended_fallback"] is True
+    assert comp["headline_total_sec"] == 2.3
+
+    # all winning windows clean -> non-contended composite
+    _mk_run(tmp, "r3.json", "abc", {"a": 1.4, "b": 0.7}, {"a": 0.3, "b": 0.2})
+    comp2 = bench._composite_best_of_runs(out, set(), tmp, 3)
+    assert comp2["queries"] == {"a": 1.4, "b": 0.7}
+    assert comp2["dirty_lanes"] == []
+    assert comp2["contended_fallback"] is False
+
+
+def test_composite_requires_min_same_identity_runs(tmp_path):
+    tmp = str(tmp_path)
+    _mk_run(tmp, "r1.json", "abc", {"a": 2.0}, {"a": 0.1})
+    out = {
+        "git_head": "abc", "git_dirty": False, "sf": 0.1, "cpus": 32,
+        "reps": 5, "queries": {"a": 1.8}, "lane_steal_pct": {"a": 0.0},
+    }
+    assert bench._composite_best_of_runs(out, set(), tmp, 3) is None
+    # a dirty CURRENT tree never composes (code identity unprovable)
+    out_dirty = dict(out, git_dirty=True)
+    _mk_run(tmp, "r2.json", "abc", {"a": 2.0}, {"a": 0.1})
+    assert bench._composite_best_of_runs(out_dirty, set(), tmp, 3) is None

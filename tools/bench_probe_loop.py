@@ -8,11 +8,11 @@ first time the window reads quiet:
 
     loadavg_1m <= 3.0  AND  steal_pct <= 0.4  AND  io_probe_ms <= 400
 
-Every probe sample is appended to ``bench_runs/r12_probe_samples.jsonl``
+Every probe sample is appended to ``bench_runs/{PREFIX}_probe_samples.jsonl``
 so that, if the host never goes quiet, the committed sample trail IS the
 evidence (the verdict asked for >=6 samples across the session in that
 case). Each fired bench's full stdout is saved to
-``bench_runs/r12_run<N>.json``; the loop stops after ``--max-quiet``
+``bench_runs/{PREFIX}_run<N>.json`` (SPARK_GRAFT_BENCH_PREFIX, default r13); the loop stops after ``--max-quiet``
 captures whose compact line stamps ``contended_fallback: false``.
 
 Run detached:  python tools/bench_probe_loop.py &
@@ -27,7 +27,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SAMPLES = os.path.join(REPO, "bench_runs", "r12_probe_samples.jsonl")
+PREFIX = os.environ.get("SPARK_GRAFT_BENCH_PREFIX", "r13")
+SAMPLES = os.path.join(
+    REPO, "bench_runs", f"{PREFIX}_probe_samples.jsonl"
+)
 
 sys.path.insert(0, REPO)
 import bench  # noqa: E402  (the probe primitives live there)
@@ -99,9 +102,11 @@ def record(sample: dict) -> None:
 
 def next_run_path() -> str:
     n = 1
-    while os.path.exists(os.path.join(REPO, "bench_runs", f"r12_run{n}.json")):
+    while os.path.exists(
+        os.path.join(REPO, "bench_runs", f"{PREFIX}_run{n}.json")
+    ):
         n += 1
-    return os.path.join(REPO, "bench_runs", f"r12_run{n}.json")
+    return os.path.join(REPO, "bench_runs", f"{PREFIX}_run{n}.json")
 
 
 def fire_bench() -> dict:
