@@ -259,6 +259,109 @@ def main() -> None:
     )
     out["p2_exact"] = p2_ok
     ok = ok and p2_ok
+
+    # ---- phase 3 (r13, VERDICT order #3): MIXED mor deletes + keyed
+    # merges + appends racing. The mor deleter targets appended-block
+    # keys (files disjoint from the merger's base-key slice), so the
+    # DV-aware rebase lets BOTH sides commit without caller retries in
+    # the common case; genuinely overlapping interleavings (a merge
+    # that rewrote a file the delete's DVs target) still conflict and
+    # land in the caller retry counter.
+    p3 = {
+        "deletes_done": 0, "merges_done": 0, "appends_done": 0,
+        "caller_conflict_retries": 0, "internal_rebases": 0,
+        "errors": [],
+    }
+    del_keys = [200_000_000 + 7 * k for k in range(3)]  # p2app-0-0 rows
+
+    def p3_deleter() -> None:
+        try:
+            for key in del_keys:
+                for _retry in range(30):
+                    try:
+                        r = mt.snapshot_delete(
+                            spark, tdir, f"doc_id = {key}", mode="mor"
+                        )
+                        with lock:
+                            p3["deletes_done"] += r["rows_deleted"]
+                        break
+                    except mt.SnapshotConflictError:
+                        with lock:
+                            p3["caller_conflict_retries"] += 1
+                        time.sleep(0.05)
+                else:
+                    raise RuntimeError("p3 delete retry budget exhausted")
+        except Exception as exc:  # pragma: no cover - diagnostics
+            with lock:
+                p3["errors"].append(f"p3deleter: {exc!r}")
+
+    def p3_merger() -> None:
+        try:
+            for i in range(3):
+                delta = spark.createDataFrame(
+                    [(int(d),) for d in base_ids[200:400]], "doc_id long"
+                ).withColumn("text", F.lit(f"p3m-{i}"))
+                for _retry in range(30):
+                    entry_head = mt.snapshot_versions(tdir)[-1]
+                    try:
+                        r = mt.snapshot_merge(delta, tdir, keys=["doc_id"])
+                        with lock:
+                            p3["merges_done"] += 1
+                            if r["version"] > entry_head + 1:
+                                p3["internal_rebases"] += 1
+                        break
+                    except mt.SnapshotConflictError:
+                        with lock:
+                            p3["caller_conflict_retries"] += 1
+                        time.sleep(0.05)
+                else:
+                    raise RuntimeError("p3 merge retry budget exhausted")
+        except Exception as exc:  # pragma: no cover - diagnostics
+            with lock:
+                p3["errors"].append(f"p3merger: {exc!r}")
+
+    def p3_appender() -> None:
+        try:
+            for i in range(3):
+                lo = 300_000_000 + i * 100_000
+                block = spark.range(lo, lo + append_block).select(
+                    F.col("id").alias("doc_id"),
+                    F.lit(f"p3app-{i}").alias("text"),
+                )
+                mt.snapshot_commit(block, tdir, mode="append")
+                with lock:
+                    p3["appends_done"] += 1
+        except Exception as exc:  # pragma: no cover - diagnostics
+            with lock:
+                p3["errors"].append(f"p3appender: {exc!r}")
+
+    threads3 = [
+        threading.Thread(target=p3_deleter),
+        threading.Thread(target=p3_merger),
+        threading.Thread(target=p3_appender),
+    ]
+    t0 = time.perf_counter()
+    for th in threads3:
+        th.start()
+    for th in threads3:
+        th.join()
+    out["p3_sec"] = round(time.perf_counter() - t0, 2)
+    out["p3"] = p3
+    head3 = mt.snapshot_read(spark, tdir)
+    expected3 = expected2 - len(del_keys) + 3 * append_block
+    out["p3_rows"] = head3.count()
+    out["p3_expected_rows"] = expected3
+    p3_ok = (
+        out["p3_rows"] == expected3
+        and not p3["errors"]
+        and p3["deletes_done"] == len(del_keys)
+        and head3.where(
+            F.col("doc_id").isin([int(k) for k in del_keys])
+        ).count() == 0
+        and head3.where(F.col("text") == "p3m-2").count() == 200
+    )
+    out["p3_exact"] = p3_ok
+    ok = ok and p3_ok
     print(json.dumps(out))
     spark.stop()
     sys.exit(0 if ok else 1)

@@ -139,11 +139,16 @@ def main() -> None:
             ("nc16_np16_r60", 16, 16, 60),
             ("nc16_np8_r200", 16, 8, 200),
             ("nc16_np16_r200", 16, 16, 200),
+            ("nc16_np16_r400", 16, 16, 400),
             (f"auto{auto_nc}_np{auto_np}_r60", auto_nc, auto_np, 60),
             (f"auto{auto_nc}_np{auto_np}_r200", auto_nc, auto_np, 200),
             (
                 f"auto{auto_nc}_np{2 * auto_np}_r200",
                 auto_nc, 2 * auto_np, 200,
+            ),
+            (
+                f"auto{auto_nc}_np{2 * auto_np}_r400",
+                auto_nc, 2 * auto_np, 400,
             ),
         ):
             res = similarity.ivf_pq_topk(
