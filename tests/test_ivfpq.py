@@ -176,3 +176,71 @@ def test_ivf_pq_code_size_is_d_over_8(spark, emb, tmp_path):
     n = emb.count()
     # raw float32[64] ≈ 256 B/vector payload; codes ≈ 8 B/vector
     assert pq_b < raw_b / 4, (raw_b, pq_b, n)
+
+
+def test_ivf_pq_score_stream_matches_batch_exactly(spark, emb):
+    """r13: the frozen-index streaming scorer (broadcast-model
+    pattern) reproduces ivf_pq_topk BIT-EXACTLY for queries drawn from
+    the indexed corpus — probe sort, LUT folds, integer ADC sums and
+    tie-breaks all replayed — for both the ADC-only and the IVFADC-R
+    refined rankings."""
+    idx = similarity.collect_ivf_pq_index(
+        emb, n_centroids=16, with_vectors=True
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.vec_id, r.dist, r.rank) for r in df.collect()
+        )
+
+    batch_adc = rows(
+        similarity.ivf_pq_topk(emb, n_centroids=16, refine=None)
+    )
+    stream_adc = rows(
+        similarity.ivf_pq_score_stream(queries, idx, refine=None)
+    )
+    assert stream_adc == batch_adc
+
+    batch_ref = rows(similarity.ivf_pq_topk(emb, n_centroids=16))
+    stream_ref = rows(
+        similarity.ivf_pq_score_stream(queries, idx, refine=60)
+    )
+    assert stream_ref == batch_ref
+
+
+def test_ivf_pq_score_stream_micro_batch(spark, emb, tmp_path):
+    """The scorer runs as an actual Structured Streaming projection
+    (stateless: no watermark, no state store) and a micro-batch yields
+    the same rows as the batch call on the same queries."""
+    idx = similarity.collect_ivf_pq_index(emb, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    src = str(tmp_path / "qsrc")
+    queries.write.parquet(src)
+    stream_q = spark.readStream.schema(queries.schema).parquet(src)
+    out = similarity.ivf_pq_score_stream(stream_q, idx, refine=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivfpq_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.query_id, r.vec_id, r.dist, r.rank)
+        for r in spark.sql("select * from ivfpq_stream").collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.dist, r.rank)
+        for r in similarity.ivf_pq_score_stream(
+            queries, idx, refine=None
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # refine without vectors is a loud error, not a silent fallback
+    with pytest.raises(ValueError, match="with_vectors"):
+        similarity.ivf_pq_score_stream(queries, idx, refine=10)

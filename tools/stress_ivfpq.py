@@ -212,14 +212,24 @@ def main() -> None:
         v = similarity.pq_encode(v, books, vectorized=True).select(
             "vec_id", "cluster", "codes"
         )
+        # at replication the fold lane's per-candidate qvec payload is
+        # what blows memory (that payload IS the r12 defect being
+        # measured) — shrink the query set to keep the cached
+        # candidate frame bounded while the per-candidate volume
+        # stays in the hundreds of thousands
+        qmod = 50 if replicate == 1 else 50 * replicate
         q = frame.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").cast("array<double>").alias("qvec"),
-        ).filter(F.col("query_id") % 50 == 0)
+        ).filter(F.col("query_id") % qmod == 0)
         qa = similarity.assign_np(
             q, cents, vec_col="qvec", out_col="cluster"
         ).withColumn("lut", similarity._pq_lut(F.col("qvec"), books))
-        cand = v.join(
+        # repartition to the core count: the corpus arrives as one
+        # small local parquet (2 source splits); on a real cluster the
+        # candidate stream is already distributed, and the A/B should
+        # time compute, not a 2-thread serialization artifact
+        cand = v.repartition(32).join(
             F.broadcast(qa.select("query_id", "cluster", "lut", "qvec")),
             "cluster",
         ).filter(F.col("vec_id") != F.col("query_id")).persist()
