@@ -31,6 +31,7 @@ coordinate with non-Spark consumers, never one per task.
 from __future__ import annotations
 
 from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+    GroupCoordinatorError,
     RebalanceInProgressError,
     UnknownMemberIdError,
     WireKafkaClient,
@@ -299,10 +300,26 @@ def consume_transform_produce(
         for partition, out_recs in sorted(by_part.items()):
             producer.send(out_topic, partition, out_recs)
         # an all-dropped batch still commits its offsets: a legal
-        # consume-only transaction (AddOffsetsToTxn opens it)
-        producer.send_offsets_to_transaction(
-            dict(consumer.positions), consumer.group
-        )
+        # consume-only transaction (AddOffsetsToTxn opens it).
+        # Membership credentials ride along (KIP-447 v3): a consumer
+        # rebalanced away mid-batch is fenced HERE, before commit —
+        # the transaction aborts and the partition's new owner
+        # reprocesses the batch exactly once.
+        try:
+            producer.send_offsets_to_transaction(
+                dict(consumer.positions),
+                consumer.group,
+                generation_id=consumer.generation,
+                member_id=consumer.member_id,
+                instance_id=consumer.instance_id,
+            )
+        except GroupCoordinatorError:
+            # fenced (rebalanced away / evicted / stale generation):
+            # the whole batch aborts — output invisible, offsets
+            # unmoved — and the partitions' NEW owner replays it; the
+            # next poll() rejoins transparently
+            producer.abort_transaction()
+            continue
         producer.commit_transaction()
         processed += len(recs)
     return processed

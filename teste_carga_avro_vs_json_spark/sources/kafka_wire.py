@@ -1248,17 +1248,25 @@ class WireKafkaClient:
         producer_epoch: int,
         offsets: dict[tuple[str, int], int],
         metadata: str = "",
+        generation_id: int = -1,
+        member_id: str = "",
+        instance_id: str | None = None,
     ) -> None:
-        """TxnOffsetCommit v0 (KIP-98 part 2, r13): stage consumer
+        """TxnOffsetCommit (KIP-98 part 2, r13): stage consumer
         offsets INSIDE the transaction. They are invisible to
         OffsetFetch until EndTxn(commit) applies them atomically with
         the data markers; an abort discards them. The group must have
         been registered via :meth:`add_offsets_to_txn` first.
 
-        v0 carries no generation/member fields — consumer-group
-        generation fencing of transactional commits is KIP-447
-        (TxnOffsetCommit v3), a documented non-goal here; zombie
-        PRODUCERS are still fenced by the producer epoch."""
+        With membership credentials (``generation_id``/``member_id``,
+        optionally ``instance_id``) the request goes out as v3 —
+        KIP-447: the coordinator fences the CONSUMER side too, so a
+        member that lost its partitions in a rebalance cannot commit
+        transactional offsets for them (the zombie-consumer half of
+        the exactly-once story; producer zombies are fenced by the
+        epoch either way). The default (-1, "") v0 shape mirrors the
+        standalone simple-consumer path."""
+        v3 = generation_id != -1 or member_id or instance_id is not None
         by_topic: dict[str, list[tuple[int, int]]] = {}
         for (topic, partition), off in sorted(offsets.items()):
             by_topic.setdefault(topic, []).append((partition, off))
@@ -1268,13 +1276,15 @@ class WireKafkaClient:
             .string(group)
             .i64(producer_id)
             .i16(producer_epoch)
-            .i32(len(by_topic))
         )
+        if v3:
+            w.i32(generation_id).string(member_id).string(instance_id)
+        w.i32(len(by_topic))
         for topic, parts in by_topic.items():
             w.string(topic).i32(len(parts))
             for partition, off in parts:
                 w.i32(partition).i64(off).string(metadata)
-        r = self._call(_API_TXN_OFFSET_COMMIT, 0, bytes(w.b))
+        r = self._call(_API_TXN_OFFSET_COMMIT, 3 if v3 else 0, bytes(w.b))
         r.i32()  # throttle_time
         for _ in range(r.i32()):
             r.string()
@@ -1292,6 +1302,7 @@ class WireKafkaClient:
                         f"{transactional_id!r}'s transaction — "
                         "add_offsets_to_txn first"
                     )
+                _raise_group_err(err, "txn_offset_commit")
                 if err:
                     raise ValueError(
                         f"txn_offset_commit error {err} ({_err_name(err)})"
@@ -1978,7 +1989,12 @@ class TransactionalProducer:
         return base
 
     def send_offsets_to_transaction(
-        self, offsets: dict[tuple[str, int], int], group: str
+        self,
+        offsets: dict[tuple[str, int], int],
+        group: str,
+        generation_id: int = -1,
+        member_id: str = "",
+        instance_id: str | None = None,
     ) -> None:
         """KIP-98 part 2 (r13): make the consumed POSITIONS part of the
         transaction — the consume-transform-produce exactly-once loop.
@@ -1989,7 +2005,14 @@ class TransactionalProducer:
         a crash + the next incarnation's fencing re-init) discards
         them, so the batch replays — and its transactional output is
         invisible to read_committed consumers, keeping the end-to-end
-        effect exactly-once."""
+        effect exactly-once.
+
+        Pass the consumer's ``generation_id``/``member_id`` (KIP-447,
+        TxnOffsetCommit v3) so the coordinator also fences a consumer
+        that lost its partitions in a rebalance — without them, two
+        incarnations of the same logical consumer with DIFFERENT
+        transactional ids could both commit a batch (the producer
+        epoch only fences same-transactional-id zombies)."""
         if not self._in_txn:
             raise InvalidTxnStateError(
                 "send_offsets outside a transaction — call "
@@ -2009,6 +2032,9 @@ class TransactionalProducer:
             self.producer_id,
             self.producer_epoch,
             dict(offsets),
+            generation_id=generation_id,
+            member_id=member_id,
+            instance_id=instance_id,
         )
 
     def _end(self, committed: bool) -> None:
@@ -2635,7 +2661,7 @@ class StubBroker:
                 (_API_ADD_PARTITIONS_TO_TXN, 0, 0),
                 (_API_ADD_OFFSETS_TO_TXN, 0, 0),
                 (_API_END_TXN, 0, 0),
-                (_API_TXN_OFFSET_COMMIT, 0, 0),
+                (_API_TXN_OFFSET_COMMIT, 0, 3),  # v3 = KIP-447 fencing
                 (_API_SASL_AUTHENTICATE, 0, 0),
             )
             # count DERIVED from the list — a hardcoded count silently
@@ -2938,6 +2964,13 @@ class StubBroker:
             tid = r.string() or ""
             group = r.string() or ""
             pid, epoch = r.i64(), r.i16()
+            generation_id, commit_member = -1, ""
+            if api_version >= 3:
+                # KIP-447: membership credentials ride the request so
+                # the coordinator can fence zombie CONSUMERS
+                generation_id = r.i32()
+                commit_member = r.string() or ""
+                r.string()  # group_instance_id (nullable)
             n_topics = r.i32()
             staged: list[tuple[str, int, int, str]] = []
             by_topic: dict[str, list[int]] = {}
@@ -2956,7 +2989,14 @@ class StubBroker:
                     if not entry["open"] or group not in entry["groups"]:
                         # AddOffsetsToTxn must register the group first
                         err = ERR_INVALID_TXN_STATE
-                if not err:
+            if not err and api_version >= 3:
+                # same fencing as plain OffsetCommit (takes its own
+                # locks — run outside self._lock)
+                err = self._check_commit_fencing(
+                    group, generation_id, commit_member
+                )
+            if not err:
+                with self._lock:
                     # staged, NOT applied: OffsetFetch keeps answering
                     # the pre-transaction offset until EndTxn commits
                     for topic, partition, off, meta in staged:

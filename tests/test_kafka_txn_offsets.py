@@ -345,3 +345,115 @@ def test_malformed_transactional_produce_answers_corrupt_message():
             assert c.list_offset("t", 0, -1) == 0
         finally:
             c.close()
+
+
+# --------------------------------------------------- KIP-447 (v3) pins
+def test_txn_offset_commit_v3_fences_stale_generation():
+    """KIP-447: with membership credentials the coordinator fences the
+    CONSUMER side of the transaction — a member whose generation went
+    stale (or that was never in the group) cannot stage offsets, even
+    though its PRODUCER epoch is perfectly live."""
+    from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+        IllegalGenerationError,
+        UnknownMemberIdError,
+    )
+
+    with StubBroker(
+        num_partitions=1, initial_rebalance_delay_ms=0
+    ) as broker:
+        cl = WireKafkaClient(*broker.addr)
+        gc = GroupConsumer(cl, "g", ["in"])
+        gc.join()
+        tp = TransactionalProducer(*broker.addr, transactional_id="app")
+        tp.begin_transaction()
+        with pytest.raises(IllegalGenerationError):
+            tp.send_offsets_to_transaction(
+                {("in", 0): 1}, "g",
+                generation_id=gc.generation + 7,
+                member_id=gc.member_id,
+            )
+        tp.abort_transaction()
+        tp.begin_transaction()
+        with pytest.raises(UnknownMemberIdError):
+            tp.send_offsets_to_transaction(
+                {("in", 0): 1}, "g",
+                generation_id=gc.generation,
+                member_id="ghost-member",
+            )
+        tp.abort_transaction()
+        # the CURRENT member's credentials pass and commit atomically
+        tp.begin_transaction()
+        tp.send_offsets_to_transaction(
+            {("in", 0): 2}, "g",
+            generation_id=gc.generation,
+            member_id=gc.member_id,
+        )
+        tp.commit_transaction()
+        assert cl.offset_fetch("g", "in", [0]) == {0: 2}
+        tp.close()
+        gc.close()
+        cl.close()
+
+
+def test_eos_loop_aborts_when_consumer_fenced_mid_batch():
+    """The consume-transform-produce loop passes its membership
+    credentials (v3); a consumer whose generation went stale mid-batch
+    has its WHOLE transaction aborted — output invisible to
+    read_committed, group offsets unmoved — instead of committing a
+    batch it no longer owns."""
+    with StubBroker(
+        num_partitions=1, initial_rebalance_delay_ms=0
+    ) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            c.produce("in", 0, [(b"k", b"v0"), (b"k", b"v1")])
+            cl = WireKafkaClient(*broker.addr)
+            gc = GroupConsumer(cl, "g", ["in"])
+            gc.join()
+            recs = []
+            for _ in range(6):
+                recs.extend(gc.poll())
+                if len(recs) >= 2:
+                    break
+            tp = TransactionalProducer(
+                *broker.addr, transactional_id="app"
+            )
+            tp.begin_transaction()
+            tp.send("out", 0, [(k, b"T:" + v) for *_x, k, v in recs])
+            # simulate the rebalance landing mid-batch: stale generation
+            from teste_carga_avro_vs_json_spark.sources.kafka_wire import (
+                IllegalGenerationError,
+            )
+
+            with pytest.raises(IllegalGenerationError):
+                tp.send_offsets_to_transaction(
+                    dict(gc.positions), "g",
+                    generation_id=gc.generation + 1,
+                    member_id=gc.member_id,
+                )
+            tp.abort_transaction()
+            _lso, out = c.fetch("out", 0, 0, isolation=1)
+            assert out == []  # aborted batch invisible
+            assert c.offset_fetch("g", "in", [0]) == {}  # offsets unmoved
+            tp.close()
+            gc.close()
+            cl.close()
+        finally:
+            c.close()
+
+
+def test_ctp_helper_passes_credentials_and_commits():
+    """consume_transform_produce rides v3 end to end: the committed
+    offsets land under the member's live generation."""
+    with StubBroker(
+        num_partitions=1, initial_rebalance_delay_ms=0
+    ) as broker:
+        c = WireKafkaClient(*broker.addr)
+        try:
+            c.produce("in", 0, [(b"k", b"v%d" % i) for i in range(3)])
+            assert _run_ctp(broker, "g", "app") == 3
+            assert c.offset_fetch("g", "in", [0]) == {0: 3}
+            _lso, out = c.fetch("out", 0, 0, isolation=1)
+            assert len(out) == 3
+        finally:
+            c.close()
