@@ -702,6 +702,7 @@ def snapshot_read(
     version: int | None = None,
     merge_schema: bool = False,
     prune: dict | None = None,
+    as_of_ts: int | None = None,
 ) -> DataFrame:
     """Read a pinned version (latest when None) — time travel. The
     reader takes the manifest's EXPLICIT file list, never a directory
@@ -738,10 +739,31 @@ def snapshot_read(
     key range and range stats prune nothing (the Iceberg
     bloom/puffin case). Bloom misses have zero false negatives, so
     the skip is as exact as a min/max miss; range predicates never
-    consult blooms."""
+    consult blooms.
+
+    ``as_of_ts`` (r13) is Delta's ``timestampAsOf``: the newest
+    committed version whose manifest ``ts`` is <= the given epoch
+    value (commit clocks here are caller-supplied epochs, never
+    wall-clock — the repo determinism rule). Mutually exclusive with
+    ``version``; a timestamp before the first commit raises (nothing
+    existed to read), and a vacuumed-away version raises through the
+    normal version check."""
     versions = snapshot_versions(table_dir)
     if not versions:
         raise ValueError(f"no committed snapshots under {table_dir}")
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        at = [
+            v for v in versions
+            if _read_manifest(table_dir, v).get("ts", 0) <= as_of_ts
+        ]
+        if not at:
+            raise ValueError(
+                f"no version of {table_dir!r} committed at or before "
+                f"ts {as_of_ts}"
+            )
+        version = at[-1]
     if version is None:
         version = versions[-1]
     if version not in versions:

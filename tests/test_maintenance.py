@@ -2547,3 +2547,27 @@ def test_mirror_maintain_reclusters_after_heavy_drift(
     )
     assert r2["rows_replaced" if "rows_replaced" in r2 else "files_new"] == 0
     assert "maintain" not in r2
+
+
+def test_snapshot_read_as_of_ts(spark, sf_dir, tmp_path):
+    """r13: Delta's timestampAsOf — newest version with ts <= the
+    given epoch; before-first-commit raises; version+ts together
+    raise."""
+    docs = _docs(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    mt.snapshot_commit(docs.filter("doc_id < 50"), tdir, ts=1000)
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 50 and doc_id < 80"), tdir,
+        mode="append", ts=2000,
+    )
+    mt.snapshot_commit(
+        docs.filter("doc_id >= 80 and doc_id < 90"), tdir,
+        mode="append", ts=3000,
+    )
+    assert mt.snapshot_read(spark, tdir, as_of_ts=1000).count() == 50
+    assert mt.snapshot_read(spark, tdir, as_of_ts=2500).count() == 80
+    assert mt.snapshot_read(spark, tdir, as_of_ts=9999).count() == 90
+    with pytest.raises(ValueError, match="at or before"):
+        mt.snapshot_read(spark, tdir, as_of_ts=999)
+    with pytest.raises(ValueError, match="not both"):
+        mt.snapshot_read(spark, tdir, version=1, as_of_ts=2000)
