@@ -151,23 +151,41 @@ def _floor_tripwire(
 
 
 def _git_identity() -> tuple[str | None, bool]:
-    """(HEAD sha, dirty?) — the code-identity stamp that makes bench
+    """(code id, dirty?) — the code-identity stamp that makes bench
     runs composable: per-lane bests may only be merged across runs
-    that measured EXACTLY the same tree (r13, VERDICT order #4)."""
+    that measured EXACTLY the same code (r13, VERDICT order #4).
+
+    Scoped to what the measurement depends on — ``bench.py`` and the
+    package tree — NOT the whole HEAD: committing run artifacts, docs
+    or test changes between captures must not break composability
+    (the driver's own official run lands after the session's raw runs
+    are committed), while any source change rightly does. The dirty
+    check is scoped the same way."""
     import subprocess
 
     try:
-        head = subprocess.run(
-            ["git", "rev-parse", "HEAD"],
-            cwd=_REPO, capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or None
+        shas = []
+        for path in ("bench.py", "teste_carga_avro_vs_json_spark"):
+            r = subprocess.run(
+                ["git", "rev-parse", f"HEAD:{path}"],
+                cwd=_REPO, capture_output=True, text=True, timeout=10,
+            )
+            if r.returncode or not r.stdout.strip():
+                return None, True
+            shas.append(r.stdout.strip())
         dirty = bool(
             subprocess.run(
-                ["git", "status", "--porcelain"],
+                ["git", "status", "--porcelain", "--",
+                 "bench.py", "teste_carga_avro_vs_json_spark"],
                 cwd=_REPO, capture_output=True, text=True, timeout=10,
             ).stdout.strip()
         )
-        return head, dirty
+        import hashlib
+
+        code_id = hashlib.sha256(
+            "\n".join(shas).encode()
+        ).hexdigest()[:16]
+        return code_id, dirty
     except Exception:  # noqa: BLE001 - no git: run still valid alone
         return None, True
 
