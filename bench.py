@@ -644,6 +644,16 @@ def main() -> bool:
     def w_ann():
         run(similarity.lsh_ann_topk(emb_df(), vectorized=True))
 
+    def w_ivf_pq():
+        # diagnostic lane (r13-opt, not in headline_total): IVF-PQ ANN
+        # end-to-end on the production path — fused coarse+codebook
+        # training (similarity.multi_kmeans: one sample collect + one
+        # job per Lloyd iteration for all 9 spaces), auto-scaled coarse
+        # quantizer, numpy encode twin, LUT-scored candidates +
+        # IVFADC-R refine. Added so the r13 builder optimization
+        # (OPTIMIZATION_r13.md #1) is tracked round over round.
+        run(similarity.ivf_pq_topk(emb_df(), vectorized_encode=True))
+
     import shutil
     import tempfile
 
@@ -684,6 +694,7 @@ def main() -> bool:
         "warc_ingest",
         "pdf_ingest",
         "url_dedup",
+        "ivf_pq_topk",
     }
     workloads = {
         "json_e2e": w_json_e2e,
@@ -713,6 +724,7 @@ def main() -> bool:
         "intra_doc_dedup": w_intra_doc_dedup,
         "cosine_topk": w_topk,
         "lsh_ann_topk": w_ann,
+        "ivf_pq_topk": w_ivf_pq,
     }
 
     # Warm-up lap (untimed): JIT compilation, codegen, Python UDF worker

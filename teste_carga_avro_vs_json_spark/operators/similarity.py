@@ -34,6 +34,35 @@ import pyspark.sql.types as T
 from pyspark.sql.window import Window
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: ``repr`` emits the shortest decimal
+    that round-trips to the same float64, Java's ``parseDouble`` is
+    correctly rounded, and the ``D`` suffix keeps Spark's parser off
+    the DECIMAL type — verified bit-exact incl. denormals/-0.0."""
+    return repr(float(x)) + "D"
+
+
+def _lit_mat(mat: list[list[float]]) -> Column:
+    """Nested double-array literal via ONE ``F.expr`` parse (r13-opt).
+    ``F.lit`` converts element-by-element over py4j — measured 0.97 s
+    for a 16×64 centroid matrix vs 4 ms for the parsed form; building
+    the old fully unrolled per-element trees was the dominant cost of
+    q_ivf_pq_topk (OPTIMIZATION_r13.md #1). Values are bit-identical
+    either way, so every k-means/ANN oracle is unchanged."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit(x) for x in row) + ")" for row in mat
+        )
+        + ")"
+    )
+
+
+def _lit_ints(xs: list[int]) -> Column:
+    """int-array literal via one ``F.expr`` parse (see _lit_mat)."""
+    return F.expr("array(" + ",".join(str(int(x)) for x in xs) + ")")
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (left-to-right, double)."""
     return F.aggregate(
@@ -473,25 +502,206 @@ def ivf_centroids(
     return centroids
 
 
-def _nearest(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """argmin_c ||vec - c||² as an expression: min over (dist, idx)
-    structs — deterministic ties by centroid index."""
-    scored = [
-        F.struct(
+def _scored_structs(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """array<struct<dist,idx>> of squared-L2 distances to every
+    centroid — the shared body of :func:`_nearest` and the probe
+    selection in :func:`ivf_topk`/:func:`ivf_pq_topk`.
+
+    r13-opt: the centroid matrix enters the plan as ONE nested-array
+    literal and the per-centroid folds run inside a single zip_with.
+    Each element's fold is the same left-to-right IEEE-754 sequence as
+    the old per-centroid unrolled expression (values bit-identical;
+    every k-means oracle re-swept green), but construction is O(1)
+    py4j round trips instead of O(k·d) — building the unrolled trees
+    was the dominant cost of q_ivf_pq_topk (9.2 s driver time for the
+    8×16-codeword encode alone; OPTIMIZATION_r13.md #1), and the
+    compact tree also codegens smaller (task binaries 1.4 MiB → KB)."""
+    cmat = _lit_mat([cvec for _, cvec in centroids])
+    cidx = _lit_ints([idx for idx, _ in centroids])
+    return F.zip_with(
+        cmat,
+        cidx,
+        lambda cv, ix: F.struct(
             F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(x) for x in cvec]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
+                F.zip_with(vec, cv, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ).alias("dist"),
-            F.lit(idx).alias("idx"),
+            ix.alias("idx"),
+        ),
+    )
+
+
+def _nearest(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """argmin_c ||vec - c||² as an expression: min over (dist, idx)
+    structs — deterministic ties by centroid index."""
+    return F.array_min(_scored_structs(vec, centroids))["idx"]
+
+
+def _space_struct(s_idx: int):
+    """Binary (element, index) transform lambda factory for the fused
+    k-means mean update: element x of space ``s_idx`` at local dim i
+    becomes (space, that row's cluster in the space, dim, quantized
+    long). A factory because PySpark infers HOF arity from the Python
+    lambda's parameter count — a captured default arg would silently
+    flip the form (the r7 ``_family`` gotcha, dedup.py)."""
+
+    def fn(x, i):
+        return F.struct(
+            F.lit(s_idx).alias("sp"),
+            F.col("asg")[s_idx].alias("cluster"),
+            i.alias("dim"),
+            F.floor(x * 1000 + F.lit(0.5)).cast("long").alias("sx"),
         )
-        for idx, cvec in centroids
+
+    return fn
+
+
+def _assign_multi(
+    v: DataFrame,
+    resolved: list[tuple[int, int, int]],
+    all_cents: list[list[tuple[int, list[float]]]],
+    vectorized: bool,
+) -> DataFrame:
+    """Add ``asg`` (array<int>: one cluster id per space) in ONE pass.
+    Each space's assignment is bit-identical to :func:`assign_np` /
+    :func:`_nearest` on the sliced frame — same float64 values, same
+    per-dim cumsum (= the fold's left-to-right add order), same
+    first-min tie-break."""
+    if not vectorized:
+        cols = []
+        for s_idx, (_k, start, length) in enumerate(resolved):
+            sub = F.slice(F.col("vec"), start + 1, length)
+            cols.append(_nearest(sub, all_cents[s_idx]))
+        return v.withColumn("asg", F.array(*cols))
+
+    import numpy as np
+
+    Cs = [
+        np.asarray([c for _, c in cents], dtype=np.float64)
+        for cents in all_cents
     ]
-    return F.array_min(F.array(*scored))["idx"]
+    idxs = [
+        np.asarray([i for i, _ in cents], dtype=np.int64)
+        for cents in all_cents
+    ]
+    slices = [(start, length) for _k, start, length in resolved]
+    worst = max(C.shape[0] * max(1, C.shape[1] if C.ndim > 1 else 1) for C in Cs)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest_multi(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        chunk = max(1, 32 * 1024 * 1024 // max(1, worst * 8))
+        for batch in batches:
+            vals = batch.to_numpy()
+            n = len(vals)
+            out = np.empty((n, len(Cs)), dtype=np.int32)
+            for s in range(len(Cs)):
+                out[:, s] = idxs[s][0] if len(idxs[s]) else -1
+            for lo in range(0, n, chunk):
+                M = np.asarray(
+                    [
+                        np.asarray(x, dtype=np.float64)
+                        for x in vals[lo : lo + chunk]
+                    ]
+                )
+                if M.size == 0:
+                    continue
+                for s, (start, length) in enumerate(slices):
+                    Ms = M[:, start : start + length]
+                    diffs = (Ms[:, None, :] - Cs[s][None, :, :]) ** 2
+                    dists = diffs.cumsum(axis=2)[:, :, -1]
+                    out[lo : lo + chunk, s] = idxs[s][dists.argmin(axis=1)]
+            yield pd.Series(list(out))
+
+    return v.withColumn("asg", nearest_multi(F.col("vec")))
+
+
+def multi_kmeans(
+    emb: DataFrame,
+    spaces: list[tuple[int, int, int | None]],
+    iters: int = 2,
+    vectorized: bool = True,
+) -> list[list[tuple[int, list[float]]]]:
+    """Fused deterministic k-means over several SLICES ("spaces") of the
+    embedding, sharing every Spark job (optimization guide §1.2 step 1 /
+    §2.4: remove redundant passes — IVF-PQ previously trained 1 coarse +
+    m=8 subspace quantizers as 9 independent :func:`ivf_centroids` runs
+    = 9 sample-collects + 9 jobs PER Lloyd iteration; at 100 TB that is
+    9 corpus passes per iteration where 1 suffices, and locally it was
+    the dominant cost of q_ivf_pq_topk — 28 sequential driver jobs,
+    25.3 s at sf0.01, OPTIMIZATION_r13.md #1).
+
+    ``spaces`` = [(k, start0, length)] element slices; ``length=None``
+    means the full vector. Per-space semantics are EXACTLY
+    :func:`ivf_centroids` on the sliced frame — pytest pins the fused
+    output bit-equal to the sequential reference, and every k-means
+    oracle (the DuckDB ``_kmeans_assign_ctes`` replay) stays green:
+
+    - seeds: first k DISTINCT sub-vectors within that space's
+      ``INIT_OVERSAMPLE × k`` lowest-vec_id window — each window is a
+      prefix of ONE shared vec_id-ordered sample (one collect total);
+    - assignment: one Arrow-batched projection computes every space's
+      argmin per row (:func:`_assign_multi`, bit-identical numpy);
+    - update: each element feeds its covering spaces through ONE
+      ``groupBy(space, cluster, dim)`` shuffle of exact
+      ``floor(x·1000+0.5)`` longs (order-free integer sums), and the
+      means collect is one job per iteration instead of N.
+    """
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    max_k = max(k for k, _s, _l in spaces)
+    sample = v.orderBy("vec_id").limit(INIT_OVERSAMPLE * max_k).collect()
+    dim = len(sample[0].vec) if sample else 0
+    resolved = [
+        (k, start, (dim - start) if length is None else length)
+        for k, start, length in spaces
+    ]
+    all_cents: list[list[tuple[int, list[float]]]] = []
+    for k, start, length in resolved:
+        seen: set[tuple[float, ...]] = set()
+        cents: list[tuple[int, list[float]]] = []
+        for r in sample[: INIT_OVERSAMPLE * k]:
+            key = tuple(r.vec[start : start + length])
+            if key not in seen:
+                seen.add(key)
+                cents.append((len(cents), list(key)))
+                if len(cents) == k:
+                    break
+        all_cents.append(cents)
+    for _ in range(iters):
+        assigned = _assign_multi(v, resolved, all_cents, vectorized)
+        parts = [
+            F.transform(
+                F.slice(F.col("vec"), start + 1, length), _space_struct(s_idx)
+            )
+            for s_idx, (_k, start, length) in enumerate(resolved)
+        ]
+        means = (
+            assigned.select(F.explode(F.flatten(F.array(*parts))).alias("e"))
+            .groupBy(
+                F.col("e.sp").alias("sp"),
+                F.col("e.cluster").alias("cluster"),
+                F.col("e.dim").alias("dim"),
+            )
+            .agg(F.sum("e.sx").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_space: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means:
+            by_space.setdefault(r.sp, {}).setdefault(r.cluster, {})[r.dim] = (
+                r.s / r.n
+            ) / 1000.0
+        all_cents = [
+            [
+                (c, [dims[d] for d in sorted(dims)])
+                for c, dims in sorted(by_space.get(s_idx, {}).items())
+            ]
+            for s_idx in range(len(resolved))
+        ]
+    return all_cents
 
 
 def ivf_topk(
@@ -523,27 +733,17 @@ def ivf_topk(
     q_base = v.filter(F.col("vec_id") % query_modulus == 0).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    # probe lists: n_probe nearest centroids per query (tiny explode)
-    probes = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("qvec"),
-                    F.array(*[F.lit(x) for x in cvec]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            F.lit(idx).alias("idx"),
-        )
-        for idx, cvec in cents
-    ]
+    # probe lists: n_probe nearest centroids per query (tiny explode;
+    # compact literal form — see _scored_structs)
     q = q_base.withColumn(
         "cluster",
         F.explode(
             F.transform(
-                F.slice(F.array_sort(F.array(*probes)), 1, n_probe),
+                F.slice(
+                    F.array_sort(_scored_structs(F.col("qvec"), cents)),
+                    1,
+                    n_probe,
+                ),
                 lambda s: s["idx"],
             )
         ),
@@ -709,26 +909,23 @@ def pq_codebooks(
     "Product Quantization for Nearest Neighbor Search"): the embedding
     is split into ``m`` contiguous subspaces of d/m dims and each gets
     an INDEPENDENT deterministic k-means with ``ksub`` codewords —
-    literally :func:`ivf_centroids` run on the sliced frame, so every
-    determinism property (lowest-id dedup'd init, quantized-exact
-    means) carries over and the DuckDB oracle replays each codebook
-    with the same shared CTE chain."""
+    semantically :func:`ivf_centroids` run on the sliced frame
+    (pytest pins the equality), so every determinism property
+    (lowest-id dedup'd init, quantized-exact means) carries over and
+    the DuckDB oracle replays each codebook with the same shared CTE
+    chain. Since r13-opt the m trainings run FUSED
+    (:func:`multi_kmeans`): one sample collect + one job per Lloyd
+    iteration instead of m of each."""
     dim = len(emb.select("embedding").first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
-    books = []
-    for j in range(m):
-        sub = emb.select(
-            "vec_id",
-            F.slice(
-                F.col("embedding").cast("array<double>"),
-                j * dsub + 1,
-                dsub,
-            ).alias("embedding"),
-        )
-        books.append(ivf_centroids(sub, ksub, iters, vectorized=vectorized))
-    return books
+    return multi_kmeans(
+        emb,
+        [(ksub, j * dsub, dsub) for j in range(m)],
+        iters,
+        vectorized=vectorized,
+    )
 
 
 def pq_encode(
@@ -780,24 +977,33 @@ def _pq_lut(
     for j, cb in enumerate(books):
         qsub = F.slice(qvec, j * dsub + 1, dsub)
         by_idx = {i: v for i, v in cb}
-        entries = []
-        for i in range(max(by_idx) + 1):
-            if i not in by_idx:
-                entries.append(F.lit(0).cast("long"))
-                continue
-            d = F.aggregate(
-                F.zip_with(
-                    qsub,
-                    F.array(*[F.lit(x) for x in by_idx[i]]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        # compact literal form (see _scored_structs): the codebook is
+        # ONE nested-array literal; gap slots (Lloyd dropped an empty
+        # cluster) are flagged 0 and hold the same lit(0) long the
+        # unrolled form emitted — no code ever references them.
+        width = max(by_idx) + 1
+        cmat = _lit_mat([by_idx.get(i, [0.0] * dsub) for i in range(width)])
+        flags = _lit_ints([1 if i in by_idx else 0 for i in range(width)])
+        luts.append(
+            F.zip_with(
+                cmat,
+                flags,
+                lambda cv, ok: F.when(
+                    ok == F.lit(1),
+                    F.floor(
+                        F.aggregate(
+                            F.zip_with(
+                                qsub, cv, lambda a, b: (a - b) * (a - b)
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        * F.lit(1e9)
+                        + F.lit(0.5)
+                    ).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
             )
-            entries.append(
-                F.floor(d * F.lit(1e9) + F.lit(0.5)).cast("long")
-            )
-        luts.append(F.array(*entries))
+        )
     return F.array(*luts)
 
 
@@ -870,8 +1076,22 @@ def ivf_pq_topk(
         n_centroids = auto_n_centroids(emb.count())
     if n_probe is None:
         n_probe = max(4, n_centroids // 4)
-    cents = ivf_centroids(emb, n_centroids, iters)
-    books = pq_codebooks(emb, m=m, ksub=ksub, iters=iters)
+    # Coarse quantizer + all m PQ codebooks train FUSED (r13-opt,
+    # OPTIMIZATION_r13.md #1): one shared sample collect + one job per
+    # Lloyd iteration for all 9 spaces — bit-identical to the
+    # sequential ivf_centroids/pq_codebooks runs (pytest-pinned; the
+    # DuckDB oracle's per-space CTE replay is unchanged and green).
+    dim = len(emb.select("embedding").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    fused = multi_kmeans(
+        emb,
+        [(n_centroids, 0, None)]
+        + [(ksub, j * dsub, dsub) for j in range(m)],
+        iters,
+    )
+    cents, books = fused[0], fused[1:]
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     ).withColumn(
@@ -887,28 +1107,17 @@ def ivf_pq_topk(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qvec"),
     ).filter(F.col("query_id") % query_modulus == 0)
-    probes = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("qvec"),
-                    F.array(*[F.lit(x) for x in cvec]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-            F.lit(idx).alias("idx"),
-        )
-        for idx, cvec in cents
-    ]
     q = (
         q_base.withColumn("lut", _pq_lut(F.col("qvec"), books))
         .withColumn(
             "cluster",
             F.explode(
                 F.transform(
-                    F.slice(F.array_sort(F.array(*probes)), 1, n_probe),
+                    F.slice(
+                        F.array_sort(_scored_structs(F.col("qvec"), cents)),
+                        1,
+                        n_probe,
+                    ),
                     lambda s: s["idx"],
                 )
             ),
@@ -1099,8 +1308,18 @@ def collect_ivf_pq_index(
     stream at ADC ranking)."""
     if n_centroids is None:
         n_centroids = auto_n_centroids(emb.count())
-    cents = ivf_centroids(emb, n_centroids, iters)
-    books = pq_codebooks(emb, m=m, ksub=ksub, iters=iters)
+    # fused coarse + codebook training (see ivf_pq_topk)
+    dim = len(emb.select("embedding").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    fused = multi_kmeans(
+        emb,
+        [(n_centroids, 0, None)]
+        + [(ksub, j * dsub, dsub) for j in range(m)],
+        iters,
+    )
+    cents, books = fused[0], fused[1:]
     v = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     ).withColumn(
@@ -1273,7 +1492,9 @@ def lsh_bucket(
         planes = _hyperplanes(dim, n_planes * (t + 1))[n_planes * t :]
         sig = F.lit(0)
         for h, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(x) for x in plane])
+            plane_col = F.expr(
+                "array(" + ",".join(_dlit(x) for x in plane) + ")"
+            )  # one parsed literal (r13-opt, see _lit_mat)
             sig = sig + F.when(_dot(v, plane_col) >= 0, F.lit(1 << h)).otherwise(
                 F.lit(0)
             )

@@ -248,3 +248,29 @@ def test_ivf_pq_score_stream_micro_batch(spark, emb, tmp_path):
     # refine without vectors is a loud error, not a silent fallback
     with pytest.raises(ValueError, match="with_vectors"):
         similarity.ivf_pq_score_stream(queries, idx, refine=10)
+
+
+def test_multi_kmeans_fused_equals_sequential(spark, emb):
+    """r13-opt pin: the FUSED multi-space k-means (one shared sample +
+    one job per Lloyd iteration for every space) is bit-identical to
+    the sequential reference — ivf_centroids run per sliced frame —
+    for the exact space layout ivf_pq_topk trains (1 coarse + m
+    subspaces), on both assignment paths."""
+    dim = len(emb.select("embedding").first()[0])
+    m, ksub, dsub = 8, 16, dim // 8
+    spaces = [(16, 0, None)] + [(ksub, j * dsub, dsub) for j in range(m)]
+    fused = similarity.multi_kmeans(emb, spaces, iters=2)
+    seq = [similarity.ivf_centroids(emb, 16, 2)]
+    for j in range(m):
+        sub = emb.select(
+            "vec_id",
+            F.slice(
+                F.col("embedding").cast("array<double>"),
+                j * dsub + 1,
+                dsub,
+            ).alias("embedding"),
+        )
+        seq.append(similarity.ivf_centroids(sub, ksub, 2))
+    assert fused == seq
+    # the pure-expression assignment path folds to the same centroids
+    assert similarity.multi_kmeans(emb, spaces, iters=2, vectorized=False) == seq
