@@ -42,6 +42,13 @@ def hex32_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
 
 
+def hex32_sx(expr: str) -> str:
+    """SPARK-SQL fragment twin of :func:`hex32` (r13-opt: parsed in one
+    py4j call — see operators/text.py tokens_sx note; ``hex32_sql``
+    above stays the DuckDB dialect)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
 # ----------------------------------------------------------- pseudo uuid
 def pseudo_uuid(key: Column | str) -> Column:
     """36-char uuid-shaped string from md5 (replaces UUID.randomUUID(),
@@ -54,6 +61,17 @@ def pseudo_uuid(key: Column | str) -> Column:
         F.substring(m, 13, 4),
         F.substring(m, 17, 4),
         F.substring(m, 21, 12),
+    )
+
+
+def pseudo_uuid_sx(expr: str) -> str:
+    """SPARK-SQL fragment twin of :func:`pseudo_uuid` (r13-opt, one
+    py4j parse — see operators/text.py tokens_sx note)."""
+    m = f"md5({expr})"
+    return (
+        f"concat_ws('-', substring({m}, 1, 8), substring({m}, 9, 4), "
+        f"substring({m}, 13, 4), substring({m}, 17, 4), "
+        f"substring({m}, 21, 12))"
     )
 
 
@@ -78,6 +96,13 @@ def rand_text(key: Column | str, length: int = 100) -> Column:
     return F.substring(F.repeat(block, reps), 1, length)
 
 
+def rand_text_sx(expr: str, length: int = 100) -> str:
+    """SPARK-SQL fragment twin of :func:`rand_text`."""
+    reps = (length // 22) + 2
+    block = f"translate(base64(unhex(md5({expr}))), '+/=', 'ab')"
+    return f"substring(repeat({block}, {reps}), 1, {length})"
+
+
 def rand_text_sql(expr: str, length: int = 100) -> str:
     reps = (length // 22) + 2
     block = f"translate(to_base64(from_hex(md5({expr}))), '+/=', 'ab')"
@@ -93,6 +118,15 @@ def pseudo_double(key: Column | str, scale: float = 1000.0) -> Column:
     IEEE-754 division in both engines.
     """
     return (hex32(key) % F.lit(1_000_000)) / F.lit(1_000_000.0 / scale)
+
+
+def pseudo_double_sx(expr: str, scale: float = 1000.0) -> str:
+    """SPARK-SQL fragment twin of :func:`pseudo_double` — the divisor
+    is emitted via repr + D suffix (exact double round-trip, the
+    similarity._dlit discipline)."""
+    return (
+        f"(({hex32_sx(expr)} % 1000000) / {1_000_000.0 / scale!r}D)"
+    )
 
 
 def pseudo_double_sql(expr: str, scale: float = 1000.0) -> str:

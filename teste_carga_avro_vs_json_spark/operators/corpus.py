@@ -50,13 +50,15 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 from pyspark.sql.window import Window
 
-from teste_carga_avro_vs_json_spark.functions.portable import hex32, hex32_sql
+from teste_carga_avro_vs_json_spark.functions.portable import hex32, hex32_sql, hex32_sx
 from teste_carga_avro_vs_json_spark.operators import dedup
 from teste_carga_avro_vs_json_spark.operators.text import (
     _MARKERS,
     _marker_count,
+    _marker_count_sx,
     tokens,
     tokens_sql,
+    tokens_sx,
 )
 
 
@@ -71,16 +73,18 @@ def gated_unique(
     staged = docs.select(
         "doc_id",
         "text",
-        F.length("text").cast("long").alias("chars"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("chars"),
         tokens("text").alias("toks"),
     )
     scored = staged.select(
         "doc_id",
         "text",
         "chars",
-        F.size("toks").cast("long").alias("words"),
+        F.expr("CAST(size(toks) AS BIGINT)").alias("words"),
         *[
-            _marker_count(F.col("toks"), ws).cast("long").alias(f"s_{code}")
+            F.expr(
+                f"CAST({_marker_count_sx('toks', ws)} AS BIGINT)"
+            ).alias(f"s_{code}")
             for code, ws in _MARKERS.items()
         ],
     )
@@ -102,24 +106,22 @@ def gated_unique(
         F.min("words").alias("words"),
         *[F.min(f"s_{code}").alias(f"s_{code}") for code in _MARKERS],
     )
-    words_nz = F.greatest(F.col("words"), F.lit(1))
+    wnz = "greatest(words, 1)"
     quality = (
-        F.when(
-            (F.col("words") >= 20) & (F.col("words") <= 2000), F.lit(0.5)
-        ).otherwise(F.lit(0.0))
-        + F.when(F.col("s_en") > 0, F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(
-            (F.col("chars") / words_nz >= 3) & (F.col("chars") / words_nz <= 12),
-            F.lit(0.2),
-        ).otherwise(F.lit(0.0))
+        "(CASE WHEN (words >= 20) AND (words <= 2000) "
+        "THEN 0.5D ELSE 0.0D END"
+        " + CASE WHEN s_en > 0 THEN 0.3D ELSE 0.0D END"
+        f" + CASE WHEN ((chars / {wnz}) >= 3) AND ((chars / {wnz}) <= 12) "
+        "THEN 0.2D ELSE 0.0D END)"
     )
-    best = F.greatest(*[F.col(f"s_{code}") for code in _MARKERS])
-    pred = F.when(best <= 0, F.lit("und"))
+    best = "greatest(" + ", ".join(f"s_{code}" for code in _MARKERS) + ")"
+    pred = f"CASE WHEN {best} <= 0 THEN 'und' "
     for code in sorted(_MARKERS):  # alphabetical tiebreak, same as lang_id
-        pred = pred.when(F.col(f"s_{code}") == best, F.lit(code))
+        pred += f"WHEN s_{code} = {best} THEN '{code}' "
+    pred += "END"
     return (
-        grouped.withColumn("quality", quality)
-        .withColumn("lang_pred", pred)
+        grouped.withColumn("quality", F.expr(quality))
+        .withColumn("lang_pred", F.expr(pred))
         .filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
         .select("doc_id", "text", "words", "quality")
     )
@@ -289,13 +291,15 @@ def corpus_mix(
     rides the parquet scan. Per-source rates need no per-source passes:
     the pct is one CASE expression.
     """
-    pct = None
-    for src, w in sorted(weights.items()):
-        cond = F.col("source") == src
-        pct = F.when(cond, F.lit(w)) if pct is None else pct.when(cond, F.lit(w))
-    pct = pct.otherwise(F.lit(default_pct)) if pct is not None else F.lit(default_pct)
-    gate = hex32(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
-    return docs.filter(F.pmod(gate, F.lit(100)) < pct)
+    if weights:
+        pct = "CASE " + " ".join(
+            f"WHEN source = '{src}' THEN {w}"
+            for src, w in sorted(weights.items())
+        ) + f" ELSE {default_pct} END"
+    else:
+        pct = str(default_pct)
+    gate = hex32_sx("concat('mix|', CAST(doc_id AS STRING))")
+    return docs.filter(F.expr(f"pmod({gate}, 100) < ({pct})"))
 
 
 def corpus_mix_sql(
@@ -323,29 +327,22 @@ def intra_doc_dedup(docs: DataFrame, chunk: int = 20) -> DataFrame:
     re-evaluation rule (see :func:`operators.text.word_kgrams`).
     """
     staged = docs.select("doc_id", tokens("text").alias("tk"))
-    n = F.size("tk")
-    n_chunks = F.floor((n + (chunk - 1)) / F.lit(chunk)).cast("int")
-    chunks = F.when(
-        n_chunks >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_chunks),
-            lambda i: F.concat_ws(
-                " ", F.slice(F.col("tk"), (i - 1) * chunk + 1, chunk)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    chunked = staged.select("doc_id", chunks.alias("chunks"))
+    n_chunks = f"CAST(floor((size(tk) + {chunk - 1}) / {chunk}) AS INT)"
+    chunks = (
+        f"CASE WHEN {n_chunks} >= 1 THEN "
+        f"transform(sequence(1, {n_chunks}), "
+        f"i -> concat_ws(' ', slice(tk, (i - 1) * {chunk} + 1, {chunk}))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    chunked = staged.select("doc_id", F.expr(chunks).alias("chunks"))
     # Spark HOF (element, index) lambdas are 0-based; array_position is
     # 1-based — first occurrence keeps iff position == index + 1.
-    kept = F.filter(
-        "chunks",
-        lambda c, i: F.array_position(F.col("chunks"), c) == i + 1,
-    )
+    kept = "filter(chunks, (c, i) -> array_position(chunks, c) = i + 1)"
     return chunked.select(
         "doc_id",
-        F.size("chunks").cast("long").alias("n_chunks"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.array_join(kept, " ").alias("clean_text"),
+        F.expr("CAST(size(chunks) AS BIGINT)").alias("n_chunks"),
+        F.expr(f"CAST(size({kept}) AS BIGINT)").alias("n_kept"),
+        F.expr(f"array_join({kept}, ' ')").alias("clean_text"),
     )
 
 
@@ -405,12 +402,14 @@ def token_budget_sample(
     reproduces it with a plain ordered window. At 1000 executors raise
     ``n_buckets`` to ~2-3x total cores so bucket windows stay balanced.
     """
-    key = hex32(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    key = hex32_sx("concat('sample|', CAST(doc_id AS STRING))")
     base = docs.select(
         "doc_id",
-        F.size(tokens("text")).cast("long").alias("words"),
-        key.alias("skey"),
-    ).withColumn("bucket", F.pmod(F.col("skey"), F.lit(n_buckets)).cast("int"))
+        F.expr(f"CAST(size({tokens_sx('text')}) AS BIGINT)").alias("words"),
+        F.expr(key).alias("skey"),
+    ).withColumn(
+        "bucket", F.expr(f"CAST(pmod(skey, {n_buckets}) AS INT)")
+    )
     wb = (
         Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -55,55 +55,44 @@ def synth_urls(docs: DataFrame) -> DataFrame:
     and trailing slashes all vary by doc_id, so canonicalization must
     collapse each bucket (modulo the deliberate ``:8443`` holdouts,
     which stay distinct by rule 2)."""
-    b = (F.col("doc_id") % _BUCKETS).cast("string")
+    # one parsed fragment (r13-opt, text.tokens_sx note) — this builder
+    # runs per bench rep in the url_dedup lane
+    b = f"CAST(doc_id % {_BUCKETS} AS STRING)"
     scheme = (
-        F.when(F.col("doc_id") % 3 == 0, "https")
-        .when(F.col("doc_id") % 3 == 1, "HTTPS")
-        .otherwise("Https")
+        "CASE WHEN doc_id % 3 = 0 THEN 'https' "
+        "WHEN doc_id % 3 = 1 THEN 'HTTPS' ELSE 'Https' END"
     )
     # 7 host shards (bucket-derived so a bucket's docs share a host),
     # case-messed per doc
-    shard = ((F.col("doc_id") % _BUCKETS) % 7).cast("string")
-    host = F.when(
-        F.col("doc_id") % 2 == 0,
-        F.concat(F.lit("Shard"), shard, F.lit(".Example.COM")),
-    ).otherwise(F.concat(F.lit("shard"), shard, F.lit(".example.com")))
-    port = (
-        F.when(F.col("doc_id") % 11 == 0, ":8443")
-        .when(F.col("doc_id") % 5 == 0, ":443")
-        .otherwise("")
+    shard = f"CAST((doc_id % {_BUCKETS}) % 7 AS STRING)"
+    host = (
+        f"CASE WHEN doc_id % 2 = 0 "
+        f"THEN concat('Shard', {shard}, '.Example.COM') "
+        f"ELSE concat('shard', {shard}, '.example.com') END"
     )
-    path = F.concat(
-        F.lit("/docs/"),
-        b,
-        F.when(F.col("doc_id") % 4 == 0, "/").otherwise(""),
+    port = (
+        "CASE WHEN doc_id % 11 = 0 THEN ':8443' "
+        "WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END"
+    )
+    path = (
+        f"concat('/docs/', {b}, "
+        "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)"
     )
     query = (
-        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("?id="), b))
-        .when(
-            F.col("doc_id") % 3 == 1,
-            F.concat(
-                F.lit("?utm_source=s"),
-                F.col("doc_id").cast("string"),
-                F.lit("&id="),
-                b,
-            ),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("?id="),
-                b,
-                F.lit("&utm_campaign=c"),
-                F.col("doc_id").cast("string"),
-            )
-        )
+        f"CASE WHEN doc_id % 3 = 0 THEN concat('?id=', {b}) "
+        "WHEN doc_id % 3 = 1 THEN concat('?utm_source=s', "
+        f"CAST(doc_id AS STRING), '&id=', {b}) "
+        f"ELSE concat('?id=', {b}, '&utm_campaign=c', "
+        "CAST(doc_id AS STRING)) END"
     )
-    frag = F.when(
-        F.col("doc_id") % 2 == 1,
-        F.concat(F.lit("#sec"), F.col("doc_id").cast("string")),
-    ).otherwise("")
-    url = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
-    return docs.select("doc_id", url.alias("url"))
+    frag = (
+        "CASE WHEN doc_id % 2 = 1 "
+        "THEN concat('#sec', CAST(doc_id AS STRING)) ELSE '' END"
+    )
+    url = (
+        f"concat({scheme}, '://', {host}, {port}, {path}, {query}, {frag})"
+    )
+    return docs.select("doc_id", F.expr(url).alias("url"))
 
 
 def synth_urls_sql(table: str = "documents") -> str:
@@ -137,6 +126,41 @@ def synth_urls_sql(table: str = "documents") -> str:
 
 
 # ----------------------------------------------------- canonicalization
+
+
+def _sqq(pat: str) -> str:
+    """Spark-SQL string literal with backslash escaping (patterns)."""
+    return "'" + pat.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def canon_url_sx(expr: str) -> str:
+    """SPARK-SQL fragment twin of :func:`canon_url` (r13-opt: parsed in
+    one py4j call — see operators/text.py tokens_sx note; the
+    ``canon_url_sql`` twin below stays the DuckDB/RE2 dialect). Same
+    pattern sequence, Java regex + $1 backrefs."""
+    pat_scheme = _sqq(r"^([A-Za-z][A-Za-z0-9+.\-]*)://")
+    pat_slashq = _sqq(r"/\?")
+    nofrag = f"regexp_replace({expr}, '#.*$', '')"
+    scheme = (
+        f"lower(regexp_extract({nofrag},"
+        f" {pat_scheme}, 1))"
+    )
+    hostport = f"lower(regexp_extract({nofrag}, '^[^:/?#]+://([^/?#]*)', 1))"
+    hp = (
+        f"(CASE WHEN {scheme} = 'http'"
+        f" THEN regexp_replace({hostport}, ':80$', '')"
+        f" WHEN {scheme} = 'https'"
+        f" THEN regexp_replace({hostport}, ':443$', '')"
+        f" ELSE {hostport} END)"
+    )
+    rest = f"regexp_extract({nofrag}, '^[^:/?#]+://[^/?#]*(.*)$', 1)"
+    rest = f"regexp_replace({rest}, {_sqq(_TRACKING)}, '')"
+    rest = f"regexp_replace({rest}, '^([^?]*)&', '$1?')"
+    rest = f"regexp_replace({rest}, '[?&]$', '')"
+    rest = f"regexp_replace({rest}, {pat_slashq}, '?')"
+    rest = f"regexp_replace({rest}, '/$', '')"
+    rest = f"(CASE WHEN {rest} = '' THEN '/' ELSE {rest} END)"
+    return f"concat({scheme}, '://', {hp}, {rest})"
 
 
 def canon_url(url: Column) -> Column:
@@ -215,7 +239,7 @@ def url_dedup(urls: DataFrame, url_col: str = "url") -> DataFrame:
         urls.select(
             "doc_id",
             F.col(url_col).alias("url"),
-            canon_url(F.col(url_col)).alias("canon_url"),
+            F.expr(canon_url_sx(url_col)).alias("canon_url"),
         )
         .groupBy("canon_url")
         .agg(
@@ -262,7 +286,7 @@ def url_dedup_stream(
     ~60-byte canonical string, never the document."""
     from teste_carga_avro_vs_json_spark.streaming import stream_dedup
 
-    canon = urls.withColumn("canon_url", canon_url(F.col(url_col)))
+    canon = urls.withColumn("canon_url", F.expr(canon_url_sx(url_col)))
     return stream_dedup(canon, ["canon_url"], event_time_col, delay)
 
 
@@ -287,10 +311,10 @@ def domain_profile(urls: DataFrame, url_col: str = "url") -> DataFrame:
     from pyspark.sql.window import Window
 
     hosts = urls.select(
-        F.regexp_extract(
-            canon_url(F.col(url_col)), r"^[a-z]+://([^/:]+)", 1
+        F.expr(
+            f"regexp_extract({canon_url_sx(url_col)}, '^[a-z]+://([^/:]+)', 1)"
         ).alias("host"),
-        canon_url(F.col(url_col)).alias("canon_url"),
+        F.expr(canon_url_sx(url_col)).alias("canon_url"),
     )
     agg = hosts.groupBy("host").agg(
         F.count("*").alias("n_docs"),
@@ -361,8 +385,8 @@ def robots_filter(
     host) and broadcasts."""
     hosted = urls.withColumn(
         "host",
-        F.regexp_extract(
-            canon_url(F.col(url_col)), r"^[a-z]+://([^/:]+)", 1
+        F.expr(
+            f"regexp_extract({canon_url_sx(url_col)}, '^[a-z]+://([^/:]+)', 1)"
         ),
     )
     joined = hosted.join(F.broadcast(robots), "host", "left")
@@ -474,8 +498,8 @@ def domain_cap(
 
     with_host = urls.select(
         F.col(id_col),
-        F.regexp_extract(
-            canon_url(F.col(url_col)), r"^[a-z]+://([^/:]+)", 1
+        F.expr(
+            f"regexp_extract({canon_url_sx(url_col)}, '^[a-z]+://([^/:]+)', 1)"
         ).alias("host"),
     )
     w = Window.partitionBy("host").orderBy(id_col)

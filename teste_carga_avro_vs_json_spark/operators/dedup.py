@@ -27,11 +27,17 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
-from teste_carga_avro_vs_json_spark.functions.portable import hex32, hex32_sql
+from teste_carga_avro_vs_json_spark.functions.portable import (
+    hex32,
+    hex32_sql,
+    hex32_sx,
+)
 from teste_carga_avro_vs_json_spark.operators.text import (
     tokens,
     tokens_sql,
+    tokens_sx,
     word_kgrams,
+    word_kgrams_sx,
 )
 
 # ------------------------------------------------------------ exact dedup
@@ -41,7 +47,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output one row per distinct content: (fp, keep_doc_id, n_copies).
     """
     return (
-        docs.select(F.md5(F.col(text_col)).alias("fp"), "doc_id")
+        docs.select(F.expr(f"md5({text_col})").alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
@@ -70,8 +76,8 @@ def exact_dedup_scale(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per-pair bound, same as the oracle path's md5."""
     return (
         docs.select(
-            F.xxhash64(F.col(text_col)).alias("fp64"),
-            F.xxhash64(F.lit("fp2|"), F.col(text_col)).alias("fp64b"),
+            F.expr(f"xxhash64({text_col})").alias("fp64"),
+            F.expr(f"xxhash64('fp2|', {text_col})").alias("fp64b"),
             "doc_id",
         )
         .groupBy("fp64", "fp64b")
@@ -150,7 +156,8 @@ def _shingled(
     src = docs.filter(has_k_tokens) if nonempty else docs
     toks = src.select("doc_id", tokens(text_col).alias("toks"))
     return toks.select(
-        "doc_id", F.array_distinct(word_kgrams(F.col("toks"), k)).alias("sh")
+        "doc_id",
+        F.expr(f"array_distinct({word_kgrams_sx('toks', k)})").alias("sh"),
     )
 
 
@@ -160,6 +167,19 @@ def shingles_sql(expr: str, k: int = 3) -> str:
         f"list_distinct(list_transform("
         f"generate_series(1, GREATEST(len({t}) - {k - 1}, 0)), "
         f"i -> array_to_string({t}[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _jaccard_sx(a: str, b: str) -> str:
+    """Spark-SQL fragment twin of :func:`_jaccard` (r13-opt, see
+    text.tokens_sx note) — repeated fragments mirror the repeated
+    Column subtrees; codegen subexpression elimination applies."""
+    inter = f"CAST(size(array_intersect({a}, {b})) AS BIGINT)"
+    union = (
+        f"CAST(size({a}) AS BIGINT) + CAST(size({b}) AS BIGINT) - {inter}"
+    )
+    return (
+        f"CASE WHEN ({union}) > 0 THEN {inter} / ({union}) ELSE 0.0D END"
     )
 
 
@@ -187,7 +207,11 @@ def ngram_jaccard_pairs(
     b = sample.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
     return (
-        pairs.select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.expr(_jaccard_sx("sh_a", "sh_b")).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -224,6 +248,18 @@ def _seeded_hash(i: int):
         return hex32(F.concat(F.lit(prefix), s))
 
     return fn
+
+
+def minhash_signature_sx(sh: str, num_hashes: int = 12) -> str:
+    """Spark-SQL fragment twin of :func:`minhash_signature` over a
+    named shingle column (r13-opt, see text.tokens_sx note)."""
+    mins = ",".join(
+        f"array_min(transform({sh}, s -> "
+        + hex32_sx(f"concat('{i}|', s)")
+        + "))"
+        for i in range(num_hashes)
+    )
+    return f"array({mins})"
 
 
 def minhash_signature(sh: Column, num_hashes: int = 12) -> Column:
@@ -295,25 +331,19 @@ def _banded_jaccard(
         base.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
     base = base.repartition(n_part, "doc_id").persist()
+    band_keys = ",".join(
+        "concat_ws(':', '" + str(b) + "', "
+        + ", ".join(
+            f"CAST(mh[{b * rows + r}] AS STRING)" for r in range(rows)
+        )
+        + ")"
+        for b in range(bands)
+    )
     banded = (
         base.withColumn("mh", mh)
         .select(
             "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            ":",
-                            F.lit(str(b)),
-                            *[
-                                F.col("mh")[b * rows + r].cast("string")
-                                for r in range(rows)
-                            ],
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band_key"),
+            F.explode(F.expr(f"array({band_keys})")).alias("band_key"),
         )
         .repartition(n_part, "band_key")
         .hint("shuffle_hash")
@@ -340,7 +370,11 @@ def _banded_jaccard(
         cand.join(x, "doc_a")
         .select("doc_a", F.explode("doc_bs").alias("doc_b"), "sh_a")
         .join(y, "doc_b")
-        .select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(_jaccard_sx("sh_a", "sh_b")).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -359,7 +393,11 @@ def minhash_lsh_candidates(
     """
     base = _shingled(docs, k)
     return _banded_jaccard(
-        base, minhash_signature(F.col("sh"), num_hashes), num_hashes, bands, threshold
+        base,
+        F.expr(minhash_signature_sx("sh", num_hashes)),
+        num_hashes,
+        bands,
+        threshold,
     )
 
 
@@ -386,23 +424,18 @@ def minhash_lsh_candidates_scale(
     # O(shingle bytes × num_hashes). (A multiply-add universal family
     # would be cheaper still, but Spark 4 ANSI mode forbids the required
     # mod-2^64 wrap-around; seeded xxhash64-of-long keeps full 64-bit
-    # uniformity with no overflow.)
-    hashed = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
-
-    def _family(i: int):
-        # NB: must return a ONE-argument lambda. PySpark counts the Python
-        # lambda's parameters to decide the HOF arity, so a captured
-        # `lambda h, i=i: ...` would silently become transform's
-        # (element, index) form and the seed would be the array index.
-        return lambda h: F.xxhash64(F.lit(i), h)
-
-    mh = F.array(
-        *[
-            F.array_min(F.transform(hashed, _family(i)))
-            for i in range(num_hashes)
-        ]
+    # uniformity with no overflow.) The ``hashed`` fragment repeats per
+    # family exactly like the old duplicated Column subtree — codegen
+    # subexpression elimination evaluates it once either way; the parsed
+    # form just builds in one py4j call (r13-opt, text.tokens_sx note).
+    hashed = "transform(sh, s -> xxhash64(s))"
+    mins = ",".join(
+        f"array_min(transform({hashed}, h -> xxhash64({i}, h)))"
+        for i in range(num_hashes)
     )
-    return _banded_jaccard(base, mh, num_hashes, bands, threshold)
+    return _banded_jaccard(
+        base, F.expr(f"array({mins})"), num_hashes, bands, threshold
+    )
 
 
 def minhash_lsh_sql(

@@ -116,7 +116,7 @@ def _bm25_agg(
     tok = (
         staged.select(
             "doc_id",
-            F.size("toks").cast("long").alias("dl"),
+            F.expr("CAST(size(toks) AS BIGINT)").alias("dl"),
             F.explode_outer("toks").alias("tok"),
         )
         .filter(F.col("tok").isNotNull())
@@ -129,24 +129,22 @@ def _bm25_agg(
             F.max("dl").alias("dl"),
         )
     )
-    # idf quantized to 1e-9 longs straight out of ln (lm.py discipline)
+    # idf quantized to 1e-9 longs straight out of ln (lm.py discipline);
+    # parsed fragments (r13-opt, text.tokens_sx note) — double literals
+    # emitted via repr + D suffix, the exact-round-trip discipline of
+    # similarity._dlit, so the arithmetic is the same IEEE-754 sequence
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = dfs.select(
         "term",
-        F.floor(
-            F.log(
-                ((F.lit(n_docs) - F.col("df")) + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            )
-            * F.lit(10**9)
-            + F.lit(0.5)
-        ).cast("long").alias("idf_q"),
+        F.expr(
+            f"CAST(floor(ln((({n_docs} - df) + 0.5D) / (df + 0.5D) + 1.0D)"
+            " * 1000000000 + 0.5D) AS BIGINT)"
+        ).alias("idf_q"),
     )
-    frac = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+    frac = (
+        f"(tf * {float(k1 + 1.0)!r}D) / "
+        f"(tf + {float(k1)!r}D * ({float(1.0 - b)!r}D + {float(b)!r}D"
+        f" * (dl / {float(avgdl)!r}D)))"
     )
     contrib = (
         tf.join(F.broadcast(idf), "term")
@@ -154,9 +152,9 @@ def _bm25_agg(
         .select(
             "q_id",
             "doc_id",
-            F.floor(F.col("idf_q") * frac + F.lit(0.5))
-            .cast("long")
-            .alias("c"),
+            F.expr(
+                f"CAST(floor(idf_q * {frac} + 0.5D) AS BIGINT)"
+            ).alias("c"),
         )
     )
     return contrib.groupBy("q_id", "doc_id").agg(

@@ -26,9 +26,11 @@ from pyspark.sql.window import Window
 def route(msgs: DataFrame, num_particoes: int = 18) -> DataFrame:
     """O7 routing arithmetic: chave + particao columns
     (ProdutorAvro.java:67-70)."""
-    seq = F.col("sequencia")
-    return msgs.withColumn("chave", F.concat(F.lit("msg-"), seq.cast("string"))).withColumn(
-        "particao", F.pmod(seq - 1, F.lit(num_particoes)).cast("int")
+    return msgs.withColumn(
+        "chave", F.expr("concat('msg-', CAST(sequencia AS STRING))")
+    ).withColumn(
+        "particao",
+        F.expr(f"CAST(pmod(sequencia - 1, {num_particoes}) AS INT)"),
     )
 
 
@@ -73,13 +75,9 @@ def size_estimate(msgs: DataFrame) -> DataFrame:
     Σ over registros of 4+8+8+len(texto)+len(uuid)."""
     return msgs.select(
         "sequencia",
-        F.aggregate(
-            "dados",
-            F.lit(0).cast("long"),
-            lambda acc, r: acc
-            + F.lit(20)
-            + F.length(r["texto"])
-            + F.length(r["uuid"]),
+        F.expr(
+            "aggregate(dados, CAST(0 AS BIGINT), "
+            "(acc, r) -> acc + 20 + length(r.texto) + length(r.uuid))"
         ).alias("tamanho_estimado"),
     )
 

@@ -1486,23 +1486,29 @@ def lsh_bucket(
     (vector, table) after explode — standard L-table LSH, trading L×
     index size for recall. The signature computation is one projection
     (no shuffle); bucketing a 100 TB corpus costs a single scan."""
-    v = F.col("embedding").cast("array<double>")
-    table_buckets = []
+    # ONE parsed expression for all L tables x H planes (r13-opt, see
+    # _lit_mat / text.tokens_sx): the repeated cast fragment mirrors the
+    # old duplicated Column subtree (codegen CSE evaluates it once).
+    v = "CAST(embedding AS ARRAY<DOUBLE>)"
+    structs = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes * (t + 1))[n_planes * t :]
-        sig = F.lit(0)
+        sig = "0"
         for h, plane in enumerate(planes):
-            plane_col = F.expr(
-                "array(" + ",".join(_dlit(x) for x in plane) + ")"
-            )  # one parsed literal (r13-opt, see _lit_mat)
-            sig = sig + F.when(_dot(v, plane_col) >= 0, F.lit(1 << h)).otherwise(
-                F.lit(0)
+            pl = "array(" + ",".join(_dlit(x) for x in plane) + ")"
+            dot = (
+                f"aggregate(zip_with({v}, {pl}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x)"
             )
-        table_buckets.append(
-            F.struct(F.lit(t).alias("tbl"), sig.cast("int").alias("sig"))
+            sig += (
+                f" + CASE WHEN {dot} >= 0 THEN {1 << h} ELSE 0 END"
+            )
+        structs.append(
+            f"named_struct('tbl', {t}, 'sig', CAST({sig} AS INT))"
         )
+    arr = "array(" + ",".join(structs) + ")"
     return emb.withColumn(
-        "bucket", F.explode(F.array(*table_buckets))
+        "bucket", F.explode(F.expr(arr))
     ).withColumn(
         "bucket", F.concat_ws("#", F.col("bucket.tbl"), F.col("bucket.sig"))
     )

@@ -51,6 +51,7 @@ from teste_carga_avro_vs_json_spark.operators.text import (
     tokens,
     tokens_sql,
     word_kgrams,
+    word_kgrams_sx,
 )
 
 
@@ -106,7 +107,9 @@ def exact_substring_spans(
     # don't invite an InferFiltersFromGenerate size() re-shingle below
     # the Generate (plans.expensive_filter_nodes).
     occ = (
-        toks.select("doc_id", word_kgrams(F.col("toks"), L).alias("grams"))
+        toks.select(
+            "doc_id", F.expr(word_kgrams_sx("toks", L)).alias("grams")
+        )
         .select("doc_id", F.posexplode_outer("grams").alias("pos", "gram"))
         .select(
             "doc_id", "pos", _gram_key(F.col("gram"), scale).alias("gkey")
@@ -126,72 +129,52 @@ def exact_substring_spans(
         .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
     )
     # Fetch-after-dedup: rejoin the token arrays only now, on doc_id.
-    span_t = "array<struct<s:int,e:int>>"
+    # Sorted starts fold: extend the last interval while the next start
+    # is <= last_e + 1 (overlap or adjacency), else open a new one.
+    # Ends are monotone (e = s + L - 1 with s ascending), so extending
+    # = rewriting last_e to s + L - 1. Parsed fragments (r13-opt, see
+    # text.tokens_sx): identical expressions, one py4j parse each.
+    new_span = f"array(named_struct('s', s, 'e', s + {L} - 1))"
+    fold = (
+        "aggregate(starts, "
+        "CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>), "
+        "(acc, s) -> CASE WHEN (size(acc) > 0) "
+        "AND (s <= element_at(acc, -1).e + 1) THEN "
+        "concat(slice(acc, 1, size(acc) - 1), "
+        f"array(named_struct('s', element_at(acc, -1).s, "
+        f"'e', s + {L} - 1))) "
+        f"ELSE concat(acc, {new_span}) END)"
+    )
     merged = (
         toks.join(starts, "doc_id", "left")
         .select(
             "doc_id",
             "toks",
-            F.coalesce("starts", F.array().cast("array<int>")).alias(
-                "starts"
-            ),
+            F.expr(
+                "coalesce(starts, CAST(array() AS ARRAY<INT>))"
+            ).alias("starts"),
         )
-        .select(
-            "doc_id",
-            "toks",
-            # Sorted starts fold: extend the last interval while the
-            # next start is <= last_e + 1 (overlap or adjacency), else
-            # open a new one.  Ends are monotone (e = s + L - 1 with s
-            # ascending), so extending = rewriting last_e to s + L - 1.
-            F.aggregate(
-                "starts",
-                F.array().cast(span_t),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (s <= F.element_at(acc, -1)["e"] + 1),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(
-                            F.struct(
-                                F.element_at(acc, -1)["s"].alias("s"),
-                                (s + L - 1).alias("e"),
-                            )
-                        ),
-                    ),
-                ).otherwise(
-                    F.concat(
-                        acc,
-                        F.array(
-                            F.struct(s.alias("s"), (s + L - 1).alias("e"))
-                        ),
-                    )
-                ),
-            ).alias("spans"),
-        )
+        .select("doc_id", "toks", F.expr(fold).alias("spans"))
     )
-    covered = lambda i: F.exists(  # noqa: E731 — needs staged `spans`
-        F.col("spans"), lambda sp: (sp["s"] <= i) & (i <= sp["e"])
+    # filter's two-arg lambda exposes the element index (0-based,
+    # matching posexplode's pos); membership is tested against the
+    # MERGED spans so the rebuild is O(n_tokens * n_spans).
+    keep = (
+        "filter(toks, (t, i) -> NOT exists(spans, "
+        "sp -> (sp.s <= i) AND (i <= sp.e)))"
     )
     cols = [
         F.col("doc_id"),
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.size("spans").cast("long").alias("n_spans"),
-        F.aggregate(
-            "spans",
-            F.lit(0).cast("long"),
-            lambda acc, sp: acc + (sp["e"] - sp["s"] + 1).cast("long"),
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(size(spans) AS BIGINT)").alias("n_spans"),
+        F.expr(
+            "aggregate(spans, CAST(0 AS BIGINT), "
+            "(acc, sp) -> acc + CAST(sp.e - sp.s + 1 AS BIGINT))"
         ).alias("n_dup_tokens"),
-        # F.filter's two-arg lambda exposes the element index (0-based,
-        # matching posexplode's pos); membership is tested against the
-        # MERGED spans so the rebuild is O(n_tokens * n_spans).
-        F.concat_ws(
-            " ", F.filter("toks", lambda t, i: ~covered(i))
-        ).alias("clean_text"),
+        F.expr(f"concat_ws(' ', {keep})").alias("clean_text"),
     ]
     if token_col is not None:
-        cols.append(
-            F.filter("toks", lambda t, i: ~covered(i)).alias("clean_tokens")
-        )
+        cols.append(F.expr(keep).alias("clean_tokens"))
     return merged.select(*cols)
 
 

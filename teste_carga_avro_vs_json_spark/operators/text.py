@@ -25,14 +25,49 @@ import pyspark.sql.functions as F
 from pyspark.sql.window import Window
 
 # ------------------------------------------------------------- tokenizer
+#
+# r13-opt note on the ``*_sx`` builders in this module: each returns a
+# SPARK-SQL fragment (the ``*_sql`` twins are the DuckDB dialect) that
+# ``F.expr`` parses in ONE py4j round trip. Composing the same trees
+# through the Column API costs one driver↔JVM socket round trip per
+# call — measured at 0.5-2.2 ms each on this host and ~50-65 % of
+# several bench lanes' wall clock (build vs execute split,
+# OPTIMIZATION_r13.md #2). The parsed fragments produce the IDENTICAL
+# Catalyst expressions (verified by the driver's 50-query hash oracle
+# and the scale-vs-md5 pair-set pins), so results are unchanged.
+def tokens_sx(expr: str) -> str:
+    """Spark-SQL twin of :func:`tokens` over a column/fragment name."""
+    return f"filter(split({expr}, '\\\\s+'), t -> t != '')"
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenizer: split on \\s+ runs, drop empty strings."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
+    if isinstance(text, str):
+        return F.expr(tokens_sx(text))
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
 
 
 def tokens_sql(expr: str) -> str:
     return f"list_filter(regexp_split_to_array({expr}, '\\s+'), t -> t <> '')"
+
+
+def _sq(pat: str) -> str:
+    """Spark-SQL single-quoted string literal with backslash escaping
+    (Spark string literals treat backslash as an escape char)."""
+    return "'" + pat.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def word_kgrams_sx(t: str, k: int) -> str:
+    """Spark-SQL twin of :func:`word_kgrams` (same zip_with chain —
+    the repeated ``m`` fragment mirrors the repeated Column subtree)."""
+    m = f"greatest((size({t}) - {k - 1}), 0)"
+    out = f"slice({t}, 1, {m})"
+    for i in range(1, k):
+        out = (
+            f"zip_with({out}, slice({t}, {i + 1}, {m}), "
+            "(a, b) -> concat_ws(' ', a, b))"
+        )
+    return out
 
 
 def word_kgrams(t: Column, k: int) -> Column:
@@ -63,12 +98,13 @@ _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 def token_counts(docs: DataFrame) -> DataFrame:
     """Per-document token counting: whitespace words + BPE-ish pieces +
     char count. The three standard 'how big is this doc' measures."""
-    t = tokens("text")
     return docs.select(
         "doc_id",
-        F.size(t).alias("n_words"),
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("n_pieces"),
-        F.length("text").alias("n_chars_measured"),
+        F.expr(f"size({tokens_sx('text')})").alias("n_words"),
+        F.expr(
+            f"size(regexp_extract_all(text, {_sq(_BPE_RE)}, 0))"
+        ).alias("n_pieces"),
+        F.expr("length(text)").alias("n_chars_measured"),
     )
 
 
@@ -87,12 +123,11 @@ def text_stats(docs: DataFrame) -> DataFrame:
     """Corpus stats per language: doc counts, char/token totals and
     means, distinct sources. One hash agg; the mean is derived post-agg
     from exact longs (oracle-stable double)."""
-    t = tokens("text")
     per_doc = docs.select(
         "lang",
         "source",
-        F.length("text").cast("long").alias("chars"),
-        F.size(t).cast("long").alias("words"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("chars"),
+        F.expr(f"CAST(size({tokens_sx('text')}) AS BIGINT)").alias("words"),
     )
     return (
         per_doc.groupBy("lang")
@@ -143,6 +178,12 @@ _MARKERS: dict[str, list[str]] = {
 }
 
 
+def _marker_count_sx(toks: str, words: list[str]) -> str:
+    """Spark-SQL twin of :func:`_marker_count` (see tokens_sx note)."""
+    arr = "array(" + ",".join(f"'{w}'" for w in words) + ")"
+    return f"size(filter({toks}, t -> array_contains({arr}, lower(t))))"
+
+
 def _marker_count(toks: Column, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
@@ -152,9 +193,20 @@ def _marker_score_cols() -> list[Column]:
     """One ``s_{lang}`` marker-hit count per language, over a staged
     ``toks`` array column (shared by lang_id and doc_profile)."""
     return [
-        _marker_count(F.col("toks"), ws).alias(f"s_{lang}")
+        F.expr(_marker_count_sx("toks", ws)).alias(f"s_{lang}")
         for lang, ws in _MARKERS.items()
     ]
+
+
+_BEST_SX = "greatest(" + ", ".join(f"s_{lang}" for lang in _MARKERS) + ")"
+
+
+def _lang_pred_sx(best: str = _BEST_SX) -> str:
+    """Spark-SQL twin of :func:`_lang_pred` over the s_* columns."""
+    case = f"CASE WHEN {best} <= 0 THEN 'und' "
+    for lang in sorted(_MARKERS):
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    return case + "END"
 
 
 def _lang_pred(best: Column) -> Column:
@@ -172,13 +224,11 @@ def lang_id(docs: DataFrame) -> DataFrame:
     :func:`_lang_pred` for the tie/zero-evidence rules)."""
     staged = docs.select("doc_id", "lang", tokens("text").alias("toks"))
     scored = staged.select("doc_id", "lang", *_marker_score_cols())
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in _MARKERS])
-    pred = _lang_pred(best)
     return scored.select(
         "doc_id",
         F.col("lang").alias("lang_labeled"),
-        pred.alias("lang_pred"),
-        best.cast("int").alias("marker_hits"),
+        F.expr(_lang_pred_sx()).alias("lang_pred"),
+        F.expr(f"CAST({_BEST_SX} AS INT)").alias("marker_hits"),
     )
 
 
@@ -209,26 +259,27 @@ def lang_id_sql(table: str = "documents") -> str:
 
 # -------------------------------------------------------- quality score
 def _quality_cols(
-    chars: Column, words: Column, stopwords: Column
+    chars: str, words: str, stopwords: str
 ) -> list[Column]:
     """The quality-score output expressions over exact long counts
     (shared by quality_score and doc_profile — one definition, zero
     drift between the standalone and fused formulations). In-range
     indicator components: docs of 20..2000 words with some stopword
-    evidence score higher."""
-    words_nz = F.greatest(words, F.lit(1))
+    evidence score higher. Inputs are Spark-SQL fragments (see
+    tokens_sx note); double literals carry the D suffix so the parser
+    never types them DECIMAL."""
+    wnz = f"greatest({words}, 1)"
+    quality = (
+        f"(CASE WHEN ({words} >= 20) AND ({words} <= 2000) "
+        "THEN 0.5D ELSE 0.0D END"
+        f" + CASE WHEN {stopwords} > 0 THEN 0.3D ELSE 0.0D END"
+        f" + CASE WHEN (({chars} / {wnz}) >= 3) AND (({chars} / {wnz}) <= 12) "
+        "THEN 0.2D ELSE 0.0D END)"
+    )
     return [
-        (chars / words_nz).alias("mean_word_len"),
-        (stopwords / words_nz).alias("stopword_ratio"),
-        (
-            F.when((words >= 20) & (words <= 2000), F.lit(0.5))
-            .otherwise(F.lit(0.0))
-            + F.when(stopwords > 0, F.lit(0.3)).otherwise(F.lit(0.0))
-            + F.when(
-                (chars / words_nz >= 3) & (chars / words_nz <= 12),
-                F.lit(0.2),
-            ).otherwise(F.lit(0.0))
-        ).alias("quality"),
+        F.expr(f"{chars} / {wnz}").alias("mean_word_len"),
+        F.expr(f"{stopwords} / {wnz}").alias("stopword_ratio"),
+        F.expr(quality).alias("quality"),
     ]
 
 
@@ -239,20 +290,22 @@ def quality_score(docs: DataFrame) -> DataFrame:
     en = _MARKERS["en"]
     staged = docs.select(
         "doc_id",
-        F.length("text").cast("long").alias("chars"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("chars"),
         tokens("text").alias("toks"),
     )
     scored = staged.select(
         "doc_id",
         "chars",
-        F.size("toks").cast("long").alias("words"),
-        _marker_count(F.col("toks"), en).cast("long").alias("stopwords"),
+        F.expr("CAST(size(toks) AS BIGINT)").alias("words"),
+        F.expr(
+            f"CAST({_marker_count_sx('toks', en)} AS BIGINT)"
+        ).alias("stopwords"),
     )
     return scored.select(
         "doc_id",
         "chars",
         "words",
-        *_quality_cols(F.col("chars"), F.col("words"), F.col("stopwords")),
+        *_quality_cols("chars", "words", "stopwords"),
     )
 
 
@@ -284,9 +337,11 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     text — the canonical content-defined exact-dup key. (The rolling
     Rabin-hash variant lives in dedup.shingles; md5 here keeps the
     oracle twin exact.)"""
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = "regexp_replace(trim(lower(text)), '\\\\s+', ' ')"
     return docs.select(
-        "doc_id", F.md5(norm).alias("fp"), F.length(norm).cast("long").alias("norm_len")
+        "doc_id",
+        F.expr(f"md5({norm})").alias("fp"),
+        F.expr(f"CAST(length({norm}) AS BIGINT)").alias("norm_len"),
     )
 
 
@@ -310,16 +365,16 @@ def doc_profile(docs: DataFrame) -> DataFrame:
     pay three doc_id shuffle-joins to reassemble. Token arrays are
     staged behind a projection once and every downstream measure reads
     the staged column (HOF-lambda rule, SCALE.md)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = "regexp_replace(trim(lower(text)), '\\\\s+', ' ')"
     staged = docs.select(
         "doc_id",
         "lang",
-        F.length("text").alias("n_chars_measured"),
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
-            "n_pieces"
-        ),
-        F.md5(norm).alias("fp"),
-        F.length(norm).cast("long").alias("norm_len"),
+        F.expr("length(text)").alias("n_chars_measured"),
+        F.expr(
+            f"size(regexp_extract_all(text, {_sq(_BPE_RE)}, 0))"
+        ).alias("n_pieces"),
+        F.expr(f"md5({norm})").alias("fp"),
+        F.expr(f"CAST(length({norm}) AS BIGINT)").alias("norm_len"),
         tokens("text").alias("toks"),
     )
     scored = staged.select(
@@ -332,20 +387,19 @@ def doc_profile(docs: DataFrame) -> DataFrame:
         F.size("toks").alias("n_words"),
         *_marker_score_cols(),
     )
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in _MARKERS])
-    chars = F.col("n_chars_measured").cast("long")
-    words = F.col("n_words").cast("long")
-    stopwords = F.col("s_en").cast("long")  # en markers == quality_score's
+    chars = "CAST(n_chars_measured AS BIGINT)"
+    words = "CAST(n_words AS BIGINT)"
+    stopwords = "CAST(s_en AS BIGINT)"  # en markers == quality_score's
     return scored.select(
         "doc_id",
         "n_words",
         "n_pieces",
         "n_chars_measured",
         F.col("lang").alias("lang_labeled"),
-        _lang_pred(best).alias("lang_pred"),
-        best.cast("int").alias("marker_hits"),
-        chars.alias("chars"),
-        words.alias("words"),
+        F.expr(_lang_pred_sx()).alias("lang_pred"),
+        F.expr(f"CAST({_BEST_SX} AS INT)").alias("marker_hits"),
+        F.expr(chars).alias("chars"),
+        F.expr(words).alias("words"),
         *_quality_cols(chars, words, stopwords),
         "fp",
         "norm_len",
@@ -577,79 +631,74 @@ def repetition_profile(docs: DataFrame, n: int = 2) -> DataFrame:
     """
     staged = docs.select(
         "doc_id",
-        F.length("text").cast("long").alias("total_chars"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("total_chars"),
         tokens("text").alias("toks"),
     )
     sorted_grams = staged.select(
         "doc_id",
         "total_chars",
-        F.size("toks").cast("long").alias("n_words"),
-        F.size(F.array_distinct("toks")).cast("long").alias(
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_words"),
+        F.expr("CAST(size(array_distinct(toks)) AS BIGINT)").alias(
             "n_distinct_words"
         ),
-        F.array_sort(word_kgrams(F.col("toks"), n)).alias("g"),
+        F.expr(f"array_sort({word_kgrams_sx('toks', n)})").alias("g"),
     )
-    zero = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("top"),
-        F.lit("").alias("top_gram"),
-        F.lit(0).cast("long").alias("dup"),
+    # One parsed fold (see tokens_sx note). run2/new_top fragments are
+    # textually repeated exactly where the Column form duplicated the
+    # subtree — identical Catalyst tree, identical values.
+    # Duplicated-gram chars: a run of r >= 2 equal grams contributes
+    # r * len(gram) — booked as 2*len when the run reaches 2 (the
+    # first occurrence becomes retroactively duplicated) plus len
+    # for each further repeat.
+    zero = (
+        "named_struct('prev', '', 'run', CAST(0 AS BIGINT), "
+        "'top', CAST(0 AS BIGINT), 'top_gram', '', "
+        "'dup', CAST(0 AS BIGINT))"
     )
-
-    def step(acc: Column, x: Column) -> Column:
-        run2 = (
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1))
-            .cast("long")
-        )
-        # Duplicated-gram chars: a run of r >= 2 equal grams contributes
-        # r * len(gram) — booked as 2*len when the run reaches 2 (the
-        # first occurrence becomes retroactively duplicated) plus len
-        # for each further repeat.
-        dup2 = acc["dup"] + (
-            F.when(run2 == 2, 2 * F.length(x))
-            .when(run2 > 2, F.length(x))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        new_top = run2 > acc["top"]
-        return F.struct(
-            x.alias("prev"),
-            run2.alias("run"),
-            F.when(new_top, run2).otherwise(acc["top"]).alias("top"),
-            F.when(new_top, x).otherwise(acc["top_gram"]).alias("top_gram"),
-            dup2.alias("dup"),
-        )
-
+    run2 = "CAST(CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END AS BIGINT)"
+    dup2 = (
+        f"acc.dup + CAST(CASE WHEN {run2} = 2 THEN 2 * length(x) "
+        f"WHEN {run2} > 2 THEN length(x) ELSE 0 END AS BIGINT)"
+    )
+    step = (
+        "named_struct("
+        "'prev', x, "
+        f"'run', {run2}, "
+        f"'top', CASE WHEN {run2} > acc.top THEN {run2} ELSE acc.top END, "
+        f"'top_gram', CASE WHEN {run2} > acc.top THEN x "
+        "ELSE acc.top_gram END, "
+        f"'dup', {dup2})"
+    )
     folded = sorted_grams.select(
         "doc_id",
         "total_chars",
         "n_words",
         "n_distinct_words",
-        F.aggregate(F.col("g"), zero, step).alias("st"),
+        F.expr(f"aggregate(g, {zero}, (acc, x) -> {step})").alias("st"),
     )
     top = folded.select(
         "doc_id",
         "n_words",
         "n_distinct_words",
-        (F.col("n_words") - F.col("n_distinct_words")).alias("dup_words"),
+        F.expr("n_words - n_distinct_words").alias("dup_words"),
         "total_chars",
-        F.when(F.col("st.top") > 0, F.col("st.top_gram")).alias("top_gram"),
+        F.expr(
+            "CASE WHEN st.top > 0 THEN st.top_gram END"
+        ).alias("top_gram"),
         F.col("st.top").alias("top_gram_count"),
-        F.when(
-            F.col("st.top") > 0,
-            F.col("st.top") * F.length(F.col("st.top_gram")).cast("long"),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("top_gram_chars"),
+        F.expr(
+            "CAST(CASE WHEN st.top > 0 "
+            "THEN st.top * CAST(length(st.top_gram) AS BIGINT) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("top_gram_chars"),
         F.col("st.dup").alias("dup_gram_chars"),
     )
     return top.withColumn(
         "repetitive",
-        (5 * F.col("dup_gram_chars") > F.col("total_chars"))
-        | (2 * F.col("dup_words") > F.col("n_words")),
+        F.expr(
+            "(5 * dup_gram_chars > total_chars) "
+            "OR (2 * dup_words > n_words)"
+        ),
     )
 
 
@@ -1049,78 +1098,66 @@ def gopher_rules(
         "doc_id",
         F.col(text_col).alias("_t"),
         tokens(text_col).alias("_toks"),
-        F.filter(
-            F.split(F.col(text_col), r"\n"), lambda l: l != F.lit("")
+        F.expr(
+            f"filter(split({text_col}, '\\\\n'), l -> l != '')"
         ).alias("_lines"),
     )
-    stop_hits = None
-    for w in _GOPHER_STOPS:
-        hit = F.array_contains(
-            F.transform(F.col("_toks"), F.lower), w
-        ).cast("long")
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    # parsed fragments (see tokens_sx note) — identical expressions
+    stop_hits = " + ".join(
+        "CAST(array_contains(transform(_toks, t -> lower(t)), "
+        f"'{w}') AS BIGINT)"
+        for w in _GOPHER_STOPS
+    )
     metrics = staged.select(
         "doc_id",
-        F.size("_toks").cast("long").alias("n_words"),
-        F.aggregate(
-            "_toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        F.expr("CAST(size(_toks) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "aggregate(_toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))"
         ).alias("sum_word_len"),
-        F.size(
-            F.filter(F.col("_toks"), lambda t: t.rlike("[A-Za-z]"))
-        ).cast("long").alias("n_alpha_words"),
-        stop_hits.alias("n_stop_hits"),
-        (
-            F.length("_t") - F.length(F.replace("_t", F.lit("#")))
-        ).cast("long").alias("n_hash"),
-        (
-            (F.length("_t") - F.length(F.replace("_t", F.lit("..."))))
-            / F.lit(3)
-        ).cast("long").alias("n_ellipsis"),
-        F.size("_lines").cast("long").alias("n_lines"),
-        F.size(
-            F.filter(F.col("_lines"), lambda l: l.rlike("^[-•]"))
-        ).cast("long").alias("n_bullet_lines"),
-        F.size(
-            F.filter(
-                F.col("_lines"), lambda l: l.rlike("(\\.\\.\\.|…)$")
-            )
-        ).cast("long").alias("n_ellipsis_lines"),
+        F.expr(
+            "CAST(size(filter(_toks, t -> t RLIKE '[A-Za-z]')) AS BIGINT)"
+        ).alias("n_alpha_words"),
+        F.expr(stop_hits).alias("n_stop_hits"),
+        F.expr(
+            "CAST(length(_t) - length(replace(_t, '#')) AS BIGINT)"
+        ).alias("n_hash"),
+        F.expr(
+            "CAST((length(_t) - length(replace(_t, '...'))) / 3 AS BIGINT)"
+        ).alias("n_ellipsis"),
+        F.expr("CAST(size(_lines) AS BIGINT)").alias("n_lines"),
+        F.expr(
+            "CAST(size(filter(_lines, l -> l RLIKE '^[-•]')) AS BIGINT)"
+        ).alias("n_bullet_lines"),
+        F.expr(
+            "CAST(size(filter(_lines, "
+            "l -> l RLIKE '(\\\\.\\\\.\\\\.|…)$')) AS BIGINT)"
+        ).alias("n_ellipsis_lines"),
     )
     rules = metrics.select(
         "*",
-        F.col("n_words").between(min_words, max_words).alias(
-            "r_word_count"
-        ),
-        (
-            (F.col("sum_word_len") >= 3 * F.col("n_words"))
-            & (F.col("sum_word_len") <= 10 * F.col("n_words"))
-            & (F.col("n_words") > 0)
+        F.expr(
+            f"n_words BETWEEN {min_words} AND {max_words}"
+        ).alias("r_word_count"),
+        F.expr(
+            "((sum_word_len >= 3 * n_words) AND "
+            "(sum_word_len <= 10 * n_words)) AND (n_words > 0)"
         ).alias("r_mean_word_len"),
-        (
-            10 * (F.col("n_hash") + F.col("n_ellipsis"))
-            <= F.col("n_words")
+        F.expr(
+            "10 * (n_hash + n_ellipsis) <= n_words"
         ).alias("r_symbol_ratio"),
-        (10 * F.col("n_bullet_lines") <= F.col("n_lines")).alias(
-            "r_bullet_lines"
-        ),
-        (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines")).alias(
-            "r_ellipsis_lines"
-        ),
-        (10 * F.col("n_alpha_words") >= 8 * F.col("n_words")).alias(
-            "r_alpha_words"
-        ),
-        (F.col("n_stop_hits") >= 2).alias("r_stop_words"),
+        F.expr("10 * n_bullet_lines <= n_lines").alias("r_bullet_lines"),
+        F.expr(
+            "10 * n_ellipsis_lines <= 3 * n_lines"
+        ).alias("r_ellipsis_lines"),
+        F.expr("10 * n_alpha_words >= 8 * n_words").alias("r_alpha_words"),
+        F.expr("n_stop_hits >= 2").alias("r_stop_words"),
     )
     return rules.select(
         "*",
-        (
-            F.col("r_word_count")
-            & F.col("r_mean_word_len")
-            & F.col("r_symbol_ratio")
-            & F.col("r_bullet_lines")
-            & F.col("r_ellipsis_lines")
-            & F.col("r_alpha_words")
-            & F.col("r_stop_words")
+        F.expr(
+            "((((((r_word_count AND r_mean_word_len) AND r_symbol_ratio) "
+            "AND r_bullet_lines) AND r_ellipsis_lines) AND r_alpha_words) "
+            "AND r_stop_words)"
         ).alias("keep"),
     )
 

@@ -29,10 +29,13 @@ from teste_carga_avro_vs_json_spark.functions.portable import (
     hex32_sql,
     pseudo_double,
     pseudo_double_sql,
+    pseudo_double_sx,
     pseudo_uuid,
     pseudo_uuid_sql,
+    pseudo_uuid_sx,
     rand_text,
     rand_text_sql,
+    rand_text_sx,
 )
 
 # Logical clock origin (FIXTURES.md F1): replaces System.currentTimeMillis()
@@ -54,17 +57,37 @@ def _registro(seq: Column, idx: Column) -> Column:
     )
 
 
+def _registro_sx(seq: str, idx: str) -> str:
+    """SPARK-SQL fragment twin of :func:`_registro` (r13-opt: the whole
+    message projection parses in a handful of py4j calls — this builder
+    runs per bench rep in every generator-fed lane; see
+    operators/text.py tokens_sx note)."""
+    rk = f"concat(CAST({seq} AS STRING), '-', CAST({idx} AS STRING))"
+    key_t = f"concat({rk}, '-t')"
+    key_n = f"concat({rk}, '-n')"
+    key_u = f"concat({rk}, '-u')"
+    return (
+        "named_struct("
+        f"'indice', CAST({idx} AS INT), "
+        f"'texto', {rand_text_sx(key_t, TEXT_LEN)}, "
+        f"'numero', {pseudo_double_sx(key_n)}, "
+        f"'timestamp', CAST({EPOCH0} + {seq} AS BIGINT), "
+        f"'uuid', {pseudo_uuid_sx(key_u)})"
+    )
+
+
 def mensagens_from_seq(seq_df: DataFrame, tamanho_kb: int = 1) -> DataFrame:
     """Attach the full MensagemCarga columns to a frame with a
     ``sequencia`` (long, 1-based) column."""
     k = n_registros(tamanho_kb)
-    seq = F.col("sequencia")
+    uid = pseudo_uuid_sx("concat('id-', CAST(sequencia AS STRING))")
     return seq_df.select(
-        pseudo_uuid(F.concat(F.lit("id-"), seq.cast("string"))).alias("id"),
-        (F.lit(EPOCH0) + seq).cast("long").alias("timestamp"),
-        seq.cast("long").alias("sequencia"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)), lambda j: _registro(seq, j)
+        F.expr(uid).alias("id"),
+        F.expr(f"CAST({EPOCH0} + sequencia AS BIGINT)").alias("timestamp"),
+        F.expr("CAST(sequencia AS BIGINT)").alias("sequencia"),
+        F.expr(
+            f"transform(sequence(0, {k - 1}), "
+            f"j -> {_registro_sx('sequencia', 'j')})"
         ).alias("dados"),
         F.lit("1.0").alias("versao"),
     )
