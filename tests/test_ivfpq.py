@@ -121,16 +121,15 @@ def test_ivf_pq_plan_carries_codes_not_vectors(spark, emb):
     assert aud.cartesian == 0 and aud.bnl_joins == 0
     assert "EvalPython" not in plan
     assert expensive_filter_nodes(out) == []
-    # the ADC pair-dedup aggregate carries (query_id, vec_id, adc) only
-    agg_lines = [
-        ln for ln in plan.splitlines()
-        if "HashAggregate(keys=[query_id" in ln
-    ]
-    assert agg_lines, "ADC dedup HashAggregate not found"
-    for ln in agg_lines:
-        assert "qvec" not in ln
-        assert not re.search(r"\bvec#\d", ln), f"vector rides dedup: {ln}"
-        assert "codes" not in ln, f"codes ride past scoring: {ln}"
+    # r14: the pair-dedup exchange is GONE by proof, not by accident —
+    # one cluster per corpus row × distinct probed clusters per query
+    # means the equi-join emits each (query_id, vec_id) at most once
+    # (value-pinned by test_ivf_pq_candidates_unique), so no
+    # HashAggregate keyed on the pair may reappear between scoring and
+    # the rank window.
+    assert not any(
+        "HashAggregate(keys=[query_id" in ln for ln in plan.splitlines()
+    ), "pair-dedup aggregate reappeared (one avoidable exchange)"
     # refine + candidate joins are all broadcast (shortlist/query side
     # tiny); corpus is never the build side of an estimated broadcast
     assert plan.count("BroadcastHashJoin") >= 3
@@ -150,6 +149,25 @@ def test_ivf_pq_plan_carries_codes_not_vectors(spark, emb):
         "element_at" in ln and re.search(r"codes#\d+\[", ln)
         for ln in plan.splitlines()
     ), "LUT lookup scoring not found in plan"
+
+
+def test_ivf_pq_candidates_unique(spark, emb):
+    """The r14 justification for dropping the pair-dedup exchange: the
+    UN-deduplicated ADC-scored candidate stream (refine=None with an
+    unbounded k exposes every candidate row) contains each
+    (query_id, vec_id) pair exactly once — one cluster per corpus row,
+    distinct probed clusters per query. If an algorithm change ever
+    reintroduces multi-assignment, this fails before the oracle does."""
+    out = similarity.ivf_pq_topk(
+        emb, n_centroids=16, refine=None, k=1 << 30
+    )
+    dup = (
+        out.groupBy("query_id", "vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
 
 
 def test_ivf_pq_code_size_is_d_over_8(spark, emb, tmp_path):
