@@ -230,6 +230,39 @@ def _decode_arrow_udf():
     return _UDF_CACHE["dec_vec"]
 
 
+def _roundtrip_arrow_udf():
+    if "rt_vec" not in _UDF_CACHE:
+        from pyspark.sql.functions import arrow_udf
+
+        from teste_carga_avro_vs_json_spark.functions import avro_vec
+
+        @arrow_udf(MENSAGEM_CARGA)
+        def avro_roundtrip_vec(msg):
+            """struct -> binary -> struct in ONE Python eval node.
+
+            The encode->decode composition is exactly the two separate
+            arrow_udfs chained (same avro_vec batch functions, same
+            values), but fusing them halves the JVM<->Python Arrow
+            transfers: two ArrowEvalPython nodes each round-trip the
+            full column set, so the intermediate ~1 KB/row binary
+            column crossed the boundary twice for nothing (guide §4.1
+            — you cannot remove the boundary cost, but you control how
+            many columns cross, and the binary never needs to)."""
+            return avro_vec.decode_batch(avro_vec.encode_batch(msg))
+
+        _UDF_CACHE["rt_vec"] = avro_roundtrip_vec
+    return _UDF_CACHE["rt_vec"]
+
+
+def roundtrip_avro(msg_struct: Column) -> Column:
+    """Fused to_avro->from_avro for the Arrow-native codec (r14): one
+    ArrowEvalPython node instead of two. Values are the exact
+    composition of :func:`to_avro` and :func:`from_avro` (pytest- and
+    oracle-pinned); use the separate functions when the encoded bytes
+    themselves are needed."""
+    return _roundtrip_arrow_udf()(msg_struct)
+
+
 def _encode_udf():
     if "enc" not in _UDF_CACHE:
         from pyspark.sql.types import BinaryType

@@ -81,6 +81,18 @@ def avro_decode(
 
 
 def avro_roundtrip(msgs: DataFrame, vectorized: bool | None = None) -> DataFrame:
+    from teste_carga_avro_vs_json_spark.functions import avro_codec
+
+    use_vec = avro_codec._vectorized() if vectorized is None else vectorized
+    if use_vec:
+        # Fused encode->decode (r14): nothing downstream reads the
+        # intermediate binary, so one ArrowEvalPython node carries the
+        # whole roundtrip — the separate-node form shipped the ~1 KB/row
+        # encoded column across the Python boundary twice (guide §4.1).
+        # Values = the exact composition of the two arrow_udfs.
+        return msgs.select(
+            avro_codec.roundtrip_avro(_msg_struct()).alias("msg")
+        ).select("msg.*")
     return avro_decode(avro_encode(msgs, vectorized), vectorized=vectorized)
 
 

@@ -543,25 +543,6 @@ def _nearest(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     return F.array_min(_scored_structs(vec, centroids))["idx"]
 
 
-def _space_struct(s_idx: int):
-    """Binary (element, index) transform lambda factory for the fused
-    k-means mean update: element x of space ``s_idx`` at local dim i
-    becomes (space, that row's cluster in the space, dim, quantized
-    long). A factory because PySpark infers HOF arity from the Python
-    lambda's parameter count — a captured default arg would silently
-    flip the form (the r7 ``_family`` gotcha, dedup.py)."""
-
-    def fn(x, i):
-        return F.struct(
-            F.lit(s_idx).alias("sp"),
-            F.col("asg")[s_idx].alias("cluster"),
-            i.alias("dim"),
-            F.floor(x * 1000 + F.lit(0.5)).cast("long").alias("sx"),
-        )
-
-    return fn
-
-
 def _assign_multi(
     v: DataFrame,
     resolved: list[tuple[int, int, int]],
@@ -680,16 +661,24 @@ def multi_kmeans(
                 if len(cents) == k:
                     break
         all_cents.append(cents)
+    # The per-space explode expression depends only on the space
+    # layout, not the centroids — build it ONCE, as one parsed SQL
+    # fragment (r14): the Column-API form (9 transform+slice+struct
+    # trees, rebuilt every iteration) cost ~1 s of py4j round trips
+    # PER Lloyd iteration, measured — the r13 `_sx` lesson applied to
+    # the trainer. Same expressions: 0-based `asg[s]`/lambda index,
+    # `floor(x*1000.0D + 0.5D)` is the exact quantization the Column
+    # form computed (int 1000 promoted to double either way).
+    explode_sx = "explode(flatten(array(" + ", ".join(
+        f"transform(slice(vec, {start + 1}, {length}), (x, i) -> "
+        f"named_struct('sp', {s_idx}, 'cluster', asg[{s_idx}], 'dim', i,"
+        f" 'sx', CAST(floor(x * 1000.0D + 0.5D) AS BIGINT)))"
+        for s_idx, (_k, start, length) in enumerate(resolved)
+    ) + ")))"
     for _ in range(iters):
         assigned = _assign_multi(v, resolved, all_cents, vectorized)
-        parts = [
-            F.transform(
-                F.slice(F.col("vec"), start + 1, length), _space_struct(s_idx)
-            )
-            for s_idx, (_k, start, length) in enumerate(resolved)
-        ]
         means = (
-            assigned.select(F.explode(F.flatten(F.array(*parts))).alias("e"))
+            assigned.select(F.expr(explode_sx).alias("e"))
             .groupBy(
                 F.col("e.sp").alias("sp"),
                 F.col("e.cluster").alias("cluster"),
