@@ -477,23 +477,35 @@ def ivf_centroids(
     # exceed spark.sql.codegen.maxFields (100), demoting the whole
     # aggregate out of whole-stage codegen — the explode's extra rows
     # are cheaper than losing codegen. Keep the explode.
+    dim = len(centroids[0][1]) if centroids else 0
     for _ in range(iters):
-        assigned = (
-            assign_np(v, centroids)
-            if vectorized
-            else v.withColumn("cluster", _nearest(F.col("vec"), centroids))
-        )
-        means = (
-            assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(
-                F.sum(
-                    F.floor(F.col("x") * 1000 + F.lit(0.5)).cast("long")
-                ).alias("s"),
-                F.count(F.lit(1)).alias("n"),
+        if vectorized:
+            # fused assignment + in-UDF partial sums (r14, shared with
+            # multi_kmeans — see _update_sums_np); the expression path
+            # below stays the untouched reference this is pinned against
+            means = (
+                _update_sums_np(v, [(len(centroids), 0, dim)], [centroids])
+                .groupBy("cluster", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
             )
-            .collect()
-        )
+        else:
+            assigned = v.withColumn(
+                "cluster", _nearest(F.col("vec"), centroids)
+            )
+            means = (
+                assigned.select(
+                    "cluster", F.posexplode("vec").alias("dim", "x")
+                )
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.sum(
+                        F.floor(F.col("x") * 1000 + F.lit(0.5)).cast("long")
+                    ).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
         by_cluster: dict[int, dict[int, float]] = {}
         for r in means:
             by_cluster.setdefault(r.cluster, {})[r.dim] = (r.s / r.n) / 1000.0
@@ -602,6 +614,90 @@ def _assign_multi(
     return v.withColumn("asg", nearest_multi(F.col("vec")))
 
 
+def _update_sums_np(
+    v: DataFrame,
+    resolved: list[tuple[int, int, int]],
+    all_cents: list[list[tuple[int, list[float]]]],
+) -> DataFrame:
+    """Fused Lloyd update (r14): assignment AND per-(space, cluster,
+    dim) quantized partial sums in ONE Arrow-batched pass over just the
+    ``vec`` column — guide §2.3 (aggregate before you shuffle, in the
+    UDF itself) + §4.2 (whole-batch numpy). The explode→groupBy form
+    shipped vec+asg back to the JVM and generated n·d·coverage struct
+    rows per iteration; this emits at most Σ(kₛ·dsubₛ) partial rows per
+    batch and the final groupBy sums exact int64s (order-free — the
+    same discipline as the explode form's map-side partial agg).
+
+    Bit-exactness: assignment is the assign_np computation verbatim
+    (same chunking-independent cumsum distances, same first-min
+    tie-break); the quantization ``floor(x·1000.0 + 0.5)`` is the same
+    IEEE-754 op sequence the SQL fragment evaluates per element; int64
+    sums regrouped by identical keys are exact. Pinned transitively by
+    test_multi_kmeans_fused_equals_sequential and
+    test_ivf_centroids_vectorized_matches_expression (both compare
+    against the untouched expression/explode reference paths)."""
+    import numpy as np
+
+    Cs = [
+        np.asarray([c for _, c in cents], dtype=np.float64)
+        for cents in all_cents
+    ]
+    idxs = [
+        np.asarray([i for i, _ in cents], dtype=np.int64)
+        for cents in all_cents
+    ]
+    slices = [(start, length) for _k, start, length in resolved]
+    worst = max(
+        C.shape[0] * max(1, C.shape[1] if C.ndim > 1 else 1) for C in Cs
+    )
+    schema = T.StructType(
+        [
+            T.StructField("sp", T.IntegerType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def partial_sums(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = max(1, 32 * 1024 * 1024 // max(1, worst * 8))
+        for pdf in pdfs:
+            vals = pdf["vec"].to_numpy()
+            if not len(vals):
+                continue
+            cols: dict[str, list] = {k: [] for k in ("sp", "cluster", "dim", "s", "n")}
+            for lo in range(0, len(vals), chunk):
+                M = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in vals[lo : lo + chunk]]
+                )
+                if M.size == 0:
+                    continue
+                Q = np.floor(M * 1000.0 + 0.5).astype(np.int64)
+                for s, (start, length) in enumerate(slices):
+                    Ms = M[:, start : start + length]
+                    diffs = (Ms[:, None, :] - Cs[s][None, :, :]) ** 2
+                    loc = diffs.cumsum(axis=2)[:, :, -1].argmin(axis=1)
+                    k = Cs[s].shape[0]
+                    acc = np.zeros((k, length), dtype=np.int64)
+                    np.add.at(acc, loc, Q[:, start : start + length])
+                    cnt = np.bincount(loc, minlength=k).astype(np.int64)
+                    for c in np.nonzero(cnt)[0]:
+                        cols["sp"].append(np.full(length, s, dtype=np.int32))
+                        cols["cluster"].append(
+                            np.full(length, idxs[s][c], dtype=np.int32)
+                        )
+                        cols["dim"].append(np.arange(length, dtype=np.int32))
+                        cols["s"].append(acc[c])
+                        cols["n"].append(np.full(length, cnt[c], dtype=np.int64))
+            if cols["sp"]:
+                yield pd.DataFrame(
+                    {k: np.concatenate(c) for k, c in cols.items()}
+                )
+
+    return v.select("vec").mapInPandas(partial_sums, schema)
+
+
 def multi_kmeans(
     emb: DataFrame,
     spaces: list[tuple[int, int, int | None]],
@@ -676,17 +772,27 @@ def multi_kmeans(
         for s_idx, (_k, start, length) in enumerate(resolved)
     ) + ")))"
     for _ in range(iters):
-        assigned = _assign_multi(v, resolved, all_cents, vectorized)
-        means = (
-            assigned.select(F.expr(explode_sx).alias("e"))
-            .groupBy(
-                F.col("e.sp").alias("sp"),
-                F.col("e.cluster").alias("cluster"),
-                F.col("e.dim").alias("dim"),
+        if vectorized:
+            # fused assignment + map-side partial sums inside the UDF
+            # (r14, see _update_sums_np) — one Arrow pass over vec only
+            means = (
+                _update_sums_np(v, resolved, all_cents)
+                .groupBy("sp", "cluster", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
             )
-            .agg(F.sum("e.sx").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        else:
+            assigned = _assign_multi(v, resolved, all_cents, False)
+            means = (
+                assigned.select(F.expr(explode_sx).alias("e"))
+                .groupBy(
+                    F.col("e.sp").alias("sp"),
+                    F.col("e.cluster").alias("cluster"),
+                    F.col("e.dim").alias("dim"),
+                )
+                .agg(F.sum("e.sx").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
         by_space: dict[int, dict[int, dict[int, float]]] = {}
         for r in means:
             by_space.setdefault(r.sp, {}).setdefault(r.cluster, {})[r.dim] = (
