@@ -478,12 +478,14 @@ def pack_sequences(
     decorrelated from source order). No global-ordered window over data
     rows anywhere; raise ``n_buckets`` with cluster size.
     """
-    key = hex32(F.concat(F.lit("pack|"), F.col("doc_id").cast("string")))
-    base = docs.select(
+    # parsed fragments (r13-opt _sx discipline; r14 — this builder was
+    # still Column-API, ~600 py4j round trips): same expressions, the
+    # oracle twin hashes the output unchanged
+    base = docs.selectExpr(
         "doc_id",
-        F.size(tokens("text")).cast("long").alias("n_tokens"),
-        key.alias("skey"),
-    ).withColumn("bucket", F.pmod(F.col("skey"), F.lit(n_buckets)).cast("int"))
+        f"CAST(size({tokens_sx('text')}) AS BIGINT) AS n_tokens",
+        hex32_sx("concat('pack|', CAST(doc_id AS STRING))") + " AS skey",
+    ).selectExpr("*", f"CAST(pmod(skey, {n_buckets}) AS INT) AS bucket")
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         base.groupBy("bucket")
@@ -500,18 +502,18 @@ def pack_sequences(
     return (
         base.join(F.broadcast(offsets), "bucket")
         .withColumn("start_tok", start)
-        .withColumn("seq_id", F.expr(f"start_tok div {seq_len}"))
-        .withColumn("seq_off", F.pmod(F.col("start_tok"), F.lit(seq_len)))
-        .withColumn(
-            "n_seqs",
-            F.when(
-                F.col("n_tokens") > 0,
-                F.expr(f"(start_tok + n_tokens - 1) div {seq_len}")
-                - F.col("seq_id")
-                + F.lit(1),
-            ).otherwise(F.lit(0).cast("long")),
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "start_tok",
+            f"start_tok div {seq_len} AS seq_id",
+            f"pmod(start_tok, {seq_len}) AS seq_off",
+            # seq_id's fragment repeats inside n_seqs exactly where the
+            # Column form referenced the computed column (codegen CSE)
+            f"CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) "
+            f"div {seq_len} - start_tok div {seq_len} + 1 "
+            f"ELSE CAST(0 AS BIGINT) END AS n_seqs",
         )
-        .select("doc_id", "n_tokens", "start_tok", "seq_id", "seq_off", "n_seqs")
     )
 
 
@@ -552,23 +554,22 @@ def pack_windows(
             F.posexplode_outer("toks").alias("i", "tok"),
         )
         .filter(F.col("tok").isNotNull())
-        .select(
-            (F.col("start_tok") + F.col("i")).alias("pos"),
-            F.col("tok"),
-        )
+        .selectExpr("start_tok + i AS pos", "tok")
     )
+    # parsed fragments (r14, see pack_sequences): struct(pos, tok)
+    # keeps the same field names/sort order as the Column form
     return (
-        placed.withColumn("seq_id", F.expr(f"pos div {seq_len}"))
+        placed.selectExpr(f"pos div {seq_len} AS seq_id", "pos", "tok")
         .groupBy("seq_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("tok")))
-            ).alias("placed")
+            F.expr("array_sort(collect_list(struct(pos, tok)))").alias(
+                "placed"
+            )
         )
-        .select(
+        .selectExpr(
             "seq_id",
-            F.size("placed").cast("long").alias("n_tokens"),
-            F.transform("placed", lambda s: s["tok"]).alias("toks"),
+            "CAST(size(placed) AS BIGINT) AS n_tokens",
+            "transform(placed, s -> s.tok) AS toks",
         )
     )
 

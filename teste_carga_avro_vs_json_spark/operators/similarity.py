@@ -293,7 +293,12 @@ def cosine_topk_np(
             s = _score_mat(np.vstack(col.to_numpy()))
             return pd.Series(list(map(list, s)))
 
-    qid_arr = F.array(*[F.lit(q) for q in qids])
+    # ONE parsed bigint-array literal (r14; the unrolled F.lit form cost
+    # ~2 py4j round trips per query id — see _lit_mat). F.lit(int) maps
+    # to LongType, so the parsed twin needs the L suffix to match.
+    qid_arr = F.expr(
+        "array(" + ",".join(f"{int(q)}L" for q in qids) + ")"
+    )
     scored = (
         v.select("vec_id", F.posexplode(_scores(F.col("vec"))))
         .withColumnRenamed("col", "cos_sim")
