@@ -85,11 +85,11 @@ def avro_roundtrip(msgs: DataFrame, vectorized: bool | None = None) -> DataFrame
 
     use_vec = avro_codec._vectorized() if vectorized is None else vectorized
     if use_vec:
-        # Fused encode->decode (r14): nothing downstream reads the
-        # intermediate binary, so one ArrowEvalPython node carries the
-        # whole roundtrip — the separate-node form shipped the ~1 KB/row
-        # encoded column across the Python boundary twice (guide §4.1).
-        # Values = the exact composition of the two arrow_udfs.
+        # Fused encode->decode (r14): one udf invocation instead of the
+        # chained two-step eval (Spark already merged the pair into one
+        # ArrowEvalPython node, but materialized the intermediate binary
+        # as Arrow between the chained udfs). ~13% on the e2e lane;
+        # values = the exact composition of the two arrow_udfs.
         return msgs.select(
             avro_codec.roundtrip_avro(_msg_struct()).alias("msg")
         ).select("msg.*")
